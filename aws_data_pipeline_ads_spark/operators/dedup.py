@@ -1,0 +1,145 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest to richest (all shuffle-conscious):
+
+1. exact_dedup            — hash-groupBy on a content hash. One shuffle.
+2. latest_by_key          — keep newest record per key (window rank).
+3. token_jaccard_pairs    — exact near-dup pairs via token-set Jaccard,
+                            blocked to bound the candidate space.
+4. minhash_lsh_pairs      — MinHash + banded LSH candidate pairs: the
+                            100 TB path (candidates grow ~linearly, not
+                            quadratically). Pure built-in expressions
+                            (xxhash64 + min-agg), no Python UDF, fully
+                            deterministic.
+
+SimHash lives in simhash.py (shared SQL-template implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.functions import tokens
+
+# Mersenne-ish prime and multiplier bounds chosen so every intermediate
+# fits in a signed 64-bit int even under ANSI overflow checking:
+# a < 2^29, h < 2^31  =>  a*h + b < 2^61.
+_MH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _perm_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) multipliers for the MinHash permutations."""
+    rng_a, rng_b = 48_271, 16_807  # classic LCG multipliers, fixed seed
+    params = []
+    a, b = 1_234_567, 7_654_321
+    for _ in range(n_hashes):
+        a = (a * rng_a + 11) % (1 << 29)
+        b = (b * rng_b + 7) % _MH_PRIME
+        params.append((a or 1, b))
+    return params
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical doc per content hash + copy count.
+
+    Hashing BEFORE the shuffle means the exchange moves 32-byte keys,
+    not document bodies — the difference between feasible and not at
+    100 TB.
+    """
+    return (
+        documents.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def latest_by_key(df: DataFrame, key: str, ts_col: str, tiebreak: str) -> DataFrame:
+    """Latest-wins dedup: row_number over (key, ts desc, tiebreak desc) = 1."""
+    w = W.partitionBy(key).orderBy(F.desc(ts_col), F.desc(tiebreak))
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def doc_token_sets(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode documents into distinct (doc_id, lang, tok) rows."""
+    return (
+        documents.select("doc_id", "lang", F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+    )
+
+
+def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by language.
+
+    Shape: explode→distinct (1 shuffle), token self-join (co-partitioned
+    on tok), two broadcast-able count joins. Exact but candidate count is
+    quadratic per token — at 100 TB use minhash_lsh_pairs to prefilter
+    and this operator only to verify the surviving candidates.
+    """
+    toks = doc_token_sets(documents)
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc from distinct whitespace tokens.
+
+    h_i(tok) = (a_i * (xxhash64(tok) mod p) + b_i) mod p; signature_i =
+    min over tokens. All built-in expressions — the min-agg is partial
+    (map-side combine), so the shuffle carries n_hashes longs per doc.
+    """
+    toks = doc_token_sets(documents)
+    base = F.pmod(F.xxhash64("tok"), F.lit(_MH_PRIME))
+    mins = [
+        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    ]
+    return toks.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
+                      bands: int = 4) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing ≥1 band signature.
+
+    Bucket join is an equi-join on (band, signature) — linear shuffle,
+    candidates only within buckets. Returns distinct (doc_a, doc_b).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(documents, n_hashes)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bsig"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bsig") == F.col("b.bsig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

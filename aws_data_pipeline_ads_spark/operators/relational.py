@@ -1,0 +1,146 @@
+"""Relational operators: joins, aggregations, windows, set ops, top-k.
+
+These generalize the reference's only aggregation (the run summary,
+/root/reference/lambda/lambda_function.py:353-396) and its projections
+(:273-307) into the full relational surface a 100 TB ads warehouse
+needs (SURVEY.md §2C).
+
+Scale notes baked into each operator:
+- region/nation are broadcast (bounded size at any SF); customer/orders/
+  lineitem join via shuffle, where AQE picks sort-merge vs shuffled-hash
+  and splits skewed partitions.
+- windows partition by high-cardinality keys (custkey, user_id) so state
+  per partition stays small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.functions import dec_sum
+
+
+def star_join_revenue(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                      region: DataFrame) -> DataFrame:
+    """Revenue per region/nation over the orders→customer→nation→region star.
+
+    nation/region are broadcast (tiny dims); orders⋈customer shuffles on
+    the customer key — the canonical big-fact⋈big-dim pattern.
+    """
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+    )
+
+
+def semi_anti_split(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Customers with orders (left_semi) and without (left_anti), labeled.
+
+    Semi/anti joins shuffle only the keys — no payload duplication —
+    which is why they're the scale-safe EXISTS/NOT EXISTS."""
+    has = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("has_orders").alias("status"))
+    )
+    not_has = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("no_orders").alias("status"))
+    )
+    return has.unionByName(not_has)
+
+
+def rollup_revenue(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ROLLUP(nation, segment) — partial aggregation happens map-side for
+    every grouping set; NULL grouping keys are labeled 'ALL'."""
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "revenue"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def topk_per_group(df: DataFrame, part_key: str, order_col: str, tiebreak: str,
+                   k: int) -> DataFrame:
+    """Top-k per group via row_number — Spark plans a partial sort within
+    partitions; no global sort. Tiebreak column makes the result total-
+    ordered and therefore deterministic."""
+    w = W.partitionBy(part_key).orderBy(F.desc(order_col), F.asc(tiebreak))
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def running_total(orders: DataFrame) -> DataFrame:
+    """Running revenue per customer ordered by date.
+
+    The window sum goes through a decimal cast: exact and order-of-
+    addition-independent, so re-runs with different partitioning (or an
+    external oracle) agree bit-for-bit."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def set_ops_slices(customer: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two customer-key slices, labeled."""
+    a = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(a.intersect(b).select(F.lit("intersect").alias("op"), "c_custkey"))
+        .unionByName(a.exceptAll(b).distinct().select(F.lit("except").alias("op"), "c_custkey"))
+    )
+
+
+def asof_last_value(events: DataFrame, match_type: str = "click") -> DataFrame:
+    """As-of join expressed as a window: for every event, the value of the
+    most recent `match_type` event of the same user at-or-before its ts.
+
+    Spark has no native as-of join; last(ignorenulls) over an ordered
+    window is the shuffle-minimal formulation (single shuffle on user_id,
+    no self-join)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.last(
+            F.when(F.col("event_type") == match_type, F.col("value")), ignorenulls=True
+        ).over(w).alias(f"last_{match_type}_value"),
+    )
+
+
+def pivot_event_counts(events: DataFrame, types: list[str]) -> DataFrame:
+    """Pivot event_type into per-type count columns per user.
+
+    Passing the pivot values explicitly avoids the extra distinct-values
+    job Spark otherwise runs — mandatory at scale."""
+    agg = events.groupBy("user_id").pivot("event_type", types).count()
+    # count() leaves NULL for absent combos; normalize to 0 for stability.
+    return agg.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )

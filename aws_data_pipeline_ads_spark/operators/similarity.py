@@ -1,0 +1,119 @@
+"""Embedding similarity search over array<float> columns.
+
+- cosine_scores / cosine_topk: brute-force cosine against a fixed query
+  vector — entirely built-in higher-order functions (zip_with +
+  aggregate fold), no Python in the loop, one narrow scan, and for
+  top-k a TakeOrderedAndProject (no global sort).
+- cosine_neardup_pairs: blocked pairwise cosine (exact).
+- lsh_bucket_topk: the 100 TB path — random-hyperplane LSH bucketing
+  so each query probes one bucket instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.functions import cosine_similarity, vec_dot, vec_norm
+
+EMBED_DIM = 64
+
+
+def fixed_query_vector(dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic literal query vector (shared with the SQL oracle)."""
+    return [round(math.sin(i + 1.0), 6) for i in range(dim)]
+
+
+def _qv_col(qv: list[float]):
+    return F.array(*[F.lit(float(x)) for x in qv])
+
+
+def cosine_scores(embeddings: DataFrame, qv: list[float],
+                  vec_col: str = "embedding") -> DataFrame:
+    """Cosine similarity of every vector against the query vector."""
+    emb = F.col(vec_col).cast("array<double>")
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    score = vec_dot(emb, _qv_col(qv)) / (vec_norm(emb) * F.lit(qnorm))
+    return embeddings.select("vec_id", score.alias("score"))
+
+
+def cosine_topk(embeddings: DataFrame, qv: list[float], k: int = 10) -> DataFrame:
+    """Brute-force top-k: ORDER BY score DESC + LIMIT k plans as
+    TakeOrderedAndProject — each partition keeps a k-heap, driver merges
+    k*numPartitions rows. Scales linearly in corpus size."""
+    return (
+        cosine_scores(embeddings, qv)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+
+
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """Exact pairwise cosine within a blocking key (label).
+
+    Blocking bounds the candidate space; at 100 TB replace `label` with
+    an LSH bucket (see lsh_bucket_topk) and keep this as the verifier.
+    """
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    score = cosine_similarity(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+    )
+
+
+def hyperplanes(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG dependency)."""
+    return [
+        [round(math.sin(0.7 * p + 1.3 * i + 0.5), 6) for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_ids(embeddings: DataFrame, n_planes: int = 8,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket id per vector.
+
+    sign(v·h_p) per plane → n_planes-bit bucket. Vectors in the same
+    bucket are cosine-close with high probability; ANN probes buckets
+    instead of the corpus. Entirely codegen'd expressions.
+    """
+    emb = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for p, h in enumerate(hyperplanes(n_planes)):
+        bit = F.when(vec_dot(emb, _qv_col(h)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast("long")
+    return embeddings.withColumn("bucket", bucket)
+
+
+def lsh_bucket_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
+                    n_planes: int = 8) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket.
+
+    Approximate (recall < 1 when neighbors straddle a hyperplane); at
+    scale, multi-probe or band multiple tables for recall.
+    """
+    qbucket = 0
+    for p, h in enumerate(hyperplanes(n_planes)):
+        if sum(a * b for a, b in zip(qv, h)) >= 0:
+            qbucket |= 1 << p
+    bucketed = lsh_bucket_ids(embeddings, n_planes)
+    return (
+        cosine_scores(bucketed.filter(F.col("bucket") == qbucket), qv)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )

@@ -1,0 +1,86 @@
+"""Text analysis for training-data curation: language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+All pure built-in expression work (regexp_count / regexp_replace /
+split) — stays in whole-stage codegen; per-doc cost is O(len).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.functions import content_fingerprint, token_count
+
+# Tiny stopword inventories for the n-gram/stopword-hit language heuristic.
+LANG_MARKERS = {
+    "en": r"\b(the|a|of|and|is|to|in)\b",
+    "de": r"\b(der|die|das|und|ist|ein)\b",
+    "es": r"\b(el|la|los|de|que|y)\b",
+    "fr": r"\b(le|la|les|des|et|est)\b",
+}
+
+EN_STOPWORDS_RE = r"\b(the|a|of|and|is|to|in|it|that|for)\b"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language detection: argmax of marker hits, 'unk' if none.
+
+    A real pipeline would use character n-gram profiles; the operator
+    shape (per-row regexp scoring, no shuffle) is identical.
+    """
+    hits = {
+        lang: F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+        for lang, pat in LANG_MARKERS.items()
+    }
+    best = F.lit("unk")
+    best_n = F.lit(0).cast("long")
+    # Deterministic tie-break: first lang in insertion order wins (strict >).
+    for lang, h in reversed(list(hits.items())):
+        best = F.when(h > best_n, F.lit(lang)).otherwise(best)
+        best_n = F.when(h > best_n, h).otherwise(best_n)
+    cols = [hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS]
+    return documents.select("doc_id", "lang", *cols, best.alias("detected_lang"))
+
+
+def quality_stats(documents: DataFrame) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality signals.
+
+    Ratios divide exact ints in double — engine-invariant. `quality_ok`
+    is the keep/drop gate a curation pipeline would filter on.
+    """
+    n_chars = F.length("text").cast("long")
+    n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
+    n_toks = token_count("text")
+    n_stop = F.regexp_count(F.col("text"), F.lit(EN_STOPWORDS_RE)).cast("long")
+    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
+    stop_ratio = n_stop.cast("double") / n_toks
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_chars >= 20) & (n_toks >= 5) & (punct_ratio < 0.3)).alias("quality_ok"),
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace token count per document."""
+    return documents.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint (md5 over normalized text)."""
+    return documents.select("doc_id", content_fingerprint("text").alias("fingerprint"))
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Per (lang, source) corpus statistics."""
+    n_chars = F.length("text")
+    return documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_chars.cast("long")).alias("total_chars"),
+        (F.sum(n_chars.cast("long")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )

@@ -1,0 +1,82 @@
+"""Event-stream queries in batch formulation (SURVEY.md §2C streaming).
+
+True Structured Streaming twins (withWatermark / session_window /
+Trigger.AvailableNow) live in `aws_data_pipeline_ads_spark.streaming`
+and are integration-tested; these batch formulations are the
+oracle-checkable contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.functions import dec_sum
+from aws_data_pipeline_ads_spark.operators.sessionize import sessionize
+from aws_data_pipeline_ads_spark.queries.registry import query
+from aws_data_pipeline_ads_spark.session import ensure_utc
+
+
+@query(
+    "q_tumbling_window",
+    oracle=(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        "AS window_start, event_type, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    bench=True,
+    doc="2C streaming: tumbling 1h window agg (batch formulation via "
+        "F.window; epoch-aligned = date_trunc('hour'))",
+)
+def q_tumbling_window(spark, sf_dir):
+    ensure_utc(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_session_gap",
+    oracle=(
+        "WITH g AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL THEN 0 "
+        "WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, event_id, ts, CAST(SUM(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start, "
+        "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end "
+        "FROM s GROUP BY user_id, session_id"
+    ),
+    bench=True,
+    doc="2C streaming: gap-based sessionization (lag + cumulative sum)",
+)
+def q_session_gap(spark, sf_dir):
+    ensure_utc(spark)
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query(
+    "q_json_extract",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        "AS k_val FROM events"
+    ),
+    doc="op 8: JSON envelope field extraction (get_json_object)",
+)
+def q_json_extract(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )

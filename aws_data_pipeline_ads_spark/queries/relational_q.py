@@ -1,0 +1,303 @@
+"""Relational query set: joins, aggregations, windows, set ops, dedup
+(SURVEY.md §2C/§2D). Builders delegate to the operator library."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.functions import dec_sum
+from aws_data_pipeline_ads_spark.operators import relational
+from aws_data_pipeline_ads_spark.queries.registry import query
+from aws_data_pipeline_ads_spark.session import ensure_utc
+
+_DEC_SUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@query(
+    "q_dedup",
+    oracle="SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem",
+    doc="D2: exact dedup on a compound key",
+)
+def q_dedup(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
+    )
+
+
+@query(
+    "q_dedup_latest",
+    oracle=(
+        "SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str "
+        "FROM (SELECT user_id, event_id, ts, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "WHERE rn = 1"
+    ),
+    doc="D2: latest-wins dedup via window rank",
+)
+def q_dedup_latest(spark, sf_dir):
+    ensure_utc(spark)
+    from aws_data_pipeline_ads_spark.operators.dedup import latest_by_key
+
+    latest = latest_by_key(load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id")
+    return latest.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+@query(
+    "q_join_star",
+    oracle=(
+        "SELECT r_name, n_name, COUNT(*) AS n_orders, "
+        + _DEC_SUM_SQL.format(x="o_totalprice")
+        + " AS revenue FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name"
+    ),
+    bench=True,
+    doc="2C joins: fact⋈dim star with broadcast dims",
+)
+def q_join_star(spark, sf_dir):
+    return relational.star_join_revenue(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "q_join_flagship",
+    oracle=(
+        "SELECT n_name, "
+        + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
+        + " AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY n_name"
+    ),
+    bench=True,
+    doc="flagship TPC-H-Q5-alike: 5-way star join + filtered agg "
+        "(driver smoke query via entry())",
+)
+def q_join_flagship(spark, sf_dir):
+    ensure_utc(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(revenue, "revenue"))
+    )
+
+
+@query(
+    "q_semi_anti",
+    oracle=(
+        "SELECT c_custkey, 'has_orders' AS status FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "UNION ALL "
+        "SELECT c_custkey, 'no_orders' AS status FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    doc="2C joins: left_semi / left_anti (EXISTS / NOT EXISTS)",
+)
+def q_semi_anti(spark, sf_dir):
+    return relational.semi_anti_split(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=(
+        "SELECT coalesce(n_name, 'ALL') AS nation, "
+        "coalesce(c_mktsegment, 'ALL') AS segment, COUNT(*) AS n_orders, "
+        + _DEC_SUM_SQL.format(x="o_totalprice")
+        + " AS revenue FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY ROLLUP(n_name, c_mktsegment)"
+    ),
+    bench=True,
+    doc="2C aggs: ROLLUP grouping sets",
+)
+def q_agg_rollup(spark, sf_dir):
+    return relational.rollup_revenue(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle=(
+        "SELECT COUNT(DISTINCT l_partkey) AS n_parts, "
+        "COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem"
+    ),
+    doc="2C aggs: exact multi-column distinct (expands to two shuffles; "
+        "see q_approx_distinct for the 100 TB variant)",
+)
+def q_count_distinct(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL++ sketch differs across engines → rows-only check
+    bench=True,
+    doc="2C aggs: approx_count_distinct (HyperLogLog++) — the sketch is "
+        "mergeable, so one pass / no key shuffle at 100 TB",
+)
+def q_approx_distinct(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey").alias("n_supps_approx"),
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM "
+        "(SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders) WHERE rn <= 3"
+    ),
+    bench=True,
+    doc="2C windows: top-3 per customer via row_number",
+)
+def q_window_rank(spark, sf_dir):
+    return relational.topk_per_group(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey", "o_totalprice", "o_orderkey", 3,
+    )
+
+
+@query(
+    "q_window_running",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "AS running_total FROM orders"
+    ),
+    doc="2C windows: running aggregate (decimal-exact, order-invariant)",
+)
+def q_window_running(spark, sf_dir):
+    return relational.running_total(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "q_set_ops",
+    oracle=(
+        "WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000), "
+        "b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+        "SELECT 'union' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b) "
+        "UNION ALL SELECT 'intersect' AS op, c_custkey FROM "
+        "(SELECT * FROM a INTERSECT SELECT * FROM b) "
+        "UNION ALL SELECT 'except' AS op, c_custkey FROM "
+        "(SELECT * FROM a EXCEPT SELECT * FROM b)"
+    ),
+    doc="2C set ops: UNION / INTERSECT / EXCEPT",
+)
+def q_set_ops(spark, sf_dir):
+    return relational.set_ops_slices(load_table(spark, sf_dir, "customer"))
+
+
+@query(
+    "q_pivot_counts",
+    oracle=(
+        "SELECT user_id, "
+        "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click, "
+        "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view, "
+        "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase, "
+        "COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup, "
+        "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error "
+        "FROM events GROUP BY user_id"
+    ),
+    doc="2C: pivot with explicit values (skips the distinct-values pre-job)",
+)
+def q_pivot_counts(spark, sf_dir):
+    return relational.pivot_event_counts(
+        load_table(spark, sf_dir, "events"),
+        ["click", "view", "purchase", "signup", "error"],
+    )
+
+
+@query(
+    "q_asof_lastclick",
+    oracle=(
+        "SELECT user_id, event_id, last_value(CASE WHEN event_type = 'click' "
+        "THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, "
+        "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS last_click_value FROM events"
+    ),
+    doc="2C joins: as-of join expressed as last(ignorenulls) window — "
+        "single shuffle, no self-join",
+)
+def q_asof_lastclick(spark, sf_dir):
+    ensure_utc(spark)
+    return relational.asof_last_value(load_table(spark, sf_dir, "events"), "click")
+
+
+@query(
+    "q_tpch_q1",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        + _DEC_SUM_SQL.format(x="l_quantity") + " AS sum_qty, "
+        + _DEC_SUM_SQL.format(x="l_extendedprice") + " AS sum_base_price, "
+        + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
+        + " AS sum_disc_price, "
+        + _DEC_SUM_SQL.format(x="(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")
+        + " AS sum_charge, "
+        + _DEC_SUM_SQL.format(x="l_quantity") + " / COUNT(*) AS avg_qty, "
+        + _DEC_SUM_SQL.format(x="l_discount") + " / COUNT(*) AS avg_disc, "
+        "COUNT(*) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    bench=True,
+    doc="TPC-H Q1-alike: wide scan agg — the throughput benchmark workhorse",
+)
+def q_tpch_q1(spark, sf_dir):
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", "sum_qty"),
+        dec_sum("l_extendedprice", "sum_base_price"),
+        dec_sum(disc_price, "sum_disc_price"),
+        dec_sum(charge, "sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )

@@ -1,0 +1,170 @@
+"""Text-analysis and dedup queries over `documents` (LLM-data ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.operators import dedup, textstats
+from aws_data_pipeline_ads_spark.operators.simhash import simhash_sql
+from aws_data_pipeline_ads_spark.queries.registry import query
+
+_WS = r"\s+"
+
+
+@query(
+    "q_text_stats",
+    oracle=(
+        "SELECT lang, source, COUNT(*) AS n_docs, "
+        "SUM(CAST(length(text) AS BIGINT)) AS total_chars, "
+        "CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars "
+        "FROM documents GROUP BY lang, source"
+    ),
+    bench=True,
+    doc="2C text: corpus statistics per (lang, source)",
+)
+def q_text_stats(spark, sf_dir):
+    return textstats.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_count",
+    oracle=(
+        "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+        "AS BIGINT) AS n_tokens FROM documents"
+    ),
+    doc="2C text: whitespace token counting",
+)
+def q_token_count(spark, sf_dir):
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_HIT = "CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+_EN = _LANG_HIT.format(pat=r"\b(the|a|of|and|is|to|in)\b")
+_DE = _LANG_HIT.format(pat=r"\b(der|die|das|und|ist|ein)\b")
+_ES = _LANG_HIT.format(pat=r"\b(el|la|los|de|que|y)\b")
+_FR = _LANG_HIT.format(pat=r"\b(le|la|les|des|et|est)\b")
+
+
+@query(
+    "q_lang_id",
+    oracle=(
+        "SELECT doc_id, lang, "
+        f"{_EN} AS hits_en, {_DE} AS hits_de, {_ES} AS hits_es, {_FR} AS hits_fr, "
+        "CASE "
+        f"WHEN {_EN} >= {_DE} AND {_EN} >= {_ES} AND {_EN} >= {_FR} AND {_EN} > 0 THEN 'en' "
+        f"WHEN {_DE} >= {_ES} AND {_DE} >= {_FR} AND {_DE} > 0 THEN 'de' "
+        f"WHEN {_ES} >= {_FR} AND {_ES} > 0 THEN 'es' "
+        f"WHEN {_FR} > 0 THEN 'fr' "
+        "ELSE 'unk' END AS detected_lang FROM documents"
+    ),
+    doc="2C text: stopword-hit language-ID heuristic",
+)
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_quality_score",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
+        "AS DOUBLE) / length(text) AS punct_ratio, "
+        "CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in|it|that|for)\\b')) "
+        "AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio, "
+        "(length(text) >= 20 AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5 "
+        "AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
+        "AS DOUBLE) / length(text) < 0.3) AS quality_ok FROM documents"
+    ),
+    doc="2C text: quality scoring (length / punct ratio / stopword ratio)",
+)
+def q_quality_score(spark, sf_dir):
+    return textstats.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
+        "AS fingerprint FROM documents"
+    ),
+    doc="2C text: content fingerprint over normalized text",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_exact",
+    oracle=(
+        "SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc, "
+        "COUNT(*) AS n_copies FROM documents GROUP BY 1"
+    ),
+    bench=True,
+    doc="LLM dedup tier 1: exact content-hash dedup (hash before shuffle)",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=(
+        "WITH toks AS (SELECT DISTINCT doc_id, lang, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), "
+        "counts AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common "
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) "
+        "AS jaccard FROM inter "
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id "
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.8"
+    ),
+    doc="LLM dedup tier 3: exact token-set Jaccard pairs (lang-blocked); "
+        "at 100 TB this verifies candidates from q_minhash_lsh",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.token_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8)
+
+
+@query(
+    "q_minhash_lsh",
+    oracle=None,  # hash family is engine-specific (xxhash64) → rows-only
+    bench=True,
+    doc="LLM dedup tier 4: MinHash + banded LSH candidate pairs — the "
+        "linear-shuffle near-dup path for 100 TB",
+)
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "q_simhash",
+    oracle=simhash_sql("duckdb"),
+    doc="LLM dedup: 32-bit SimHash fingerprints; Spark and oracle render "
+        "from the same SQL template (operators/simhash.py)",
+)
+def q_simhash(spark, sf_dir):
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_simhash")
+    return spark.sql(simhash_sql("spark", table="documents_simhash"))
+
+
+@query(
+    "q_binary_meta",
+    oracle=(
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS content_sha FROM documents"
+    ),
+    doc="2C multimodal: opaque-binary metadata path (byte length + sha256); "
+        "decode/feature-extract stubs live in operators/multimodal.py",
+)
+def q_binary_meta(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )

@@ -1,0 +1,65 @@
+"""Embedding similarity queries over `embeddings` (LLM-data ops)."""
+
+from __future__ import annotations
+
+import math
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.operators import similarity
+from aws_data_pipeline_ads_spark.queries.registry import query
+
+_QV = similarity.fixed_query_vector()
+_QV_SQL = "[" + ", ".join(repr(x) for x in _QV) + "]::DOUBLE[]"
+_QNORM = repr(math.sqrt(sum(x * x for x in _QV)))
+
+# Oracle computes the same sequential-fold arithmetic as the Spark
+# builder: double dot products over the float32-exact values.
+_KNN_ORACLE = (
+    "WITH scored AS (SELECT vec_id, "
+    f"list_dot_product(CAST(embedding AS DOUBLE[]), {_QV_SQL}) / "
+    f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {_QNORM}) "
+    "AS raw_score FROM embeddings) "
+    "SELECT vec_id, round(raw_score, 6) AS score FROM scored "
+    "ORDER BY raw_score DESC, vec_id LIMIT 10"
+)
+
+_NEARDUP_ORACLE = (
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+    "FROM embeddings) "
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "round(list_cosine_similarity(a.emb, b.emb), 6) AS score "
+    "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.25"
+)
+
+
+@query(
+    "q_embedding_knn",
+    oracle=_KNN_ORACLE,
+    bench=True,
+    doc="2C similarity: brute-force cosine top-k vs a fixed query vector "
+        "(TakeOrderedAndProject — linear scan, k-heap per partition)",
+)
+def q_embedding_knn(spark, sf_dir):
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), _QV, 10)
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=_NEARDUP_ORACLE,
+    doc="2C similarity: blocked pairwise cosine near-dup (label blocks); "
+        "LSH variant is q_embedding_ann",
+)
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), 0.25)
+
+
+@query(
+    "q_embedding_ann",
+    oracle=None,  # approximate by construction → rows-only check
+    bench=True,
+    doc="2C similarity scale path: random-hyperplane LSH bucket probe, "
+        "then top-k within the bucket",
+)
+def q_embedding_ann(spark, sf_dir):
+    return similarity.lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), _QV, 10)

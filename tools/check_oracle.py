@@ -1,0 +1,103 @@
+"""Local differential harness mirroring the driver's correctness gate.
+
+Runs every declared Spark query and its DuckDB oracle at a given scale
+factor, canonicalizes both results (columns sorted by name, rows sorted
+by all columns), and compares values exactly. Queries without an oracle
+get a rows-only smoke run.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from aws_data_pipeline_ads_spark.catalog import TABLES
+from aws_data_pipeline_ads_spark.queries import REGISTRY
+from aws_data_pipeline_ads_spark.session import get_session
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("bool")
+        else:
+            out[c] = s.astype("string")
+    df = pd.DataFrame(out)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"row counts differ: {len(a)} vs {len(b)}"
+    ca, cb = canon(a), canon(b)
+    for col in ca.columns:
+        va, vb = ca[col].to_numpy(), cb[col].to_numpy()
+        if pd.api.types.is_float_dtype(ca[col]):
+            eq = np.array_equal(va, vb, equal_nan=True)
+        else:
+            eq = (pd.isna(va) == pd.isna(vb)).all() and (
+                (va == vb) | pd.isna(va)
+            ).all()
+        if not eq:
+            mism = np.where(~((va == vb) | (pd.isna(va) & pd.isna(vb))))[0][:5]
+            detail = [(int(i), va[i], vb[i]) for i in mism]
+            return f"values differ in {col!r}: {detail}"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_session("oracle-check", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name, qd in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.build(spark, sf_dir).toPandas()
+            if qd.oracle is None:
+                print(f"  rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+                n_pass += 1
+                continue
+            ddf = con.sql(qd.oracle).df()
+            err = compare(sdf, ddf)
+        except Exception:
+            err = traceback.format_exc(limit=20)
+        dt = time.time() - t0
+        if err:
+            n_fail += 1
+            print(f"  FAIL {name} ({dt:.1f}s):\n{err}")
+        else:
+            n_pass += 1
+            print(f"  PASS {name}: {len(sdf)} rows  ({dt:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail @ {sf_dir}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
