@@ -69,6 +69,30 @@ def doc_token_sets(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_shingle_sets(documents: DataFrame, k: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Explode documents into distinct (doc_id, k-word-shingle) rows.
+
+    Shingles (not unigrams) are the right MinHash feature: the shingle
+    space is large, so signature collisions imply real textual overlap
+    instead of shared vocabulary. Documents shorter than k tokens
+    contribute their whole text as one shingle.
+    """
+    t = tokens(text_col)
+    shingles = F.when(
+        F.size(t) < k, F.array(F.array_join(t, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+    )
+    return (
+        documents.select("doc_id", F.explode(shingles).alias("tok"))
+        .distinct()
+    )
+
+
 def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked by language.
 
@@ -97,14 +121,15 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
     )
 
 
-def minhash_signatures(documents: DataFrame, n_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc from distinct whitespace tokens.
+def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """MinHash signature per doc from distinct k-word shingles.
 
-    h_i(tok) = (a_i * (xxhash64(tok) mod p) + b_i) mod p; signature_i =
-    min over tokens. All built-in expressions — the min-agg is partial
+    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p; signature_i =
+    min over shingles. All built-in expressions — the min-agg is partial
     (map-side combine), so the shuffle carries n_hashes longs per doc.
     """
-    toks = doc_token_sets(documents)
+    toks = doc_shingle_sets(documents, k=shingle_k)
     base = F.pmod(F.xxhash64("tok"), F.lit(_MH_PRIME))
     mins = [
         F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")

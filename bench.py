@@ -1,0 +1,56 @@
+"""Headline benchmark: times the bench-flagged declared queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes fully via the `noop`
+sink (no driver materialization — measures engine throughput, not
+collect). Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_data_pipeline_ads_spark.queries import REGISTRY
+from aws_data_pipeline_ads_spark.session import get_session
+
+
+def run_once(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+
+    # JVM/codegen warmup on a trivial plan (not counted).
+    run_once(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+
+    names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
+    times: dict[str, float] = {}
+    for name in names:
+        qd = REGISTRY[name]
+        t0 = time.time()
+        run_once(qd.build(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "declared_query_set_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Per-operator unit tests on small literal DataFrames (SURVEY.md §5.2.2),
+including the reference's edge semantics: truncation boundary at 200,
+missing-key defaults, guard-on-presence, latest-wins ties."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark import functions as fns
+from aws_data_pipeline_ads_spark.operators import dedup, relational, similarity
+from aws_data_pipeline_ads_spark.operators.sessionize import sessionize
+
+
+def test_surrogate_key_shape_and_determinism(spark):
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=1, b="x"), Row(a=2, b="y")])
+    out = df.select(fns.surrogate_key("a", "b", prefix="s").alias("k")).collect()
+    assert all(len(r.k) == 12 for r in out)
+    assert out[0].k == out[1].k  # content-keyed: same content → same key
+    assert out[0].k != out[2].k
+
+
+def test_truncate_boundary_200(spark):
+    # reference: description[:200] (lambda_function.py:280)
+    df = spark.createDataFrame([Row(t="x" * 199), Row(t="y" * 200), Row(t="z" * 201)])
+    out = df.select(F.length(fns.truncate("t", 200)).alias("n")).collect()
+    assert [r.n for r in out] == [199, 200, 200]
+
+
+def test_cast_default_missing_price(spark):
+    # reference: float(record.get('price', 0)) (lambda_function.py:278)
+    df = spark.createDataFrame([Row(p="3.5"), Row(p=None)])
+    out = df.select(fns.cast_default("p").alias("v")).collect()
+    assert [r.v for r in out] == [3.5, 0.0]
+
+
+def test_full_name_concat(spark):
+    df = spark.createDataFrame([Row(f="Ada", l="Lovelace"), Row(f="Solo", l=None)])
+    out = df.select(fns.full_name("f", "l").alias("n")).collect()
+    # concat_ws skips nulls — matches f-string only when both present;
+    # reference defaults missing parts to '' which also yields no dangling space
+    assert [r.n for r in out] == ["Ada Lovelace", "Solo"]
+
+
+def test_latest_by_key_tiebreak(spark):
+    rows = [
+        Row(k=1, ts=10, id=1, v="a"),
+        Row(k=1, ts=20, id=2, v="b"),
+        Row(k=1, ts=20, id=3, v="c"),  # ts tie → higher id wins
+        Row(k=2, ts=5, id=4, v="d"),
+    ]
+    out = dedup.latest_by_key(spark.createDataFrame(rows), "k", "ts", "id").collect()
+    got = {r.k: r.v for r in out}
+    assert got == {1: "c", 2: "d"}
+
+
+def test_topk_per_group_ties(spark):
+    rows = [Row(g=1, v=5.0, id=i) for i in range(5)] + [Row(g=2, v=1.0, id=9)]
+    out = relational.topk_per_group(spark.createDataFrame(rows), "g", "v", "id", 2)
+    got = sorted((r.g, r.id) for r in out.collect())
+    assert got == [(1, 0), (1, 1), (2, 9)]  # equal v → lowest id first
+
+
+def test_sessionize_gap_edges(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, event_id=1, ts=base),
+        Row(user_id=1, event_id=2, ts=base + dt.timedelta(seconds=1800)),  # == gap → same
+        Row(user_id=1, event_id=3, ts=base + dt.timedelta(seconds=3601)),  # > gap → new
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap_seconds=1800).collect()
+    sessions = {(r.user_id, r.session_id): r.n_events for r in out}
+    assert sessions == {(1, 0): 2, (1, 1): 1}
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b"), Row(doc_id=2, text="a b c d")]
+    )
+    out = dedup.doc_shingle_sets(df, k=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, set()).add(r.tok)
+    assert got[1] == {"a b"}  # shorter than k → whole text
+    assert got[2] == {"a b c", "b c d"}
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", text="the quick brown fox jumps over the dog"),
+            Row(doc_id=2, lang="en", text="the quick brown fox jumps over the dog"),
+            Row(doc_id=3, lang="en", text="completely different words entirely here now"),
+        ]
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_matches_python(spark):
+    emb = [0.5, -0.25, 0.125]
+    qv = [1.0, 2.0, 3.0]
+    df = spark.createDataFrame([Row(vec_id=1, embedding=emb)])
+    out = similarity.cosine_scores(df, qv).collect()[0]
+    dot = sum(a * b for a, b in zip(emb, qv))
+    expect = dot / (
+        math.sqrt(sum(a * a for a in emb)) * math.sqrt(sum(b * b for b in qv))
+    )
+    assert abs(out.score - expect) < 1e-12
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="same"), Row(doc_id=3, text="uniq")]
+    )
+    out = {r.canonical_doc: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
