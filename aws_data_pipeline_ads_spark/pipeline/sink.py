@@ -1,0 +1,75 @@
+"""Partitioned sink + run-summary metadata table (SURVEY.md §2A ops 18-24,
+§2B D5-D6).
+
+The reference writes one pretty-printed JSON array per source per run to
+data/{source}/date={d}/{source}_{ts}.json plus a summary doc under
+metadata/executions/ (/root/reference/lambda/lambda_function.py:314-396).
+Spark-first: Hive-partitioned parquet (`source=`/`extracted_date=`) so
+partition pruning works, and the run summary is an appended metadata
+table instead of loose JSON objects.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_data_pipeline_ads_spark.sources.registry import OutputConfig
+
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("execution_id", T.StringType(), False),
+        T.StructField("date", T.StringType(), False),
+        T.StructField("sources_configured", T.IntegerType(), False),
+        T.StructField("sources_processed", T.IntegerType(), False),
+        T.StructField("total_records", T.LongType(), False),
+        T.StructField("files_created", T.IntegerType(), False),
+        T.StructField("n_errors", T.IntegerType(), False),
+        T.StructField("errors", T.ArrayType(T.StringType()), True),
+        T.StructField("duration_seconds", T.DoubleType(), True),
+    ]
+)
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      output: OutputConfig | None = None, mode: str = "append") -> str:
+    """op 18 + D5/D6: partitioned write. Task files are auto-unique (the
+    reference's timestamped filenames, op 20, exist to avoid collisions
+    Spark never has)."""
+    out = output or OutputConfig()
+    writer = df.write.mode(mode).partitionBy(*out.partition_by)
+    if out.compression:
+        writer = writer.option("compression", out.compression)
+    getattr(writer, out.fmt)(path)
+    return path
+
+
+def write_run_summary(spark: SparkSession, summary: dict, path: str) -> str:
+    """ops 22-23: append one summary row to the date-partitioned metadata
+    table."""
+    row = {
+        "execution_id": str(summary["execution_id"]),
+        "date": str(summary["date"]),
+        "sources_configured": int(summary.get("sources_configured", 0)),
+        "sources_processed": int(summary.get("sources_processed", 0)),
+        "total_records": int(summary.get("total_records", 0)),
+        "files_created": int(summary.get("files_created", 0)),
+        "n_errors": len(summary.get("errors", [])),
+        "errors": list(summary.get("errors", [])),
+        "duration_seconds": float(summary.get("duration_seconds") or 0.0),
+    }
+    df = spark.createDataFrame([row], SUMMARY_SCHEMA)
+    df.write.mode("append").partitionBy("date").parquet(path)
+    return path
+
+
+def read_run_summaries(spark: SparkSession, path: str,
+                       date: dt.date | str | None = None) -> DataFrame:
+    """Partition-pruned read-back of the executions table."""
+    df = spark.read.parquet(path)
+    if date is not None:
+        df = df.filter(F.col("date") == str(date))
+    return df

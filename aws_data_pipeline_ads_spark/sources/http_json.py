@@ -1,0 +1,130 @@
+"""HTTP-JSON source connector (SURVEY.md §2A ops 5–8).
+
+Spark has no native HTTP source; the idiomatic shape is a thin Python
+fetch stage that lands records into a DataFrame (or to a raw-zone file
+that `spark.read.json` picks up). This connector reproduces the
+reference's extract semantics — GET with limit pushdown, retry with
+exponential backoff, non-200 rejection, response-envelope normalization
+(results > data > products, wrap-scalar-in-list) — from
+/root/reference/lambda/lambda_function.py:188-242.
+
+The HTTP transport is injectable so tests replay canned payloads
+(SURVEY.md §5.2 — no live API calls in CI). At 100 TB this connector is
+only ever the *ingest edge* for small reference feeds; bulk data enters
+via parquet/JSON files on object storage.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from aws_data_pipeline_ads_spark.sources.registry import SourceConfig
+
+# http_get(url, timeout) -> (status_code, body_text)
+HttpGet = Callable[[str, float], tuple[int, str]]
+
+ENVELOPE_KEYS = ("results", "data", "products")  # unwrap precedence (op 8)
+
+
+def _default_http_get(url: str, timeout: float) -> tuple[int, str]:
+    req = urllib.request.Request(url, headers={"User-Agent": "adspark/0.1"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:  # non-200 with a body
+        return e.code, ""
+
+
+def normalize_envelope(payload: object) -> list[dict]:
+    """Response-shape dispatch (reference :225-238): lists pass through;
+    dicts unwrap the first known envelope key; other dicts wrap as a
+    1-row list; scalars are rejected."""
+    if isinstance(payload, list):
+        return payload
+    if isinstance(payload, dict):
+        for key in ENVELOPE_KEYS:
+            if key in payload and isinstance(payload[key], list):
+                return payload[key]
+        return [payload]
+    raise ValueError(f"unsupported payload shape: {type(payload).__name__}")
+
+
+def fetch_records(
+    cfg: SourceConfig,
+    limit: int | None = None,
+    http_get: HttpGet | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[dict]:
+    """GET + retry/backoff + limit pushdown + envelope normalization.
+
+    Limit is pushed to the source via its query param (op 6) and
+    re-applied post-hoc as a guard (reference lambda_function_local.py:253).
+    """
+    get = http_get or _default_http_get
+    n = min(limit or cfg.default_limit, cfg.max_records)
+    sep = "&" if urllib.parse.urlparse(cfg.url).query else "?"
+    url = f"{cfg.url}{sep}{cfg.limit_param}={n}"
+
+    delay = cfg.retry.retry_delay
+    last_err: Exception | None = None
+    for attempt in range(cfg.retry.max_retries + 1):
+        try:
+            status, body = get(url, cfg.timeout)
+            if status != 200:  # op 5 status filter (:217-219)
+                raise OSError(f"{cfg.name}: HTTP {status} from {url}")
+            return normalize_envelope(json.loads(body))[:n]
+        except Exception as e:  # noqa: BLE001 — retry everything, like urllib3 Retry
+            last_err = e
+            if attempt < cfg.retry.max_retries:
+                sleep(delay)
+                delay *= cfg.retry.backoff_multiplier
+    raise OSError(f"{cfg.name}: extract failed after {cfg.retry.max_retries} retries") from last_err
+
+
+def records_to_df(
+    spark: SparkSession, records: list[dict], schema: T.StructType | None = None
+) -> DataFrame:
+    """Land fetched records as a DataFrame.
+
+    Records go through a JSON round-trip + `spark.read.json` so nested
+    dicts/lists infer to structs/arrays exactly like file-landed raw
+    JSON would — one ingest semantics for both paths. Pass an explicit
+    schema to harden (PERMISSIVE mode keeps malformed rows in
+    _corrupt_record instead of failing the batch — reference
+    continue-on-error semantics, :104-110).
+    """
+    payload = [json.dumps(r, default=str) for r in records]
+    rdd_like = spark.createDataFrame([(p,) for p in payload], ["json"])
+    reader_schema = schema
+    if reader_schema is not None and "_corrupt_record" not in reader_schema.fieldNames():
+        reader_schema = T.StructType(
+            list(reader_schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    from pyspark.sql import functions as F
+
+    if reader_schema is None:
+        return spark.read.json(rdd_like.rdd.map(lambda r: r.json))
+    return (
+        rdd_like.select(
+            F.from_json("json", reader_schema, {"mode": "PERMISSIVE"}).alias("rec")
+        ).select("rec.*")
+    )
+
+
+def source_to_df(
+    spark: SparkSession,
+    cfg: SourceConfig,
+    limit: int | None = None,
+    schema: T.StructType | None = None,
+    http_get: HttpGet | None = None,
+) -> DataFrame:
+    """extract_data equivalent: fetch one source into a DataFrame."""
+    return records_to_df(spark, fetch_records(cfg, limit, http_get), schema)

@@ -1,0 +1,177 @@
+"""E2E pipeline tests with canned fixture payloads (SURVEY.md §5.2.3):
+ingest → envelope transform → partitioned write → read-back, plus the
+reference's edge semantics and continue-on-error isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from aws_data_pipeline_ads_spark.pipeline.envelope import transform_source
+from aws_data_pipeline_ads_spark.pipeline.quality import null_report, validate_schema
+from aws_data_pipeline_ads_spark.pipeline.runner import run_pipeline
+from aws_data_pipeline_ads_spark.sources.http_json import (
+    fetch_records,
+    normalize_envelope,
+    records_to_df,
+)
+from aws_data_pipeline_ads_spark.sources.registry import (
+    PipelineConfig,
+    RetryConfig,
+    SourceConfig,
+    default_config,
+)
+
+AS_OF = dt.datetime(2024, 6, 1, 2, 0, 0)
+
+# FIXTURES.md B1-B3 canned payloads, including the edge rows.
+PRODUCTS = [
+    {"id": 1, "title": "Widget", "price": "9.99", "category": "tools",
+     "description": "d" * 250, "image": "http://x/1.png",
+     "rating": {"rate": 4.5, "count": 10}},
+    {"id": 2, "title": "NoPrice", "category": "tools"},  # missing price/desc/image/rating
+]
+POSTS = [
+    {"userId": 7, "id": 1, "title": "t1", "body": "b" * 300},
+    {"id": 2, "title": "t2"},  # missing userId and body
+]
+USERS_WRAPPED = {
+    "results": [
+        {"name": {"title": "Ms", "first": "Ada", "last": "Lovelace"},
+         "email": "ada@x.io", "phone": "1",
+         "location": {"country": "UK", "city": "London"},
+         "registered": {"date": "2020-01-01T00:00:00Z", "age": 4}},
+        {"email": "anon@x.io"},  # no name key → guard drops customer struct
+    ]
+}
+
+
+def fake_http(payloads: dict[str, object], status: int = 200):
+    def get(url: str, timeout: float):
+        for frag, payload in payloads.items():
+            if frag in url:
+                return status, json.dumps(payload)
+        return 404, ""
+    return get
+
+
+def test_normalize_envelope_precedence():
+    assert normalize_envelope([1, 2]) == [1, 2]
+    assert normalize_envelope({"results": [1], "data": [2]}) == [1]
+    assert normalize_envelope({"data": [2], "products": [3]}) == [2]
+    assert normalize_envelope({"products": [3]}) == [3]
+    assert normalize_envelope({"id": 9}) == [{"id": 9}]  # wrap-scalar-in-list
+    with pytest.raises(ValueError):
+        normalize_envelope(42)
+
+
+def test_fetch_limit_pushdown_and_slice():
+    cfg = SourceConfig(name="s", url="http://api/x", default_limit=2, max_records=5)
+    seen = {}
+
+    def get(url, timeout):
+        seen["url"] = url
+        return 200, json.dumps([{"i": i} for i in range(10)])
+
+    recs = fetch_records(cfg, http_get=get)
+    assert "limit=2" in seen["url"]  # pushed to source
+    assert len(recs) == 2  # post-hoc guard slice
+
+
+def test_fetch_retry_backoff_then_fail():
+    cfg = SourceConfig(
+        name="s", url="http://api/x",
+        retry=RetryConfig(max_retries=2, retry_delay=1.0, backoff_multiplier=3.0),
+    )
+    sleeps = []
+    with pytest.raises(OSError, match="failed after 2 retries"):
+        fetch_records(cfg, http_get=fake_http({}, status=500), sleep=sleeps.append)
+    assert sleeps == [1.0, 3.0]  # exponential backoff
+
+
+def test_marketing_transform_edges(spark):
+    df = records_to_df(spark, PRODUCTS)
+    out = transform_source(df, "marketing", AS_OF)
+    rows = {r.product.id: r for r in out.collect()}
+    assert rows[1].product.price == 9.99  # string → double cast
+    assert len(rows[1].product.description) == 200  # [:200]
+    assert rows[2].product.price == 0.0  # missing → default 0
+    assert rows[2].product.description == ""  # missing → ''
+    assert rows[1].source == "marketing"
+    assert len(rows[1].record_id) == 12
+    assert str(rows[1].extracted_date) == "2024-06-01"
+
+
+def test_sales_transform_rename(spark):
+    df = records_to_df(spark, POSTS)
+    out = transform_source(df, "sales", AS_OF)
+    rows = {r.sale.id: r for r in out.collect()}
+    assert rows[1].sale.user_id == 7  # userId → user_id
+    assert len(rows[1].sale.body) == 200
+    assert rows[2].sale.user_id is None  # missing userId → null
+
+
+def test_crm_guard_on_name(spark):
+    df = records_to_df(spark, normalize_envelope(USERS_WRAPPED))
+    out = transform_source(df, "crm", AS_OF)
+    rows = sorted(out.collect(), key=lambda r: r.customer is None)
+    assert rows[0].customer.full_name == "Ada Lovelace"
+    assert rows[0].customer.country == "UK"
+    assert rows[1].customer is None  # no name → NULL struct, row kept
+
+
+def test_run_pipeline_e2e_with_partition_layout(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    http = fake_http({"fakestoreapi": PRODUCTS, "jsonplaceholder": POSTS,
+                      "randomuser": USERS_WRAPPED})
+    run = run_pipeline(spark, default_config(), base, as_of=AS_OF, http_get=http)
+    assert run.errors == []
+    assert run.total_records == 6
+
+    back = spark.read.parquet(f"{base}/data")
+    assert back.count() == 6
+    # Hive partition layout source=/extracted_date= must prune correctly
+    one = back.filter("source = 'marketing' AND extracted_date = DATE '2024-06-01'")
+    assert one.count() == 2
+
+    summaries = spark.read.parquet(f"{base}/metadata/executions")
+    s = summaries.collect()[0]
+    assert s.sources_processed == 3 and s.total_records == 6 and s.n_errors == 0
+
+
+def test_run_pipeline_continue_on_error(spark, tmp_path):
+    base = str(tmp_path / "lake2")
+    cfg = default_config()
+    # marketing 500s; sales/crm succeed — run must continue and summarize
+    http = fake_http({"jsonplaceholder": POSTS, "randomuser": USERS_WRAPPED})
+    fast = PipelineConfig(sources={
+        name: SourceConfig(name=sc.name, url=sc.url, limit_param=sc.limit_param,
+                           default_limit=sc.default_limit, max_records=sc.max_records,
+                           retry=RetryConfig(max_retries=0, retry_delay=0.0))
+        for name, sc in cfg.sources.items()
+    })
+    run = run_pipeline(spark, fast, base, as_of=AS_OF, http_get=http)
+    assert len(run.errors) == 1 and "marketing" in run.errors[0]
+    assert run.total_records == 4  # sales + crm still landed
+    s = spark.read.parquet(f"{base}/metadata/executions").collect()[0]
+    assert s.sources_processed == 2 and s.n_errors == 1
+
+
+def test_null_report_single_pass(spark):
+    df = spark.createDataFrame([(1, None), (None, None)], "a int, b string")
+    rep = {r.column: (r.n_null, r.n_total) for r in null_report(df).collect()}
+    assert rep == {"a": (1, 2), "b": (2, 2)}
+
+
+def test_validate_schema_reports(spark):
+    from pyspark.sql import Row, types as T
+
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    expected = T.StructType([
+        T.StructField("a", T.StringType()),  # mismatch (actual long)
+        T.StructField("c", T.DoubleType()),  # missing
+    ])
+    issues = {(i.field, i.problem) for i in validate_schema(df, expected)}
+    assert issues == {("a", "type_mismatch"), ("c", "missing")}

@@ -1,0 +1,57 @@
+"""Structured Streaming integration tests (Trigger.AvailableNow over the
+parquet events table). The invariant: streaming results == the batch
+formulation the oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_data_pipeline_ads_spark import streaming
+from aws_data_pipeline_ads_spark.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def ev_stream(spark, sf_dir):
+    return streaming.events_stream(spark, sf_dir)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, ev_stream, tmp_path):
+    streaming.run_complete_now(
+        streaming.tumbling_counts(ev_stream), "tumbling_out", str(tmp_path / "ck1")
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in REGISTRY["q_tumbling_window"].build(spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_session_window_stream_runs(spark, sf_dir, ev_stream, tmp_path):
+    streaming.run_complete_now(
+        streaming.session_windows(ev_stream), "sessions_out", str(tmp_path / "ck2")
+    )
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    assert len(rows) > 0
+    # sessions must not overlap per user
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 <= s2
+
+
+def test_streaming_dedup_drops_dupes(spark, sf_dir, ev_stream, tmp_path):
+    streaming.run_available_now(
+        streaming.dedup_within_watermark(ev_stream), "dedup_out", str(tmp_path / "ck3")
+    )
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+    distinct_ids = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
+    assert n == distinct_ids  # event_id already unique → no rows lost
