@@ -4,6 +4,7 @@ from aws_data_pipeline_ads_spark.queries import (  # noqa: F401
     events_q,
     ref_parity,
     relational_q,
+    scalar_q,
     text_q,
     vector_q,
 )

@@ -1,0 +1,58 @@
+"""Plan-shape tests: assert the physical plans we'd want at 100 TB
+(pushdown, pruning, broadcast for bounded dims, take-ordered top-k).
+These fail if a refactor silently degrades the plan even when rows
+stay correct."""
+
+from __future__ import annotations
+
+from aws_data_pipeline_ads_spark import plans
+from aws_data_pipeline_ads_spark.queries import REGISTRY
+
+
+def _q(name, spark, sf_dir):
+    return REGISTRY[name].build(spark, sf_dir)
+
+
+def test_status_filter_pushed_to_scan(spark, sf_dir):
+    df = _q("q_status_filter", spark, sf_dir)
+    assert plans.has_pushed_filters(df, "o_orderstatus")
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = _q("q_scan_project", spark, sf_dir)
+    cols = set(plans.read_schema_columns(df))
+    assert cols == {"o_orderkey", "o_custkey", "o_totalprice"}  # not the full table
+
+
+def test_tpch_q1_prunes_and_pushes(spark, sf_dir):
+    df = _q("q_tpch_q1", spark, sf_dir)
+    assert plans.has_pushed_filters(df, "l_shipdate")
+    assert "l_orderkey" not in plans.read_schema_columns(df)  # unused key pruned
+
+
+def test_star_join_broadcasts_bounded_dims(spark, sf_dir):
+    df = _q("q_join_star", spark, sf_dir)
+    assert plans.uses_broadcast_join(df)  # nation/region must broadcast
+
+
+def test_limit_topk_uses_take_ordered(spark, sf_dir):
+    df = _q("q_limit_topk", spark, sf_dir)
+    assert plans.uses_take_ordered(df)  # never a global sort
+
+
+def test_embedding_knn_uses_take_ordered(spark, sf_dir):
+    df = _q("q_embedding_knn", spark, sf_dir)
+    assert plans.uses_take_ordered(df)
+
+
+def test_session_gap_single_shuffle_for_both_windows(spark, sf_dir):
+    # lag + cumulative sum share the (user_id) partitioning — Catalyst
+    # must plan ONE exchange, not two.
+    df = _q("q_session_gap", spark, sf_dir)
+    assert plans.count_shuffles(df) <= 2  # 1 window exchange + 1 final agg
+
+
+def test_scan_queries_stay_in_codegen(spark, sf_dir):
+    df = _q("q_quality_score", spark, sf_dir)
+    assert plans.wholestage_codegen_spans(df) >= 1
+    assert "BatchEvalPython" not in plans.physical_plan(df)  # no row-UDFs
