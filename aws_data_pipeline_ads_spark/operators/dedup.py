@@ -69,16 +69,24 @@ def doc_token_sets(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_shingle_sets(documents: DataFrame, k: int = 3,
-                     text_col: str = "text") -> DataFrame:
-    """Explode documents into distinct (doc_id, k-word-shingle) rows.
+def doc_shingle_sets(documents: DataFrame, k: int = 3, text_col: str = "text",
+                     distinct: bool = True) -> DataFrame:
+    """Explode documents into (doc_id, k-word-shingle) rows.
 
     Shingles (not unigrams) are the right MinHash feature: the shingle
     space is large, so signature collisions imply real textual overlap
     instead of shared vocabulary. Documents shorter than k tokens
     contribute their whole text as one shingle.
+
+    `distinct=False` skips the dedup shuffle — correct for MIN-style
+    consumers (MinHash is duplicate-insensitive), one whole shuffle
+    cheaper at scale.
     """
-    t = tokens(text_col)
+    # Two-step projection: bind the token array to an attribute FIRST.
+    # Inlining split() into the transform() lambda would re-tokenize the
+    # document once per shingle index — O(tokens²) per doc.
+    toked = documents.select("doc_id", tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
     shingles = F.when(
         F.size(t) < k, F.array(F.array_join(t, " "))
     ).otherwise(
@@ -87,10 +95,8 @@ def doc_shingle_sets(documents: DataFrame, k: int = 3,
             lambda i: F.array_join(F.slice(t, i, k), " "),
         )
     )
-    return (
-        documents.select("doc_id", F.explode(shingles).alias("tok"))
-        .distinct()
-    )
+    out = toked.select("doc_id", F.explode(shingles).alias("tok"))
+    return out.distinct() if distinct else out
 
 
 def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
@@ -128,14 +134,18 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
     h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p; signature_i =
     min over shingles. All built-in expressions — the min-agg is partial
     (map-side combine), so the shuffle carries n_hashes longs per doc.
+    MIN ignores duplicates, so the shingle explode skips its distinct
+    shuffle entirely.
     """
-    toks = doc_shingle_sets(documents, k=shingle_k)
-    base = F.pmod(F.xxhash64("tok"), F.lit(_MH_PRIME))
+    toks = doc_shingle_sets(documents, k=shingle_k, distinct=False)
+    # Hash each shingle ONCE into a bound column; the 16 min-aggs then
+    # apply cheap affine transforms of `h` instead of re-hashing 16×.
+    hashed = toks.select("doc_id", F.pmod(F.xxhash64("tok"), F.lit(_MH_PRIME)).alias("h"))
     mins = [
-        F.min(F.pmod(base * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_params(n_hashes))
     ]
-    return toks.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
@@ -144,22 +154,26 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
 
     Bucket join is an equi-join on (band, signature) — linear shuffle,
     candidates only within buckets. Returns distinct (doc_a, doc_b).
+
+    All band signatures are computed in ONE pass over the signature
+    aggregation and exploded to (doc_id, band, bsig) rows — a per-band
+    union would re-run the whole explode→minhash pipeline once per band
+    (Spark does not materialize shared subplans).
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(documents, n_hashes)
-    band_rows = []
+    band_structs = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(bi).alias("band"),
                 F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bsig"),
             )
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

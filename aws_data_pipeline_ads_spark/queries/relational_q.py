@@ -266,6 +266,36 @@ def q_asof_lastclick(spark, sf_dir):
 
 
 @query(
+    "q_window_lag_lead",
+    oracle=(
+        "SELECT o_custkey, o_orderkey, "
+        "lag(o_totalprice) OVER w AS prev_price, "
+        "lead(o_totalprice) OVER w AS next_price, "
+        "CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) "
+        "AS INT) AS status_rank, "
+        "CAST(ntile(4) OVER w AS INT) AS quartile, "
+        "first_value(o_orderkey) OVER w AS first_order "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    ),
+    doc="2C windows: lag/lead/dense_rank/ntile/first_value census",
+)
+def q_window_lag_lead(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ws = W.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.dense_rank().over(ws).alias("status_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@query(
     "q_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "

@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.queries import REGISTRY
 from aws_data_pipeline_ads_spark.session import get_session
 
@@ -30,8 +31,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
-    # JVM/codegen warmup on a trivial plan (not counted).
+    # Warmup (not counted): JVM/codegen plus parquet footers for the big
+    # tables, so the first timed query doesn't absorb one-time costs.
     run_once(spark.range(1_000_000).selectExpr("sum(id) AS s"))
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        run_once(load_table(spark, sf_dir, t).limit(1000))
 
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
     times: dict[str, float] = {}
