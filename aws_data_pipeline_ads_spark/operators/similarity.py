@@ -117,3 +117,84 @@ def lsh_bucket_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
         .limit(k)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF 'training': the first n_centroids vectors by
+    vec_id become the centroids.
+
+    The collect is bounded by n_centroids (same cost class as a
+    broadcast dim) — the corpus itself is never collected. A production
+    build would k-means these seeds for a few iterations; seeds alone
+    already partition the space usefully and keep the whole operator
+    deterministic for tests/oracles.
+    """
+    rows = (
+        embeddings.select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def _nearest_centroid_expr(emb, centroids: list[list[float]]):
+    """Expression: index of the max-cosine centroid for `emb`.
+
+    Builds a (score, idx) struct per centroid and takes array_max —
+    struct comparison is lexicographic, so ties break to the LARGEST
+    index; deterministic either way. K centroid dot products per row,
+    all codegen'd.
+    """
+    scored = [
+        F.struct(
+            (vec_dot(emb, _qv_col(c)) / (vec_norm(emb) * F.lit(math.sqrt(sum(x * x for x in c)))))
+            .alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_max(F.array(*scored))["i"]
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF list assignment: each vector gets the id of its nearest
+    centroid (`list_id`). At 100 TB this is the partitioning key — write
+    the corpus bucketed by list_id and ANN queries prune to n_probe
+    buckets at scan time."""
+    emb = F.col(vec_col).cast("array<double>")
+    return embeddings.withColumn("list_id", _nearest_centroid_expr(emb, centroids))
+
+
+def ivf_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
+             centroids: list[list[float]] | None = None,
+             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF ANN top-k: probe only the n_probe inverted lists whose
+    centroids are nearest the query.
+
+    n_probe == n_centroids degenerates to exact brute force (the test
+    anchor); smaller n_probe trades recall for a ~n_probe/n_centroids
+    scan fraction. Centroid scoring happens driver-side over K floats;
+    the corpus-side work is one codegen'd scan of the probed lists.
+    """
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_centroids)
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    csims = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(qv, centroids[i]))
+            / (qnorm * math.sqrt(sum(x * x for x in centroids[i]))),
+            i,
+        ),
+    )
+    probe = csims[:n_probe]
+    assigned = ivf_assign(embeddings, centroids)
+    return (
+        cosine_scores(assigned.filter(F.col("list_id").isin(probe)), qv)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )

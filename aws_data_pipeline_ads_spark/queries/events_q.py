@@ -45,6 +45,41 @@ def q_tumbling_window(spark, sf_dir):
 
 
 @query(
+    "q_sliding_window",
+    oracle=(
+        # Spark's F.window(ts, '1 hour', '30 minutes') puts each event in
+        # the two epoch-aligned 30-min-strided windows covering it; the
+        # oracle materializes both starts via epoch arithmetic.
+        "WITH w AS ("
+        "SELECT make_timestamp(CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)*1000000) "
+        "AS ws, event_type, value FROM events "
+        "UNION ALL "
+        "SELECT make_timestamp((CAST(floor(epoch(ts)/1800)*1800 AS BIGINT)-1800)*1000000) "
+        "AS ws, event_type, value FROM events) "
+        "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "FROM w GROUP BY 1, 2"
+    ),
+    doc="2C streaming: sliding 1h/30min window agg (batch formulation; "
+        "each event lands in 2 overlapping windows)",
+)
+def q_sliding_window(spark, sf_dir):
+    ensure_utc(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
     "q_session_gap",
     oracle=(
         "WITH g AS (SELECT user_id, event_id, ts, "

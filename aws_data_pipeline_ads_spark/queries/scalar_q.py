@@ -257,6 +257,45 @@ def q_percentile_approx(spark, sf_dir):
 
 
 @query(
+    "q_math_funcs",
+    oracle=(
+        # Only IEEE-exact ops (abs/ceil/floor/sqrt/sign/%/greatest) plus
+        # decimal-rounded round() — ln/exp are libm-implementation-
+        # specific and would flake the value hash.
+        "SELECT l_orderkey, l_linenumber, "
+        "abs(l_extendedprice - 30000.0) AS abs_diff, "
+        "CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_kceil, "
+        "CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_pct, "
+        "sqrt(l_quantity) AS qty_sqrt, "
+        "CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS diff_sign, "
+        "l_orderkey % 7 AS key_mod, "
+        "greatest(l_tax, l_discount) AS max_rate, "
+        "least(l_tax, l_discount) AS min_rate, "
+        "CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 2) AS DOUBLE) "
+        "AS price_r2 FROM lineitem"
+    ),
+    doc="2E scalar census: abs/ceil/floor/sqrt/sign/mod/greatest/least/"
+        "round (IEEE-exact subset; round via decimal HALF_UP)",
+)
+def q_math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("abs_diff"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).alias("price_kceil"),
+        F.floor(F.col("l_discount") * 100.0).alias("disc_pct"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("diff_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,6)"), 2)
+        .cast("double").alias("price_r2"),
+    )
+
+
+@query(
     "q_array_funcs",
     oracle=(
         "SELECT vec_id, CAST(len(embedding) AS INT) AS dim, "

@@ -63,3 +63,17 @@ def q_embedding_neardup(spark, sf_dir):
 )
 def q_embedding_ann(spark, sf_dir):
     return similarity.lsh_bucket_topk(load_table(spark, sf_dir, "embeddings"), _QV, 10)
+
+
+@query(
+    "q_embedding_ivf",
+    oracle=None,  # approximate by construction → rows-only check
+    bench=True,
+    doc="2C similarity scale path: IVF — assign vectors to nearest of 16 "
+        "seed centroids, probe the 4 lists nearest the query",
+)
+def q_embedding_ivf(spark, sf_dir):
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), _QV, 10,
+        n_centroids=16, n_probe=4,
+    )

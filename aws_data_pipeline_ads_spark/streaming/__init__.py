@@ -33,12 +33,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
+                    watermark: str = "2 hours",
+                    slide: str | None = None) -> DataFrame:
     """Watermarked tumbling-window aggregation (late data beyond the
-    watermark is dropped; state is bounded — the 100 TB requirement)."""
+    watermark is dropped; state is bounded — the 100 TB requirement).
+    Pass `slide` for overlapping (sliding) windows — each event then
+    updates window/slide concurrent window states."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

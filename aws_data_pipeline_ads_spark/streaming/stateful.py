@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2C streaming: "stateful applyInPandasWithState").
+
+The reference has no streaming state at all; this supplies the
+charter-mandated custom-stateful-operator slot: a per-user running
+aggregate whose state survives across micro-batches. State is a fixed
+(count, sum, last_seen) triple per user — O(users) bounded state, the
+shape that scales to 1000 executors (state is hash-partitioned by key
+into the state store; no global structure).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType, TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from typing import Any
+
+STATE_SCHEMA = StructType([
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+    StructField("last_ts", TimestampType()),
+])
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for one user into running state and
+    emit the updated totals. Arrow-batched: each pdf is a columnar chunk,
+    aggregated vectorized — no per-row Python."""
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    last_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if last_ts is None or batch_max > last_ts:
+            last_ts = batch_max
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n],
+         "total_value": [total], "last_ts": [last_ts]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals with explicit keyed state.
+
+    Each micro-batch emits one updated row per active user ("update"
+    output). Equivalent batch formulation: groupBy(user_id).agg(count,
+    sum, max(ts)) — the test anchor.
+    """
+    return (
+        events.select("user_id", "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_update_now(stream_df: DataFrame, name: str, checkpoint_dir: str,
+                   registry: dict | None = None) -> "Any":
+    """Drain the stream with update output via foreachBatch (memory sink
+    doesn't accept update mode); returns the concatenated pandas frame of
+    every emitted row. Latest row per key = final state."""
+    batches: list[pd.DataFrame] = []
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        batches.append(batch_df.toPandas())
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+    if registry is not None:
+        registry[name] = out
+    return out

@@ -120,3 +120,32 @@ def test_exact_dedup_counts(spark):
     )
     out = {r.canonical_doc: r.n_copies for r in dedup.exact_dedup(df).collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """n_probe == n_centroids degenerates IVF to exact brute force —
+    anchors the assignment/probe plumbing to the exact path."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    exact = [(r.vec_id, r.score) for r in similarity.cosine_topk(emb, qv, 10).collect()]
+    full = [
+        (r.vec_id, r.score)
+        for r in similarity.ivf_topk(emb, qv, 10, n_centroids=8, n_probe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_partial_probe_subset_and_recall(spark, sf_dir):
+    """Partial probe returns k rows drawn from the corpus with sane
+    recall against the exact top-k (data-dependent, so only a floor)."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    exact_ids = {r.vec_id for r in similarity.cosine_topk(emb, qv, 10).collect()}
+    approx = similarity.ivf_topk(emb, qv, 10, n_centroids=16, n_probe=4).collect()
+    assert len(approx) == 10
+    recall = len({r.vec_id for r in approx} & exact_ids) / 10
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"

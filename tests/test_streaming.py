@@ -55,3 +55,44 @@ def test_streaming_dedup_drops_dupes(spark, sf_dir, ev_stream, tmp_path):
         spark.read.parquet(f"{sf_dir}/events.parquet").count()
     )
     assert n == distinct_ids  # event_id already unique → no rows lost
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, ev_stream, tmp_path):
+    streaming.run_complete_now(
+        streaming.tumbling_counts(ev_stream, "1 hour", slide="30 minutes"),
+        "sliding_out", str(tmp_path / "ck4"),
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in REGISTRY["q_sliding_window"].build(spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, ev_stream, tmp_path):
+    """applyInPandasWithState per-user totals == batch groupBy at drain."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.streaming import stateful
+
+    out = stateful.run_update_now(
+        stateful.user_running_totals(ev_stream), "state_out", str(tmp_path / "ck5")
+    )
+    # latest emitted row per user is the final state
+    final = out.sort_values("n_events").groupby("user_id").last()
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert len(final) == len(batch)
+    for user_id, row in final.iterrows():
+        n, total = batch[user_id]
+        assert row["n_events"] == n
+        assert abs(row["total_value"] - total) < 1e-6 * max(1.0, abs(total))
