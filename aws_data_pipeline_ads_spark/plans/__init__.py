@@ -59,6 +59,17 @@ def count_shuffles(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange ")
 
 
+def count_shuffle_exchanges(df: DataFrame) -> int:
+    """Shuffle (hash/range-partitioning) exchanges only — broadcast
+    exchanges excluded. Zero for a co-located bucketed join."""
+    plan = physical_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
 def uses_take_ordered(df: DataFrame) -> bool:
     """ORDER BY + LIMIT should plan as TakeOrderedAndProject (k-heap per
     partition), never a global sort."""

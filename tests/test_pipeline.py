@@ -175,3 +175,41 @@ def test_validate_schema_reports(spark):
     ])
     issues = {(i.field, i.problem) for i in validate_schema(df, expected)}
     assert issues == {("a", "type_mismatch"), ("c", "missing")}
+
+
+def test_permissive_json_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from aws_data_pipeline_ads_spark.sources import files
+
+    p = tmp_path / "landed.jsonl"
+    p.write_text(
+        '{"id": 1, "price": 9.5}\n'
+        'not json at all\n'
+        '{"id": 2, "price": "NaNish"}\n'
+        '{"id": 3, "price": 1.25}\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    df = files.read_json_validated(spark, str(p), schema)
+    good, bad = files.split_corrupt(df)
+    assert {r.id for r in good.collect()} == {1, 3}
+    assert bad.count() == 2  # the non-JSON line and the bad-typed row
+    assert "_corrupt_record" not in good.columns
+
+
+def test_from_json_corrupt_channel(spark):
+    from pyspark.sql import Row, types as T
+
+    from aws_data_pipeline_ads_spark.sources import files
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    df = spark.createDataFrame(
+        [Row(src="a", payload='{"k": 7}'), Row(src="b", payload="{broken")]
+    )
+    out = files.parse_json_validated(df, "payload", schema)
+    good, bad = files.split_corrupt(out)
+    assert [(r.src, r.k) for r in good.collect()] == [("a", 7)]
+    assert bad.count() == 1
