@@ -99,6 +99,50 @@ def extract_image_features(media: DataFrame, use_fake_decoder: bool = True) -> D
     return media.mapInPandas(batches, IMAGE_FEATURES)
 
 
+def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
+                  use_fake_decoder: bool = True) -> DataFrame:
+    """Resize stage: binary in → binary out with refreshed metadata.
+
+    The fake 'resize' deterministically resamples the payload to
+    target_w*target_h bytes (stride-sampled, zero-padded) — same
+    in/out contract as a real thumbnailer (PIL `Image.resize` +
+    re-encode would drop in at the marked line). Output schema is the
+    media schema itself, so stages compose: attach → resize → features.
+    """
+    if not use_fake_decoder:
+        raise NotImplementedError("image codecs are not available in this environment")
+    target = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for blob in pdf["content"]:
+                raw = bytes(blob)
+                # <- real impl: decode, resize to (target_w, target_h), re-encode
+                if len(raw) >= target:
+                    step = len(raw) // target
+                    raw = raw[:: step][:target]
+                else:
+                    raw = raw + b"\x00" * (target - len(raw))
+                resized.append(raw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": resized,
+                    "meta": [
+                        {
+                            "media_type": m["media_type"] + ";resized",
+                            "n_bytes": len(r),
+                            "sha256": hashlib.sha256(r).hexdigest(),
+                        }
+                        for m, r in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -115,3 +115,22 @@ def q_json_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
     )
+
+
+@query(
+    "q_json_typed",
+    oracle=(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed, "
+        "to_json(struct_pack(event_id := event_id, event_type := event_type)) "
+        "AS envelope FROM events"
+    ),
+    doc="op 8/21: from_json typed parse + to_json envelope serialization "
+        "(both engines emit compact {\"key\":value} JSON)",
+)
+def q_json_typed(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_typed"),
+        F.to_json(F.struct("event_id", "event_type")).alias("envelope"),
+    )

@@ -48,3 +48,21 @@ def test_frame_sampling_explodes_rows(spark, media):
     for r in rows:
         per_doc.setdefault(r.doc_id, []).append(r.frame_no)
     assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+
+def test_resize_composes_with_features(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.attach_media(docs)
+    resized = multimodal.resize_images(media, target_w=16, target_h=16)
+    rows = resized.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(bytes(r.content)) == 256
+        assert r.meta.n_bytes == 256
+        assert r.meta.media_type.endswith(";resized")
+    # output schema matches the media schema, so stages compose
+    feats = multimodal.extract_image_features(resized).collect()
+    assert len(feats) == 20 and all(f.n_bytes == 256 for f in feats)
