@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from aws_data_pipeline_ads_spark.pipeline.envelope import transform_source
+from aws_data_pipeline_ads_spark.pipeline.metrics import observed_count
 from aws_data_pipeline_ads_spark.pipeline.quality import remove_duplicates
 from aws_data_pipeline_ads_spark.pipeline.sink import write_partitioned, write_run_summary
 from aws_data_pipeline_ads_spark.sources.http_json import HttpGet, source_to_df
@@ -82,14 +83,17 @@ def run_pipeline(
         res = SourceResult(source=name)
         try:
             raw = source_to_df(spark, src_cfg, http_get=http_get)
+            if raw.isEmpty():  # reference skips empty loads (:88,101-102)
+                run.results.append(res)
+                continue
             shaped = transform_source(raw, name, as_of)
             if config.processing.remove_duplicates:
                 shaped = remove_duplicates(shaped, ["record_id"])
-            res.n_records = shaped.count()
-            if res.n_records == 0:  # reference skips empty loads (:88,101-102)
-                run.results.append(res)
-                continue
+            # Observation piggybacks the count on the write job — one
+            # scan, not count()+write (the 100 TB double-pass trap).
+            shaped, obs = observed_count(shaped)
             res.path = write_partitioned(shaped, f"{base_path}/data", config.output)
+            res.n_records = int(obs.get["n_records"])
         except Exception as e:  # noqa: BLE001 — op 3: isolate, continue
             res.error = f"{type(e).__name__}: {e}"
         run.results.append(res)
