@@ -134,6 +134,51 @@ def asof_last_value(events: DataFrame, match_type: str = "click") -> DataFrame:
     )
 
 
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str, value_col: str, out_col: str,
+              left_keep: list[str]) -> DataFrame:
+    """Two-table as-of join: each left row gets `value_col` from the
+    right row with the greatest right_ts <= left_ts for the same keys.
+
+    Union-merge formulation: tag the streams, union, one window pass
+    with last(ignorenulls) — ONE shuffle on the keys, no self-join, no
+    per-row range probe. The classic join-then-rank alternative is
+    O(left×right) per key; this is O((left+right) log) per key and is
+    the shape that survives 100 TB.
+
+    Right side must be unique per (on, right_ts) — pre-aggregate ties
+    (e.g. max_by) or the result is nondeterministic.
+    """
+    vtype = right.schema[value_col].dataType
+    l = left.select(
+        *on,
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_keep],
+        F.lit(None).cast(vtype).alias("__v"),
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_keep],
+        F.col(value_col).alias("__v"),
+    )
+    # __is_left ascending: a right row at exactly left_ts is visible
+    # (at-or-before semantics, matching SQL ASOF's >=).
+    w = (
+        W.partitionBy(*on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn(out_col, F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+        .drop("__v", "__is_left", "__ts")
+    )
+
+
 def pivot_event_counts(events: DataFrame, types: list[str]) -> DataFrame:
     """Pivot event_type into per-type count columns per user.
 

@@ -20,7 +20,9 @@ from pyspark.sql import SparkSession
 from aws_data_pipeline_ads_spark.pipeline.envelope import transform_source
 from aws_data_pipeline_ads_spark.pipeline.metrics import observed_count
 from aws_data_pipeline_ads_spark.pipeline.quality import remove_duplicates
-from aws_data_pipeline_ads_spark.pipeline.sink import write_partitioned, write_run_summary
+from aws_data_pipeline_ads_spark.pipeline.sink import (
+    write_manifest, write_partitioned, write_run_summary,
+)
 from aws_data_pipeline_ads_spark.sources.http_json import HttpGet, source_to_df
 from aws_data_pipeline_ads_spark.sources.registry import PipelineConfig
 
@@ -104,4 +106,7 @@ def run_pipeline(
         run.summary(len(config.sources), date),
         f"{base_path}/metadata/executions",
     )
+    # D12 manifest zone: snapshot of data files visible after this run.
+    write_manifest(spark, f"{base_path}/data", f"{base_path}/manifest",
+                   run.execution_id)
     return run

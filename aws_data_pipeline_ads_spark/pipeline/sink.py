@@ -73,3 +73,60 @@ def read_run_summaries(spark: SparkSession, path: str,
     if date is not None:
         df = df.filter(F.col("date") == str(date))
     return df
+
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("execution_id", T.StringType(), False),
+        T.StructField("file", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("modified_ms", T.LongType(), False),
+    ]
+)
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """Recursive (file, bytes, mtime_ms) listing via the Hadoop FS API —
+    metadata-only, no data scan, works on any Hadoop-compatible store."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out: list[tuple[str, int, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS markers, hidden files
+        out.append((f.getPath().toString(), f.getLen(), f.getModificationTime()))
+    return out
+
+
+def write_manifest(spark: SparkSession, data_path: str, manifest_path: str,
+                   execution_id: str) -> int:
+    """§2B D12 manifest zone: snapshot the data files visible after a run.
+
+    Readers that pin a manifest instead of re-listing directories get a
+    consistent view — the transaction-log idea (what Delta's _delta_log
+    formalizes), which matters on object stores where LIST is slow,
+    rate-limited, and eventually consistent at 100 TB directory sizes.
+    Returns the number of files recorded.
+    """
+    files = list_data_files(spark, data_path)
+    rows = [
+        {"execution_id": execution_id, "file": f, "n_bytes": n, "modified_ms": m}
+        for f, n, m in files
+    ]
+    df = spark.createDataFrame(rows, MANIFEST_SCHEMA)
+    df.write.mode("append").partitionBy("execution_id").parquet(manifest_path)
+    return len(rows)
+
+
+def read_manifest(spark: SparkSession, manifest_path: str,
+                  execution_id: str) -> DataFrame:
+    """Partition-pruned read of one run's manifest snapshot."""
+    return spark.read.parquet(manifest_path).filter(
+        F.col("execution_id") == execution_id
+    )

@@ -266,6 +266,63 @@ def q_asof_lastclick(spark, sf_dir):
 
 
 @query(
+    "q_asof_join",
+    oracle=(
+        # DuckDB has native ASOF; Spark side is the union-merge operator.
+        # Right side pre-deduped to one row per (custkey, date) via
+        # max_by so tie semantics are engine-independent.
+        "WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots, "
+        "max_by(o_totalprice, o_orderkey) AS price "
+        "FROM orders GROUP BY o_custkey, CAST(o_orderdate AS TIMESTAMP)) "
+        "SELECT e.event_id, e.user_id, r.price AS last_order_price "
+        "FROM events e ASOF LEFT JOIN r "
+        "ON e.user_id = r.o_custkey AND e.ts >= r.ots"
+    ),
+    doc="2C joins: two-table as-of join (events ← most recent prior "
+        "order per user), union-merge single-shuffle formulation",
+)
+def q_asof_join(spark, sf_dir):
+    ensure_utc(spark)
+    events = load_table(spark, sf_dir, "events")
+    orders_dedup = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").cast("timestamp").alias("ots"))
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("price"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return relational.asof_join(
+        events, orders_dedup, on=["user_id"],
+        left_ts="ts", right_ts="ots",
+        value_col="price", out_col="last_order_price",
+        left_keep=["event_id"],
+    ).select("event_id", "user_id", "last_order_price")
+
+
+@query(
+    "q_sql_over_lake",
+    oracle=(
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) "
+        "AS DOUBLE) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    doc="D1: ad-hoc SQL over the lake (the analytics layer the reference "
+        "declares but never implements) — TPC-H Q6 via spark.sql over "
+        "registered views",
+)
+def q_sql_over_lake(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) "
+        "AS DOUBLE) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    )
+
+
+@query(
     "q_window_lag_lead",
     oracle=(
         "SELECT o_custkey, o_orderkey, "

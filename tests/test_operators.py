@@ -149,3 +149,26 @@ def test_ivf_partial_probe_subset_and_recall(spark, sf_dir):
     assert len(approx) == 10
     recall = len({r.vec_id for r in approx} & exact_ids) / 10
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_asof_join_union_merge(spark):
+    import datetime as dt
+
+    left = spark.createDataFrame([
+        Row(k=1, ev=10, ts=dt.datetime(2024, 1, 1, 12, 0)),
+        Row(k=1, ev=11, ts=dt.datetime(2024, 1, 3, 12, 0)),
+        Row(k=2, ev=20, ts=dt.datetime(2024, 1, 1, 0, 0)),
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rts=dt.datetime(2024, 1, 1, 12, 0), px=100.0),  # ties left ts → visible
+        Row(k=1, rts=dt.datetime(2024, 1, 2, 0, 0), px=200.0),
+        Row(k=2, rts=dt.datetime(2024, 1, 5, 0, 0), px=999.0),   # after left → unmatched
+    ])
+    out = {
+        r.ev: r.last_px
+        for r in relational.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            value_col="px", out_col="last_px", left_keep=["ev"],
+        ).collect()
+    }
+    assert out == {10: 100.0, 11: 200.0, 20: None}

@@ -213,3 +213,29 @@ def test_from_json_corrupt_channel(spark):
     good, bad = files.split_corrupt(out)
     assert [(r.src, r.k) for r in good.collect()] == [("a", 7)]
     assert bad.count() == 1
+
+
+def test_manifest_snapshot_lists_written_files(spark, tmp_path):
+    import os
+
+    from aws_data_pipeline_ads_spark.pipeline import sink
+
+    df = spark.range(10).selectExpr(
+        "CAST(id AS STRING) AS record_id", "'s1' AS source",
+        "'2024-01-02' AS extracted_date", "id AS v"
+    )
+    base = str(tmp_path / "lake")
+    sink.write_partitioned(df, f"{base}/data")
+    n = sink.write_manifest(spark, f"{base}/data", f"{base}/manifest", "run1")
+    assert n > 0
+    manifest = sink.read_manifest(spark, f"{base}/manifest", "run1").collect()
+    assert len(manifest) == n
+    on_disk = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{base}/data")
+        for f in fs
+        if not f.startswith(("_", "."))
+    }
+    listed = {r.file.removeprefix("file:") for r in manifest}
+    assert listed == on_disk
+    assert all(r.n_bytes > 0 for r in manifest)
