@@ -76,6 +76,34 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", content_fingerprint("text").alias("fingerprint"))
 
 
+def curate(documents: DataFrame) -> DataFrame:
+    """End-to-end curation slice: quality gate → exact near-dup removal
+    (min doc_id per content fingerprint wins) → per-lang corpus stats.
+
+    The composition a training-data pipeline runs before tokenization.
+    Two shuffles total: the fingerprint groupBy and the final lang
+    groupBy (the doc_id join is a broadcast at dim-like selectivity, or
+    AQE's choice at scale).
+    """
+    n_chars = F.length("text").cast("long")
+    n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
+    n_toks = token_count("text")
+    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
+    ok = documents.filter(
+        (n_chars >= 20) & (n_toks >= 5) & (punct_ratio < 0.3)
+    )
+    canon = (
+        ok.groupBy(content_fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = ok.join(canon, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus statistics."""
     n_chars = F.length("text")

@@ -28,6 +28,30 @@ def q_text_stats(spark, sf_dir):
 
 
 @query(
+    "q_curation_pipeline",
+    oracle=(
+        "WITH q AS (SELECT doc_id, lang, text, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
+        "AS BIGINT) AS n_punct FROM documents), "
+        "ok AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp "
+        "FROM q WHERE n_chars >= 20 AND n_toks >= 5 "
+        "AND CAST(n_punct AS DOUBLE) / n_chars < 0.3), "
+        "canon AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY fp) "
+        "SELECT o.lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(o.n_toks) AS BIGINT) AS total_tokens "
+        "FROM ok o JOIN canon c ON o.doc_id = c.doc_id GROUP BY o.lang"
+    ),
+    bench=True,
+    doc="LLM-data showcase: quality gate → exact dedup (min doc_id per "
+        "fingerprint) → per-lang token totals, one declared pipeline",
+)
+def q_curation_pipeline(spark, sf_dir):
+    return textstats.curate(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q_token_count",
     oracle=(
         "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) "

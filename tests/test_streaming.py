@@ -96,3 +96,29 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, ev_stream, tmp_path)
         n, total = batch[user_id]
         assert row["n_events"] == n
         assert abs(row["total_value"] - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_listener_collects_batch_metrics(spark, sf_dir, tmp_path):
+    from aws_data_pipeline_ads_spark.streaming import listeners
+
+    m = listeners.StreamMetrics()
+    spark.streams.addListener(m)
+    try:
+        ev = streaming.events_stream(spark, sf_dir)
+        streaming.run_complete_now(
+            streaming.tumbling_counts(ev), "metered_out", str(tmp_path / "ck6")
+        )
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        # listener-bus delivery is async; give it a moment to drain
+        import time
+
+        for _ in range(40):
+            if m.total_rows() >= n_events:
+                break
+            time.sleep(0.25)
+        assert m.total_rows() >= n_events  # all input rows observed
+        assert any(b.num_input_rows > 0 for b in m.batches)
+        assert any(b.state_rows and b.state_rows > 0 for b in m.batches)
+        assert listeners.alerts_for(m) == []
+    finally:
+        spark.streams.removeListener(m)
