@@ -56,3 +56,23 @@ def test_scan_queries_stay_in_codegen(spark, sf_dir):
     df = _q("q_quality_score", spark, sf_dir)
     assert plans.wholestage_codegen_spans(df) >= 1
     assert "BatchEvalPython" not in plans.physical_plan(df)  # no row-UDFs
+
+
+def test_asof_join_bounded_shuffles(spark, sf_dir):
+    """Union-merge as-of: dedup groupBy + window partitioning — two
+    shuffles, never a per-key self-join explosion."""
+    df = _q("q_asof_join", spark, sf_dir)
+    assert plans.count_shuffle_exchanges(df) <= 2
+
+
+def test_curation_pipeline_broadcasts_canon(spark, sf_dir):
+    """The canonical-doc_id side is aggregate-reduced; the join back must
+    be broadcast (or AQE-converted), not a full sort-merge shuffle."""
+    df = _q("q_curation_pipeline", spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.count_shuffle_exchanges(df) <= 2
+
+
+def test_scalar_censuses_are_shuffle_free(spark, sf_dir):
+    for name in ("q_math_funcs", "q_json_typed", "q_string_funcs"):
+        assert plans.count_shuffle_exchanges(_q(name, spark, sf_dir)) == 0
