@@ -87,20 +87,29 @@ def curate(documents: DataFrame) -> DataFrame:
     """
     n_chars = F.length("text").cast("long")
     n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
-    n_toks = token_count("text")
     punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
-    ok = documents.filter(
-        (n_chars >= 20) & (n_toks >= 5) & (punct_ratio < 0.3)
+    # One projection computes every text-derived value, then `text`
+    # drops out — the shuffles downstream move (id, lang, count, 16-byte
+    # fp), never document bodies, and nothing is tokenized twice.
+    ok = documents.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_toks"),
+        content_fingerprint("text").alias("fp"),
+        n_chars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+    ).filter(
+        (F.col("n_chars") >= 20) & (F.col("n_toks") >= 5)
+        & (F.col("punct_ratio") < 0.3)
     )
-    canon = (
-        ok.groupBy(content_fingerprint("text").alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    kept = ok.join(canon, "doc_id")
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count("text")).alias("total_tokens"),
+    canon = ok.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        ok.join(canon, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
     )
 
 
