@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): operator invariants that example
+tests can miss. Few examples per property — each example is a Spark
+job — but randomized structure: ragged keys, ties, empties, duplicates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.functions import dec_sum
+from aws_data_pipeline_ads_spark.operators import relational, skew
+from aws_data_pipeline_ads_spark.operators.sessionize import sessionize
+
+PROP = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, minute-offset, value) triples; ties and duplicate keys on purpose
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 120),
+        st.integers(-50, 50),
+    ),
+    min_size=1, max_size=25,
+)
+
+
+def _ts(minutes: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minutes)
+
+
+@PROP
+@given(left=_rows, right=_rows)
+def test_asof_join_matches_naive(spark, left, right):
+    """Union-merge as-of == the O(l×r) naive scan, for any inputs.
+
+    Right side deduped to one row per (key, ts) — max value wins, same
+    rule applied to both implementations.
+    """
+    ldf = spark.createDataFrame(
+        [Row(k=k, ev=i, ts=_ts(m)) for i, (k, m, _v) in enumerate(left)]
+    )
+    rdedup: dict[tuple[int, dt.datetime], int] = {}
+    for k, m, v in right:
+        key = (k, _ts(m))
+        rdedup[key] = max(rdedup.get(key, v), v)
+    rdf = spark.createDataFrame(
+        [Row(k=k, rts=t, px=float(v)) for (k, t), v in rdedup.items()]
+    )
+    got = {
+        r.ev: r.last_px
+        for r in relational.asof_join(
+            ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+            value_col="px", out_col="last_px", left_keep=["ev"],
+        ).collect()
+    }
+    for i, (k, m, _v) in enumerate(left):
+        candidates = [
+            (t, v) for (rk, t), v in rdedup.items() if rk == k and t <= _ts(m)
+        ]
+        expect = float(max(candidates)[1]) if candidates else None
+        assert got[i] == expect, (i, k, m)
+
+
+@PROP
+@given(rows=_rows, n_salts=st.integers(1, 8))
+def test_salted_agg_always_matches_plain(spark, rows, n_salts):
+    df = spark.createDataFrame(
+        [Row(k=str(k), v=float(v)) for k, _m, v in rows]
+    )
+    plain = {
+        r.k: (r.n_rows, r.total)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dec_sum("v", "total"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n_rows, r.total)
+        for r in skew.salted_sum_count(df, ["k"], "v", n_salts=n_salts).collect()
+    }
+    assert salted == plain
+
+
+@PROP
+@given(rows=_rows, gap_minutes=st.integers(1, 40))
+def test_sessionize_gap_invariants(spark, rows, gap_minutes):
+    """No intra-session gap exceeds the threshold; consecutive sessions
+    of a user are separated by more than the threshold; every event is
+    in exactly one session."""
+    events = spark.createDataFrame(
+        [
+            Row(user_id=k, event_id=i, ts=_ts(m), event_type="e", value=0.0,
+                props="{}")
+            for i, (k, m, _v) in enumerate(rows)
+        ]
+    )
+    gap = gap_minutes * 60
+    sessions = sessionize(events, gap_seconds=gap).collect()
+    assert sum(s.n_events for s in sessions) == len(rows)
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        by_user.setdefault(s.user_id, []).append(s)
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    for user, ss in by_user.items():
+        spans = sorted(
+            (dt.datetime.strptime(s.session_start, fmt),
+             dt.datetime.strptime(s.session_end, fmt))
+            for s in ss
+        )
+        user_ts = sorted(_ts(m) for k, m, _v in rows if k == user)
+        for start, end in spans:
+            inside = [t for t in user_ts if start <= t <= end]
+            diffs = [
+                (b - a).total_seconds() for a, b in zip(inside, inside[1:])
+            ]
+            assert all(d <= gap for d in diffs)
+        for (_s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).total_seconds() > gap
+
+
+@PROP
+@given(rows=_rows, parts=st.integers(1, 7))
+def test_dec_sum_is_partitioning_invariant(spark, rows, parts):
+    """The decimal-sum trick's whole point: identical totals under any
+    partitioning (the property raw double sums lack)."""
+    df = spark.createDataFrame([Row(v=v + 0.125) for _k, _m, v in rows])
+    base = df.coalesce(1).agg(dec_sum("v", "t")).collect()[0].t
+    re = df.repartition(parts).agg(dec_sum("v", "t")).collect()[0].t
+    assert re == base
