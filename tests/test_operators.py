@@ -172,3 +172,50 @@ def test_asof_join_union_merge(spark):
         ).collect()
     }
     assert out == {10: 100.0, 11: 200.0, 20: None}
+
+
+def test_pandas_udf_cosine_matches_codegen(spark, sf_dir):
+    """The scalar pandas UDF and the built-in expression agree to 1e-9 —
+    the verification pattern for swapping UDF ↔ fast path."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.functions.udfs import cosine_to_query_udf
+
+    qv = similarity.fixed_query_vector()
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    fast = {r.vec_id: r.score for r in similarity.cosine_scores(emb, qv).collect()}
+    udf_scores = {
+        r.vec_id: r.score
+        for r in emb.select(
+            "vec_id", cosine_to_query_udf(qv)(F.col("embedding").cast("array<double>")).alias("score")
+        ).collect()
+    }
+    assert fast.keys() == udf_scores.keys()
+    for k in fast:
+        assert abs(fast[k] - udf_scores[k]) < 1e-9
+
+
+def test_grouped_agg_weighted_mean(spark):
+    from aws_data_pipeline_ads_spark.functions.udfs import weighted_mean_udf
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=1.0, w=1.0), Row(k="a", v=3.0, w=3.0), Row(k="b", v=5.0, w=2.0)]
+    )
+    out = {
+        r.k: r.wm
+        for r in df.groupBy("k")
+        .agg(weighted_mean_udf()(F.col("v"), F.col("w")).alias("wm"))
+        .collect()
+    }
+    assert abs(out["a"] - 2.5) < 1e-12 and abs(out["b"] - 5.0) < 1e-12
+
+
+def test_apply_in_pandas_zscore(spark):
+    from aws_data_pipeline_ads_spark.functions.udfs import zscore_per_group
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, label=0, score=1.0), Row(vec_id=2, label=0, score=3.0),
+         Row(vec_id=3, label=1, score=7.0)]
+    )
+    out = {r.vec_id: r.z for r in zscore_per_group(df).collect()}
+    assert abs(out[1] + 1.0) < 1e-12 and abs(out[2] - 1.0) < 1e-12
+    assert out[3] == 0.0  # single-member group → zero, not NaN
