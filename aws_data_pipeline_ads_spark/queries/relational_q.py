@@ -353,6 +353,60 @@ def q_window_lag_lead(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q3",
+    oracle=(
+        "SELECT l_orderkey, "
+        + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
+        + " AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1997-06-01' "
+        "AND l_shipdate > TIMESTAMP '1997-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    bench=True,
+    doc="TPC-H Q3-alike: selective dim filter → two fact joins → agg → "
+        "top-k (TakeOrderedAndProject); both date filters pushed to scans",
+)
+def q_tpch_q3(spark, sf_dir):
+    ensure_utc(spark)
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
     "q_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
