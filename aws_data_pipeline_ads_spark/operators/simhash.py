@@ -52,3 +52,42 @@ def simhash_sql(dialect: str, table: str = "documents") -> str:
         f"bits AS (SELECT doc_id,\n    {sums}\n  FROM toks GROUP BY doc_id)\n"
         f"SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM bits"
     )
+
+
+N_BANDS = 4  # 4 bands × 8 bits over the 32-bit fingerprint
+
+
+def simhash_pairs_sql(dialect: str, table: str = "documents",
+                      max_hamming: int = 3) -> str:
+    """Banded-LSH near-dup pairs over the simhash fingerprints.
+
+    With 4 bands over 32 bits, any pair at Hamming distance ≤ 3 has at
+    most 3 corrupted bands, so ≥ 1 band matches (pigeonhole): candidate
+    recall is COMPLETE for max_hamming ≤ 3, and the Hamming filter makes
+    the result exact — which is why this LSH query can be oracle-checked
+    while MinHash-LSH (hash-family-specific) cannot.
+
+    Scale: the per-band self-join exchanges (band_no, 8-bit band) keys —
+    candidates are generated per bucket, never all-pairs.
+    """
+    if dialect == "spark":
+        idiv, xor = "DIV", "bit_count(a.simhash ^ b.simhash)"
+    elif dialect == "duckdb":
+        idiv, xor = "//", "bit_count(xor(a.simhash, b.simhash))"
+    else:
+        raise ValueError(dialect)
+    fp = simhash_sql(dialect, table)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band_no, "
+        f"(simhash {idiv} {1 << (8 * i)}) % 256 AS band FROM fp"
+        for i in range(N_BANDS)
+    )
+    return (
+        f"WITH fp AS ({fp}),\n"
+        f"bands AS ({band_selects}),\n"
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        f"    CAST({xor} AS INT) AS hamming\n"
+        "  FROM bands a JOIN bands b ON a.band_no = b.band_no "
+        "AND a.band = b.band AND a.doc_id < b.doc_id)\n"
+        f"SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}"
+    )

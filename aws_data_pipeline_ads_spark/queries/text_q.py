@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.operators import dedup, textstats
-from aws_data_pipeline_ads_spark.operators.simhash import simhash_sql
+from aws_data_pipeline_ads_spark.operators.simhash import simhash_pairs_sql, simhash_sql
 from aws_data_pipeline_ads_spark.queries.registry import query
 
 _WS = r"\s+"
@@ -175,6 +175,20 @@ def q_minhash_lsh(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_simhash")
     return spark.sql(simhash_sql("spark", table="documents_simhash"))
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=simhash_pairs_sql("duckdb"),
+    doc="LLM dedup: SimHash banded-LSH near-dup pairs (4×8-bit bands; "
+        "complete recall for Hamming ≤ 3, so exact and oracle-checked — "
+        "the LSH pattern MinHash uses, in verifiable form)",
+)
+def q_simhash_pairs(spark, sf_dir):
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_simhash"
+    )
+    return spark.sql(simhash_pairs_sql("spark", table="documents_simhash"))
 
 
 @query(
