@@ -78,6 +78,27 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def sink_to_lake(stream_df: DataFrame, path: str, checkpoint_dir: str,
+                 partition_by: tuple[str, ...] = ("event_type",)) -> None:
+    """Incremental lake ingestion: drain new files into Hive-partitioned
+    parquet under `path`, exactly-once per micro-batch via checkpoint.
+
+    This is the reference's daily batch (EventBridge → extract → S3)
+    as a restartable stream: rerunning after a crash resumes from the
+    checkpoint instead of re-ingesting (the reference would duplicate).
+    """
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partition_by)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, name: str, checkpoint_dir: str) -> None:
     """Drain-everything-then-stop execution (the daily-batch trigger).
     Results land in the in-memory table `name` for inspection/tests."""

@@ -122,3 +122,17 @@ def test_listener_collects_batch_metrics(spark, sf_dir, tmp_path):
         assert listeners.alerts_for(m) == []
     finally:
         spark.streams.removeListener(m)
+
+
+def test_lake_sink_exactly_once_on_rerun(spark, sf_dir, tmp_path):
+    """Draining twice with the same checkpoint ingests the data once —
+    the restartability the reference's re-run would lack."""
+    out, ck = str(tmp_path / "lake"), str(tmp_path / "ck7")
+    for _ in range(2):  # second drain: no new input → no new rows
+        ev = streaming.events_stream(spark, sf_dir)
+        streaming.sink_to_lake(ev, out, ck)
+    got = spark.read.parquet(out)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got.count() == n_src
+    # partition layout is Hive-style event_type=...
+    assert any(p.name.startswith("event_type=") for p in (tmp_path / "lake").iterdir())
