@@ -407,6 +407,105 @@ def q_tpch_q3(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q13",
+    oracle=(
+        "WITH per_cust AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+        "SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count"
+    ),
+    doc="TPC-H Q13-alike: left outer join with a join-side predicate, "
+        "then a distribution (agg of agg)",
+)
+def q_tpch_q13(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_tpch_q18",
+    oracle=(
+        "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 55) "
+        "SELECT c_name, c_custkey, o_orderkey, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, "
+        + _DEC_SUM_SQL.format(x="l_quantity") + " AS sum_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "JOIN big ON big.l_orderkey = o_orderkey "
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+    ),
+    doc="TPC-H Q18-alike: HAVING-filtered semi-reduction joined back to "
+        "the fact, top-k by price",
+)
+def q_tpch_q18(spark, sf_dir):
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 55)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(big, li.l_orderkey == big.big_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity", "sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_top_supplier",
+    oracle=(
+        "WITH rev AS (SELECT l_suppkey, "
+        + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
+        + " AS total_rev FROM lineitem GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_rev FROM supplier "
+        "JOIN rev ON s_suppkey = l_suppkey "
+        "WHERE total_rev = (SELECT MAX(total_rev) FROM rev) "
+        "ORDER BY s_suppkey"
+    ),
+    doc="TPC-H Q15-alike: agg-of-agg — revenue per supplier, keep the "
+        "max via scalar subquery over the derived table",
+)
+def q_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .join(max_rev, rev.total_rev == max_rev.m)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "q_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
