@@ -30,6 +30,15 @@ class SourceConfig:
     max_records: int = 100
     timeout: float = 30.0
     retry: RetryConfig = field(default_factory=RetryConfig)
+    # D9: secondary endpoints per source (setup_secrets.py:49-54,68-72);
+    # each becomes an extra catalog table named "{source}_{endpoint}".
+    endpoints: tuple[tuple[str, str], ...] = ()
+
+    def endpoint_url(self, endpoint: str) -> str:
+        for name, path in self.endpoints:
+            if name == endpoint:
+                return self.url.rstrip("/") + path
+        raise KeyError(f"{self.name} has no endpoint {endpoint!r}")
 
 
 @dataclass(frozen=True)
@@ -63,10 +72,12 @@ def default_config() -> PipelineConfig:
             "marketing": SourceConfig(
                 name="marketing", url="https://fakestoreapi.com/products",
                 limit_param="limit", default_limit=10, max_records=50,
+                endpoints=(("categories", "/categories"),),
             ),
             "sales": SourceConfig(
                 name="sales", url="https://jsonplaceholder.typicode.com/posts",
                 limit_param="_limit", default_limit=10, max_records=100,
+                endpoints=(("comments", "/comments"), ("users", "/users")),
             ),
             "crm": SourceConfig(
                 name="crm", url="https://randomuser.me/api/",

@@ -239,3 +239,15 @@ def test_manifest_snapshot_lists_written_files(spark, tmp_path):
     listed = {r.file.removeprefix("file:") for r in manifest}
     assert listed == on_disk
     assert all(r.n_bytes > 0 for r in manifest)
+
+
+def test_source_secondary_endpoints():
+    cfg = default_config()
+    assert cfg.sources["sales"].endpoint_url("comments").endswith("/posts/comments")
+    assert cfg.sources["marketing"].endpoint_url("categories").endswith(
+        "/products/categories"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        cfg.sources["crm"].endpoint_url("nope")
