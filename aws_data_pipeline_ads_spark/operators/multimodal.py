@@ -99,6 +99,52 @@ def extract_image_features(media: DataFrame, use_fake_decoder: bool = True) -> D
     return media.mapInPandas(batches, IMAGE_FEATURES)
 
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, sample_rate: int = 16000,
+                           use_fake_decoder: bool = True) -> DataFrame:
+    """Audio path: payload → (n_samples, duration, RMS energy).
+
+    Fake decode treats the payload as 16-bit PCM mono (a real impl
+    swaps in soundfile/ffmpeg at the marked line); the numpy math after
+    decode is exactly what a real feature stage runs, vectorized per
+    Arrow batch.
+    """
+    if not use_fake_decoder:
+        raise NotImplementedError("audio codecs are not available in this environment")
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_samples, rms = [], []
+            for blob in pdf["content"]:
+                raw = bytes(blob)
+                # <- real impl: decode container/codec to PCM here
+                pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2")
+                n_samples.append(len(pcm))
+                rms.append(
+                    float(np.sqrt(np.mean((pcm / 32768.0) ** 2))) if len(pcm) else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": n_samples,
+                    "duration_s": [n / sample_rate for n in n_samples],
+                    "rms": rms,
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_FEATURES)
+
+
 def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
                   use_fake_decoder: bool = True) -> DataFrame:
     """Resize stage: binary in → binary out with refreshed metadata.

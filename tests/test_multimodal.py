@@ -66,3 +66,23 @@ def test_resize_composes_with_features(spark, sf_dir):
     # output schema matches the media schema, so stages compose
     feats = multimodal.extract_image_features(resized).collect()
     assert len(feats) == 20 and all(f.n_bytes == 256 for f in feats)
+
+
+def test_audio_features_deterministic(spark, sf_dir):
+    import math
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = multimodal.attach_media(docs, media_type="audio/fake")
+    rows = {r.doc_id: r for r in multimodal.extract_audio_features(media).collect()}
+    assert len(rows) == 10
+    for r in rows.values():
+        assert r.n_samples >= 0 and math.isfinite(r.rms) and 0.0 <= r.rms <= 1.0
+        assert abs(r.duration_s - r.n_samples / 16000) < 1e-12
+    # determinism: same payloads → same features on a rerun
+    again = {r.doc_id: r for r in multimodal.extract_audio_features(media).collect()}
+    assert {k: (v.n_samples, v.rms) for k, v in rows.items()} == {
+        k: (v.n_samples, v.rms) for k, v in again.items()
+    }
