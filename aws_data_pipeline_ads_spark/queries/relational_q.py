@@ -506,6 +506,118 @@ def q_top_supplier(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q14",
+    oracle=(
+        "SELECT CAST(100.0 * "
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
+        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / "
+        + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
+        + " AS DOUBLE) AS promo_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-03-01'"
+    ),
+    doc="TPC-H Q14-alike: conditional-aggregate ratio (promo revenue %) "
+        "over a date-pruned fact⋈dim join",
+)
+def q_tpch_q14(spark, sf_dir):
+    ensure_utc(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (100.0 * F.sum(promo).cast("double")
+             / F.sum(rev).cast("double")).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=(
+        "SELECT " + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
+        + " AS revenue, COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 25) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 40 "
+        "AND l_quantity BETWEEN 10 AND 40)"
+    ),
+    doc="TPC-H Q19-alike: disjunctive multi-column predicates across both "
+        "join sides (OR of conjunct bundles)",
+)
+def q_tpch_q19(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 25)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle=(
+        "WITH avg_bal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) "
+        "AS DOUBLE) / COUNT(*) AS a FROM customer WHERE c_acctbal > 0.0) "
+        "SELECT c_mktsegment, COUNT(*) AS n_cust, "
+        + _DEC_SUM_SQL.format(x="c_acctbal") + " AS total_bal "
+        "FROM customer, avg_bal "
+        "WHERE c_acctbal > avg_bal.a "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') "
+        "GROUP BY c_mktsegment"
+    ),
+    doc="TPC-H Q22-alike: scalar subquery threshold + anti join (rich "
+        "customers with no orders) per segment",
+)
+def q_tpch_q22(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("a")
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(avg_bal)  # 1-row cross join → broadcast scalar
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dec_sum("c_acctbal", "total_bal"),
+        )
+    )
+
+
+@query(
     "q_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
