@@ -127,6 +127,41 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
     )
 
 
+def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
+                           n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """The production near-dup composition: MinHash-LSH candidate
+    generation, then exact token-set Jaccard computed ONLY on candidate
+    pairs.
+
+    This is the 100 TB shape: all-pairs Jaccard is quadratic, but here
+    the exact verification joins token sets against the (small) LSH
+    candidate list — cost is O(corpus) for signatures + O(candidates ×
+    doc_len) for verification. Output is exact-precision (every emitted
+    pair truly ≥ threshold); recall is the LSH recall.
+    """
+    cand = minhash_lsh_pairs(documents, n_hashes, bands)
+    toks = doc_token_sets(documents).select("doc_id", "tok")
+    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
                        shingle_k: int = 3) -> DataFrame:
     """MinHash signature per doc from distinct k-word shingles.

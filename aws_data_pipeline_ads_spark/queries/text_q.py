@@ -167,6 +167,20 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 @query(
+    "q_neardup_verified",
+    oracle=None,  # recall bounded by engine-specific LSH → rows-only
+    bench=True,
+    doc="LLM dedup tier 5 (the production composition): MinHash-LSH "
+        "candidates → exact Jaccard verify on candidates only — exact "
+        "precision at linear cost; test pins verified ⊆ exact-all-pairs",
+)
+def q_neardup_verified(spark, sf_dir):
+    return dedup.verified_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), 0.8
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
     "q_simhash",
     oracle=simhash_sql("duckdb"),
     doc="LLM dedup: 32-bit SimHash fingerprints; Spark and oracle render "

@@ -219,3 +219,36 @@ def test_apply_in_pandas_zscore(spark):
     out = {r.vec_id: r.z for r in zscore_per_group(df).collect()}
     assert abs(out[1] + 1.0) < 1e-12 and abs(out[2] - 1.0) < 1e-12
     assert out[3] == 0.0  # single-member group → zero, not NaN
+
+
+def test_verified_neardup_subset_of_exact(spark, sf_dir):
+    """LSH-verified pairs have exact precision: every emitted pair also
+    appears in the all-pairs exact Jaccard result (same threshold)."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.verified_neardup_pairs(docs, 0.8).collect()
+    }
+    # unblocked exact all-pairs reference, computed in plain python
+    # (token_jaccard_pairs lang-blocks; the LSH chain doesn't)
+    sets = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+    exact = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a] | sets[b]))
+                if j >= 0.8:
+                    exact[(a, b)] = j
+    for pair, j in verified.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-12
+    # sanity: near-identical docs must survive the whole chain
+    near = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, lang="en", text="the quick brown fox jumps over the lazy dog today"),
+    ])
+    out = dedup.verified_neardup_pairs(near, 0.8).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
