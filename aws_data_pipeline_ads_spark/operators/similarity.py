@@ -168,6 +168,43 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
     return embeddings.withColumn("list_id", _nearest_centroid_expr(emb, centroids))
 
 
+def ivf_write(embeddings: DataFrame, centroids: list[list[float]],
+              path: str, vec_col: str = "embedding") -> None:
+    """Materialize the corpus as an IVF index: parquet partitioned by
+    `list_id`. This is the 100 TB serving layout — each inverted list is
+    a partition directory, so a query touching n_probe lists reads
+    n_probe/K of the data at the FILE level (partition pruning), not
+    post-scan."""
+    ivf_assign(embeddings, centroids, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_pruned(spark, path: str, qv: list[float],
+                    centroids: list[list[float]], k: int = 10,
+                    n_probe: int = 4) -> DataFrame:
+    """ANN top-k over an ivf_write index: the list_id filter prunes
+    partitions at planning time (verify: PartitionFilters in the scan),
+    so unprobed lists are never read from storage."""
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(qv, centroids[i]))
+            / (qnorm * math.sqrt(sum(x * x for x in centroids[i]))),
+            i,
+        ),
+    )
+    probe = order[:n_probe]
+    corpus = spark.read.parquet(path).filter(F.col("list_id").isin(probe))
+    return (
+        cosine_scores(corpus, qv)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("score", 6).alias("score"))
+    )
+
+
 def ivf_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
              centroids: list[list[float]] | None = None,
              n_centroids: int = 16, n_probe: int = 4) -> DataFrame:

@@ -112,3 +112,23 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """ivf_write + ivf_topk_pruned: same answer as in-memory IVF, and
+    the scan carries a PartitionFilters entry on list_id (unprobed
+    inverted lists are never read from storage)."""
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    centroids = similarity.train_centroids(emb, 8)
+    idx = str(tmp_path / "ivf")
+    similarity.ivf_write(emb, centroids, idx)
+    pruned = similarity.ivf_topk_pruned(spark, idx, qv, centroids, 10, n_probe=3)
+    in_mem = similarity.ivf_topk(emb, qv, 10, centroids=centroids, n_probe=3)
+    assert [(r.vec_id, r.score) for r in pruned.collect()] == [
+        (r.vec_id, r.score) for r in in_mem.collect()
+    ]
+    fplan = plans.formatted_plan(pruned)
+    assert "PartitionFilters" in fplan and "list_id" in fplan
