@@ -179,6 +179,34 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     )
 
 
+def interval_join(points: DataFrame, point_ts: str,
+                  intervals: DataFrame, start_ts: str, end_ts: str,
+                  bin_seconds: int = 3600, how: str = "inner") -> DataFrame:
+    """Pure interval join (point ∈ [start, end)) WITHOUT an equi key.
+
+    Naive `points.join(intervals, (ts >= start) & (ts < end))` plans as
+    BroadcastNestedLoopJoin — O(points × intervals), the 100 TB
+    killer. Binning converts it to an equi-join: each point maps to its
+    time bin, each interval explodes to every bin it overlaps, join on
+    bin, then apply the exact range filter. A point's single bin meets
+    each overlapping interval exactly once → no dedup needed. Choose
+    bin_seconds ≈ median interval length so explode stays ~O(intervals).
+    """
+    w = F.lit(int(bin_seconds))
+    p = points.withColumn("__bin", F.floor(F.unix_timestamp(F.col(point_ts)) / w))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / w),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / w),
+            )
+        ),
+    )
+    exact = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    return p.join(i, "__bin", how).filter(exact).drop("__bin")
+
+
 def pivot_event_counts(events: DataFrame, types: list[str]) -> DataFrame:
     """Pivot event_type into per-type count columns per user.
 

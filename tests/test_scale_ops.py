@@ -132,3 +132,37 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     ]
     fplan = plans.formatted_plan(pruned)
     assert "PartitionFilters" in fplan and "list_id" in fplan
+
+
+def test_interval_join_binned_equals_naive_and_no_nested_loop(spark):
+    """Binned interval join == naive theta join, but plans as a hash/
+    sort-merge equi-join instead of BroadcastNestedLoopJoin."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import relational
+
+    t0 = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [Row(pid=i, ts=t0 + dt.timedelta(minutes=17 * i)) for i in range(60)]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=j, start=t0 + dt.timedelta(hours=j),
+                end=t0 + dt.timedelta(hours=j, minutes=90))
+            for j in range(12)
+        ]
+    )
+    binned = relational.interval_join(points, "ts", intervals, "start", "end",
+                                      bin_seconds=3600)
+    naive = points.join(
+        intervals,
+        (points.ts >= intervals.start) & (points.ts < intervals.end),
+    )
+    got = sorted((r.pid, r.iid) for r in binned.collect())
+    want = sorted((r.pid, r.iid) for r in naive.collect())
+    assert got == want and len(got) > 0
+    p = plans.physical_plan(binned)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert plans.uses_broadcast_join(binned) or plans.uses_sort_merge_or_shuffled_hash(binned)
