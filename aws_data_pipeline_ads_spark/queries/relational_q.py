@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_ads_spark.catalog import load_table
-from aws_data_pipeline_ads_spark.functions import dec_sum
+from aws_data_pipeline_ads_spark.functions import dec_avg, dec_sum
 from aws_data_pipeline_ads_spark.operators import relational
 from aws_data_pipeline_ads_spark.queries.registry import query
 from aws_data_pipeline_ads_spark.session import ensure_utc
@@ -649,7 +649,7 @@ def q_tpch_q1(spark, sf_dir):
         dec_sum("l_extendedprice", "sum_base_price"),
         dec_sum(disc_price, "sum_disc_price"),
         dec_sum(charge, "sum_charge"),
-        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_qty"),
-        (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / cnt).alias("avg_disc"),
+        dec_avg("l_quantity", "avg_qty"),
+        dec_avg("l_discount", "avg_disc"),
         cnt.alias("count_order"),
     )

@@ -136,7 +136,8 @@ def test_run_pipeline_e2e_with_partition_layout(spark, tmp_path):
     one = back.filter("source = 'marketing' AND extracted_date = DATE '2024-06-01'")
     assert one.count() == 2
 
-    summaries = spark.read.parquet(f"{base}/metadata/executions")
+    from aws_data_pipeline_ads_spark.pipeline.sink import read_run_summaries
+    summaries = read_run_summaries(spark, f"{base}/metadata/executions", AS_OF.date())
     s = summaries.collect()[0]
     assert s.sources_processed == 3 and s.total_records == 6 and s.n_errors == 0
 
@@ -251,3 +252,36 @@ def test_source_secondary_endpoints():
 
     with _pytest.raises(KeyError):
         cfg.sources["crm"].endpoint_url("nope")
+
+
+def test_enforce_constraints_flags_rows(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.pipeline.quality import enforce_constraints
+
+    df = spark.createDataFrame(
+        [Row(id=1, price=9.5), Row(id=2, price=-1.0), Row(id=None, price=3.0)]
+    )
+    out = enforce_constraints(
+        df, {"price_pos": "price >= 0", "id_set": "id IS NOT NULL"}
+    )
+    rows = {
+        r.price: (r.chk_price_pos, r.chk_id_set, r["__valid"]) for r in out.collect()
+    }
+    assert rows[9.5] == (True, True, True)
+    assert rows[-1.0] == (False, True, False)
+    assert rows[3.0] == (True, False, False)
+
+
+def test_observe_load_null_id_metric(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.pipeline.metrics import observe_load
+
+    df = spark.createDataFrame(
+        [Row(record_id="a", v=1), Row(record_id=None, v=2), Row(record_id="c", v=3)]
+    )
+    observed, obs = observe_load(df)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_records"] == 3 and got["n_null_ids"] == 1
