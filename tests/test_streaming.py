@@ -136,3 +136,45 @@ def test_lake_sink_exactly_once_on_rerun(spark, sf_dir, tmp_path):
     assert got.count() == n_src
     # partition layout is Hive-style event_type=...
     assert any(p.name.startswith("event_type=") for p in (tmp_path / "lake").iterdir())
+
+
+def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
+    """Two AvailableNow drains over the same checkpoint, with new files
+    arriving between them: the second run restores keyed state and
+    accumulates — totals equal one batch pass over all data."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.streaming import stateful
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half1 = src.filter(F.col("event_id") % 2 == 0)
+    half2 = src.filter(F.col("event_id") % 2 == 1)
+    land, ck = tmp_path / "landing", str(tmp_path / "ck8")
+    half1.write.parquet(str(land / "batch1"))
+
+    def drain():
+        raw_schema = src.schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{land}/*")
+        )
+        ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return stateful.run_update_now(
+            stateful.user_running_totals(ev), "restart_out", ck
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    drain()                      # run 1: half the users' rows
+    half2.write.parquet(str(land / "batch2"))
+    out2 = drain()               # run 2: restores state, adds batch2
+    final = out2.sort_values("n_events").groupby("user_id").last()
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every user emitted in run 2 carries its FULL history, not batch2's
+    for user_id, row in final.iterrows():
+        assert row["n_events"] == batch[user_id], user_id
