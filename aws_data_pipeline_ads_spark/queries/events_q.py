@@ -103,6 +103,32 @@ def q_session_gap(spark, sf_dir):
 
 
 @query(
+    "q_user_totals",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value, "
+        "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts "
+        "FROM events GROUP BY user_id"
+    ),
+    doc="2C streaming: batch-equivalence anchor for the stateful "
+        "applyInPandasWithState operator user_running_totals "
+        "(streaming/stateful.py) — final keyed state == groupBy "
+        "count/sum/max(ts)",
+)
+def q_user_totals(spark, sf_dir):
+    ensure_utc(spark)
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "total_value"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+    )
+
+
+@query(
     "q_json_extract",
     oracle=(
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "

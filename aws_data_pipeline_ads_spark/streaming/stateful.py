@@ -4,7 +4,7 @@
 The reference has no streaming state at all; this supplies the
 charter-mandated custom-stateful-operator slot: a per-user running
 aggregate whose state survives across micro-batches. State is a fixed
-(count, sum, last_seen) triple per user — O(users) bounded state, the
+(count, sum, last_ts_us) triple per user — O(users) bounded state, the
 shape that scales to 1000 executors (state is hash-partitioned by key
 into the state store; no global structure).
 """
@@ -28,6 +28,10 @@ if TYPE_CHECKING:  # pragma: no cover
 STATE_SCHEMA = StructType([
     StructField("n_events", LongType()),
     StructField("total_value", DoubleType()),
+    # Running max(ts) as epoch MICROSECONDS — kept in state so the
+    # emitted last_ts is the true running max even when micro-batches
+    # arrive out of order (a later batch may carry earlier events).
+    StructField("last_ts_us", LongType()),
 ])
 
 OUTPUT_SCHEMA = StructType([
@@ -46,20 +50,19 @@ def _update_user_totals(
     aggregated vectorized — no per-row Python."""
     (user_id,) = key
     if state.exists:
-        n, total = state.get
+        n, total, last_us = state.get
     else:
-        n, total = 0, 0.0
-    last_ts = None
+        n, total, last_us = 0, 0.0, None
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        if last_ts is None or batch_max > last_ts:
-            last_ts = batch_max
-    state.update((n, total))
+        batch_us = pdf["ts"].max().value // 1000  # ns -> us
+        if last_us is None or batch_us > last_us:
+            last_us = batch_us
+    state.update((n, total, last_us))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n],
-         "total_value": [total], "last_ts": [last_ts]}
+        {"user_id": [user_id], "n_events": [n], "total_value": [total],
+         "last_ts": [pd.Timestamp(last_us, unit="us")]}
     )
 
 
