@@ -68,23 +68,41 @@ def simhash_pairs_sql(dialect: str, table: str = "documents",
     while MinHash-LSH (hash-family-specific) cannot.
 
     Scale: the per-band self-join exchanges (band_no, 8-bit band) keys —
-    candidates are generated per bucket, never all-pairs.
+    candidates are generated per bucket, never all-pairs. The band rows
+    come from ONE pass over fp: the 4 (band_no, band) structs are built
+    as an array and exploded (Spark) / unnest-ed (DuckDB). A per-band
+    UNION ALL would re-run the whole explode→distinct→32-sum fingerprint
+    pipeline once per band — Spark does not materialize shared CTE
+    subplans (same single-pass rule as minhash_lsh_pairs).
     """
     if dialect == "spark":
         idiv, xor = "DIV", "bit_count(a.simhash ^ b.simhash)"
+        structs = ", ".join(
+            f"named_struct('band_no', {i}, 'band', "
+            f"(simhash {idiv} {1 << (8 * i)}) % 256)"
+            for i in range(N_BANDS)
+        )
+        bands = (
+            f"SELECT doc_id, simhash, b.band_no AS band_no, b.band AS band "
+            f"FROM fp LATERAL VIEW explode(array({structs})) t AS b"
+        )
     elif dialect == "duckdb":
         idiv, xor = "//", "bit_count(xor(a.simhash, b.simhash))"
+        structs = ", ".join(
+            f"struct_pack(band_no := {i}, band := "
+            f"(simhash {idiv} {1 << (8 * i)}) % 256)"
+            for i in range(N_BANDS)
+        )
+        bands = (
+            f"SELECT doc_id, simhash, "
+            f"unnest([{structs}], recursive := true) FROM fp"
+        )
     else:
         raise ValueError(dialect)
     fp = simhash_sql(dialect, table)
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band_no, "
-        f"(simhash {idiv} {1 << (8 * i)}) % 256 AS band FROM fp"
-        for i in range(N_BANDS)
-    )
     return (
         f"WITH fp AS ({fp}),\n"
-        f"bands AS ({band_selects}),\n"
+        f"bands AS ({bands}),\n"
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
         f"    CAST({xor} AS INT) AS hamming\n"
         "  FROM bands a JOIN bands b ON a.band_no = b.band_no "

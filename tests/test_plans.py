@@ -76,3 +76,47 @@ def test_curation_pipeline_broadcasts_canon(spark, sf_dir):
 def test_scalar_censuses_are_shuffle_free(spark, sf_dir):
     for name in ("q_math_funcs", "q_json_typed", "q_string_funcs"):
         assert plans.count_shuffle_exchanges(_q(name, spark, sf_dir)) == 0
+
+
+# Queries allowed a nested-loop/cartesian plan: both inputs are bounded
+# (dimension tables or 1-row aggregates), documented in each builder.
+# q_tpch_q22's is the 1-row avg_bal scalar broadcast.
+_NESTED_LOOP_OK = {"q_cross_join", "q_scalar_subquery", "q_tpch_q22"}
+
+
+def test_no_nested_loop_joins_on_unbounded_inputs(spark, sf_dir):
+    """Regression gate: no declared query may plan a
+    BroadcastNestedLoopJoin or CartesianProduct on non-dim inputs — at
+    100 TB either is a quadratic scan."""
+    offenders = []
+    for name in REGISTRY:
+        if name in _NESTED_LOOP_OK:
+            continue
+        plan = plans.physical_plan(_q(name, spark, sf_dir))
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"nested-loop/cartesian plans: {offenders}"
+
+
+# Shuffle-exchange ceilings for the near-dup pipeline (pinned at the
+# single-pass plan shapes; a per-band UNION ALL regression — the trap
+# simhash_pairs_sql documents — blows well past these).
+_SHUFFLE_CEILING = {
+    "q_dedup_exact": 1,
+    "q_minhash_lsh": 4,
+    "q_simhash": 2,
+    "q_simhash_pairs": 6,
+    "q_neardup_verified": 9,
+    # toks-distinct + counts + self-join + pair-agg + 2 count-joins;
+    # verifier-tier op (quadratic per token, never the 100 TB path).
+    "q_ngram_jaccard": 7,
+}
+
+
+def test_neardup_shuffle_ceilings(spark, sf_dir):
+    over = {}
+    for name, ceiling in _SHUFFLE_CEILING.items():
+        n = plans.count_shuffle_exchanges(_q(name, spark, sf_dir))
+        if n > ceiling:
+            over[name] = (n, ceiling)
+    assert not over, f"shuffle-count regressions (actual, ceiling): {over}"
