@@ -120,15 +120,21 @@ def lsh_bucket_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
 
 
 def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
-                    vec_col: str = "embedding") -> list[list[float]]:
-    """Deterministic IVF 'training': the first n_centroids vectors by
-    vec_id become the centroids.
+                    vec_col: str = "embedding", n_iter: int = 4) -> list[list[float]]:
+    """Deterministic IVF training: seed centroids (first n_centroids
+    vectors by vec_id) refined by `n_iter` fixed Lloyd's iterations.
 
-    The collect is bounded by n_centroids (same cost class as a
-    broadcast dim) — the corpus itself is never collected. A production
-    build would k-means these seeds for a few iterations; seeds alone
-    already partition the space usefully and keep the whole operator
-    deterministic for tests/oracles.
+    Determinism: fixed iteration count; assignment ties break to the
+    largest centroid index (_nearest_centroid_expr); per-dimension means
+    are summed through decimal(38,15) — exact, order-independent across
+    partitionings — then rounded to 9 decimals. Empty lists keep their
+    previous centroid.
+
+    Scale: each iteration is one codegen'd assignment pass + a
+    posexplode groupBy(list_id, pos) mean — map-side partial aggregation
+    makes the shuffle O(partitions × K × dim) rows, and only K × dim
+    aggregated rows are collected (broadcast-dim cost class). The corpus
+    is never collected.
     """
     rows = (
         embeddings.select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
@@ -136,7 +142,30 @@ def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
         .limit(n_centroids)
         .collect()
     )
-    return [list(r.v) for r in rows]
+    centroids = [list(r.v) for r in rows]
+    e = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(n_iter):
+        assigned = e.withColumn(
+            "list_id", _nearest_centroid_expr(F.col("v"), centroids)
+        )
+        stats = (
+            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,15)")).cast("double")
+                 / F.count(F.lit(1))).alias("m")
+            )
+            .collect()  # bounded: ≤ n_centroids × dim rows
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in stats:
+            means.setdefault(int(r.list_id), {})[int(r.pos)] = float(r.m)
+        centroids = [
+            [round(means[i][p], 9) for p in range(len(centroids[i]))]
+            if i in means else centroids[i]
+            for i in range(len(centroids))
+        ]
+    return centroids
 
 
 def _nearest_centroid_expr(emb, centroids: list[list[float]]):

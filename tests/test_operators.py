@@ -151,6 +151,50 @@ def test_ivf_partial_probe_subset_and_recall(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_lloyd_training_improves_recall(spark):
+    """Lloyd's-trained centroids must not lose recall vs raw seeds —
+    averaged over several query vectors at sf0.01 (single-query recall
+    is too noisy to compare). Also pins list balance: trained lists may
+    not be MORE skewed than seed lists (the 100 TB hot-partition risk
+    seed-only training carries)."""
+    import math
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    dim = similarity.EMBED_DIM
+    qvs = [[round(math.sin(0.3 * q + i + 1.0), 6) for i in range(dim)]
+           for q in range(4)]
+
+    def mean_recall(cents):
+        rec = 0.0
+        for qv in qvs:
+            exact = {r.vec_id for r in similarity.cosine_topk(emb, qv, 10).collect()}
+            approx = {
+                r.vec_id
+                for r in similarity.ivf_topk(
+                    emb, qv, 10, centroids=cents, n_probe=4
+                ).collect()
+            }
+            rec += len(approx & exact) / 10
+        return rec / len(qvs)
+
+    def max_over_mean(cents):
+        sizes = [
+            r.n
+            for r in similarity.ivf_assign(emb, cents)
+            .groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    seeds = similarity.train_centroids(emb, 16, n_iter=0)
+    trained = similarity.train_centroids(emb, 16, n_iter=4)
+    assert trained != seeds  # training actually moved the centroids
+    assert mean_recall(trained) >= mean_recall(seeds)
+    assert max_over_mean(trained) <= max_over_mean(seeds) + 0.05
+
+
 def test_asof_join_union_merge(spark):
     import datetime as dt
 
