@@ -2,11 +2,12 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-`mapInPandas` stages. The actual codec work is STUBBED (no image/audio
-libraries in this environment — `_decode_image_real` raises
-NotImplementedError and tests exercise the deterministic fake), but the
-Spark-side plumbing — schema, batch iteration, per-row binary handling,
-frame explosion — is real and tested.
+`mapInPandas` stages. Real codec paths that need no native libraries
+ARE implemented: PNG IHDR parsing (width/height) and RIFF/WAVE 16-bit
+PCM parsing (sample rate + samples) — `use_fake_decoder=False`
+exercises them end-to-end. Pixel-level work (resize re-encode, video
+demux) still needs PIL/ffmpeg and stays stubbed behind
+NotImplementedError with a marked swap-in point.
 
 Scale notes: mapInPandas streams Arrow batches, so peak memory is one
 batch, not one partition; media tables should be repartitioned by a
@@ -17,6 +18,7 @@ dominate (documents with wildly mixed media sizes → salt or bin-pack).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,8 +59,51 @@ def attach_media(documents: DataFrame, media_type: str = "image/fake") -> DataFr
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decode would go through PIL/libvips — not present here."""
-    raise NotImplementedError("image codecs are not available in this environment")
+    """Real PNG header decode, pure Python: the 8-byte PNG signature is
+    followed by the IHDR chunk (length + type at offsets 8-16), whose
+    first 8 data bytes are big-endian width, height. Pixel-level decode
+    (IDAT inflate) would need PIL/libvips and is not required for
+    dimension features."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR chunk")
+    width, height = struct.unpack(">II", payload[16:24])
+    return width, height
+
+
+def _parse_wav(payload: bytes):
+    """Real RIFF/WAVE parse, pure Python: walk word-aligned chunks, read
+    (format, channels, sample_rate, bits) from 'fmt ', PCM from 'data'.
+    Returns (sample_rate, mono float samples in [-1, 1)). Only 16-bit
+    PCM — the format the stdlib `wave` writer produces — is supported;
+    compressed codecs would need ffmpeg at this swap-in point."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sample_rate = channels = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV is supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are 2-byte aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2")
+    samples = pcm.astype("float64") / 32768.0
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels]
+        samples = samples.reshape(-1, channels).mean(axis=1)
+    return sample_rate, samples
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int]:
@@ -113,31 +158,35 @@ def extract_audio_features(media: DataFrame, sample_rate: int = 16000,
                            use_fake_decoder: bool = True) -> DataFrame:
     """Audio path: payload → (n_samples, duration, RMS energy).
 
-    Fake decode treats the payload as 16-bit PCM mono (a real impl
-    swaps in soundfile/ffmpeg at the marked line); the numpy math after
-    decode is exactly what a real feature stage runs, vectorized per
-    Arrow batch.
+    `use_fake_decoder=True` treats the raw payload as headerless 16-bit
+    PCM mono at `sample_rate` (deterministic over arbitrary bytes);
+    `False` parses a real RIFF/WAVE container (_parse_wav) and takes the
+    sample rate from its header. The numpy math after decode is the same
+    either way, vectorized per Arrow batch.
     """
-    if not use_fake_decoder:
-        raise NotImplementedError("audio codecs are not available in this environment")
     import numpy as np
+
+    def decode(raw: bytes):
+        if use_fake_decoder:
+            pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2")
+            return sample_rate, pcm.astype("float64") / 32768.0
+        return _parse_wav(raw)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_samples, rms = [], []
+            n_samples, duration, rms = [], [], []
             for blob in pdf["content"]:
-                raw = bytes(blob)
-                # <- real impl: decode container/codec to PCM here
-                pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2")
-                n_samples.append(len(pcm))
+                rate, samples = decode(bytes(blob))
+                n_samples.append(len(samples))
+                duration.append(len(samples) / rate)
                 rms.append(
-                    float(np.sqrt(np.mean((pcm / 32768.0) ** 2))) if len(pcm) else 0.0
+                    float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
                 )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_samples": n_samples,
-                    "duration_s": [n / sample_rate for n in n_samples],
+                    "duration_s": duration,
                     "rms": rms,
                 }
             )

@@ -35,9 +35,105 @@ def test_image_features_deterministic(spark, media):
     assert all(64 <= w < 256 and 64 <= h < 256 for w, h, _ in a.values())
 
 
-def test_real_decoder_is_stubbed(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|not available"):
+def test_real_decoder_rejects_non_png(spark, media):
+    # text payloads are not PNGs — the real decoder must fail loudly,
+    # never emit garbage dimensions
+    with pytest.raises(Exception, match="not a PNG"):
         multimodal.extract_image_features(media, use_fake_decoder=False).collect()
+
+
+def _make_png(width: int, height: int) -> bytes:
+    """Minimal valid RGB PNG, stdlib only (struct + zlib)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x7f" * (3 * width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(rate: int, seconds: float, amplitude: float = 0.5) -> bytes:
+    """Real 16-bit PCM mono WAV of a sine tone, via the stdlib writer."""
+    import io
+    import math
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                int(amplitude * 32767 * math.sin(2 * math.pi * 440 * i / rate))
+                .to_bytes(2, "little", signed=True)
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_real_png_decode_end_to_end(spark):
+    import hashlib as hl
+
+    from pyspark.sql import Row
+
+    payloads = {1: _make_png(320, 200), 2: _make_png(17, 257)}
+    media = spark.createDataFrame(
+        [
+            Row(doc_id=i, content=p,
+                meta=Row(media_type="image/png", n_bytes=len(p),
+                         sha256=hl.sha256(p).hexdigest()))
+            for i, p in payloads.items()
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = {
+        r.doc_id: r
+        for r in multimodal.extract_image_features(
+            media, use_fake_decoder=False
+        ).collect()
+    }
+    assert (feats[1].width, feats[1].height) == (320, 200)
+    assert (feats[2].width, feats[2].height) == (17, 257)
+    assert feats[1].aspect == pytest.approx(320 / 200)
+    assert feats[1].n_bytes == len(payloads[1])
+
+
+def test_real_wav_decode_end_to_end(spark):
+    import hashlib as hl
+    import math
+
+    from pyspark.sql import Row
+
+    rate, seconds, amp = 8000, 0.5, 0.5
+    wav = _make_wav(rate, seconds, amp)
+    media = spark.createDataFrame(
+        [Row(doc_id=7, content=wav,
+             meta=Row(media_type="audio/wav", n_bytes=len(wav),
+                      sha256=hl.sha256(wav).hexdigest()))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    # sample_rate arg (16000) must be IGNORED: the WAV header says 8000
+    r = multimodal.extract_audio_features(
+        media, sample_rate=16000, use_fake_decoder=False
+    ).collect()[0]
+    assert r.n_samples == int(rate * seconds)
+    assert r.duration_s == pytest.approx(seconds, abs=1e-3)
+    # RMS of a sine of amplitude a is a/sqrt(2)
+    assert r.rms == pytest.approx(amp / math.sqrt(2), rel=0.01)
 
 
 def test_frame_sampling_explodes_rows(spark, media):
