@@ -25,15 +25,20 @@ from pyspark.sql import functions as F
 
 
 def dec_sum(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Exact, partitioning-invariant SUM of a double column."""
+    """Exact, partitioning-invariant SUM of a double column.
+
+    Per-row cast is decimal(38,scale): with the default scale that holds
+    |value| < 10^32, so realistic 100 TB aggregate magnitudes can't
+    overflow the cast to NULL (decimal(18,6) silently dropped rows
+    ≥ 10^12 in non-ANSI mode)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double").alias(alias)
 
 
 def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
     """Partitioning-invariant AVG: exact decimal sum / count, in double."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)).alias(alias)
+    return (F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(c)).alias(alias)
 
 
 # ---------------------------------------------------------------------------

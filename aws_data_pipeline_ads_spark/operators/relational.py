@@ -98,7 +98,7 @@ def running_total(orders: DataFrame) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("running_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double").alias("running_total"),
     )
 
 
@@ -188,14 +188,26 @@ def interval_join(points: DataFrame, point_ts: str,
     BroadcastNestedLoopJoin — O(points × intervals), the 100 TB
     killer. Binning converts it to an equi-join: each point maps to its
     time bin, each interval explodes to every bin it overlaps, join on
-    bin, then apply the exact range filter. A point's single bin meets
-    each overlapping interval exactly once → no dedup needed. Choose
-    bin_seconds ≈ median interval length so explode stays ~O(intervals).
+    bin WITH the exact range predicate folded into the join condition —
+    so `how='left'` keeps null-extended unmatched points (a post-join
+    filter would silently drop them back to inner semantics). A point's
+    single bin meets each overlapping interval exactly once → no dedup
+    needed. Choose bin_seconds ≈ median interval length so explode
+    stays ~O(intervals).
+
+    Only 'inner' and 'left' are supported: the interval side is
+    exploded one row per overlapped bin, so right/full outer would emit
+    an unmatched interval once PER BIN — wrong multiplicity.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left', got {how!r} "
+            "(the exploded interval side breaks right/full multiplicity)"
+        )
     w = F.lit(int(bin_seconds))
-    p = points.withColumn("__bin", F.floor(F.unix_timestamp(F.col(point_ts)) / w))
+    p = points.withColumn("__pbin", F.floor(F.unix_timestamp(F.col(point_ts)) / w))
     i = intervals.withColumn(
-        "__bin",
+        "__ibin",
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(F.col(start_ts)) / w),
@@ -203,8 +215,12 @@ def interval_join(points: DataFrame, point_ts: str,
             )
         ),
     )
-    exact = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
-    return p.join(i, "__bin", how).filter(exact).drop("__bin")
+    cond = (
+        (p["__pbin"] == i["__ibin"])
+        & (p[point_ts] >= i[start_ts])
+        & (p[point_ts] < i[end_ts])
+    )
+    return p.join(i, cond, how).drop("__pbin", "__ibin")
 
 
 def pivot_event_counts(events: DataFrame, types: list[str]) -> DataFrame:

@@ -43,7 +43,7 @@ def salted_sum_count(df: DataFrame, keys: list[str], value_col: str,
         .groupBy(*keys, _SALT)
         .agg(
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("__s"),
         )
     )
     return partial.groupBy(*keys).agg(

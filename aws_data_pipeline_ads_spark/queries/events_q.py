@@ -22,7 +22,7 @@ from aws_data_pipeline_ads_spark.session import ensure_utc
     oracle=(
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
         "AS window_start, event_type, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value "
         "FROM events GROUP BY 1, 2"
     ),
     bench=True,
@@ -58,7 +58,7 @@ def q_tumbling_window(spark, sf_dir):
         "AS ws, event_type, value FROM events) "
         "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, "
         "COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value "
         "FROM w GROUP BY 1, 2"
     ),
     doc="2C streaming: sliding 1h/30min window agg (batch formulation; "
@@ -106,7 +106,7 @@ def q_session_gap(spark, sf_dir):
     "q_user_totals",
     oracle=(
         "SELECT user_id, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value, "
         "strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts "
         "FROM events GROUP BY user_id"
     ),

@@ -178,7 +178,7 @@ def q_envelope_date(spark, sf_dir):
     "q_run_summary",
     oracle=(
         "SELECT event_type, COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value "
         "FROM events GROUP BY event_type"
     ),
     bench=True,

@@ -11,7 +11,7 @@ from aws_data_pipeline_ads_spark.operators import relational
 from aws_data_pipeline_ads_spark.queries.registry import query
 from aws_data_pipeline_ads_spark.session import ensure_utc
 
-_DEC_SUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+_DEC_SUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
 
 
 @query(
@@ -201,7 +201,7 @@ def q_window_rank(spark, sf_dir):
     "q_window_running",
     oracle=(
         "SELECT o_custkey, o_orderkey, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER "
         "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
         "AS running_total FROM orders"
@@ -301,7 +301,7 @@ def q_asof_join(spark, sf_dir):
 @query(
     "q_sql_over_lake",
     oracle=(
-        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) "
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) "
         "AS DOUBLE) AS revenue FROM lineitem "
         "WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
@@ -315,7 +315,7 @@ def q_sql_over_lake(spark, sf_dir):
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(
-        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) "
+        "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) "
         "AS DOUBLE) AS revenue FROM lineitem "
         "WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
@@ -436,7 +436,7 @@ def q_tpch_q13(spark, sf_dir):
     "q_tpch_q18",
     oracle=(
         "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
-        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 55) "
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 55) "
         "SELECT c_name, c_custkey, o_orderkey, "
         "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, "
         + _DEC_SUM_SQL.format(x="l_quantity") + " AS sum_qty "
@@ -454,7 +454,7 @@ def q_tpch_q18(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
         .filter(F.col("q") > 55)
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
@@ -510,8 +510,8 @@ def q_top_supplier(spark, sf_dir):
     oracle=(
         "SELECT CAST(100.0 * "
         "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
-        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) "
-        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / "
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) "
+        "ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / "
         + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
         + " AS DOUBLE) AS promo_pct "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
@@ -528,8 +528,8 @@ def q_tpch_q14(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,6)"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
@@ -579,7 +579,7 @@ def q_tpch_q19(spark, sf_dir):
 @query(
     "q_tpch_q22",
     oracle=(
-        "WITH avg_bal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) "
+        "WITH avg_bal AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) "
         "AS DOUBLE) / COUNT(*) AS a FROM customer WHERE c_acctbal > 0.0) "
         "SELECT c_mktsegment, COUNT(*) AS n_cust, "
         + _DEC_SUM_SQL.format(x="c_acctbal") + " AS total_bal "
@@ -596,7 +596,7 @@ def q_tpch_q22(spark, sf_dir):
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(
-            (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            (F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
              / F.count(F.lit(1))).alias("a")
         )
     )

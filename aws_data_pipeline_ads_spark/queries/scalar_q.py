@@ -71,7 +71,7 @@ def q_date_parts(spark, sf_dir):
     oracle=(
         "SELECT coalesce(l_returnflag, 'ALL') AS rflag, "
         "coalesce(l_linestatus, 'ALL') AS lstatus, COUNT(*) AS n, "
-        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty "
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
     ),
     doc="2C aggs: CUBE grouping sets",
@@ -149,7 +149,7 @@ def q_map_keys(spark, sf_dir):
     "q_scalar_subquery",
     oracle=(
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > "
-        "(SELECT 1.5 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) "
+        "(SELECT 1.5 * (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) "
         "/ COUNT(*)) FROM orders)"
     ),
     doc="2C: scalar subquery — threshold from an exact (decimal) average, "
@@ -158,7 +158,7 @@ def q_map_keys(spark, sf_dir):
 def q_scalar_subquery(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     th = o.agg(
-        (1.5 * (F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        (1.5 * (F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
               / F.count(F.lit(1)))).alias("threshold")
     )
     return (
@@ -271,7 +271,7 @@ def q_percentile_approx(spark, sf_dir):
         "l_orderkey % 7 AS key_mod, "
         "greatest(l_tax, l_discount) AS max_rate, "
         "least(l_tax, l_discount) AS min_rate, "
-        "CAST(round(CAST(l_extendedprice AS DECIMAL(18,6)), 2) AS DOUBLE) "
+        "CAST(round(CAST(l_extendedprice AS DECIMAL(38,6)), 2) AS DOUBLE) "
         "AS price_r2 FROM lineitem"
     ),
     doc="2E scalar census: abs/ceil/floor/sqrt/sign/mod/greatest/least/"
@@ -290,7 +290,7 @@ def q_math_funcs(spark, sf_dir):
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
-        F.round(F.col("l_extendedprice").cast("decimal(18,6)"), 2)
+        F.round(F.col("l_extendedprice").cast("decimal(38,6)"), 2)
         .cast("double").alias("price_r2"),
     )
 

@@ -166,3 +166,25 @@ def test_interval_join_binned_equals_naive_and_no_nested_loop(spark):
     p = plans.physical_plan(binned)
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert plans.uses_broadcast_join(binned) or plans.uses_sort_merge_or_shuffled_hash(binned)
+
+    # how='left' keeps unmatched points null-extended (the range
+    # predicate is part of the join condition, not a post-filter) and
+    # matches the naive left theta join exactly.
+    left_binned = relational.interval_join(points, "ts", intervals, "start",
+                                           "end", bin_seconds=3600, how="left")
+    left_naive = points.join(
+        intervals,
+        (points.ts >= intervals.start) & (points.ts < intervals.end),
+        "left",
+    )
+    got_l = sorted((r.pid, r.iid) for r in left_binned.collect())
+    want_l = sorted((r.pid, r.iid) for r in left_naive.collect())
+    assert got_l == want_l
+    assert any(iid is None for _, iid in got_l)  # unmatched points survive
+    assert len(got_l) > len(got)
+
+    # right/full would emit unmatched intervals once per exploded bin
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner.*left"):
+        relational.interval_join(points, "ts", intervals, "start", "end",
+                                 how="right")
