@@ -87,6 +87,79 @@ def default_config() -> PipelineConfig:
     )
 
 
+def config_from_secret_dict(raw: dict) -> PipelineConfig:
+    """Parse the reference's remote-secret schema into a PipelineConfig.
+
+    Field-for-field parity with the secret payload the reference stores
+    (scripts/setup_secrets.py:44-130) and loads at startup
+    (lambda/lambda_function.py:151-165): per-source url/timeout/
+    max_records/endpoints, retry under processing_config.retry_config,
+    quality flags under processing_config.data_quality_checks, and
+    output_config. Templated endpoints ("/products/{id}") are runtime
+    paths, not catalog tables, and are skipped.
+    """
+    retry_raw = raw.get("processing_config", {}).get("retry_config", {})
+    retry = RetryConfig(
+        max_retries=int(retry_raw.get("max_retries", 3)),
+        retry_delay=float(retry_raw.get("retry_delay", 5)),
+        backoff_multiplier=float(retry_raw.get("backoff_multiplier", 2)),
+    )
+    sources = {}
+    for name, sc in raw.get("data_sources", {}).items():
+        endpoints = tuple(
+            (ep_name, path)
+            for ep_name, path in sorted(sc.get("endpoints", {}).items())
+            if "{" not in path
+        )
+        sources[name] = SourceConfig(
+            name=name,
+            url=sc["url"],
+            limit_param=sc.get("limit_param", "limit"),
+            default_limit=int(sc.get("default_limit", 10)),
+            max_records=int(sc.get("max_records", 100)),
+            timeout=float(sc.get("timeout", 30)),
+            retry=retry,
+            endpoints=endpoints,
+        )
+    proc = raw.get("processing_config", {})
+    quality = proc.get("data_quality_checks", {})
+    out = raw.get("output_config", {})
+    handling = proc.get("error_handling", "continue")
+    return PipelineConfig(
+        sources=sources,
+        output=OutputConfig(
+            partition_by=tuple(out.get("partition_by", ("source", "extracted_date"))),
+            compression=out.get("compression", "snappy"),
+            fmt=out.get("format", "parquet"),
+        ),
+        processing=ProcessingConfig(
+            batch_size=int(proc.get("batch_size", 100)),
+            error_handling="continue" if handling == "continue_on_error" else handling,
+            remove_duplicates=bool(quality.get("remove_duplicates", True)),
+            validate_schema=bool(quality.get("validate_schema", True)),
+            check_null_values=bool(quality.get("check_null_values", True)),
+        ),
+    )
+
+
+def load_config_from_secret(fetch_secret, fallback=default_config) -> PipelineConfig:
+    """Remote-secret config load with fallback (op 1's primary path).
+
+    `fetch_secret() -> dict | str` is the injectable transport — a real
+    deployment wires its secret-store client here; tests wire a fixture.
+    Mirrors the reference's behavior: on any fetch/parse failure, fall
+    back to the in-code registry rather than failing the pipeline
+    (lambda/lambda_function.py:151-185). No cloud SDK dependency.
+    """
+    try:
+        raw = fetch_secret()
+        if isinstance(raw, str):
+            raw = json.loads(raw)
+        return config_from_secret_dict(raw)
+    except Exception:  # noqa: BLE001 — reference parity: fallback, not fail
+        return fallback()
+
+
 def load_config(path: str) -> PipelineConfig:
     """Load a registry from a JSON file shaped like the reference's
     config.json `data_sources` block."""

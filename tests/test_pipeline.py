@@ -254,6 +254,103 @@ def test_source_secondary_endpoints():
         cfg.sources["crm"].endpoint_url("nope")
 
 
+# Fixture mirroring the reference's remote-secret payload
+# (scripts/setup_secrets.py:44-130): same nesting, same field names.
+_SECRET_FIXTURE = {
+    "version": "1.0.0",
+    "data_sources": {
+        "marketing": {
+            "name": "FakeStore API",
+            "url": "https://fakestoreapi.com/products",
+            "endpoints": {
+                "all_products": "/products",
+                "single_product": "/products/{id}",
+                "categories": "/products/categories",
+                "category_products": "/products/category/{category}",
+            },
+            "auth_required": False,
+            "timeout": 30,
+            "max_records": 50,
+        },
+        "sales": {
+            "name": "JSONPlaceholder API",
+            "url": "https://jsonplaceholder.typicode.com",
+            "endpoints": {"posts": "/posts", "comments": "/comments",
+                          "users": "/users"},
+            "timeout": 30,
+            "max_records": 100,
+        },
+        "crm": {
+            "name": "RandomUser API",
+            "url": "https://randomuser.me/api/",
+            "parameters": {"results": 50, "seed": "datapipeline"},
+            "timeout": 30,
+            "max_records": 50,
+        },
+    },
+    "processing_config": {
+        "batch_size": 100,
+        "error_handling": "continue_on_error",
+        "retry_config": {"max_retries": 3, "retry_delay": 5,
+                         "backoff_multiplier": 2},
+        "data_quality_checks": {"remove_duplicates": True,
+                                "validate_schema": True,
+                                "check_null_values": False},
+    },
+    "output_config": {
+        "format": "json",
+        "compression": None,
+        "partition_by": ["source", "date"],
+    },
+    "monitoring": {"log_level": "INFO", "metrics_enabled": True},
+}
+
+
+def test_load_config_from_secret_parses_reference_schema():
+    import json as _json
+
+    from aws_data_pipeline_ads_spark.sources.registry import (
+        load_config_from_secret,
+    )
+
+    # fetch returns the JSON string form, as a secret store would
+    cfg = load_config_from_secret(lambda: _json.dumps(_SECRET_FIXTURE))
+    assert set(cfg.sources) == {"marketing", "sales", "crm"}
+    mkt = cfg.sources["marketing"]
+    assert mkt.url == "https://fakestoreapi.com/products"
+    assert mkt.max_records == 50 and mkt.timeout == 30.0
+    # templated endpoints are skipped; plain ones survive
+    assert dict(mkt.endpoints) == {
+        "all_products": "/products", "categories": "/products/categories",
+    }
+    assert mkt.retry.max_retries == 3
+    assert mkt.retry.retry_delay == 5.0
+    assert mkt.retry.backoff_multiplier == 2.0
+    assert cfg.processing.batch_size == 100
+    assert cfg.processing.error_handling == "continue"
+    assert cfg.processing.check_null_values is False
+    assert cfg.output.fmt == "json"
+    assert cfg.output.compression is None
+    assert cfg.output.partition_by == ("source", "date")
+
+
+def test_load_config_from_secret_falls_back_on_failure():
+    from aws_data_pipeline_ads_spark.sources.registry import (
+        load_config_from_secret,
+    )
+
+    def boom():
+        raise ConnectionError("secret store unreachable")
+
+    cfg = load_config_from_secret(boom)
+    assert set(cfg.sources) == {"marketing", "sales", "crm"}  # default_config
+    assert cfg.sources["sales"].limit_param == "_limit"
+
+    # malformed payloads also fall back instead of failing the pipeline
+    cfg2 = load_config_from_secret(lambda: "{not json")
+    assert set(cfg2.sources) == {"marketing", "sales", "crm"}
+
+
 def test_enforce_constraints_flags_rows(spark):
     from pyspark.sql import Row
 
