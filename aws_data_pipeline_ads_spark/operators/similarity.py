@@ -120,22 +120,35 @@ def lsh_bucket_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
 
 
 def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
-                    vec_col: str = "embedding", n_iter: int = 4) -> list[list[float]]:
+                    vec_col: str = "embedding", n_iter: int = 4,
+                    sample_per_centroid: int = 256) -> list[list[float]]:
     """Deterministic IVF training: seed centroids (first n_centroids
-    vectors by vec_id) refined by `n_iter` fixed Lloyd's iterations.
+    vectors by vec_id) refined by `n_iter` fixed Lloyd's iterations over
+    a deterministic SAMPLE of the corpus.
 
-    Determinism: fixed iteration count; assignment ties break to the
-    largest centroid index (_nearest_centroid_expr); per-dimension means
-    are summed through decimal(38,15) — exact, order-independent across
-    partitionings — then rounded to 9 decimals. Empty lists keep their
-    previous centroid.
+    Sampling is how production IVF trains (FAISS uses ~256 vectors per
+    centroid): centroid quality converges long before the full corpus is
+    seen, so training cost is O(K × sample) regardless of corpus size —
+    the property that makes this viable at 100 TB. The sample is
+    `vec_id % m == 0` with m chosen to yield ≈ n_centroids ×
+    sample_per_centroid rows — reproducible across runs and partitions,
+    unlike rand()-based sampling.
 
-    Scale: each iteration is one codegen'd assignment pass + a
-    posexplode groupBy(list_id, pos) mean — map-side partial aggregation
-    makes the shuffle O(partitions × K × dim) rows, and only K × dim
-    aggregated rows are collected (broadcast-dim cost class). The corpus
-    is never collected.
+    Determinism: the sample is collected ORDERED by vec_id (fixed
+    summation order), iterations are a fixed count, and assignment ties
+    break to the largest centroid index — matching
+    _nearest_centroid_expr's array_max tie-break on the serving side.
+    Centroid components are rounded to 9 decimals. Empty lists keep
+    their previous centroid.
+
+    Scale: ONE bounded collect (the K × sample_per_centroid sample —
+    ~2 MB at the defaults, broadcast-dim cost class) and the Lloyd's
+    loop runs vectorized in numpy driver-side. The full corpus is never
+    collected and never re-scanned per iteration; corpus-side work
+    (assignment, serving) stays in Spark.
     """
+    import numpy as np
+
     rows = (
         embeddings.select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy("vec_id")
@@ -143,29 +156,35 @@ def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
         .collect()
     )
     centroids = [list(r.v) for r in rows]
-    e = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
-    for _ in range(n_iter):
-        assigned = e.withColumn(
-            "list_id", _nearest_centroid_expr(F.col("v"), centroids)
-        )
-        stats = (
-            assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(
-                (F.sum(F.col("x").cast("decimal(38,15)")).cast("double")
-                 / F.count(F.lit(1))).alias("m")
-            )
-            .collect()  # bounded: ≤ n_centroids × dim rows
-        )
-        means: dict[int, dict[int, float]] = {}
-        for r in stats:
-            means.setdefault(int(r.list_id), {})[int(r.pos)] = float(r.m)
-        centroids = [
-            [round(means[i][p], 9) for p in range(len(centroids[i]))]
-            if i in means else centroids[i]
-            for i in range(len(centroids))
+    if n_iter <= 0:
+        return centroids
+    target = n_centroids * sample_per_centroid
+    n = embeddings.count()
+    m = max(1, n // target)
+    sample = np.array(
+        [
+            r.v
+            for r in embeddings.filter(F.col("vec_id") % m == 0)
+            .select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy("vec_id")
+            .collect()
         ]
-    return centroids
+    )
+    sample_unit = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = np.array(centroids)
+    k = len(centroids)
+    for _ in range(n_iter):
+        cunit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        sims = sample_unit @ cunit.T
+        # ties to the LARGEST index, matching the Spark-side expr
+        assign = (k - 1) - np.argmax(sims[:, ::-1], axis=1)
+        new = cents.copy()
+        for i in range(k):
+            members = sample[assign == i]
+            if len(members):
+                new[i] = np.round(members.mean(axis=0), 9)
+        cents = new
+    return [list(map(float, c)) for c in cents]
 
 
 def _nearest_centroid_expr(emb, centroids: list[list[float]]):

@@ -3,9 +3,18 @@
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query executes fully via the `noop`
 sink (no driver materialization — measures engine throughput, not
-collect). Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+collect).
+
+Each query is timed TWICE: the first run carries whole-stage-codegen
+compilation and broadcast warmup (cold), the second measures the
+steady-state plan the cluster would run all day. Cold runs are ±30%
+noisy on this box; steady-state is the like-for-like number across
+rounds. Prints ONE JSON line:
+  {"metric": "...", "value": <cold total sec>, "unit": "sec",
+   "queries": {name: cold sec, ...}, "steady": {name: sec, ...},
+   "steady_total": <sec>, "sf": <sf>}
+(`value`/`queries` keep the round-1 cold semantics so older
+BENCH_r{N}.json files stay comparable.)
 """
 
 from __future__ import annotations
@@ -38,19 +47,26 @@ def main() -> None:
         run_once(load_table(spark, sf_dir, t).limit(1000))
 
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
-    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in names:
         qd = REGISTRY[name]
         t0 = time.time()
         run_once(qd.build(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        cold[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        run_once(qd.build(spark, sf_dir))
+        steady[name] = round(time.time() - t1, 3)
+        print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s",
+              file=sys.stderr)
 
     out = {
         "metric": "declared_query_set_wall_clock",
-        "value": round(sum(times.values()), 3),
+        "value": round(sum(cold.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": cold,
+        "steady": steady,
+        "steady_total": round(sum(steady.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
