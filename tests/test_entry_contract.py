@@ -19,6 +19,27 @@ def test_every_oracle_key_has_query():
     assert len(qs) >= 40
 
 
+def test_driver_window_covers_llm_pipeline_queries():
+    """The driver's correctness gate checks the FIRST 50 entries of
+    queries() in registration order. Every LLM-pipeline query (text,
+    dedup tiers, similarity, multimodal, stateful anchor) must sit
+    inside that window, or the charter centerpiece ships unverified."""
+    from aws_data_pipeline_ads_spark.queries import DRIVER_WINDOW
+
+    window = list(entry_mod.queries())[:DRIVER_WINDOW]
+    must_cover = {
+        "q_text_stats", "q_curation_pipeline", "q_token_count", "q_lang_id",
+        "q_quality_score", "q_doc_fingerprint", "q_dedup_exact",
+        "q_ngram_jaccard", "q_minhash_lsh", "q_neardup_verified",
+        "q_simhash", "q_simhash_pairs", "q_binary_meta", "q_embedding_knn",
+        "q_embedding_neardup", "q_embedding_ann", "q_embedding_ivf",
+        "q_percentile_approx", "q_math_funcs", "q_array_funcs",
+        "q_user_totals",
+    }
+    missing = must_cover - set(window)
+    assert not missing, f"LLM-pipeline queries outside driver window: {missing}"
+
+
 def test_oracle_sql_covers_most_queries():
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
