@@ -12,7 +12,8 @@ NotImplementedError with a marked swap-in point.
 Scale notes: mapInPandas streams Arrow batches, so peak memory is one
 batch, not one partition; media tables should be repartitioned by a
 size-balanced key before heavy decode stages so stragglers don't
-dominate (documents with wildly mixed media sizes → salt or bin-pack).
+dominate — `operators.partitioning.size_balanced_partitions` is that
+rebalance (byte-targeted buckets, oversized payloads isolated).
 """
 
 from __future__ import annotations

@@ -100,19 +100,30 @@ def lsh_bucket_ids(embeddings: DataFrame, n_planes: int = 8,
 
 
 def lsh_bucket_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
-                    n_planes: int = 8) -> DataFrame:
-    """ANN top-k: score only vectors in the query's LSH bucket.
+                    n_planes: int = 8, multi_probe: int = 0) -> DataFrame:
+    """ANN top-k: score only vectors in the query's LSH bucket(s).
 
-    Approximate (recall < 1 when neighbors straddle a hyperplane); at
-    scale, multi-probe or band multiple tables for recall.
+    `multi_probe` adds the buckets within Hamming distance 1 whose
+    flipped hyperplane has the SMALLEST |q·h| margin — the planes the
+    query sits closest to, i.e. the most likely to have split true
+    neighbors away. multi_probe=m probes 1+m buckets: recall recovers
+    toward brute force while still scanning ~(1+m)/2^n_planes of the
+    corpus. This is the standard multi-probe LSH trade (probe more,
+    hash less) and the 100 TB recall knob.
     """
+    margins = []  # (|q·h|, plane index)
     qbucket = 0
     for p, h in enumerate(hyperplanes(n_planes)):
-        if sum(a * b for a, b in zip(qv, h)) >= 0:
+        dot = sum(a * b for a, b in zip(qv, h))
+        if dot >= 0:
             qbucket |= 1 << p
+        margins.append((abs(dot), p))
+    probes = [qbucket]
+    for _, p in sorted(margins)[:multi_probe]:
+        probes.append(qbucket ^ (1 << p))
     bucketed = lsh_bucket_ids(embeddings, n_planes)
     return (
-        cosine_scores(bucketed.filter(F.col("bucket") == qbucket), qv)
+        cosine_scores(bucketed.filter(F.col("bucket").isin(probes)), qv)
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", F.round("score", 6).alias("score"))

@@ -151,6 +151,38 @@ def test_ivf_partial_probe_subset_and_recall(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_lsh_multi_probe_improves_recall(spark):
+    """Multi-probe LSH (flip the smallest-margin planes) must dominate
+    single-bucket probing: recall@10 is monotonically non-decreasing in
+    probes, and full multi-probe over all planes finds at least what
+    single-probe does, averaged over several query vectors."""
+    import math
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    dim = similarity.EMBED_DIM
+    qvs = [[round(math.sin(0.3 * q + i + 1.0), 6) for i in range(dim)]
+           for q in range(4)]
+
+    def recall(multi_probe):
+        rec = 0.0
+        for qv in qvs:
+            exact = {r.vec_id for r in similarity.cosine_topk(emb, qv, 10).collect()}
+            got = {
+                r.vec_id
+                for r in similarity.lsh_bucket_topk(
+                    emb, qv, 10, multi_probe=multi_probe
+                ).collect()
+            }
+            rec += len(got & exact) / 10
+        return rec / len(qvs)
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r2 >= r0 and r4 >= r2
+    assert r4 > r0  # probing 5 buckets must actually recover neighbors
+
+
 def test_ivf_lloyd_training_improves_recall(spark):
     """Lloyd's-trained centroids must not lose recall vs raw seeds —
     averaged over several query vectors at sf0.01 (single-query recall

@@ -134,6 +134,56 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in fplan and "list_id" in fplan
 
 
+def test_size_balanced_partitions(spark):
+    """Byte-balanced repartitioning: small rows land in ≈target-byte
+    buckets, oversized rows get dedicated partitions, nothing is lost,
+    and the assignment is deterministic across re-runs."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.operators.partitioning import (
+        size_balanced_partitions,
+    )
+
+    target = 10_000
+    rows = [Row(doc_id=i, n_bytes=500 + (i * 37) % 900) for i in range(400)]
+    rows += [Row(doc_id=1000 + j, n_bytes=25_000 + j) for j in range(3)]  # oversized
+    df = spark.createDataFrame(rows)
+
+    out = size_balanced_partitions(df, "doc_id", "n_bytes", target)
+    got = out.select("doc_id", "n_bytes", "__bucket").collect()
+    assert len(got) == len(rows)  # nothing dropped or duplicated
+    assert len({r.doc_id for r in got}) == len(rows)
+
+    by_bucket: dict[int, list] = {}
+    for r in got:
+        by_bucket.setdefault(r["__bucket"], []).append(r)
+    # every oversized row is alone in its bucket
+    for r in got:
+        if r.n_bytes >= target:
+            assert len(by_bucket[r["__bucket"]]) == 1
+    # small buckets stay within a constant factor of target
+    small_sums = [
+        sum(x.n_bytes for x in v)
+        for v in by_bucket.values()
+        if all(x.n_bytes < target for x in v)
+    ]
+    assert max(small_sums) <= 3 * target  # hash-balance bound, not exact
+    n_small_buckets = len(small_sums)
+    expected = -(-sum(r.n_bytes for r in rows if r.n_bytes < target) // target)
+    assert n_small_buckets <= expected  # bucket count sized from total bytes
+
+    again = size_balanced_partitions(df, "doc_id", "n_bytes", target)
+    assert sorted((r.doc_id, r["__bucket"]) for r in again.collect()) == \
+        sorted((r.doc_id, r["__bucket"]) for r in got)
+
+    # physical partitioning follows the bucket column
+    n_parts = out.withColumn("pid", F.spark_partition_id()) \
+        .select("__bucket", "pid").distinct()
+    per_bucket = n_parts.groupBy("__bucket").count().collect()
+    assert all(r['count'] == 1 for r in per_bucket)  # bucket never split
+
+
 def test_interval_join_binned_equals_naive_and_no_nested_loop(spark):
     """Binned interval join == naive theta join, but plans as a hash/
     sort-merge equi-join instead of BroadcastNestedLoopJoin."""
