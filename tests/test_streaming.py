@@ -171,10 +171,23 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
     out2 = drain()               # run 2: restores state, adds batch2
     final = out2.sort_values("n_events").groupby("user_id").last()
     batch = {
-        r.user_id: r.n
+        r.user_id: (r.n, r.mt)
         for r in spark.read.parquet(f"{sf_dir}/events.parquet")
-        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("timestamp_micros(max(ts) DIV 1000)").alias("mt"),
+        )
+        .collect()
     }
     # every user emitted in run 2 carries its FULL history, not batch2's
+    import pandas as pd
+
     for user_id, row in final.iterrows():
-        assert row["n_events"] == batch[user_id], user_id
+        n, mt = batch[user_id]
+        assert row["n_events"] == n, user_id
+        # last_ts is the RUNNING max across both drains — the event_id%2
+        # split makes batch2 deliver earlier-than-state timestamps, so a
+        # per-batch max would regress here while the stateful running
+        # max must not.
+        assert row["last_ts"] == pd.Timestamp(mt), user_id
