@@ -113,6 +113,45 @@ def curate(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction and
+    duplicate-bigram fraction per document, plus a keep/drop gate.
+
+    Boilerplate, spam, and templated pages repeat tokens/n-grams far
+    more than prose; curation pipelines (Gopher, Dolma, RefinedWeb)
+    filter on exactly these ratios. Everything here is higher-order
+    array expressions — array_distinct/transform/size — so the whole
+    operator is one codegen'd projection: zero shuffles, per-doc cost
+    O(tokens), and `text` never moves past the scan.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    # sequence(0, n-2) would generate a DESCENDING range for n < 2 —
+    # guard to an empty bigram list for single-token docs.
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams).cast("long")
+    nbd = F.size(F.array_distinct(bigrams)).cast("long")
+    dup_ratio = (n - nd).cast("double") / n
+    bigram_dup = F.when(nb > 0, (nb - nbd).cast("double") / nb).otherwise(F.lit(0.0))
+    return documents.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        dup_ratio.alias("dup_ratio"),
+        bigram_dup.alias("bigram_dup_ratio"),
+        ((dup_ratio <= 0.6) & (bigram_dup <= 0.4)).alias("repetition_ok"),
+    )
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus statistics."""
     n_chars = F.length("text")

