@@ -102,26 +102,36 @@ def doc_shingle_sets(documents: DataFrame, k: int = 3, text_col: str = "text",
 def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked by language.
 
-    Shape: explode→distinct (1 shuffle), token self-join (co-partitioned
-    on tok), two broadcast-able count joins. Exact but candidate count is
-    quadratic per token — at 100 TB use minhash_lsh_pairs to prefilter
-    and this operator only to verify the surviving candidates.
+    Per-doc distinct-token counts are computed as an array EXPRESSION
+    (size∘array_distinct) in the same projection that explodes tokens,
+    and ride through the self-join as payload columns — no counts
+    aggregation and no post-join count lookups. Shape: explode→distinct
+    (1 shuffle), token self-join (2), pair groupBy (1) — 4 shuffles
+    where the join-counts formulation needs 7. Exact but candidate count
+    is quadratic per token — at 100 TB use minhash_lsh_pairs to
+    prefilter and this operator only to verify surviving candidates.
     """
-    toks = doc_token_sets(documents)
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    t = tokens("text")
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(t)).cast("long").alias("n_toks"),
+        F.explode(t).alias("tok"),
+    ).distinct()  # n_toks is functionally dependent on doc_id
     a = toks.alias("a")
     b = toks.alias("b")
-    inter = (
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max(F.col("a.n_toks")).alias("na"),  # constant per group
+            F.max(F.col("b.n_toks")).alias("nb"),
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -107,9 +107,9 @@ _SHUFFLE_CEILING = {
     "q_simhash": 2,
     "q_simhash_pairs": 6,
     "q_neardup_verified": 9,
-    # toks-distinct + counts + self-join + pair-agg + 2 count-joins;
-    # verifier-tier op (quadratic per token, never the 100 TB path).
-    "q_ngram_jaccard": 7,
+    # explode-distinct + self-join (exchange reused) + pair-agg; per-doc
+    # counts ride the join as expression columns, so no counts joins.
+    "q_ngram_jaccard": 4,
 }
 
 
