@@ -150,23 +150,31 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     pair truly ≥ threshold); recall is the LSH recall.
     """
     cand = minhash_lsh_pairs(documents, n_hashes, bands)
-    toks = doc_token_sets(documents).select("doc_id", "tok")
-    counts = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("nb"))
+    # Distinct-token count as an expression column riding the exploded
+    # rows (same trick as token_jaccard_pairs): no counts aggregation,
+    # no post-join count lookups — two joins and one pair-agg fewer.
+    t = tokens("text")
+    toks = documents.select(
+        "doc_id",
+        F.size(F.array_distinct(t)).cast("long").alias("n_toks"),
+        F.explode(t).alias("tok"),
+    ).distinct()
+    ta = toks.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_toks").alias("na"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_toks").alias("nb"), "tok")
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(ca, "doc_a").join(cb, "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

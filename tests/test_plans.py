@@ -106,7 +106,7 @@ _SHUFFLE_CEILING = {
     "q_minhash_lsh": 4,
     "q_simhash": 2,
     "q_simhash_pairs": 6,
-    "q_neardup_verified": 9,
+    "q_neardup_verified": 6,
     # explode-distinct + self-join (exchange reused) + pair-agg; per-doc
     # counts ride the join as expression columns, so no counts joins.
     "q_ngram_jaccard": 4,
