@@ -102,22 +102,28 @@ def doc_shingle_sets(documents: DataFrame, k: int = 3, text_col: str = "text",
 def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked by language.
 
-    Per-doc distinct-token counts are computed as an array EXPRESSION
-    (size∘array_distinct) in the same projection that explodes tokens,
-    and ride through the self-join as payload columns — no counts
-    aggregation and no post-join count lookups. Shape: explode→distinct
-    (1 shuffle), token self-join (2), pair groupBy (1) — 4 shuffles
-    where the join-counts formulation needs 7. Exact but candidate count
+    Per-doc distinct-token counts ride the self-join as payload columns
+    (size of the array_distinct'd token array) — no counts aggregation,
+    no post-join count lookups, and because array_distinct runs BEFORE
+    the explode, rows are already unique per (doc_id, tok): no distinct
+    shuffle either. Shape: token self-join + pair groupBy — down from 7
+    shuffles in the join-counts formulation. Exact but candidate count
     is quadratic per token — at 100 TB use minhash_lsh_pairs to
     prefilter and this operator only to verify surviving candidates.
+
+    The array work is materialized in a projection BELOW the explode:
+    putting size(array_distinct(...)) in the same projection as
+    explode() leaves it in a Project above the Generate, where it
+    re-runs per exploded token — O(len²) per doc (measured 5× slower).
     """
-    t = tokens("text")
     toks = documents.select(
-        "doc_id",
-        "lang",
-        F.size(F.array_distinct(t)).cast("long").alias("n_toks"),
-        F.explode(t).alias("tok"),
-    ).distinct()  # n_toks is functionally dependent on doc_id
+        "doc_id", "lang",
+        F.array_distinct(tokens("text")).alias("toks"),
+    ).select(
+        "doc_id", "lang",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.explode("toks").alias("tok"),
+    )
     a = toks.alias("a")
     b = toks.alias("b")
     jac = F.col("n_common").cast("double") / (
@@ -150,15 +156,17 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     pair truly ≥ threshold); recall is the LSH recall.
     """
     cand = minhash_lsh_pairs(documents, n_hashes, bands)
-    # Distinct-token count as an expression column riding the exploded
-    # rows (same trick as token_jaccard_pairs): no counts aggregation,
-    # no post-join count lookups — two joins and one pair-agg fewer.
-    t = tokens("text")
+    # Same shape as token_jaccard_pairs: distinct-token count rides the
+    # exploded rows as a payload column; array_distinct runs below the
+    # explode (once per doc, see token_jaccard_pairs) and makes rows
+    # unique per (doc_id, tok) with no distinct shuffle.
     toks = documents.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.size(F.array_distinct(t)).cast("long").alias("n_toks"),
-        F.explode(t).alias("tok"),
-    ).distinct()
+        F.size("toks").cast("long").alias("n_toks"),
+        F.explode("toks").alias("tok"),
+    )
     ta = toks.select(F.col("doc_id").alias("doc_a"),
                      F.col("n_toks").alias("na"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"),
