@@ -34,7 +34,7 @@ _WINDOW: list[str] = [
     # -- text analysis ----------------------------------------------------
     "q_text_stats", "q_curation_pipeline", "q_token_count", "q_lang_id",
     "q_quality_score", "q_doc_fingerprint", "q_repetition_score",
-    "q_sample_stratified",
+    "q_sample_stratified", "q_contamination",
     # -- deduplication tiers ---------------------------------------------
     "q_dedup_exact", "q_ngram_jaccard", "q_minhash_lsh",
     "q_neardup_verified", "q_simhash", "q_simhash_pairs",
@@ -51,7 +51,7 @@ _WINDOW: list[str] = [
     # -- dedup (reference ops) -------------------------------------------
     "q_dedup", "q_dedup_latest",
     # -- joins ------------------------------------------------------------
-    "q_join_star", "q_join_flagship", "q_semi_anti", "q_asof_lastclick",
+    "q_join_star", "q_join_flagship", "q_semi_anti",
     "q_asof_join", "q_range_join",
     # -- aggregation ------------------------------------------------------
     "q_agg_rollup", "q_grouping_sets", "q_count_distinct",
@@ -67,6 +67,7 @@ _WINDOW: list[str] = [
 _TAIL: list[str] = [
     "q_string_funcs", "q_date_parts",  # scalar family stays covered by
     # q_math_funcs/q_array_funcs in-window; both hash-matched in r01/r02
+    "q_asof_lastclick",  # as-of family keeps q_asof_join in-window
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

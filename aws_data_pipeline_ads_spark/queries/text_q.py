@@ -52,6 +52,36 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 @query(
+    "q_contamination",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 "
+        "THEN [array_to_string(toks, ' ')] "
+        "ELSE [array_to_string(toks[i:i+4], ' ') "
+        "for i in generate_series(1, len(toks)-4)] END) AS tok FROM tok), "
+        "shd AS (SELECT DISTINCT doc_id, tok FROM sh), "
+        "bench AS (SELECT DISTINCT tok FROM shd WHERE doc_id % 101 = 7), "
+        "corpus AS (SELECT * FROM shd WHERE doc_id % 101 <> 7) "
+        "SELECT c.doc_id, COUNT(*) AS n_hits, TRUE AS contaminated "
+        "FROM corpus c JOIN bench b USING (tok) GROUP BY c.doc_id"
+    ),
+    doc="LLM curation: benchmark decontamination — corpus docs sharing "
+        "5-token shingles with a held-out set (doc_id % 101 = 7 stands "
+        "in for the benchmark); operators/contamination.py",
+)
+def q_contamination(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    corpus = docs.filter(F.col("doc_id") % 101 != 7)
+    return contamination_report(corpus, bench, k=5)
+
+
+@query(
     "q_repetition_score",
     oracle=(
         "WITH tok AS (SELECT doc_id, "

@@ -35,6 +35,7 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_embedding_neardup", "q_embedding_ann", "q_embedding_ivf",
         "q_percentile_approx", "q_math_funcs", "q_array_funcs",
         "q_user_totals", "q_repetition_score", "q_sample_stratified",
+        "q_contamination",
     }
     missing = must_cover - set(window)
     assert not missing, f"LLM-pipeline queries outside driver window: {missing}"

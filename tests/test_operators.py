@@ -151,6 +151,33 @@ def test_ivf_partial_probe_subset_and_recall(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_contamination_partitions_corpus(spark, sf_dir):
+    """contamination_report + decontaminate partition the corpus: every
+    doc is either flagged or kept, flagged docs truly share a shingle
+    with the benchmark, and a planted benchmark copy is caught."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.contamination import (
+        contamination_report, decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    # plant an exact benchmark copy in the corpus under a fresh id
+    leak = bench.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        *[c for c in docs.columns if c not in ("doc_id", "text")]
+    ).select(*docs.columns)
+    corpus = docs.filter(F.col("doc_id") % 101 != 7).unionByName(leak)
+
+    flagged = {r.doc_id for r in contamination_report(corpus, bench).collect()}
+    kept = {r.doc_id for r in decontaminate(corpus, bench).collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert flagged | kept == all_ids and not (flagged & kept)
+    assert leak.collect()[0].doc_id in flagged  # planted leak caught
+
+
 def test_hash_sample_deterministic_and_join_consistent(spark, sf_dir):
     """Hash sampling: stable across re-runs and partitionings, rate near
     nominal, and consistent across tables sharing the key — sampled
