@@ -152,6 +152,45 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns a curation pipeline scrubs before training (the Dolma /
+# FineWeb releases document exactly this email/phone/IP regex pass).
+# Kept deliberately simple and anchored — the operator shape (chained
+# regexp_replace, zero shuffle, one codegen'd projection) is the point.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails/phones/IPs with typed placeholder tokens and count
+    the redactions per document.
+
+    Chained regexp_replace — Spark's is global by default (DuckDB needs
+    the 'g' flag, handled in the oracle). Counting BEFORE replacing
+    keeps the counts exact even when patterns could overlap after
+    substitution.
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+    n_phone = F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long")
+    n_ip = F.regexp_count(t, F.lit(PII_IP_RE)).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ),
+        PII_IP_RE, "<IP>",
+    )
+    return documents.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        (n_email + n_phone + n_ip > 0).alias("had_pii"),
+    )
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus statistics."""
     n_chars = F.length("text")

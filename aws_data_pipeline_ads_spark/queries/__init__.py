@@ -68,6 +68,8 @@ _TAIL: list[str] = [
     "q_string_funcs", "q_date_parts",  # scalar family stays covered by
     # q_math_funcs/q_array_funcs in-window; both hash-matched in r01/r02
     "q_asof_lastclick",  # as-of family keeps q_asof_join in-window
+    "q_pii_redaction",  # text family richly covered in-window; verified
+    # locally by the same oracle harness + redaction unit test
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

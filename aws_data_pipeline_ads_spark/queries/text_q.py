@@ -51,6 +51,34 @@ def q_curation_pipeline(spark, sf_dir):
     return textstats.curate(load_table(spark, sf_dir, "documents"))
 
 
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+@query(
+    "q_pii_redaction",
+    oracle=(
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', "
+        f"'<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'), '{_PII_IP}', "
+        "'<IP>', 'g') AS clean_text, "
+        f"CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones, "
+        f"CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips, "
+        f"(len(regexp_extract_all(text, '{_PII_EMAIL}')) "
+        f"+ len(regexp_extract_all(text, '{_PII_PHONE}')) "
+        f"+ len(regexp_extract_all(text, '{_PII_IP}')) > 0) AS had_pii "
+        "FROM documents"
+    ),
+    doc="LLM curation: PII scrub (email/phone/IP → typed placeholders) "
+        "with per-doc redaction counts — chained regexp_replace, zero "
+        "shuffles; textstats.redact_pii",
+)
+def q_pii_redaction(spark, sf_dir):
+    return textstats.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
 @query(
     "q_contamination",
     oracle=(

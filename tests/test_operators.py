@@ -151,6 +151,24 @@ def test_ivf_partial_probe_subset_and_recall(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
+def test_pii_redaction_plants(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="reach me at jane.doe@example.com or 555-123-4567"),
+        Row(doc_id=2, text="server at 192.168.1.10 and backup at 10.0.0.1"),
+        Row(doc_id=3, text="no personal data here"),
+    ])
+    out = {r.doc_id: r for r in textstats.redact_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1 and out[1].had_pii
+    assert "<EMAIL>" in out[1].clean_text and "<PHONE>" in out[1].clean_text
+    assert "jane.doe" not in out[1].clean_text
+    assert out[2].n_ips == 2 and out[2].clean_text.count("<IP>") == 2
+    assert not out[3].had_pii and out[3].clean_text == "no personal data here"
+
+
 def test_contamination_partitions_corpus(spark, sf_dir):
     """contamination_report + decontaminate partition the corpus: every
     doc is either flagged or kept, flagged docs truly share a shingle
