@@ -37,12 +37,13 @@ _WINDOW: list[str] = [
     "q_sample_stratified", "q_contamination",
     # -- deduplication tiers ---------------------------------------------
     "q_dedup_exact", "q_ngram_jaccard", "q_minhash_lsh",
-    "q_neardup_verified", "q_simhash", "q_simhash_pairs",
+    "q_neardup_verified", "q_neardup_clusters", "q_simhash",
+    "q_simhash_pairs",
     # -- similarity search + multimodal ----------------------------------
     "q_binary_meta", "q_embedding_knn", "q_embedding_neardup",
     "q_embedding_ann", "q_embedding_ivf",
     # -- scalar surface ---------------------------------------------------
-    "q_percentile_approx", "q_math_funcs", "q_array_funcs",
+    "q_math_funcs", "q_array_funcs",
     "q_json_extract", "q_percentile",
     # -- streaming twins + stateful anchor -------------------------------
     "q_tumbling_window", "q_session_gap", "q_user_totals",
@@ -70,6 +71,8 @@ _TAIL: list[str] = [
     "q_asof_lastclick",  # as-of family keeps q_asof_join in-window
     "q_pii_redaction",  # text family richly covered in-window; verified
     # locally by the same oracle harness + redaction unit test
+    "q_percentile_approx",  # approx tier; exact q_percentile (stronger,
+    # hash-matched) holds the window slot — swapped for q_neardup_clusters
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

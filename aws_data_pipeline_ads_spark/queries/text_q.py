@@ -241,6 +241,45 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "q_neardup_clusters",
+    oracle=(
+        "WITH RECURSIVE "
+        "toks AS (SELECT DISTINCT doc_id, lang, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), "
+        "counts AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common "
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id "
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.8), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lab) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.node), "
+        "lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id "
+        "FROM reach GROUP BY node) "
+        "SELECT doc_id, cluster_id, "
+        "COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
+        "doc_id = cluster_id AS keep FROM lab"
+    ),
+    doc="LLM dedup: connected components over the exact near-dup pair "
+        "graph (min-label propagation, operators/graph.py) + canonical-"
+        "doc selection — duplicate relations are transitive, so real "
+        "dedup keeps one doc per CLUSTER, not per pair; at 100 TB the "
+        "same operator runs on verified_neardup_pairs (LSH-prefiltered)",
+)
+def q_neardup_clusters(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.token_jaccard_pairs(docs, 0.8)
+    return graph.neardup_clusters(docs, pairs)
+
+
+@query(
     "q_minhash_lsh",
     oracle=None,  # hash family is engine-specific (xxhash64) → rows-only
     bench=True,

@@ -424,3 +424,41 @@ def test_verified_neardup_subset_of_exact(spark, sf_dir):
     ])
     out = dedup.verified_neardup_pairs(near, 0.8).collect()
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+
+
+def test_connected_components_transitive_chain(spark):
+    """CC groups a transitive chain (1~2, 2~3) plus an isolated pair and
+    a singleton; canonical = min id per component."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import graph
+
+    pairs = spark.createDataFrame([
+        Row(doc_a=2, doc_b=3), Row(doc_a=1, doc_b=2),  # chain: {1,2,3}
+        Row(doc_a=7, doc_b=5),                          # pair: {5,7}
+    ])
+    docs = spark.createDataFrame([Row(doc_id=i) for i in (1, 2, 3, 5, 7, 9)])
+    out = {r.doc_id: r for r in graph.neardup_clusters(docs, pairs).collect()}
+    assert {d: r.cluster_id for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 9: 9,
+    }
+    assert {d: r.cluster_size for d, r in out.items()} == {
+        1: 3, 2: 3, 3: 3, 5: 2, 7: 2, 9: 1,
+    }
+    assert sorted(d for d, r in out.items() if r.keep) == [1, 5, 9]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph (worst-case diameter) still converges to one
+    component within the iteration cap."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(1, 12)]
+    )
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 13)])
+    out = graph.neardup_clusters(docs, pairs).collect()
+    assert {r.cluster_id for r in out} == {1}
+    assert all(r.cluster_size == 12 for r in out)
