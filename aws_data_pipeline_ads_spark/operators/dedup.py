@@ -188,6 +188,66 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     )
 
 
+def line_dedup(documents: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", sep: str = r"\.\s+",
+               joiner: str = ". ") -> DataFrame:
+    """C4-style line-level exact dedup across the whole corpus.
+
+    Splits every document into lines (here: sentences, split on
+    period+whitespace), keeps each distinct normalized line only at its
+    FIRST occurrence corpus-wide (min (doc_id, position)), and
+    reassembles documents from their surviving lines — the C4 recipe
+    ("three-sentence span" dedup) reduced to sentence granularity.
+
+    Scale shape:
+    - Winner election runs on a SLIM projection (md5(line), doc_id, pos)
+      — the min-struct agg is map-side combined and the shuffle moves
+      32-byte hashes + two longs, never line text.
+    - Line text crosses a shuffle exactly twice: once into the semi join
+      that filters winners, once into the per-doc reassembly groupBy.
+    - Reassembly sorts collected (pos, line) structs — deterministic
+      regardless of partitioning (pos is unique per doc).
+
+    Returns (doc_id, n_lines, n_kept, clean_text); docs whose every line
+    was a duplicate come back with n_kept = 0 and clean_text = ''.
+    """
+    lines = (
+        documents.select(id_col, F.posexplode(F.split(F.col(text_col), sep))
+                         .alias("pos", "line"))
+        .select(id_col, "pos", F.trim("line").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    slim = lines.select(F.md5(F.lower("line")).alias("h"), id_col, "pos")
+    winners = (
+        slim.groupBy("h")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"))
+    )
+    kept = lines.join(winners, [id_col, "pos"], "leftsemi")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        documents.select(id_col)
+        .join(totals, id_col, "left")
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
                        shingle_k: int = 3) -> DataFrame:
     """MinHash signature per doc from distinct k-word shingles.

@@ -36,7 +36,7 @@ _WINDOW: list[str] = [
     "q_quality_score", "q_doc_fingerprint", "q_repetition_score",
     "q_sample_stratified", "q_contamination",
     # -- deduplication tiers ---------------------------------------------
-    "q_dedup_exact", "q_ngram_jaccard", "q_minhash_lsh",
+    "q_dedup_exact", "q_line_dedup", "q_ngram_jaccard", "q_minhash_lsh",
     "q_neardup_verified", "q_neardup_clusters", "q_simhash",
     "q_simhash_pairs",
     # -- similarity search + multimodal ----------------------------------
@@ -60,7 +60,7 @@ _WINDOW: list[str] = [
     # -- window functions -------------------------------------------------
     "q_window_rank", "q_window_running",
     # -- set ops / SQL / top-k -------------------------------------------
-    "q_set_ops", "q_sql_over_lake", "q_tpch_q3", "q_tpch_q18", "q_tpch_q1",
+    "q_set_ops", "q_sql_over_lake", "q_tpch_q3", "q_tpch_q1",
 ]
 
 # Declared queries past the driver window: each exercises machinery an
@@ -79,6 +79,8 @@ _TAIL: list[str] = [
     "q_window_lag_lead", "q_agg_cube", "q_set_ops_all", "q_unpivot",
     "q_map_keys", "q_scalar_subquery", "q_cross_join", "q_top_supplier",
     "q_tpch_q13", "q_tpch_q14", "q_tpch_q19", "q_tpch_q22",
+    "q_tpch_q18",  # groupBy+HAVING+top-k machinery held in-window by
+    # q_tpch_q3/q_tpch_q1 — swapped for q_line_dedup
 ]
 
 

@@ -220,6 +220,35 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @query(
+    "q_line_dedup",
+    oracle=(
+        "WITH p AS (SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') "
+        "AS parts FROM documents), "
+        "l0 AS (SELECT doc_id, unnest([{'pos': i, 'line': trim(parts[i])} "
+        "for i in generate_series(1, len(parts))], recursive := true) FROM p), "
+        "l AS (SELECT doc_id, pos, line FROM l0 WHERE line <> ''), "
+        "w AS (SELECT doc_id, pos, line, ROW_NUMBER() OVER "
+        "(PARTITION BY lower(line) ORDER BY doc_id, pos) AS rn FROM l), "
+        "k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "string_agg(line, '. ' ORDER BY pos) AS clean_text "
+        "FROM w WHERE rn = 1 GROUP BY doc_id), "
+        "t AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(t.n_lines, 0) AS n_lines, "
+        "COALESCE(k.n_kept, 0) AS n_kept, "
+        "COALESCE(k.clean_text, '') AS clean_text "
+        "FROM documents d LEFT JOIN t USING (doc_id) LEFT JOIN k USING (doc_id)"
+    ),
+    doc="LLM dedup (C4-style): corpus-wide sentence-level exact dedup — "
+        "each normalized sentence survives only at its first "
+        "(doc_id, pos) occurrence; docs reassembled from kept sentences. "
+        "Winner election on slim md5 projection (dedup.line_dedup)",
+)
+def q_line_dedup(spark, sf_dir):
+    return dedup.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q_ngram_jaccard",
     oracle=(
         "WITH toks AS (SELECT DISTINCT doc_id, lang, "

@@ -462,3 +462,21 @@ def test_connected_components_long_chain_converges(spark):
     out = graph.neardup_clusters(docs, pairs).collect()
     assert {r.cluster_id for r in out} == {1}
     assert all(r.cluster_size == 12 for r in out)
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Each normalized sentence survives only at its first (doc_id, pos)
+    occurrence corpus-wide; fully-duplicated docs come back empty."""
+    from pyspark.sql import Row
+
+    out = {r.doc_id: r for r in dedup.line_dedup(spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta. gamma delta. epsilon"),
+        Row(doc_id=2, text="gamma delta. zeta eta"),
+        Row(doc_id=3, text="Alpha beta. GAMMA DELTA"),  # all dupes (case-norm)
+    ])).collect()}
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    assert out[1].clean_text == "alpha beta. gamma delta. epsilon"
+    assert out[2].n_lines == 2 and out[2].n_kept == 1
+    assert out[2].clean_text == "zeta eta"
+    assert out[3].n_lines == 2 and out[3].n_kept == 0
+    assert out[3].clean_text == ""
