@@ -199,3 +199,60 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
         F.sum(n_chars.cast("long")).alias("total_chars"),
         (F.sum(n_chars.cast("long")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+
+def bm25_terms(documents: DataFrame, top_k: int = 5,
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k BM25-scored terms per document, with a RATIONAL idf.
+
+    Classic BM25 wraps idf in a log; log is strictly monotone, so
+    dropping it changes no ranking — and unlike log (whose last-ulp
+    rounding is libm-specific), the rational form uses only IEEE-exact
+    +,*,/ on integer-derived doubles, making the scores bit-identical
+    across engines (the oracle hash-matches, not just the ranks).
+
+        idf   = (N - df + 0.5) / (df + 0.5)
+        score = idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Scale shape: tf is one map-side-combined groupBy on (doc_id, term);
+    dl and df ride as window aggregates over tf's slim (doc, term, tf)
+    rows (no join back to text); N/avgdl are a 1-row aggregate broadcast
+    in. Shuffles: tf, dl-window, df-window, final per-doc rank — all on
+    slim columns, text never shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    from aws_data_pipeline_ads_spark.functions import tokens
+
+    toks = tokens(F.lower(F.col("text")))
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    x = tf.select(
+        "doc_id", "term", "tf",
+        F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
+        F.count(F.lit(1)).over(W.partitionBy("term")).cast("long").alias("df"),
+    )
+    g = documents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).cast("long").alias("total_toks"),
+    )
+    # Expression mirrors the oracle SQL token-for-token so every double
+    # op applies in the same order: see q_bm25_terms.
+    idf = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    score = idf * (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    s = x.crossJoin(F.broadcast(g)).select(
+        "doc_id", "term", "tf", "df", score.alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_k)
+    )

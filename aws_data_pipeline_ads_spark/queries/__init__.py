@@ -34,7 +34,7 @@ _WINDOW: list[str] = [
     # -- text analysis ----------------------------------------------------
     "q_text_stats", "q_curation_pipeline", "q_token_count", "q_lang_id",
     "q_quality_score", "q_doc_fingerprint", "q_repetition_score",
-    "q_sample_stratified", "q_contamination",
+    "q_sample_stratified", "q_contamination", "q_bm25_terms",
     # -- deduplication tiers ---------------------------------------------
     "q_dedup_exact", "q_line_dedup", "q_ngram_jaccard", "q_minhash_lsh",
     "q_neardup_verified", "q_neardup_clusters", "q_simhash",
@@ -56,7 +56,7 @@ _WINDOW: list[str] = [
     "q_asof_join", "q_range_join",
     # -- aggregation ------------------------------------------------------
     "q_agg_rollup", "q_grouping_sets", "q_count_distinct",
-    "q_approx_distinct", "q_pivot_counts",
+    "q_pivot_counts",
     # -- window functions -------------------------------------------------
     "q_window_rank", "q_window_running",
     # -- set ops / SQL / top-k -------------------------------------------
@@ -73,6 +73,8 @@ _TAIL: list[str] = [
     # locally by the same oracle harness + redaction unit test
     "q_percentile_approx",  # approx tier; exact q_percentile (stronger,
     # hash-matched) holds the window slot — swapped for q_neardup_clusters
+    "q_approx_distinct",  # rows-only by design; exact q_count_distinct
+    # (hash-matched) holds the window slot — swapped for q_bm25_terms
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

@@ -206,6 +206,48 @@ def q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+_BM25_K1, _BM25_B = 1.2, 0.75
+# repr() the derived constants: 1.2+1 rounds to 2.2000000000000002, which
+# is NOT the double that the literal "2.2" parses to — both engines must
+# see the exact same bits for the scores to hash-match.
+_K1P1, _OMB = repr(_BM25_K1 + 1), repr(1.0 - _BM25_B)
+
+
+@query(
+    "q_bm25_terms",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, term), "
+        "x AS (SELECT doc_id, term, tf, "
+        "CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl, "
+        "CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf), "
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) "
+        "AS BIGINT) AS total_toks FROM documents), "
+        # every literal ::DOUBLE — DuckDB otherwise parses them as exact
+        # DECIMALs and rounds products once at the final cast, while
+        # Spark rounds each double op; identical only in pure double.
+        "s AS (SELECT doc_id, term, tf, df, "
+        "(CAST(n_docs AS DOUBLE) - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) "
+        f"* (tf * {_K1P1}::DOUBLE) / (tf + {_BM25_K1!r}::DOUBLE * "
+        f"({_OMB}::DOUBLE + {_BM25_B!r}::DOUBLE * dl "
+        "/ (CAST(total_toks AS DOUBLE) / n_docs))) AS score FROM x, g), "
+        "r AS (SELECT doc_id, term, tf, df, score, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, term) AS BIGINT) AS term_rank FROM s) "
+        "SELECT * FROM r WHERE term_rank <= 5"
+    ),
+    doc="LLM text: top-5 BM25-scored terms per doc with RATIONAL idf "
+        "(no log — IEEE-exact ops only, so scores hash-match the oracle "
+        "bit-for-bit, not just rank); textstats.bm25_terms",
+)
+def q_bm25_terms(spark, sf_dir):
+    return textstats.bm25_terms(load_table(spark, sf_dir, "documents"), top_k=5)
+
+
 @query(
     "q_dedup_exact",
     oracle=(

@@ -480,3 +480,22 @@ def test_line_dedup_first_occurrence_wins(spark):
     assert out[2].clean_text == "zeta eta"
     assert out[3].n_lines == 2 and out[3].n_kept == 0
     assert out[3].clean_text == ""
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A term unique to one doc must outscore a corpus-wide stopword in
+    that doc (idf dominance), and ranks are dense from 1 within a doc."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quark the the boson"),
+        Row(doc_id=2, text="the cat sat"),
+        Row(doc_id=3, text="the dog ran"),
+    ])
+    out = textstats.bm25_terms(docs, top_k=10).collect()
+    d1 = {r.term: r for r in out if r.doc_id == 1}
+    assert d1["quark"].score > d1["the"].score  # df=1 beats df=3
+    assert d1["quark"].df == 1 and d1["the"].df == 3 and d1["the"].tf == 3
+    assert sorted(r.term_rank for r in out if r.doc_id == 1) == [1, 2, 3]
