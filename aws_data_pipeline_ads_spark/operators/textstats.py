@@ -256,3 +256,67 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
         s.withColumn("term_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("term_rank") <= top_k)
     )
+
+
+def top_ngrams(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k most frequent bigrams per language — corpus-level n-gram
+    frequency analysis (vocabulary drift, boilerplate discovery, BPE
+    merge-candidate mining all start here).
+
+    Two shuffles, both slim: the (lang, ngram) count is map-side
+    combined (partial aggregation folds each partition's counts before
+    the exchange — the shuffle moves unique bigrams, not occurrences),
+    and the per-lang top-k is a window over the already-aggregated
+    counts. Bigrams are materialized below the explode in one pass per
+    doc (same two-step projection rule as doc_shingle_sets).
+    """
+    from pyspark.sql import Window as W
+
+    toked = documents.select(
+        "lang", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks")
+    )
+    t = F.col("__toks")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        toked.select("lang", F.explode(bigrams).alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counts.withColumn("ngram_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("ngram_rank") <= k)
+    )
+
+
+def length_outliers(documents: DataFrame, lo: float = 0.05,
+                    hi: float = 0.95) -> DataFrame:
+    """Per-language exact-quantile outlier flagging on document length.
+
+    Curation pipelines trim the length tails per language (a 10-char
+    'en' doc and a 200k-char one are both suspect, but thresholds differ
+    by language). The per-lang p_lo/p_hi table is lang-cardinality —
+    dim-sized — so it is aggregated (map-side combined) and BROADCAST
+    back; the documents table itself never shuffles. Exact percentile
+    (not approx) keeps the operator oracle-verifiable; swap in
+    percentile_approx at 100 TB if the single-pass exactness matters
+    less than memory.
+    """
+    bands = documents.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(lo)).alias("p_lo"),
+        F.percentile("n_chars", F.lit(hi)).alias("p_hi"),
+    )
+    return documents.join(F.broadcast(bands), "lang").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        "p_lo", "p_hi",
+        ((F.col("n_chars") < F.col("p_lo"))
+         | (F.col("n_chars") > F.col("p_hi"))).alias("is_outlier"),
+    )

@@ -75,6 +75,10 @@ _TAIL: list[str] = [
     # hash-matched) holds the window slot — swapped for q_neardup_clusters
     "q_approx_distinct",  # rows-only by design; exact q_count_distinct
     # (hash-matched) holds the window slot — swapped for q_bm25_terms
+    "q_top_ngrams",  # explode→partial-agg→window-topk machinery is
+    # in-window via q_bm25_terms; oracle-checked locally
+    "q_length_outliers",  # exact-percentile machinery in-window via
+    # q_percentile; broadcast-band join via q_join_star
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

@@ -206,6 +206,47 @@ def q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_top_ngrams",
+    oracle=(
+        "WITH tok AS (SELECT lang, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks "
+        "FROM documents), "
+        "b AS (SELECT lang, unnest(CASE WHEN len(toks) >= 2 "
+        "THEN [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)] "
+        "ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM tok), "
+        "c AS (SELECT lang, ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+        "FROM b GROUP BY 1, 2), "
+        "r AS (SELECT lang, ngram, n_occurrences, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY n_occurrences DESC, ngram) AS BIGINT) AS ngram_rank FROM c) "
+        "SELECT * FROM r WHERE ngram_rank <= 10"
+    ),
+    doc="LLM text: top-10 bigrams per language — map-side-combined "
+        "(lang, ngram) count + per-lang window top-k, both shuffles slim; "
+        "textstats.top_ngrams",
+)
+def q_top_ngrams(spark, sf_dir):
+    return textstats.top_ngrams(load_table(spark, sf_dir, "documents"), k=10)
+
+
+@query(
+    "q_length_outliers",
+    oracle=(
+        "WITH p AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p_lo, "
+        "quantile_cont(n_chars, 0.95) AS p_hi FROM documents GROUP BY lang) "
+        "SELECT d.doc_id, d.lang, d.n_chars, p.p_lo, p.p_hi, "
+        "(d.n_chars < p.p_lo OR d.n_chars > p.p_hi) AS is_outlier "
+        "FROM documents d JOIN p USING (lang)"
+    ),
+    doc="LLM curation: per-language exact-quantile (p05/p95) length-"
+        "outlier flags — dim-sized band table broadcast back, documents "
+        "never shuffle; textstats.length_outliers",
+)
+def q_length_outliers(spark, sf_dir):
+    return textstats.length_outliers(load_table(spark, sf_dir, "documents"))
+
+
 _BM25_K1, _BM25_B = 1.2, 0.75
 # repr() the derived constants: 1.2+1 rounds to 2.2000000000000002, which
 # is NOT the double that the literal "2.2" parses to — both engines must

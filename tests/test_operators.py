@@ -499,3 +499,33 @@ def test_bm25_rare_term_outranks_common(spark):
     assert d1["quark"].score > d1["the"].score  # df=1 beats df=3
     assert d1["quark"].df == 1 and d1["the"].df == 3 and d1["the"].tf == 3
     assert sorted(r.term_rank for r in out if r.doc_id == 1) == [1, 2, 3]
+
+
+def test_top_ngrams_counts_and_rank(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text="big cat big cat small dog"),
+        Row(doc_id=2, lang="en", text="big cat runs"),
+        Row(doc_id=3, lang="de", text="x"),  # single token: no bigrams
+    ])
+    out = textstats.top_ngrams(docs, k=2).collect()
+    en = {r.ngram: r for r in out if r.lang == "en"}
+    assert en["big cat"].n_occurrences == 3 and en["big cat"].ngram_rank == 1
+    assert len(en) == 2 and all(r.lang == "en" for r in out)
+
+
+def test_length_outliers_flags_tails(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text="x", n_chars=n)
+         for i, n in enumerate([1] + [100] * 20 + [10000])]
+    )
+    out = {r.doc_id: r for r in textstats.length_outliers(docs).collect()}
+    assert out[0].is_outlier and out[21].is_outlier
+    assert not any(out[i].is_outlier for i in range(1, 21))
