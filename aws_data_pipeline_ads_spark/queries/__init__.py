@@ -79,6 +79,9 @@ _TAIL: list[str] = [
     # in-window via q_bm25_terms; oracle-checked locally
     "q_length_outliers",  # exact-percentile machinery in-window via
     # q_percentile; broadcast-band join via q_join_star
+    "q_attribution_join",  # batch-twin machinery (equi+range join)
+    # in-window via q_asof_join/q_range_join; the streaming side is
+    # pytest-verified (stream-stream join == batch twin)
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

@@ -160,3 +160,35 @@ def q_json_typed(spark, sf_dir):
         F.from_json("props", "k BIGINT").getField("k").alias("k_typed"),
         F.to_json(F.struct("event_id", "event_type")).alias("envelope"),
     )
+
+
+@query(
+    "q_attribution_join",
+    oracle=(
+        "WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts "
+        "FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, "
+        "value AS purchase_value FROM events WHERE event_type = 'purchase') "
+        "SELECT p.purchase_id, p.user_id, "
+        "strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, "
+        "c.click_id, strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, "
+        "p.purchase_value "
+        "FROM p JOIN c ON p.user_id = c.user_id "
+        "AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE "
+        "AND c.click_ts <= p.purchase_ts"
+    ),
+    doc="2C streaming: click→purchase attribution — batch twin of the "
+        "watermarked stream-stream interval join "
+        "(streaming.attribution_join; withWatermark is a no-op in batch, "
+        "so the SAME operator runs both modes); state bounded by "
+        "watermark + two-sided time condition",
+)
+def q_attribution_join(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.streaming import attribution_join
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

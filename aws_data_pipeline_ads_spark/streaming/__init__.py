@@ -124,3 +124,43 @@ def run_complete_now(stream_df: DataFrame, name: str, checkpoint_dir: str) -> No
         .start()
     )
     q.awaitTermination()
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame,
+                     horizon: str = "30 minutes",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: every (purchase, click)
+    pair for the same user where the click precedes the purchase by at
+    most `horizon` — the classic attribution join.
+
+    Streaming semantics: both sides are watermarked and the join
+    condition carries a two-sided time bound, so Spark can evict click
+    state older than watermark+horizon and purchase state older than
+    watermark — bounded state, the stream-stream requirement at scale.
+    In BATCH mode withWatermark is a no-op and the identical plan is an
+    interval equi-join on user_id — the same function IS the
+    oracle-checked batch twin (q_attribution_join).
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "purchase_value",
+    )

@@ -191,3 +191,22 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
         # per-batch max would regress here while the stateful running
         # max must not.
         assert row["last_ts"] == pd.Timestamp(mt), user_id
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, ev_stream, tmp_path):
+    """Watermarked stream-stream interval join drains to exactly the
+    batch twin's rows (inner join, append mode)."""
+    from pyspark.sql import functions as F
+
+    clicks = ev_stream.filter(F.col("event_type") == "click")
+    purchases = ev_stream.filter(F.col("event_type") == "purchase")
+    streaming.run_available_now(
+        streaming.attribution_join(clicks, purchases),
+        "attribution_out", str(tmp_path / "ck_attr"),
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attribution_out").collect()}
+    batch = {
+        tuple(r)
+        for r in REGISTRY["q_attribution_join"].build(spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 0
