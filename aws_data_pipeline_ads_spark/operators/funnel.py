@@ -1,0 +1,134 @@
+"""Funnel analysis: ordered multi-step conversion matching per user.
+
+The classic ads-analytics question — of the users who VIEWED, how many
+later CLICKED, and of those, how many later PURCHASED? Semantics are the
+greedy sequential match every funnel engine implements (cf. ClickHouse
+`windowFunnel`, Amplitude funnels): step i+1 matches at the EARLIEST
+event of that type strictly AFTER the step-i match.
+
+Spark shape: ONE shuffle. Events group to their user with the funnel
+steps collected as (ts, type) structs — `collect_list(when(...))` skips
+non-step events for free (collect_list drops nulls) while still grouping
+over every user, so depth-0 users stay in the output. The greedy match
+itself is a codegen'd `aggregate` fold over the sorted array: the
+accumulator is the array of matched step timestamps, and an event
+appends iff it is the next step's type and strictly later than the last
+match. No self-join chain (the naive formulation is steps-1 joins), no
+Python, state per user bounded by n_steps.
+
+At 100 TB: per-user event lists are bounded by events-per-user; a
+pathological hot user (bot traffic) skews its task — salt the groupBy
+with a sub-key and merge the per-salt folds if that appears (the fold
+accumulator composes only left-to-right, so merge = rerun fold over the
+concatenated per-salt survivor arrays; operators/skew.py has the
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: list[str],
+           ts_col: str = "ts", user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """Per-user greedy funnel over `steps`.
+
+    Returns (user_id, depth, step_1_ts..step_n_ts) — depth = number of
+    steps matched in order; step_i_ts is the matching event's timestamp
+    rendered as a string (NULL past the reached depth).
+    """
+    n_steps = len(steps)
+    steps_lit = F.expr(
+        "array(" + ",".join("'" + s.replace("'", "''") + "'" for s in steps) + ")"
+    )
+    is_step = F.col(type_col).isin(list(steps))
+    ev = F.when(
+        is_step,
+        F.struct(
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(type_col).alias("etype"),
+        ),
+    )
+    per_user = events.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(ev)).alias("evs")
+    )
+    hits = F.aggregate(
+        F.col("evs"),
+        F.array().cast("array<bigint>"),
+        # try_element_at, not element_at: ANSI mode is on (Spark 4
+        # default) and element_at throws on out-of-bounds — the size
+        # guards make OOB unreachable row-wise, but ConstantFolding can
+        # pre-evaluate subtrees eagerly on the driver.
+        lambda acc, x: F.when(
+            (F.size(acc) < n_steps)
+            & (x["etype"] == F.try_element_at(steps_lit, F.size(acc) + 1))
+            & ((F.size(acc) == 0) | (x["ts_us"] > F.try_element_at(acc, F.lit(-1)))),
+            F.concat(acc, F.array(x["ts_us"])),
+        ).otherwise(acc),
+    )
+    out = per_user.select(user_col, hits.alias("hits")).select(
+        user_col,
+        F.size("hits").cast("long").alias("depth"),
+        *[
+            F.date_format(
+                F.timestamp_micros(F.try_element_at("hits", F.lit(i + 1))),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            ).alias(f"step_{i + 1}_ts")
+            for i in range(n_steps)
+        ],
+    )
+    return out
+
+
+def funnel_summary(per_user_funnel: DataFrame) -> DataFrame:
+    """Step-level conversion counts from `funnel` output: users reaching
+    at least each depth. Map-side-combined single-row aggregation."""
+    n_steps = sum(
+        1 for f in per_user_funnel.schema.fieldNames() if f.startswith("step_")
+    )
+    return per_user_funnel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[
+            F.sum((F.col("depth") >= i + 1).cast("long")).alias(f"reached_{i + 1}")
+            for i in range(n_steps)
+        ],
+    )
+
+
+def cohort_retention(events: DataFrame, ts_col: str = "ts",
+                     user_col: str = "user_id") -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-activity
+    week (cohort), counted in each subsequent activity week.
+
+    Returns (cohort_week, week_offset, n_users) — the retention triangle
+    every ads/product dashboard draws. COUNT(*) is exact-distinct here
+    by construction: activity rows are pre-distinct per (user, week) and
+    a user has exactly one cohort, so each user contributes at most one
+    row per (cohort_week, week_offset) group — no count_distinct shuffle
+    needed.
+
+    Week offsets are computed in epoch micros; both week-truncations are
+    Monday-midnight in the session timezone (callers go through
+    ensure_utc), so the difference is an exact multiple of a week and
+    the double division is exact.
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort")
+    )
+    act = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("wk")
+    ).distinct()
+    off = (
+        (F.unix_micros("wk") - F.unix_micros("cohort")) / F.lit(604_800_000_000)
+    ).cast("long")
+    return (
+        act.join(first, user_col)
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            off.alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

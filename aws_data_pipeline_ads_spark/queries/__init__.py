@@ -49,8 +49,8 @@ _WINDOW: list[str] = [
     "q_tumbling_window", "q_session_gap", "q_user_totals",
     # -- reference parity ------------------------------------------------
     "q_scan_project", "q_limit_topk", "q_run_summary",
-    # -- dedup (reference ops) -------------------------------------------
-    "q_dedup", "q_dedup_latest",
+    # -- dedup (reference ops) + sequence analytics ----------------------
+    "q_dedup_latest", "q_funnel",
     # -- joins ------------------------------------------------------------
     "q_join_star", "q_join_flagship", "q_semi_anti",
     "q_asof_join", "q_range_join",
@@ -82,6 +82,10 @@ _TAIL: list[str] = [
     "q_attribution_join",  # batch-twin machinery (equi+range join)
     # in-window via q_asof_join/q_range_join; the streaming side is
     # pytest-verified (stream-stream join == batch twin)
+    "q_dedup",  # plain distinct; hash-matched in r01, machinery covered
+    # by q_dedup_exact/q_set_ops in-window — swapped for q_funnel
+    "q_cohort_retention",  # groupBy/distinct/join machinery all
+    # in-window; oracle-checked locally
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

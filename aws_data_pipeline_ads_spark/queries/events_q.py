@@ -192,3 +192,60 @@ def q_attribution_join(spark, sf_dir):
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@query(
+    "q_funnel",
+    oracle=(
+        "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        "WHERE event_type = 'view' GROUP BY 1), "
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        "JOIN s1 USING (user_id) "
+        "WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        "JOIN s2 USING (user_id) "
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id), "
+        "u AS (SELECT DISTINCT user_id FROM events) "
+        "SELECT u.user_id, "
+        "CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 "
+        "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth, "
+        "strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS step_1_ts, "
+        "strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS step_2_ts, "
+        "strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS step_3_ts "
+        "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
+        "LEFT JOIN s3 USING (user_id)"
+    ),
+    doc="2C ads analytics: view→click→purchase greedy funnel per user — "
+        "one shuffle (collect_list + codegen'd fold) vs the oracle's "
+        "3-CTE chained-min formulation; operators/funnel.py",
+)
+def q_funnel(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.funnel import funnel
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "q_cohort_retention",
+    oracle=(
+        "WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort "
+        "FROM events GROUP BY 1), "
+        "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk "
+        "FROM events), "
+        "j AS (SELECT a.user_id, f.cohort, a.wk FROM a JOIN f USING (user_id)) "
+        "SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, "
+        "CAST((epoch_us(wk) - epoch_us(cohort)) / 604800000000 AS BIGINT) "
+        "AS week_offset, CAST(COUNT(*) AS BIGINT) AS n_users "
+        "FROM j GROUP BY 1, 2"
+    ),
+    doc="2C ads analytics: weekly cohort retention triangle — "
+        "first-activity week × activity-week offset × users; COUNT(*) "
+        "is exact-distinct by construction (operators/funnel.py)",
+)
+def q_cohort_retention(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.funnel import cohort_retention
+
+    ensure_utc(spark)
+    return cohort_retention(load_table(spark, sf_dir, "events"))

@@ -529,3 +529,60 @@ def test_length_outliers_flags_tails(spark):
     out = {r.doc_id: r for r in textstats.length_outliers(docs).collect()}
     assert out[0].is_outlier and out[21].is_outlier
     assert not any(out[i].is_outlier for i in range(1, 21))
+
+
+def test_funnel_greedy_order_and_depth(spark):
+    """Greedy sequential match: steps must occur in order, strictly
+    after the previous match; depth-0 users stay in the output."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.funnel import funnel, funnel_summary
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    ev = spark.createDataFrame([
+        # u1: full funnel, with a decoy purchase BEFORE the click
+        Row(user_id=1, event_type="view", ts=t(0)),
+        Row(user_id=1, event_type="purchase", ts=t(1)),
+        Row(user_id=1, event_type="click", ts=t(2)),
+        Row(user_id=1, event_type="purchase", ts=t(3)),
+        # u2: click before any view -> depth 1 (view only)
+        Row(user_id=2, event_type="click", ts=t(0)),
+        Row(user_id=2, event_type="view", ts=t(1)),
+        # u3: no funnel steps at all -> depth 0
+        Row(user_id=3, event_type="error", ts=t(0)),
+    ])
+    out = {r.user_id: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out[1].depth == 3 and out[1].step_3_ts.startswith("2024-01-01 00:03")
+    assert out[2].depth == 1 and out[2].step_2_ts is None
+    assert out[3].depth == 0 and out[3].step_1_ts is None
+    s = funnel_summary(funnel(ev, ["view", "click", "purchase"])).first()
+    assert (s.n_users, s.reached_1, s.reached_2, s.reached_3) == (3, 2, 1, 1)
+
+
+def test_cohort_retention_triangle(spark):
+    """Users counted once per activity week against their first-week
+    cohort; retention never exceeds cohort size."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.funnel import cohort_retention
+
+    ev = spark.createDataFrame([
+        # u1 cohort week of 2024-01-01 (Mon), active weeks 0 and 1
+        Row(user_id=1, ts=datetime(2024, 1, 2)),
+        Row(user_id=1, ts=datetime(2024, 1, 3)),   # same week: no dup row
+        Row(user_id=1, ts=datetime(2024, 1, 9)),
+        # u2 same cohort, week 0 only
+        Row(user_id=2, ts=datetime(2024, 1, 4)),
+        # u3 next-week cohort
+        Row(user_id=3, ts=datetime(2024, 1, 10)),
+    ])
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in cohort_retention(ev).collect()}
+    assert out[("2024-01-01", 0)] == 2
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1
+    assert len(out) == 3
