@@ -209,9 +209,9 @@ def q_attribution_join(spark, sf_dir):
         "SELECT u.user_id, "
         "CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 "
         "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth, "
-        "strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS step_1_ts, "
-        "strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS step_2_ts, "
-        "strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS step_3_ts "
+        "COALESCE(strftime(t1, '%Y-%m-%d %H:%M:%S.%f'), '') AS step_1_ts, "
+        "COALESCE(strftime(t2, '%Y-%m-%d %H:%M:%S.%f'), '') AS step_2_ts, "
+        "COALESCE(strftime(t3, '%Y-%m-%d %H:%M:%S.%f'), '') AS step_3_ts "
         "FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) "
         "LEFT JOIN s3 USING (user_id)"
     ),
@@ -224,7 +224,15 @@ def q_funnel(spark, sf_dir):
 
     ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    return funnel(ev, ["view", "click", "purchase"])
+    out = funnel(ev, ["view", "click", "purchase"])
+    # '' for unreached steps: NULL strings can crash pandas-side object
+    # comparison in differential harnesses (bool(pd.NA) raises), and at
+    # gate densities every user converts so the gap would go untested.
+    return out.select(
+        "user_id", "depth",
+        *[F.coalesce(c, F.lit("")).alias(c)
+          for c in ("step_1_ts", "step_2_ts", "step_3_ts")],
+    )
 
 
 @query(
@@ -249,3 +257,36 @@ def q_cohort_retention(spark, sf_dir):
 
     ensure_utc(spark)
     return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_scd2",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_id, event_type, ts, "
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev FROM events), "
+        "s AS (SELECT user_id, event_id, event_type, ts FROM o "
+        "WHERE prev IS NULL OR prev <> event_type) "
+        "SELECT user_id, event_type AS status, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS effective_from, "
+        "COALESCE(strftime(LEAD(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f'), '') AS effective_to, "
+        "(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) "
+        "AS is_current, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS BIGINT) AS version FROM s"
+    ),
+    doc="2C warehouse: SCD Type-2 build — per-user event_type change log "
+        "→ effective-dated version rows; change-detect lag + validity "
+        "lead share ONE exchange (operators/scd.py)",
+)
+def q_scd2(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.scd import scd2
+
+    ensure_utc(spark)
+    out = scd2(load_table(spark, sf_dir, "events"),
+               key="user_id", ts_col="ts", attr_col="event_type",
+               tiebreak="event_id")
+    # current rows carry '' not NULL (see q_funnel note); the operator
+    # itself keeps NULL = open-ended validity.
+    return out.withColumn("effective_to", F.coalesce("effective_to", F.lit("")))

@@ -586,3 +586,30 @@ def test_cohort_retention_triangle(spark):
     assert out[("2024-01-01", 1)] == 1
     assert out[("2024-01-08", 0)] == 1
     assert len(out) == 3
+
+
+def test_scd2_versions_and_validity(spark):
+    """Consecutive duplicate states collapse; validity windows chain
+    contiguously; the last version per key is open-ended."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.scd import scd2
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    log = spark.createDataFrame([
+        Row(user_id=1, event_id=1, event_type="trial", ts=t(0)),
+        Row(user_id=1, event_id=2, event_type="trial", ts=t(1)),   # dup run
+        Row(user_id=1, event_id=3, event_type="paid", ts=t(2)),
+        Row(user_id=1, event_id=4, event_type="churned", ts=t(3)),
+        Row(user_id=2, event_id=5, event_type="paid", ts=t(0)),
+    ])
+    out = scd2(log, "user_id", "ts", "event_type", "event_id").collect()
+    u1 = sorted((r for r in out if r.user_id == 1), key=lambda r: r.version)
+    assert [r.status for r in u1] == ["trial", "paid", "churned"]
+    assert u1[0].effective_to == u1[1].effective_from
+    assert u1[2].effective_to is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].version == 1

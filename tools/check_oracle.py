@@ -54,12 +54,19 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         va, vb = ca[col].to_numpy(), cb[col].to_numpy()
         if pd.api.types.is_float_dtype(ca[col]):
             eq = np.array_equal(va, vb, equal_nan=True)
+            bad = ~((va == vb) | (pd.isna(va) & pd.isna(vb)))
         else:
-            eq = (pd.isna(va) == pd.isna(vb)).all() and (
-                (va == vb) | pd.isna(va)
-            ).all()
+            # compare NA masks separately, values only where both
+            # present — `==` on object arrays RAISES when an element is
+            # pd.NA (bool(NA) is ambiguous)
+            na_a, na_b = pd.isna(va), pd.isna(vb)
+            both = ~na_a & ~na_b
+            vals_eq = np.ones(len(va), dtype=bool)
+            vals_eq[both] = va[both] == vb[both]
+            bad = (na_a != na_b) | ~vals_eq
+            eq = not bad.any()
         if not eq:
-            mism = np.where(~((va == vb) | (pd.isna(va) & pd.isna(vb))))[0][:5]
+            mism = np.where(bad)[0][:5]
             detail = [(int(i), va[i], vb[i]) for i in mism]
             return f"values differ in {col!r}: {detail}"
     return None
