@@ -88,6 +88,8 @@ _TAIL: list[str] = [
     # in-window; oracle-checked locally
     "q_scd2",  # lag/lead/row_number machinery in-window via
     # q_window_rank/q_window_running; oracle-checked locally
+    "q_profile",  # agg/count_distinct machinery in-window via
+    # q_count_distinct/q_agg_rollup; oracle-checked locally
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

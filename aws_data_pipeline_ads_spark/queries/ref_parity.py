@@ -190,3 +190,69 @@ def q_run_summary(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "total_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (D3 schema validation + D4 null checks, generalized)
+# ---------------------------------------------------------------------------
+
+# (column, render kind) — one spec drives BOTH the Spark renderers and
+# the generated oracle SQL, so min/max string renderings stay identical.
+_PROFILE_SPEC = [
+    ("o_orderkey", "plain"),
+    ("o_custkey", "plain"),
+    ("o_orderstatus", "plain"),
+    ("o_orderpriority", "plain"),
+    ("o_totalprice", "dec"),   # double → decimal(18,2): engine-neutral text
+    ("o_orderdate", "ts"),     # timestamp → explicit micros format
+]
+
+_SQL_RENDER = {
+    "plain": "CAST({m}({c}) AS VARCHAR)",
+    "dec": "CAST(CAST({m}({c}) AS DECIMAL(18,2)) AS VARCHAR)",
+    "ts": "strftime({m}({c}), '%Y-%m-%d %H:%M:%S.%f')",
+}
+
+
+def _profile_oracle() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    selects = []
+    for c, kind in _PROFILE_SPEC:
+        aggs += [
+            f"CAST(COUNT({c}) AS BIGINT) AS cnt_{c}",
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}",
+            _SQL_RENDER[kind].format(m="MIN", c=c) + f" AS mn_{c}",
+            _SQL_RENDER[kind].format(m="MAX", c=c) + f" AS mx_{c}",
+        ]
+        selects.append(
+            f"SELECT '{c}' AS col_name, n_rows, n_rows - cnt_{c} AS n_nulls, "
+            f"nd_{c} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value "
+            "FROM a"
+        )
+    return "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders) " + \
+        " UNION ALL ".join(selects)
+
+
+@query(
+    "q_profile",
+    oracle=_profile_oracle(),
+    doc="D3/D4 generalized: single-pass column profile of `orders` — "
+        "nulls, exact distincts, rendered min/max per column in ONE "
+        "aggregation + inline unpivot (operators/profiling.py)",
+)
+def q_profile(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.profiling import profile
+    from aws_data_pipeline_ads_spark.session import ensure_utc
+
+    ensure_utc(spark)
+    ts_render = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    renderers = {
+        "double": lambda c: c.cast("decimal(18,2)").cast("string"),
+        "timestamp": ts_render,
+        "timestamp_ntz": ts_render,  # parquet TIMESTAMP reads as NTZ here
+    }
+    return profile(
+        load_table(spark, sf_dir, "orders"),
+        columns=[c for c, _ in _PROFILE_SPEC],
+        renderers=renderers,
+    )

@@ -613,3 +613,21 @@ def test_scd2_versions_and_validity(spark):
     assert not u1[0].is_current and not u1[1].is_current
     u2 = [r for r in out if r.user_id == 2]
     assert len(u2) == 1 and u2[0].is_current and u2[0].version == 1
+
+
+def test_profile_nulls_distincts_and_native_minmax(spark):
+    """Min/max aggregate in the NATIVE type (numeric 9 < 10 despite
+    lexicographic '10' < '9'); nulls and distincts exact per column."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.profiling import profile
+
+    df = spark.createDataFrame([
+        Row(k=10, s="b"), Row(k=9, s=None), Row(k=10, s="a"),
+    ])
+    out = {r.col_name: r for r in profile(df).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 2
+    assert out["k"].min_value == "9" and out["k"].max_value == "10"
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_value == "a" and out["s"].max_value == "b"
