@@ -290,3 +290,26 @@ def q_scd2(spark, sf_dir):
     # current rows carry '' not NULL (see q_funnel note); the operator
     # itself keeps NULL = open-ended validity.
     return out.withColumn("effective_to", F.coalesce("effective_to", F.lit("")))
+
+
+@query(
+    "q_hll_rollup",
+    oracle=None,  # sketch estimates are library-specific → rows-only;
+    # pytest pins estimate-vs-exact error and partial-union invariance
+    doc="2C sketches: re-aggregatable distinct users — per-(type, day) "
+        "HLL partial sketches unioned up to event_type; the mergeable "
+        "OLAP-cube pattern COUNT(DISTINCT) cannot express "
+        "(operators/sketches.py)",
+)
+def q_hll_rollup(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sketches import (
+        hll_partial_sketches,
+        hll_rollup,
+    )
+
+    ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    partials = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
+    return hll_rollup(partials, ["event_type"]).orderBy("event_type")

@@ -631,3 +631,29 @@ def test_profile_nulls_distincts_and_native_minmax(spark):
     assert out["k"].min_value == "9" and out["k"].max_value == "10"
     assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
     assert out["s"].min_value == "a" and out["s"].max_value == "b"
+
+
+def test_hll_sketches_accuracy_and_merge_invariance(spark, sf_dir):
+    """(a) HLL estimate within 5% of exact distinct per group; (b) union
+    of per-day partial sketches == direct whole-group sketch estimate —
+    the re-aggregatability property that makes sketches materializable."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.sketches import (
+        hll_partial_sketches,
+        hll_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
+    rolled = {r.event_type: r.approx_distinct
+              for r in hll_rollup(partials, ["event_type"]).collect()}
+    direct = {r.event_type: r.approx_distinct
+              for r in hll_rollup(
+                  hll_partial_sketches(ev, ["event_type"], "user_id"),
+                  ["event_type"]).collect()}
+    exact = {r.event_type: r.n
+             for r in ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert rolled == direct  # merge invariance: exact equality
+    for et, n in exact.items():
+        assert abs(rolled[et] - n) / n < 0.05, (et, rolled[et], n)
