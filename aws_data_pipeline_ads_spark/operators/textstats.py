@@ -230,10 +230,15 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # df (term partition) BEFORE dl (doc partition): the final rank
+    # window also partitions by doc_id, so planning dl last lets the
+    # rank reuse dl's exchange — one shuffle saved (pinned in PLANS.md).
     x = tf.select(
         "doc_id", "term", "tf",
-        F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
         F.count(F.lit(1)).over(W.partitionBy("term")).cast("long").alias("df"),
+    ).select(
+        "doc_id", "term", "tf", "df",
+        F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
     )
     g = documents.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -81,7 +81,12 @@ def test_scalar_censuses_are_shuffle_free(spark, sf_dir):
 # Queries allowed a nested-loop/cartesian plan: both inputs are bounded
 # (dimension tables or 1-row aggregates), documented in each builder.
 # q_tpch_q22's is the 1-row avg_bal scalar broadcast.
-_NESTED_LOOP_OK = {"q_cross_join", "q_scalar_subquery", "q_tpch_q22"}
+_NESTED_LOOP_OK = {
+    "q_cross_join", "q_scalar_subquery", "q_tpch_q22",
+    # broadcast of a 1-row global aggregate (N, avgdl) — constant-size
+    # build side, same bounded pattern as q_scalar_subquery
+    "q_bm25_terms",
+}
 
 
 def test_no_nested_loop_joins_on_unbounded_inputs(spark, sf_dir):
@@ -110,6 +115,15 @@ _SHUFFLE_CEILING = {
     # explode-distinct + self-join (exchange reused) + pair-agg; per-doc
     # counts ride the join as expression columns, so no counts joins.
     "q_ngram_jaccard": 4,
+    # tf agg + term window + doc window whose exchange the final rank
+    # window reuses (df-before-dl ordering; see textstats.bm25_terms)
+    "q_bm25_terms": 4,
+    # winner election on slim hash projection + semi join + reassembly
+    "q_line_dedup": 4,
+    # change-detect lag + validity lead + version share ONE exchange
+    "q_scd2": 1,
+    # collect_list + codegen'd fold: one exchange total
+    "q_funnel": 1,
 }
 
 
