@@ -92,6 +92,8 @@ _TAIL: list[str] = [
     # q_count_distinct/q_agg_rollup; oracle-checked locally
     "q_hll_rollup",  # sketch estimates rows-only by nature (like
     # q_approx_distinct); accuracy + merge-invariance pytest-pinned
+    "q_merge_upsert",  # anti-join ∪ union machinery in-window via
+    # q_semi_anti/q_set_ops; streaming side pytest-verified
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",

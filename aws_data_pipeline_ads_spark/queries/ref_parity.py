@@ -256,3 +256,36 @@ def q_profile(spark, sf_dir):
         columns=[c for c, _ in _PROFILE_SPEC],
         renderers=renderers,
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle=(
+        "WITH src AS ("
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, "
+        "c_mktsegment FROM customer WHERE c_custkey % 7 = 0 "
+        "UNION ALL "
+        "SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, "
+        "'NEW' AS c_mktsegment FROM customer WHERE c_custkey % 11 = 3), "
+        "kept AS (SELECT c.* FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)) "
+        "SELECT * FROM kept UNION ALL SELECT * FROM src"
+    ),
+    doc="lakehouse MERGE INTO semantics: deterministic change batch "
+        "(updates for custkey%7=0, inserts keyed past the range) upserted "
+        "into customer — anti-join ∪ source, change batch broadcast "
+        "(operators/upsert.py)",
+)
+def q_merge_upsert(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.upsert import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    )
+    inserts = cust.filter(F.col("c_custkey") % 11 == 3).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal",
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return merge_upsert(cust, updates.unionByName(inserts), "c_custkey")

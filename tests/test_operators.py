@@ -657,3 +657,31 @@ def test_hll_sketches_accuracy_and_merge_invariance(spark, sf_dir):
     assert rolled == direct  # merge invariance: exact equality
     for et, n in exact.items():
         assert abs(rolled[et] - n) / n < 0.05, (et, rolled[et], n)
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.upsert import merge_upsert
+
+    target = spark.createDataFrame([
+        Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c"),
+    ])
+    source = spark.createDataFrame([
+        Row(k=2, v="B2"),   # update
+        Row(k=9, v="new"),  # insert
+    ])
+    out = {r.k: r.v for r in merge_upsert(target, source, "k").collect()}
+    assert out == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.upsert import merge_upsert
+
+    t = spark.createDataFrame([Row(k=1, v="a")])
+    s = spark.createDataFrame([Row(k=1, other="x")])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(t, s, "k")

@@ -210,3 +210,34 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, ev_stream, tmp_p
         for r in REGISTRY["q_attribution_join"].build(spark, sf_dir).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_streaming_upsert_maintains_keyed_snapshot(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: draining the events stream through
+    latest-wins dedup per batch leaves a snapshot keyed by event_id that
+    equals the batch-computed table; a second drain with the same
+    checkpoint changes nothing (exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.operators.upsert import streaming_upsert_sink
+
+    target = str(tmp_path / "snapshot")
+    ck = str(tmp_path / "ck_upsert")
+    ev = streaming.events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    streaming_upsert_sink(ev, target, ck, key="event_id")
+    snap1 = spark.read.parquet(target)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    assert snap1.count() == batch.select("event_id").distinct().count()
+    # rerun: checkpoint replays nothing, snapshot unchanged
+    streaming_upsert_sink(
+        streaming.events_stream(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        ),
+        target, ck, key="event_id",
+    )
+    assert spark.read.parquet(target).count() == snap1.count()
