@@ -52,3 +52,55 @@ def size_balanced_partitions(df: DataFrame, key_col: str, size_col: str,
     )
     out = small.unionByName(big)
     return out.repartition(n_small + n_big, "__bucket")
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 10):
+    """Z-order (Morton) curve key over `cols`: per-column min/max
+    normalization to `bits`-bit buckets, then bit interleaving.
+
+    Sorting/range-partitioning by this key clusters rows so that EVERY
+    listed column's values are locally contiguous — each output file
+    spans a small box of the multi-dimensional space, so file-level
+    min/max statistics prune scans on ANY of the columns, not just the
+    leading sort key (the Delta/Iceberg OPTIMIZE ZORDER layout,
+    expressed as plain expressions).
+
+    Returns (df_with_bounds, key_column): bounds come from one 1-row
+    aggregate broadcast into the plan — no global sort, no sampling.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).cast("double").alias(f"__mn_{c}"),
+                 F.max(c).cast("double").alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    top = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        frac = (F.col(c).cast("double") - mn) / span
+        buckets.append(F.least(
+            F.floor(frac * (top + 1)).cast("long"), F.lit(top)
+        ))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, bucket in enumerate(buckets):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(buckets) + i))
+    return out, z
+
+
+def zorder_write(df: DataFrame, cols: list[str], path: str,
+                 n_files: int = 16, bits: int = 10) -> None:
+    """Materialize `df` as `n_files` parquet files range-partitioned by
+    the Z-order key: each file covers a compact box in every `cols`
+    dimension, so min/max stats prune on any of them."""
+    keyed, z = zorder_key(df, cols, bits)
+    (
+        keyed.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .drop("__z", *[c for c in keyed.columns if c.startswith("__mn_")
+                       or c.startswith("__mx_")])
+        .write.mode("overwrite").parquet(path)
+    )

@@ -238,3 +238,40 @@ def test_interval_join_binned_equals_naive_and_no_nested_loop(spark):
     with _pytest.raises(ValueError, match="inner.*left"):
         relational.interval_join(points, "ts", intervals, "start", "end",
                                  how="right")
+
+
+def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
+    """Z-order files cover compact boxes in BOTH dimensions: a filter on
+    the NON-leading dimension touches a fraction of files, where an
+    x-sorted layout must touch all of them."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.operators.partitioning import zorder_write
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    zorder_write(df, ["x", "y"], zpath, n_files=16)
+    df.repartitionByRange(16, "x").write.mode("overwrite").parquet(xpath)
+
+    def files_touched(path):
+        got = (
+            spark.read.parquet(path)
+            .filter((F.col("y") >= 8) & (F.col("y") < 16))  # y-only box
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        return got
+
+    z_files = files_touched(zpath)
+    x_files = files_touched(xpath)
+    assert x_files == 16  # x-sorted layout: every file holds all y values
+    assert z_files <= 8, f"zorder should cluster y too, touched {z_files}"
+    # same rows survive either layout
+    assert spark.read.parquet(zpath).count() == n
