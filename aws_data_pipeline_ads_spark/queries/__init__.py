@@ -102,6 +102,8 @@ _TAIL: list[str] = [
     "q_tpch_q13", "q_tpch_q14", "q_tpch_q19", "q_tpch_q22",
     "q_tpch_q18",  # groupBy+HAVING+top-k machinery held in-window by
     # q_tpch_q3/q_tpch_q1 — swapped for q_line_dedup
+    "q_tpch_q5", "q_tpch_q10",  # classic shapes; join machinery
+    # in-window via q_join_flagship/q_tpch_q3
 ]
 
 
