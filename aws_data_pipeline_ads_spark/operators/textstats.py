@@ -325,3 +325,32 @@ def length_outliers(documents: DataFrame, lo: float = 0.05,
         ((F.col("n_chars") < F.col("p_lo"))
          | (F.col("n_chars") > F.col("p_hi"))).alias("is_outlier"),
     )
+
+
+# GPT-2-style pre-tokenizer, simplified to the subset Java regex and RE2
+# execute identically (no lookahead; both engines use leftmost-first
+# alternation): contractions, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace.
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+"
+    r"|\s+"
+)
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """Per-doc token counts under the BPE-ish pre-tokenizer next to the
+    whitespace count, plus fertility (BPE tokens per whitespace word) —
+    the number LLM-data budgeting actually runs on. Zero shuffles; one
+    codegen'd projection."""
+    t = F.col("text")
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+    n_ws = token_count("text")
+    return documents.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("fertility"),
+    )

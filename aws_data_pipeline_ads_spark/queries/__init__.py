@@ -104,6 +104,8 @@ _TAIL: list[str] = [
     # q_tpch_q3/q_tpch_q1 — swapped for q_line_dedup
     "q_tpch_q5", "q_tpch_q10",  # classic shapes; join machinery
     # in-window via q_join_flagship/q_tpch_q3
+    "q_token_bpe",  # regexp-census machinery in-window via
+    # q_token_count/q_quality_score; oracle-checked locally
 ]
 
 

@@ -458,3 +458,27 @@ def q_binary_meta(spark, sf_dir):
         F.octet_length("text").cast("long").alias("n_bytes"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
     )
+
+
+_BPE_SQL = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            "| ?[^\\sA-Za-z0-9]+|\\s+")
+
+
+@query(
+    "q_token_bpe",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) "
+        "AS n_bpe_tokens, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+        "AS n_ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DOUBLE) "
+        "/ len(regexp_split_to_array(trim(text), '\\s+')) AS fertility "
+        "FROM documents"
+    ),
+    doc="2C text: BPE-ish pre-tokenizer counts + fertility vs whitespace "
+        "words — leftmost-first alternation executes identically in Java "
+        "regex and RE2 (textstats.bpe_token_counts, zero shuffles)",
+)
+def q_token_bpe(spark, sf_dir):
+    return textstats.bpe_token_counts(load_table(spark, sf_dir, "documents"))

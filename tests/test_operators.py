@@ -685,3 +685,21 @@ def test_merge_upsert_rejects_schema_mismatch(spark):
     s = spark.createDataFrame([Row(k=1, other="x")])
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(t, s, "k")
+
+
+def test_bpe_tokenizer_splits_like_gpt2_subset(spark):
+    """Contractions split off, punctuation runs separate, digits runs
+    separate; fertility >= 1 (BPE-ish always >= whitespace words)."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="don't stop—it's 2024!!"),
+        Row(doc_id=2, text="plain words here"),
+    ])
+    out = {r.doc_id: r for r in textstats.bpe_token_counts(docs).collect()}
+    # don | 't | (space)stop | — | it | 's | (space)2024 | !!
+    assert out[1].n_bpe_tokens == 8 and out[1].n_ws_tokens == 3
+    assert out[2].n_bpe_tokens == 3 and out[2].fertility == 1.0
+    assert out[1].fertility > 2.0
