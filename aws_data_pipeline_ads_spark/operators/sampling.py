@@ -39,3 +39,43 @@ def hash_sample(df: DataFrame, key_col: str, keep_of_256: int) -> DataFrame:
     """
     bucket = F.expr(hash_bucket_sql(f"CAST({key_col} AS STRING)"))
     return df.filter(bucket < F.lit(int(keep_of_256)))
+
+
+def hash_u32_sql(key_expr: str) -> str:
+    """Portable SQL for a 32-bit uniform hash of key_expr (first 8 hex
+    digits of md5) — same text runs on Spark SQL and DuckDB."""
+    # BIGINT accumulator: 8 hex digits exceed INT32 and Spark's ANSI
+    # mode (default-on in Spark 4) faults on overflow instead of wrapping
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        d = f"(instr('0123456789abcdef', substr(md5({key_expr}), {i}, 1)) - 1)"
+        acc = f"({acc} * 16 + {d})"
+    return acc
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int) -> DataFrame:
+    """Weighted-without-replacement sample of k rows: sequential Poisson
+    sampling (Ohlsson) — rank by u/w ascending, keep the k smallest.
+
+    Classic A-ES uses u^(1/w); pow is libm-specific and last-ulp
+    divergent across engines, while the u/w formulation is an
+    established approximate-πps estimator using ONLY IEEE-exact
+    division — the sampled set is bit-reproducible and cross-engine
+    verifiable. u is the 32-bit md5 fraction of the key (never 0), so
+    membership is partitioning-invariant and stable under re-runs, like
+    hash_sample. Weights must be > 0.
+
+    Plans as TakeOrderedAndProject: each partition keeps a k-heap of
+    (key, tiebreak) — no global sort, linear scan at any scale.
+    """
+    u = (
+        (F.expr(hash_u32_sql(f"CAST({key_col} AS STRING)")) + 1).cast("double")
+        / F.lit(4294967297.0)
+    )
+    skey = u / F.col(weight_col)
+    return (
+        df.withColumn("sample_key", skey)
+        .orderBy("sample_key", key_col)
+        .limit(k)
+    )

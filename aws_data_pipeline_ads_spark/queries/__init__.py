@@ -106,6 +106,8 @@ _TAIL: list[str] = [
     # in-window via q_join_flagship/q_tpch_q3
     "q_token_bpe",  # regexp-census machinery in-window via
     # q_token_count/q_quality_score; oracle-checked locally
+    "q_sample_weighted",  # hash-gate machinery in-window via
+    # q_sample_stratified; top-k via q_limit_topk
 ]
 
 

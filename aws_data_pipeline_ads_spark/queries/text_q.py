@@ -482,3 +482,29 @@ _BPE_SQL = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
 )
 def q_token_bpe(spark, sf_dir):
     return textstats.bpe_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _u32_sql(key: str) -> str:
+    from aws_data_pipeline_ads_spark.operators.sampling import hash_u32_sql
+
+    return hash_u32_sql(key)
+
+
+@query(
+    "q_sample_weighted",
+    oracle=(
+        "SELECT doc_id, n_chars, "
+        f"(({_u32_sql('CAST(doc_id AS STRING)')} + 1) / 4294967297.0::DOUBLE) "
+        "/ n_chars AS sample_key "
+        "FROM documents ORDER BY sample_key, doc_id LIMIT 50"
+    ),
+    doc="LLM curation: weighted-without-replacement sample (sequential "
+        "Poisson, u/w keys — division-only, so bit-reproducible and "
+        "oracle-verifiable unlike pow-based A-ES); length-weighted over "
+        "documents; sampling.weighted_sample",
+)
+def q_sample_weighted(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 50)

@@ -703,3 +703,19 @@ def test_bpe_tokenizer_splits_like_gpt2_subset(spark):
     assert out[1].n_bpe_tokens == 8 and out[1].n_ws_tokens == 3
     assert out[2].n_bpe_tokens == 3 and out[2].fertility == 1.0
     assert out[1].fertility > 2.0
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Sequential Poisson: heavier rows are sampled more often. With one
+    row weighted 1000x vs 999 unit rows, the heavy row lands in a k=100
+    sample; sample is deterministic across calls/partitionings."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.sampling import weighted_sample
+
+    rows = [Row(k=i, w=1.0) for i in range(999)] + [Row(k=1_000_000, w=1000.0)]
+    df = spark.createDataFrame(rows)
+    s1 = {r.k for r in weighted_sample(df, "k", "w", 100).collect()}
+    s2 = {r.k for r in weighted_sample(df.repartition(7), "k", "w", 100).collect()}
+    assert s1 == s2 and len(s1) == 100
+    assert 1_000_000 in s1
