@@ -135,3 +135,88 @@ def test_dec_sum_is_partitioning_invariant(spark, rows, parts):
     base = df.coalesce(1).agg(dec_sum("v", "t")).collect()[0].t
     re = df.repartition(parts).agg(dec_sum("v", "t")).collect()[0].t
     assert re == base
+
+
+_edges = st.lists(
+    st.tuples(st.integers(1, 20), st.integers(1, 20)).filter(lambda p: p[0] != p[1]),
+    min_size=0, max_size=25,
+)
+
+
+@PROP
+@given(edges=_edges)
+def test_connected_components_match_union_find(spark, edges):
+    """CC labels agree with a plain union-find reference on random
+    graphs: same partition into components, min-id labelling."""
+    from aws_data_pipeline_ads_spark.operators import graph
+
+    nodes = sorted({n for e in edges for n in e} | {1, 20})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expected = {}
+    for n in nodes:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    want = {n: min(group) for group in expected.values() for n in group}
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges] or [Row(doc_a=1, doc_b=1)]
+    )
+    docs = spark.createDataFrame([Row(doc_id=n) for n in nodes])
+    got = {r.doc_id: r.cluster_id
+           for r in graph.neardup_clusters(docs, pairs).collect()}
+    assert got == want
+
+
+_texts = st.lists(
+    st.text(alphabet="ab .", min_size=0, max_size=30), min_size=1, max_size=8
+)
+
+
+@PROP
+@given(texts=_texts)
+def test_line_dedup_invariants(spark, texts):
+    """(a) total kept == number of distinct normalized lines corpus-wide;
+    (b) clean_text is always a subsequence of the doc's own lines;
+    (c) n_kept <= n_lines per doc."""
+    from aws_data_pipeline_ads_spark.operators import dedup
+    import re
+
+    docs = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    out = {r.doc_id: r for r in
+           dedup.line_dedup(spark.createDataFrame(docs)).collect()}
+    all_lines = set()
+    for i, t in enumerate(texts):
+        lines = [s.strip() for s in re.split(r"\.\s+", t) if s.strip()]
+        assert out[i].n_lines == len(lines)
+        assert out[i].n_kept <= out[i].n_lines
+        kept = [s for s in out[i].clean_text.split(". ") if s] \
+            if out[i].clean_text else []
+        own = [s.lower() for s in lines]
+        assert [k.lower() for k in kept] == \
+            [l for l in _subseq_filter(own, kept)]
+        all_lines.update(s.lower() for s in lines)
+    assert sum(r.n_kept for r in out.values()) == len(all_lines)
+
+
+def _subseq_filter(own_lines, kept):
+    """Ordered intersection: own lines that appear in kept (lowered),
+    keeping only each line's FIRST in-doc occurrence (later in-doc
+    duplicates lose the corpus-wide winner election by position)."""
+    kept_set = {k.lower() for k in kept}
+    seen, out = set(), []
+    for l in own_lines:
+        if l in kept_set and l not in seen:
+            seen.add(l)
+            out.append(l)
+    return out
