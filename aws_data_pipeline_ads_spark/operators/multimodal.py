@@ -60,17 +60,38 @@ def attach_media(documents: DataFrame, media_type: str = "image/fake") -> DataFr
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real PNG header decode, pure Python: the 8-byte PNG signature is
-    followed by the IHDR chunk (length + type at offsets 8-16), whose
-    first 8 data bytes are big-endian width, height. Pixel-level decode
-    (IDAT inflate) would need PIL/libvips and is not required for
-    dimension features."""
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload (bad signature)")
-    if payload[12:16] != b"IHDR":
-        raise ValueError("PNG missing IHDR chunk")
-    width, height = struct.unpack(">II", payload[16:24])
-    return width, height
+    """Real image header decode, pure Python, by sniffed format:
+
+    - PNG: 8-byte signature, then the IHDR chunk (length + type at
+      offsets 8-16) whose first 8 data bytes are big-endian width,
+      height.
+    - JPEG: walk the marker stream to the first SOFn frame header
+      (C0-CF except the non-frame C4/C8/CC); its payload is precision,
+      big-endian height, width.
+
+    Pixel-level decode (IDAT inflate / DCT) would need PIL/libvips and
+    is not required for dimension features."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR chunk")
+        width, height = struct.unpack(">II", payload[16:24])
+        return width, height
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("JPEG marker stream desynced")
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            size = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height, width = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return width, height
+            pos += 2 + size
+        raise ValueError("JPEG missing SOF frame header")
+    raise ValueError("unsupported image payload (need PNG or JPEG)")
 
 
 def _parse_wav(payload: bytes):

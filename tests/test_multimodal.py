@@ -36,9 +36,9 @@ def test_image_features_deterministic(spark, media):
 
 
 def test_real_decoder_rejects_non_png(spark, media):
-    # text payloads are not PNGs — the real decoder must fail loudly,
-    # never emit garbage dimensions
-    with pytest.raises(Exception, match="not a PNG"):
+    # text payloads are neither PNG nor JPEG — the real decoder must
+    # fail loudly, never emit garbage dimensions
+    with pytest.raises(Exception, match="unsupported image payload"):
         multimodal.extract_image_features(media, use_fake_decoder=False).collect()
 
 
@@ -182,3 +182,40 @@ def test_audio_features_deterministic(spark, sf_dir):
     assert {k: (v.n_samples, v.rms) for k, v in rows.items()} == {
         k: (v.n_samples, v.rms) for k, v in again.items()
     }
+
+
+def _make_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, a COM segment (exercises the
+    marker walk), SOF0 with the dimensions, EOI. Not renderable — the
+    header walk only needs well-formed markers."""
+    import struct as st
+
+    com = b"\xff\xfe" + st.pack(">H", 2 + 7) + b"comment"
+    sof0 = (b"\xff\xc0" + st.pack(">H", 8 + 3)
+            + b"\x08" + st.pack(">HH", height, width) + b"\x01\x11\x00\x00")
+    return b"\xff\xd8" + com + sof0 + b"\xff\xd9"
+
+
+def test_real_jpeg_decode_end_to_end(spark):
+    import hashlib as hl
+
+    from pyspark.sql import Row
+
+    payloads = {1: _make_jpeg(640, 480), 2: _make_jpeg(31, 977)}
+    media = spark.createDataFrame(
+        [
+            Row(doc_id=i, content=p,
+                meta=Row(media_type="image/jpeg", n_bytes=len(p),
+                         sha256=hl.sha256(p).hexdigest()))
+            for i, p in payloads.items()
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = {
+        r.doc_id: r
+        for r in multimodal.extract_image_features(
+            media, use_fake_decoder=False
+        ).collect()
+    }
+    assert (feats[1].width, feats[1].height) == (640, 480)
+    assert (feats[2].width, feats[2].height) == (31, 977)
