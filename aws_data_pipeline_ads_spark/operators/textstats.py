@@ -215,10 +215,13 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
         score = idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
 
     Scale shape: tf is one map-side-combined groupBy on (doc_id, term);
-    dl and df ride as window aggregates over tf's slim (doc, term, tf)
-    rows (no join back to text); N/avgdl are a 1-row aggregate broadcast
-    in. Shuffles: tf, dl-window, df-window, final per-doc rank — all on
-    slim columns, text never shuffles.
+    df is a groupBy + equi-join on term — NOT a window over a term
+    partition, because term frequencies are Zipfian and the hot-term
+    partition of a window cannot be split, while AQE's skew-join splits
+    the oversized join partitions for free. dl rides as a window over
+    the doc partition, whose exchange the final per-doc rank reuses;
+    N/avgdl are a 1-row aggregate broadcast in. All shuffles move slim
+    (id, term, counts) rows — text never shuffles.
     """
     from pyspark.sql import Window as W
 
@@ -230,13 +233,11 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    # df (term partition) BEFORE dl (doc partition): the final rank
-    # window also partitions by doc_id, so planning dl last lets the
-    # rank reuse dl's exchange — one shuffle saved (pinned in PLANS.md).
-    x = tf.select(
-        "doc_id", "term", "tf",
-        F.count(F.lit(1)).over(W.partitionBy("term")).cast("long").alias("df"),
-    ).select(
+    # df join BEFORE the dl window: the final rank window also
+    # partitions by doc_id, so planning dl last lets the rank reuse
+    # dl's exchange (pinned in PLANS.md).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    x = tf.join(dfreq, "term").select(
         "doc_id", "term", "tf", "df",
         F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
     )
@@ -268,12 +269,20 @@ def top_ngrams(documents: DataFrame, k: int = 10) -> DataFrame:
     frequency analysis (vocabulary drift, boilerplate discovery, BPE
     merge-candidate mining all start here).
 
-    Two shuffles, both slim: the (lang, ngram) count is map-side
-    combined (partial aggregation folds each partition's counts before
-    the exchange — the shuffle moves unique bigrams, not occurrences),
-    and the per-lang top-k is a window over the already-aggregated
-    counts. Bigrams are materialized below the explode in one pass per
-    doc (same two-step projection rule as doc_shingle_sets).
+    Scale shape: the (lang, ngram) count is map-side combined (partial
+    aggregation folds each partition's counts before the exchange — the
+    shuffle moves unique bigrams, not occurrences). The per-lang top-k
+    is TWO-PHASE: a first row_number over (lang, salt-of-ngram) prunes
+    each of 64 salted sub-partitions to its own top-k, then the final
+    window ranks the ≤ 64·k survivors per lang. `lang` is a
+    LOW-cardinality key — a single per-lang window would funnel every
+    distinct bigram of a language through one task (unsplittable even
+    by AQE); the salted phase bounds that task at 64·k rows. The salt
+    never changes results: the global top-k of each lang is a subset of
+    the union of salted top-ks.
+
+    Bigrams are materialized below the explode in one pass per doc
+    (same two-step projection rule as doc_shingle_sets).
     """
     from pyspark.sql import Window as W
 
@@ -295,9 +304,17 @@ def top_ngrams(documents: DataFrame, k: int = 10) -> DataFrame:
         .groupBy("lang", "ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
-    w = W.partitionBy("lang").orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    order = [F.desc("n_occurrences"), F.asc("ngram")]
+    salted = W.partitionBy("lang", F.pmod(F.xxhash64("ngram"), F.lit(64))) \
+              .orderBy(*order)
+    pruned = (
+        counts.withColumn("__r1", F.row_number().over(salted))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1")
+    )
+    w = W.partitionBy("lang").orderBy(*order)
     return (
-        counts.withColumn("ngram_rank", F.row_number().over(w).cast("long"))
+        pruned.withColumn("ngram_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("ngram_rank") <= k)
     )
 

@@ -115,9 +115,11 @@ _SHUFFLE_CEILING = {
     # explode-distinct + self-join (exchange reused) + pair-agg; per-doc
     # counts ride the join as expression columns, so no counts joins.
     "q_ngram_jaccard": 4,
-    # tf agg + term window + doc window whose exchange the final rank
-    # window reuses (df-before-dl ordering; see textstats.bm25_terms)
-    "q_bm25_terms": 4,
+    # tf agg + df agg + df join + doc window whose exchange the final
+    # rank reuses; one shuffle more than a term-window df would cost,
+    # bought deliberately: the join is AQE-skew-splittable on Zipfian
+    # terms, a hot-term window partition is not (textstats.bm25_terms)
+    "q_bm25_terms": 5,
     # winner election on slim hash projection + semi join + reassembly
     "q_line_dedup": 4,
     # change-detect lag + validity lead + version share ONE exchange
