@@ -371,3 +371,48 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         (n_bpe.cast("double") / n_ws).alias("fertility"),
     )
+
+
+def prepare_corpus(documents: DataFrame, sample_of_256: int = 128) -> DataFrame:
+    """The full training-data prep pipeline as ONE declarative plan:
+
+        PII scrub → quality gate → exact dedup (canonical per
+        fingerprint) → deterministic 50% hash sample → per-lang shard
+        stats
+
+    Composes redact_pii, the curate-style gate, exact dedup, and the
+    md5-bucket sampling gate (operators/sampling.py) — every stage is
+    engine-deterministic, so the WHOLE pipeline hash-matches its oracle.
+    Text-derived values are computed in one projection and text drops
+    out before any shuffle (the curate rule); the sampling gate is a
+    filter, not a shuffle.
+    """
+    from aws_data_pipeline_ads_spark.functions import content_fingerprint
+    from aws_data_pipeline_ads_spark.operators.sampling import hash_bucket_sql
+
+    cleaned = redact_pii(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    t = F.col("clean_text")
+    n_chars = F.length(t).cast("long")
+    n_alnum = F.length(F.regexp_replace(t, PUNCT_RE, "")).cast("long")
+    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
+    ok = cleaned.select(
+        "doc_id", "lang", "had_pii",
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_toks"),
+        content_fingerprint(t).alias("fp"),
+        n_chars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+    ).filter(
+        (F.col("n_chars") >= 20) & (F.col("n_toks") >= 5)
+        & (F.col("punct_ratio") < 0.3)
+    )
+    canon = ok.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    sampled = ok.join(canon, "doc_id").filter(
+        F.expr(hash_bucket_sql("CAST(doc_id AS STRING)")) < F.lit(sample_of_256)
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum(F.col("had_pii").cast("long")).cast("long").alias("n_had_pii"),
+    )

@@ -108,6 +108,8 @@ _TAIL: list[str] = [
     # q_token_count/q_quality_score; oracle-checked locally
     "q_sample_weighted",  # hash-gate machinery in-window via
     # q_sample_stratified; top-k via q_limit_topk
+    "q_corpus_prep",  # composition of in-window stages (PII scrub,
+    # quality gate, dedup, hash sample); oracle-checked locally
 ]
 
 

@@ -508,3 +508,45 @@ def q_sample_weighted(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", 50)
+
+
+_CLEAN_SQL = (
+    f"regexp_replace(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', "
+    f"'<EMAIL>', 'g'), '{_PII_PHONE}', '<PHONE>', 'g'), '{_PII_IP}', "
+    "'<IP>', 'g')"
+)
+
+
+@query(
+    "q_corpus_prep",
+    oracle=(
+        f"WITH c AS (SELECT doc_id, lang, {_CLEAN_SQL} AS ct, "
+        f"(len(regexp_extract_all(text, '{_PII_EMAIL}')) "
+        f"+ len(regexp_extract_all(text, '{_PII_PHONE}')) "
+        f"+ len(regexp_extract_all(text, '{_PII_IP}')) > 0) AS had_pii "
+        "FROM documents), "
+        "q AS (SELECT doc_id, lang, had_pii, "
+        "CAST(len(regexp_split_to_array(trim(ct), '\\s+')) AS BIGINT) AS n_toks, "
+        "md5(lower(regexp_replace(trim(ct), '\\s+', ' ', 'g'))) AS fp, "
+        "CAST(length(ct) AS BIGINT) AS n_chars, "
+        "CAST(length(ct) - length(regexp_replace(ct, '[^a-zA-Z0-9\\s]', '', 'g')) "
+        "AS DOUBLE) / length(ct) AS punct_ratio FROM c), "
+        "ok AS (SELECT * FROM q WHERE n_chars >= 20 AND n_toks >= 5 "
+        "AND punct_ratio < 0.3), "
+        "canon AS (SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY fp), "
+        "s AS (SELECT o.* FROM ok o JOIN canon USING (doc_id) "
+        "WHERE (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 "
+        "+ (instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) < 128) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_toks) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(CASE WHEN had_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_had_pii "
+        "FROM s GROUP BY lang"
+    ),
+    doc="LLM-data showcase #2, the WHOLE prep pipeline in one plan: PII "
+        "scrub → quality gate on cleaned text → exact dedup → "
+        "deterministic 50% hash sample → per-lang shard stats; every "
+        "stage engine-deterministic so the composition hash-matches "
+        "(textstats.prepare_corpus)",
+)
+def q_corpus_prep(spark, sf_dir):
+    return textstats.prepare_corpus(load_table(spark, sf_dir, "documents"))

@@ -719,3 +719,29 @@ def test_weighted_sample_favors_heavy_rows(spark):
     s2 = {r.k for r in weighted_sample(df.repartition(7), "k", "w", 100).collect()}
     assert s1 == s2 and len(s1) == 100
     assert 1_000_000 in s1
+
+
+def test_prepare_corpus_stage_interactions(spark):
+    """The composed prep pipeline: dedup keeps one of identical docs,
+    PII is counted, quality gate drops shorts, sampling is a pure
+    doc_id gate (partitioning-invariant)."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text=base),
+        Row(doc_id=2, lang="en", text=base),                   # exact dup
+        Row(doc_id=3, lang="en", text="short"),                # gated out
+        Row(doc_id=4, lang="de", text=base + " mail me at a@b.com today"),
+    ])
+    out1 = {r.lang: r for r in
+            textstats.prepare_corpus(docs, sample_of_256=256).collect()}
+    assert out1["en"].n_docs == 1            # dup collapsed, short gated
+    assert out1["de"].n_had_pii == 1
+    out2 = {r.lang: r for r in
+            textstats.prepare_corpus(docs.repartition(5), 256).collect()}
+    assert {k: tuple(v) for k, v in out1.items()} == \
+        {k: tuple(v) for k, v in out2.items()}
