@@ -233,3 +233,29 @@ def pivot_event_counts(events: DataFrame, types: list[str]) -> DataFrame:
     return agg.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
     )
+
+
+def rolling_time_window(events: DataFrame, window_seconds: int = 3600,
+                        key: str = "user_id", ts_col: str = "ts",
+                        val_col: str = "value") -> DataFrame:
+    """Per-key rolling aggregate over a TIME range frame — every event
+    annotated with the count/sum of that key's events in the trailing
+    `window_seconds` (rate limiting, spend pacing, anomaly baselines).
+
+    RANGE frame over epoch micros, not a ROWS frame: the window is
+    defined by TIME distance, so bursts contribute their true
+    cardinality regardless of row spacing. One exchange on the key; the
+    rolling sum goes through the decimal cast (order-invariant, exact).
+    """
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    dec = F.col(val_col).cast("decimal(38,6)")
+    return events.select(
+        key, "event_id",
+        F.date_format(ts_col, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        F.sum(dec).over(w).cast("double").alias("sum_trailing"),
+    )

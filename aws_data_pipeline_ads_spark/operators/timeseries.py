@@ -1,0 +1,58 @@
+"""Time-series regularization: resample an event stream to a fixed grid
+with gap filling — the step between raw events and any
+learned-on-regular-intervals consumer (forecasting features, SLO
+dashboards, anomaly baselines).
+
+Scale shape: the per-bucket aggregation is map-side combined; the spine
+(every key × every bucket in ITS OWN active range) is generated with
+`sequence` + explode from a 2-column (min, max) aggregate — no
+cross-join against a global calendar, so a key active for a day does
+not pay for a year of buckets. Forward fill is `last(..., ignorenulls)`
+over the key partition — the fill window reuses the spine join's
+exchange on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def resample_fill(events: DataFrame, key: str = "user_id",
+                  ts_col: str = "ts", val_col: str = "value") -> DataFrame:
+    """Hourly resample per key with zero-filled counts and
+    forward-filled sums.
+
+    Returns (key, bucket, n_events, bucket_sum, filled_sum): one row for
+    EVERY hour between a key's first and last event — empty hours carry
+    n_events = 0, NULL bucket_sum, and the most recent non-empty hour's
+    sum in filled_sum. The first bucket always has data (the range
+    starts at an observed event), so filled_sum is never NULL.
+    """
+    h = F.date_trunc("hour", F.col(ts_col))
+    per_bucket = events.groupBy(F.col(key), h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(val_col).cast("decimal(38,6)")).cast("double")
+        .alias("bucket_sum"),
+    )
+    spine = (
+        events.groupBy(key)
+        .agg(F.min(h).alias("mn"), F.max(h).alias("mx"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(per_bucket, [key, "h"], "left")
+    fill = W.partitionBy(key).orderBy("h").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return joined.select(
+        key,
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "bucket_sum",
+        F.last("bucket_sum", ignorenulls=True).over(fill).alias("filled_sum"),
+    )

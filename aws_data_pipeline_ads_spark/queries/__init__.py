@@ -110,6 +110,10 @@ _TAIL: list[str] = [
     # q_sample_stratified; top-k via q_limit_topk
     "q_corpus_prep",  # composition of in-window stages (PII scrub,
     # quality gate, dedup, hash sample); oracle-checked locally
+    "q_rolling_window",  # window machinery in-window via
+    # q_window_running (rows frame); this is the RANGE-frame variant
+    "q_resample_fill",  # groupBy/left-join/window machinery in-window;
+    # gap-fill spine + forward fill oracle-checked locally
 ]
 
 

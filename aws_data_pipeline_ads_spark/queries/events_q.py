@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.functions import dec_sum
+from aws_data_pipeline_ads_spark.operators import relational
 from aws_data_pipeline_ads_spark.operators.sessionize import sessionize
 from aws_data_pipeline_ads_spark.queries.registry import query
 from aws_data_pipeline_ads_spark.session import ensure_utc
@@ -313,3 +314,54 @@ def q_hll_rollup(spark, sf_dir):
     )
     partials = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
     return hll_rollup(partials, ["event_type"]).orderBy("event_type")
+
+
+@query(
+    "q_rolling_window",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) "
+        "AS sum_trailing FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    ),
+    doc="2C windows: trailing-1h rolling aggregate per user over a TIME "
+        "range frame (not rows) — one exchange, decimal-exact sum; "
+        "relational.rolling_time_window",
+)
+def q_rolling_window(spark, sf_dir):
+    ensure_utc(spark)
+    return relational.rolling_time_window(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_resample_fill",
+    oracle=(
+        "WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS bucket_sum "
+        "FROM events GROUP BY 1, 2), "
+        "r AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM b GROUP BY 1), "
+        "spine AS (SELECT user_id, "
+        "unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM r), "
+        "j AS (SELECT s.user_id, s.h, COALESCE(b.n_events, 0) AS n_events, "
+        "b.bucket_sum FROM spine s LEFT JOIN b USING (user_id, h)) "
+        "SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, "
+        "n_events, bucket_sum, "
+        "last_value(bucket_sum IGNORE NULLS) OVER "
+        "(PARTITION BY user_id ORDER BY h "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum "
+        "FROM j"
+    ),
+    doc="2C time series: hourly resample per user with zero-filled "
+        "counts + forward-filled sums — per-key spine via sequence/"
+        "explode (no global calendar cross-join); "
+        "timeseries.resample_fill",
+)
+def q_resample_fill(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.timeseries import resample_fill
+
+    ensure_utc(spark)
+    return resample_fill(load_table(spark, sf_dir, "events"))

@@ -745,3 +745,30 @@ def test_prepare_corpus_stage_interactions(spark):
             textstats.prepare_corpus(docs.repartition(5), 256).collect()}
     assert {k: tuple(v) for k, v in out1.items()} == \
         {k: tuple(v) for k, v in out2.items()}
+
+
+def test_resample_fill_gaps_and_carry(spark):
+    """Empty hours appear with n_events=0 and carry the last non-empty
+    hour's sum; spine spans exactly each key's own active range."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.timeseries import resample_fill
+
+    ev = spark.createDataFrame([
+        Row(user_id=1, ts=datetime(2024, 1, 1, 0, 10), value=2.0),
+        Row(user_id=1, ts=datetime(2024, 1, 1, 0, 50), value=3.0),
+        # hours 01 and 02 silent
+        Row(user_id=1, ts=datetime(2024, 1, 1, 3, 5), value=7.0),
+        Row(user_id=2, ts=datetime(2024, 1, 1, 5, 0), value=1.0),
+    ])
+    out = {(r.user_id, r.bucket): r for r in resample_fill(ev).collect()}
+    assert len([k for k in out if k[0] == 1]) == 4  # hours 00..03
+    assert len([k for k in out if k[0] == 2]) == 1  # own range only
+    h0 = out[(1, "2024-01-01 00:00:00")]
+    h1 = out[(1, "2024-01-01 01:00:00")]
+    h3 = out[(1, "2024-01-01 03:00:00")]
+    assert h0.n_events == 2 and h0.bucket_sum == 5.0
+    assert h1.n_events == 0 and h1.bucket_sum is None and h1.filled_sum == 5.0
+    assert h3.n_events == 1 and h3.filled_sum == 7.0
