@@ -43,6 +43,9 @@ def write_partitioned(df: DataFrame, path: str,
     writer = df.write.mode(mode).partitionBy(*out.partition_by)
     if out.compression:
         writer = writer.option("compression", out.compression)
+    if out.fmt == "csv":
+        # headerless CSV loses the schema on read-back
+        writer = writer.option("header", True)
     getattr(writer, out.fmt)(path)
     return path
 
