@@ -56,3 +56,52 @@ def resample_fill(events: DataFrame, key: str = "user_id",
         "bucket_sum",
         F.last("bucket_sum", ignorenulls=True).over(fill).alias("filled_sum"),
     )
+
+
+def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
+                      key: str = "event_type",
+                      val_col: str = "value") -> DataFrame:
+    """Continuous-aggregate rollup (the hypertable pattern): hour, day,
+    and month aggregates in one result — with each coarser level
+    derived FROM the finer partials, so the raw table is scanned ONCE
+    no matter how many granularities are materialized.
+
+    Exactness across levels: the partial sums stay decimal(38,6) until
+    the final per-level projection — decimal addition is associative, so
+    re-aggregating hourly partials into days and months is bit-identical
+    to aggregating the raw rows (the oracle recomputes every level from
+    raw and hash-matches). Counts roll up as sums of counts.
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"), key
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(val_col).cast("decimal(38,6)")).alias("dec_sum"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket")).alias("bucket"), key
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("dec_sum").alias("dec_sum"),
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", F.col("bucket")).alias("bucket"), key
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("dec_sum").alias("dec_sum"),
+    )
+
+    def finalize(df: DataFrame, level: str) -> DataFrame:
+        return df.select(
+            F.lit(level).alias("level"),
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            key,
+            "n_events",
+            F.col("dec_sum").cast("double").alias("total_value"),
+        )
+
+    return (
+        finalize(hourly, "hour")
+        .unionByName(finalize(daily, "day"))
+        .unionByName(finalize(monthly, "month"))
+    )

@@ -114,6 +114,8 @@ _TAIL: list[str] = [
     # q_window_running (rows frame); this is the RANGE-frame variant
     "q_resample_fill",  # groupBy/left-join/window machinery in-window;
     # gap-fill spine + forward fill oracle-checked locally
+    "q_hypertable_rollup",  # re-aggregation machinery in-window via
+    # q_agg_rollup/q_tumbling_window; oracle-checked locally
 ]
 
 

@@ -365,3 +365,29 @@ def q_resample_fill(spark, sf_dir):
 
     ensure_utc(spark)
     return resample_fill(load_table(spark, sf_dir, "events"))
+
+
+_ROLLUP_LEVEL = (
+    "SELECT '{lvl}' AS level, "
+    "strftime(date_trunc('{lvl}', ts), '%Y-%m-%d %H:%M:%S') AS bucket, "
+    "event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY 2, 3"
+)
+
+
+@query(
+    "q_hypertable_rollup",
+    oracle=(" UNION ALL ".join(
+        _ROLLUP_LEVEL.format(lvl=lvl) for lvl in ("hour", "day", "month")
+    )),
+    doc="2C time series: hypertable continuous aggregate — hour/day/"
+        "month levels with coarser levels re-aggregated from finer "
+        "DECIMAL partials (one raw scan; associative, so bit-identical "
+        "to the oracle's recompute-from-raw); timeseries.hypertable_rollup",
+)
+def q_hypertable_rollup(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.timeseries import hypertable_rollup
+
+    ensure_utc(spark)
+    return hypertable_rollup(load_table(spark, sf_dir, "events"))

@@ -772,3 +772,29 @@ def test_resample_fill_gaps_and_carry(spark):
     assert h0.n_events == 2 and h0.bucket_sum == 5.0
     assert h1.n_events == 0 and h1.bucket_sum is None and h1.filled_sum == 5.0
     assert h3.n_events == 1 and h3.filled_sum == 7.0
+
+
+def test_hypertable_rollup_levels_consistent(spark):
+    """Coarser levels re-aggregated from finer partials equal a direct
+    aggregation: month total == sum of day totals == sum of hour
+    totals; one raw scan feeds all levels."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.timeseries import hypertable_rollup
+
+    ev = spark.createDataFrame([
+        Row(event_type="click", ts=datetime(2024, 1, 1, h, 30), value=float(h))
+        for h in range(5)
+    ] + [Row(event_type="click", ts=datetime(2024, 1, 2, 1, 0), value=100.0)])
+    out = hypertable_rollup(ev).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r.level, []).append(r)
+    assert len(by_level["hour"]) == 6
+    assert len(by_level["day"]) == 2
+    assert len(by_level["month"]) == 1
+    month = by_level["month"][0]
+    assert month.n_events == 6 and month.total_value == 110.0
+    assert sum(r.total_value for r in by_level["day"]) == 110.0
