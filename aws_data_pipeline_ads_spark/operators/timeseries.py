@@ -61,47 +61,36 @@ def resample_fill(events: DataFrame, key: str = "user_id",
 def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
                       key: str = "event_type",
                       val_col: str = "value") -> DataFrame:
-    """Continuous-aggregate rollup (the hypertable pattern): hour, day,
-    and month aggregates in one result — with each coarser level
-    derived FROM the finer partials, so the raw table is scanned ONCE
-    no matter how many granularities are materialized.
+    """Multi-granularity rollup (the hypertable pattern): hour, day, and
+    month aggregates in one result from ONE scan and ONE shuffle.
 
-    Exactness across levels: the partial sums stay decimal(38,6) until
-    the final per-level projection — decimal addition is associative, so
-    re-aggregating hourly partials into days and months is bit-identical
-    to aggregating the raw rows (the oracle recomputes every level from
-    raw and hash-matches). Counts roll up as sums of counts.
+    Each event explodes into its 3 (level, bucket) labels BEFORE the
+    aggregation, so the single map-side-combined groupBy computes every
+    granularity at once. The naive formulation — aggregate hourly, then
+    re-aggregate that DataFrame into day and month branches of a union —
+    reads nicely but Spark does NOT materialize shared subplans: the
+    plan rescans the raw table once per level (verified: 3 FileScans,
+    zero ReusedExchange) — the same trap simhash_pairs_sql documents.
+    Exactness: sums stay decimal(38,6) through the aggregation, so every
+    level is bit-identical to the oracle's recompute-from-raw.
     """
-    hourly = events.groupBy(
-        F.date_trunc("hour", F.col(ts_col)).alias("bucket"), key
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.col(val_col).cast("decimal(38,6)")).alias("dec_sum"),
-    )
-    daily = hourly.groupBy(
-        F.date_trunc("day", F.col("bucket")).alias("bucket"), key
-    ).agg(
-        F.sum("n_events").cast("long").alias("n_events"),
-        F.sum("dec_sum").alias("dec_sum"),
-    )
-    monthly = daily.groupBy(
-        F.date_trunc("month", F.col("bucket")).alias("bucket"), key
-    ).agg(
-        F.sum("n_events").cast("long").alias("n_events"),
-        F.sum("dec_sum").alias("dec_sum"),
-    )
-
-    def finalize(df: DataFrame, level: str) -> DataFrame:
-        return df.select(
-            F.lit(level).alias("level"),
-            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-            key,
-            "n_events",
-            F.col("dec_sum").cast("double").alias("total_value"),
+    labels = F.array(*[
+        F.struct(
+            F.lit(lvl).alias("level"),
+            F.date_trunc(lvl, F.col(ts_col)).alias("bucket"),
         )
-
+        for lvl in ("hour", "day", "month")
+    ])
     return (
-        finalize(hourly, "hour")
-        .unionByName(finalize(daily, "day"))
-        .unionByName(finalize(monthly, "month"))
+        events.select(key, F.col(val_col), F.explode(labels).alias("lb"))
+        .groupBy(
+            F.col("lb.level").alias("level"),
+            F.date_format("lb.bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            key,
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(val_col).cast("decimal(38,6)")).cast("double")
+            .alias("total_value"),
+        )
     )
