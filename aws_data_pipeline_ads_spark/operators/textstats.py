@@ -236,7 +236,14 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
     # df join BEFORE the dl window: the final rank window also
     # partitions by doc_id, so planning dl last lets the rank reuse
     # dl's exchange (pinned in PLANS.md).
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # Known cost: Spark does not materialize shared subplans and (
+    # measured) ReuseExchange does not unify the two tf subtrees, so the
+    # tokenize→aggregate pipeline runs twice — once under dfreq, once as
+    # the join's left side. Accepted deliberately: the single-pass
+    # alternative (df as a window COUNT over the term partition) cannot
+    # be skew-split on Zipfian terms. At 100 TB, checkpoint/persist tf
+    # before this point if the vocabulary pass dominates.
+    dfreq = tf.groupBy("term").agg(F.count("tf").cast("long").alias("df"))
     x = tf.join(dfreq, "term").select(
         "doc_id", "term", "tf", "df",
         F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
