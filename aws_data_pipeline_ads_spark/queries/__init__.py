@@ -116,6 +116,8 @@ _TAIL: list[str] = [
     # gap-fill spine + forward fill oracle-checked locally
     "q_hypertable_rollup",  # re-aggregation machinery in-window via
     # q_agg_rollup/q_tumbling_window; oracle-checked locally
+    "q_neardup_clusters_lsh",  # rows-only by nature (LSH recall);
+    # refinement-vs-exact-clusters pytest pins correctness
 ]
 
 

@@ -550,3 +550,20 @@ _CLEAN_SQL = (
 )
 def q_corpus_prep(spark, sf_dir):
     return textstats.prepare_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_neardup_clusters_lsh",
+    oracle=None,  # recall bounded by engine-specific LSH → rows-only;
+    # pytest pins that LSH clusters REFINE the exact-pair clusters
+    doc="LLM dedup, the full 100 TB composition DECLARED end-to-end: "
+        "MinHash-LSH candidates → exact-Jaccard verify → connected "
+        "components → canonical per cluster (graph.neardup_clusters "
+        "over dedup.verified_neardup_pairs)",
+)
+def q_neardup_clusters_lsh(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_neardup_pairs(docs, 0.8)
+    return graph.neardup_clusters(docs, pairs).orderBy("doc_id")

@@ -57,6 +57,7 @@ def test_oracle_sql_covers_most_queries():
             "q_approx_distinct", "q_percentile_approx", "q_minhash_lsh",
             "q_embedding_ann", "q_embedding_ivf", "q_neardup_verified",
             "q_hll_rollup",  # sketch estimate, library-specific
+            "q_neardup_clusters_lsh",  # LSH recall, engine-specific
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"

@@ -798,3 +798,54 @@ def test_hypertable_rollup_levels_consistent(spark):
     month = by_level["month"][0]
     assert month.n_events == 6 and month.total_value == 110.0
     assert sum(r.total_value for r in by_level["day"]) == 110.0
+
+
+def test_lsh_clusters_refine_exact_clusters(spark, sf_dir):
+    """verified pairs ⊆ UNBLOCKED exact all-pairs (the LSH chain is not
+    lang-blocked), so every LSH-derived cluster must sit INSIDE one
+    exact-pair component — LSH recall can only split clusters, never
+    merge docs an exact pass would keep apart."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = {r.doc_id: set(r.text.split()) for r in docs.collect()}
+    parent = {d: d for d in sets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.8:
+                parent[find(a)] = find(b)
+    exact = {d: find(d) for d in sets}
+    lsh = {r.doc_id: r.cluster_id for r in graph.neardup_clusters(
+        docs, dedup.verified_neardup_pairs(docs, 0.8)).collect()}
+    assert set(lsh) == set(exact)
+    spread = {}
+    for doc, c in lsh.items():
+        spread.setdefault(c, set()).add(exact[doc])
+    assert all(len(s) == 1 for s in spread.values())
+
+
+def test_zorder_constant_column_guard(spark, tmp_path):
+    """A constant dimension (span 0) must not divide by zero or corrupt
+    the curve for the varying dimension."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.operators.partitioning import zorder_write
+
+    df = spark.range(256).select(
+        F.lit(7).alias("x"), F.col("id").alias("y")
+    )
+    path = str(tmp_path / "zc")
+    zorder_write(df, ["x", "y"], path, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 256
+    assert back.agg(F.count_distinct("x")).first()[0] == 1
