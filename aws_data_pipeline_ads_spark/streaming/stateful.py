@@ -109,3 +109,73 @@ def run_update_now(stream_df: DataFrame, name: str, checkpoint_dir: str,
     if registry is not None:
         registry[name] = out
     return out
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_STATE_SCHEMA = StructType([
+    # matched step timestamps as epoch micros; -1 = not reached
+    StructField("t1_us", LongType()),
+    StructField("t2_us", LongType()),
+    StructField("t3_us", LongType()),
+])
+
+FUNNEL_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("depth", LongType()),
+    StructField("step_1_us", LongType()),
+    StructField("step_2_us", LongType()),
+    StructField("step_3_us", LongType()),
+])
+
+
+def _update_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming greedy funnel per user: fold this batch's (sorted)
+    events into the matched-step state — same semantics as the batch
+    operator (operators/funnel.py) when events arrive in order.
+
+    Caveat (inherent to streaming funnels): a match never retracts, so
+    an out-of-order event older than an existing match cannot replace
+    it across micro-batches — within one batch, sorting restores order.
+    The batch-equivalence test drains all data in one AvailableNow
+    batch, where semantics coincide exactly.
+    """
+    (user_id,) = key
+    hits = list(state.get) if state.exists else [-1, -1, -1]
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for etype, ts in zip(pdf["event_type"], pdf["ts"]):
+            depth = sum(1 for h in hits if h >= 0)
+            if depth >= len(FUNNEL_STEPS):
+                break
+            ts_us = ts.value // 1000
+            if etype == FUNNEL_STEPS[depth] and (
+                depth == 0 or ts_us > hits[depth - 1]
+            ):
+                hits[depth] = ts_us
+    state.update(tuple(hits))
+    depth = sum(1 for h in hits if h >= 0)
+    yield pd.DataFrame({
+        "user_id": [user_id], "depth": [depth],
+        "step_1_us": [hits[0]], "step_2_us": [hits[1]], "step_3_us": [hits[2]],
+    })
+
+
+def user_funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming funnel with explicit keyed state: each micro-batch
+    emits every active user's updated funnel depth + step timestamps.
+    Batch twin: operators/funnel.funnel (q_funnel is the oracle-checked
+    contract)."""
+    return (
+        events.select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -241,3 +241,34 @@ def test_streaming_upsert_maintains_keyed_snapshot(spark, sf_dir, tmp_path):
         target, ck, key="event_id",
     )
     assert spark.read.parquet(target).count() == snap1.count()
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, ev_stream, tmp_path):
+    """Streaming stateful funnel (applyInPandasWithState) drained in one
+    AvailableNow batch == the oracle-checked batch funnel."""
+    from aws_data_pipeline_ads_spark.streaming import stateful
+
+    out = stateful.run_update_now(
+        stateful.user_funnel_state(ev_stream),
+        "funnel_state_out", str(tmp_path / "ck_funnel"),
+    )
+    final = out.sort_values("user_id").drop_duplicates("user_id", keep="last")
+    got = {
+        int(r.user_id): (int(r.depth), int(r.step_1_us), int(r.step_2_us),
+                         int(r.step_3_us))
+        for r in final.itertuples()
+    }
+    import datetime as dt
+
+    def us(s):
+        if s is None or s == "":
+            return -1
+        return int(dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+                   .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    batch = {
+        int(r.user_id): (int(r.depth), us(r.step_1_ts), us(r.step_2_ts),
+                         us(r.step_3_ts))
+        for r in REGISTRY["q_funnel"].build(spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 0
