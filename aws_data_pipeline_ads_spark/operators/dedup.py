@@ -234,14 +234,22 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
             joiner,
         ).alias("clean_text"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # Per-doc line totals as an ARRAY expression on the base scan — the
+    # exploded `lines` stream would otherwise be recomputed a third time
+    # and aggregated through one more shuffle for a number the split
+    # array already knows.
+    n_lines = F.size(
+        F.filter(
+            F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+            lambda x: x != F.lit(""),
+        )
+    ).cast("long")
     return (
-        documents.select(id_col)
-        .join(totals, id_col, "left")
+        documents.select(id_col, n_lines.alias("n_lines"))
         .join(kept_agg, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            "n_lines",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
