@@ -161,14 +161,16 @@ PII_PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
 PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 
 
-def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def redact_pii(documents: DataFrame, text_col: str = "text",
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Replace emails/phones/IPs with typed placeholder tokens and count
     the redactions per document.
 
     Chained regexp_replace — Spark's is global by default (DuckDB needs
     the 'g' flag, handled in the oracle). Counting BEFORE replacing
     keeps the counts exact even when patterns could overlap after
-    substitution.
+    substitution. `keep_cols` ride along so compositions don't re-scan
+    the corpus just to re-join passthrough columns (prepare_corpus).
     """
     t = F.col(text_col)
     n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
@@ -183,6 +185,7 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return documents.select(
         "doc_id",
+        *keep_cols,
         clean.alias("clean_text"),
         n_email.alias("n_emails"),
         n_phone.alias("n_phones"),
@@ -397,9 +400,7 @@ def prepare_corpus(documents: DataFrame, sample_of_256: int = 128) -> DataFrame:
     from aws_data_pipeline_ads_spark.functions import content_fingerprint
     from aws_data_pipeline_ads_spark.operators.sampling import hash_bucket_sql
 
-    cleaned = redact_pii(documents).join(
-        documents.select("doc_id", "lang"), "doc_id"
-    )
+    cleaned = redact_pii(documents, keep_cols=("lang",))
     t = F.col("clean_text")
     n_chars = F.length(t).cast("long")
     n_alnum = F.length(F.regexp_replace(t, PUNCT_RE, "")).cast("long")
