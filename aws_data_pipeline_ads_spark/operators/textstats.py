@@ -424,3 +424,45 @@ def prepare_corpus(documents: DataFrame, sample_of_256: int = 128) -> DataFrame:
         F.sum("n_toks").cast("long").alias("total_tokens"),
         F.sum(F.col("had_pii").cast("long")).cast("long").alias("n_had_pii"),
     )
+
+
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the context
+    packing step between curation and tokenization (every pretraining
+    pipeline ships one).
+
+    chunks start every `chunk_tokens - overlap` tokens; a doc shorter
+    than one chunk yields itself. All higher-order array expressions in
+    one codegen'd projection — the only rows created are the chunks
+    themselves (posexplode), no shuffle at all; chunk_id is
+    deterministic (position order).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toked = documents.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    )
+    t = F.col("__toks")
+    n = F.size(t)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"(size(__toks) - {overlap} + {stride - 1}) DIV {stride}"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(t, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    out = toked.select(
+        "doc_id", n.cast("long").alias("n_tokens"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    return out.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens", "chunk_text",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
+        .alias("chunk_tokens"),
+    )

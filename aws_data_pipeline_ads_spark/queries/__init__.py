@@ -118,6 +118,8 @@ _TAIL: list[str] = [
     # q_agg_rollup/q_tumbling_window; oracle-checked locally
     "q_neardup_clusters_lsh",  # rows-only by nature (LSH recall);
     # refinement-vs-exact-clusters pytest pins correctness
+    "q_chunk_documents",  # array/explode machinery in-window via
+    # q_repetition_score/q_token_count; oracle-checked locally
 ]
 
 

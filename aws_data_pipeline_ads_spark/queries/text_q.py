@@ -567,3 +567,28 @@ def q_neardup_clusters_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.verified_neardup_pairs(docs, 0.8)
     return graph.neardup_clusters(docs, pairs).orderBy("doc_id")
+
+
+@query(
+    "q_chunk_documents",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "[array_to_string(toks[(i - 1) * 48 + 1 : (i - 1) * 48 + 64], ' ') "
+        "for i in generate_series(1, greatest(1, (len(toks) - 16 + 47) // 48))] "
+        "AS chunks FROM t) "
+        "SELECT doc_id, "
+        "CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id, "
+        "n_tokens, unnest(chunks) AS chunk_text, "
+        "CAST(len(regexp_split_to_array(unnest(chunks), '\\s+')) AS BIGINT) "
+        "AS chunk_tokens FROM c"
+    ),
+    doc="LLM prep: overlapping 64-token chunks, stride 48 — the context "
+        "packing step; pure array expressions, zero shuffles "
+        "(textstats.chunk_documents)",
+)
+def q_chunk_documents(spark, sf_dir):
+    return textstats.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

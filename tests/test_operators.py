@@ -849,3 +849,27 @@ def test_zorder_constant_column_guard(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 256
     assert back.agg(F.count_distinct("x")).first()[0] == 1
+
+
+def test_chunk_documents_stride_overlap_reconstruction(spark):
+    """Chunks stride by chunk-overlap; consecutive chunks share exactly
+    `overlap` tokens; short docs yield themselves whole."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    toks = [f"w{i}" for i in range(100)]
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(toks)),
+        Row(doc_id=2, text="tiny doc"),
+    ])
+    out = textstats.chunk_documents(docs, chunk_tokens=10, overlap=2).collect()
+    d1 = sorted((r for r in out if r.doc_id == 1), key=lambda r: r.chunk_id)
+    # stride 8 over 100 tokens -> ceil((100-2)/8) = 13 chunks
+    assert len(d1) == 13
+    assert d1[0].chunk_text.split()[:3] == ["w0", "w1", "w2"]
+    assert d1[1].chunk_text.split()[0] == "w8"  # stride 8
+    assert d1[0].chunk_text.split()[-2:] == d1[1].chunk_text.split()[:2]
+    assert all(r.chunk_tokens <= 10 for r in d1)
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "tiny doc"
