@@ -104,6 +104,14 @@ _TAIL: list[str] = [
     # q_tpch_q3/q_tpch_q1 — swapped for q_line_dedup
     "q_tpch_q5", "q_tpch_q10",  # classic shapes; join machinery
     # in-window via q_join_flagship/q_tpch_q3
+    "q_tpch_q17",  # correlated scalar-AVG subquery decorrelated into a
+    # per-part aggregate join-back; agg/join machinery in-window
+    "q_tpch_q4",  # correlated EXISTS with non-equi residual → left-semi
+    # join; semi machinery in-window via q_semi_anti
+    "q_tpch_q21",  # EXISTS + NOT EXISTS over one fact → single
+    # order-level aggregate join-back; window slot held by q_semi_anti
+    "q_tpch_q16",  # NOT IN blocklist → broadcast anti join + grouped
+    # distinct count; machinery in-window via q_semi_anti/q_count_distinct
     "q_token_bpe",  # regexp-census machinery in-window via
     # q_token_count/q_quality_score; oracle-checked locally
     "q_sample_weighted",  # hash-gate machinery in-window via

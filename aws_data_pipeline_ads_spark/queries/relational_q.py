@@ -743,3 +743,174 @@ def q_tpch_q10(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q17",
+    oracle=(
+        "SELECT " + _DEC_SUM_SQL.format(x="l_extendedprice")
+        + " / 7.0 AS avg_yearly, COUNT(*) AS n_small "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#1' "
+        "AND l_quantity < 0.2 * ("
+        "SELECT " + _DEC_SUM_SQL.format(x="l_quantity")
+        + " / COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"
+    ),
+    doc="TPC-H Q17 (small-quantity revenue): correlated scalar AVG "
+        "subquery decorrelated into a per-part aggregate JOINED back — "
+        "the aggregate is computed only for the brand's parts (semi "
+        "pushdown), not the whole part space. Decimal-exact threshold "
+        "arithmetic so the boundary compare matches the oracle.",
+)
+def q_tpch_q17(spark, sf_dir):
+    # Decorrelation: (1) restrict partkeys to the brand, (2) one grouped
+    # aggregate over ONLY those parts' lineitems (semi join before the
+    # agg — at 100 TB this is the difference between aggregating the
+    # brand's ~1/25th of lineitem and aggregating all of it), (3) join
+    # thresholds back and filter. Two shuffles total; the brand part
+    # list broadcasts.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li_brand = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = li_brand.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_qty")
+    ).select(F.col("l_partkey").alias("t_partkey"),
+             (F.lit(0.2) * F.col("avg_qty")).alias("qty_thresh"))
+    return (
+        li_brand.join(thresholds, li_brand.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+             / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority"
+    ),
+    doc="TPC-H Q4 (order-priority checking, late-ship variant): "
+        "correlated EXISTS with a NON-equi predicate (l_shipdate > "
+        "o_orderdate + 60 days) decorrelated into a left-semi hash join "
+        "on l_orderkey carrying the residual date condition — no "
+        "nested-loop, no per-row subquery.",
+)
+def q_tpch_q4(spark, sf_dir):
+    ensure_utc(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late_exists.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle=(
+        "SELECT s.s_name, COUNT(DISTINCT l.l_orderkey) AS numwait "
+        "FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey "
+        "WHERE l.l_returnflag = 'R' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l.l_orderkey "
+        "AND l2.l_suppkey <> l.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l.l_orderkey "
+        "AND l3.l_suppkey <> l.l_suppkey AND l3.l_returnflag = 'R') "
+        "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20"
+    ),
+    doc="TPC-H Q21 (suppliers-who-kept-orders-waiting variant): "
+        "EXISTS + NOT EXISTS over the SAME fact decorrelated into ONE "
+        "order-level aggregate (n_supp, n_r_supp) joined back — the "
+        "oracle runs the two correlated subqueries, the Spark plan "
+        "scans lineitem twice and shuffles it once per side instead of "
+        "per-row probing. sole-R-supplier ⇔ n_r_supp == 1 given the "
+        "outer row is itself 'R'; another-supplier ⇔ n_supp >= 2.",
+)
+def q_tpch_q21(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    culprits = (
+        r_pairs.join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.join(supplier, culprits.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        # r_pairs is distinct on (order, supp) → count(*) == distinct orders
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle=(
+        "SELECT p_brand, p_type, p_size, "
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM part JOIN lineitem ON l_partkey = p_partkey "
+        "WHERE p_size IN (1, 7, 14, 23, 36, 45) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 2500.0) "
+        "GROUP BY p_brand, p_type, p_size"
+    ),
+    doc="TPC-H Q16 (supplier-count variant): NOT IN subquery "
+        "decorrelated into a broadcast left-anti join (s_suppkey is "
+        "non-null so NOT IN ≡ anti join), then grouped distinct count. "
+        "The blocklist is aggregated/broadcast once, never re-probed.",
+)
+def q_tpch_q16(spark, sf_dir):
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2500.0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 7, 14, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(bad_supp),
+                li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
