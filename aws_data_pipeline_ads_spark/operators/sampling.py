@@ -79,3 +79,39 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
         .orderBy("sample_key", key_col)
         .limit(k)
     )
+
+
+def per_source_cap(documents: DataFrame, n_per_source: int = 10,
+                   n_salts: int = 64) -> DataFrame:
+    """Per-domain quota: keep at most `n_per_source` docs per source,
+    best-first (longest n_chars, ties by doc_id) — the per-domain cap
+    every web-corpus recipe applies so no single domain dominates
+    training data (C4/RefinedWeb-style).
+
+    Skew is the whole problem here: a hot domain can hold a large
+    fraction of the corpus, and a single window over source would send
+    all of it to one reducer. TWO-PHASE top-k instead: phase 1 ranks
+    within (source, doc_id%n_salts) sub-partitions — the hot domain's
+    rows spread over n_salts reducers and each sub-partition keeps at
+    most n_per_source rows; phase 2 ranks the <= n_salts*n_per_source
+    survivors per source. Global top-N per source is always a subset of
+    the union of per-salt top-Ns, so the result is EXACTLY the naive
+    single-window answer (the oracle runs the naive form).
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    phase1 = Window.partitionBy(
+        "source", F.pmod(F.col("doc_id"), F.lit(n_salts))
+    ).orderBy(*order)
+    survivors = (
+        documents.select("doc_id", "source", "n_chars")
+        .withColumn("__rn", F.row_number().over(phase1))
+        .filter(F.col("__rn") <= n_per_source)
+        .drop("__rn")
+    )
+    phase2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(phase2))
+        .filter(F.col("rank") <= n_per_source)
+    )

@@ -308,3 +308,74 @@ def ivf_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
         .limit(k)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+def _drop_later_neighbors(clustered: DataFrame, cluster_col: str,
+                          threshold: float) -> DataFrame:
+    """Within each cluster, drop every vector that has an EARLIER
+    (lower vec_id) vector at cosine >= threshold.
+
+    The greedy first-seen-wins rule from SemDeDup (Abbas et al. 2023):
+    deterministic, one self-join, no iteration. It can over-drop along
+    similarity chains (a~b, b~c, a!~c drops both b and c) — when
+    component-exact semantics matter, feed the pairs into
+    graph.connected_components (the document near-dup path) instead.
+
+    Plan shape: equi-join on the cluster id with the id-order and
+    cosine predicates as residuals, anti side = survivors. Linear in
+    sum(cluster_size^2) — the cluster granularity, not the corpus, is
+    the knob that bounds the quadratic term.
+    """
+    a, c = clustered.alias("a"), clustered.alias("c")
+    return a.join(
+        c,
+        (F.col(f"a.{cluster_col}") == F.col(f"c.{cluster_col}"))
+        & (F.col("c.vec_id") < F.col("a.vec_id"))
+        & (cosine_similarity(F.col("a.emb"), F.col("c.emb")) >= threshold),
+        "left_anti",
+    )
+
+
+def semdedup_keep(embeddings: DataFrame, threshold: float = 0.25,
+                  n_planes: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with hyperplane-LSH clustering: cluster the corpus by
+    8-bit random-hyperplane signature, keep only vectors with no
+    earlier same-cluster neighbor at cosine >= threshold.
+
+    The LSH clustering (vs the paper's k-means) keeps the whole
+    operator closed-form — the hyperplanes are literals, so the exact
+    same computation is expressible in ANSI SQL and the driver's DuckDB
+    oracle verifies the full pipeline end-to-end (bucket bits, cosine,
+    keep rule). semdedup_keep_kmeans is the paper-faithful variant.
+
+    Scale: buckets shrink ~2x per added plane; raise n_planes with
+    corpus size to hold sum(bucket^2) linear. One shuffle (the
+    self-join exchange on bucket); the signature is pure codegen.
+    """
+    b = lsh_bucket_ids(embeddings, n_planes, vec_col).select(
+        "vec_id", "label", "bucket",
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    return _drop_later_neighbors(b, "bucket", threshold).select(
+        "vec_id", "label", "bucket"
+    )
+
+
+def semdedup_keep_kmeans(embeddings: DataFrame,
+                         centroids: list[list[float]],
+                         threshold: float = 0.25,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Paper-faithful SemDeDup: k-means clusters (ivf_assign over
+    Lloyd-trained centroids) + the same first-seen-wins keep rule.
+
+    Not SQL-expressible (the centroids come from training), so the
+    declared query uses the LSH variant; this one is pinned by pytest
+    against a numpy reference at sf0.001.
+    """
+    b = ivf_assign(embeddings, centroids, vec_col).select(
+        "vec_id", "label", F.col("list_id").alias("cluster"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    return _drop_later_neighbors(b, "cluster", threshold).select(
+        "vec_id", "label", "cluster"
+    )

@@ -128,6 +128,10 @@ _TAIL: list[str] = [
     # refinement-vs-exact-clusters pytest pins correctness
     "q_chunk_documents",  # array/explode machinery in-window via
     # q_repetition_score/q_token_count; oracle-checked locally
+    "q_semdedup",  # SemDeDup tier: LSH-cluster + cosine anti-join;
+    # self-join/cosine machinery in-window via q_embedding_neardup
+    "q_domain_caps",  # per-domain quota via salted two-phase top-k;
+    # window machinery in-window via q_window_rank
 ]
 
 

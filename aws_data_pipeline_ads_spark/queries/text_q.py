@@ -592,3 +592,22 @@ def q_chunk_documents(spark, sf_dir):
     return textstats.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@query(
+    "q_domain_caps",
+    oracle=(
+        "SELECT doc_id, source, n_chars, rank FROM ("
+        "SELECT doc_id, source, n_chars, ROW_NUMBER() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank "
+        "FROM documents) WHERE rank <= 10"
+    ),
+    doc="LLM corpus curation: per-domain quota (keep the 10 best docs "
+        "per source) via skew-safe two-phase top-k — the oracle runs "
+        "the naive single-window form, the Spark plan salts the hot "
+        "domain across 64 reducers first (operators/sampling.py)",
+)
+def q_domain_caps(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import per_source_cap
+
+    return per_source_cap(load_table(spark, sf_dir, "documents"), 10)

@@ -92,3 +92,41 @@ def q_embedding_ivf(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), _QV, 10,
         centroids=_trained_centroids(spark, sf_dir), n_probe=4,
     )
+
+
+def _plane_sql(h: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
+
+
+# Bucket id from literal hyperplanes — the same 8 sign bits the Spark
+# side computes (similarity.lsh_bucket_ids), expressed in DuckDB SQL.
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(emb, {_plane_sql(h)}) >= 0.0 "
+    f"THEN {1 << p} ELSE 0 END)"
+    for p, h in enumerate(similarity.hyperplanes(8))
+)
+
+_SEMDEDUP_ORACLE = (
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+    "FROM embeddings), "
+    f"b AS (SELECT vec_id, label, emb, {_BUCKET_SQL} AS bucket FROM e) "
+    "SELECT a.vec_id, a.label, a.bucket FROM b a "
+    "WHERE NOT EXISTS (SELECT 1 FROM b c WHERE c.bucket = a.bucket "
+    "AND c.vec_id < a.vec_id "
+    "AND list_cosine_similarity(a.emb, c.emb) >= 0.25)"
+)
+
+
+@query(
+    "q_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="LLM dedup tier: SemDeDup (cluster, then first-seen-wins drop "
+        "of same-cluster cosine near-dups). LSH clustering keeps every "
+        "step closed-form so the DuckDB oracle verifies bucket bits, "
+        "cosine, and keep rule end-to-end; the k-means variant "
+        "(semdedup_keep_kmeans) is pytest-pinned vs numpy.",
+)
+def q_semdedup(spark, sf_dir):
+    return similarity.semdedup_keep(
+        load_table(spark, sf_dir, "embeddings"), 0.25
+    )

@@ -275,3 +275,55 @@ def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
     assert z_files <= 8, f"zorder should cluster y too, touched {z_files}"
     # same rows survive either layout
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_semdedup_kmeans_matches_numpy_reference(spark, sf_dir):
+    """semdedup_keep_kmeans (ivf_assign clusters + first-seen-wins drop)
+    == a direct numpy implementation of the same rule, row for row."""
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = similarity.train_centroids(emb, 8)
+    got = {
+        (r.vec_id, r.cluster)
+        for r in similarity.semdedup_keep_kmeans(emb, centroids, 0.25).collect()
+    }
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(map(float, r.embedding)) for r in rows])
+    cents = np.array(centroids)
+    cunit = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    munit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = munit @ cunit.T
+    k = len(centroids)
+    # ties to the LARGEST centroid index — same rule as ivf_assign
+    assign = (k - 1) - np.argmax(sims[:, ::-1], axis=1)
+    want = set()
+    for cid in range(k):
+        members = np.where(assign == cid)[0]  # vec_id-ascending
+        m = munit[members] @ munit[members].T
+        for j, row_idx in enumerate(members):
+            if not (m[j, :j] >= 0.25).any():
+                want.add((int(ids[row_idx]), cid))
+    assert got == want and len(want) > 0
+
+
+def test_semdedup_lsh_keep_is_prefix_closed(spark, sf_dir):
+    """Every dropped vector has an EARLIER kept-or-dropped neighbor in
+    its bucket; the first vector of every bucket is always kept."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = similarity.semdedup_keep(emb, 0.25)
+    firsts = (
+        similarity.lsh_bucket_ids(emb)
+        .groupBy("bucket")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert {r.vec_id for r in firsts.collect()} <= kept_ids
