@@ -118,16 +118,7 @@ def lsh_bucket_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
     corpus. This is the standard multi-probe LSH trade (probe more,
     hash less) and the 100 TB recall knob.
     """
-    margins = []  # (|q·h|, plane index)
-    qbucket = 0
-    for p, h in enumerate(hyperplanes(n_planes)):
-        dot = sum(a * b for a, b in zip(qv, h))
-        if dot >= 0:
-            qbucket |= 1 << p
-        margins.append((abs(dot), p))
-    probes = [qbucket]
-    for _, p in sorted(margins)[:multi_probe]:
-        probes.append(qbucket ^ (1 << p))
+    probes = lsh_probe_buckets(qv, n_planes, multi_probe)
     bucketed = lsh_bucket_ids(embeddings, n_planes)
     return (
         cosine_scores(bucketed.filter(F.col("bucket").isin(probes)), qv)
@@ -247,8 +238,15 @@ def ivf_write(embeddings: DataFrame, centroids: list[list[float]],
     `list_id`. This is the 100 TB serving layout — each inverted list is
     a partition directory, so a query touching n_probe lists reads
     n_probe/K of the data at the FILE level (partition pruning), not
-    post-scan."""
-    ivf_assign(embeddings, centroids, vec_col).write.mode(
+    post-scan.
+
+    The repartition on the partition key before the write matters:
+    without it every map task writes a file into every list directory
+    (tasks × K small files — the dynamic-partition small-files
+    anti-pattern); with it each list's rows converge on one task. At
+    100 TB use repartition(n, "list_id") with n >> K so a big list
+    spreads over several files."""
+    ivf_assign(embeddings, centroids, vec_col).repartition("list_id").write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(path)
 
@@ -378,4 +376,52 @@ def semdedup_keep_kmeans(embeddings: DataFrame,
     )
     return _drop_later_neighbors(b, "cluster", threshold).select(
         "vec_id", "label", "cluster"
+    )
+
+
+def lsh_write(embeddings: DataFrame, path: str, n_planes: int = 8,
+              vec_col: str = "embedding") -> None:
+    """Materialize the corpus as an LSH index: parquet partitioned by
+    `bucket`. Like ivf_write, this is the serving layout — bucket
+    assignment (n_planes dot products per vector) is paid ONCE at
+    index-build time, not once per query; a probe reads only its
+    bucket's partition directories (file-level pruning). Repartition on
+    bucket first — see ivf_write on the small-files anti-pattern."""
+    lsh_bucket_ids(embeddings, n_planes, vec_col).repartition("bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def lsh_probe_buckets(qv: list[float], n_planes: int = 8,
+                      multi_probe: int = 0) -> list[int]:
+    """The query's bucket plus the `multi_probe` smallest-margin
+    Hamming-1 neighbors — driver-side over n_planes floats."""
+    margins = []
+    qbucket = 0
+    for p, h in enumerate(hyperplanes(n_planes)):
+        dot = sum(a * b for a, b in zip(qv, h))
+        if dot >= 0:
+            qbucket |= 1 << p
+        margins.append((abs(dot), p))
+    probes = [qbucket]
+    for _, p in sorted(margins)[:multi_probe]:
+        probes.append(qbucket ^ (1 << p))
+    return probes
+
+
+def lsh_topk_pruned(spark, path: str, qv: list[float], k: int = 10,
+                    n_planes: int = 8, multi_probe: int = 0) -> DataFrame:
+    """ANN top-k over an lsh_write index: identical answers to
+    lsh_bucket_topk (same buckets, same scores — pinned by pytest), but
+    the bucket filter prunes PARTITIONS at planning time instead of
+    recomputing n_planes dot products per row per query. This is the
+    serving path: inline bucketing costs ~n_planes× the arithmetic of
+    the brute scan it is supposed to beat."""
+    probes = lsh_probe_buckets(qv, n_planes, multi_probe)
+    corpus = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return (
+        cosine_scores(corpus, qv)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("score", 6).alias("score"))
     )

@@ -327,3 +327,22 @@ def test_semdedup_lsh_keep_is_prefix_closed(spark, sf_dir):
     )
     kept_ids = {r.vec_id for r in kept.collect()}
     assert {r.vec_id for r in firsts.collect()} <= kept_ids
+
+
+def test_lsh_index_partition_pruning(spark, sf_dir, tmp_path):
+    """lsh_write + lsh_topk_pruned: same answer as inline lsh_bucket_topk
+    (with and without multi-probe), and the scan prunes on bucket."""
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    idx = str(tmp_path / "lsh")
+    similarity.lsh_write(emb, idx)
+    for mp in (0, 2):
+        pruned = similarity.lsh_topk_pruned(spark, idx, qv, 10, multi_probe=mp)
+        inline = similarity.lsh_bucket_topk(emb, qv, 10, multi_probe=mp)
+        assert [(r.vec_id, r.score) for r in pruned.collect()] == [
+            (r.vec_id, r.score) for r in inline.collect()
+        ]
+    fplan = plans.formatted_plan(similarity.lsh_topk_pruned(spark, idx, qv, 10))
+    assert "PartitionFilters" in fplan and "bucket" in fplan
