@@ -115,3 +115,26 @@ def per_source_cap(documents: DataFrame, n_per_source: int = 10,
         survivors.withColumn("rank", F.row_number().over(phase2))
         .filter(F.col("rank") <= n_per_source)
     )
+
+
+def train_val_test_split(df: DataFrame, key_col: str,
+                         train_of_256: int = 204,
+                         val_of_256: int = 230) -> DataFrame:
+    """Deterministic 3-way split from the md5 bucket of the row key:
+    bucket < train_of_256 → train, < val_of_256 → val, else test
+    (defaults ≈ 80/10/10).
+
+    Same invariances as hash_sample: membership is a pure function of
+    the key, so the split is stable under re-runs, appends, backfills,
+    and repartitioning, and CONSISTENT across tables sharing the key —
+    a doc's chunks land in the doc's split, never across the
+    train/test boundary (leakage-safe by construction). Zero shuffle:
+    the split is a projected column, not a partitioning.
+    """
+    bucket = F.expr(hash_bucket_sql(f"CAST({key_col} AS STRING)"))
+    split = (
+        F.when(bucket < train_of_256, F.lit("train"))
+        .when(bucket < val_of_256, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)

@@ -466,3 +466,76 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
         F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
         .alias("chunk_tokens"),
     )
+
+
+def unigram_lm_nll(documents: DataFrame) -> DataFrame:
+    """Model-based quality scoring: per-document mean negative
+    log-likelihood under a unigram LM trained on the corpus itself
+    (CCNet-style perplexity filtering, with the n-gram LM reduced to
+    its operator shape: count → normalize → score).
+
+    nll(doc) = ln(T) - mean(ln c_t) over the doc's tokens, where c_t is
+    the corpus count of token t and T the total token count. High nll =
+    rare-token-heavy (gibberish, boilerplate-free junk); low = common
+    filler. Train and score are the SAME pass over one explode: counts
+    shuffle unique tokens (map-side combined), the score join is
+    tok→count (Zipf-hot on stopwords — AQE skew-split, the bm25_terms
+    posture), the per-doc fold shuffles doc_id. Text itself never
+    shuffles.
+
+    ln() is the one non-IEEE-exact step (libm, ≤1 ulp per engine); the
+    decimal(38,18) sum makes the fold order-invariant and round(…,6)
+    absorbs the ulp — same treatment as cosine scores.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    total = counts.agg(F.sum("c_t").alias("t_total"))
+    return (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.sum(F.log("c_t").cast("decimal(38,18)")).cast("double")
+             / F.count(F.lit(1))).alias("__avg_ln_c"),
+        )
+        .join(F.broadcast(total))  # 1-row scalar
+        .select(
+            "doc_id", "n_tok",
+            F.round(F.log("t_total") - F.col("__avg_ln_c"), 6).alias("nll"),
+        )
+    )
+
+
+def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
+    """GPT-style sequence packing: concatenate each source's documents
+    in doc_id order into one token stream and chunk the stream into
+    fixed-`budget` training sequences. Emitted per doc: its stream
+    offset and the sequence containing its FIRST token (a doc spanning
+    a boundary is recoverable from offset + n_tok — the writer splits
+    it across both sequences).
+
+    One window (running token sum per source) = one shuffle on source;
+    the source is the packing unit by construction (each source stream
+    is one shard writer), so the partition key IS the semantic key —
+    no salt applies. Token counts ride the projection; text never
+    moves.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count("text")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = documents.select("doc_id", "source", n_tok.alias("n_tok"))
+    end_off = F.sum("n_tok").over(w)
+    offset = (end_off - F.col("n_tok"))
+    return d.select(
+        "doc_id", "source", "n_tok",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("seq_id"),
+    )

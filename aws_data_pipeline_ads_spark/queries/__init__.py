@@ -132,6 +132,12 @@ _TAIL: list[str] = [
     # self-join/cosine machinery in-window via q_embedding_neardup
     "q_domain_caps",  # per-domain quota via salted two-phase top-k;
     # window machinery in-window via q_window_rank
+    "q_unigram_lm",  # corpus-trained unigram-LM nll scoring;
+    # explode/join/agg machinery in-window via q_bm25_terms
+    "q_pack_sequences",  # GPT-style concat-and-chunk packing;
+    # running-window machinery in-window via q_window_running
+    "q_data_split",  # deterministic 3-way hash split; md5-gate
+    # machinery in-window via q_sample_stratified
 ]
 
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.operators import dedup, textstats
+from aws_data_pipeline_ads_spark.operators.sampling import hash_bucket_sql
 from aws_data_pipeline_ads_spark.operators.simhash import simhash_pairs_sql, simhash_sql
 from aws_data_pipeline_ads_spark.queries.registry import query
 
@@ -611,3 +612,80 @@ def q_domain_caps(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators.sampling import per_source_cap
 
     return per_source_cap(load_table(spark, sf_dir, "documents"), 10)
+
+
+@query(
+    "q_unigram_lm",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "counts AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY tok), "
+        "total AS (SELECT SUM(c_t) AS t_total FROM counts) "
+        "SELECT doc_id, COUNT(*) AS n_tok, "
+        "round(ln(MIN(t_total)) - "
+        "CAST(SUM(CAST(ln(c_t) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) "
+        "AS nll "
+        "FROM toks JOIN counts USING (tok) CROSS JOIN total "
+        "GROUP BY doc_id"
+    ),
+    doc="LLM quality filter: per-doc mean negative log-likelihood under "
+        "a corpus-trained unigram LM (CCNet-style perplexity filter "
+        "reduced to its operator shape); decimal-summed ln so the fold "
+        "is order-invariant",
+)
+def q_unigram_lm(spark, sf_dir):
+    return textstats.unigram_lm_nll(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_pack_sequences",
+    oracle=(
+        "SELECT doc_id, source, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+        "AS n_tok, "
+        "SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) "
+        "OVER w - CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
+        "AS offset, "
+        "CAST(floor((SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+        "AS BIGINT)) OVER w - CAST(len(regexp_split_to_array(trim(text), "
+        "'\\s+')) AS BIGINT)) / 256) AS BIGINT) AS seq_id "
+        "FROM documents "
+        "WINDOW w AS (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    doc="LLM corpus assembly: GPT-style packing — concat each source's "
+        "docs in doc_id order, chunk the token stream into 256-token "
+        "training sequences; each doc carries its stream offset and "
+        "first-token sequence id",
+)
+def q_pack_sequences(spark, sf_dir):
+    return textstats.pack_sequences(load_table(spark, sf_dir, "documents"), 256)
+
+
+@query(
+    "q_data_split",
+    oracle=(
+        "WITH b AS (SELECT n_chars, "
+        + hash_bucket_sql("CAST(doc_id AS STRING)")
+        + " AS bucket FROM documents) "
+        "SELECT CASE WHEN bucket < 204 THEN 'train' "
+        "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, "
+        "COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+        "FROM b GROUP BY 1"
+    ),
+    doc="LLM data management: deterministic 80/10/10 train/val/test "
+        "split from the md5 bucket of doc_id — re-run-stable, "
+        "append-stable, leakage-safe across tables sharing the key; "
+        "the split is a projected column (zero shuffle)",
+)
+def q_data_split(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import train_val_test_split
+
+    docs = train_val_test_split(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
