@@ -35,20 +35,52 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_SAFE = {"region", "nation"}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to UTC TimestampType (micros).
+
+    The driver has generated `events.ts` as parquet TIMESTAMP(NANOS) in
+    some rounds and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others;
+    handle every physical encoding so the engine is layout-agnostic:
+
+    - LongType (nanos read under `nanosAsLong`): integer-divide to
+      micros — the truncation DuckDB and pyarrow apply.
+    - TimestampNTZType (naive micros, wall clock IS the UTC instant):
+      re-render the wall clock into the current session zone and cast,
+      which round-trips to the original epoch micros REGARDLESS of the
+      session timezone (verified invariant under UTC / New_York /
+      Kathmandu) — a bare CAST would shift by the session offset.
+    - TimestampType: already epoch-based; pass through.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(
+            col,
+            F.expr(
+                f"CAST(convert_timezone('UTC', current_timezone(), {col}) "
+                "AS TIMESTAMP)"
+            ),
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one named table (column-pruned by Catalyst).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for; read it as nanos-since-epoch (legacy conf) and
-    convert to a micros TimestampType — the same truncation DuckDB and
-    pyarrow apply, so semantics stay engine-identical.
+    `events.ts` arrives in layout-dependent physical encodings
+    (TIMESTAMP(NANOS) or naive micros, depending on the generator
+    version); `normalize_event_ts` maps any of them to the same UTC
+    TimestampType so every downstream operator sees one schema.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -20,8 +20,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table.
 
     readStream needs a declared schema; we reuse the batch reader's
-    (incl. the nanos→micros ts conversion from catalog.load_table).
+    (incl. the layout-adaptive ts normalization from catalog).
     """
+    from aws_data_pipeline_ads_spark.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -29,7 +31,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

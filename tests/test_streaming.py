@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from aws_data_pipeline_ads_spark import streaming
+from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.queries import REGISTRY
 
 
@@ -160,7 +161,9 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
             .option("pathGlobFilter", "*.parquet")
             .parquet(f"{land}/*")
         )
-        ev = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        from aws_data_pipeline_ads_spark.catalog import normalize_event_ts
+
+        ev = normalize_event_ts(stream)
         return stateful.run_update_now(
             stateful.user_running_totals(ev), "restart_out", ck
         )
@@ -172,11 +175,11 @@ def test_stateful_state_survives_restart(spark, sf_dir, tmp_path):
     final = out2.sort_values("n_events").groupby("user_id").last()
     batch = {
         r.user_id: (r.n, r.mt)
-        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        for r in load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.expr("timestamp_micros(max(ts) DIV 1000)").alias("mt"),
+            F.max("ts").alias("mt"),
         )
         .collect()
     }
