@@ -112,6 +112,14 @@ _TAIL: list[str] = [
     # order-level aggregate join-back; window slot held by q_semi_anti
     "q_tpch_q16",  # NOT IN blocklist → broadcast anti join + grouped
     # distinct count; machinery in-window via q_semi_anti/q_count_distinct
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",  # TPC-H
+    # completion set (scan-only agg, dual-role nation joins, share
+    # ratio, profit rollup); join/agg machinery in-window via
+    # q_join_flagship/q_tpch_q1/q_tpch_q3
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q20",  # TPC-H
+    # completion set (correlated min join-back, scalar-threshold
+    # HAVING, late-shipment class counts, nested semi with derived
+    # aggregate); machinery in-window via q_semi_anti/q_top_supplier
     "q_token_bpe",  # regexp-census machinery in-window via
     # q_token_count/q_quality_score; oracle-checked locally
     "q_sample_weighted",  # hash-gate machinery in-window via

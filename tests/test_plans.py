@@ -86,6 +86,11 @@ _NESTED_LOOP_OK = {
     # broadcast of a 1-row global aggregate (N, avgdl) — constant-size
     # build side, same bounded pattern as q_scalar_subquery
     "q_bm25_terms",
+    # broadcast of a 1-row global threshold (0.1% of total value) —
+    # constant-size build side, same bounded pattern
+    "q_tpch_q11",
+    # broadcast of the 1-row corpus token total — same bounded pattern
+    "q_unigram_lm",
 }
 
 
