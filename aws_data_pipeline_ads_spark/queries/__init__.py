@@ -136,6 +136,8 @@ _TAIL: list[str] = [
     # refinement-vs-exact-clusters pytest pins correctness
     "q_chunk_documents",  # array/explode machinery in-window via
     # q_repetition_score/q_token_count; oracle-checked locally
+    "q_embedding_sq8",  # int8-quantized shortlist + exact rerank;
+    # TakeOrdered/semi-join machinery in-window via q_embedding_knn
     "q_semdedup",  # SemDeDup tier: LSH-cluster + cosine anti-join;
     # self-join/cosine machinery in-window via q_embedding_neardup
     "q_domain_caps",  # per-domain quota via salted two-phase top-k;

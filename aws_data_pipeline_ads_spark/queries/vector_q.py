@@ -161,3 +161,40 @@ def q_semdedup(spark, sf_dir):
     return similarity.semdedup_keep(
         load_table(spark, sf_dir, "embeddings"), 0.25
     )
+
+
+# SQ8: the quantization (max|x|/127 scale, half-up rounding) and the
+# integer-cosine shortlist are bit-deterministic, so the oracle runs the
+# IDENTICAL two-stage plan — quantize → integer-cosine shortlist →
+# exact-cosine rerank — and the final rows match exactly.
+_SQ8_ORACLE = (
+    "WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
+    "GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> abs(x))), 1e-30) / 127.0 AS sc FROM embeddings), "
+    "q AS (SELECT vec_id, emb, list_transform(emb, "
+    "x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qvec FROM s), "
+    "qq AS (SELECT list_transform({qv}, "
+    "x -> CAST(floor(x / (GREATEST(list_max(list_transform({qv}, "
+    "y -> abs(y))), 1e-30) / 127.0) + 0.5) AS BIGINT)) AS v), "
+    "short AS (SELECT vec_id, emb FROM q, qq "
+    "ORDER BY list_dot_product(qvec, qq.v) / "
+    "(sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(qq.v, qq.v))) "
+    "DESC, vec_id LIMIT 40) "
+    "SELECT vec_id, round(list_dot_product(emb, {qv}) / "
+    "(sqrt(list_dot_product(emb, emb)) * {qnorm}), 6) AS score "
+    "FROM short ORDER BY list_dot_product(emb, {qv}) / "
+    "(sqrt(list_dot_product(emb, emb)) * {qnorm}) DESC, vec_id LIMIT 10"
+).format(qv=_QV_SQL, qnorm=_QNORM)
+
+
+@query(
+    "q_embedding_sq8",
+    oracle=_SQ8_ORACLE,
+    doc="2C similarity quantized tier: per-vector symmetric int8 "
+        "quantization (scales cancel out of cosine → pure integer "
+        "shortlist scoring over a 4×-smaller scan) + exact-cosine "
+        "rerank probing only shortlist_mult*k full-precision vectors "
+        "(similarity.sq8_topk)",
+)
+def q_embedding_sq8(spark, sf_dir):
+    return similarity.sq8_topk(load_table(spark, sf_dir, "embeddings"), _QV, 10)

@@ -346,3 +346,27 @@ def test_lsh_index_partition_pruning(spark, sf_dir, tmp_path):
         ]
     fplan = plans.formatted_plan(similarity.lsh_topk_pruned(spark, idx, qv, 10))
     assert "PartitionFilters" in fplan and "bucket" in fplan
+
+
+def test_sq8_quantized_tier(spark, sf_dir):
+    """(a) the quantized index really is int8 (array<tinyint> — the 4×
+    scan-bandwidth claim); (b) quantized values stay in [-127, 127];
+    (c) the shortlist+rerank answer equals brute-force exact top-k at
+    this corpus/query (quantization error < shortlist headroom)."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.sq8_quantize(emb)
+    assert q.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+    bounds = q.select(
+        F.min(F.array_min("qvec")).alias("lo"),
+        F.max(F.array_max("qvec")).alias("hi"),
+    ).collect()[0]
+    assert -127 <= bounds.lo and bounds.hi <= 127
+    qv = similarity.fixed_query_vector()
+    got = [r.vec_id for r in similarity.sq8_topk(emb, qv, 10).collect()]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, 10).collect()]
+    assert got == exact
