@@ -370,3 +370,70 @@ def test_sq8_quantized_tier(spark, sf_dir):
     got = [r.vec_id for r in similarity.sq8_topk(emb, qv, 10).collect()]
     exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, 10).collect()]
     assert got == exact
+
+
+def test_compaction_unpartitioned(spark, sf_dir, tmp_path):
+    """40 tiny files → ~ideal file count; row multiset preserved; swap
+    leaves no staging/trash residue."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import compaction
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(40).write.parquet(path)
+
+    def digest(p):
+        df = spark.read.parquet(p)
+        return df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+
+    before_digest = digest(path)
+    target = 512 * 1024
+    report = compaction.compact_files(spark, path, target_bytes=target)
+    assert report["before"]["n_files"] == 40
+    assert report["after"]["n_files"] < 40
+    assert report["after"]["n_files"] <= report["before"]["ideal_files"] + 1
+    assert digest(path) == before_digest
+    assert report["after"]["total_bytes"] > 0
+    assert not os.path.exists(path + ".compact-staging")
+    assert not os.path.exists(path + ".pre-compact")
+
+
+def test_compaction_partitioned_preserves_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned table: partition dirs survive, per-dir file
+    count shrinks toward its own ceil(bytes/target), rows preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import compaction
+
+    path = str(tmp_path / "fragp")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("long"))  # parquet-stable for the digest
+    ev.repartition(12).write.partitionBy("event_type").parquet(path)
+
+    def per_dir_counts(p):
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith("event_type="):
+                out[d] = len([f for f in os.listdir(os.path.join(p, d))
+                              if f.endswith(".parquet")])
+        return out
+
+    before_counts = per_dir_counts(path)
+    assert all(n >= 10 for n in before_counts.values())
+    n_before = spark.read.parquet(path).count()
+    compaction.compact_files(spark, path, target_bytes=1 << 20,
+                             partition_cols=("event_type",))
+    after_counts = per_dir_counts(path)
+    assert set(after_counts) == set(before_counts)  # same partition dirs
+    assert all(n <= 3 for n in after_counts.values()), after_counts
+    assert spark.read.parquet(path).count() == n_before
