@@ -144,6 +144,8 @@ _TAIL: list[str] = [
     # window machinery in-window via q_window_rank
     "q_unigram_lm",  # corpus-trained unigram-LM nll scoring;
     # explode/join/agg machinery in-window via q_bm25_terms
+    "q_bpe_merges",  # iterative BPE training (rows-only by nature);
+    # exact-equality pytest vs a pure-Python reference trainer
     "q_pack_sequences",  # GPT-style concat-and-chunk packing;
     # running-window machinery in-window via q_window_running
     "q_data_split",  # deterministic 3-way hash split; md5-gate

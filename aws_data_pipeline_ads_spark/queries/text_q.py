@@ -689,3 +689,22 @@ def q_data_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "q_bpe_merges",
+    oracle=None,  # iterative argmax-per-round training — not one SQL
+    doc="LLM tokenizer training: learn a BPE merge table on the corpus "
+        "(Sennrich-style, distinct-word frequency table + one pair-"
+        "count shuffle per round, 1-row argmax collects); returns the "
+        "ordered merge table. Pytest pins exact equality with a pure-"
+        "Python reference trainer (operators/bpe.py)",
+)
+def q_bpe_merges(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import bpe
+
+    merges = bpe.bpe_train(load_table(spark, sf_dir, "documents"), 8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_no int, left string, right string, pair_count bigint",
+    )

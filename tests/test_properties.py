@@ -220,3 +220,80 @@ def _subseq_filter(own_lines, kept):
             seen.add(l)
             out.append(l)
     return out
+
+
+def _bpe_reference(word_n: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich-style BPE on a word-frequency dict: pair
+    counts → lexicographic-tiebroken argmax → greedy leftmost merge."""
+    words = {}
+    for w, n in word_n.items():
+        syms = list(w[:-1]) + [w[-1] + "</w>"]
+        words[tuple(syms)] = words.get(tuple(syms), 0) + n
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((left, right, cnt))
+        new_words = {}
+        for syms, n in words.items():
+            out, prev = [], None
+            for s in syms:
+                if prev is not None and prev == left and s == right:
+                    out.append(left + right)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+    return merges, words
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer learns EXACTLY the reference merge
+    sequence on the real corpus, and segmenting with the learned table
+    reproduces the reference's total token count."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    word_n = {
+        r.word: r.n for r in bpe.word_counts(docs).collect()
+    }
+    ref_merges, ref_words = _bpe_reference(word_n, 6)
+    got = bpe.bpe_train(docs, 6)
+    assert got == ref_merges
+    # total corpus tokens after segmentation == reference fold
+    ref_total = sum(len(syms) * n for syms, n in ref_words.items())
+    seg = bpe.bpe_segment(docs, got)
+    got_total = seg.agg(F.sum("n_tokens").alias("t")).collect()[0].t
+    assert got_total == ref_total
+
+
+def test_bpe_fertility_monotone_in_merges(spark, sf_dir):
+    """Each additional merge can only shrink (or hold) the corpus token
+    count — the training objective is literally this monotone descent."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, 6)
+    totals = []
+    for k in (0, 3, 6):
+        seg = bpe.bpe_segment(docs, merges[:k])
+        totals.append(seg.agg(F.sum("n_tokens").alias("t")).collect()[0].t)
+    assert totals[0] > totals[1] > totals[2]  # merges strictly help here
