@@ -132,3 +132,92 @@ def cohort_retention(events: DataFrame, ts_col: str = "ts",
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type transition matrix (behavioral Markov
+    chain): per user, in (ts, event_id) order, count src→dst pairs and
+    normalize per src row.
+
+    Two exchanges: the per-user lead window (hash on user_id — the same
+    exchange sessionize uses; per-user state bounded by events-per-
+    user), then the (src,dst) pair count (map-side combined; the pair
+    space is |event_types|² — tiny). The per-src total rides a window
+    over the COUNTED matrix (≤ |types|² rows), not the event stream.
+    p is an exact integer ratio — engine-identical doubles.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_src = W.partitionBy("src")
+    return pairs.select(
+        "src", "dst", "n",
+        (F.col("n") / F.sum("n").over(per_src)).alias("p"),
+    )
+
+
+def rfm_scores(events: DataFrame, ref_date: str = "2025-01-01",
+               purchase_type: str = "purchase") -> DataFrame:
+    """RFM segmentation: per-user Recency (days from last event to the
+    reference date), Frequency (event count), Monetary (decimal-exact
+    purchase value), each scored 1-5 against the corpus's exact
+    quintile thresholds.
+
+    Scale posture: the naive formulation is ntile(5) OVER (ORDER BY
+    metric) — a single-task global sort at 100 TB. Instead the 12
+    thresholds (p20/p40/p60/p80 × 3 metrics) come from ONE exact-
+    percentile aggregate (1 row, broadcast) and scoring is a codegen'd
+    CASE per row — no global ordering anywhere. Boundary ties score
+    identically in any engine (pure comparisons).
+    """
+    from aws_data_pipeline_ads_spark.functions import dec_sum
+
+    per_user = events.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(ref_date).cast("date"), F.max("ts").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dec_sum(
+            F.when(F.col("event_type") == purchase_type, F.col("value"))
+            .otherwise(F.lit(0.0)),
+            "monetary",
+        ),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    thresholds = per_user.agg(
+        F.percentile("recency_days", F.array(*[F.lit(q) for q in qs])).alias("tr"),
+        F.percentile("frequency", F.array(*[F.lit(q) for q in qs])).alias("tf"),
+        F.percentile("monetary", F.array(*[F.lit(q) for q in qs])).alias("tm"),
+    )
+
+    def score(col, t, invert=False):
+        # 1 + number of thresholds strictly below the value (ties take
+        # the lower band); recency inverts (smaller = better = 5)
+        raw = (
+            F.lit(1)
+            + F.when(F.col(col) > F.element_at(t, 1), 1).otherwise(0)
+            + F.when(F.col(col) > F.element_at(t, 2), 1).otherwise(0)
+            + F.when(F.col(col) > F.element_at(t, 3), 1).otherwise(0)
+            + F.when(F.col(col) > F.element_at(t, 4), 1).otherwise(0)
+        )
+        return (F.lit(6) - raw) if invert else raw
+
+    return (
+        per_user.join(F.broadcast(thresholds))
+        .select(
+            "user_id", "recency_days", "frequency", "monetary",
+            score("recency_days", F.col("tr"), invert=True).alias("r_score"),
+            score("frequency", F.col("tf")).alias("f_score"),
+            score("monetary", F.col("tm")).alias("m_score"),
+        )
+    )

@@ -86,6 +86,10 @@ _TAIL: list[str] = [
     # by q_dedup_exact/q_set_ops in-window — swapped for q_funnel
     "q_cohort_retention",  # groupBy/distinct/join machinery all
     # in-window; oracle-checked locally
+    "q_markov_transitions",  # lead-window + pair-count machinery
+    # in-window via q_window_lag_lead/q_funnel; oracle-checked locally
+    "q_rfm",  # percentile + broadcast-threshold machinery in-window
+    # via q_percentile/q_scalar_subquery; oracle-checked locally
     "q_scd2",  # lag/lead/row_number machinery in-window via
     # q_window_rank/q_window_running; oracle-checked locally
     "q_profile",  # agg/count_distinct machinery in-window via

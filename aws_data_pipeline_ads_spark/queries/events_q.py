@@ -391,3 +391,68 @@ def q_hypertable_rollup(spark, sf_dir):
 
     ensure_utc(spark)
     return hypertable_rollup(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_markov_transitions",
+    oracle=(
+        "WITH pairs AS (SELECT event_type AS src, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS dst FROM events), "
+        "m AS (SELECT src, dst, COUNT(*) AS n FROM pairs "
+        "WHERE dst IS NOT NULL GROUP BY src, dst) "
+        "SELECT src, dst, n, "
+        "n / (SUM(n) OVER (PARTITION BY src)) AS p FROM m"
+    ),
+    doc="2C behavioral analytics: first-order event-type transition "
+        "matrix (per-user lead window → pair counts → per-src "
+        "normalization over the tiny counted matrix, never the event "
+        "stream; operators/funnel.markov_transitions)",
+)
+def q_markov_transitions(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.funnel import markov_transitions
+
+    ensure_utc(spark)
+    return markov_transitions(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_rfm",
+    oracle=(
+        "WITH per_user AS (SELECT user_id, "
+        "datediff('day', CAST(MAX(ts) AS DATE), DATE '2025-01-01') "
+        "AS recency_days, "
+        "COUNT(*) AS frequency, "
+        "CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value "
+        "ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS monetary "
+        "FROM events GROUP BY user_id), "
+        "t AS (SELECT "
+        "quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS tr, "
+        "quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS tf, "
+        "quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS tm "
+        "FROM per_user) "
+        "SELECT user_id, recency_days, frequency, monetary, "
+        "6 - (1 + CASE WHEN recency_days > tr[1] THEN 1 ELSE 0 END "
+        "+ CASE WHEN recency_days > tr[2] THEN 1 ELSE 0 END "
+        "+ CASE WHEN recency_days > tr[3] THEN 1 ELSE 0 END "
+        "+ CASE WHEN recency_days > tr[4] THEN 1 ELSE 0 END) AS r_score, "
+        "1 + CASE WHEN frequency > tf[1] THEN 1 ELSE 0 END "
+        "+ CASE WHEN frequency > tf[2] THEN 1 ELSE 0 END "
+        "+ CASE WHEN frequency > tf[3] THEN 1 ELSE 0 END "
+        "+ CASE WHEN frequency > tf[4] THEN 1 ELSE 0 END AS f_score, "
+        "1 + CASE WHEN monetary > tm[1] THEN 1 ELSE 0 END "
+        "+ CASE WHEN monetary > tm[2] THEN 1 ELSE 0 END "
+        "+ CASE WHEN monetary > tm[3] THEN 1 ELSE 0 END "
+        "+ CASE WHEN monetary > tm[4] THEN 1 ELSE 0 END AS m_score "
+        "FROM per_user, t"
+    ),
+    doc="2C behavioral analytics: RFM segmentation scored against "
+        "exact corpus quintile thresholds from ONE percentile "
+        "aggregate (broadcast 1-row) — no ntile global sort "
+        "(operators/funnel.rfm_scores)",
+)
+def q_rfm(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.funnel import rfm_scores
+
+    ensure_utc(spark)
+    return rfm_scores(load_table(spark, sf_dir, "events"))
