@@ -63,3 +63,68 @@ def profile(df: DataFrame, columns: list[str] | None = None,
         for c in cols
     ]
     return one.select(F.inline(F.array(*rows)))
+
+
+def correlation(df: DataFrame, x_col: str, y_col: str,
+                group_col: str | None = None) -> DataFrame:
+    """Pearson correlation from EXACT decimal raw moments.
+
+    The built-in `corr` aggregate streams Welford-style co-moments whose
+    floating-point accumulation is ORDER-DEPENDENT — the answer changes
+    with partitioning, which breaks this engine's partitioning-invariance
+    rule (README) and any differential oracle. Instead: one map-side-
+    combined pass collects the six raw moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) as decimal(38,6)-exact sums — associative, order-invariant —
+    and the textbook closed form runs ONCE per group on exact inputs, so
+    every engine computes the identical double.
+
+    At 100 TB: same cost class as any grouped aggregate (one shuffle of
+    6 partials per group); no second pass over the data (the two-pass
+    mean-centered formulation would rescan).
+    """
+    # per-row decimal(18,6): wide enough for per-row magnitudes here and
+    # its self-product stays inside decimal-38 in BOTH Spark and DuckDB
+    # (a (38,6)×(38,6) product overflows DuckDB's max width)
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    keys = [group_col] if group_col else []
+    moments = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,12)")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return moments.select(
+        *keys,
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+    )
+
+
+def histogram(df: DataFrame, value_col: str, group_col: str,
+              bin_width: float = 50.0, lo: float = 0.0) -> DataFrame:
+    """Fixed-width histogram per group: bin = floor((v - lo)/width).
+
+    Fixed bounds instead of data-driven min/max: binning is then a pure
+    per-row expression (no global-extent pre-pass, no broadcast), the
+    bin ids are stable across corpus growth — the property that lets
+    per-day histogram partials re-aggregate into any rollup, the same
+    mergeability argument as the HLL sketches (`operators/sketches.py`).
+    """
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(bin_width))
+    return (
+        df.groupBy(F.col(group_col), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(bin_width)).alias("bin_lo"),
+            "n",
+        )
+    )

@@ -94,6 +94,10 @@ _TAIL: list[str] = [
     # q_window_rank/q_window_running; oracle-checked locally
     "q_profile",  # agg/count_distinct machinery in-window via
     # q_count_distinct/q_agg_rollup; oracle-checked locally
+    "q_correlation",  # exact-raw-moment Pearson; grouped-agg machinery
+    # in-window via q_agg_rollup; oracle-checked locally
+    "q_histogram",  # fixed-width binning; grouped-agg machinery
+    # in-window; oracle-checked locally
     "q_hll_rollup",  # sketch estimates rows-only by nature (like
     # q_approx_distinct); accuracy + merge-invariance pytest-pinned
     "q_merge_upsert",  # anti-join ∪ union machinery in-window via

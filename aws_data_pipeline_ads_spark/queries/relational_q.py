@@ -1318,3 +1318,61 @@ def q_tpch_q20(spark, sf_dir):
         supp.join(hot, supp.s_suppkey == hot.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+
+
+@query(
+    "q_correlation",
+    # oracle casts per-row to DECIMAL(19,6) (width >18 forces DuckDB's
+    # int128 multiply; 18 overflows int64). Spark stays at (18,6) whose
+    # product fits (37,12). Both are exact on these magnitudes, so the
+    # engines sum identical rationals.
+    oracle=(
+        "WITH m AS (SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) * "
+        "CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) "
+        "AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,6)) * "
+        "CAST(l_quantity AS DECIMAL(19,6)) AS DECIMAL(38,12))) "
+        "AS DOUBLE) AS sxx, "
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,6)) * "
+        "CAST(l_extendedprice AS DECIMAL(19,6)) AS DECIMAL(38,12))) "
+        "AS DOUBLE) AS syy "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "round((sxy - sx * sy / n) / "
+        "sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr "
+        "FROM m"
+    ),
+    doc="data profiling: Pearson correlation from exact decimal raw "
+        "moments — the built-in corr's streaming co-moments are "
+        "order-dependent (partitioning-variant); this one pass is "
+        "exact, order-invariant and engine-identical "
+        "(operators/profiling.correlation)",
+)
+def q_correlation(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.profiling import correlation
+
+    return correlation(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_quantity", "l_extendedprice", "l_returnflag",
+    )
+
+
+@query(
+    "q_histogram",
+    oracle=(
+        "SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, "
+        "floor(value / 50.0) * 50.0 AS bin_lo, COUNT(*) AS n "
+        "FROM events GROUP BY event_type, bin, bin_lo"
+    ),
+    doc="data profiling: fixed-width value histogram per event type — "
+        "binning is a pure per-row expression (no global-extent "
+        "pre-pass), so per-day partials re-aggregate into any rollup "
+        "(operators/profiling.histogram)",
+)
+def q_histogram(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.profiling import histogram
+
+    return histogram(load_table(spark, sf_dir, "events"), "value", "event_type")

@@ -58,6 +58,8 @@ def test_oracle_sql_covers_most_queries():
             "q_embedding_ann", "q_embedding_ivf", "q_neardup_verified",
             "q_hll_rollup",  # sketch estimate, library-specific
             "q_neardup_clusters_lsh",  # LSH recall, engine-specific
+            "q_bpe_merges",  # iterative argmax-per-round training —
+            # not one SQL; pytest pins vs a pure-Python reference
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"
