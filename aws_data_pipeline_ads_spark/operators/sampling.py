@@ -138,3 +138,49 @@ def train_val_test_split(df: DataFrame, key_col: str,
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split", split)
+
+
+def corpus_shuffle(df: DataFrame, key_col: str, n_shards: int = 64,
+                   salt: str = "epoch0") -> DataFrame:
+    """Deterministic global shuffle for training-order randomization.
+
+    Training runs need the corpus in a random-but-REPRODUCIBLE order
+    (re-runs, resumed jobs, and multi-epoch schedules must agree).
+    `ORDER BY rand()` is neither (per-partition seeds), and a true
+    global sort by a random key is a range exchange whose sampled
+    boundaries also aren't run-stable. Instead both levels are pure
+    functions of the key: shard = md5-hash(salt ∥ key) mod n_shards,
+    position = rank of the full 32-bit hash within the shard. Vary
+    `salt` per epoch for a fresh permutation.
+
+    One hash-partition exchange + a per-shard sort (each task sorts
+    ~corpus/n_shards rows — raise n_shards with corpus size); the
+    shard-major, position-minor order IS the global permutation, so a
+    writer emits one file per shard and readers stream files in name
+    order. No global sort, no sampled boundaries, bit-stable anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.expr(hash_u32_sql(f"concat('{salt}', ':', CAST({key_col} AS STRING))"))
+    keyed = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
+    )
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy(F.col("__h"), F.col(key_col))
+    )
+    return keyed.withColumn("pos", pos).drop("__h")
+
+
+def corpus_shuffle_write(df: DataFrame, path: str, key_col: str,
+                         n_shards: int = 64, salt: str = "epoch0") -> None:
+    """Materialize the permutation: one file per shard, rows in
+    position order — readers concatenate files by shard id to stream
+    the corpus in shuffled order."""
+    out = corpus_shuffle(df, key_col, n_shards, salt)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

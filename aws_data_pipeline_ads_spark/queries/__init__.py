@@ -158,6 +158,8 @@ _TAIL: list[str] = [
     # running-window machinery in-window via q_window_running
     "q_data_split",  # deterministic 3-way hash split; md5-gate
     # machinery in-window via q_sample_stratified
+    "q_corpus_shuffle",  # deterministic training-order permutation;
+    # md5-gate + window machinery in-window; oracle-checked locally
 ]
 
 

@@ -6,7 +6,10 @@ from pyspark.sql import functions as F
 
 from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.operators import dedup, textstats
-from aws_data_pipeline_ads_spark.operators.sampling import hash_bucket_sql
+from aws_data_pipeline_ads_spark.operators.sampling import (
+    hash_bucket_sql,
+    hash_u32_sql,
+)
 from aws_data_pipeline_ads_spark.operators.simhash import simhash_pairs_sql, simhash_sql
 from aws_data_pipeline_ads_spark.queries.registry import query
 
@@ -708,3 +711,26 @@ def q_bpe_merges(spark, sf_dir):
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_no int, left string, right string, pair_count bigint",
     )
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle=(
+        "WITH keyed AS (SELECT doc_id, "
+        + hash_u32_sql("concat('epoch0', ':', CAST(doc_id AS STRING))")
+        + " AS h FROM documents) "
+        "SELECT doc_id, CAST(h % 8 AS INT) AS shard, "
+        "CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) "
+        "AS INT) AS pos FROM keyed"
+    ),
+    doc="LLM corpus assembly: deterministic training-order shuffle — "
+        "shard and in-shard position are pure functions of the doc key "
+        "(salted md5), so the permutation is reproducible across "
+        "re-runs, partitionings, and engines; vary the salt per epoch "
+        "(operators/sampling.corpus_shuffle)",
+)
+def q_corpus_shuffle(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import corpus_shuffle
+
+    out = corpus_shuffle(load_table(spark, sf_dir, "documents"), "doc_id", 8)
+    return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))

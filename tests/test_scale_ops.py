@@ -437,3 +437,33 @@ def test_compaction_partitioned_preserves_layout(spark, sf_dir, tmp_path):
     assert set(after_counts) == set(before_counts)  # same partition dirs
     assert all(n <= 3 for n in after_counts.values()), after_counts
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_corpus_shuffle_write_streams_permutation(spark, sf_dir, tmp_path):
+    """Materialized shuffle: shard dirs hold position-ordered rows, the
+    permutation is a bijection over the corpus, and re-running with the
+    same salt reproduces it exactly (different salt ≠ same order)."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = str(tmp_path / "shuffled")
+    sampling.corpus_shuffle_write(docs, path, "doc_id", n_shards=4)
+    back = spark.read.parquet(path)
+    n = docs.count()
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n  # bijection
+    # within every shard file, physical row order == pos order
+    for shard in range(4):
+        rows = spark.read.parquet(f"{path}/shard={shard}").select("pos").collect()
+        ps = [r.pos for r in rows]
+        assert ps == sorted(ps) and ps[0] == 1 and ps[-1] == len(ps)
+    # reproducibility + salt sensitivity
+    a = sampling.corpus_shuffle(docs, "doc_id", 4).select("doc_id", "shard", "pos")
+    b = sampling.corpus_shuffle(docs, "doc_id", 4).select("doc_id", "shard", "pos")
+    assert a.exceptAll(b).count() == 0
+    c = sampling.corpus_shuffle(docs, "doc_id", 4, salt="epoch1").select(
+        "doc_id", "shard", "pos")
+    assert c.exceptAll(a).count() > 0
