@@ -66,6 +66,8 @@ _WINDOW: list[str] = [
 # Declared queries past the driver window: each exercises machinery an
 # in-window sibling already verifies (still oracle-checked locally).
 _TAIL: list[str] = [
+    "q_ntile_lpad",  # scalar-census stragglers (lpad, segment-scoped
+    # ntile); window machinery in-window via q_window_rank
     "q_string_funcs", "q_date_parts",  # scalar family stays covered by
     # q_math_funcs/q_array_funcs in-window; both hash-matched in r01/r02
     "q_asof_lastclick",  # as-of family keeps q_asof_join in-window

@@ -340,3 +340,30 @@ def q_array_funcs(spark, sf_dir):
         F.round(F.element_at(emb_d, 1), 6).alias("first_val"),
         F.size(F.filter(emb_d, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@query(
+    "q_ntile_lpad",
+    oracle=(
+        "SELECT c_mktsegment, "
+        "lpad(c_name, 14, '*') AS padded_name, "
+        "CAST(ntile(4) OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey) AS INT) AS acctbal_quartile "
+        "FROM customer"
+    ),
+    doc="scalar census stragglers: lpad + ntile. ntile partitions by "
+        "segment (bounded cardinality) — a GLOBAL ntile is a single-"
+        "task sort; rank-within-group is the scale-safe form (the "
+        "rfm_scores docstring carries the full argument)",
+)
+def q_ntile_lpad(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.lpad("c_name", 14, "*").alias("padded_name"),
+        F.ntile(4).over(
+            W.partitionBy("c_mktsegment")
+            .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        ).alias("acctbal_quartile"),
+    )
