@@ -41,7 +41,7 @@ _WINDOW: list[str] = [
     "q_simhash_pairs",
     # -- similarity search + multimodal ----------------------------------
     "q_binary_meta", "q_embedding_knn", "q_embedding_neardup",
-    "q_embedding_ann", "q_embedding_ivf",
+    "q_embedding_sq8", "q_embedding_ivf",
     # -- scalar surface ---------------------------------------------------
     "q_math_funcs", "q_array_funcs",
     "q_json_extract", "q_percentile",
@@ -146,8 +146,10 @@ _TAIL: list[str] = [
     # refinement-vs-exact-clusters pytest pins correctness
     "q_chunk_documents",  # array/explode machinery in-window via
     # q_repetition_score/q_token_count; oracle-checked locally
-    "q_embedding_sq8",  # int8-quantized shortlist + exact rerank;
-    # TakeOrdered/semi-join machinery in-window via q_embedding_knn
+    "q_embedding_ann",  # LSH-served ANN (rows-only by nature); swapped
+    # out of the window for the hash-verified q_embedding_sq8 — the
+    # bucket-serving machinery stays in-window via q_embedding_ivf, and
+    # ann remains pytest-pinned (lsh_topk_pruned == inline) + local
     "q_semdedup",  # SemDeDup tier: LSH-cluster + cosine anti-join;
     # self-join/cosine machinery in-window via q_embedding_neardup
     "q_domain_caps",  # per-domain quota via salted two-phase top-k;
