@@ -198,3 +198,21 @@ _SQ8_ORACLE = (
 )
 def q_embedding_sq8(spark, sf_dir):
     return similarity.sq8_topk(load_table(spark, sf_dir, "embeddings"), _QV, 10)
+
+
+def warm_indexes(spark, sf_dir: str) -> None:
+    """Build the materialized ANN serving artifacts (LSH buckets, IVF
+    lists + centroids) for `sf_dir` if absent. Index construction is a
+    write-side job — callers that time query serving (bench.py) invoke
+    this first so one-time builds don't masquerade as query latency."""
+    _index_path(
+        "lsh", sf_dir,
+        lambda p: similarity.lsh_write(load_table(spark, sf_dir, "embeddings"), p),
+    )
+    cents = _trained_centroids(spark, sf_dir)
+    _index_path(
+        "ivf", sf_dir,
+        lambda p: similarity.ivf_write(
+            load_table(spark, sf_dir, "embeddings"), cents, p
+        ),
+    )
