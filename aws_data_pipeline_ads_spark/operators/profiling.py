@@ -128,3 +128,51 @@ def histogram(df: DataFrame, value_col: str, group_col: str,
             "n",
         )
     )
+
+
+def quantile_from_histogram(df: DataFrame, value_col: str, group_col: str,
+                            qs: tuple[float, ...] = (0.5, 0.9),
+                            bin_width: float = 50.0, lo: float = 0.0) -> DataFrame:
+    """Approximate quantiles from the MERGEABLE fixed-bin histogram.
+
+    percentile_approx's KLL-style sketch is accurate but its partials
+    aren't re-aggregatable through SQL; the fixed-bin histogram is the
+    mergeable alternative (same argument as the HLL sketches): per-day
+    partials union into any rollup, and quantiles interpolate from the
+    merged counts with error ≤ bin_width. Estimation: cumulative counts
+    over the ≤(range/width) bins per group — the window runs on the
+    COUNTED histogram, never the raw stream — then linear interpolation
+    inside the first bin whose cumulative count crosses q·total.
+    Deterministic: pure arithmetic on exact integer counts, so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Window as W
+
+    hist = histogram(df, value_col, group_col, bin_width, lo)
+    w = W.partitionBy(group_col).orderBy("bin")
+    wg = W.partitionBy(group_col)
+    cum = hist.select(
+        group_col, "bin", "bin_lo", "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wg).alias("total"),
+    )
+    est_cols = []
+    for q in qs:
+        target = F.lit(q) * F.col("total")
+        in_bin = F.col("cum") >= target
+        est = (
+            F.col("bin_lo")
+            + F.lit(bin_width)
+            * (target - (F.col("cum") - F.col("n"))) / F.col("n")
+        )
+        name = f"p{int(q * 100)}_est"
+        # the FIRST crossing bin's interpolant (min_by on a key that is
+        # NULL for non-crossing bins — both Spark min_by and DuckDB
+        # arg_min skip null keys); a plain min-over-estimates would pick
+        # a later bin whose negative-overshoot interpolant is smaller
+        est_cols.append(
+            F.min_by(F.round(est, 6), F.when(in_bin, F.col("bin"))).alias(name)
+        )
+    return cum.groupBy(group_col).agg(
+        F.max("total").alias("total"), *est_cols
+    )

@@ -100,6 +100,8 @@ _TAIL: list[str] = [
     # in-window via q_agg_rollup; oracle-checked locally
     "q_histogram",  # fixed-width binning; grouped-agg machinery
     # in-window; oracle-checked locally
+    "q_quantile_sketch",  # histogram-interpolated quantiles; window +
+    # min_by machinery in-window via q_window_running; oracle-checked
     "q_hll_rollup",  # sketch estimates rows-only by nature (like
     # q_approx_distinct); accuracy + merge-invariance pytest-pinned
     "q_merge_upsert",  # anti-join ∪ union machinery in-window via

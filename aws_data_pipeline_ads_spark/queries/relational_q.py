@@ -1376,3 +1376,37 @@ def q_histogram(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators.profiling import histogram
 
     return histogram(load_table(spark, sf_dir, "events"), "value", "event_type")
+
+
+@query(
+    "q_quantile_sketch",
+    oracle=(
+        "WITH h AS (SELECT event_type, "
+        "CAST(floor(value / 50.0) AS BIGINT) AS bin, "
+        "floor(value / 50.0) * 50.0 AS bin_lo, COUNT(*) AS n "
+        "FROM events GROUP BY event_type, bin, bin_lo), "
+        "c AS (SELECT event_type, bin, bin_lo, n, "
+        "SUM(n) OVER (PARTITION BY event_type ORDER BY bin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "SUM(n) OVER (PARTITION BY event_type) AS total FROM h) "
+        "SELECT event_type, MAX(total) AS total, "
+        "arg_min(round(bin_lo + 50.0 * (0.5 * total - (cum - n)) / n, 6), "
+        "CASE WHEN cum >= 0.5 * total THEN bin END) AS p50_est, "
+        "arg_min(round(bin_lo + 50.0 * (0.9 * total - (cum - n)) / n, 6), "
+        "CASE WHEN cum >= 0.9 * total THEN bin END) AS p90_est "
+        "FROM c GROUP BY event_type"
+    ),
+    doc="data profiling: approximate quantiles interpolated from the "
+        "MERGEABLE fixed-bin histogram (error ≤ bin width) — the "
+        "re-aggregatable alternative to percentile_approx's opaque "
+        "sketch; cumulative window runs on the counted histogram, "
+        "never the raw stream (profiling.quantile_from_histogram)",
+)
+def q_quantile_sketch(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.profiling import (
+        quantile_from_histogram,
+    )
+
+    return quantile_from_histogram(
+        load_table(spark, sf_dir, "events"), "value", "event_type"
+    )

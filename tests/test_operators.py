@@ -873,3 +873,36 @@ def test_chunk_documents_stride_overlap_reconstruction(spark):
     assert all(r.chunk_tokens <= 10 for r in d1)
     d2 = [r for r in out if r.doc_id == 2]
     assert len(d2) == 1 and d2[0].chunk_text == "tiny doc"
+
+
+def test_histogram_quantiles_accurate_and_mergeable(spark, sf_dir):
+    """(a) histogram-interpolated p50/p90 within one bin width of the
+    exact percentiles; (b) merging per-half histogram partials gives
+    the same estimates as one whole-corpus histogram (mergeability)."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.profiling import (
+        histogram,
+        quantile_from_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = {r.event_type: (r.p50_est, r.p90_est)
+           for r in quantile_from_histogram(ev, "value", "event_type").collect()}
+    exact = {r.event_type: (r.p50, r.p90)
+             for r in ev.groupBy("event_type").agg(
+                 F.percentile("value", 0.5).alias("p50"),
+                 F.percentile("value", 0.9).alias("p90")).collect()}
+    for et, (p50, p90) in exact.items():
+        assert abs(est[et][0] - p50) <= 50.0, (et, est[et][0], p50)
+        assert abs(est[et][1] - p90) <= 50.0, (et, est[et][1], p90)
+    # mergeability: histogram(half1) ∪ histogram(half2) re-aggregated
+    # == histogram(all) (exact integer counts)
+    h_all = {(r.event_type, r.bin): r.n
+             for r in histogram(ev, "value", "event_type").collect()}
+    halves = [histogram(ev.filter(F.col("event_id") % 2 == i),
+                        "value", "event_type") for i in (0, 1)]
+    merged = {}
+    for h in halves:
+        for r in h.collect():
+            merged[(r.event_type, r.bin)] = merged.get((r.event_type, r.bin), 0) + r.n
+    assert merged == h_all
