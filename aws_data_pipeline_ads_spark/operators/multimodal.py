@@ -287,3 +287,91 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: 9×8 luminance grid,
+    bit = left pixel brighter than right neighbor → 64-bit fingerprint.
+    Near-duplicate images differ in a few bits (the image-side analogue
+    of SimHash on text).
+
+    The luminance grid comes from the decode stage: with the fake
+    decoder it is a deterministic 72-byte stride sample of the payload
+    (same contract as resize_images); a real impl swaps in
+    PIL `convert('L').resize((9, 8))` at the marked line. Hamming
+    distance and candidate banding run JVM-side on the hash —
+    only THIS stage pays the Python/Arrow toll, and it emits 8 bytes
+    per image into the shuffle, never pixels.
+    """
+    if not use_fake_decoder:
+        raise NotImplementedError("image codecs are not available in this environment")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for blob in pdf["content"]:
+                raw = bytes(blob)
+                # <- real impl: PIL decode → grayscale → resize((9, 8))
+                if len(raw) >= 72:
+                    step = len(raw) // 72
+                    grid = raw[::step][:72]
+                else:
+                    grid = raw + b"\x00" * (72 - len(raw))
+                h = 0
+                for row in range(8):
+                    for col in range(8):
+                        bit = grid[row * 9 + col] > grid[row * 9 + col + 1]
+                        h = (h << 1) | int(bit)
+                # two's-complement into signed 64-bit (Spark LongType)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by banded LSH over the 64-bit dHash, verified
+    exactly by Hamming distance — the simhash_pairs posture on images.
+
+    4 bands × 16 bits: any pair at Hamming ≤ 3 has ≥ 1 intact band
+    (pigeonhole), so recall is EXACT at the default threshold. The self-
+    join is equi on (band_no, band): linear candidates, never all-pairs;
+    only (doc_id, 8-byte hash) crosses the exchange. All JVM bit ops.
+    """
+    bands = hashes.select(
+        "doc_id", "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_no"),
+                    F.shiftrightunsigned("dhash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("band"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_no", "b.band")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

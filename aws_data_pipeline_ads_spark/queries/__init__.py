@@ -166,6 +166,8 @@ _TAIL: list[str] = [
     # machinery in-window via q_sample_stratified
     "q_corpus_shuffle",  # deterministic training-order permutation;
     # md5-gate + window machinery in-window; oracle-checked locally
+    "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode
+    # stage); pytest pins hash vs reference + exact brute-force recall
 ]
 
 

@@ -734,3 +734,21 @@ def q_corpus_shuffle(spark, sf_dir):
 
     out = corpus_shuffle(load_table(spark, sf_dir, "documents"), "doc_id", 8)
     return out.select("doc_id", "shard", F.col("pos").cast("int").alias("pos"))
+
+
+@query(
+    "q_image_neardup",
+    oracle=None,  # dHash runs in the Arrow decode stage (mapInPandas) —
+    # no SQL twin; pytest pins hash equality vs a pure-Python reference
+    # and EXACT pair recall vs brute force at the pigeonhole threshold
+    doc="multimodal dedup: perceptual dHash per image (Arrow decode "
+        "stage emits 8 bytes/image) + banded-LSH candidate pairs with "
+        "exact Hamming verify — SimHash posture on images; recall is "
+        "exact at Hamming ≤ 3 by pigeonhole over 4×16-bit bands "
+        "(operators/multimodal.image_dhash / dhash_neardup_pairs)",
+)
+def q_image_neardup(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    media = multimodal.attach_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.dhash_neardup_pairs(multimodal.image_dhash(media))

@@ -60,6 +60,8 @@ def test_oracle_sql_covers_most_queries():
             "q_neardup_clusters_lsh",  # LSH recall, engine-specific
             "q_bpe_merges",  # iterative argmax-per-round training —
             # not one SQL; pytest pins vs a pure-Python reference
+            "q_image_neardup",  # dHash runs in the Arrow decode stage
+            # (mapInPandas) — no SQL twin; pytest pins reference + recall
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"

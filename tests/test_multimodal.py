@@ -219,3 +219,47 @@ def test_real_jpeg_decode_end_to_end(spark):
     }
     assert (feats[1].width, feats[1].height) == (640, 480)
     assert (feats[2].width, feats[2].height) == (31, 977)
+
+
+def test_image_dhash_and_neardup_pairs(spark, sf_dir):
+    """dHash matches a pure-Python reference on the real payloads;
+    identical payloads collide at Hamming 0; banded pairs find every
+    pair with Hamming ≤ 3 (pigeonhole recall is exact) and verify the
+    distance exactly."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    media = multimodal.attach_media(docs)
+    got = {r.doc_id: r.dhash
+           for r in multimodal.image_dhash(media).collect()}
+
+    def ref_dhash(raw: bytes) -> int:
+        if len(raw) >= 72:
+            step = len(raw) // 72
+            grid = raw[::step][:72]
+        else:
+            grid = raw + b"\x00" * (72 - len(raw))
+        h = 0
+        for row in range(8):
+            for col in range(8):
+                h = (h << 1) | int(grid[row * 9 + col] > grid[row * 9 + col + 1])
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in texts.items():
+        assert got[doc_id] == ref_dhash(text.encode()), doc_id
+    # exact recall at the pigeonhole threshold: brute-force all pairs
+    ids = sorted(got)
+    expect = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1:]:
+            ham = bin((got[da] ^ got[db]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                expect.add((da, db, ham))
+    pairs = {(r.doc_a, r.doc_b, r.hamming)
+             for r in multimodal.dhash_neardup_pairs(
+                 multimodal.image_dhash(media)).collect()}
+    assert pairs == expect
