@@ -39,10 +39,16 @@ def _qv_col(qv: list[float]):
 
 def cosine_scores(embeddings: DataFrame, qv: list[float],
                   vec_col: str = "embedding") -> DataFrame:
-    """Cosine similarity of every vector against the query vector."""
+    """Cosine similarity of every vector against the query vector.
+
+    Zero-norm vectors (cosine undefined, 0/0→NaN — and NaN ORDERING
+    differs across engines) score NULL instead: desc sorts place nulls
+    last in both Spark and DuckDB, so degenerate rows rank behind every
+    real score deterministically."""
     emb = F.col(vec_col).cast("array<double>")
     qnorm = math.sqrt(sum(x * x for x in qv))
-    score = vec_dot(emb, _qv_col(qv)) / (vec_norm(emb) * F.lit(qnorm))
+    denom = vec_norm(emb) * F.lit(qnorm)
+    score = F.when(denom != 0, vec_dot(emb, _qv_col(qv)) / denom)
     return embeddings.select("vec_id", score.alias("score"))
 
 
@@ -487,7 +493,9 @@ def sq8_scores(embeddings: DataFrame, qv: list[float]) -> DataFrame:
     dot = _int_dot(F.col("qvec"), qq_col)
     na = F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double"))
     nb = math.sqrt(sum(i * i for i in qq))
-    return q.select("vec_id", (dot / (na * F.lit(nb))).alias("qscore"))
+    denom = na * F.lit(nb)
+    # zero-norm guard: same null-not-NaN rule as cosine_scores
+    return q.select("vec_id", F.when(denom != 0, dot / denom).alias("qscore"))
 
 
 def sq8_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
@@ -508,3 +516,44 @@ def sq8_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
     )
     probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
     return cosine_topk(probed, qv, k)
+
+
+def hard_negative_pairs(embeddings: DataFrame, k: int = 3,
+                        n_planes: int = 8) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-cosine-similar vectors with a DIFFERENT label — the
+    "looks the same, isn't" pairs a metric-learning loss needs.
+
+    All-pairs mining is quadratic; the LSH bucket is the blocking key
+    (the semdedup argument: near vectors collide, so the hard negatives
+    are in the anchor's bucket with high probability; raise n_planes
+    with corpus size to hold sum(bucket²) linear). Equi self-join on
+    the bucket with a label-mismatch residual, per-anchor top-k via a
+    window over the candidate set — every step closed-form, so the
+    DuckDB oracle verifies bucket bits, cosine, and ranking end-to-end.
+    """
+    from pyspark.sql import Window as W
+
+    b = lsh_bucket_ids(embeddings, n_planes).select(
+        "vec_id", "label", "bucket",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    score = cosine_similarity(F.col("a.emb"), F.col("c.emb"))
+    cands = (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.label") != F.col("c.label")))
+        .select(
+            F.col("a.vec_id").alias("anchor"),
+            F.col("a.label").alias("anchor_label"),
+            F.col("c.vec_id").alias("negative"),
+            F.round(score, 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("score"), F.asc("negative"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor", "anchor_label", "negative", "score",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -168,6 +168,8 @@ _TAIL: list[str] = [
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode
     # stage); pytest pins hash vs reference + exact brute-force recall
+    "q_hard_negatives",  # LSH-blocked contrastive negatives; bucket +
+    # window machinery in-window via q_embedding_neardup/q_window_rank
 ]
 
 

