@@ -56,12 +56,14 @@ def quality_stats(documents: DataFrame) -> DataFrame:
     n_stop = F.regexp_count(F.col("text"), F.lit(EN_STOPWORDS_RE)).cast("long")
     punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
     stop_ratio = n_stop.cast("double") / n_toks
+    # Emit ratios rounded to 6 decimals (hash-canonicalization safety,
+    # SURVEY §7 risk 1); the keep/drop gate still compares unrounded.
     return documents.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_toks.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
         ((n_chars >= 20) & (n_toks >= 5) & (punct_ratio < 0.3)).alias("quality_ok"),
     )
 
@@ -142,12 +144,14 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     nbd = F.size(F.array_distinct(bigrams)).cast("long")
     dup_ratio = (n - nd).cast("double") / n
     bigram_dup = F.when(nb > 0, (nb - nbd).cast("double") / nb).otherwise(F.lit(0.0))
+    # Ratios rounded to 6 decimals on emit (hash-canonicalization
+    # safety, SURVEY §7 risk 1); the gate compares unrounded.
     return documents.select(
         "doc_id",
         n.alias("n_tokens"),
         nd.alias("n_distinct"),
-        dup_ratio.alias("dup_ratio"),
-        bigram_dup.alias("bigram_dup_ratio"),
+        F.round(dup_ratio, 6).alias("dup_ratio"),
+        F.round(bigram_dup, 6).alias("bigram_dup_ratio"),
         ((dup_ratio <= 0.6) & (bigram_dup <= 0.4)).alias("repetition_ok"),
     )
 
@@ -195,12 +199,21 @@ def redact_pii(documents: DataFrame, text_col: str = "text",
 
 
 def corpus_stats(documents: DataFrame) -> DataFrame:
-    """Per (lang, source) corpus statistics."""
+    """Per (lang, source) corpus statistics.
+
+    avg_chars is rounded to 6 decimals: the raw quotient is a full-
+    precision double whose serialized text form differs between hash-
+    canonicalization paths even when the values are bit-identical
+    (SURVEY §7 risk 1); rounding pins one canonical representation on
+    both the Spark and oracle sides.
+    """
     n_chars = F.length("text")
     return documents.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_chars.cast("long")).alias("total_chars"),
-        (F.sum(n_chars.cast("long")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.round(
+            F.sum(n_chars.cast("long")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
     )
 
 

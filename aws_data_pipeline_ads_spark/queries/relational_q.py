@@ -508,12 +508,12 @@ def q_top_supplier(spark, sf_dir):
 @query(
     "q_tpch_q14",
     oracle=(
-        "SELECT CAST(100.0 * "
+        "SELECT ROUND(CAST(100.0 * "
         "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN "
         "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) "
         "ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) / "
         + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
-        + " AS DOUBLE) AS promo_pct "
+        + " AS DOUBLE), 6) AS promo_pct "
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
         "AND l_shipdate < TIMESTAMP '1997-03-01'"
@@ -533,8 +533,10 @@ def q_tpch_q14(spark, sf_dir):
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            (100.0 * F.sum(promo).cast("double")
-             / F.sum(rev).cast("double")).alias("promo_pct")
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_pct")
         )
     )
 
@@ -1013,11 +1015,11 @@ def q_tpch_q7(spark, sf_dir):
 @query(
     "q_tpch_q8",
     oracle=(
-        "SELECT o_year, CAST("
+        "SELECT o_year, ROUND(CAST("
         "CAST(SUM(CASE WHEN nation = 'NATION_3' THEN "
         "CAST(volume AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END) "
         "AS DOUBLE) / " + _DEC_SUM_SQL.format(x="volume")
-        + " AS DOUBLE) AS mkt_share FROM ("
+        + " AS DOUBLE), 6) AS mkt_share FROM ("
         "SELECT year(o_orderdate) AS o_year, "
         "l_extendedprice * (1 - l_discount) AS volume, "
         "n2.n_name AS nation "
@@ -1069,8 +1071,9 @@ def q_tpch_q8(spark, sf_dir):
         .join(F.broadcast(region), F.col("n1_regionkey") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg((F.sum(measured).cast("double")
-              / F.sum(volume).cast("double")).alias("mkt_share"))
+        .agg(F.round(
+            F.sum(measured).cast("double") / F.sum(volume).cast("double"), 6
+        ).alias("mkt_share"))
     )
 
 

@@ -21,8 +21,8 @@ _WS = r"\s+"
     oracle=(
         "SELECT lang, source, COUNT(*) AS n_docs, "
         "SUM(CAST(length(text) AS BIGINT)) AS total_chars, "
-        "CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars "
-        "FROM documents GROUP BY lang, source"
+        "ROUND(CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) "
+        "AS avg_chars FROM documents GROUP BY lang, source"
     ),
     bench=True,
     doc="2C text: corpus statistics per (lang, source)",
@@ -123,11 +123,11 @@ def q_contamination(spark, sf_dir):
         "ELSE CAST([] AS VARCHAR[]) END AS bigs FROM tok) "
         "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
         "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, "
-        "CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) "
+        "ROUND(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) "
         "AS dup_ratio, "
-        "CASE WHEN len(bigs) > 0 THEN "
+        "ROUND(CASE WHEN len(bigs) > 0 THEN "
         "CAST(len(bigs) - len(list_distinct(bigs)) AS DOUBLE) / len(bigs) "
-        "ELSE 0.0 END AS bigram_dup_ratio, "
+        "ELSE 0.0 END, 6) AS bigram_dup_ratio, "
         "(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) <= 0.6 "
         "AND CASE WHEN len(bigs) > 0 THEN "
         "CAST(len(bigs) - len(list_distinct(bigs)) AS DOUBLE) / len(bigs) "
@@ -184,10 +184,10 @@ def q_lang_id(spark, sf_dir):
     oracle=(
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
-        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
-        "AS DOUBLE) / length(text) AS punct_ratio, "
-        "CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in|it|that|for)\\b')) "
-        "AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio, "
+        "ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
+        "AS DOUBLE) / length(text), 6) AS punct_ratio, "
+        "ROUND(CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in|it|that|for)\\b')) "
+        "AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio, "
         "(length(text) >= 20 AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5 "
         "AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
         "AS DOUBLE) / length(text) < 0.3) AS quality_ok FROM documents"
