@@ -9,8 +9,10 @@ Four tiers, cheapest to richest (all shuffle-conscious):
 4. minhash_lsh_pairs      — MinHash + banded LSH candidate pairs: the
                             100 TB path (candidates grow ~linearly, not
                             quadratically). Pure built-in expressions
-                            (xxhash64 + min-agg), no Python UDF, fully
-                            deterministic.
+                            (md5-derived base hash + min-agg), no Python
+                            UDF, deterministic AND oracle-portable — the
+                            DuckDB twins are generated alongside
+                            (minhash_lsh_oracle_sql).
 
 SimHash lives in simhash.py (shared SQL-template implementation).
 """
@@ -69,8 +71,19 @@ def doc_token_sets(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_token_arrays(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, __toks) projection — the shared tokenization pass.
+
+    Compositions that need both shingles (MinHash) and unigram sets
+    (exact verify) tokenize ONCE through this projection and persist it,
+    instead of re-scanning + re-splitting the corpus per arm.
+    """
+    return documents.select("doc_id", tokens(text_col).alias("__toks"))
+
+
 def doc_shingle_sets(documents: DataFrame, k: int = 3, text_col: str = "text",
-                     distinct: bool = True) -> DataFrame:
+                     distinct: bool = True,
+                     toked: DataFrame | None = None) -> DataFrame:
     """Explode documents into (doc_id, k-word-shingle) rows.
 
     Shingles (not unigrams) are the right MinHash feature: the shingle
@@ -80,12 +93,14 @@ def doc_shingle_sets(documents: DataFrame, k: int = 3, text_col: str = "text",
 
     `distinct=False` skips the dedup shuffle — correct for MIN-style
     consumers (MinHash is duplicate-insensitive), one whole shuffle
-    cheaper at scale.
+    cheaper at scale. `toked` feeds a pre-tokenized (doc_id, __toks)
+    stream (doc_token_arrays) so compositions share one pass.
     """
     # Two-step projection: bind the token array to an attribute FIRST.
     # Inlining split() into the transform() lambda would re-tokenize the
     # document once per shingle index — O(tokens²) per doc.
-    toked = documents.select("doc_id", tokens(text_col).alias("__toks"))
+    if toked is None:
+        toked = doc_token_arrays(documents, text_col)
     t = F.col("__toks")
     shingles = F.when(
         F.size(t) < k, F.array(F.array_join(t, " "))
@@ -99,7 +114,8 @@ def doc_shingle_sets(documents: DataFrame, k: int = 3, text_col: str = "text",
     return out.distinct() if distinct else out
 
 
-def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs, blocked by language.
 
     Per-doc distinct-token counts ride the self-join as payload columns
@@ -107,23 +123,51 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
     no post-join count lookups, and because array_distinct runs BEFORE
     the explode, rows are already unique per (doc_id, tok): no distinct
     shuffle either. Shape: token self-join + pair groupBy — down from 7
-    shuffles in the join-counts formulation. Exact but candidate count
-    is quadratic per token — at 100 TB use minhash_lsh_pairs to
-    prefilter and this operator only to verify surviving candidates.
+    shuffles in the join-counts formulation.
+
+    `max_df` is the scale guard: the per-token candidate count is
+    quadratic in document frequency, so one hot token ("the") makes the
+    self-join partition quadratic at 100 TB. With max_df set, tokens
+    appearing in more than max_df documents (per lang block) are dropped
+    from BOTH the join stream and the per-doc set sizes — Jaccard over
+    the df-capped vocabulary, the standard blocking trick. Rare tokens
+    carry virtually all of the similarity signal, so results are
+    unchanged wherever no token exceeds the cap (pytest pins this) and
+    the join cost is bounded by max_df² per token everywhere. Leave None
+    for exact semantics at modest scale, or prefilter with
+    minhash_lsh_pairs and verify candidates only (verified_neardup_pairs).
 
     The array work is materialized in a projection BELOW the explode:
     putting size(array_distinct(...)) in the same projection as
     explode() leaves it in a Project above the Generate, where it
     re-runs per exploded token — O(len²) per doc (measured 5× slower).
     """
-    toks = documents.select(
-        "doc_id", "lang",
-        F.array_distinct(tokens("text")).alias("toks"),
-    ).select(
-        "doc_id", "lang",
-        F.size("toks").cast("long").alias("n_toks"),
-        F.explode("toks").alias("tok"),
-    )
+    if max_df is None:
+        toks = documents.select(
+            "doc_id", "lang",
+            F.array_distinct(tokens("text")).alias("toks"),
+        ).select(
+            "doc_id", "lang",
+            F.size("toks").cast("long").alias("n_toks"),
+            F.explode("toks").alias("tok"),
+        )
+    else:
+        base = documents.select(
+            "doc_id", "lang",
+            F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+        )
+        rare = (
+            base.groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("lang", "tok")
+        )
+        kept = base.join(rare, ["lang", "tok"])
+        # Set sizes must count the CAPPED vocabulary; a count window over
+        # doc_id reuses one exchange instead of a groupBy + re-join.
+        toks = kept.withColumn(
+            "n_toks", F.count(F.lit(1)).over(W.partitionBy("doc_id")).cast("long")
+        )
     a = toks.alias("a")
     b = toks.alias("b")
     jac = F.col("n_common").cast("double") / (
@@ -138,8 +182,8 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
             F.max(F.col("a.n_toks")).alias("na"),  # constant per group
             F.max(F.col("b.n_toks")).alias("nb"),
         )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -154,14 +198,25 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     candidate list — cost is O(corpus) for signatures + O(candidates ×
     doc_len) for verification. Output is exact-precision (every emitted
     pair truly ≥ threshold); recall is the LSH recall.
+
+    The corpus is tokenized ONCE: the (doc_id, token-array) projection
+    is persisted and feeds both the MinHash shingle stream and the
+    exact-verify unigram stream — without it the two arms each re-scan
+    and re-split the full text (Spark does not materialize shared
+    subplans). MEMORY_AND_DISK so oversized corpora spill instead of
+    failing; at true 100 TB, materialize minhash_signatures to a table
+    instead (the ANN-index pattern, similarity.lsh_write).
     """
-    cand = minhash_lsh_pairs(documents, n_hashes, bands)
+    from pyspark.storagelevel import StorageLevel
+
+    toked = doc_token_arrays(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(documents, n_hashes, bands, toked=toked)
     # Same shape as token_jaccard_pairs: distinct-token count rides the
     # exploded rows as a payload column; array_distinct runs below the
     # explode (once per doc, see token_jaccard_pairs) and makes rows
     # unique per (doc_id, tok) with no distinct shuffle.
-    toks = documents.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    toks = toked.select(
+        "doc_id", F.array_distinct("__toks").alias("toks")
     ).select(
         "doc_id",
         F.size("toks").cast("long").alias("n_toks"),
@@ -183,8 +238,8 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
             F.max("na").alias("na"),
             F.max("nb").alias("nb"),
         )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -257,19 +312,25 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
 
 
 def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3,
+                       toked: DataFrame | None = None) -> DataFrame:
     """MinHash signature per doc from distinct k-word shingles.
 
-    h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p; signature_i =
-    min over shingles. All built-in expressions — the min-agg is partial
+    h_i(s) = (a_i * base(s) + b_i) mod p; signature_i = min over
+    shingles. The base hash is the first 32 bits of md5(shingle) mod p —
+    md5 is the one hash both Spark and ANSI engines (the DuckDB oracle)
+    compute identically, which is what lets the LSH pipeline be
+    hash-verified instead of rows-only (same portability trick as
+    simhash.py). All built-in expressions — the min-agg is partial
     (map-side combine), so the shuffle carries n_hashes longs per doc.
     MIN ignores duplicates, so the shingle explode skips its distinct
     shuffle entirely.
     """
-    toks = doc_shingle_sets(documents, k=shingle_k, distinct=False)
+    toks = doc_shingle_sets(documents, k=shingle_k, distinct=False, toked=toked)
     # Hash each shingle ONCE into a bound column; the 16 min-aggs then
     # apply cheap affine transforms of `h` instead of re-hashing 16×.
-    hashed = toks.select("doc_id", F.pmod(F.xxhash64("tok"), F.lit(_MH_PRIME)).alias("h"))
+    base = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    hashed = toks.select("doc_id", F.pmod(base, F.lit(_MH_PRIME)).alias("h"))
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_perm_params(n_hashes))
@@ -278,7 +339,8 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
 
 
 def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4,
+                      toked: DataFrame | None = None) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing ≥1 band signature.
 
     Bucket join is an equi-join on (band, signature) — linear shuffle,
@@ -290,7 +352,7 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
     (Spark does not materialize shared subplans).
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(documents, n_hashes)
+    sig = minhash_signatures(documents, n_hashes, toked=toked)
     band_structs = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
@@ -310,4 +372,91 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def minhash_lsh_cand_cte(n_hashes: int = 16, bands: int = 4,
+                         shingle_k: int = 3, table: str = "documents") -> str:
+    """DuckDB CTE chain ending in `cand(doc_a, doc_b)` — the exact
+    oracle twin of minhash_lsh_pairs.
+
+    Every stage mirrors the Spark pipeline expression-for-expression:
+    the shingle stream (whole text for docs shorter than k tokens), the
+    md5-32-bit base hash mod p, the same _perm_params affine family,
+    and the md5-of-concat band signatures. Because both engines hash
+    with md5 and do the affine arithmetic in exact int64, the candidate
+    sets are identical — this is what converts the LSH queries from
+    rows-only to hash-verified.
+    """
+    p = _MH_PRIME
+    k = shingle_k
+    rpb = n_hashes // bands
+    mins = ", ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_params(n_hashes))
+    )
+    structs = ", ".join(
+        "struct_pack(band := %d, bsig := md5(concat_ws(',', %s)))"
+        % (bi, ", ".join(f"mh_{bi * rpb + r}" for r in range(rpb)))
+        for bi in range(bands)
+    )
+    return (
+        f"toked AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+        f"AS toks FROM {table}), "
+        f"sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < {k} "
+        "THEN [array_to_string(toks, ' ')] "
+        f"ELSE [array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len(toks)-{k - 1})] END) AS tok FROM toked), "
+        f"hashed AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {p} "
+        "AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id), "
+        f"bands AS (SELECT doc_id, unnest([{structs}], recursive := true) FROM sig), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig "
+        "AND a.doc_id < b.doc_id)"
+    )
+
+
+def minhash_lsh_oracle_sql(n_hashes: int = 16, bands: int = 4,
+                           shingle_k: int = 3, table: str = "documents") -> str:
+    """Full DuckDB oracle for q_minhash_lsh (candidate pairs)."""
+    return (
+        "WITH " + minhash_lsh_cand_cte(n_hashes, bands, shingle_k, table)
+        + " SELECT doc_a, doc_b FROM cand"
+    )
+
+
+def verified_neardup_cte(threshold: float = 0.8, n_hashes: int = 16,
+                         bands: int = 4, shingle_k: int = 3,
+                         table: str = "documents") -> str:
+    """DuckDB CTE chain ending in `vpairs(doc_a, doc_b, jaccard)` —
+    LSH candidates → exact token-set Jaccard on candidates only,
+    mirroring verified_neardup_pairs. Threshold compares the raw
+    quotient; the emitted jaccard is rounded to 6 (hash canonicalization
+    safety) exactly as the Spark side does.
+    """
+    jac = "CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common)"
+    return (
+        minhash_lsh_cand_cte(n_hashes, bands, shingle_k, table) + ", "
+        f"utoks AS (SELECT DISTINCT doc_id, "
+        f"unnest(regexp_split_to_array(trim(text), '\\s+')) AS utok FROM {table}), "
+        "counts AS (SELECT doc_id, COUNT(*) AS n_toks FROM utoks GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common "
+        "FROM cand c JOIN utoks a ON a.doc_id = c.doc_a "
+        "JOIN utoks b ON b.doc_id = c.doc_b AND b.utok = a.utok "
+        "GROUP BY 1, 2), "
+        f"vpairs AS (SELECT doc_a, doc_b, ROUND({jac}, 6) AS jaccard FROM inter "
+        "JOIN counts ca ON doc_a = ca.doc_id "
+        "JOIN counts cb ON doc_b = cb.doc_id "
+        f"WHERE {jac} >= {threshold})"
+    )
+
+
+def verified_neardup_oracle_sql(threshold: float = 0.8, n_hashes: int = 16,
+                                bands: int = 4, shingle_k: int = 3,
+                                table: str = "documents") -> str:
+    """Full DuckDB oracle for q_neardup_verified."""
+    return (
+        "WITH " + verified_neardup_cte(threshold, n_hashes, bands, shingle_k, table)
+        + " SELECT doc_a, doc_b, jaccard FROM vpairs"
     )

@@ -144,8 +144,8 @@ _TAIL: list[str] = [
     # gap-fill spine + forward fill oracle-checked locally
     "q_hypertable_rollup",  # re-aggregation machinery in-window via
     # q_agg_rollup/q_tumbling_window; oracle-checked locally
-    "q_neardup_clusters_lsh",  # rows-only by nature (LSH recall);
-    # refinement-vs-exact-clusters pytest pins correctness
+    "q_neardup_clusters_lsh",  # hash-verified since the md5-based
+    # MinHash: full LSH→verify→CC chain has a recursive-CTE oracle
     "q_chunk_documents",  # array/explode machinery in-window via
     # q_repetition_score/q_token_count; oracle-checked locally
     "q_embedding_ann",  # LSH-served ANN (rows-only by nature); swapped

@@ -344,7 +344,8 @@ def q_line_dedup(spark, sf_dir):
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common "
         "FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang = b.lang "
         "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-        "SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) "
+        "SELECT doc_a, doc_b, "
+        "ROUND(CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common), 6) "
         "AS jaccard FROM inter "
         "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id "
         "WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.8"
@@ -397,10 +398,13 @@ def q_neardup_clusters(spark, sf_dir):
 
 @query(
     "q_minhash_lsh",
-    oracle=None,  # hash family is engine-specific (xxhash64) → rows-only
+    # The base hash is md5-derived (portable), so the whole LSH pipeline
+    # has an exact DuckDB twin — hash-verified, not rows-only.
+    oracle=dedup.minhash_lsh_oracle_sql(),
     bench=True,
     doc="LLM dedup tier 4: MinHash + banded LSH candidate pairs — the "
-        "linear-shuffle near-dup path for 100 TB",
+        "linear-shuffle near-dup path for 100 TB; oracle generated from "
+        "the same permutation params (dedup.minhash_lsh_oracle_sql)",
 )
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).orderBy(
@@ -410,7 +414,7 @@ def q_minhash_lsh(spark, sf_dir):
 
 @query(
     "q_neardup_verified",
-    oracle=None,  # recall bounded by engine-specific LSH → rows-only
+    oracle=dedup.verified_neardup_oracle_sql(0.8),
     bench=True,
     doc="LLM dedup tier 5 (the production composition): MinHash-LSH "
         "candidates → exact Jaccard verify on candidates only — exact "
@@ -558,8 +562,22 @@ def q_corpus_prep(spark, sf_dir):
 
 @query(
     "q_neardup_clusters_lsh",
-    oracle=None,  # recall bounded by engine-specific LSH → rows-only;
-    # pytest pins that LSH clusters REFINE the exact-pair clusters
+    # The md5-based MinHash made the whole chain oracle-portable: LSH →
+    # verify → recursive-CTE connected components, all hash-verified.
+    oracle=(
+        "WITH RECURSIVE " + dedup.verified_neardup_cte(0.8) + ", "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs "
+        "UNION ALL SELECT doc_b, doc_a FROM vpairs), "
+        "reach(node, lab) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.node), "
+        "lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id "
+        "FROM reach GROUP BY node) "
+        "SELECT doc_id, cluster_id, "
+        "COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
+        "doc_id = cluster_id AS keep FROM lab ORDER BY doc_id"
+    ),
     doc="LLM dedup, the full 100 TB composition DECLARED end-to-end: "
         "MinHash-LSH candidates → exact-Jaccard verify → connected "
         "components → canonical per cluster (graph.neardup_clusters "

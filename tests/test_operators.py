@@ -415,8 +415,9 @@ def test_verified_neardup_subset_of_exact(spark, sf_dir):
                 j = inter / (len(sets[a] | sets[b]))
                 if j >= 0.8:
                     exact[(a, b)] = j
+    # emitted jaccard is rounded to 6 decimals (oracle canonicalization)
     for pair, j in verified.items():
-        assert pair in exact and abs(exact[pair] - j) < 1e-12
+        assert pair in exact and abs(exact[pair] - j) < 5e-7
     # sanity: near-identical docs must survive the whole chain
     near = spark.createDataFrame([
         Row(doc_id=1, lang="en", text="the quick brown fox jumps over the lazy dog today"),
@@ -424,6 +425,38 @@ def test_verified_neardup_subset_of_exact(spark, sf_dir):
     ])
     out = dedup.verified_neardup_pairs(near, 0.8).collect()
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+
+
+def test_token_jaccard_max_df_cap(spark, sf_dir):
+    """The df-cap blocking path: identical results when no token exceeds
+    the cap, and hot tokens beyond the cap drop out of both the join and
+    the set sizes (Jaccard over the capped vocabulary)."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.token_jaccard_pairs(docs, 0.8).collect()
+    }
+    n_docs = docs.count()
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.token_jaccard_pairs(docs, 0.8, max_df=n_docs).collect()
+    }
+    assert capped == uncapped  # cap above every df → exact same pairs
+
+    # Planted hot token: "common" is in every doc; with max_df=2 it is
+    # excluded, so docs 1/2 (identical except the hot token) still match
+    # while docs 3/4 (only the hot token shared) produce no pair.
+    hot = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text="alpha beta gamma common"),
+        Row(doc_id=2, lang="en", text="alpha beta gamma common"),
+        Row(doc_id=3, lang="en", text="delta epsilon common"),
+        Row(doc_id=4, lang="en", text="zeta eta common"),
+    ])
+    out = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.token_jaccard_pairs(hot, 0.8, max_df=2).collect()}
+    assert out == {(1, 2): 1.0}
 
 
 def test_connected_components_transitive_chain(spark):
