@@ -350,7 +350,17 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
     aggregation and exploded to (doc_id, band, bsig) rows — a per-band
     union would re-run the whole explode→minhash pipeline once per band
     (Spark does not materialize shared subplans).
+
+    The bucket table is persisted before the self-join: AQE typically
+    broadcasts one side, and a BroadcastExchange cannot be reused by the
+    streamed side — without the cache the entire shingle→hash→min-agg
+    pipeline executes TWICE (measured, 2 scans in the executed plan).
+    The cache is slim — (doc_id, band, 32-byte bsig) × bands rows per
+    doc, a few hundred bytes/doc — and MEMORY_AND_DISK spills rather
+    than fails on oversized corpora.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(documents, n_hashes, toked=toked)
     band_structs = []
@@ -364,7 +374,9 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
         )
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig"))
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

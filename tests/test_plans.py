@@ -139,6 +139,10 @@ _SHUFFLE_CEILING = {
 
 
 def test_neardup_shuffle_ceilings(spark, sf_dir):
+    # Hermetic plan shapes: earlier tests may have populated the cache
+    # (the LSH operators persist their slim intermediates), and an
+    # InMemoryRelation substitution changes the printed exchange count.
+    spark.catalog.clearCache()
     over = {}
     for name, ceiling in _SHUFFLE_CEILING.items():
         n = plans.count_shuffle_exchanges(_q(name, spark, sf_dir))
