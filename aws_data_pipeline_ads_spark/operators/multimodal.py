@@ -3,11 +3,13 @@
 Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages. Real codec paths that need no native libraries
-ARE implemented: PNG IHDR parsing (width/height) and RIFF/WAVE 16-bit
-PCM parsing (sample rate + samples) — `use_fake_decoder=False`
-exercises them end-to-end. Pixel-level work (resize re-encode, video
-demux) still needs PIL/ffmpeg and stays stubbed behind
-NotImplementedError with a marked swap-in point.
+ARE implemented: PNG header AND full pixel decode (stdlib-zlib inflate
++ scanline unfilter), nearest-neighbor resize + PNG re-encode, dHash
+over real luminance grids, JPEG SOF header parse, and RIFF/WAVE 16-bit
+PCM parsing — `use_fake_decoder=False` exercises them end-to-end.
+Only JPEG entropy decode and video demux still need a codec library
+(libjpeg/ffmpeg); those raise ValueError at their marked swap-in
+points, and the fake-decoder contract covers arbitrary bytes.
 
 Scale notes: mapInPandas streams Arrow batches, so peak memory is one
 batch, not one partition; media tables should be repartitioned by a
@@ -128,6 +130,123 @@ def _parse_wav(payload: bytes):
     return sample_rate, samples
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode_pixels(payload: bytes):
+    """Full PNG pixel decode, pure Python + numpy + stdlib zlib — no PIL.
+
+    Supports the subset a pipeline's own writers produce: 8-bit depth,
+    color types 0 (gray) / 2 (RGB) / 6 (RGBA), non-interlaced. All five
+    scanline filters (None/Sub/Up/Average/Paeth) are unfiltered; Up is
+    vectorized (uint8 wraparound IS mod-256), the left-dependent filters
+    run a per-byte loop — fine for thumbnail-scale work, and the marked
+    swap-in point for an optimized codec at production volume.
+
+    Returns an (h, w, channels) uint8 array.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[pos:pos + 4])[0]
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR chunk")
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            "unsupported PNG subset (need 8-bit gray/RGB/RGBA, non-interlaced)"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — vectorized, uint8 add wraps mod 256
+            cur = line + prev
+        elif f in (1, 3, 4):
+            cur = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(pv[x])
+                if f == 1:
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (cur[x] + (a + b) // 2) & 0xFF
+                else:  # Paeth
+                    c = int(pv[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+            cur = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def _png_encode_pixels(arr) -> bytes:
+    """Re-encode an (h, w, channels) uint8 array as PNG (filter 0 rows,
+    stdlib zlib, CRC32 per chunk) — the re-encode half of the pure-
+    Python codec."""
+    import zlib
+
+    h, w, ch = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+    )
+
+
+def _nn_resize(arr, target_w: int, target_h: int):
+    """Nearest-neighbor resample of an (h, w, c) array — two integer
+    index maps (floor(i*src/dst), PIL's NEAREST convention for exact
+    integer ratios), zero interpolation arithmetic."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return arr[ys][:, xs]
+
+
 def _decode_image_fake(payload: bytes) -> tuple[int, int]:
     """Deterministic fake decode: dimensions derived from a content hash —
     stable across runs/partitions, so downstream plumbing is testable."""
@@ -220,28 +339,33 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
                   use_fake_decoder: bool = True) -> DataFrame:
     """Resize stage: binary in → binary out with refreshed metadata.
 
+    `use_fake_decoder=False` is the REAL pixel path, no PIL required:
+    PNG decode (_png_decode_pixels: stdlib-zlib inflate + scanline
+    unfilter) → nearest-neighbor resample (_nn_resize, pure numpy) →
+    PNG re-encode (_png_encode_pixels). JPEG payloads are rejected
+    (DCT entropy decode genuinely needs a codec library — that is the
+    one remaining swap-in point).
+
     The fake 'resize' deterministically resamples the payload to
     target_w*target_h bytes (stride-sampled, zero-padded) — same
-    in/out contract as a real thumbnailer (PIL `Image.resize` +
-    re-encode would drop in at the marked line). Output schema is the
+    in/out contract, usable over arbitrary bytes. Output schema is the
     media schema itself, so stages compose: attach → resize → features.
     """
-    if not use_fake_decoder:
-        raise NotImplementedError("image codecs are not available in this environment")
     target = target_w * target_h
+
+    def one(raw: bytes) -> bytes:
+        if use_fake_decoder:
+            if len(raw) >= target:
+                step = len(raw) // target
+                return raw[::step][:target]
+            return raw + b"\x00" * (target - len(raw))
+        return _png_encode_pixels(
+            _nn_resize(_png_decode_pixels(raw), target_w, target_h)
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = []
-            for blob in pdf["content"]:
-                raw = bytes(blob)
-                # <- real impl: decode, resize to (target_w, target_h), re-encode
-                if len(raw) >= target:
-                    step = len(raw) // target
-                    raw = raw[:: step][:target]
-                else:
-                    raw = raw + b"\x00" * (target - len(raw))
-                resized.append(raw)
+            resized = [one(bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -305,26 +429,34 @@ def image_dhash(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
 
     The luminance grid comes from the decode stage: with the fake
     decoder it is a deterministic 72-byte stride sample of the payload
-    (same contract as resize_images); a real impl swaps in
-    PIL `convert('L').resize((9, 8))` at the marked line. Hamming
+    (same contract as resize_images); `use_fake_decoder=False` runs the
+    real PNG pixel path — _png_decode_pixels → BT.601 luminance →
+    9×8 nearest-neighbor grid — with no codec library. Hamming
     distance and candidate banding run JVM-side on the hash —
     only THIS stage pays the Python/Arrow toll, and it emits 8 bytes
     per image into the shuffle, never pixels.
     """
-    if not use_fake_decoder:
-        raise NotImplementedError("image codecs are not available in this environment")
+
+    def grid_of(raw: bytes) -> bytes:
+        if use_fake_decoder:
+            if len(raw) >= 72:
+                step = len(raw) // 72
+                return raw[::step][:72]
+            return raw + b"\x00" * (72 - len(raw))
+        import numpy as np
+
+        px = _nn_resize(_png_decode_pixels(raw), 9, 8).astype(np.float64)
+        if px.shape[2] >= 3:  # RGB(A) → BT.601 luma; alpha ignored
+            luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        else:
+            luma = px[:, :, 0]
+        return bytes(np.clip(luma, 0, 255).astype(np.uint8).reshape(-1))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes = []
             for blob in pdf["content"]:
-                raw = bytes(blob)
-                # <- real impl: PIL decode → grayscale → resize((9, 8))
-                if len(raw) >= 72:
-                    step = len(raw) // 72
-                    grid = raw[::step][:72]
-                else:
-                    grid = raw + b"\x00" * (72 - len(raw))
+                grid = grid_of(bytes(blob))
                 h = 0
                 for row in range(8):
                     for col in range(8):
