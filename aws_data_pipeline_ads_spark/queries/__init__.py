@@ -41,7 +41,7 @@ _WINDOW: list[str] = [
     "q_simhash_pairs",
     # -- similarity search + multimodal ----------------------------------
     "q_binary_meta", "q_embedding_knn", "q_embedding_neardup",
-    "q_embedding_sq8", "q_embedding_ivf",
+    "q_embedding_sq8", "q_embedding_ivf_full",
     # -- scalar surface ---------------------------------------------------
     "q_math_funcs", "q_array_funcs",
     "q_json_extract", "q_percentile",
@@ -148,6 +148,10 @@ _TAIL: list[str] = [
     # MinHash: full LSH→verify→CC chain has a recursive-CTE oracle
     "q_chunk_documents",  # array/explode machinery in-window via
     # q_repetition_score/q_token_count; oracle-checked locally
+    "q_embedding_ivf",  # pruned 4-probe IVF (rows-only by nature —
+    # recall < 1); its serving machinery is hash-verified in-window by
+    # q_embedding_ivf_full (full probe == exact brute force), and the
+    # full-probe==brute pytest anchors the pruned path
     "q_embedding_ann",  # LSH-served ANN (rows-only by nature); swapped
     # out of the window for the hash-verified q_embedding_sq8 — the
     # bucket-serving machinery stays in-window via q_embedding_ivf, and

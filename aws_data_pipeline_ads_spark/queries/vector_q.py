@@ -125,6 +125,30 @@ def q_embedding_ivf(spark, sf_dir):
     return similarity.ivf_topk_pruned(spark, idx, _QV, cents, 10, n_probe=4)
 
 
+@query(
+    "q_embedding_ivf_full",
+    # n_probe = n_centroids reads every inverted list → exact brute
+    # force, so the plain cosine-top-k SQL is an exact twin. This
+    # hash-verifies the IVF SERVING machinery (centroid training,
+    # list assignment, partitioned-index read, probe scoring) in the
+    # driver window; the pruned 4-probe variant stays rows-only by
+    # nature and is pytest-pinned against this one.
+    oracle=_KNN_ORACLE,
+    doc="2C similarity: IVF at full probe width (n_probe = K = 16) over "
+        "the materialized list_id-partitioned index — degenerates to "
+        "exact top-k, oracle-verifying the whole serving path",
+)
+def q_embedding_ivf_full(spark, sf_dir):
+    cents = _trained_centroids(spark, sf_dir)
+    idx = _index_path(
+        "ivf", sf_dir,
+        lambda p: similarity.ivf_write(
+            load_table(spark, sf_dir, "embeddings"), cents, p
+        ),
+    )
+    return similarity.ivf_topk_pruned(spark, idx, _QV, cents, 10, n_probe=16)
+
+
 def _plane_sql(h: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in h) + "]::DOUBLE[]"
 

@@ -32,7 +32,10 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_quality_score", "q_doc_fingerprint", "q_dedup_exact",
         "q_ngram_jaccard", "q_minhash_lsh", "q_neardup_verified",
         "q_simhash", "q_simhash_pairs", "q_binary_meta", "q_embedding_knn",
-        "q_embedding_neardup", "q_embedding_sq8", "q_embedding_ivf",
+        # q_embedding_ivf_full replaced the pruned q_embedding_ivf in the
+        # window (round 3): full probe == exact brute force, so the IVF
+        # serving machinery is hash-verified rather than rows-only
+        "q_embedding_neardup", "q_embedding_sq8", "q_embedding_ivf_full",
         "q_math_funcs", "q_array_funcs",
         "q_user_totals", "q_repetition_score", "q_sample_stratified",
         "q_contamination",
