@@ -14,10 +14,15 @@ map, the single exchange co-locates (partition, bucket), and each
 reducer task writes one file per partition dir it holds. No driver-side
 per-partition job loop — 10k partition dirs are one job, not 10k.
 
-The rewrite is crash-safe: data lands in a staging dir first, then two
-FS renames swap it in (readers see old files or new files, never a
-mix); the pre-compaction data survives under `<path>.pre-compact` until
-the swap completes, then is deleted.
+The rewrite lands data in a staging dir first, then two FS renames
+swap it in: readers see old files or new files, never a mix — but the
+table path is briefly ABSENT between the renames, so a concurrent
+reader can error during the swap. The crash-safety argument assumes
+HDFS-like atomic directory rename; on object stores (S3A) rename is a
+non-atomic O(data) copy and a real deployment should publish via a
+manifest/metastore pointer flip instead. The pre-compaction data
+survives under `<path>.pre-compact` until the swap completes, then is
+deleted; every failure path names the directory that still holds it.
 """
 
 from __future__ import annotations
@@ -50,15 +55,24 @@ def compaction_stats(spark: SparkSession, path: str,
 def _partition_dir_bytes(files: list[tuple[str, int, int]],
                          partition_cols: tuple[str, ...]) -> dict[tuple, int]:
     """bytes per partition-dir, keyed by the partition VALUES parsed
-    from the Hive `col=value` path segments (metadata only)."""
+    from the Hive `col=value` path segments (metadata only).
+
+    The Hive writer percent-encodes special characters (space, ':',
+    '%') in path segments — unquote so the values match what the read
+    surfaces; the null-partition sentinel __HIVE_DEFAULT_PARTITION__
+    maps to None (joined null-safely by the caller)."""
+    from urllib.parse import unquote
+
     out: dict[tuple, int] = {}
     for fpath, fbytes, _ in files:
-        vals = {}
+        vals: dict[str, str | None] = {}
         for seg in fpath.split("/"):
             if "=" in seg:
                 k, _, v = seg.partition("=")
                 if k in partition_cols:
-                    vals[k] = v
+                    vals[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
         key = tuple(vals.get(c) for c in partition_cols)
         out[key] = out.get(key, 0) + fbytes
     return out
@@ -89,9 +103,14 @@ def compact_files(spark: SparkSession, path: str,
         joined = df
         for c in partition_cols:
             # partition values surface as their read types; compare as
-            # string to match the path-parsed map
+            # string to match the path-parsed map. eqNullSafe pairs the
+            # null partition (__HIVE_DEFAULT_PARTITION__ dirs) with its
+            # None map key instead of silently falling back to 1 file.
             joined = joined.withColumn(f"__k_{c}", F.col(c).cast("string"))
-        cond = [F.col(f"__k_{c}") == F.col(f"__p_{c}") for c in partition_cols]
+        cond = [
+            F.col(f"__k_{c}").eqNullSafe(F.col(f"__p_{c}"))
+            for c in partition_cols
+        ]
         joined = joined.join(F.broadcast(nmap), cond, "left").drop(
             *[f"__k_{c}" for c in partition_cols],
             *[f"__p_{c}" for c in partition_cols])
@@ -133,8 +152,16 @@ def compact_files(spark: SparkSession, path: str,
     if not fs.rename(hpath, jtrash):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(jstaging, hpath):
-        fs.rename(jtrash, hpath)  # roll back — old data intact
-        raise IOError(f"compaction swap failed: could not publish {staging}")
+        if fs.rename(jtrash, hpath):  # roll back — old data intact
+            raise IOError(
+                f"compaction swap failed: could not publish {staging}; "
+                f"original data restored at {path}"
+            )
+        raise IOError(
+            f"compaction swap failed AND rollback failed: original data "
+            f"is intact but stranded at {trash}; new data at {staging}; "
+            f"{path} does not exist — restore by renaming {trash} back"
+        )
     fs.delete(jtrash, True)
 
     after = compaction_stats(spark, path, target_bytes)

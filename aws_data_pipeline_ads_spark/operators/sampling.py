@@ -161,7 +161,10 @@ def corpus_shuffle(df: DataFrame, key_col: str, n_shards: int = 64,
     """
     from pyspark.sql import Window as W
 
-    h = F.expr(hash_u32_sql(f"concat('{salt}', ':', CAST({key_col} AS STRING))"))
+    # salt is a caller-chosen free string interpolated into a SQL
+    # literal — double any single quotes so "epoch's" parses.
+    esc = salt.replace("'", "''")
+    h = F.expr(hash_u32_sql(f"concat('{esc}', ':', CAST({key_col} AS STRING))"))
     keyed = df.withColumn("__h", h).withColumn(
         "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int")
     )

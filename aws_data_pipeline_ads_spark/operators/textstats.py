@@ -243,30 +243,39 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
 
     from aws_data_pipeline_ads_spark.functions import tokens
 
+    from pyspark.storagelevel import StorageLevel
+
     toks = tokens(F.lower(F.col("text")))
+    # tf is persisted because it has THREE consumers — the df aggregate,
+    # the join's left side, and the corpus-level (n_docs, total_toks)
+    # aggregate — and Spark materializes no shared subplans (measured:
+    # the tokenize→aggregate pipeline ran once per consumer). The cache
+    # is the slim (doc_id, term, tf) vocabulary stream; MEMORY_AND_DISK
+    # spills rather than fails when the vocabulary outgrows memory.
     tf = (
         documents.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # df join BEFORE the dl window: the final rank window also
     # partitions by doc_id, so planning dl last lets the rank reuse
-    # dl's exchange (pinned in PLANS.md).
-    # Known cost: Spark does not materialize shared subplans and (
-    # measured) ReuseExchange does not unify the two tf subtrees, so the
-    # tokenize→aggregate pipeline runs twice — once under dfreq, once as
-    # the join's left side. Accepted deliberately: the single-pass
-    # alternative (df as a window COUNT over the term partition) cannot
-    # be skew-split on Zipfian terms. At 100 TB, checkpoint/persist tf
-    # before this point if the vocabulary pass dominates.
+    # dl's exchange (pinned in PLANS.md). df as a groupBy + join rather
+    # than a window COUNT over the term partition: the join is
+    # AQE-skew-splittable on Zipfian terms, a hot-term window is not.
     dfreq = tf.groupBy("term").agg(F.count("tf").cast("long").alias("df"))
     x = tf.join(dfreq, "term").select(
         "doc_id", "term", "tf", "df",
         F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
     )
-    g = documents.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(toks).cast("long")).cast("long").alias("total_toks"),
+    # Corpus stats from the cached tf, not a third scan+tokenize of the
+    # documents: every doc emits ≥ 1 tf row (split of empty text yields
+    # one empty token), so COUNT(DISTINCT doc_id) == COUNT(*) over
+    # documents and SUM(tf) == SUM(size(tokens)) — same integers, same
+    # doubles downstream.
+    g = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_toks"),
     )
     # Expression mirrors the oracle SQL token-for-token so every double
     # op applies in the same order: see q_bm25_terms.

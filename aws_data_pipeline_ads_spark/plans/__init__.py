@@ -61,13 +61,20 @@ def count_shuffles(df: DataFrame) -> int:
 
 def count_shuffle_exchanges(df: DataFrame) -> int:
     """Shuffle (hash/range-partitioning) exchanges only — broadcast
-    exchanges excluded. Zero for a co-located bucketed join."""
+    exchanges excluded. Zero for a co-located bucketed join.
+
+    Counts DISTINCT exchanges: a persisted subtree prints its
+    InMemoryRelation cacheBuilder plan once per consumer, but those
+    exchanges execute once (the cache materializes a single time) —
+    identical normalized lines dedupe, so the count reflects runtime
+    shuffles, not print repetition. Distinct real exchanges stay
+    distinct via their expression IDs."""
     plan = physical_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
-    )
+    seen = set()
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            seen.add(line.lstrip(" :+-|*"))
+    return len(seen)
 
 
 def uses_take_ordered(df: DataFrame) -> bool:

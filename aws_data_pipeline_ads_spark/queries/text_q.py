@@ -260,6 +260,7 @@ _K1P1, _OMB = repr(_BM25_K1 + 1), repr(1.0 - _BM25_B)
 
 @query(
     "q_bm25_terms",
+    bench=True,  # heaviest tf/df join shape in the text stack
     oracle=(
         "WITH tok AS (SELECT doc_id, "
         "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "
@@ -308,6 +309,7 @@ def q_dedup_exact(spark, sf_dir):
 
 @query(
     "q_line_dedup",
+    bench=True,  # heaviest reassembly (collect_list) shape
     oracle=(
         "WITH p AS (SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') "
         "AS parts FROM documents), "
@@ -439,16 +441,27 @@ def q_simhash(spark, sf_dir):
 
 @query(
     "q_simhash_pairs",
+    bench=True,  # heaviest banded self-join shape
     oracle=simhash_pairs_sql("duckdb"),
     doc="LLM dedup: SimHash banded-LSH near-dup pairs (4×8-bit bands; "
         "complete recall for Hamming ≤ 3, so exact and oracle-checked — "
         "the LSH pattern MinHash uses, in verifiable form)",
 )
 def q_simhash_pairs(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents_simhash"
     )
-    return spark.sql(simhash_pairs_sql("spark", table="documents_simhash"))
+    # Persist the fingerprints before the band self-join: the broadcast
+    # build side cannot reuse the stream side's exchange, so without the
+    # cache the explode→distinct→32-sum pipeline runs twice (same fix as
+    # minhash_lsh_pairs; ~2s → ~0.6s steady at sf0.1).
+    fp = spark.sql(simhash_sql("spark", table="documents_simhash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    fp.createOrReplaceTempView("simhash_fp")
+    return spark.sql(simhash_pairs_sql("spark", fp_table="simhash_fp"))
 
 
 @query(
