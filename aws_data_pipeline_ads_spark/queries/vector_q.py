@@ -13,14 +13,20 @@ _QV_SQL = "[" + ", ".join(repr(x) for x in _QV) + "]::DOUBLE[]"
 _QNORM = repr(math.sqrt(sum(x * x for x in _QV)))
 
 # Oracle computes the same sequential-fold arithmetic as the Spark
-# builder: double dot products over the float32-exact values.
+# builder: double dot products over the float32-exact values. Zero-norm
+# vectors score NULL (matching cosine_scores' guard) — the unguarded
+# 0/0 is NaN, which DuckDB sorts AHEAD of every real score in DESC
+# order while Spark's NULL sorts last; the guard plus explicit NULLS
+# LAST keeps both engines deterministic if a degenerate vector appears.
 _KNN_ORACLE = (
     "WITH scored AS (SELECT vec_id, "
+    "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0 THEN "
     f"list_dot_product(CAST(embedding AS DOUBLE[]), {_QV_SQL}) / "
     f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * {_QNORM}) "
-    "AS raw_score FROM embeddings) "
+    "ELSE NULL END AS raw_score FROM embeddings) "
     "SELECT vec_id, round(raw_score, 6) AS score FROM scored "
-    "ORDER BY raw_score DESC, vec_id LIMIT 10"
+    "ORDER BY raw_score DESC NULLS LAST, vec_id LIMIT 10"
 )
 
 _NEARDUP_ORACLE = (
@@ -201,13 +207,17 @@ _SQ8_ORACLE = (
     "x -> CAST(floor(x / (GREATEST(list_max(list_transform({qv}, "
     "y -> abs(y))), 1e-30) / 127.0) + 0.5) AS BIGINT)) AS v), "
     "short AS (SELECT vec_id, emb FROM q, qq "
-    "ORDER BY list_dot_product(qvec, qq.v) / "
+    "ORDER BY CASE WHEN list_dot_product(qvec, qvec) > 0 THEN "
+    "list_dot_product(qvec, qq.v) / "
     "(sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(qq.v, qq.v))) "
-    "DESC, vec_id LIMIT 40) "
-    "SELECT vec_id, round(list_dot_product(emb, {qv}) / "
-    "(sqrt(list_dot_product(emb, emb)) * {qnorm}), 6) AS score "
-    "FROM short ORDER BY list_dot_product(emb, {qv}) / "
-    "(sqrt(list_dot_product(emb, emb)) * {qnorm}) DESC, vec_id LIMIT 10"
+    "ELSE NULL END DESC NULLS LAST, vec_id LIMIT 40) "
+    "SELECT vec_id, round(CASE WHEN list_dot_product(emb, emb) > 0 THEN "
+    "list_dot_product(emb, {qv}) / "
+    "(sqrt(list_dot_product(emb, emb)) * {qnorm}) ELSE NULL END, 6) AS score "
+    "FROM short ORDER BY CASE WHEN list_dot_product(emb, emb) > 0 THEN "
+    "list_dot_product(emb, {qv}) / "
+    "(sqrt(list_dot_product(emb, emb)) * {qnorm}) ELSE NULL END "
+    "DESC NULLS LAST, vec_id LIMIT 10"
 ).format(qv=_QV_SQL, qnorm=_QNORM)
 
 
