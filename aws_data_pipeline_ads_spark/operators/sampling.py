@@ -117,6 +117,67 @@ def per_source_cap(documents: DataFrame, n_per_source: int = 10,
     )
 
 
+def domain_mixture_rates(df: DataFrame, domain_col: str = "source",
+                         tau: float = 0.5,
+                         target_rows: int = 1000) -> DataFrame:
+    """Temperature-based domain mixing: per-domain sampling rates
+    q_i ∝ n_i^τ, the recipe multilingual/web-corpus pipelines use to
+    keep head domains from drowning the tail (τ=1 is proportional,
+    τ=0 is uniform; τ≈0.3–0.7 is the usual training mixture).
+
+    rate_i = min(1, target_rows · q_i / n_i) — the per-domain keep
+    probability that realizes the tempered mixture in expectation,
+    capped so no domain is oversampled. Rates are rounded to 6 decimals
+    (hash-canonicalization + the downstream gate compares the SAME
+    rounded value in both engines).
+
+    τ=0.5 is computed as sqrt, which IEEE requires correctly rounded —
+    the whole computation is then bit-identical across engines (pow is
+    libm-specific, sqrt is not). One tiny groupBy + a broadcast of the
+    per-domain table: nothing here scales with corpus size except the
+    initial count.
+    """
+    w = F.sqrt(F.col("n_docs").cast("double")) if tau == 0.5 else (
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
+    )
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("__w", w)
+    tot = counts.agg(F.sum("__w").alias("__tw"))
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows)) * (F.col("__w") / F.col("__tw"))
+            / F.col("n_docs").cast("double"),
+        ),
+        6,
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(domain_col, "n_docs", rate.alias("rate"))
+    )
+
+
+def domain_mixture_sample(df: DataFrame, domain_col: str = "source",
+                          key_col: str = "doc_id", tau: float = 0.5,
+                          target_rows: int = 1000) -> DataFrame:
+    """Materialize the tempered mixture: md5-gate each row at its
+    domain's rate (hash_u32(key)/2^32 < rate). Membership is a pure
+    function of (key, rate) — partitioning-invariant, stable under
+    re-runs/appends, and exactly verifiable cross-engine because both
+    the rate (rounded) and the hash (md5 template) are engine-identical.
+    The rates table is broadcast; the corpus is never shuffled."""
+    rates = domain_mixture_rates(df, domain_col, tau, target_rows)
+    u = F.expr(hash_u32_sql(f"CAST({key_col} AS STRING)")).cast("double") / F.lit(
+        4294967296.0
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(u < F.col("rate"))
+        .select(key_col, domain_col, "rate")
+    )
+
+
 def train_val_test_split(df: DataFrame, key_col: str,
                          train_of_256: int = 204,
                          val_of_256: int = 230) -> DataFrame:

@@ -160,6 +160,9 @@ _TAIL: list[str] = [
     # self-join/cosine machinery in-window via q_embedding_neardup
     "q_domain_caps",  # per-domain quota via salted two-phase top-k;
     # window machinery in-window via q_window_rank
+    "q_domain_mixture",  # temperature-based domain mixing (τ=0.5 via
+    # IEEE-exact sqrt); md5-gate machinery in-window via
+    # q_sample_stratified; oracle-checked locally
     "q_unigram_lm",  # corpus-trained unigram-LM nll scoring;
     # explode/join/agg machinery in-window via q_bm25_terms
     "q_bpe_merges",  # iterative BPE training (rows-only by nature);

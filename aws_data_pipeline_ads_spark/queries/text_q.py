@@ -649,6 +649,36 @@ def q_domain_caps(spark, sf_dir):
 
 
 @query(
+    "q_domain_mixture",
+    oracle=(
+        "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "sqrt(CAST(COUNT(*) AS DOUBLE)) AS w FROM documents GROUP BY source), "
+        "t AS (SELECT SUM(w) AS tw FROM c), "
+        "r AS (SELECT source, n_docs, "
+        "ROUND(LEAST(1.0, 1000.0 * (w / tw) / CAST(n_docs AS DOUBLE)), 6) "
+        "AS rate FROM c, t) "
+        "SELECT d.doc_id, d.source, r.rate FROM documents d "
+        "JOIN r USING (source) "
+        "WHERE CAST(" + hash_u32_sql("CAST(doc_id AS STRING)")
+        + " AS DOUBLE) / 4294967296.0 < r.rate"
+    ),
+    doc="LLM data mixing: temperature-based domain sampling (q_i ∝ "
+        "n_i^0.5, per-domain keep rate min(1, target·q_i/n_i)) realized "
+        "by a deterministic md5 gate — τ=0.5 computes via sqrt, which "
+        "IEEE requires correctly rounded, so rates AND membership are "
+        "bit-identical cross-engine (sampling.domain_mixture_sample)",
+)
+def q_domain_mixture(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+
+    return domain_mixture_sample(
+        load_table(spark, sf_dir, "documents"), "source", "doc_id", 0.5, 1000
+    )
+
+
+@query(
     "q_unigram_lm",
     oracle=(
         "WITH toks AS (SELECT doc_id, "

@@ -43,6 +43,68 @@ def _default_http_get(url: str, timeout: float) -> tuple[int, str]:
         return e.code, ""
 
 
+def _requests_http_get(url: str, timeout: float) -> tuple[int, str]:
+    """`requests`-backed transport — richer TLS/proxy handling when the
+    library is present (import deferred; absence raises and the ladder
+    moves on)."""
+    import requests  # noqa: PLC0415 — optional dependency, import-gated
+
+    r = requests.get(url, timeout=timeout, headers={"User-Agent": "adspark/0.1"})
+    return r.status_code, r.text
+
+
+def _noverify_http_get(url: str, timeout: float) -> tuple[int, str]:
+    """Last-resort transport: TLS without certificate verification —
+    the reference's CERT_NONE fallback (lambda_function_local.py:27-36,
+    260-324). Only reachable after every verifying transport failed."""
+    import ssl
+
+    ctx = ssl.create_default_context()
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    req = urllib.request.Request(url, headers={"User-Agent": "adspark/0.1"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout, context=ctx) as resp:
+            return resp.status, resp.read().decode("utf-8")
+    except urllib.error.HTTPError as e:
+        return e.code, ""
+
+
+Transport = tuple[str, HttpGet]
+
+
+def default_transport_ladder() -> list[Transport]:
+    """Verified stdlib first, `requests` if installed, unverified TLS
+    dead last — the reference's hardened-local ladder
+    (lambda_function_local.py:183-330) reordered so the insecure hop is
+    a last resort instead of the default."""
+    ladder: list[Transport] = [("urllib", _default_http_get)]
+    try:
+        import requests  # noqa: F401, PLC0415
+
+        ladder.append(("requests", _requests_http_get))
+    except ImportError:
+        pass
+    ladder.append(("urllib-noverify", _noverify_http_get))
+    return ladder
+
+
+def hardened_http_get(url: str, timeout: float,
+                      transports: list[Transport] | None = None) -> tuple[int, str]:
+    """Drop-in HttpGet that walks the transport ladder: each transport's
+    failure is recorded and the next one tries; the terminal error names
+    every hop so a broken-cert endpoint is diagnosable, not a bare
+    SSLError. Pass as `http_get=hardened_http_get` to fetch_records /
+    source_to_df for hostile-TLS environments."""
+    errs: list[str] = []
+    for name, fn in transports or default_transport_ladder():
+        try:
+            return fn(url, timeout)
+        except Exception as e:  # noqa: BLE001 — ladder semantics
+            errs.append(f"{name}: {type(e).__name__}: {e}")
+    raise OSError("all transports failed — " + "; ".join(errs))
+
+
 def normalize_envelope(payload: object) -> list[dict]:
     """Response-shape dispatch (reference :225-238): lists pass through;
     dicts unwrap the first known envelope key; other dicts wrap as a

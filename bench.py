@@ -68,6 +68,11 @@ def main() -> None:
         print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s",
               file=sys.stderr)
 
+    # Queries added to the bench set in round 3 (q_line_dedup,
+    # q_bm25_terms, q_simhash_pairs): totals including them are NOT
+    # comparable to BENCH_r1/r2 — `comparable_total` restates the cold
+    # total over the round-2 query set for honest cross-round reads.
+    added_r3 = {"q_line_dedup", "q_bm25_terms", "q_simhash_pairs"}
     out = {
         "metric": "declared_query_set_wall_clock",
         "value": round(sum(cold.values()), 3),
@@ -75,6 +80,10 @@ def main() -> None:
         "queries": cold,
         "steady": steady,
         "steady_total": round(sum(steady.values()), 3),
+        "comparable_total": round(
+            sum(v for k, v in cold.items() if k not in added_r3), 3
+        ),
+        "added_queries": sorted(added_r3 & set(cold)),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -91,6 +91,41 @@ def test_fetch_retry_backoff_then_fail():
     assert sleeps == [1.0, 3.0]  # exponential backoff
 
 
+def test_hardened_transport_ladder_falls_through():
+    """Each failing transport is recorded and the next tries; success
+    short-circuits; total failure names every hop."""
+    from aws_data_pipeline_ads_spark.sources.http_json import hardened_http_get
+
+    calls = []
+
+    def bad(url, timeout):
+        calls.append("bad")
+        raise ConnectionError("cert verify failed")
+
+    def good(url, timeout):
+        calls.append("good")
+        return 200, "[]"
+
+    status, body = hardened_http_get(
+        "http://api/x", 5.0, transports=[("t1", bad), ("t2", good)]
+    )
+    assert (status, body) == (200, "[]") and calls == ["bad", "good"]
+
+    with pytest.raises(OSError, match=r"t1: ConnectionError.*t2: ConnectionError"):
+        hardened_http_get("http://api/x", 5.0,
+                          transports=[("t1", bad), ("t2", bad)])
+
+
+def test_hardened_ladder_orders_noverify_last():
+    """The insecure CERT_NONE hop must be the LAST rung — never the
+    default the reference made it."""
+    from aws_data_pipeline_ads_spark.sources import http_json
+
+    ladder = http_json.default_transport_ladder()
+    assert ladder[0][0] == "urllib"
+    assert ladder[-1][0] == "urllib-noverify"
+
+
 def test_marketing_transform_edges(spark):
     df = records_to_df(spark, PRODUCTS)
     out = transform_source(df, "marketing", AS_OF)
