@@ -311,6 +311,86 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
     )
 
 
+def span_dedup_stats(documents: DataFrame, span_tokens: int = 32,
+                     stride: int = 16, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dup_fraction: float = 0.5) -> DataFrame:
+    """ExactSubstr-style span dedup scoring (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): slide a token window
+    across every document, elect one corpus-wide winner per distinct
+    span (min (doc_id, pos)), and score each document by the fraction
+    of its spans that lost — the signal the paper's suffix-array pass
+    produces, re-expressed as exploding windows + a winner election
+    (the operator shape Spark can run at 100 TB; a suffix array over a
+    distributed corpus cannot).
+
+    Documents shorter than span_tokens contribute their whole text as
+    one span, so every doc is scored. Spans overlap by
+    span_tokens - stride tokens: overlap catches duplicated passages
+    that straddle window boundaries.
+
+    Scale shape (the line_dedup posture at window granularity):
+    - Spans hash to md5 BELOW the explode — the winner-election shuffle
+      moves (32-byte hash, id, pos), never span text.
+    - The election min-struct agg is map-side combined; the loser count
+      is a semi-join-free second aggregation on the same slim stream.
+    - Per-doc span totals are an array expression on the base scan, not
+      a second explode.
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_fraction, span_ok);
+    dup_fraction rounds to 6 (hash canonicalization), the gate compares
+    unrounded.
+    """
+    toked = documents.select(id_col, tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    # window starts 1, 1+stride, ... with the full window in bounds;
+    # short docs contribute their whole text as the single span 1
+    last_i = F.floor(
+        (F.size(t) - F.lit(span_tokens)).cast("double") / F.lit(stride)
+    ).cast("int")
+    starts = F.when(
+        F.size(t) <= span_tokens, F.array(F.lit(1))
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), last_i), lambda i: i * stride + 1)
+    )
+    spans = toked.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.md5(F.array_join(F.slice(t, s, span_tokens), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    winners = (
+        spans.groupBy("h")
+        .agg(F.min(F.struct(id_col, "pos")).alias("w"))
+        .select("h", F.col(f"w.{id_col}").alias("w_id"), F.col("w.pos").alias("w_pos"))
+    )
+    scored = (
+        spans.join(winners, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(
+                F.when(
+                    (F.col("w_id") != F.col(id_col))
+                    | (F.col("w_pos") != F.col("pos")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_dup_spans"),
+        )
+    )
+    frac = F.col("n_dup_spans").cast("double") / F.col("n_spans")
+    return scored.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        F.round(frac, 6).alias("dup_fraction"),
+        (frac <= max_dup_fraction).alias("span_ok"),
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
                        shingle_k: int = 3,
                        toked: DataFrame | None = None) -> DataFrame:

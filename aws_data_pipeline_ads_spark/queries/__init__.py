@@ -163,6 +163,9 @@ _TAIL: list[str] = [
     "q_domain_mixture",  # temperature-based domain mixing (τ=0.5 via
     # IEEE-exact sqrt); md5-gate machinery in-window via
     # q_sample_stratified; oracle-checked locally
+    "q_span_dedup",  # ExactSubstr-style span winner election;
+    # explode + slim-hash election machinery in-window via
+    # q_line_dedup; oracle-checked locally
     "q_unigram_lm",  # corpus-trained unigram-LM nll scoring;
     # explode/join/agg machinery in-window via q_bm25_terms
     "q_bpe_merges",  # iterative BPE training (rows-only by nature);

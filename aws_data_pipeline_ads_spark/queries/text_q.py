@@ -649,6 +649,35 @@ def q_domain_caps(spark, sf_dir):
 
 
 @query(
+    "q_span_dedup",
+    oracle=(
+        "WITH toked AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "sp AS (SELECT doc_id, unnest(CASE WHEN len(toks) <= 32 "
+        "THEN [{'pos': 0, 'h': md5(array_to_string(toks, ' '))}] "
+        "ELSE [{'pos': i, 'h': md5(array_to_string(toks[(i*16+1):(i*16+32)], ' '))} "
+        "for i in generate_series(0, CAST(floor((len(toks)-32)/16.0) AS INT))] END, "
+        "recursive := true) FROM toked), "
+        "w AS (SELECT doc_id, pos, h, ROW_NUMBER() OVER "
+        "(PARTITION BY h ORDER BY doc_id, pos) AS rn FROM sp) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, "
+        "ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) "
+        "AS dup_fraction, "
+        "(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) <= 0.5) "
+        "AS span_ok FROM w GROUP BY doc_id"
+    ),
+    doc="LLM dedup (ExactSubstr-style, Lee et al.): corpus-wide 32-token "
+        "sliding-window winner election, per-doc duplicated-span "
+        "fraction + keep gate — the suffix-array dedup signal as an "
+        "explode + slim-hash election Spark can run at 100 TB "
+        "(dedup.span_dedup_stats)",
+)
+def q_span_dedup(spark, sf_dir):
+    return dedup.span_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q_domain_mixture",
     oracle=(
         "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -427,6 +427,27 @@ def test_verified_neardup_subset_of_exact(spark, sf_dir):
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
 
 
+def test_span_dedup_planted_duplicates(spark):
+    """A doc that copies another's passage loses those spans (first
+    (doc_id, pos) wins); unique docs score 0; a short doc is its own
+    single span."""
+    words = [f"w{i}" for i in range(64)]
+    fresh = [f"x{i}" for i in range(64)]
+    docs = spark.createDataFrame([
+        Row(doc_id=1, lang="en", text=" ".join(words)),       # original
+        Row(doc_id=2, lang="en", text=" ".join(words)),       # full copy
+        Row(doc_id=3, lang="en", text=" ".join(fresh)),       # unique
+        Row(doc_id=4, lang="en", text="tiny doc"),            # 1 short span
+    ])
+    out = {r.doc_id: r for r in dedup.span_dedup_stats(docs).collect()}
+    # 64 tokens, span 32, stride 16 → starts 1,17,33 → 3 spans/doc
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 0 and out[1].span_ok
+    assert out[2].n_spans == 3 and out[2].n_dup_spans == 3  # every span lost
+    assert out[2].dup_fraction == 1.0 and not out[2].span_ok
+    assert out[3].n_dup_spans == 0
+    assert out[4].n_spans == 1 and out[4].n_dup_spans == 0
+
+
 def test_token_jaccard_max_df_cap(spark, sf_dir):
     """The df-cap blocking path: identical results when no token exceeds
     the cap, and hot tokens beyond the cap drop out of both the join and
