@@ -87,12 +87,18 @@ def curate(documents: DataFrame) -> DataFrame:
     groupBy (the doc_id join is a broadcast at dim-like selectivity, or
     AQE's choice at scale).
     """
+    from pyspark.storagelevel import StorageLevel
+
     n_chars = F.length("text").cast("long")
     n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
     punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
     # One projection computes every text-derived value, then `text`
     # drops out — the shuffles downstream move (id, lang, count, 16-byte
     # fp), never document bodies, and nothing is tokenized twice.
+    # Persisted: the projection feeds BOTH the canonical-doc election
+    # and the join's left side, and Spark materializes no shared
+    # subplans (measured: 2 scans, the regexp/md5 work run twice).
+    # Slim rows (no text), MEMORY_AND_DISK spills on oversized corpora.
     ok = documents.select(
         "doc_id",
         "lang",
@@ -103,7 +109,7 @@ def curate(documents: DataFrame) -> DataFrame:
     ).filter(
         (F.col("n_chars") >= 20) & (F.col("n_toks") >= 5)
         & (F.col("punct_ratio") < 0.3)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     canon = ok.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     return (
         ok.join(canon, "doc_id")
