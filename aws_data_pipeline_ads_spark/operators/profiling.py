@@ -100,10 +100,14 @@ def correlation(df: DataFrame, x_col: str, y_col: str,
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
     vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
     vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    # Zero-variance guard: a constant column makes 0/0, which under
+    # ANSI mode errors the job — correlation is undefined there, so
+    # emit NULL (the oracle carries the same CASE).
+    corr = F.when(vx * vy > 0, cov / F.sqrt(vx * vy))
     return moments.select(
         *keys,
         "n",
-        F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+        F.round(corr, 6).alias("corr"),
     )
 
 

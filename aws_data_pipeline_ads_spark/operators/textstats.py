@@ -49,12 +49,20 @@ def quality_stats(documents: DataFrame) -> DataFrame:
 
     Ratios divide exact ints in double — engine-invariant. `quality_ok`
     is the keep/drop gate a curation pipeline would filter on.
+
+    Empty documents score punct_ratio NULL (0/0 is undefined; under
+    Spark 4's default ANSI mode an unguarded division ERRORS the whole
+    job on the first empty doc — real corpora have them) and fail the
+    gate via the n_chars bound. n_toks is never 0 (split of empty text
+    yields one empty token), so stopword_ratio needs no guard.
     """
     n_chars = F.length("text").cast("long")
     n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
     n_toks = token_count("text")
     n_stop = F.regexp_count(F.col("text"), F.lit(EN_STOPWORDS_RE)).cast("long")
-    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - n_alnum).cast("double") / n_chars
+    )
     stop_ratio = n_stop.cast("double") / n_toks
     # Emit ratios rounded to 6 decimals (hash-canonicalization safety,
     # SURVEY §7 risk 1); the keep/drop gate still compares unrounded.
@@ -91,7 +99,11 @@ def curate(documents: DataFrame) -> DataFrame:
 
     n_chars = F.length("text").cast("long")
     n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
-    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
+    # NULL ratio for empty docs (ANSI divide-by-zero guard; such docs
+    # fail the n_chars gate anyway — false AND null = false).
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - n_alnum).cast("double") / n_chars
+    )
     # One projection computes every text-derived value, then `text`
     # drops out — the shuffles downstream move (id, lang, count, 16-byte
     # fp), never document bodies, and nothing is tokenized twice.
@@ -432,7 +444,10 @@ def prepare_corpus(documents: DataFrame, sample_of_256: int = 128) -> DataFrame:
     t = F.col("clean_text")
     n_chars = F.length(t).cast("long")
     n_alnum = F.length(F.regexp_replace(t, PUNCT_RE, "")).cast("long")
-    punct_ratio = (n_chars - n_alnum).cast("double") / n_chars
+    # ANSI divide-by-zero guard for empty docs (see quality_stats)
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - n_alnum).cast("double") / n_chars
+    )
     ok = cleaned.select(
         "doc_id", "lang", "had_pii",
         F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_toks"),

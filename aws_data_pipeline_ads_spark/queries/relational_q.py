@@ -1344,8 +1344,10 @@ def q_tpch_q20(spark, sf_dir):
         "AS DOUBLE) AS syy "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, n, "
-        "round((sxy - sx * sy / n) / "
-        "sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr "
+        "round(CASE WHEN (sxx - sx * sx / n) * (syy - sy * sy / n) > 0 "
+        "THEN (sxy - sx * sy / n) / "
+        "sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) "
+        "ELSE NULL END, 6) AS corr "
         "FROM m"
     ),
     doc="data profiling: Pearson correlation from exact decimal raw "

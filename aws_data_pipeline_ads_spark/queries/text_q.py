@@ -184,8 +184,9 @@ def q_lang_id(spark, sf_dir):
     oracle=(
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens, "
-        "ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
-        "AS DOUBLE) / length(text), 6) AS punct_ratio, "
+        "ROUND(CASE WHEN length(text) > 0 THEN "
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) "
+        "AS DOUBLE) / length(text) ELSE NULL END, 6) AS punct_ratio, "
         "ROUND(CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|is|to|in|it|that|for)\\b')) "
         "AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio, "
         "(length(text) >= 20 AND len(regexp_split_to_array(trim(text), '\\s+')) >= 5 "

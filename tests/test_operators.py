@@ -427,6 +427,41 @@ def test_verified_neardup_subset_of_exact(spark, sf_dir):
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
 
 
+def test_text_operators_survive_empty_docs(spark):
+    """Real corpora contain empty/whitespace-only docs; under Spark 4's
+    default ANSI mode an unguarded ratio division ERRORS the job.
+    Every per-doc text operator must emit a row (NULL ratio where
+    undefined) instead of crashing."""
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, lang="en", source="a", text=""),
+        Row(doc_id=2, lang="en", source="a", text="   "),
+        Row(doc_id=3, lang="en", source="a", text="hello world it is fine "
+                                                  "and long enough to pass"),
+    ])
+    q = {r.doc_id: r for r in textstats.quality_stats(docs).collect()}
+    assert q[1].punct_ratio is None and not q[1].quality_ok
+    assert q[3].quality_ok
+    assert textstats.curate(docs).collect()[0].n_docs == 1  # only doc 3
+    r = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert r[1].dup_ratio == 0.0
+    assert len(dedup.span_dedup_stats(docs).collect()) == 3
+
+
+def test_correlation_zero_variance_is_null(spark):
+    """Constant column → zero variance → correlation undefined: NULL,
+    not an ANSI divide-by-zero crash."""
+    from aws_data_pipeline_ads_spark.operators.profiling import correlation
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=float(i), y=2.0) for i in range(5)]
+        + [Row(g="b", x=float(i), y=float(i)) for i in range(5)]
+    )
+    out = {r.g: r.corr for r in correlation(df, "x", "y", "g").collect()}
+    assert out["a"] is None and abs(out["b"] - 1.0) < 1e-9
+
+
 def test_span_dedup_planted_duplicates(spark):
     """A doc that copies another's passage loses those spans (first
     (doc_id, pos) wins); unique docs score 0; a short doc is its own
