@@ -128,4 +128,8 @@ def vec_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+    """Cosine of two array<double> columns; NULL when either vector has
+    zero norm (undefined — and an unguarded 0/0 ERRORS under Spark 4's
+    default ANSI mode instead of yielding NaN)."""
+    denom = vec_norm(a) * vec_norm(b)
+    return F.when(denom != 0, vec_dot(a, b) / denom)

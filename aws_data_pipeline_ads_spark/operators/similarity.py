@@ -218,10 +218,16 @@ def _nearest_centroid_expr(emb, centroids: list[list[float]]):
         + ")"
     )
     cnorms = _qv_col([math.sqrt(sum(x * x for x in c)) for c in centroids])
+    # Zero-norm guard: a degenerate vector scores -2 (< any cosine) for
+    # every centroid, so it lands deterministically in the largest-index
+    # list instead of ANSI-erroring the whole assignment job.
     scored = F.transform(
         cmat,
         lambda c, i: F.struct(
-            (vec_dot(emb, c) / (vec_norm(emb) * F.element_at(cnorms, i + 1))).alias("s"),
+            F.when(
+                vec_norm(emb) * F.element_at(cnorms, i + 1) != 0,
+                vec_dot(emb, c) / (vec_norm(emb) * F.element_at(cnorms, i + 1)),
+            ).otherwise(F.lit(-2.0)).alias("s"),
             i.cast("int").alias("i"),
         ),
     )
