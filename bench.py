@@ -59,6 +59,12 @@ def main() -> None:
     steady: dict[str, float] = {}
     for name in names:
         qd = REGISTRY[name]
+        # Each query starts from a clean cache: several operators persist
+        # slim intermediates (LSH buckets, tf, fingerprints), and letting
+        # those accumulate across 20+ queries skews later timings with
+        # memory/GC pressure none of them caused. cold still pays the
+        # query's OWN cache population; steady serves from it.
+        spark.catalog.clearCache()
         t0 = time.time()
         run_once(qd.build(spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
