@@ -94,6 +94,9 @@ _NESTED_LOOP_OK = {
     # broadcast of the 1-row quintile-threshold aggregate — same
     # bounded pattern
     "q_rfm",
+    # broadcast of the 1-row tempered-weight total (Σ n_i^τ) into the
+    # per-domain rates table — same bounded pattern
+    "q_domain_mixture",
 }
 
 
