@@ -353,3 +353,108 @@ def test_histogram_quantile_error_bound_property(spark, vals):
     df = spark.createDataFrame([Row(g="a", value=float(v)) for v in vals])
     est = quantile_from_histogram(df, "value", "g", qs=(0.5,)).collect()[0]
     assert abs(est.p50_est - float(np.quantile(vals, 0.5))) <= 50.0
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+def test_span_dedup_matches_python_reference(spark, texts):
+    """span_dedup_stats == a pure-Python sliding-window winner election
+    on arbitrary tiny corpora (short docs → whole-text span; duplicated
+    windows lose to the first (doc_id, pos))."""
+    from aws_data_pipeline_ads_spark.operators import dedup
+
+    span, stride = 4, 2
+    docs = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    out = {r.doc_id: r for r in dedup.span_dedup_stats(
+        spark.createDataFrame(docs), span_tokens=span, stride=stride
+    ).collect()}
+
+    def spans_of(t: str) -> list[str]:
+        toks = t.strip().split()
+        if not toks:
+            toks = [""]  # split of empty text yields one empty token
+        if len(toks) <= span:
+            return [" ".join(toks)]
+        return [" ".join(toks[i:i + span])
+                for i in range(0, len(toks) - span + 1, stride)]
+
+    winners: dict[str, tuple[int, int]] = {}
+    per_doc = {}
+    for i, t in enumerate(texts):
+        ss = spans_of(t)
+        per_doc[i] = ss
+        for pos, s in enumerate(ss):
+            if s not in winners or (i, pos) < winners[s]:
+                winners[s] = (i, pos)
+    for i, ss in per_doc.items():
+        n_dup = sum(1 for pos, s in enumerate(ss) if winners[s] != (i, pos))
+        assert out[i].n_spans == len(ss), (i, texts)
+        assert out[i].n_dup_spans == n_dup, (i, texts)
+
+
+def test_domain_mixture_matches_python_gate(spark):
+    """Membership == the Python-computed md5 gate at the Python-computed
+    tempered rate, and is invariant under repartitioning; target above
+    corpus size keeps everything."""
+    import hashlib
+    import math as m
+
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        domain_mixture_rates,
+        domain_mixture_sample,
+    )
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows)
+    target = 120
+    rates = {r["source"]: r.rate for r in
+             domain_mixture_rates(df, "source", 0.5, target).collect()}
+    counts = {s: sum(1 for r in rows if r.source == s) for s in rates}
+    tw = sum(m.sqrt(n) for n in counts.values())
+    for s, n in counts.items():
+        assert rates[s] == round(min(1.0, target * (m.sqrt(n) / tw) / n), 6)
+
+    def kept(doc_id: int, rate: float) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return h / 4294967296.0 < rate
+
+    expect = {(r.doc_id, r.source) for r in rows if kept(r.doc_id, rates[r.source])}
+    got = {(r.doc_id, r.source) for r in
+           domain_mixture_sample(df, "source", "doc_id", 0.5, target).collect()}
+    assert got == expect
+    again = {(r.doc_id, r.source) for r in domain_mixture_sample(
+        df.repartition(7), "source", "doc_id", 0.5, target).collect()}
+    assert again == got
+    everything = domain_mixture_sample(df, "source", "doc_id", 0.5, 10_000)
+    assert everything.count() == len(rows)
+
+
+def test_minhash_signatures_match_python_reference(spark):
+    """minhash_signatures == a pure-Python md5-based reference (same
+    permutation params, same shingling) — pins the md5-derived base
+    hash the DuckDB oracle relies on."""
+    import hashlib
+
+    from aws_data_pipeline_ads_spark.operators import dedup
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumped over a lazy dog",
+             "tiny", ""]
+    docs = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    got = {r.doc_id: [r[f"mh_{i}"] for i in range(16)]
+           for r in dedup.minhash_signatures(
+               spark.createDataFrame(docs), 16, 3).collect()}
+    p = 2_147_483_647
+    params = dedup._perm_params(16)
+    for i, t in enumerate(texts):
+        toks = t.strip().split() or [""]
+        if len(toks) < 3:
+            shingles = [" ".join(toks)]
+        else:
+            shingles = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % p
+              for s in shingles]
+        expect = [min((a * h + b) % p for h in hs) for a, b in params]
+        assert got[i] == expect, i
