@@ -1229,10 +1229,10 @@ def q_tpch_q11(spark, sf_dir):
     "q_tpch_q12",
     oracle=(
         "SELECT l_returnflag, "
-        "SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS high_line_count, "
-        "SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS low_line_count "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
         "WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY "
         "AND l_shipdate < o_orderdate + INTERVAL 90 DAY "
@@ -1394,7 +1394,7 @@ def q_histogram(spark, sf_dir):
         "SUM(n) OVER (PARTITION BY event_type ORDER BY bin "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
         "SUM(n) OVER (PARTITION BY event_type) AS total FROM h) "
-        "SELECT event_type, MAX(total) AS total, "
+        "SELECT event_type, CAST(MAX(total) AS BIGINT) AS total, "
         "arg_min(round(bin_lo + 50.0 * (0.5 * total - (cum - n)) / n, 6), "
         "CASE WHEN cum >= 0.5 * total THEN bin END) AS p50_est, "
         "arg_min(round(bin_lo + 50.0 * (0.9 * total - (cum - n)) / n, 6), "

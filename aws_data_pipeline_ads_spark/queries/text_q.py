@@ -20,7 +20,10 @@ _WS = r"\s+"
     "q_text_stats",
     oracle=(
         "SELECT lang, source, COUNT(*) AS n_docs, "
-        "SUM(CAST(length(text) AS BIGINT)) AS total_chars, "
+        # DuckDB SUM(BIGINT) yields HUGEINT, which pandas widens to
+        # float64 ("123.0" vs Spark's "123" in the driver's value hash)
+        # — the outer CAST pins int64 on the oracle side.
+        "CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars, "
         "ROUND(CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*), 6) "
         "AS avg_chars FROM documents GROUP BY lang, source"
     ),
@@ -738,9 +741,9 @@ def q_unigram_lm(spark, sf_dir):
         "SELECT doc_id, source, "
         "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
         "AS n_tok, "
-        "SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) "
+        "CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) "
         "OVER w - CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) "
-        "AS offset, "
+        "AS BIGINT) AS offset, "
         "CAST(floor((SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
         "AS BIGINT)) OVER w - CAST(len(regexp_split_to_array(trim(text), "
         "'\\s+')) AS BIGINT)) / 256) AS BIGINT) AS seq_id "
@@ -765,7 +768,7 @@ def q_pack_sequences(spark, sf_dir):
         + " AS bucket FROM documents) "
         "SELECT CASE WHEN bucket < 204 THEN 'train' "
         "WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split, "
-        "COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
         "FROM b GROUP BY 1"
     ),
     doc="LLM data management: deterministic 80/10/10 train/val/test "

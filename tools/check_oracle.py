@@ -44,11 +44,40 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if sorted(a.columns) != sorted(b.columns):
         return f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}"
     if len(a) != len(b):
         return f"row counts differ: {len(a)} vs {len(b)}"
+    # The driver hashes raw string reprs, so an int64-vs-float64 split
+    # ("123" vs "123.0") fails there even when values agree. canon()'s
+    # per-side coercion used to mask exactly that class of bug (DuckDB
+    # HUGEINT -> pandas float64 on q_text_stats); catch it pre-coercion.
+    for col in sorted(a.columns):
+        ka, kb = _dtype_class(a[col]), _dtype_class(b[col])
+        if ka == kb:
+            continue
+        if "float" in (ka, kb) and {ka, kb} & {"int", "bool"}:
+            # "123" vs "123.0"/"True" vs "1.0" — reprs always diverge
+            return (
+                f"dtype class differs in {col!r}: spark={a[col].dtype} ({ka}) "
+                f"vs oracle={b[col].dtype} ({kb}) — driver hash would fail"
+            )
+        # e.g. Decimal-object vs float64: reprs may still agree; warn only
+        print(
+            f"    WARN dtype class drift in {col!r}: "
+            f"spark={a[col].dtype} ({ka}) vs oracle={b[col].dtype} ({kb})"
+        )
     ca, cb = canon(a), canon(b)
     for col in ca.columns:
         va, vb = ca[col].to_numpy(), cb[col].to_numpy()
@@ -80,6 +109,25 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # HUGEINT lint: DuckDB SUM(BIGINT)/SUM over ints yields HUGEINT,
+    # which pandas widens to float64 and the driver hash then sees
+    # "123.0" vs Spark's "123". Reject such oracle output columns
+    # up front — the fix is CAST(SUM(...) AS BIGINT) in the oracle.
+    n_lint = 0
+    for name, qd in sorted(REGISTRY.items()):
+        if (only and name not in only) or qd.oracle is None:
+            continue
+        try:
+            desc = con.sql(f"DESCRIBE ({qd.oracle})").fetchall()
+        except Exception as e:  # noqa: BLE001 — lint only; run reports it
+            print(f"  LINT-SKIP {name}: DESCRIBE failed ({e})")
+            continue
+        for col, typ, *_ in desc:
+            if "HUGEINT" in str(typ).upper():
+                n_lint += 1
+                print(f"  LINT {name}: oracle column {col!r} is {typ} — "
+                      f"wrap in CAST(... AS BIGINT)")
+
     n_pass = n_fail = 0
     for name, qd in sorted(REGISTRY.items()):
         if only and name not in only:
@@ -102,8 +150,8 @@ def main() -> int:
         else:
             n_pass += 1
             print(f"  PASS {name}: {len(sdf)} rows  ({dt:.1f}s)")
-    print(f"\n{n_pass} pass, {n_fail} fail @ {sf_dir}")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_lint} lint @ {sf_dir}")
+    return 1 if (n_fail or n_lint) else 0
 
 
 if __name__ == "__main__":
