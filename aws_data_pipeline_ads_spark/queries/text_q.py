@@ -344,6 +344,40 @@ def q_line_dedup(spark, sf_dir):
 @query(
     "q_ngram_jaccard",
     oracle=(
+        # max_df=1000 mirrored as the identical `df <= 1000` filter: the
+        # declared surface carries the scale guard (no unbounded
+        # hot-token self-join at 100 TB), and the oracle computes
+        # Jaccard over the same df-capped vocabulary, so the comparison
+        # stays hash-exact at every sf.
+        "WITH toks AS (SELECT DISTINCT doc_id, lang, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), "
+        "df AS (SELECT lang, tok, COUNT(*) AS df FROM toks GROUP BY lang, tok), "
+        "kept AS (SELECT t.doc_id, t.lang, t.tok FROM toks t "
+        "JOIN df USING (lang, tok) WHERE df.df <= 1000), "
+        "counts AS (SELECT doc_id, COUNT(*) AS n_toks FROM kept GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common "
+        "FROM kept a JOIN kept b ON a.tok = b.tok AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, "
+        "ROUND(CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common), 6) "
+        "AS jaccard FROM inter "
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id "
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.8"
+    ),
+    doc="LLM dedup tier 3: exact token-set Jaccard pairs (lang-blocked) "
+        "over the df<=1000 vocabulary — the hot-token guard is ON in the "
+        "declared surface (join cost bounded by max_df² per token); at "
+        "100 TB this verifies candidates from q_minhash_lsh",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.token_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 0.8, max_df=1000
+    )
+
+
+@query(
+    "q_ngram_jaccard_uncapped",
+    oracle=(
         "WITH toks AS (SELECT DISTINCT doc_id, lang, "
         "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), "
         "counts AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id), "
@@ -356,10 +390,10 @@ def q_line_dedup(spark, sf_dir):
         "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id "
         "WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.8"
     ),
-    doc="LLM dedup tier 3: exact token-set Jaccard pairs (lang-blocked); "
-        "at 100 TB this verifies candidates from q_minhash_lsh",
+    doc="exact-uncapped Jaccard semantics for modest scale — tail-only "
+        "variant; the declared q_ngram_jaccard runs with max_df=1000",
 )
-def q_ngram_jaccard(spark, sf_dir):
+def q_ngram_jaccard_uncapped(spark, sf_dir):
     return dedup.token_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.8)
 
 
