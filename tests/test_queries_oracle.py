@@ -1,32 +1,19 @@
 """Differential oracle test: every declared query vs its DuckDB twin at
-sf0.001 (the driver runs the same comparison at sf0.01 — SURVEY.md §5.2.1)."""
+sf0.001 (the driver runs the same comparison at sf0.01 — SURVEY.md §5.2.1).
+
+Comparison logic is shared with tools/check_oracle.py so the pytest gate
+and the local harness fail the same way the driver does — including the
+pre-coercion dtype-class check (int64-vs-float64 drift hashes differently
+driver-side even when values agree) and the DESCRIBE-level HUGEINT lint
+(DuckDB SUM over ints widens to HUGEINT → pandas float64).
+"""
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 import pytest
 
 from aws_data_pipeline_ads_spark.queries import REGISTRY
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    out = {}
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_float_dtype(s):
-            out[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            out[c] = s.astype("int64")
-        elif pd.api.types.is_bool_dtype(s):
-            out[c] = s.astype("bool")
-        else:
-            out[c] = s.astype("string")
-    df = pd.DataFrame(out)
-    if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+from tools.check_oracle import compare
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -37,12 +24,18 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         assert len(sdf) >= 0  # rows-only contract: runs and is well-formed
         return
     ddf = duck.sql(qd.oracle).df()
-    assert sorted(sdf.columns) == sorted(ddf.columns)
-    assert len(sdf) == len(ddf)
-    ca, cb = canon(sdf), canon(ddf)
-    for col in ca.columns:
-        va, vb = ca[col].to_numpy(), cb[col].to_numpy()
-        if pd.api.types.is_float_dtype(ca[col]):
-            assert np.array_equal(va, vb, equal_nan=True), f"{name}.{col}"
-        else:
-            assert ((va == vb) | (pd.isna(va) & pd.isna(vb))).all(), f"{name}.{col}"
+    err = compare(sdf, ddf)
+    assert err is None, f"{name}: {err}"
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_oracle_has_no_hugeint_output(name, duck):
+    qd = REGISTRY[name]
+    if qd.oracle is None:
+        pytest.skip("rows-only query")
+    desc = duck.sql(f"DESCRIBE ({qd.oracle})").fetchall()
+    huge = [col for col, typ, *_ in desc if "HUGEINT" in str(typ).upper()]
+    assert not huge, (
+        f"{name}: oracle columns {huge} are HUGEINT — pandas widens them "
+        f"to float64 and the driver hash fails; CAST(... AS BIGINT)"
+    )
