@@ -207,9 +207,9 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     failing; at true 100 TB, materialize minhash_signatures to a table
     instead (the ANN-index pattern, similarity.lsh_write).
     """
-    from pyspark.storagelevel import StorageLevel
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
 
-    toked = doc_token_arrays(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    toked = persist_tracked(doc_token_arrays(documents))
     cand = minhash_lsh_pairs(documents, n_hashes, bands, toked=toked)
     # Same shape as token_jaccard_pairs: distinct-token count rides the
     # exploded rows as a payload column; array_distinct runs below the
@@ -439,7 +439,7 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
     doc, a few hundred bytes/doc — and MEMORY_AND_DISK spills rather
     than fails on oversized corpora.
     """
-    from pyspark.storagelevel import StorageLevel
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
 
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(documents, n_hashes, toked=toked)
@@ -452,11 +452,11 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
                 F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bsig"),
             )
         )
-    buckets = sig.select(
+    buckets = persist_tracked(sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

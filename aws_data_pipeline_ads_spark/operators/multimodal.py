@@ -132,6 +132,11 @@ def _parse_wav(payload: bytes):
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Decode cap for untrusted payloads: 16.7M pixels (a 4096x4096 RGBA frame
+# is ~67 MB decoded) — far above thumbnail-pipeline sizes, far below what
+# a decompression-bomb IHDR can claim.
+_PNG_MAX_PIXELS = 1 << 24
+
 
 def _png_decode_pixels(payload: bytes):
     """Full PNG pixel decode, pure Python + numpy + stdlib zlib — no PIL.
@@ -174,8 +179,21 @@ def _png_decode_pixels(payload: bytes):
         )
     ch = {0: 1, 2: 3, 6: 4}[ctype]
     stride = w * ch
-    raw = zlib.decompress(idat)
-    if len(raw) != h * (stride + 1):
+    # Bomb guard: cap the claimed dimensions BEFORE inflating, then
+    # decompress with an output bound — a small crafted PNG (huge IHDR
+    # + high-ratio deflate stream) must not be able to OOM an executor
+    # processing untrusted media payloads.
+    expected = h * (stride + 1)
+    if w * h > _PNG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the {_PNG_MAX_PIXELS}-pixel "
+            f"decode cap"
+        )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(idat, expected + 1)
+    if len(raw) > expected or dec.decompress(dec.unconsumed_tail, 1):
+        raise ValueError("PNG IDAT inflates past the declared scanlines")
+    if len(raw) != expected:
         raise ValueError("PNG scanline payload has wrong length")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -95,7 +95,7 @@ def curate(documents: DataFrame) -> DataFrame:
     groupBy (the doc_id join is a broadcast at dim-like selectivity, or
     AQE's choice at scale).
     """
-    from pyspark.storagelevel import StorageLevel
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
 
     n_chars = F.length("text").cast("long")
     n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
@@ -111,7 +111,7 @@ def curate(documents: DataFrame) -> DataFrame:
     # and the join's left side, and Spark materializes no shared
     # subplans (measured: 2 scans, the regexp/md5 work run twice).
     # Slim rows (no text), MEMORY_AND_DISK spills on oversized corpora.
-    ok = documents.select(
+    ok = persist_tracked(documents.select(
         "doc_id",
         "lang",
         token_count("text").alias("n_toks"),
@@ -121,7 +121,7 @@ def curate(documents: DataFrame) -> DataFrame:
     ).filter(
         (F.col("n_chars") >= 20) & (F.col("n_toks") >= 5)
         & (F.col("punct_ratio") < 0.3)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     canon = ok.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     return (
         ok.join(canon, "doc_id")
@@ -219,11 +219,13 @@ def redact_pii(documents: DataFrame, text_col: str = "text",
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus statistics.
 
-    avg_chars is rounded to 6 decimals: the raw quotient is a full-
-    precision double whose serialized text form differs between hash-
-    canonicalization paths even when the values are bit-identical
-    (SURVEY §7 risk 1); rounding pins one canonical representation on
-    both the Spark and oracle sides.
+    Two representation pins keep the DuckDB oracle hash-identical:
+    avg_chars is rounded to 6 decimals (a full-precision double's text
+    form differs between hash-canonicalization paths, SURVEY §7 risk 1),
+    and the ORACLE wraps its total_chars sum in CAST(... AS BIGINT) —
+    DuckDB's SUM over BIGINT yields HUGEINT, which pandas widens to
+    float64 ("123.0" vs this side's int64 "123"). The r2/r3 hash fail
+    was the latter; rounding alone was necessary but not sufficient.
     """
     n_chars = F.length("text")
     return documents.groupBy("lang", "source").agg(
@@ -261,20 +263,26 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
 
     from aws_data_pipeline_ads_spark.functions import tokens
 
-    from pyspark.storagelevel import StorageLevel
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
 
-    toks = tokens(F.lower(F.col("text")))
+    # NULL text coalesces to '' BEFORE tokenizing: explode of a NULL
+    # token array drops the row entirely, which would silently shrink
+    # the countDistinct-derived n_docs (and shift every idf) on corpora
+    # with NULL-text rows. split(trim('')) yields one empty token, so
+    # every doc — including NULL/empty text — emits ≥ 1 tf row and
+    # COUNT(DISTINCT doc_id) == COUNT(*) over documents holds
+    # unconditionally (pinned by test_bm25_null_text_keeps_n_docs).
+    toks = tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
     # tf is persisted because it has THREE consumers — the df aggregate,
     # the join's left side, and the corpus-level (n_docs, total_toks)
     # aggregate — and Spark materializes no shared subplans (measured:
     # the tokenize→aggregate pipeline ran once per consumer). The cache
     # is the slim (doc_id, term, tf) vocabulary stream; MEMORY_AND_DISK
     # spills rather than fails when the vocabulary outgrows memory.
-    tf = (
+    tf = persist_tracked(
         documents.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # df join BEFORE the dl window: the final rank window also
     # partitions by doc_id, so planning dl last lets the rank reuse
@@ -287,10 +295,11 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
         F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
     )
     # Corpus stats from the cached tf, not a third scan+tokenize of the
-    # documents: every doc emits ≥ 1 tf row (split of empty text yields
-    # one empty token), so COUNT(DISTINCT doc_id) == COUNT(*) over
-    # documents and SUM(tf) == SUM(size(tokens)) — same integers, same
-    # doubles downstream.
+    # documents: every doc emits ≥ 1 tf row (NULL text coalesces to ''
+    # above, and split of empty text yields one empty token), so
+    # COUNT(DISTINCT doc_id) == COUNT(*) over documents and
+    # SUM(tf) == SUM(size(tokens)) — same integers, same doubles
+    # downstream.
     g = tf.agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.sum("tf").cast("long").alias("total_toks"),

@@ -486,7 +486,7 @@ def q_simhash(spark, sf_dir):
         "the LSH pattern MinHash uses, in verifiable form)",
 )
 def q_simhash_pairs(spark, sf_dir):
-    from pyspark.storagelevel import StorageLevel
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
 
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents_simhash"
@@ -494,10 +494,9 @@ def q_simhash_pairs(spark, sf_dir):
     # Persist the fingerprints before the band self-join: the broadcast
     # build side cannot reuse the stream side's exchange, so without the
     # cache the explode→distinct→32-sum pipeline runs twice (same fix as
-    # minhash_lsh_pairs; ~2s → ~0.6s steady at sf0.1).
-    fp = spark.sql(simhash_sql("spark", table="documents_simhash")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # minhash_lsh_pairs; ~2s → ~0.6s steady at sf0.1). Tracked so
+    # cache.release_caches() can unpersist it in long-lived sessions.
+    fp = persist_tracked(spark.sql(simhash_sql("spark", table="documents_simhash")))
     fp.createOrReplaceTempView("simhash_fp")
     return spark.sql(simhash_pairs_sql("spark", fp_table="simhash_fp"))
 

@@ -17,6 +17,8 @@ via parquet/JSON files on object storage.
 from __future__ import annotations
 
 import json
+import logging
+import os
 import time
 import urllib.error
 import urllib.parse
@@ -73,11 +75,15 @@ def _noverify_http_get(url: str, timeout: float) -> tuple[int, str]:
 Transport = tuple[str, HttpGet]
 
 
-def default_transport_ladder() -> list[Transport]:
-    """Verified stdlib first, `requests` if installed, unverified TLS
-    dead last — the reference's hardened-local ladder
-    (lambda_function_local.py:183-330) reordered so the insecure hop is
-    a last resort instead of the default."""
+def default_transport_ladder(allow_insecure: bool = False) -> list[Transport]:
+    """Verified stdlib first, `requests` if installed. The reference's
+    CERT_NONE fallback (lambda_function_local.py:183-330) is NOT in the
+    default ladder: a verifying transport failing is exactly the
+    condition an active TLS interceptor creates, so silently falling
+    back would let a MITM feed attacker-controlled JSON into the ingest
+    path (training-data poisoning). The insecure rung requires the
+    explicit `allow_insecure=True` opt-in (or the
+    ADSPARK_ALLOW_INSECURE_TLS=1 env flag) and logs loudly when used."""
     ladder: list[Transport] = [("urllib", _default_http_get)]
     try:
         import requests  # noqa: F401, PLC0415
@@ -85,21 +91,36 @@ def default_transport_ladder() -> list[Transport]:
         ladder.append(("requests", _requests_http_get))
     except ImportError:
         pass
-    ladder.append(("urllib-noverify", _noverify_http_get))
+    if allow_insecure or os.environ.get("ADSPARK_ALLOW_INSECURE_TLS") == "1":
+        ladder.append(("urllib-noverify", _noverify_http_get))
     return ladder
 
 
 def hardened_http_get(url: str, timeout: float,
-                      transports: list[Transport] | None = None) -> tuple[int, str]:
+                      transports: list[Transport] | None = None,
+                      allow_insecure: bool = False) -> tuple[int, str]:
     """Drop-in HttpGet that walks the transport ladder: each transport's
     failure is recorded and the next one tries; the terminal error names
     every hop so a broken-cert endpoint is diagnosable, not a bare
     SSLError. Pass as `http_get=hardened_http_get` to fetch_records /
-    source_to_df for hostile-TLS environments."""
+    source_to_df for hostile-TLS environments.
+
+    Certificate verification is never skipped unless the caller opts in
+    with `allow_insecure=True`; when the noverify rung does serve a
+    response, a WARNING naming the URL is emitted so the fetch is
+    auditable and callers can quarantine insecurely-fetched records."""
     errs: list[str] = []
-    for name, fn in transports or default_transport_ladder():
+    for name, fn in transports or default_transport_ladder(allow_insecure):
         try:
-            return fn(url, timeout)
+            result = fn(url, timeout)
+            if name == "urllib-noverify":
+                logging.getLogger(__name__).warning(
+                    "INSECURE FETCH: %s served without TLS certificate "
+                    "verification (all verifying transports failed: %s) — "
+                    "records from this response should be quarantined",
+                    url, "; ".join(errs),
+                )
+            return result
         except Exception as e:  # noqa: BLE001 — ladder semantics
             errs.append(f"{name}: {type(e).__name__}: {e}")
     raise OSError("all transports failed — " + "; ".join(errs))

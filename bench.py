@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.operators.cache import release_caches
 from aws_data_pipeline_ads_spark.queries import REGISTRY
 from aws_data_pipeline_ads_spark.session import get_session
 
@@ -64,6 +65,9 @@ def main() -> None:
         # those accumulate across 20+ queries skews later timings with
         # memory/GC pressure none of them caused. cold still pays the
         # query's OWN cache population; steady serves from it.
+        # release_caches drops the tracked persist() handles too, so the
+        # entries don't linger as unpersisted-but-registered leaks.
+        release_caches()
         spark.catalog.clearCache()
         t0 = time.time()
         run_once(qd.build(spark, sf_dir))

@@ -324,6 +324,48 @@ def test_png_pixel_codec_roundtrip_and_filters():
     assert got.reshape(5, stride).tolist() == expect
 
 
+def test_png_decompression_bomb_rejected():
+    """A small crafted PNG (huge IHDR + high-ratio deflate stream) must
+    be rejected BEFORE its pixel buffer is materialized — both the
+    claimed-dimension cap and the bounded inflate fire, so an untrusted
+    payload cannot OOM an executor."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        return (st.pack(">I", len(body)) + ctype + body
+                + st.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    # 1) Huge claimed dimensions: 2**15 x 2**15 RGBA = 2**30 pixels,
+    # > _PNG_MAX_PIXELS — rejected on the IHDR alone, zero inflation.
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 4096))
+            + chunk(b"IEND", b""))
+    assert len(bomb) < 200  # the whole point: tiny payload, huge claim
+    with pytest.raises(ValueError, match="decode cap"):
+        multimodal._png_decode_pixels(bomb)
+
+    # 2) Sane dimensions but an IDAT stream that inflates far past the
+    # declared scanlines — the bounded decompress stops at the limit.
+    w = h = 4
+    over = zlib.compress(b"\x00" * (1 << 20))  # 1 MiB of zeros, ~1 KB deflated
+    sneak = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+             + chunk(b"IDAT", over)
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates past"):
+        multimodal._png_decode_pixels(sneak)
+
+    # 3) A legitimate image at the same dimensions still decodes.
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = multimodal._png_decode_pixels(_png_from_array(arr))
+    assert (out == arr).all()
+
+
 def test_nn_resize_golden_pixels():
     """Nearest-neighbor index map pinned: down- and up-sampling pick
     exactly the floor(i*src/dst) source pixels."""

@@ -590,6 +590,59 @@ def test_bm25_rare_term_outranks_common(spark):
     assert sorted(r.term_rank for r in out if r.doc_id == 1) == [1, 2, 3]
 
 
+def test_bm25_null_text_keeps_n_docs(spark):
+    """A NULL-text doc must still count toward n_docs (it coalesces to
+    '' and emits one empty-term tf row) — explode of a NULL token array
+    would silently drop the doc and shift every idf in the corpus."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    schema = "doc_id long, text string"
+    with_null = spark.createDataFrame([
+        Row(doc_id=1, text="the quark the the boson"),
+        Row(doc_id=2, text="the cat sat"),
+        Row(doc_id=3, text=None),
+    ], schema)
+    empty_instead = spark.createDataFrame([
+        Row(doc_id=1, text="the quark the the boson"),
+        Row(doc_id=2, text="the cat sat"),
+        Row(doc_id=3, text=""),
+    ], schema)
+    got = textstats.bm25_terms(with_null, top_k=10).collect()
+    want = textstats.bm25_terms(empty_instead, top_k=10).collect()
+    key = lambda r: (r.doc_id, r.term)  # noqa: E731
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the NULL doc is represented (its single empty token scores), and
+    # idf reflects N=3, not a silently-shrunk N=2: for "the" (df=2),
+    # idf = (3 - 2 + 0.5) / (2 + 0.5) = 0.6 > 0.
+    d3 = [r for r in got if r.doc_id == 3]
+    assert len(d3) == 1 and d3[0].term == ""
+    d1 = {r.term: r for r in got if r.doc_id == 1}
+    assert d1["quark"].score > d1["the"].score > 0
+
+
+def test_tracked_persist_release(spark):
+    """Operators register their persisted intermediates; release_caches
+    unpersists every one and releasing never changes results (an
+    unpersisted frame recomputes from lineage)."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import cache, textstats
+
+    cache.release_caches()
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quark the the boson"),
+        Row(doc_id=2, text="the cat sat"),
+    ])
+    out = textstats.bm25_terms(docs, top_k=10)
+    before = sorted(map(tuple, out.collect()))
+    assert cache.live_count() >= 1  # the tf vocabulary stream
+    released = cache.release_caches()
+    assert released >= 1 and cache.live_count() == 0
+    assert sorted(map(tuple, out.collect())) == before  # recompute-correct
+
+
 def test_top_ngrams_counts_and_rank(spark):
     from pyspark.sql import Row
 

@@ -116,14 +116,42 @@ def test_hardened_transport_ladder_falls_through():
                           transports=[("t1", bad), ("t2", bad)])
 
 
-def test_hardened_ladder_orders_noverify_last():
-    """The insecure CERT_NONE hop must be the LAST rung — never the
-    default the reference made it."""
+def test_hardened_ladder_gates_noverify_behind_opt_in(monkeypatch, caplog):
+    """The insecure CERT_NONE hop is absent by default (a verifying
+    transport failing is exactly what an active MITM produces — falling
+    back silently would poison the ingest path) and appears dead last
+    only with the explicit opt-in; when it serves a response, a WARNING
+    names the URL so callers can quarantine the records."""
+    import logging
+
     from aws_data_pipeline_ads_spark.sources import http_json
 
-    ladder = http_json.default_transport_ladder()
-    assert ladder[0][0] == "urllib"
-    assert ladder[-1][0] == "urllib-noverify"
+    monkeypatch.delenv("ADSPARK_ALLOW_INSECURE_TLS", raising=False)
+    default = http_json.default_transport_ladder()
+    assert default[0][0] == "urllib"
+    assert all(name != "urllib-noverify" for name, _ in default)
+
+    opted = http_json.default_transport_ladder(allow_insecure=True)
+    assert opted[-1][0] == "urllib-noverify"
+
+    monkeypatch.setenv("ADSPARK_ALLOW_INSECURE_TLS", "1")
+    assert http_json.default_transport_ladder()[-1][0] == "urllib-noverify"
+    monkeypatch.delenv("ADSPARK_ALLOW_INSECURE_TLS")
+
+    def bad(url, timeout):
+        raise ConnectionError("cert verify failed")
+
+    def fake_noverify(url, timeout):
+        return 200, "[]"
+
+    with caplog.at_level(logging.WARNING):
+        status, _ = http_json.hardened_http_get(
+            "https://api/x", 5.0,
+            transports=[("urllib", bad), ("urllib-noverify", fake_noverify)],
+        )
+    assert status == 200
+    assert any("INSECURE FETCH" in r.message and "https://api/x" in r.message
+               for r in caplog.records)
 
 
 def test_marketing_transform_edges(spark):
