@@ -323,6 +323,140 @@ def bm25_terms(documents: DataFrame, top_k: int = 5,
     )
 
 
+N_TERM_BUCKETS = 64  # hash-bucket fan-out of the materialized vocabulary
+
+
+def bm25_write(documents: DataFrame, path: str) -> None:
+    """Materialize the BM25 vocabulary as a serving index — the
+    lsh_write/ivf_write pattern applied to text retrieval.
+
+    Layout:
+      {path}/postings — (term, doc_id, tf, dl, df, tb) parquet,
+        partitioned by tb = pmod(xxhash64(term), N_TERM_BUCKETS): a
+        probe for a handful of query terms reads only its terms' bucket
+        directories (file-level pruning), never the full vocabulary.
+        Repartitioned on tb before the write so each bucket is one
+        writer task's worth of files, not one file per input partition
+        (the ivf_write small-files rule).
+      {path}/stats — one row (n_docs, total_toks).
+
+    Everything stored is an INTEGER (tf, dl, df, counts): all double
+    math happens at query time in the same expression order as the
+    inline bm25_terms, so served scores are bit-identical to inline
+    scores and to the DuckDB oracle. Build cost is the inline query's
+    tokenize+aggregate pipeline paid ONCE per corpus (a write-side job,
+    like building any table); at 100 TB this is the difference between
+    re-tokenizing the corpus per analysis run and a parquet scan.
+    """
+    from pyspark.sql import Window as W
+
+    from aws_data_pipeline_ads_spark.functions import tokens
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
+    toks = tokens(F.lower(F.coalesce(F.col("text"), F.lit(""))))
+    tf = persist_tracked(
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("tf").cast("long").alias("df"))
+    post = tf.join(dfreq, "term").select(
+        "term", "doc_id", "tf", "df",
+        F.sum("tf").over(W.partitionBy("doc_id")).cast("long").alias("dl"),
+        F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("tb"),
+    )
+    post.repartition("tb").write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/postings"
+    )
+    tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_toks"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    tf.unpersist()
+
+
+def _bm25_score(k1: float, b: float):
+    """The shared score expression — identical token-for-token between
+    the inline and served paths so both hash-match the same oracle."""
+    idf = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    return idf * (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+
+
+def bm25_terms_served(spark, path: str, top_k: int = 5,
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """bm25_terms answered from a bm25_write index: one parquet scan of
+    the integer postings + the per-doc rank window — no tokenize, no tf
+    groupBy, no df join at query time. Bit-identical to the inline path
+    (same integers in, same expression order)."""
+    from pyspark.sql import Window as W
+
+    post = spark.read.parquet(f"{path}/postings")
+    stats = spark.read.parquet(f"{path}/stats")
+    s = post.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "term", "tf", "df", _bm25_score(k1, b).alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= top_k)
+    )
+
+
+def bm25_search(spark, path: str, query_terms: list[str], k: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Classic inverted-index retrieval over a bm25_write index: score
+    every document against `query_terms`, return the top-k.
+
+    The probe filters on BOTH tb (the terms' hash buckets — partition
+    directories pruned at plan time, computed driver-side over a
+    handful of strings) and term (row-group pushdown within the
+    surviving buckets) — the scan reads only the query terms' postings,
+    never the corpus vocabulary. Per-doc scores fold term scores
+    through a DECIMAL(38,18) sum (order-invariant — double addition is
+    not associative and Spark/DuckDB fold in different orders), then
+    round to 6 decimals. Top-k is TakeOrderedAndProject over the tiny
+    scored stream.
+    """
+    buckets = _term_buckets(spark, query_terms)
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(buckets) & F.col("term").isin(list(query_terms)))
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    scored = post.crossJoin(F.broadcast(stats)).select(
+        "doc_id", _bm25_score(k1, b).alias("s")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _term_buckets(spark, query_terms: list[str]) -> list[int]:
+    """The query terms' tb values, computed by the SAME Spark xxhash64
+    expression the writer used — a local job over len(query_terms) rows
+    (bounded driver collect, the IVF-centroid pattern), so writer and
+    prober can never drift on hash semantics."""
+    rows = (
+        spark.createDataFrame([(t,) for t in query_terms], ["term"])
+        .select(F.pmod(F.xxhash64("term"), F.lit(N_TERM_BUCKETS)).alias("tb"))
+        .collect()
+    )
+    return sorted({r.tb for r in rows})
+
+
 def top_ngrams(documents: DataFrame, k: int = 10) -> DataFrame:
     """Top-k most frequent bigrams per language — corpus-level n-gram
     frequency analysis (vocabulary drift, boilerplate discovery, BPE

@@ -82,6 +82,9 @@ _TAIL: list[str] = [
     "q_ngram_jaccard_uncapped",  # exact-uncapped Jaccard semantics at
     # modest scale; declared q_ngram_jaccard (in-window) runs the
     # df-capped scale-safe variant
+    "q_bm25_search",  # inverted-index BM25 retrieval over the
+    # bm25_write postings index; scoring machinery hash-verified
+    # in-window via q_bm25_terms (served from the same index)
     "q_ntile_lpad",  # scalar-census stragglers (lpad, segment-scoped
     # ntile); window machinery in-window via q_window_rank
     "q_string_funcs", "q_date_parts",  # scalar family stays covered by

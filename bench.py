@@ -51,9 +51,10 @@ def main() -> None:
     # ivf_write are one-time WRITE-side jobs (like building any table);
     # the bench times query serving, and cold-vs-steady still captures
     # codegen/broadcast warmup for the probe plans themselves.
-    from aws_data_pipeline_ads_spark.queries import vector_q
+    from aws_data_pipeline_ads_spark.queries import text_q, vector_q
 
     vector_q.warm_indexes(spark, sf_dir)
+    text_q.bm25_index(spark, sf_dir)  # materialized BM25 vocabulary
 
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
     cold: dict[str, float] = {}

@@ -622,6 +622,45 @@ def test_bm25_null_text_keeps_n_docs(spark):
     assert d1["quark"].score > d1["the"].score > 0
 
 
+def test_bm25_served_equals_inline(spark, sf_dir, tmp_path):
+    """The materialized-vocabulary path (bm25_write → bm25_terms_served)
+    is bit-identical to the inline bm25_terms — the index stores only
+    integers, every double op happens at query time in the same order.
+    bm25_search's top-k agrees with a driver-side recomputation from the
+    served per-term scores."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25")
+    textstats.bm25_write(docs, idx)
+
+    inline = sorted(map(tuple, textstats.bm25_terms(docs, top_k=5).collect()))
+    served = sorted(map(tuple,
+                        textstats.bm25_terms_served(spark, idx, top_k=5).collect()))
+    assert served == inline
+
+    # search: every returned doc's score equals the decimal-folded sum
+    # of its query-term scores from the full served table (top_k=high so
+    # every term appears), and ordering is (score desc, doc_id asc).
+    terms = ["vector", "merge", "scan"]
+    hits = textstats.bm25_search(spark, idx, terms, k=10).collect()
+    assert hits == sorted(
+        hits, key=lambda r: (-r.score, r.doc_id)
+    ) and len(hits) == 10
+    full = textstats.bm25_terms_served(spark, idx, top_k=10**6).collect()
+    from decimal import Decimal
+
+    by_doc: dict[int, list] = {}
+    for r in full:
+        if r.term in terms:
+            by_doc.setdefault(r.doc_id, []).append(r.score)
+    for h in hits:
+        want = float(sum(Decimal(repr(s)) for s in sorted(by_doc[h.doc_id])))
+        assert h.n_terms_hit == len(by_doc[h.doc_id])
+        assert abs(h.score - round(want, 6)) < 1e-9, h
+
+
 def test_tracked_persist_release(spark):
     """Operators register their persisted intermediates; release_caches
     unpersists every one and releasing never changes results (an
