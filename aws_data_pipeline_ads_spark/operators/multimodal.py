@@ -4,12 +4,13 @@ Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages. Real codec paths that need no native libraries
 ARE implemented: PNG header AND full pixel decode (stdlib-zlib inflate
-+ scanline unfilter), nearest-neighbor resize + PNG re-encode, dHash
-over real luminance grids, JPEG SOF header parse, and RIFF/WAVE 16-bit
-PCM parsing — `use_fake_decoder=False` exercises them end-to-end.
-Only JPEG entropy decode and video demux still need a codec library
-(libjpeg/ffmpeg); those raise ValueError at their marked swap-in
-points, and the fake-decoder contract covers arbitrary bytes.
++ scanline unfilter), BASELINE JPEG pixel decode (pure-numpy Huffman +
+dequant + IDCT, operators/jpeg.py; progressive/arithmetic rejected
+loudly), nearest-neighbor resize + PNG re-encode, dHash over real
+luminance grids, and RIFF/WAVE 16-bit PCM parsing —
+`use_fake_decoder=False` exercises them end-to-end. Only video demux
+still needs a codec library (ffmpeg); it raises at its marked swap-in
+point, and the fake-decoder contract covers arbitrary bytes.
 
 Scale notes: mapInPandas streams Arrow batches, so peak memory is one
 batch, not one partition; media tables should be repartitioned by a
@@ -358,11 +359,13 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
     """Resize stage: binary in → binary out with refreshed metadata.
 
     `use_fake_decoder=False` is the REAL pixel path, no PIL required:
-    PNG decode (_png_decode_pixels: stdlib-zlib inflate + scanline
-    unfilter) → nearest-neighbor resample (_nn_resize, pure numpy) →
-    PNG re-encode (_png_encode_pixels). JPEG payloads are rejected
-    (DCT entropy decode genuinely needs a codec library — that is the
-    one remaining swap-in point).
+    PNG payloads decode via _png_decode_pixels (stdlib-zlib inflate +
+    scanline unfilter); JPEG payloads via the pure-numpy baseline codec
+    (operators/jpeg.py — Huffman + dequant + IDCT; progressive/
+    arithmetic variants rejected loudly). Either way: nearest-neighbor
+    resample (_nn_resize) → deterministic PNG re-encode
+    (_png_encode_pixels; lossless output, so downstream hashes are
+    stable regardless of input codec).
 
     The fake 'resize' deterministically resamples the payload to
     target_w*target_h bytes (stride-sampled, zero-padded) — same
@@ -377,9 +380,15 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
                 step = len(raw) // target
                 return raw[::step][:target]
             return raw + b"\x00" * (target - len(raw))
-        return _png_encode_pixels(
-            _nn_resize(_png_decode_pixels(raw), target_w, target_h)
-        )
+        if raw[:2] == b"\xff\xd8":
+            from aws_data_pipeline_ads_spark.operators.jpeg import (
+                jpeg_decode_pixels,
+            )
+
+            px = jpeg_decode_pixels(raw)
+        else:
+            px = _png_decode_pixels(raw)
+        return _png_encode_pixels(_nn_resize(px, target_w, target_h))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
