@@ -324,6 +324,69 @@ def test_png_pixel_codec_roundtrip_and_filters():
     assert got.reshape(5, stride).tolist() == expect
 
 
+def test_avi_mjpeg_demux_roundtrip_and_spark_sampling(spark):
+    """Real video path, no ffmpeg: mux MJPEG frames into a spec-valid
+    RIFF/AVI, demux them back bit-exactly, and run the Spark
+    sample_frames real path — each sampled frame is a standalone
+    baseline JPEG the pure-numpy codec decodes to the original pixels."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import jpeg
+
+    rng = np.random.default_rng(5)
+    pix = [rng.integers(0, 256, size=(16, 16), dtype=np.uint8) for _ in range(7)]
+    frames = [jpeg.jpeg_encode_pixels(p) for p in pix]
+    avi = multimodal.mux_mjpeg_avi(frames, 16, 16)
+
+    assert multimodal._parse_avi_frames(avi) == frames  # bit-exact demux
+
+    media = spark.createDataFrame(
+        [Row(doc_id=1, content=bytearray(avi),
+             meta=Row(media_type="video/avi", n_bytes=len(avi), sha256="x"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = sorted(
+        multimodal.sample_frames(media, n_frames=3, use_fake_decoder=False)
+        .collect(), key=lambda r: r.frame_no)
+    # 3 evenly spaced of 7: indices 0, 2, 4
+    assert [r.frame_no for r in out] == [0, 1, 2]
+    assert [bytes(r.frame) for r in out] == [frames[0], frames[2], frames[4]]
+    decoded = jpeg.jpeg_decode_pixels(bytes(out[1].frame))
+    assert np.abs(decoded[:, :, 0].astype(int) - pix[2].astype(int)).max() <= 1
+
+    # shorter-than-n videos emit every real frame, no padding slices
+    short = multimodal.mux_mjpeg_avi(frames[:2], 16, 16)
+    media2 = spark.createDataFrame(
+        [Row(doc_id=2, content=bytearray(short),
+             meta=Row(media_type="video/avi", n_bytes=len(short), sha256="x"))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out2 = multimodal.sample_frames(media2, n_frames=4,
+                                    use_fake_decoder=False).collect()
+    assert sorted(bytes(r.frame) for r in out2) == sorted(frames[:2])
+
+
+def test_y4m_demux():
+    """YUV4MPEG2: header parse + exact frame splits for 4:2:0 and 4:4:4."""
+    w, h = 6, 4
+    f420 = [bytes([i]) * (w * h * 3 // 2) for i in range(3)]
+    y4m = (b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C420jpeg\x0a"
+           + b"".join(b"FRAME\x0a" + f for f in f420))
+    assert multimodal._parse_y4m_frames(y4m) == f420
+
+    f444 = [bytes([9]) * (w * h * 3)]
+    y4m444 = (b"YUV4MPEG2 W6 H4 C444\x0a"
+              + b"".join(b"FRAME\x0a" + f for f in f444))
+    assert multimodal._parse_y4m_frames(y4m444) == f444
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        multimodal._parse_y4m_frames(b"nope")
+    with _pytest.raises(ValueError, match="desynced"):
+        multimodal._parse_y4m_frames(b"YUV4MPEG2 W6 H4\x0aJUNK\x0a" + b"\x00" * 36)
+
+
 def test_png_decompression_bomb_rejected():
     """A small crafted PNG (huge IHDR + high-ratio deflate stream) must
     be rejected BEFORE its pixel buffer is materialized — both the
