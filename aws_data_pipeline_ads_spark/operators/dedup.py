@@ -188,7 +188,8 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.8,
 
 
 def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
-                           n_hashes: int = 16, bands: int = 4) -> DataFrame:
+                           n_hashes: int = 16, bands: int = 4,
+                           cand: DataFrame | None = None) -> DataFrame:
     """The production near-dup composition: MinHash-LSH candidate
     generation, then exact token-set Jaccard computed ONLY on candidate
     pairs.
@@ -199,18 +200,25 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
     doc_len) for verification. Output is exact-precision (every emitted
     pair truly ≥ threshold); recall is the LSH recall.
 
-    The corpus is tokenized ONCE: the (doc_id, token-array) projection
-    is persisted and feeds both the MinHash shingle stream and the
-    exact-verify unigram stream — without it the two arms each re-scan
-    and re-split the full text (Spark does not materialize shared
-    subplans). MEMORY_AND_DISK so oversized corpora spill instead of
-    failing; at true 100 TB, materialize minhash_signatures to a table
-    instead (the ANN-index pattern, similarity.lsh_write).
+    `cand` overrides candidate generation — pass
+    minhash_lsh_pairs_served(spark, idx) to source candidates from a
+    minhash_write index, in which case this function touches the corpus
+    only for the verify arm (tokenize once, no shingling/hashing).
+
+    With inline candidates the corpus is tokenized ONCE: the (doc_id,
+    token-array) projection is persisted and feeds both the MinHash
+    shingle stream and the exact-verify unigram stream — without it the
+    two arms each re-scan and re-split the full text (Spark does not
+    materialize shared subplans). MEMORY_AND_DISK so oversized corpora
+    spill instead of failing.
     """
     from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
 
-    toked = persist_tracked(doc_token_arrays(documents))
-    cand = minhash_lsh_pairs(documents, n_hashes, bands, toked=toked)
+    if cand is None:
+        toked = persist_tracked(doc_token_arrays(documents))
+        cand = minhash_lsh_pairs(documents, n_hashes, bands, toked=toked)
+    else:
+        toked = doc_token_arrays(documents)  # single consumer — no persist
     # Same shape as token_jaccard_pairs: distinct-token count rides the
     # exploded rows as a payload column; array_distinct runs below the
     # explode (once per doc, see token_jaccard_pairs) and makes rows
@@ -441,8 +449,16 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
     """
     from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
 
-    rows_per_band = n_hashes // bands
     sig = minhash_signatures(documents, n_hashes, toked=toked)
+    buckets = persist_tracked(_band_buckets(sig, n_hashes, bands))
+    return _bucket_pairs(buckets)
+
+
+def _band_buckets(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Signature frame -> slim (doc_id, band, bsig) bucket stream; all
+    bands computed in ONE pass and exploded (a per-band union would
+    re-run the whole minhash pipeline per band)."""
+    rows_per_band = n_hashes // bands
     band_structs = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
@@ -452,11 +468,16 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
                 F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bsig"),
             )
         )
-    buckets = persist_tracked(sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bsig").alias("bsig")
-    ))
+    )
+
+
+def _bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Bucket stream -> distinct candidate pairs (equi-join on
+    (band, bsig), linear shuffle, candidates only within buckets)."""
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -465,6 +486,45 @@ def minhash_lsh_pairs(documents: DataFrame, n_hashes: int = 16,
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_write(documents: DataFrame, path: str, n_hashes: int = 16,
+                  bands: int = 4, shingle_k: int = 3) -> None:
+    """Materialize the MinHash dedup artifacts as a serving index — the
+    bm25_write/lsh_write/ivf_write pattern applied to near-dup dedup
+    (SCALE.md "what we would change first" item 1).
+
+    Layout:
+      {path}/signatures — (doc_id, mh_0..mh_{n-1}) parquet: the
+        full signature matrix, reusable by any banding scheme or by
+        signature-similarity estimation.
+      {path}/buckets — (doc_id, band, bsig) parquet partitioned by
+        band: the LSH candidate layout; a pair query is one
+        bucket-table self-join, never a corpus re-shingle.
+
+    Everything stored is integer/hash-string, derived deterministically
+    from the corpus — served results are bit-identical to the inline
+    pipeline (pytest-pinned), and the build cost (the shingle→hash→
+    min-agg pipeline) is paid once per corpus, write-side.
+    """
+    sig = minhash_signatures(documents, n_hashes, shingle_k)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    # derive buckets from the WRITTEN signatures — a parquet scan, not
+    # a second run of the minhash pipeline
+    spark = documents.sparkSession
+    written = spark.read.parquet(f"{path}/signatures")
+    _band_buckets(written, n_hashes, bands).repartition("band").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(f"{path}/buckets")
+
+
+def minhash_lsh_pairs_served(spark, path: str) -> DataFrame:
+    """minhash_lsh_pairs answered from a minhash_write index: the
+    bucket self-join runs directly over the materialized (doc_id, band,
+    bsig) parquet — no shingling, no hashing, no min-agg at query time,
+    and no in-session persist needed (the parquet IS the shared
+    materialization)."""
+    return _bucket_pairs(spark.read.parquet(f"{path}/buckets"))
 
 
 def minhash_lsh_cand_cte(n_hashes: int = 16, bands: int = 4,

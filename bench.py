@@ -56,6 +56,7 @@ def main() -> None:
 
     vector_q.warm_indexes(spark, sf_dir)
     text_q.bm25_index(spark, sf_dir)  # materialized BM25 vocabulary
+    text_q.minhash_index(spark, sf_dir)  # materialized MinHash buckets
 
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
     cold: dict[str, float] = {}

@@ -102,6 +102,30 @@ def test_minhash_identical_docs_collide(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_served_equals_inline(spark, sf_dir, tmp_path):
+    """minhash_write → minhash_lsh_pairs_served is bit-identical to the
+    inline pipeline (the index stores the same signatures/bsigs the
+    inline path computes), and verified_neardup_pairs with served
+    candidates equals the self-contained composition."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh")
+    dedup.minhash_write(docs, idx)
+
+    inline = sorted(map(tuple, dedup.minhash_lsh_pairs(docs).collect()))
+    served = sorted(map(tuple,
+                        dedup.minhash_lsh_pairs_served(spark, idx).collect()))
+    assert served == inline and len(served) > 0
+
+    v_inline = sorted(map(tuple,
+                          dedup.verified_neardup_pairs(docs, 0.8).collect()))
+    v_served = sorted(map(tuple, dedup.verified_neardup_pairs(
+        docs, 0.8,
+        cand=dedup.minhash_lsh_pairs_served(spark, idx)).collect()))
+    assert v_served == v_inline
+
+
 def test_cosine_matches_python(spark):
     emb = [0.5, -0.25, 0.125]
     qv = [1.0, 2.0, 3.0]

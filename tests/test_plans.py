@@ -86,6 +86,8 @@ _NESTED_LOOP_OK = {
     # broadcast of a 1-row global aggregate (N, avgdl) — constant-size
     # build side, same bounded pattern as q_scalar_subquery
     "q_bm25_terms",
+    # same 1-row stats broadcast from the bm25_write index's stats table
+    "q_bm25_search",
     # broadcast of a 1-row global threshold (0.1% of total value) —
     # constant-size build side, same bounded pattern
     "q_tpch_q11",
