@@ -95,6 +95,30 @@ def simhash_sql(dialect: str, table: str = "documents") -> str:
     )
 
 
+def simhash_write(spark, documents, path: str) -> None:
+    """Materialize the SimHash fingerprint table as parquet — the
+    minhash_write/bm25_write serving pattern. Fingerprints are pure
+    functions of the text (md5-derived), so the served pairs query is
+    bit-identical to the inline one; the explode→distinct→64-sum
+    pipeline is paid once per corpus, write-side."""
+    documents.createOrReplaceTempView("__simhash_write_src")
+    spark.sql(simhash_sql("spark", table="__simhash_write_src")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def simhash_pairs_served(spark, path: str, max_hamming: int = 3):
+    """simhash_pairs answered from a simhash_write index: the band
+    self-join reads the materialized (doc_id, simhash) parquet on both
+    sides — no tokenize/hash at query time, no in-session persist (the
+    parquet IS the shared materialization)."""
+    spark.read.parquet(path).createOrReplaceTempView("__simhash_fp")
+    return spark.sql(
+        simhash_pairs_sql("spark", max_hamming=max_hamming,
+                          fp_table="__simhash_fp")
+    )
+
+
 N_BANDS = 4  # 4 bands × 16 bits over the 64-bit fingerprint
 
 

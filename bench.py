@@ -57,6 +57,7 @@ def main() -> None:
     vector_q.warm_indexes(spark, sf_dir)
     text_q.bm25_index(spark, sf_dir)  # materialized BM25 vocabulary
     text_q.minhash_index(spark, sf_dir)  # materialized MinHash buckets
+    text_q.simhash_index(spark, sf_dir)  # materialized SimHash fingerprints
 
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
     cold: dict[str, float] = {}

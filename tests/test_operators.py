@@ -126,6 +126,23 @@ def test_minhash_served_equals_inline(spark, sf_dir, tmp_path):
     assert v_served == v_inline
 
 
+def test_simhash_served_equals_inline(spark, sf_dir, tmp_path):
+    """simhash_write → simhash_pairs_served is bit-identical to the
+    inline SQL-template pipeline (fingerprints are pure functions of
+    the text)."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import simhash as sh
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "sh")
+    sh.simhash_write(spark, docs, idx)
+    docs.createOrReplaceTempView("__sh_inline_src")
+    inline = sorted(map(tuple, spark.sql(
+        sh.simhash_pairs_sql("spark", table="__sh_inline_src")).collect()))
+    served = sorted(map(tuple, sh.simhash_pairs_served(spark, idx).collect()))
+    assert served == inline and len(served) > 0
+
+
 def test_cosine_matches_python(spark):
     emb = [0.5, -0.25, 0.125]
     qv = [1.0, 2.0, 3.0]
