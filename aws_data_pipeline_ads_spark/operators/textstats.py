@@ -654,6 +654,122 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
     )
 
 
+def bigram_lm_nll(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Model-based quality scoring, order 2: per-document mean negative
+    log-likelihood under an add-α-smoothed bigram LM trained on the
+    corpus itself — the actual CCNet/KenLM shape (context-conditioned
+    probabilities), one order up from unigram_lm_nll.
+
+        P(w_i | w_{i-1}) = (c(w_{i-1}, w_i) + α) / (c(w_{i-1}) + α·V)
+        nll(doc) = -mean over the doc's bigram positions of ln P
+
+    Smoothing keeps unseen bigrams finite, so train-on-self never
+    divides by zero and the operator generalizes to scoring a held-out
+    corpus against a trained one. Single-token docs have no bigram
+    positions and emit NULL nll (no silent 0 — callers gate on it).
+
+    Scale shape: bigrams materialize below the explode (one pass per
+    doc); the bigram count table shuffles unique (w_prev, w) pairs
+    (map-side combined), the context count reuses a groupBy on w_prev,
+    V is a 1-row broadcast. The score join is pair→count — Zipf-hot on
+    stopword pairs, AQE-skew-splittable (bm25 posture). Text never
+    shuffles. ln() folds through DECIMAL(38,18) + round(…,6), the
+    unigram treatment.
+    """
+    toked = documents.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks")
+    )
+    t = F.col("__toks")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w_prev"),
+                F.element_at(t, i + 2).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w_prev:string,w:string>>"))
+    pos = toked.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg.w_prev").alias("w_prev"), F.col("bg.w").alias("w")
+    )
+    pair_c = pos.groupBy("w_prev", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    ctx_c = pair_c.groupBy("w_prev").agg(
+        F.sum("c_pair").cast("long").alias("c_ctx")
+    )
+    vocab = documents.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).agg(F.countDistinct("tok").cast("long").alias("v"))
+    p = (F.col("c_pair") + F.lit(alpha)) / (
+        F.col("c_ctx") + F.lit(alpha) * F.col("v")
+    )
+    return (
+        pos.join(pair_c, ["w_prev", "w"])
+        .join(ctx_c, "w_prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                -(F.sum(F.log(p).cast("decimal(38,18)")).cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+        .join(documents.select("doc_id"), "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "nll",
+        )
+    )
+
+
+def source_kl_divergence(documents: DataFrame) -> DataFrame:
+    """Domain-drift profiling: KL(source ‖ corpus) over token unigram
+    distributions — which sources' vocabularies deviate most from the
+    corpus mixture (the data-mixture diagnostic run before setting
+    sampling temperatures).
+
+        KL(p_s ‖ q) = Σ_t p_s(t) · ln(p_s(t) / q(t))
+
+    Every token of a source appears in the corpus by construction, so
+    q(t) > 0 wherever p_s(t) > 0 and the sum is finite with no
+    smoothing. One explode feeds both count tables (per-source and
+    corpus totals reuse the same exchange path); the per-source fold is
+    a slim (source, tok, counts) shuffle, text never moves; ln folds
+    through DECIMAL(38,18) + round(…,6) (order-invariant, ulp-absorbed).
+    """
+    toks = documents.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    sc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    s_tot = sc.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    cc = sc.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    c_tot = cc.agg(F.sum("c_t").cast("long").alias("n"))
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n")
+    term = p * F.log(p / q)
+    return (
+        sc.join(s_tot, "source")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(c_tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.max("n_s").alias("n_tokens"),
+            F.round(
+                F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("kl_bits_nat"),
+        )
+    )
+
+
 def unigram_lm_nll(documents: DataFrame) -> DataFrame:
     """Model-based quality scoring: per-document mean negative
     log-likelihood under a unigram LM trained on the corpus itself

@@ -175,6 +175,10 @@ _TAIL: list[str] = [
     # window machinery in-window via q_window_rank
     "q_unigram_lm",  # corpus-trained unigram-LM nll scoring;
     # explode/join/agg machinery in-window via q_bm25_terms
+    "q_bigram_lm",  # order-2 LM nll (add-1 smoothed); same machinery
+    # family as q_unigram_lm/q_bm25_terms, decimal-ln fold
+    "q_source_kl",  # KL(source ‖ corpus) mixture diagnostic; grouped
+    # count + broadcast-total machinery in-window via q_domain_mixture
     "q_bpe_merges",  # iterative BPE training (rows-only by nature);
     # exact-equality pytest vs a pure-Python reference trainer
     "q_pack_sequences",  # GPT-style concat-and-chunk packing;

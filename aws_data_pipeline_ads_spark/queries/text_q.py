@@ -868,6 +868,68 @@ def q_unigram_lm(spark, sf_dir):
 
 
 @query(
+    "q_bigram_lm",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "
+        "pos AS (SELECT doc_id, unnest([{'w_prev': toks[i], 'w': toks[i+1]} "
+        "for i in generate_series(1, len(toks)-1)], recursive := true) FROM tok), "
+        "pair_c AS (SELECT w_prev, w, CAST(COUNT(*) AS BIGINT) AS c_pair "
+        "FROM pos GROUP BY w_prev, w), "
+        "ctx_c AS (SELECT w_prev, CAST(SUM(c_pair) AS BIGINT) AS c_ctx "
+        "FROM pair_c GROUP BY w_prev), "
+        "vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM "
+        "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+        "FROM documents)), "
+        "scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "round(-CAST(SUM(CAST(ln((c_pair + 1.0) / (c_ctx + 1.0 * v)) "
+        "AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS nll "
+        "FROM pos JOIN pair_c USING (w_prev, w) JOIN ctx_c USING (w_prev) "
+        "CROSS JOIN vocab GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "s.nll FROM documents d LEFT JOIN scored s USING (doc_id)"
+    ),
+    doc="LLM quality filter, order 2: per-doc mean NLL under an "
+        "add-1-smoothed bigram LM trained on the corpus (the CCNet/"
+        "KenLM shape — context-conditioned probabilities); decimal-"
+        "summed ln so the fold is order-invariant "
+        "(textstats.bigram_lm_nll)",
+)
+def q_bigram_lm(spark, sf_dir):
+    return textstats.bigram_lm_nll(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_source_kl",
+    oracle=(
+        "WITH toks AS (SELECT source, "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st "
+        "FROM toks GROUP BY source, tok), "
+        "s_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s "
+        "FROM sc GROUP BY source), "
+        "cc AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t "
+        "FROM sc GROUP BY tok), "
+        "c_tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM cc) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens, "
+        "MAX(n_s) AS n_tokens, "
+        "round(CAST(SUM(CAST((CAST(c_st AS DOUBLE) / n_s) "
+        "* ln((CAST(c_st AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n)) "
+        "AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl_bits_nat "
+        "FROM sc JOIN s_tot USING (source) JOIN cc USING (tok) "
+        "CROSS JOIN c_tot GROUP BY source"
+    ),
+    doc="LLM data-mixture diagnostic: KL(source ‖ corpus) over token "
+        "unigram distributions — which sources' vocabularies deviate "
+        "most from the mixture, the profiling pass run before setting "
+        "domain-sampling temperatures (textstats.source_kl_divergence)",
+)
+def q_source_kl(spark, sf_dir):
+    return textstats.source_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q_pack_sequences",
     oracle=(
         "SELECT doc_id, source, "
