@@ -560,6 +560,93 @@ def mux_mjpeg_avi(frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def synthetic_videos(documents: DataFrame, n_frames: int = 3,
+                     w: int = 16, h: int = 16) -> DataFrame:
+    """Deterministic MJPEG-AVI payload per document: each frame is the
+    doc's text bytes tiled into an h×w grayscale image (shifted per
+    frame), JPEG-encoded and muxed. Pure functions of the text — stable
+    across runs/partitions — so the video pipeline has a declarable
+    corpus without external media files."""
+    import numpy as np
+
+    def one(raw: bytes) -> bytes:
+        from aws_data_pipeline_ads_spark.operators.jpeg import jpeg_encode_pixels
+
+        src = np.frombuffer((raw or b"\x00") * ((w * h) // max(1, len(raw)) + 2),
+                            np.uint8)
+        frames = [
+            jpeg_encode_pixels(src[i:i + w * h].reshape(h, w).copy())
+            for i in range(n_frames)
+        ]
+        return mux_mjpeg_avi(frames, w, h)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids = [one(str(t).encode()) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": vids,
+                    "meta": [
+                        {
+                            "media_type": "video/x-msvideo;mjpeg",
+                            "n_bytes": len(v),
+                            "sha256": hashlib.sha256(v).hexdigest(),
+                        }
+                        for v in vids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, n_frames: int = 3) -> DataFrame:
+    """The full real video pipeline in one declared stage: AVI demux →
+    evenly-spaced frame sample → baseline-JPEG pixel decode → per-frame
+    luminance features. Every step is the real parser/codec
+    (no fake decode anywhere); Arrow-batched, pixels never shuffle —
+    only (doc_id, frame_no, dims, mean) rows leave the stage."""
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.operators.jpeg import jpeg_decode_pixels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "width": [], "height": [],
+                "mean_luma": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                fs = _parse_avi_frames(bytes(blob))
+                if len(fs) > n_frames:
+                    fs = [fs[(i * len(fs)) // n_frames] for i in range(n_frames)]
+                for i, fr in enumerate(fs):
+                    px = jpeg_decode_pixels(fr).astype(np.float64)
+                    luma = (px[:, :, 0] if px.shape[2] == 1
+                            else 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                            + 0.114 * px[:, :, 2])
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["mean_luma"].append(round(float(luma.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, VIDEO_FRAME_FEATURES)
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

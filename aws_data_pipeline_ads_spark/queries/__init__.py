@@ -189,6 +189,11 @@ _TAIL: list[str] = [
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode
     # stage); pytest pins hash vs reference + exact brute-force recall
+    "q_video_frames",  # real MJPEG-AVI demux → JPEG decode → luminance
+    # features (rows-only: entropy decode not SQL-expressible); golden
+    # mux→demux→decode pytest
+    "q_audio_features",  # PCM decode → n_samples/duration/RMS
+    # (rows-only; real-WAV path pytest-verified)
     "q_hard_negatives",  # LSH-blocked contrastive negatives; bucket +
     # window machinery in-window via q_embedding_neardup/q_window_rank
 ]

@@ -617,6 +617,41 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
+@query(
+    "q_video_frames",
+    oracle=None,  # JPEG entropy decode is not SQL-expressible;
+    # deterministic output pinned by pytest (mux→demux→decode golden)
+    doc="2C multimodal: the REAL video pipeline as one declared query — "
+        "deterministic MJPEG-AVI per doc (text-derived frames) → RIFF "
+        "demux → evenly-spaced frame sample → baseline-JPEG pixel "
+        "decode → per-frame luminance features; every stage is the real "
+        "parser/codec, Arrow-batched, pixels never shuffle "
+        "(multimodal.synthetic_videos + video_frame_features)",
+)
+def q_video_frames(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.video_frame_features(multimodal.synthetic_videos(docs))
+
+
+@query(
+    "q_audio_features",
+    oracle=None,  # rms over int16-decoded samples is not SQL-expressible
+    # on a VARCHAR corpus; deterministic contract pinned by pytest
+    doc="2C multimodal: audio feature stage — payload bytes as headerless "
+        "16-bit PCM (deterministic contract; real RIFF/WAVE parse is the "
+        "use_fake_decoder=False path, pytest-verified) → n_samples / "
+        "duration / RMS energy per doc, vectorized per Arrow batch "
+        "(multimodal.extract_audio_features)",
+)
+def q_audio_features(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_audio_features(multimodal.attach_media(docs))
+
+
 _BPE_SQL = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
             "| ?[^\\sA-Za-z0-9]+|\\s+")
 

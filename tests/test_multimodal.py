@@ -367,6 +367,37 @@ def test_avi_mjpeg_demux_roundtrip_and_spark_sampling(spark):
     assert sorted(bytes(r.frame) for r in out2) == sorted(frames[:2])
 
 
+def test_video_frame_features_deterministic_and_real(spark, sf_dir):
+    """q_video_frames' stages: synthetic AVIs are pure functions of the
+    text (identical across runs), demux+decode emit one row per sampled
+    frame with the frame's true dims, and the luminance of frame 0
+    equals a driver-side recompute from the same text bytes."""
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    vids = multimodal.synthetic_videos(docs, n_frames=3)
+    a = {(r.doc_id): r.meta.sha256 for r in vids.collect()}
+    b = {(r.doc_id): r.meta.sha256 for r in
+         multimodal.synthetic_videos(docs, n_frames=3).collect()}
+    assert a == b  # bit-stable payloads
+
+    feats = multimodal.video_frame_features(vids, n_frames=3).collect()
+    assert len(feats) == 3 * docs.count()
+    assert all(r.width == 16 and r.height == 16 for r in feats)
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_key = {(r.doc_id, r.frame_no): r.mean_luma for r in feats}
+    for doc_id, text in list(texts.items())[:5]:
+        raw = text.encode()
+        src = np.frombuffer((raw or b"\x00") * ((256) // max(1, len(raw)) + 2),
+                            np.uint8)
+        want = src[0:256].astype(np.float64).mean()
+        # JPEG all-ones-quant decode is ±1/level; mean over 256 px tighter
+        assert abs(by_key[(doc_id, 0)] - want) < 1.0
+
+
 def test_y4m_demux():
     """YUV4MPEG2: header parse + exact frame splits for 4:2:0 and 4:4:4."""
     w, h = 6, 4
