@@ -399,6 +399,50 @@ def span_dedup_stats(documents: DataFrame, span_tokens: int = 32,
     )
 
 
+def incremental_exact_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
+    """Incremental ingestion dedup: flag a NEW batch against the
+    already-ingested corpus without touching corpus text — the
+    append-only production shape (the corpus side is just its
+    fingerprint table, e.g. the manifest of previous exact_dedup runs).
+
+    Two flags per new doc:
+      known_dup    — its content hash exists in `seen` (drop: the
+                     corpus already has this text)
+      batch_dup    — an earlier doc (min doc_id) in the SAME batch has
+                     the same hash (drop: keep one per batch)
+    keep = neither. Scale shape: the new batch hashes before any
+    shuffle (md5 over text in the scan projection); the corpus join is
+    a slim hash-to-hash left semi-style join (32-byte keys both sides,
+    broadcast when the batch is small, AQE otherwise); within-batch
+    election is one map-side-combined min-agg on the hash.
+
+    seen: a DataFrame with a `content_hash` column (md5 hex).
+    """
+    hashed = new_docs.select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    seen_h = seen.select("content_hash").distinct().withColumn(
+        "__known", F.lit(True)
+    )
+    first = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("__first_id")
+    )
+    return (
+        hashed.join(seen_h, "content_hash", "left")
+        .join(first, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("__known", F.lit(False)).alias("known_dup"),
+            (F.col("doc_id") != F.col("__first_id")).alias("batch_dup"),
+            (
+                F.coalesce("__known", F.lit(False)).eqNullSafe(F.lit(False))
+                & (F.col("doc_id") == F.col("__first_id"))
+            ).alias("keep"),
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = 16,
                        shingle_k: int = 3,
                        toked: DataFrame | None = None) -> DataFrame:

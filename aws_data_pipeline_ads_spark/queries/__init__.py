@@ -189,6 +189,8 @@ _TAIL: list[str] = [
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode
     # stage); pytest pins hash vs reference + exact brute-force recall
+    "q_incremental_dedup",  # arriving-batch vs corpus-fingerprint flag
+    # join; hash/dedup machinery in-window via q_dedup_exact
     "q_video_frames",  # real MJPEG-AVI demux → JPEG decode → luminance
     # features (rows-only: entropy decode not SQL-expressible); golden
     # mux→demux→decode pytest

@@ -618,6 +618,38 @@ def q_binary_meta(spark, sf_dir):
 
 
 @query(
+    "q_incremental_dedup",
+    oracle=(
+        # doc_id % 7 == 0 stands in for the already-ingested corpus;
+        # the rest is the arriving batch.
+        "WITH seen AS (SELECT DISTINCT md5(text) AS content_hash "
+        "FROM documents WHERE doc_id % 7 = 0), "
+        "batch AS (SELECT doc_id, md5(text) AS content_hash "
+        "FROM documents WHERE doc_id % 7 <> 0), "
+        "first AS (SELECT content_hash, MIN(doc_id) AS first_id "
+        "FROM batch GROUP BY content_hash) "
+        "SELECT b.doc_id, b.content_hash, "
+        "(s.content_hash IS NOT NULL) AS known_dup, "
+        "(b.doc_id <> f.first_id) AS batch_dup, "
+        "(s.content_hash IS NULL AND b.doc_id = f.first_id) AS keep "
+        "FROM batch b LEFT JOIN seen s USING (content_hash) "
+        "JOIN first f USING (content_hash)"
+    ),
+    doc="LLM dedup: incremental ingestion — flag an arriving batch "
+        "against the already-ingested corpus' fingerprint table (slim "
+        "hash-to-hash join, corpus text never read) + within-batch "
+        "first-wins election (dedup.incremental_exact_dedup)",
+)
+def q_incremental_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5("text").alias("content_hash")
+    )
+    batch = docs.filter(F.col("doc_id") % 7 != 0)
+    return dedup.incremental_exact_dedup(batch, corpus)
+
+
+@query(
     "q_video_frames",
     oracle=None,  # JPEG entropy decode is not SQL-expressible;
     # deterministic output pinned by pytest (mux→demux→decode golden)
