@@ -803,7 +803,8 @@ def q_neardup_clusters_lsh(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import graph
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.verified_neardup_pairs(docs, 0.8)
+    cand = dedup.minhash_lsh_pairs_served(spark, minhash_index(spark, sf_dir))
+    pairs = dedup.verified_neardup_pairs(docs, 0.8, cand=cand)
     return graph.neardup_clusters(docs, pairs).orderBy("doc_id")
 
 
