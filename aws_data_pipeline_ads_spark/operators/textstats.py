@@ -669,13 +669,20 @@ def bigram_lm_nll(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
     positions and emit NULL nll (no silent 0 — callers gate on it).
 
     Scale shape: bigrams materialize below the explode (one pass per
-    doc); the bigram count table shuffles unique (w_prev, w) pairs
-    (map-side combined), the context count reuses a groupBy on w_prev,
-    V is a 1-row broadcast. The score join is pair→count — Zipf-hot on
-    stopword pairs, AQE-skew-splittable (bm25 posture). Text never
-    shuffles. ln() folds through DECIMAL(38,18) + round(…,6), the
-    unigram treatment.
+    doc), then fold IMMEDIATELY to per-doc pair counts (doc_id, w_prev,
+    w, n_k) — a map-side-combined groupBy, so every downstream shuffle
+    and join carries unique per-doc pairs, never raw positions (the
+    position stream is ~10× the pair table on natural text). The global
+    pair/context tables re-aggregate from that slim stream, V is a
+    1-row broadcast, and the per-doc score is Σ n_k·ln(p_k) — the count
+    rides the fold instead of repeating the ln. The pair→count join is
+    Zipf-hot on stopword pairs, AQE-skew-splittable (bm25 posture).
+    Text never shuffles. ln() folds through DECIMAL(38,18) + round(…,6),
+    the unigram treatment; the oracle mirrors the n_k·ln(p) form
+    token-for-token so the fold is bit-identical.
     """
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
     toked = documents.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__toks")
     )
@@ -693,8 +700,16 @@ def bigram_lm_nll(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
     pos = toked.select("doc_id", F.explode(bigrams).alias("bg")).select(
         "doc_id", F.col("bg.w_prev").alias("w_prev"), F.col("bg.w").alias("w")
     )
-    pair_c = pos.groupBy("w_prev", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c_pair")
+    # Persisted: doc_pair feeds BOTH the global pair-count aggregate and
+    # the score join's left side (Spark materializes no shared subplans
+    # — without the cache the tokenize→explode→fold pipeline runs twice).
+    doc_pair = persist_tracked(
+        pos.groupBy("doc_id", "w_prev", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("n_k")
+        )
+    )
+    pair_c = doc_pair.groupBy("w_prev", "w").agg(
+        F.sum("n_k").cast("long").alias("c_pair")
     )
     ctx_c = pair_c.groupBy("w_prev").agg(
         F.sum("c_pair").cast("long").alias("c_ctx")
@@ -706,22 +721,23 @@ def bigram_lm_nll(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
         F.col("c_ctx") + F.lit(alpha) * F.col("v")
     )
     return (
-        pos.join(pair_c, ["w_prev", "w"])
+        doc_pair.join(pair_c, ["w_prev", "w"])
         .join(ctx_c, "w_prev")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("n_k").cast("long").alias("n_bigrams"),
             F.round(
-                -(F.sum(F.log(p).cast("decimal(38,18)")).cast("double"))
-                / F.count(F.lit(1)),
+                -(F.sum((F.col("n_k") * F.log(p)).cast("decimal(38,18)"))
+                  .cast("double"))
+                / F.sum("n_k"),
                 6,
             ).alias("nll"),
         )
         .join(documents.select("doc_id"), "doc_id", "right")
         .select(
             "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             "nll",
         )
     )

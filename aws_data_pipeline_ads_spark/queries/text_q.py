@@ -938,21 +938,26 @@ def q_unigram_lm(spark, sf_dir):
 @query(
     "q_bigram_lm",
     oracle=(
+        # Mirrors the Spark fold exactly: per-doc pair counts FIRST,
+        # then Σ n_k·ln(p_k) through DECIMAL(38,18) — same doubles in
+        # the same order as the operator's slim-stream formulation.
         "WITH tok AS (SELECT doc_id, "
         "regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents), "
         "pos AS (SELECT doc_id, unnest([{'w_prev': toks[i], 'w': toks[i+1]} "
         "for i in generate_series(1, len(toks)-1)], recursive := true) FROM tok), "
-        "pair_c AS (SELECT w_prev, w, CAST(COUNT(*) AS BIGINT) AS c_pair "
-        "FROM pos GROUP BY w_prev, w), "
+        "doc_pair AS (SELECT doc_id, w_prev, w, CAST(COUNT(*) AS BIGINT) AS n_k "
+        "FROM pos GROUP BY doc_id, w_prev, w), "
+        "pair_c AS (SELECT w_prev, w, CAST(SUM(n_k) AS BIGINT) AS c_pair "
+        "FROM doc_pair GROUP BY w_prev, w), "
         "ctx_c AS (SELECT w_prev, CAST(SUM(c_pair) AS BIGINT) AS c_ctx "
         "FROM pair_c GROUP BY w_prev), "
         "vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM "
         "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
         "FROM documents)), "
-        "scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
-        "round(-CAST(SUM(CAST(ln((c_pair + 1.0) / (c_ctx + 1.0 * v)) "
-        "AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) AS nll "
-        "FROM pos JOIN pair_c USING (w_prev, w) JOIN ctx_c USING (w_prev) "
+        "scored AS (SELECT doc_id, CAST(SUM(n_k) AS BIGINT) AS n_bigrams, "
+        "round(-CAST(SUM(CAST(n_k * ln((c_pair + 1.0) / (c_ctx + 1.0 * v)) "
+        "AS DECIMAL(38,18))) AS DOUBLE) / CAST(SUM(n_k) AS BIGINT), 6) AS nll "
+        "FROM doc_pair JOIN pair_c USING (w_prev, w) JOIN ctx_c USING (w_prev) "
         "CROSS JOIN vocab GROUP BY doc_id) "
         "SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
         "s.nll FROM documents d LEFT JOIN scored s USING (doc_id)"
