@@ -795,29 +795,43 @@ def unigram_lm_nll(documents: DataFrame) -> DataFrame:
     nll(doc) = ln(T) - mean(ln c_t) over the doc's tokens, where c_t is
     the corpus count of token t and T the total token count. High nll =
     rare-token-heavy (gibberish, boilerplate-free junk); low = common
-    filler. Train and score are the SAME pass over one explode: counts
-    shuffle unique tokens (map-side combined), the score join is
-    tok→count (Zipf-hot on stopwords — AQE skew-split, the bm25_terms
-    posture), the per-doc fold shuffles doc_id. Text itself never
-    shuffles.
+    filler.
+
+    Scale shape (the bigram_lm_nll posture): the token stream folds
+    IMMEDIATELY to per-doc term frequencies (doc_id, tok, n_k) — a
+    map-side-combined groupBy — so the score join and every later
+    shuffle carry unique per-doc terms, never raw positions; the corpus
+    count table re-aggregates from the same slim stream (persisted:
+    it feeds both, and Spark materializes no shared subplans). The
+    per-doc fold is Σ n_k·ln(c_t) — counts ride the fold instead of
+    repeating the ln per position. The join is tok→count (Zipf-hot on
+    stopwords — AQE skew-split, the bm25_terms posture).
 
     ln() is the one non-IEEE-exact step (libm, ≤1 ulp per engine); the
     decimal(38,18) sum makes the fold order-invariant and round(…,6)
-    absorbs the ulp — same treatment as cosine scores.
+    absorbs the ulp — same treatment as cosine scores. The oracle
+    mirrors the n_k·ln form token-for-token.
     """
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
     toks = documents.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    doc_tf = persist_tracked(
+        toks.groupBy("doc_id", "tok").agg(
+            F.count(F.lit(1)).cast("long").alias("n_k")
+        )
+    )
+    counts = doc_tf.groupBy("tok").agg(F.sum("n_k").cast("long").alias("c_t"))
     total = counts.agg(F.sum("c_t").alias("t_total"))
     return (
-        toks.join(counts, "tok")
+        doc_tf.join(counts, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            (F.sum(F.log("c_t").cast("decimal(38,18)")).cast("double")
-             / F.count(F.lit(1))).alias("__avg_ln_c"),
+            F.sum("n_k").cast("long").alias("n_tok"),
+            (F.sum((F.col("n_k") * F.log("c_t")).cast("decimal(38,18)"))
+             .cast("double") / F.sum("n_k")).alias("__avg_ln_c"),
         )
         .join(F.broadcast(total))  # 1-row scalar
         .select(

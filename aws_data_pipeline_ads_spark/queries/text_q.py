@@ -914,16 +914,21 @@ def q_domain_mixture(spark, sf_dir):
 @query(
     "q_unigram_lm",
     oracle=(
+        # Mirrors the slim-stream fold: per-doc tf first, Σ n_k·ln(c_t)
+        # through DECIMAL(38,18) — same doubles, same order as Spark.
         "WITH toks AS (SELECT doc_id, "
         "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
         "FROM documents), "
-        "counts AS (SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY tok), "
+        "doc_tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_k "
+        "FROM toks GROUP BY doc_id, tok), "
+        "counts AS (SELECT tok, CAST(SUM(n_k) AS BIGINT) AS c_t "
+        "FROM doc_tf GROUP BY tok), "
         "total AS (SELECT SUM(c_t) AS t_total FROM counts) "
-        "SELECT doc_id, COUNT(*) AS n_tok, "
+        "SELECT doc_id, CAST(SUM(n_k) AS BIGINT) AS n_tok, "
         "round(ln(MIN(t_total)) - "
-        "CAST(SUM(CAST(ln(c_t) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6) "
-        "AS nll "
-        "FROM toks JOIN counts USING (tok) CROSS JOIN total "
+        "CAST(SUM(CAST(n_k * ln(c_t) AS DECIMAL(38,18))) AS DOUBLE) "
+        "/ CAST(SUM(n_k) AS BIGINT), 6) AS nll "
+        "FROM doc_tf JOIN counts USING (tok) CROSS JOIN total "
         "GROUP BY doc_id"
     ),
     doc="LLM quality filter: per-doc mean negative log-likelihood under "
