@@ -71,6 +71,10 @@ def test_oracle_sql_covers_most_queries():
             # not one SQL; pytest pins vs a pure-Python reference
             "q_image_neardup",  # dHash runs in the Arrow decode stage
             # (mapInPandas) — no SQL twin; pytest pins reference + recall
+            "q_video_frames",  # JPEG entropy decode in the Arrow stage —
+            # not SQL-expressible; mux→demux→decode golden pytest
+            "q_audio_features",  # int16-PCM RMS over VARCHAR bytes —
+            # not SQL-expressible; WAV-parse + determinism pytest
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"

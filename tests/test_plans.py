@@ -93,6 +93,10 @@ _NESTED_LOOP_OK = {
     "q_tpch_q11",
     # broadcast of the 1-row corpus token total — same bounded pattern
     "q_unigram_lm",
+    # broadcast of the 1-row vocabulary size (add-α denominator)
+    "q_bigram_lm",
+    # broadcast of the 1-row corpus token total (KL's q denominator)
+    "q_source_kl",
     # broadcast of the 1-row quintile-threshold aggregate — same
     # bounded pattern
     "q_rfm",
