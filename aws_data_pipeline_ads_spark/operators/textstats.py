@@ -7,6 +7,7 @@ split) — stays in whole-stage codegen; per-doc cost is O(len).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -651,6 +652,43 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
         "n_tokens", "chunk_text",
         F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
         .alias("chunk_tokens"),
+    )
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Curation-grade text normalization: Unicode NFC + control-char
+    strip + whitespace collapse + trim — the canonicalization pass run
+    before any hash-based dedup so visually-identical strings ("é" as
+    one codepoint vs e+combining-accent) fingerprint identically.
+
+    NFC runs as an Arrow-batched pandas_udf (Spark has no built-in
+    Unicode normalizer; stdlib unicodedata implements UAX #15, the same
+    algorithm DuckDB's nfc_normalize implements — the oracle
+    hash-verifies the agreement). The regex steps are built-in
+    expressions (codegen); per-row cost O(len); zero shuffles.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(F.col("text")), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+            r"\s+", " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        cleaned.alias("norm_text"),
+        (~cleaned.eqNullSafe(F.col("text"))).alias("changed"),
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(cleaned).cast("long").alias("n_chars_after"),
     )
 
 

@@ -191,6 +191,8 @@ _TAIL: list[str] = [
     # stage); pytest pins hash vs reference + exact brute-force recall
     "q_incremental_dedup",  # arriving-batch vs corpus-fingerprint flag
     # join; hash/dedup machinery in-window via q_dedup_exact
+    "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
+    # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_video_frames",  # real MJPEG-AVI demux → JPEG decode → luminance
     # features (rows-only: entropy decode not SQL-expressible); golden
     # mux→demux→decode pytest

@@ -618,6 +618,32 @@ def q_binary_meta(spark, sf_dir):
 
 
 @query(
+    "q_normalize_text",
+    oracle=(
+        "SELECT doc_id, "
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'), '\\s+', ' ', 'g')) "
+        "AS norm_text, "
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'), '\\s+', ' ', 'g')) "
+        "IS DISTINCT FROM text AS changed, "
+        "CAST(length(text) AS BIGINT) AS n_chars_before, "
+        "CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'), '\\s+', ' ', 'g'))) "
+        "AS BIGINT) AS n_chars_after "
+        "FROM documents"
+    ),
+    doc="LLM curation: canonicalization pass before hash dedup — "
+        "Unicode NFC (Arrow-batched pandas_udf; stdlib unicodedata vs "
+        "DuckDB nfc_normalize, both UAX #15 — the oracle verifies the "
+        "agreement) + control-char strip + whitespace collapse "
+        "(textstats.normalize_text)",
+)
+def q_normalize_text(spark, sf_dir):
+    return textstats.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q_incremental_dedup",
     oracle=(
         # doc_id % 7 == 0 stands in for the already-ingested corpus;
