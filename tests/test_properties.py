@@ -458,3 +458,133 @@ def test_minhash_signatures_match_python_reference(spark):
               for s in shingles]
         expect = [min((a * h + b) % p for h in hs) for a, b in params]
         assert got[i] == expect, i
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # height in blocks-ish
+        st.integers(min_value=1, max_value=3),
+        st.sampled_from([1, 3]),                 # channels
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+)
+def test_jpeg_roundtrip_property(shape_seed):
+    """Any uint8 image round-trips through the baseline JPEG codec with
+    all-ones quantization within 1 level per channel-transform step —
+    the property form of the golden tests (encoder and decoder verified
+    against each other across arbitrary dims, including non-multiples
+    of 8)."""
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.operators import jpeg
+
+    hb, wb, ch, seed = shape_seed
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, hb * 8 + 1))
+    w = int(rng.integers(1, wb * 8 + 1))
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    dec = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode_pixels(
+        arr if ch == 3 else arr[:, :, 0]))
+    assert dec.shape == (h, w, ch)
+    tol = 1 if ch == 1 else 2  # color transform adds one rounding step
+    assert np.abs(dec.astype(int) - arr.astype(int)).max() <= tol
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1,
+             max_size=12),
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0,
+             max_size=8),
+)
+def test_incremental_dedup_invariants(spark, batch_texts, corpus_texts):
+    """Invariants for any batch/corpus: (1) exactly one keep per novel
+    hash, zero keeps per known hash; (2) keep implies neither flag;
+    (3) batch_dup rows always have an earlier same-hash doc."""
+    from aws_data_pipeline_ads_spark.operators import dedup
+
+    batch = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(batch_texts)])
+    seen = spark.createDataFrame(
+        [Row(text=t) for t in corpus_texts] or [Row(text="__none__")]
+    ).select(F.md5("text").alias("content_hash"))
+    if not corpus_texts:
+        seen = seen.filter(F.lit(False))
+    out = dedup.incremental_exact_dedup(batch, seen).collect()
+    assert len(out) == len(batch_texts)
+    known_hashes = {r.content_hash for r in
+                    seen.select("content_hash").collect()}
+    by_hash: dict[str, list] = {}
+    for r in out:
+        by_hash.setdefault(r.content_hash, []).append(r)
+        assert r.known_dup == (r.content_hash in known_hashes)
+        assert r.keep == (not r.known_dup and not r.batch_dup)
+    for h, rows in by_hash.items():
+        first = min(r.doc_id for r in rows)
+        for r in rows:
+            assert r.batch_dup == (r.doc_id != first)
+        if h not in known_hashes:
+            assert sum(r.keep for r in rows) == 1
+        else:
+            assert sum(r.keep for r in rows) == 0
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """bigram_lm_nll == a from-scratch pure-Python add-1 bigram model on
+    a tiny corpus (counts, smoothing denominator, per-doc mean NLL)."""
+    import math
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    texts = ["a b a b c", "b c d", "a", "c d c d"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r.doc_id: (r.n_bigrams, r.nll)
+           for r in textstats.bigram_lm_nll(docs).collect()}
+
+    pair_c: dict[tuple, int] = {}
+    ctx_c: dict[str, int] = {}
+    vocab = set()
+    for t in texts:
+        toks = t.split()
+        vocab.update(toks)
+        for i in range(len(toks) - 1):
+            pair_c[(toks[i], toks[i + 1])] = pair_c.get(
+                (toks[i], toks[i + 1]), 0) + 1
+            ctx_c[toks[i]] = ctx_c.get(toks[i], 0) + 1
+    v = len(vocab)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) < 2:
+            assert got[i] == (0, None)
+            continue
+        nll = -sum(
+            math.log((pair_c[(toks[j], toks[j + 1])] + 1.0)
+                     / (ctx_c[toks[j]] + 1.0 * v))
+            for j in range(len(toks) - 1)
+        ) / (len(toks) - 1)
+        assert got[i][0] == len(toks) - 1
+        assert abs(got[i][1] - round(nll, 6)) < 1e-9, i
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    """KL(source ‖ corpus) is 0 when every source has the same token
+    distribution, and > 0 for a genuinely divergent source."""
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    same = spark.createDataFrame([
+        Row(doc_id=i, source=s, text="x y z")
+        for i, s in enumerate(["s1", "s1", "s2", "s2"])
+    ])
+    for r in textstats.source_kl_divergence(same).collect():
+        assert r.kl_bits_nat == 0.0
+
+    skewed = spark.createDataFrame([
+        Row(doc_id=0, source="s1", text="x x x x"),
+        Row(doc_id=1, source="s2", text="y y y y"),
+    ])
+    kl = {r.source: r.kl_bits_nat
+          for r in textstats.source_kl_divergence(skewed).collect()}
+    assert kl["s1"] > 0 and kl["s2"] > 0
