@@ -460,12 +460,15 @@ def _parse_y4m_frames(payload: bytes) -> list[bytes]:
     w = h = None
     fmt = "420"
     for tag in payload[9:nl].split():
-        if tag[:1] == b"W":
-            w = int(tag[1:])
-        elif tag[:1] == b"H":
-            h = int(tag[1:])
-        elif tag[:1] == b"C":
-            fmt = tag[1:4].decode()
+        try:
+            if tag[:1] == b"W":
+                w = int(tag[1:])
+            elif tag[:1] == b"H":
+                h = int(tag[1:])
+            elif tag[:1] == b"C":
+                fmt = tag[1:4].decode("ascii")
+        except (UnicodeDecodeError, ValueError) as e:
+            raise ValueError(f"YUV4MPEG2 header tag unparsable: {tag!r}") from e
     if not w or not h:
         raise ValueError("YUV4MPEG2 header missing W/H")
     fsize = w * h * 3 if fmt == "444" else w * h * 3 // 2

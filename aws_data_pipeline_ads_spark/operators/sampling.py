@@ -248,3 +248,52 @@ def corpus_shuffle_write(df: DataFrame, path: str, key_col: str,
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def perplexity_stratified_sample(
+    scored: DataFrame,
+    nll_col: str = "nll",
+    key_col: str = "doc_id",
+    keep_of_256: tuple[int, int, int] = (64, 192, 64),
+) -> DataFrame:
+    """CCNet-style perplexity-stratified sampling: split the scored
+    corpus into head/middle/tail terciles of LM negative log-likelihood
+    and hash-gate each band at its own rate (the classic mix keeps the
+    middle band hardest — head is boilerplate-like, tail is noise-like).
+
+    Thresholds are ONE exact-percentile aggregate row broadcast back
+    (the rfm_scores pattern — a global ntile would funnel the corpus
+    through one sort); band membership is a codegen'd CASE; the gate is
+    the md5-bucket of the key — partitioning-invariant, re-run-stable,
+    and exactly mirrored by the oracle. Rows with NULL nll (docs too
+    short to score) land in 'unscored' and are kept at the tail rate.
+
+    Emits every row with (band, kept) so callers can audit rates;
+    filtering kept IS the sample.
+    """
+    qs = scored.agg(
+        F.expr(
+            f"percentile({nll_col}, array(1.0D/3.0D, 2.0D/3.0D))"
+        ).alias("__qs")
+    ).select(
+        F.col("__qs")[0].alias("__t1"), F.col("__qs")[1].alias("__t2")
+    )
+    bucket = F.expr(hash_bucket_sql(f"CAST({key_col} AS STRING)"))
+    band = (
+        F.when(F.col(nll_col).isNull(), F.lit("unscored"))
+        .when(F.col(nll_col) < F.col("__t1"), F.lit("head"))
+        .when(F.col(nll_col) < F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    head, mid, tail = (int(x) for x in keep_of_256)
+    rate = (
+        F.when(F.col("band") == "head", F.lit(head))
+        .when(F.col("band") == "middle", F.lit(mid))
+        .otherwise(F.lit(tail))
+    )
+    return (
+        scored.crossJoin(F.broadcast(qs))
+        .withColumn("band", band)
+        .withColumn("kept", bucket < rate)
+        .drop("__t1", "__t2")
+    )

@@ -177,6 +177,9 @@ _TAIL: list[str] = [
     # explode/join/agg machinery in-window via q_bm25_terms
     "q_bigram_lm",  # order-2 LM nll (add-1 smoothed); same machinery
     # family as q_unigram_lm/q_bm25_terms, decimal-ln fold
+    "q_perplexity_sample",  # CCNet head/middle/tail nll terciles +
+    # per-band md5 gate; percentile + gate machinery in-window via
+    # q_percentile/q_sample_stratified
     "q_source_kl",  # KL(source ‖ corpus) mixture diagnostic; grouped
     # count + broadcast-total machinery in-window via q_domain_mixture
     "q_bpe_merges",  # iterative BPE training (rows-only by nature);

@@ -1033,6 +1033,57 @@ def q_source_kl(spark, sf_dir):
     return textstats.source_kl_divergence(load_table(spark, sf_dir, "documents"))
 
 
+_UNIGRAM_CTE = (
+    "toks AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+    "FROM documents), "
+    "doc_tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_k "
+    "FROM toks GROUP BY doc_id, tok), "
+    "counts AS (SELECT tok, CAST(SUM(n_k) AS BIGINT) AS c_t "
+    "FROM doc_tf GROUP BY tok), "
+    "total AS (SELECT SUM(c_t) AS t_total FROM counts), "
+    "scored AS (SELECT doc_id, CAST(SUM(n_k) AS BIGINT) AS n_tok, "
+    "round(ln(MIN(t_total)) - "
+    "CAST(SUM(CAST(n_k * ln(c_t) AS DECIMAL(38,18))) AS DOUBLE) "
+    "/ CAST(SUM(n_k) AS BIGINT), 6) AS nll "
+    "FROM doc_tf JOIN counts USING (tok) CROSS JOIN total "
+    "GROUP BY doc_id)"
+)
+
+
+@query(
+    "q_perplexity_sample",
+    oracle=(
+        "WITH " + _UNIGRAM_CTE + ", "
+        "q AS (SELECT quantile_cont(nll, CAST(1.0 AS DOUBLE) / 3.0) AS t1, "
+        "quantile_cont(nll, CAST(2.0 AS DOUBLE) / 3.0) AS t2 FROM scored) "
+        "SELECT s.doc_id, s.n_tok, s.nll, "
+        "CASE WHEN s.nll IS NULL THEN 'unscored' "
+        "WHEN s.nll < q.t1 THEN 'head' "
+        "WHEN s.nll < q.t2 THEN 'middle' ELSE 'tail' END AS band, "
+        "(" + hash_bucket_sql("CAST(s.doc_id AS STRING)") + " < "
+        "CASE WHEN s.nll IS NOT NULL AND s.nll < q.t1 THEN 64 "
+        "WHEN s.nll IS NOT NULL AND s.nll < q.t2 THEN 192 "
+        "ELSE 64 END) AS kept "
+        "FROM scored s CROSS JOIN q"
+    ),
+    doc="LLM curation: CCNet-style perplexity-stratified sampling — "
+        "head/middle/tail terciles of unigram-LM nll, each band "
+        "hash-gated at its own rate (middle kept hardest); thresholds "
+        "are one broadcast exact-percentile row, the gate is the "
+        "partitioning-invariant md5 bucket "
+        "(sampling.perplexity_stratified_sample over "
+        "textstats.unigram_lm_nll)",
+)
+def q_perplexity_sample(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        perplexity_stratified_sample,
+    )
+
+    scored = textstats.unigram_lm_nll(load_table(spark, sf_dir, "documents"))
+    return perplexity_stratified_sample(scored)
+
+
 @query(
     "q_pack_sequences",
     oracle=(

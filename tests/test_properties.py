@@ -588,3 +588,28 @@ def test_source_kl_zero_for_identical_distributions(spark):
     kl = {r.source: r.kl_bits_nat
           for r in textstats.source_kl_divergence(skewed).collect()}
     assert kl["s1"] > 0 and kl["s2"] > 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300),
+       st.sampled_from(["jpeg", "avi", "y4m"]))
+def test_media_parsers_fail_cleanly_on_garbage(payload, kind):
+    """Untrusted-media contract: a garbage payload behind a valid magic
+    number must raise ValueError (a per-row quarantineable failure),
+    never leak IndexError/UnicodeDecodeError/struct.error out of the
+    decode stage."""
+    import pytest as _pytest
+
+    from aws_data_pipeline_ads_spark.operators import jpeg, multimodal
+
+    fn, prefix = {
+        "jpeg": (jpeg.jpeg_decode_pixels, b"\xff\xd8"),
+        "avi": (multimodal._parse_avi_frames, b"RIFF\x00\x00\x00\x00AVI "),
+        "y4m": (multimodal._parse_y4m_frames, b"YUV4MPEG2 "),
+    }[kind]
+    try:
+        fn(prefix + payload)
+    except ValueError:
+        pass  # the contract
+    except Exception as e:  # noqa: BLE001
+        _pytest.fail(f"{kind} leaked {type(e).__name__}: {e}")
