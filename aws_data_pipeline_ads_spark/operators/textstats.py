@@ -655,6 +655,48 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 64,
     )
 
 
+def filter_attrition(documents: DataFrame) -> DataFrame:
+    """Curation observability: the classic filter-funnel report — how
+    many documents survive each successive quality gate (length →
+    punctuation → repetition → exact dedup), per the Dolma/RefinedWeb
+    release-notes convention. The numbers are what a data lead reads
+    before signing off a corpus build.
+
+    ONE map-side-combined aggregate over one projection: each gate is a
+    conditional sum, and the dedup survivor count is
+    COUNT(DISTINCT CASE WHEN all-gates THEN fingerprint END) — no join,
+    no second scan; the only exchange is the 1-row aggregate's.
+    """
+    n_chars = F.length("text").cast("long")
+    n_alnum = F.length(F.regexp_replace(F.col("text"), PUNCT_RE, "")).cast("long")
+    n_toks = token_count("text")
+    punct_ratio = F.when(n_chars > 0, (n_chars - n_alnum).cast("double") / n_chars)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    dup_ratio = (n - nd).cast("double") / n
+    q = documents.select(
+        content_fingerprint("text").alias("fp"),
+        ((n_chars >= 20) & (n_toks >= 5)).alias("g_len"),
+        (punct_ratio < 0.3).alias("g_punct"),
+        (dup_ratio <= 0.6).alias("g_rep"),
+    ).select(
+        "fp",
+        F.col("g_len").alias("p1"),
+        (F.col("g_len") & F.col("g_punct")).alias("p2"),
+        (F.col("g_len") & F.col("g_punct") & F.col("g_rep")).alias("p3"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    return q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        cnt("p1").alias("after_length"),
+        cnt("p2").alias("after_punct"),
+        cnt("p3").alias("after_repetition"),
+        F.countDistinct(F.when(F.col("p3"), F.col("fp"))).cast("long")
+        .alias("after_dedup"),
+    )
+
+
 def normalize_text(documents: DataFrame) -> DataFrame:
     """Curation-grade text normalization: Unicode NFC + control-char
     strip + whitespace collapse + trim — the canonicalization pass run

@@ -196,6 +196,8 @@ _TAIL: list[str] = [
     # join; hash/dedup machinery in-window via q_dedup_exact
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
+    "q_filter_attrition",  # filter-funnel survivor counts (single
+    # aggregate); gate expressions in-window via q_quality_score
     "q_video_frames",  # real MJPEG-AVI demux → JPEG decode → luminance
     # features (rows-only: entropy decode not SQL-expressible); golden
     # mux→demux→decode pytest

@@ -1033,6 +1033,43 @@ def q_source_kl(spark, sf_dir):
     return textstats.source_kl_divergence(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_filter_attrition",
+    oracle=(
+        "WITH q AS (SELECT "
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', "
+        "'', 'g')) AS BIGINT) AS n_punct, "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks, "
+        "CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) "
+        "AS BIGINT) AS n_dist FROM documents), "
+        "g AS (SELECT fp, "
+        "(n_chars >= 20 AND n_toks >= 5) AS p1, "
+        "(n_chars >= 20 AND n_toks >= 5 AND "
+        "(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END) "
+        "< 0.3) AS p2, "
+        "(n_chars >= 20 AND n_toks >= 5 AND "
+        "(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END) "
+        "< 0.3 AND CAST(n_toks - n_dist AS DOUBLE) / n_toks <= 0.6) AS p3 "
+        "FROM q) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS after_length, "
+        "CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS after_punct, "
+        "CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS after_repetition, "
+        "CAST(COUNT(DISTINCT CASE WHEN p3 THEN fp END) AS BIGINT) AS after_dedup "
+        "FROM g"
+    ),
+    doc="LLM curation observability: the filter-funnel attrition report "
+        "(survivors after length → punctuation → repetition → exact "
+        "dedup gates, Dolma/RefinedWeb release-notes convention) — one "
+        "map-side-combined aggregate, dedup survivors via conditional "
+        "COUNT DISTINCT, no joins (textstats.filter_attrition)",
+)
+def q_filter_attrition(spark, sf_dir):
+    return textstats.filter_attrition(load_table(spark, sf_dir, "documents"))
+
+
 _UNIGRAM_CTE = (
     "toks AS (SELECT doc_id, "
     "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
