@@ -838,13 +838,18 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
     a slim (source, tok, counts) shuffle, text never moves; ln folds
     through DECIMAL(38,18) + round(…,6) (order-invariant, ulp-absorbed).
     """
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
     toks = documents.select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    sc = toks.groupBy("source", "tok").agg(
+    # Persisted: sc feeds the per-source totals, the corpus counts AND
+    # the score join (three consumers; Spark materializes no shared
+    # subplans — without the cache the tokenize→count pipeline runs 3×).
+    sc = persist_tracked(toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c_st")
-    )
+    ))
     s_tot = sc.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
     cc = sc.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
     c_tot = cc.agg(F.sum("c_t").cast("long").alias("n"))
