@@ -95,6 +95,8 @@ _NESTED_LOOP_OK = {
     "q_unigram_lm",
     # broadcast of the 1-row vocabulary size (add-α denominator)
     "q_bigram_lm",
+    # broadcast of the 1-row tercile-threshold percentile aggregate
+    "q_perplexity_sample",
     # broadcast of the 1-row corpus token total (KL's q denominator)
     "q_source_kl",
     # broadcast of the 1-row quintile-threshold aggregate — same
