@@ -613,3 +613,42 @@ def test_media_parsers_fail_cleanly_on_garbage(payload, kind):
         pass  # the contract
     except Exception as e:  # noqa: BLE001
         _pytest.fail(f"{kind} leaked {type(e).__name__}: {e}")
+
+
+def test_perplexity_sample_invariants(spark, sf_dir):
+    """Every doc appears once with a band consistent with the tercile
+    thresholds; kept is exactly the md5-bucket gate at that band's rate;
+    roughly a third of the scored corpus lands in each band."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import textstats
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        hash_bucket_sql,
+        perplexity_stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.unigram_lm_nll(docs)
+    out = perplexity_stratified_sample(scored).collect()
+    assert len(out) == docs.count()
+    assert {r.doc_id for r in out} == {r.doc_id for r in docs.select("doc_id").collect()}
+
+    nlls = sorted(r.nll for r in out if r.nll is not None)
+    n = len(nlls)
+    heads = [r for r in out if r.band == "head"]
+    mids = [r for r in out if r.band == "middle"]
+    tails = [r for r in out if r.band == "tail"]
+    assert len(heads) + len(mids) + len(tails) == n
+    # terciles: each band holds roughly n/3 (exact split depends on the
+    # interpolated thresholds and ties)
+    for grp in (heads, mids, tails):
+        assert abs(len(grp) - n / 3) <= max(3, 0.1 * n)
+    assert max(r.nll for r in heads) <= min(r.nll for r in tails)
+
+    buckets = {
+        r.doc_id: r.b for r in docs.selectExpr(
+            "doc_id",
+            hash_bucket_sql("CAST(doc_id AS STRING)") + " AS b").collect()
+    }
+    for r in out:
+        rate = {"head": 64, "middle": 192, "tail": 64, "unscored": 64}[r.band]
+        assert r.kept == (buckets[r.doc_id] < rate), r
