@@ -128,6 +128,86 @@ def run_complete_now(stream_df: DataFrame, name: str, checkpoint_dir: str) -> No
     q.awaitTermination()
 
 
+def documents_stream(spark: SparkSession, path: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a documents landing directory (the
+    corpus-ingest edge: new crawl shards land as parquet files — or
+    per-shard subdirectories, hence recursiveFileLookup — and drain per
+    batch)."""
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(path).schema
+    )
+    reader = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def curation_ingest(docs_stream: DataFrame, out_path: str, seen_path: str,
+                    checkpoint_dir: str) -> None:
+    """Streaming corpus ingestion with incremental dedup — the
+    production loop a training-data pipeline runs as crawl shards
+    arrive, composed from the verified batch operators:
+
+      per micro-batch:
+        1. quality-gate the batch (textstats.quality_stats gate),
+        2. flag it against the ACCUMULATED fingerprint manifest
+           (dedup.incremental_exact_dedup — known_dup/batch_dup/keep),
+        3. append kept docs to {out_path}/batch_id=N and their
+           fingerprints to {seen_path}/batch_id=N.
+
+    Exactly-once: the checkpoint makes batch ids stable across restarts
+    and each batch writes ONLY into its own batch_id=N directory with
+    overwrite — a replayed batch rewrites the same files instead of
+    duplicating (the idempotent-foreachBatch pattern, same contract as
+    operators/upsert.py's streaming snapshot). The manifest read is a
+    plain parquet scan, so dedup state lives in the lake, not in
+    executor memory — restart-safe and unbounded-corpus-safe.
+    """
+    from pyspark.sql import functions as SF
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+    from aws_data_pipeline_ads_spark.operators.dedup import incremental_exact_dedup
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        q = textstats.quality_stats(batch_df)
+        ok = batch_df.join(
+            q.filter(SF.col("quality_ok")).select("doc_id"), "doc_id"
+        )
+        try:
+            # Exclude THIS batch id from the manifest read: on a
+            # post-crash replay the batch's own previously-written
+            # fingerprints would otherwise flag every row known_dup and
+            # the rewrite would drop the data (replay must reproduce,
+            # not erase).
+            seen = (
+                spark.read.parquet(seen_path)
+                .filter(SF.col("batch_id") != SF.lit(int(batch_id)))
+                .select("content_hash")
+            )
+        except Exception:  # noqa: BLE001 — first batch: no manifest yet
+            seen = spark.createDataFrame([], "content_hash string")
+        flags = incremental_exact_dedup(ok, seen)
+        kept = ok.join(flags.filter(SF.col("keep")), "doc_id").select(
+            batch_df.columns + ["content_hash"]
+        )
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        kept.select("content_hash").distinct().write.mode("overwrite").parquet(
+            f"{seen_path}/batch_id={batch_id}"
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def attribution_join(clicks: DataFrame, purchases: DataFrame,
                      horizon: str = "30 minutes",
                      watermark: str = "2 hours") -> DataFrame:

@@ -275,3 +275,54 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, ev_stream, tmp_path):
         for r in REGISTRY["q_funnel"].build(spark, sf_dir).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_curation_ingest_incremental_dedup(spark, sf_dir, tmp_path):
+    """Streaming corpus ingestion: shard 2 re-delivers shard 1's docs —
+    every re-delivered doc is flagged against the accumulated
+    fingerprint manifest and dropped; only novel quality-passing docs
+    land. A full re-drain with the same checkpoint ingests nothing new
+    (exactly-once), and the landed corpus equals the batch composition
+    (quality gate → incremental dedup) over the same shards."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+    from aws_data_pipeline_ads_spark.operators.dedup import incremental_exact_dedup
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shard1 = src.filter(F.col("doc_id") % 2 == 0)
+    # shard 2: the odd docs PLUS a re-delivery of the even ones
+    shard2 = src
+    land = tmp_path / "landing"
+    shard1.coalesce(1).write.parquet(str(land / "s1"))
+    out, seen, ck = (str(tmp_path / p) for p in ("out", "seen", "ck_cur"))
+
+    stream = streaming.documents_stream(spark, str(land), max_files_per_trigger=4)
+    streaming.curation_ingest(stream, out, seen, ck)
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    shard2.coalesce(1).write.parquet(str(land / "s2"))
+    stream = streaming.documents_stream(spark, str(land), max_files_per_trigger=4)
+    streaming.curation_ingest(stream, out, seen, ck)
+    got = spark.read.parquet(out)
+
+    # batch twin: quality gate, then first-batch-wins across shards
+    q = textstats.quality_stats(shard1)
+    ok1 = shard1.join(q.filter(F.col("quality_ok")).select("doc_id"), "doc_id")
+    f1 = incremental_exact_dedup(
+        ok1, spark.createDataFrame([], "content_hash string"))
+    kept1 = set(r.doc_id for r in f1.filter(F.col("keep")).collect())
+    q2 = textstats.quality_stats(shard2)
+    ok2 = shard2.join(q2.filter(F.col("quality_ok")).select("doc_id"), "doc_id")
+    seen1 = f1.filter(F.col("keep")).select("content_hash")
+    f2 = incremental_exact_dedup(ok2, seen1)
+    kept2 = set(r.doc_id for r in f2.filter(F.col("keep")).collect())
+    assert set(r.doc_id for r in got.collect()) == kept1 | kept2
+    # every re-delivered (even) doc was caught by the manifest
+    assert not (kept2 & kept1)
+
+    # exactly-once: re-drain with no new files lands nothing new
+    stream = streaming.documents_stream(spark, str(land), max_files_per_trigger=4)
+    streaming.curation_ingest(stream, out, seen, ck)
+    assert spark.read.parquet(out).count() == got.count()
