@@ -271,6 +271,12 @@ def perplexity_stratified_sample(
     Emits every row with (band, kept) so callers can audit rates;
     filtering kept IS the sample.
     """
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
+    # scored feeds BOTH the threshold aggregate and the banded output —
+    # Spark materializes no shared subplans, so without the cache the
+    # caller's scoring pipeline (e.g. the unigram LM) runs twice.
+    scored = persist_tracked(scored)
     qs = scored.agg(
         F.expr(
             f"percentile({nll_col}, array(1.0D/3.0D, 2.0D/3.0D))"
