@@ -42,3 +42,50 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
     )
+
+
+def session_paths(events: DataFrame, gap_seconds: int = 1800,
+                  k: int = 20) -> DataFrame:
+    """Top-k most common session paths: the ordered event-type sequence
+    of each gap-delimited session, counted corpus-wide — the clickstream
+    "what do users actually do" report.
+
+    Determinism: the path is built by sorting per-session
+    (ts, event_id, event_type) STRUCTS (array_sort is lexicographic by
+    field order, so ties on ts break on event_id) — collect_list alone
+    is partitioning-ordered and would be nondeterministic. Scale: the
+    session window reuses the sessionize exchange shape (one shuffle on
+    user_id); per-session state is bounded by session length; path
+    counting is map-side combined on the path string; top-k plans as a
+    TakeOrderedAndProject k-heap with (count desc, path) tiebreak.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    epoch = F.col("ts").cast("double")
+    prev = F.lag(F.col("ts")).over(w).cast("double")
+    is_new = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(epoch - prev > F.lit(float(gap_seconds)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    labeled = events.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.sum(is_new).over(cum).cast("long").alias("session_id"),
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    return (
+        labeled.groupBy("user_id", "session_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )

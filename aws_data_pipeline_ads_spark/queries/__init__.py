@@ -107,6 +107,8 @@ _TAIL: list[str] = [
     # by q_dedup_exact/q_set_ops in-window — swapped for q_funnel
     "q_cohort_retention",  # groupBy/distinct/join machinery all
     # in-window; oracle-checked locally
+    "q_session_paths",  # top-k session event paths; sessionize + window
+    # machinery in-window via q_session_gap, top-k via q_limit_topk
     "q_rfm",  # percentile + broadcast-threshold machinery in-window
     # via q_percentile/q_scalar_subquery; oracle-checked locally
     "q_scd2",  # lag/lead/row_number machinery in-window via

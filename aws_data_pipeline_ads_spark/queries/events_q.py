@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.functions import dec_sum
 from aws_data_pipeline_ads_spark.operators import relational
-from aws_data_pipeline_ads_spark.operators.sessionize import sessionize
+from aws_data_pipeline_ads_spark.operators.sessionize import (
+    session_paths,
+    sessionize,
+)
 from aws_data_pipeline_ads_spark.queries.registry import query
 from aws_data_pipeline_ads_spark.session import ensure_utc
 
@@ -101,6 +104,32 @@ def q_sliding_window(spark, sf_dir):
 def q_session_gap(spark, sf_dir):
     ensure_utc(spark)
     return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query(
+    "q_session_paths",
+    oracle=(
+        "WITH g AS (SELECT user_id, event_id, ts, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL THEN 0 "
+        "WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, event_id, ts, event_type, CAST(SUM(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g), "
+        "p AS (SELECT user_id, session_id, "
+        "string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+        "FROM s GROUP BY user_id, session_id) "
+        "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions "
+        "FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"
+    ),
+    doc="sequence analytics: top-20 most common session event paths "
+        "(gap-sessionized, order-deterministic via struct-sorted "
+        "collection; map-side-combined path counts, TakeOrdered top-k) "
+        "— sessionize.session_paths",
+)
+def q_session_paths(spark, sf_dir):
+    ensure_utc(spark)
+    return session_paths(load_table(spark, sf_dir, "events"), 1800, 20)
 
 
 @query(
