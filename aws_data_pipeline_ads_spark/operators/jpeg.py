@@ -402,16 +402,17 @@ def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
     """Encode an (h, w, 1|3) uint8 array as baseline JPEG.
 
     quant: 64 zigzag-ordered quantization values (default all-ones —
-    near-lossless, the golden-test configuration). subsample: '444' or
-    '420' (3-channel only). restart_interval > 0 writes a DRI segment
-    and RSTn markers every N MCUs (predictors reset, byte-aligned)."""
+    near-lossless, the golden-test configuration). subsample: '444',
+    '422' or '420' (3-channel only). restart_interval > 0 writes a DRI
+    segment and RSTn markers every N MCUs (predictors reset,
+    byte-aligned)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     if ch not in (1, 3):
         raise ValueError("need 1 or 3 channels")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
     q = (np.ones(64) if quant is None else np.asarray(quant, np.float64))
 
     if ch == 1:
@@ -424,6 +425,13 @@ def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
         cr = 0.5 * a[:, :, 0] - 0.418688 * a[:, :, 1] - 0.081312 * a[:, :, 2] + 128.0
         if subsample == "444":
             planes, samps = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+        elif subsample == "422":
+            planes, samps = [y, None, None], [(2, 1), (1, 1), (1, 1)]
+            # horizontal-pair box average (chroma halved in x only)
+            ce = _pad_to(cb, 1, 2)
+            re_ = _pad_to(cr, 1, 2)
+            planes[1] = (ce[:, 0::2] + ce[:, 1::2]) / 2.0
+            planes[2] = (re_[:, 0::2] + re_[:, 1::2]) / 2.0
         else:
             planes, samps = [y, None, None], [(2, 2), (1, 1), (1, 1)]
             # pad to even then 2x2 box-average the chroma

@@ -101,6 +101,22 @@ def test_roundtrip_rgb_420_smooth():
     assert np.abs(dec.astype(int) - sm.astype(int)).max() <= 4
 
 
+def test_roundtrip_rgb_422():
+    """4:2:2 — chroma halved horizontally only: exact on images whose
+    chroma is constant per horizontal pair, a few levels on gradients."""
+    y, x = np.mgrid[0:24, 0:36]
+    sm = np.stack([(y * 4) % 256, ((x // 2) * 8) % 256, ((y * 3)) % 256],
+                  axis=2).astype(np.uint8)
+    dec = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode_pixels(sm, subsample="422"))
+    assert dec.shape == sm.shape
+    assert np.abs(dec.astype(int) - sm.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(9)
+    odd = rng.integers(0, 256, size=(17, 21, 3), dtype=np.uint8)
+    dec = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode_pixels(odd, subsample="422"))
+    assert dec.shape == odd.shape  # odd dims survive the MCU padding
+
+
 def test_roundtrip_restart_intervals():
     rng = np.random.default_rng(3)
     arr = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
