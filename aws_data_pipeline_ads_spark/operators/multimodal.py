@@ -432,19 +432,26 @@ def _parse_avi_frames(payload: bytes) -> list[bytes]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     frames: list[bytes] = []
-
-    def walk(data: bytes, pos: int, end: int) -> None:
+    # Iterative chunk walk (explicit stack): a crafted payload nesting
+    # thousands of LIST containers must not blow the recursion limit —
+    # untrusted media fails with ValueError, never RecursionError.
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
-            cid = data[pos:pos + 4]
-            size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+            cid = payload[pos:pos + 4]
+            size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
             body_at = pos + 8
+            nxt = body_at + size + (size % 2)  # chunks are 2-byte aligned
             if cid in (b"LIST", b"RIFF"):
-                walk(data, body_at + 4, body_at + size)  # skip list type
-            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
-                frames.append(data[body_at:body_at + size])
-            pos = body_at + size + (size % 2)  # chunks are 2-byte aligned
-
-    walk(payload, 12, len(payload))
+                # descend NOW (depth-first, preserving frame order);
+                # the continuation after the container resumes later
+                stack.append((nxt, end))
+                pos, end = body_at + 4, min(body_at + size, end)
+                continue
+            if cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(payload[body_at:body_at + size])
+            pos = nxt
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames
