@@ -398,6 +398,28 @@ def test_video_frame_features_deterministic_and_real(spark, sf_dir):
         assert abs(by_key[(doc_id, 0)] - want) < 1.0
 
 
+def test_avi_nested_list_bomb_and_sibling_order():
+    """A payload nesting 50k LIST containers parses without touching the
+    recursion limit (iterative DFS), and frames keep file order across
+    sibling movi lists."""
+    import struct as st
+
+    def chunk(cid, body):
+        return cid + st.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    inner = chunk(b"00dc", b"FRAME")
+    for _ in range(50_000):
+        inner = chunk(b"LIST", b"movi" + inner)
+    bomb = b"RIFF" + st.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert multimodal._parse_avi_frames(bomb) == [b"FRAME"]
+
+    movi1 = chunk(b"LIST", b"movi" + chunk(b"00dc", b"f0") + chunk(b"00dc", b"f1"))
+    movi2 = chunk(b"LIST", b"movi" + chunk(b"00dc", b"f2"))
+    body = b"AVI " + movi1 + movi2
+    avi = b"RIFF" + st.pack("<I", len(body)) + body
+    assert multimodal._parse_avi_frames(avi) == [b"f0", b"f1", b"f2"]
+
+
 def test_y4m_demux():
     """YUV4MPEG2: header parse + exact frame splits for 4:2:0 and 4:4:4."""
     w, h = 6, 4

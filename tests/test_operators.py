@@ -126,6 +126,23 @@ def test_minhash_served_equals_inline(spark, sf_dir, tmp_path):
     assert v_served == v_inline
 
 
+def test_bm25_search_unknown_terms_empty(spark, sf_dir, tmp_path):
+    """A query for terms absent from the corpus returns zero rows (the
+    bucket/term filters prune to nothing) — no crash, no NULL scores."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    idx = str(tmp_path / "bm")
+    textstats.bm25_write(load_table(spark, sf_dir, "documents"), idx)
+    out = textstats.bm25_search(
+        spark, idx, ["zzzznotaword", "alsonotaword"], k=5).collect()
+    assert out == []
+    # mixed known/unknown: scoring proceeds on the known term only
+    got = textstats.bm25_search(spark, idx, ["vector", "zzzznotaword"], k=5)
+    rows = got.collect()
+    assert 0 < len(rows) <= 5 and all(r.n_terms_hit == 1 for r in rows)
+
+
 def test_simhash_served_equals_inline(spark, sf_dir, tmp_path):
     """simhash_write → simhash_pairs_served is bit-identical to the
     inline SQL-template pipeline (fingerprints are pure functions of
