@@ -218,7 +218,9 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
         toked = persist_tracked(doc_token_arrays(documents))
         cand = minhash_lsh_pairs(documents, n_hashes, bands, toked=toked)
     else:
-        toked = doc_token_arrays(documents)  # single consumer — no persist
+        # still two consumers: toked feeds BOTH sides (ta/tb) of the
+        # verify self-join — without the cache the corpus tokenizes twice
+        toked = persist_tracked(doc_token_arrays(documents))
     # Same shape as token_jaccard_pairs: distinct-token count rides the
     # exploded rows as a payload column; array_distinct runs below the
     # explode (once per doc, see token_jaccard_pairs) and makes rows
@@ -417,9 +419,16 @@ def incremental_exact_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
     election is one map-side-combined min-agg on the hash.
 
     seen: a DataFrame with a `content_hash` column (md5 hex).
+
+    NULL text hashes as the empty string (md5(NULL) is NULL, and NULL
+    keys silently fall out of every join — the doc would vanish from
+    the output instead of being flagged); NULL-text docs therefore
+    dedup against each other and against empty-text docs, the same
+    NULL-as-'' posture as bm25_terms.
     """
     hashed = new_docs.select(
-        "doc_id", F.md5("text").alias("content_hash")
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash"),
     )
     seen_h = seen.select("content_hash").distinct().withColumn(
         "__known", F.lit(True)

@@ -141,7 +141,25 @@ _NONBASELINE = {
 
 def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG to an (h, w, channels) uint8 array
-    (channels = 1 for grayscale, 3 RGB otherwise)."""
+    (channels = 1 for grayscale, 3 RGB otherwise).
+
+    Untrusted-input contract: every malformed payload raises ValueError
+    (per-row quarantineable) — structural parse failures that would
+    surface as struct.error / IndexError / KeyError (truncated segment
+    bodies, SOS referencing an undefined Huffman table, empty SOS) are
+    wrapped here so the decode stage never leaks an internal exception
+    type."""
+    try:
+        return _jpeg_decode_impl(payload)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(
+            f"malformed JPEG structure: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -414,6 +432,10 @@ def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
     if subsample not in ("444", "422", "420"):
         raise ValueError("subsample must be '444', '422' or '420'")
     q = (np.ones(64) if quant is None else np.asarray(quant, np.float64))
+    if q.shape != (64,) or (q < 1).any() or (q > 255).any():
+        # the writer emits an 8-bit (pq=0) DQT; silently masking values
+        # with & 0xFF would quantize with one table and store another
+        raise ValueError("quant must be 64 values in [1, 255] (8-bit DQT)")
 
     if ch == 1:
         planes = [arr[:, :, 0].astype(np.float64)]

@@ -476,8 +476,11 @@ def _parse_y4m_frames(payload: bytes) -> list[bytes]:
                 fmt = tag[1:4].decode("ascii")
         except (UnicodeDecodeError, ValueError) as e:
             raise ValueError(f"YUV4MPEG2 header tag unparsable: {tag!r}") from e
-    if not w or not h:
-        raise ValueError("YUV4MPEG2 header missing W/H")
+    # strict positivity: a crafted negative W/H would make fsize
+    # negative and the scan position stop advancing — an untrusted
+    # payload must never be able to wedge the task in an infinite loop
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("YUV4MPEG2 header missing or non-positive W/H")
     fsize = w * h * 3 if fmt == "444" else w * h * 3 // 2
     frames = []
     pos = nl + 1
@@ -485,7 +488,12 @@ def _parse_y4m_frames(payload: bytes) -> list[bytes]:
         fnl = payload.find(b"\x0a", pos)
         if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
             raise ValueError("YUV4MPEG2 frame header desynced")
-        frames.append(payload[fnl + 1:fnl + 1 + fsize])
+        frame = payload[fnl + 1:fnl + 1 + fsize]
+        if len(frame) != fsize:
+            raise ValueError(
+                f"YUV4MPEG2 truncated mid-frame ({len(frame)}/{fsize} bytes)"
+            )
+        frames.append(frame)
         pos = fnl + 1 + fsize
     if not frames:
         raise ValueError("YUV4MPEG2 stream has no frames")
@@ -582,8 +590,12 @@ def synthetic_videos(documents: DataFrame, n_frames: int = 3,
     def one(raw: bytes) -> bytes:
         from aws_data_pipeline_ads_spark.operators.jpeg import jpeg_encode_pixels
 
-        src = np.frombuffer((raw or b"\x00") * ((w * h) // max(1, len(raw)) + 2),
-                            np.uint8)
+        raw = raw or b"\x00"
+        # frame i reads bytes [i, i + w*h): size the tiled buffer for the
+        # LAST frame's end (w*h + n_frames), not just w*h — with a short
+        # doc and n_frames > 3 an undersized buffer would fail reshape
+        need = w * h + n_frames
+        src = np.frombuffer(raw * (need // len(raw) + 1), np.uint8)
         frames = [
             jpeg_encode_pixels(src[i:i + w * h].reshape(h, w).copy())
             for i in range(n_frames)

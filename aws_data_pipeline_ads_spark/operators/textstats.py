@@ -423,6 +423,8 @@ def bm25_search(spark, path: str, query_terms: list[str], k: int = 10,
     round to 6 decimals. Top-k is TakeOrderedAndProject over the tiny
     scored stream.
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     buckets = _term_buckets(spark, query_terms)
     post = (
         spark.read.parquet(f"{path}/postings")

@@ -648,9 +648,9 @@ def q_normalize_text(spark, sf_dir):
     oracle=(
         # doc_id % 7 == 0 stands in for the already-ingested corpus;
         # the rest is the arriving batch.
-        "WITH seen AS (SELECT DISTINCT md5(text) AS content_hash "
+        "WITH seen AS (SELECT DISTINCT md5(COALESCE(text, '')) AS content_hash "
         "FROM documents WHERE doc_id % 7 = 0), "
-        "batch AS (SELECT doc_id, md5(text) AS content_hash "
+        "batch AS (SELECT doc_id, md5(COALESCE(text, '')) AS content_hash "
         "FROM documents WHERE doc_id % 7 <> 0), "
         "first AS (SELECT content_hash, MIN(doc_id) AS first_id "
         "FROM batch GROUP BY content_hash) "
@@ -669,7 +669,7 @@ def q_normalize_text(spark, sf_dir):
 def q_incremental_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 7 == 0).select(
-        F.md5("text").alias("content_hash")
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash")
     )
     batch = docs.filter(F.col("doc_id") % 7 != 0)
     return dedup.incremental_exact_dedup(batch, corpus)

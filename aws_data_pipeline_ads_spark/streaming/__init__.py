@@ -177,6 +177,8 @@ def curation_ingest(docs_stream: DataFrame, out_path: str, seen_path: str,
         ok = batch_df.join(
             q.filter(SF.col("quality_ok")).select("doc_id"), "doc_id"
         )
+        from pyspark.errors import AnalysisException
+
         try:
             # Exclude THIS batch id from the manifest read: on a
             # post-crash replay the batch's own previously-written
@@ -188,7 +190,13 @@ def curation_ingest(docs_stream: DataFrame, out_path: str, seen_path: str,
                 .filter(SF.col("batch_id") != SF.lit(int(batch_id)))
                 .select("content_hash")
             )
-        except Exception:  # noqa: BLE001 — first batch: no manifest yet
+        except AnalysisException as e:
+            # ONLY a missing manifest means "first batch". Any other
+            # read failure (I/O blip, corrupt footer, permissions) must
+            # FAIL the batch — treating it as first-batch would silently
+            # disable dedup and append duplicates to the corpus.
+            if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
             seen = spark.createDataFrame([], "content_hash string")
         flags = incremental_exact_dedup(ok, seen)
         kept = ok.join(flags.filter(SF.col("keep")), "doc_id").select(

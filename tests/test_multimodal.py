@@ -570,3 +570,53 @@ def test_real_dhash_golden(spark):
     if h >= 1 << 63:
         h -= 1 << 64
     assert got[1] == h
+
+
+def test_parser_hostile_inputs_regressions(spark):
+    """Review findings r4: (1) negative W/H in a Y4M header must raise,
+    not loop forever; (2) a stream truncated mid-final-frame raises
+    instead of returning a short blob; (3) malformed-but-marker-valid
+    JPEGs raise ValueError, never struct.error/IndexError/KeyError;
+    (4) synthetic_videos works for n_frames > 3 with 1-char docs;
+    (5) encoder rejects quant values an 8-bit DQT cannot store."""
+    import struct as st
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import jpeg
+
+    with _pytest.raises(ValueError, match="non-positive"):
+        multimodal._parse_y4m_frames(
+            b"YUV4MPEG2 W-1 H4\x0aFRAME\x0a" + b"\x00" * 20)
+    with _pytest.raises(ValueError, match="truncated mid-frame"):
+        multimodal._parse_y4m_frames(
+            b"YUV4MPEG2 W4 H4\x0aFRAME\x0a" + b"\x00" * 5)
+
+    # struct.error class: SOF0 with truncated body
+    with _pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg.jpeg_decode_pixels(b"\xff\xd8\xff\xc0\x00\x04\x08\x00")
+    # IndexError class: valid SOF0 + empty SOS body
+    def seg(marker, body):
+        return st.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+    sof = st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with _pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg.jpeg_decode_pixels(
+            b"\xff\xd8" + seg(0xC0, sof) + seg(0xDA, b"") + b"\xff\xd9")
+    # KeyError class: SOS referencing an undefined Huffman table
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    with _pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg.jpeg_decode_pixels(
+            b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xDA, sos)
+            + bytes([0x41]) + b"\xff\xd9")
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    out = multimodal.video_frame_features(
+        multimodal.synthetic_videos(docs, n_frames=5), n_frames=5).collect()
+    assert len(out) == 5
+
+    with _pytest.raises(ValueError, match="quant"):
+        jpeg.jpeg_encode_pixels(np.zeros((8, 8), np.uint8),
+                                quant=np.full(64, 256))

@@ -67,8 +67,9 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         ka, kb = _dtype_class(a[col]), _dtype_class(b[col])
         if ka == kb:
             continue
-        if "float" in (ka, kb) and {ka, kb} & {"int", "bool"}:
-            # "123" vs "123.0"/"True" vs "1.0" — reprs always diverge
+        if ka in ("int", "float", "bool") and kb in ("int", "float", "bool"):
+            # any numeric-class split diverges in repr: "123" vs
+            # "123.0", "True" vs "1", "True" vs "1.0" — hard fail
             return (
                 f"dtype class differs in {col!r}: spark={a[col].dtype} ({ka}) "
                 f"vs oracle={b[col].dtype} ({kb}) — driver hash would fail"
