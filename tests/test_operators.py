@@ -1145,3 +1145,22 @@ def test_histogram_quantiles_accurate_and_mergeable(spark, sf_dir):
         for r in h.collect():
             merged[(r.event_type, r.bin)] = merged.get((r.event_type, r.bin), 0) + r.n
     assert merged == h_all
+
+
+def test_incremental_dedup_null_text_not_dropped(spark):
+    """Review finding r4: md5(NULL) is NULL and NULL join keys silently
+    drop rows — NULL-text docs must stay in the output, hashing as ''."""
+    from pyspark.sql import Row
+
+    batch = spark.createDataFrame([
+        Row(doc_id=1, text=None),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text="real content here"),
+    ], "doc_id long, text string")
+    seen = spark.createDataFrame([], "content_hash string")
+    out = {r.doc_id: r for r in dedup.incremental_exact_dedup(batch, seen).collect()}
+    assert set(out) == {1, 2, 3}
+    # NULL and '' share a hash: first (doc 1) keeps, doc 2 is batch_dup
+    assert out[1].keep and not out[1].batch_dup
+    assert out[2].batch_dup and not out[2].keep
+    assert out[3].keep
