@@ -1,0 +1,199 @@
+"""Broadcast Bloom-filter runtime prefilter.
+
+The 100 TB decontamination/membership pattern: when one side of an
+equi-join is small (benchmark shingles, a blocklist, yesterday's key
+set) and the other side is the corpus, the exact join still shuffles
+every corpus-side key. Engines solve this with runtime filters
+(Spark's own `spark.sql.optimizer.runtimeFilter.bloomFilter` does it
+for joins it can see through); this operator makes the pattern an
+explicit, composable building block the pipeline can aim at ANY
+expression — here, exploded shingle streams the optimizer cannot
+reason about.
+
+Design constraints (same rules as every hot-path operator in this
+package):
+
+* **Zero Python in the data path.** The filter is not a UDF closure
+  over a bitmap; it is a tiny `(widx, w)` words table — `m_bits/64`
+  rows ≤ a few thousand — built by ONE `bit_or` aggregate and
+  broadcast-joined into the big side once per hash function. Bit
+  tests are `shiftrightunsigned`/`bitwiseAND` codegen expressions.
+* **Bounded driver materialization.** The words table is collected
+  once (≤ `m_bits/64` rows — 16,384 at the default, 128 KiB) and
+  re-shipped as a local relation, the same bounded-collect precedent
+  as the IVF centroid table (similarity.py): without it Spark
+  re-derives the whole build pipeline once per hash-function join
+  (measured: 4× redundant bench-side shuffles in the declared plan).
+* **Deterministic.** Positions are Kirsch–Mitzenmacher double hashing
+  over two 32-bit halves of `md5(value)` — engine-invariant, so a
+  DuckDB twin could replicate the filter bit-for-bit if it had to
+  (consumers below don't need it to: the bloom is a PREfilter, the
+  exact join afterwards kills false positives, so results are
+  bit-identical to the unfiltered plan and verify against the plain
+  exact-join oracle).
+
+False-positive math: with `m_bits = 2^20` and k = 4 hashes, 100k
+distinct build-side keys give (1 - e^(-kn/m))^k ≈ 1% FP — i.e. the
+corpus-side shuffle carries ~1% junk instead of 100% of a corpus that
+overwhelmingly does NOT match the benchmark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEFAULT_M_BITS = 1 << 20
+_DEFAULT_HASHES = 4
+
+
+def _h1_h2(col: str):
+    """Two independent 32-bit hashes from one md5 of the value."""
+    h = F.md5(F.col(col))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # Double hashing degenerates when h2 == 0 (all k probes collapse
+    # onto h1); force h2 odd instead — also coprime with the power-of-2
+    # bit space, so probes cycle through distinct positions.
+    return h1, h2.bitwiseOR(F.lit(1))
+
+
+def _positions(col: str, m_bits: int, n_hashes: int) -> list:
+    h1, h2 = _h1_h2(col)
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(n_hashes)]
+
+
+def bloom_words(values: DataFrame, col: str,
+                m_bits: int = _DEFAULT_M_BITS,
+                n_hashes: int = _DEFAULT_HASHES) -> DataFrame:
+    """Build the filter as a `(widx int, w long)` words table.
+
+    One explode (k rows per value) + one `bit_or` aggregate over at
+    most `m_bits/64` groups. The output is the broadcast side of
+    `bloom_prefilter` — at the default 2^20 bits it is ≤ 16,384 rows
+    (128 KiB of bitmap), trivially broadcastable no matter how large
+    the logical filter domain.
+    """
+    pos = F.explode(F.array(*_positions(col, m_bits, n_hashes))).alias("pos")
+    # The PySpark shiftleft wrapper takes a Python-int shift amount;
+    # a column-valued shift needs the SQL expression form.
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    return (
+        values.select(pos)
+        .select((F.col("pos") / F.lit(64)).cast("int").alias("widx"), bit.alias("bit"))
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+
+
+def bloom_words_local(values: DataFrame, col: str,
+                      m_bits: int = _DEFAULT_M_BITS,
+                      n_hashes: int = _DEFAULT_HASHES) -> DataFrame:
+    """`bloom_words`, materialized once as a local relation.
+
+    `bloom_prefilter` consumes the words table in one broadcast join
+    PER hash function; handing it the lazy aggregate makes Spark
+    re-derive the whole build pipeline k times. Collecting is bounded
+    by construction — ≤ `m_bits/64` rows regardless of build-side
+    cardinality (128 KiB of longs at the default) — the same bounded-
+    collect pattern as the IVF centroid table (similarity.py). A
+    plain persist() is NOT equivalent: a cached-but-unmaterialized
+    subtree under a broadcast hint mis-planned in combined diff plans
+    (see decontaminate_bloom docstring).
+    """
+    rows = bloom_words(values, col, m_bits, n_hashes).collect()
+    return values.sparkSession.createDataFrame(rows, schema="widx int, w bigint")
+
+
+def bloom_prefilter(df: DataFrame, col: str, words: DataFrame,
+                    m_bits: int = _DEFAULT_M_BITS,
+                    n_hashes: int = _DEFAULT_HASHES) -> DataFrame:
+    """Keep only rows whose `col` value MIGHT be in the filter.
+
+    No false negatives (every build-side value passes); false
+    positives bounded by the bloom math above. k broadcast left joins
+    on the word index — all map-side, no shuffle of `df` — then k
+    codegen bit tests. A word index absent from the words table means
+    no build-side value touched that word: `coalesce(w, 0)` fails the
+    bit test and the row drops, as it must.
+    """
+    positions = _positions(col, m_bits, n_hashes)
+    out = df
+    cond = F.lit(True)
+    for i, pos in enumerate(positions):
+        widx = (pos / F.lit(64)).cast("int")
+        bidx = (pos % 64).cast("int")
+        wtab = words.select(
+            F.col("widx").alias(f"__widx_{i}"), F.col("w").alias(f"__w_{i}")
+        )
+        out = out.withColumn(f"__widx_{i}", widx).withColumn(f"__bidx_{i}", bidx)
+        out = out.join(F.broadcast(wtab), f"__widx_{i}", "left")
+        cond = cond & F.expr(
+            f"(shiftrightunsigned(coalesce(__w_{i}, CAST(0 AS BIGINT)), "
+            f"__bidx_{i}) & 1) = 1"
+        )
+    drop = [c for i in range(n_hashes)
+            for c in (f"__widx_{i}", f"__bidx_{i}", f"__w_{i}")]
+    return out.filter(cond).drop(*drop)
+
+
+def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame, k: int = 5,
+                        m_bits: int = _DEFAULT_M_BITS,
+                        n_hashes: int = _DEFAULT_HASHES) -> DataFrame:
+    """Keep-side decontamination with a bloom prefilter on the corpus
+    shingle stream.
+
+    Same semantics as `contamination.decontaminate` (bit-identical
+    output — the exact join after the prefilter kills bloom false
+    positives), different shuffle bill: the corpus shingle stream is
+    filtered to ~|contaminated| + 1% FP *before* the distinct/join
+    exchanges, so at 100 TB the shuffles carry the quarantine
+    candidates instead of the whole corpus.
+
+    Plan shape: benchmark shingles → words table (one tiny agg);
+    corpus shingles (NO distinct — the prefilter runs map-side on the
+    raw explode, and hit doc_ids only need a semi join, not per-
+    (doc, shingle) dedup) → bloom_prefilter → broadcast LEFT SEMI
+    against the exact benchmark shingle set (false positives die
+    here) → distinct doc_ids → left_anti against corpus.
+
+    `bench_sh` feeds two consumers (words build + exact verify) and is
+    deliberately NOT persisted: marking this subtree cached makes
+    Spark's cache manager substitute the InMemoryRelation into every
+    semantically-equal subplan — including the broadcast arm here and
+    any sibling query diffed against this one — and that substitution,
+    combined with a broadcast hint on the yet-unmaterialized cache,
+    produced wrong results in a combined exceptAll plan (pinned by
+    test_decontaminate_bloom_equals_exact, which evaluates the diff as
+    the session's FIRST action). Recomputing the benchmark-side
+    subtree twice is cheap by construction — the benchmark is the
+    small side or the bloom pattern wouldn't apply.
+    """
+    from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+
+    bench_sh = doc_shingle_sets(benchmark, k=k).select("tok").distinct()
+    words = bloom_words_local(bench_sh, "tok", m_bits, n_hashes)
+    corpus_sh = doc_shingle_sets(corpus, k=k, distinct=False)
+    candidates = bloom_prefilter(corpus_sh, "tok", words, m_bits, n_hashes)
+    # Both join build sides descend from the same source relation as
+    # the probe side (benchmark and corpus are filters of one table).
+    # Same-named join keys in that shape are the ambiguous-self-join
+    # trap: when a caller combines this result with another lineage of
+    # the same table in ONE plan (a diff, a union), Spark's relation
+    # dedup can re-resolve a `tok == tok` / `doc_id == doc_id` key to
+    # a single side and silently match everything. Unique build-side
+    # names make misresolution impossible (pinned by
+    # test_decontaminate_bloom_equals_exact, which evaluates exactly
+    # such a combined diff plan).
+    bench_j = (
+        doc_shingle_sets(benchmark, k=k)
+        .select(F.col("tok").alias("__bench_tok"))
+        .distinct()
+    )
+    hits = (
+        candidates.join(F.broadcast(bench_j),
+                        F.col("tok") == F.col("__bench_tok"), "left_semi")
+        .select(F.col("doc_id").alias("__hit_id"))
+        .distinct()
+    )
+    return corpus.join(hits, F.col("doc_id") == F.col("__hit_id"), "left_anti")

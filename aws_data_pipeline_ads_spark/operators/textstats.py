@@ -11,7 +11,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aws_data_pipeline_ads_spark.functions import content_fingerprint, token_count
+from aws_data_pipeline_ads_spark.functions import (
+    content_fingerprint,
+    token_count,
+    tokens,
+)
 
 # Tiny stopword inventories for the n-gram/stopword-hit language heuristic.
 LANG_MARKERS = {
@@ -957,4 +961,76 @@ def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
         "doc_id", "source", "n_tok",
         offset.alias("offset"),
         F.floor(offset / F.lit(budget)).cast("long").alias("seq_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Per-document Gopher rule flags + the combined keep/drop gate.
+
+    The published heuristic battery for web-scale pretraining curation
+    (Rae et al. 2021): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratios (# and ellipsis), bullet-/ellipsis-line
+    fractions, alphabetic-word fraction, and a minimum distinct-
+    stopword count. Every signal is a higher-order array expression
+    over one tokenize + one line-split projection — zero shuffles,
+    whole-stage codegen end to end, trivially row-parallel at 100 TB.
+
+    Stopword hits use whole-token membership (`array_contains`), so
+    punctuation-attached forms ("the,") don't count — the documented,
+    engine-invariant simplification (both engines see identical
+    tokens). Ratios are emitted rounded to 6 decimals for hash
+    canonicalization; the gate compares unrounded values.
+    """
+    d = documents.select(
+        "doc_id", "text",
+        tokens("text").alias("__toks"),
+        F.split(F.col("text"), "\n").alias("__lines"),
+    )
+    t, ln = F.col("__toks"), F.col("__lines")
+    n_words = F.size(t).cast("long")
+    n_lines = F.size(ln).cast("long")
+    sum_wl = F.aggregate(t, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    mean_wl = sum_wl.cast("double") / n_words
+    n_hash = F.regexp_count(F.col("text"), F.lit("#")).cast("long")
+    n_ell = F.regexp_count(F.col("text"), F.lit(r"\.\.\.|…")).cast("long")
+    n_bullet = F.size(F.filter(
+        ln, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•")
+    )).cast("long")
+    n_ellend = F.size(F.filter(
+        ln, lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
+    )).cast("long")
+    n_alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = sum(
+        F.array_contains(t, sw).cast("int") for sw in GOPHER_STOPWORDS
+    ).cast("long")
+    hash_ratio = n_hash.cast("double") / n_words
+    ell_ratio = n_ell.cast("double") / n_words
+    bullet_frac = n_bullet.cast("double") / n_lines
+    ellend_frac = n_ellend.cast("double") / n_lines
+    alpha_frac = n_alpha.cast("double") / n_words
+    gate = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (hash_ratio < 0.1) & (ell_ratio < 0.1)
+        & (bullet_frac < 0.9) & (ellend_frac < 0.3)
+        & (alpha_frac > 0.8) & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(hash_ratio, 6).alias("hash_word_ratio"),
+        F.round(ell_ratio, 6).alias("ellipsis_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellend_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stop_hits"),
+        gate.alias("gopher_ok"),
     )

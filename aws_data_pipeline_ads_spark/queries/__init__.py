@@ -196,6 +196,11 @@ _TAIL: list[str] = [
     # stage); pytest pins hash vs reference + exact brute-force recall
     "q_incremental_dedup",  # arriving-batch vs corpus-fingerprint flag
     # join; hash/dedup machinery in-window via q_dedup_exact
+    "q_decontaminate",  # bloom-prefiltered keep side; the exact-join
+    # machinery is in-window via q_contamination — the bloom changes
+    # the shuffle bill, not the result (bit-identical, oracle-verified)
+    "q_gopher_rules",  # published Gopher curation battery; array-expr
+    # machinery in-window via q_quality_score/q_repetition_score
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

@@ -117,6 +117,45 @@ def q_contamination(spark, sf_dir):
 
 
 @query(
+    "q_decontaminate",
+    oracle=(
+        # Same shingle CTE chain as q_contamination; the result is the
+        # KEEP side — corpus docs with zero benchmark shingle overlap.
+        # The Spark plan reaches it through a broadcast Bloom prefilter
+        # (operators/bloom.py); false positives die in the exact join,
+        # so the oracle is the plain anti join.
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 "
+        "THEN [array_to_string(toks, ' ')] "
+        "ELSE [array_to_string(toks[i:i+4], ' ') "
+        "for i in generate_series(1, len(toks)-4)] END) AS tok FROM tok), "
+        "shd AS (SELECT DISTINCT doc_id, tok FROM sh), "
+        "bench AS (SELECT DISTINCT tok FROM shd WHERE doc_id % 101 = 7), "
+        "hits AS (SELECT DISTINCT c.doc_id FROM shd c JOIN bench b "
+        "USING (tok) WHERE c.doc_id % 101 <> 7) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "WHERE d.doc_id % 101 <> 7 "
+        "AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)"
+    ),
+    doc="LLM curation: decontamination KEEP side via a broadcast Bloom "
+        "runtime prefilter — the corpus shingle stream is bit-tested "
+        "against a 128 KiB words table (4 map-side broadcast joins, "
+        "zero Python) before any exchange, so the distinct/join "
+        "shuffles carry quarantine candidates, not the corpus; exact "
+        "equi-join then anti-join make the result bit-identical to the "
+        "unfiltered plan; operators/bloom.py",
+)
+def q_decontaminate(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.bloom import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    corpus = docs.filter(F.col("doc_id") % 101 != 7)
+    return decontaminate_bloom(corpus, bench, k=5).select("doc_id", "source")
+
+
+@query(
     "q_repetition_score",
     oracle=(
         "WITH tok AS (SELECT doc_id, "
@@ -200,6 +239,63 @@ def q_lang_id(spark, sf_dir):
 )
 def q_quality_score(spark, sf_dir):
     return textstats.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+_GOPHER_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@query(
+    "q_gopher_rules",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        f"{_GOPHER_TOKS} AS toks, "
+        "string_split(text, chr(10)) AS lines FROM documents), "
+        "b AS (SELECT doc_id, "
+        "CAST(len(toks) AS BIGINT) AS n_words, "
+        "CAST(len(lines) AS BIGINT) AS n_lines, "
+        "CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS sum_wl, "
+        "CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash, "
+        "CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_ell, "
+        "CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '-') "
+        "OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) "
+        "AS BIGINT) AS n_bullet, "
+        "CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...') "
+        "OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellend, "
+        "CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) "
+        "AS BIGINT) AS n_alpha, "
+        "CAST("
+        + " + ".join(
+            f"CAST(list_contains(toks, '{sw}') AS INT)"
+            for sw in ["the", "be", "to", "of", "and", "that", "have", "with"]
+        )
+        + " AS BIGINT) AS n_stop FROM t) "
+        "SELECT doc_id, n_words, "
+        "ROUND(CAST(sum_wl AS DOUBLE) / n_words, 6) AS mean_word_len, "
+        "ROUND(CAST(n_hash AS DOUBLE) / n_words, 6) AS hash_word_ratio, "
+        "ROUND(CAST(n_ell AS DOUBLE) / n_words, 6) AS ellipsis_word_ratio, "
+        "ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac, "
+        "ROUND(CAST(n_ellend AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac, "
+        "ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_frac, "
+        "n_stop AS n_stop_hits, "
+        "(n_words >= 50 AND n_words <= 100000 "
+        "AND CAST(sum_wl AS DOUBLE) / n_words >= 3.0 "
+        "AND CAST(sum_wl AS DOUBLE) / n_words <= 10.0 "
+        "AND CAST(n_hash AS DOUBLE) / n_words < 0.1 "
+        "AND CAST(n_ell AS DOUBLE) / n_words < 0.1 "
+        "AND CAST(n_bullet AS DOUBLE) / n_lines < 0.9 "
+        "AND CAST(n_ellend AS DOUBLE) / n_lines < 0.3 "
+        "AND CAST(n_alpha AS DOUBLE) / n_words > 0.8 "
+        "AND n_stop >= 2) AS gopher_ok FROM b"
+    ),
+    doc="LLM curation: the published Gopher rule battery (Rae et al. "
+        "2021 A1.1) — word-count and mean-word-length bounds, #/ellipsis "
+        "symbol ratios, bullet/ellipsis line fractions, alphabetic-word "
+        "fraction, distinct-stopword floor, and the combined keep gate; "
+        "pure higher-order array expressions, zero shuffles; "
+        "textstats.gopher_rules",
+)
+def q_gopher_rules(spark, sf_dir):
+    return textstats.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
 @query(

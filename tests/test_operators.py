@@ -1164,3 +1164,36 @@ def test_incremental_dedup_null_text_not_dropped(spark):
     assert out[1].keep and not out[1].batch_dup
     assert out[2].batch_dup and not out[2].keep
     assert out[3].keep
+
+
+def test_gopher_rules_values(spark):
+    import pytest
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    # 80 words, >=2 stopwords, mean word length 3.8 (within [3, 10])
+    long_ok = "the quick brown fox jumps of and that have with " * 8
+    bullets = "- one thing\n- two thing\n* three thing\nplain line"
+    ells = "first line...\nsecond…\nthird line\nfourth line"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=long_ok.strip()),
+        Row(doc_id=2, text=bullets),
+        Row(doc_id=3, text=ells),
+        Row(doc_id=4, text="### ## # tags # here #"),
+        Row(doc_id=5, text="12 34 56 78 90"),
+    ])
+    out = {r.doc_id: r for r in textstats.gopher_rules(df).collect()}
+    # word-count bound: doc 1 has 80 words and >=2 stopwords -> gate ok
+    assert out[1].n_words == 80 and bool(out[1].gopher_ok)
+    # 3 of 4 lines start with a bullet
+    assert out[2].bullet_line_frac == pytest.approx(0.75)
+    # 2 of 4 lines end with an ellipsis ('...' and the unicode one)
+    assert out[3].ellipsis_line_frac == pytest.approx(0.5)
+    # '#' symbols: 8 hash chars over 7 words -> ratio 8/7, gate fails
+    assert out[4].hash_word_ratio == pytest.approx(8 / 7, abs=1e-6)
+    assert not bool(out[4].gopher_ok)
+    # all-numeric words -> alpha fraction 0, gate fails
+    assert out[5].alpha_word_frac == pytest.approx(0.0)
+    assert not bool(out[5].gopher_ok)

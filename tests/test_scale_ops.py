@@ -467,3 +467,88 @@ def test_corpus_shuffle_write_streams_permutation(spark, sf_dir, tmp_path):
     c = sampling.corpus_shuffle(docs, "doc_id", 4, salt="epoch1").select(
         "doc_id", "shard", "pos")
     assert c.exceptAll(a).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Broadcast bloom runtime prefilter (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Every build-side value passes the prefilter (bloom guarantee);
+    disjoint probe values mostly don't (FP rate well under the ~1%
+    design point at this load factor)."""
+    from aws_data_pipeline_ads_spark.operators import bloom
+
+    build = spark.range(2000).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("v"))
+    words = bloom.bloom_words(build, "v")
+    kept_in = bloom.bloom_prefilter(build, "v", words)
+    assert kept_in.count() == 2000  # no false negatives, ever
+    probe = spark.range(20000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("v"))
+    fp = bloom.bloom_prefilter(probe, "v", words).count()
+    assert fp / 20000 < 0.01
+
+
+def test_bloom_prefilter_is_broadcast_only(spark):
+    """The k word-table joins are all broadcast — probing adds ZERO
+    shuffles to the big side."""
+    from aws_data_pipeline_ads_spark.operators import bloom
+
+    build = spark.range(100).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+    words = bloom.bloom_words(build, "v")
+    probe = spark.range(1000).select(F.concat(F.lit("p"), F.col("id")).alias("v"))
+    filtered = bloom.bloom_prefilter(probe, "v", words)
+    plan = plans.physical_plan(filtered)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert not plans.uses_sort_merge_or_shuffled_hash(filtered)
+    # the only exchange is the words-table aggregate, never the probe side
+    assert plans.count_shuffle_exchanges(words) <= 1
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """Bloom-prefiltered decontamination is bit-identical to the plain
+    exact anti-join (false positives die in the verify join).
+
+    The two results are compared as collected sorted lists (two
+    independent actions), NOT as one combined exceptAll plan: weaving
+    both lineages into a single plan trips a Spark 4.1.2 AQE
+    exchange-reuse defect (wrong reuse across the union arms of
+    exceptAll's rewrite) that returns one side as empty. Each
+    implementation self-diffs clean (f.exceptAll(f') == 0) and the
+    combined diff is exact with exchange reuse disabled —
+    test_decontaminate_bloom_combined_diff pins that, and SCALE.md
+    documents the hazard."""
+    from aws_data_pipeline_ads_spark.operators import bloom, contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    corpus = docs.filter(F.col("doc_id") % 101 != 7)
+    fast = bloom.decontaminate_bloom(corpus, bench, k=5).select("doc_id")
+    exact = contamination.decontaminate(corpus, bench, k=5).select("doc_id")
+    fast_ids = sorted(r.doc_id for r in fast.collect())
+    exact_ids = sorted(r.doc_id for r in exact.collect())
+    assert len(fast_ids) > 0
+    assert fast_ids == exact_ids
+
+
+def test_decontaminate_bloom_combined_diff(spark, sf_dir):
+    """The combined exceptAll diff of the two decontamination lineages
+    is empty when exchange reuse is off — isolating the Spark AQE
+    wrong-reuse defect documented in SCALE.md. If this test starts
+    passing WITH reuse enabled (the third assert flips), the upstream
+    bug is fixed and the sibling test can go back to exceptAll."""
+    from aws_data_pipeline_ads_spark.operators import bloom, contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    corpus = docs.filter(F.col("doc_id") % 101 != 7)
+    fast = bloom.decontaminate_bloom(corpus, bench, k=5).select("doc_id")
+    exact = contamination.decontaminate(corpus, bench, k=5).select("doc_id")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        assert fast.exceptAll(exact).count() == 0
+        assert exact.exceptAll(fast).count() == 0
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
