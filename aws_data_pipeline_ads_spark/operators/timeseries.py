@@ -94,3 +94,102 @@ def hypertable_rollup(events: DataFrame, ts_col: str = "ts",
             .alias("total_value"),
         )
     )
+
+
+def rolling_anomaly(events: DataFrame, key: str = "event_type",
+                    ts_col: str = "ts", trail: int = 24,
+                    min_points: int = 12,
+                    threshold: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly detection over hourly event counts.
+
+    Per series key: hourly counts, a TRAILING window of the previous
+    `trail` buckets (current row excluded — the point under test must
+    not contaminate its own baseline), exact-decimal sum/sum-of-squares
+    partials → mean/variance in double, z = (x − μ)/σ, and a flag at
+    |z| > `threshold`. Fewer than `min_points` trailing buckets (series
+    start) or zero variance → NULL z, flag false.
+
+    Scale shape: one map-side-combined groupBy on (key, hour), then
+    one window exchange on the key alone — both slim (the shuffles
+    carry (key, hour, count) rows, events never move twice). Decimal
+    partials
+    make the trailing sums order-invariant (bit-stable under any
+    partitioning); the double math after them is a fixed expression
+    tree, so both engines agree exactly. Empty hours are absent rows,
+    not zeros — compose with resample_fill first when a silent series
+    must itself alarm.
+    """
+    h = F.date_trunc("hour", F.col(ts_col))
+    b = events.groupBy(F.col(key), h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    tw = (
+        W.partitionBy(key).orderBy("h").rowsBetween(-trail, -1)
+    )
+    n = F.count("x").over(tw)
+    s = F.sum(F.col("x").cast("decimal(38,6)")).over(tw).cast("double")
+    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).over(tw).cast("double")
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1)
+    ok = (n >= min_points) & (var > 0)
+    z = F.when(ok, (F.col("x") - mean) / F.sqrt(var))
+    return b.select(
+        key,
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "x",
+        F.round(F.when(n >= min_points, mean), 6).alias("trail_mean"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def ewma_smooth(events: DataFrame, key: str = "event_type",
+                ts_col: str = "ts", alpha: float = 0.25) -> DataFrame:
+    """Per-series EWMA over hourly counts: y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁.
+
+    The recurrence is inherently sequential per series — exactly the
+    shape Spark's built-in window frames cannot express (the closed
+    form needs (1−α)^(−rn) factors that overflow on long series), so
+    this is the canonical applyInPandas stateful operator: hourly
+    buckets shuffle ONCE on the series key, each group arrives as one
+    Arrow batch, and a tight numpy loop carries the state. Parallelism
+    is #series; state per series is O(1). The arithmetic (`α·x + (1−α)·y`
+    in float64, same operation order) is engine-exact: the DuckDB twin
+    runs the identical recurrence as a recursive CTE and hash-matches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    h = F.date_trunc("hour", F.col(ts_col))
+    b = events.groupBy(F.col(key), h.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    a = float(alpha)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        v = pdf["x"].to_numpy(dtype="float64")
+        out = np.empty_like(v)
+        acc = v[0]
+        out[0] = acc
+        for i in range(1, len(v)):
+            acc = a * v[i] + (1.0 - a) * acc
+            out[i] = acc
+        # Rounding and timestamp formatting stay JVM-side below:
+        # numpy rounds half-to-even while both engines' ROUND is
+        # half-away for positives, and strftime in pandas would bake
+        # in the worker's session-timezone view of the timestamps.
+        return pd.DataFrame(
+            {key: pdf[key], "h": pdf["h"], "x": pdf["x"], "ewma": out}
+        )
+
+    schema = f"{key} string, h timestamp, x long, ewma double"
+    return (
+        b.groupBy(key).applyInPandas(fn, schema)
+        .select(
+            key,
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "x",
+            F.round("ewma", 6).alias("ewma"),
+        )
+    )

@@ -201,6 +201,10 @@ _TAIL: list[str] = [
     # the shuffle bill, not the result (bit-identical, oracle-verified)
     "q_gopher_rules",  # published Gopher curation battery; array-expr
     # machinery in-window via q_quality_score/q_repetition_score
+    "q_anomaly_zscore",  # rolling z-score anomaly flags; window-over-
+    # grouped-counts machinery in-window via q_window_running
+    "q_ewma",  # applyInPandas sequential-state smoothing; recursive-CTE
+    # oracle; grouped-map machinery pytest-pinned via udfs tests
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

@@ -485,3 +485,71 @@ def q_rfm(spark, sf_dir):
 
     ensure_utc(spark)
     return rfm_scores(load_table(spark, sf_dir, "events"))
+
+
+_ZVAR = "(s2 - s * s / n) / (n - 1)"
+_Z = f"(x - s / n) / sqrt({_ZVAR})"
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle=(
+        "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "w AS (SELECT event_type, h, x, "
+        "COUNT(x) OVER tw AS n, "
+        "CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER tw AS DOUBLE) AS s, "
+        "CAST(SUM(CAST(x * x AS DECIMAL(38,6))) OVER tw AS DOUBLE) AS s2 "
+        "FROM b WINDOW tw AS (PARTITION BY event_type ORDER BY h "
+        "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, x, "
+        "ROUND(CASE WHEN n >= 12 THEN s / n END, 6) AS trail_mean, "
+        f"ROUND(CASE WHEN n >= 12 THEN (CASE WHEN {_ZVAR} > 0 THEN {_Z} END) "
+        "END, 6) AS zscore, "
+        f"COALESCE(CASE WHEN n >= 12 THEN (CASE WHEN {_ZVAR} > 0 "
+        f"THEN abs({_Z}) > 3.0 END) END, FALSE) AS is_anomaly "
+        "FROM w"
+    ),
+    doc="2C time series (anomaly detection): rolling z-score of hourly "
+        "event counts against a trailing 24-bucket baseline (current "
+        "row excluded, >=12 points, exact-decimal partials) — two slim "
+        "exchanges (grouped counts, then the per-series window); "
+        "timeseries.rolling_anomaly",
+)
+def q_anomaly_zscore(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.timeseries import rolling_anomaly
+
+    ensure_utc(spark)
+    return rolling_anomaly(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_ewma",
+    oracle=(
+        # The recurrence yt = 0.25·xt + 0.75·yt−1 in float64, identical
+        # operation order both engines (e0 literals force double math —
+        # a bare 0.25 is DECIMAL in DuckDB).
+        "WITH RECURSIVE b AS (SELECT event_type, date_trunc('hour', ts) "
+        "AS h, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "r AS (SELECT event_type, h, x, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY h) AS rn FROM b), "
+        "e AS (SELECT event_type, h, x, rn, CAST(x AS DOUBLE) AS ewma "
+        "FROM r WHERE rn = 1 "
+        "UNION ALL SELECT r.event_type, r.h, r.x, r.rn, "
+        "0.25e0 * CAST(r.x AS DOUBLE) + 0.75e0 * e.ewma "
+        "FROM r JOIN e ON r.event_type = e.event_type AND r.rn = e.rn + 1) "
+        "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket, "
+        "x, ROUND(ewma, 6) AS ewma FROM e"
+    ),
+    doc="2C time series (signal smoothing): per-series EWMA of hourly "
+        "counts — the sequential-state recurrence as the canonical "
+        "applyInPandas stateful operator (one shuffle on the series "
+        "key, numpy loop carries state); DuckDB twin runs the identical "
+        "float64 recurrence as a recursive CTE and hash-matches; "
+        "timeseries.ewma_smooth",
+)
+def q_ewma(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.timeseries import ewma_smooth
+
+    ensure_utc(spark)
+    return ewma_smooth(load_table(spark, sf_dir, "events"))

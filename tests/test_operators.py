@@ -1197,3 +1197,56 @@ def test_gopher_rules_values(spark):
     # all-numeric words -> alpha fraction 0, gate fails
     assert out[5].alpha_word_frac == pytest.approx(0.0)
     assert not bool(out[5].gopher_ok)
+
+
+def test_rolling_anomaly_flags_injected_spike(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.timeseries import rolling_anomaly
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(40):
+        # steady 5 events/hour, except a 50-event spike at hour 30
+        n = 50 if hour == 30 else 5 + (hour % 2)  # mild variance -> sd > 0
+        for _ in range(n):
+            rows.append(Row(ts=base + dt.timedelta(hours=hour), event_type="a"))
+            eid += 1
+    df = spark.createDataFrame(rows)
+    out = {r.bucket: r for r in rolling_anomaly(df).collect()}
+    # the spike bucket is the only anomaly
+    spike_bucket = (base + dt.timedelta(hours=30)).strftime("%Y-%m-%d %H:%M:%S")
+    assert [b for b, r in out.items() if r.is_anomaly] == [spike_bucket]
+    # warm-up rows (< 12 trailing points) carry NULL z and no flag
+    first = out[base.strftime("%Y-%m-%d %H:%M:%S")]
+    assert first.zscore is None and not first.is_anomaly
+
+
+def test_ewma_matches_pure_python(spark):
+    import datetime as dt
+
+    import pytest
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.timeseries import ewma_smooth
+
+    base = dt.datetime(2024, 3, 1)
+    counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = []
+    for hour, n in enumerate(counts):
+        for _ in range(n):
+            rows.append(Row(ts=base + dt.timedelta(hours=hour), event_type="t"))
+    df = spark.createDataFrame(rows)
+    got = {
+        r.bucket: r.ewma
+        for r in ewma_smooth(df).collect()
+    }
+    acc = None
+    for hour, n in enumerate(counts):
+        acc = float(n) if acc is None else 0.25 * n + 0.75 * acc
+        b = (base + dt.timedelta(hours=hour)).strftime("%Y-%m-%d %H:%M:%S")
+        assert got[b] == pytest.approx(acc, abs=1e-6)
