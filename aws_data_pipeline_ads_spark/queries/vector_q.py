@@ -279,3 +279,34 @@ def q_hard_negatives(spark, sf_dir):
     return similarity.hard_negative_pairs(
         load_table(spark, sf_dir, "embeddings"), 3
     )
+
+
+_PQ_BOOKS: dict[str, list] = {}
+
+
+def _pq_books(spark, sf_dir: str) -> list:
+    """Codebooks per sf_dir (training is deterministic, so caching is a
+    pure speedup — same bounded-collect posture as _trained_centroids)."""
+    if sf_dir not in _PQ_BOOKS:
+        _PQ_BOOKS[sf_dir] = similarity.pq_train(
+            load_table(spark, sf_dir, "embeddings")
+        )
+    return _PQ_BOOKS[sf_dir]
+
+
+@query(
+    "q_embedding_pq",
+    oracle=None,  # approximate by construction → rows-only check;
+    # recall + full-shortlist==brute pinned in test_scale_ops
+    doc="2C similarity scale path: product quantization (Jégou et al. "
+        "2011) — m=8 subspace codebooks trained driver-side on a "
+        "bounded deterministic sample, corpus encoded to 8-byte codes "
+        "by pure codegen L2-argmin folds, queries scored via ADC "
+        "table lookups (no vector math in the scan), exact-cosine "
+        "rerank on the broadcast shortlist (similarity.pq_topk)",
+)
+def q_embedding_pq(spark, sf_dir):
+    return similarity.pq_topk(
+        load_table(spark, sf_dir, "embeddings"), _QV, 10,
+        books=_pq_books(spark, sf_dir),
+    )

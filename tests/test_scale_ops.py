@@ -552,3 +552,46 @@ def test_decontaminate_bloom_combined_diff(spark, sf_dir):
         assert exact.exceptAll(fast).count() == 0
     finally:
         spark.conf.set("spark.sql.exchange.reuse", "true")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization tier (similarity.pq_*)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    books2 = similarity.pq_train(emb)
+    assert books == books2  # bounded-sample training is deterministic
+    c1 = sorted(map(tuple, similarity.pq_encode(emb, books).collect()))
+    c2 = sorted(map(tuple, similarity.pq_encode(emb, books).collect()))
+    assert c1 == c2 and len(c1) == emb.count()
+    codes = [list(r[1]) for r in c1]
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes)
+
+
+def test_pq_topk_recall_and_degenerate_exact(spark, sf_dir):
+    """ADC shortlist + exact rerank finds most true neighbors; a
+    shortlist covering the corpus degenerates to exact brute force."""
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    brute = [r.vec_id for r in similarity.cosine_topk(emb, qv, 10).collect()]
+    books = similarity.pq_train(emb)
+    approx = [
+        r.vec_id
+        for r in similarity.pq_topk(emb, qv, 10, books=books).collect()
+    ]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.6, f"PQ recall {recall} too low"
+    n = emb.count()
+    full = similarity.pq_topk(
+        emb, qv, 10, shortlist_mult=(n // 10) + 1, books=books
+    ).collect()
+    exact = similarity.cosine_topk(emb, qv, 10).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
