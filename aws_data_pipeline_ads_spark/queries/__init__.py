@@ -208,6 +208,9 @@ _TAIL: list[str] = [
     # grouped-counts machinery in-window via q_window_running
     "q_ewma",  # applyInPandas sequential-state smoothing; recursive-CTE
     # oracle; grouped-map machinery pytest-pinned via udfs tests
+    "q_record_linkage",  # blocked fuzzy entity resolution (levenshtein
+    # over distinct names); block-join machinery in-window via
+    # q_join_star, distinct-agg via q_dedup_exact
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

@@ -1415,3 +1415,30 @@ def q_quantile_sketch(spark, sf_dir):
     return quantile_from_histogram(
         load_table(spark, sf_dir, "events"), "value", "event_type"
     )
+
+
+@query(
+    "q_record_linkage",
+    oracle=(
+        "WITH n AS (SELECT lower(trim(p_name)) AS name, "
+        "CAST(COUNT(*) AS BIGINT) AS n_recs FROM part GROUP BY 1), "
+        "b AS (SELECT name, n_recs, string_split(name, ' ')[1] AS block "
+        "FROM n) "
+        "SELECT a.name AS name_a, c.name AS name_b, "
+        "CAST(levenshtein(a.name, c.name) AS BIGINT) AS dist, "
+        "a.n_recs AS n_a, c.n_recs AS n_b "
+        "FROM b a JOIN b c ON a.block = c.block AND a.name < c.name "
+        "AND levenshtein(a.name, c.name) <= 3"
+    ),
+    doc="2C entity resolution: blocked fuzzy record linkage over part "
+        "names — quadratic runs on DISTINCT names within first-token "
+        "blocks (never records), per-pair edit distance is the codegen "
+        "levenshtein expression, record counts ride as aggregates; "
+        "operators/linkage.py",
+)
+def q_record_linkage(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.linkage import record_linkage
+
+    return record_linkage(
+        load_table(spark, sf_dir, "part"), "p_partkey", "p_name", 3
+    )

@@ -1250,3 +1250,37 @@ def test_ewma_matches_pure_python(spark):
         acc = float(n) if acc is None else 0.25 * n + 0.75 * acc
         b = (base + dt.timedelta(hours=hour)).strftime("%Y-%m-%d %H:%M:%S")
         assert got[b] == pytest.approx(acc, abs=1e-6)
+
+
+def test_record_linkage_pairs_and_resolution(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.linkage import (
+        record_linkage,
+        resolve_entities,
+    )
+
+    rows = [
+        Row(k=1, name="Acme Corp"),
+        Row(k=2, name="acme corp"),    # same after normalization
+        Row(k=3, name="Acme Corpo"),   # dist 1 from "acme corp"
+        Row(k=4, name="Acme Industries"),  # same block, dist > 3
+        Row(k=5, name="Zenith Corp"),  # different block entirely
+        Row(k=6, name="acme corps"),   # dist 1
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.name_a, r.name_b): (r.dist, r.n_a, r.n_b)
+             for r in record_linkage(df, "k", "name", 3).collect()}
+    # normalized "acme corp" has 2 records; pairs stay within the block
+    assert pairs[("acme corp", "acme corpo")][0] == 1
+    assert pairs[("acme corp", "acme corpo")][1] == 2  # n_a counts both
+    assert ("acme corp", "acme industries") not in pairs
+    assert all("zenith" not in a and "zenith" not in b for a, b in pairs)
+
+    resolved = {r.k: r.canonical_name
+                for r in resolve_entities(df, "k", "name", 3).collect()}
+    # the acme-cluster collapses to its lexicographically-smallest name
+    assert resolved[1] == resolved[2] == resolved[3] == resolved[6] == "acme corp"
+    # no fuzzy neighbor → canonicalize to self
+    assert resolved[4] == "acme industries"
+    assert resolved[5] == "zenith corp"
