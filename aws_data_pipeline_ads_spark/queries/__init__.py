@@ -38,15 +38,16 @@ _WINDOW: list[str] = [
     # -- deduplication tiers ---------------------------------------------
     "q_dedup_exact", "q_line_dedup", "q_ngram_jaccard", "q_minhash_lsh",
     "q_neardup_verified", "q_neardup_clusters", "q_span_dedup",
-    "q_simhash_pairs",
+    "q_simhash_pairs", "q_decontaminate",
     # -- similarity search + multimodal ----------------------------------
     "q_binary_meta", "q_embedding_knn", "q_semdedup",
     "q_embedding_sq8", "q_embedding_ivf_full",
     # -- scalar surface ---------------------------------------------------
-    "q_math_funcs", "q_array_funcs",
+    "q_array_funcs",
     "q_json_extract", "q_percentile",
-    # -- streaming twins + stateful anchor -------------------------------
+    # -- streaming twins + stateful + time-series anchors ----------------
     "q_tumbling_window", "q_session_gap", "q_user_totals",
+    "q_anomaly_zscore", "q_ewma",
     # -- reference parity ------------------------------------------------
     "q_scan_project", "q_limit_topk", "q_run_summary",
     # -- dedup (reference ops) + sequence analytics ----------------------
@@ -55,10 +56,10 @@ _WINDOW: list[str] = [
     "q_join_star", "q_join_flagship", "q_semi_anti",
     "q_asof_join", "q_range_join",
     # -- aggregation ------------------------------------------------------
-    "q_agg_rollup", "q_grouping_sets", "q_count_distinct",
+    "q_agg_rollup", "q_count_distinct",
     "q_pivot_counts",
     # -- window functions -------------------------------------------------
-    "q_window_rank", "q_window_running",
+    "q_window_rank",
     # -- set ops / SQL / top-k -------------------------------------------
     "q_set_ops", "q_sql_over_lake", "q_tpch_q3", "q_tpch_q21",
 ]
@@ -79,6 +80,17 @@ _TAIL: list[str] = [
     # hash-verified r03
     "q_tpch_q1",  # decimal-partials agg; q_tpch_q3 holds the TPC-H agg
     # slot, q_tpch_q21 adds EXISTS/NOT-EXISTS; hash-verified r01-r03
+    # -- r4 second rotation: swapped out for q_decontaminate /
+    # q_anomaly_zscore / q_ewma so the driver hash-verifies a bloom
+    # prefilter, a window-over-grouped-counts detector, and (for the
+    # first time) an applyInPandas grouped-map operator ---------------
+    "q_math_funcs",  # scalar family stays in-window via q_array_funcs;
+    # hash-verified r01-r03
+    "q_grouping_sets",  # multi-grouping agg in-window via q_agg_rollup;
+    # hash-verified r03
+    "q_window_running",  # running-frame windows in-window via
+    # q_window_rank (rank frame) + q_ewma (sequential state);
+    # hash-verified r03
     "q_ngram_jaccard_uncapped",  # exact-uncapped Jaccard semantics at
     # modest scale; declared q_ngram_jaccard (in-window) runs the
     # df-capped scale-safe variant
@@ -199,15 +211,8 @@ _TAIL: list[str] = [
     # stage); pytest pins hash vs reference + exact brute-force recall
     "q_incremental_dedup",  # arriving-batch vs corpus-fingerprint flag
     # join; hash/dedup machinery in-window via q_dedup_exact
-    "q_decontaminate",  # bloom-prefiltered keep side; the exact-join
-    # machinery is in-window via q_contamination — the bloom changes
-    # the shuffle bill, not the result (bit-identical, oracle-verified)
     "q_gopher_rules",  # published Gopher curation battery; array-expr
     # machinery in-window via q_quality_score/q_repetition_score
-    "q_anomaly_zscore",  # rolling z-score anomaly flags; window-over-
-    # grouped-counts machinery in-window via q_window_running
-    "q_ewma",  # applyInPandas sequential-state smoothing; recursive-CTE
-    # oracle; grouped-map machinery pytest-pinned via udfs tests
     "q_record_linkage",  # blocked fuzzy entity resolution (levenshtein
     # over distinct names); block-join machinery in-window via
     # q_join_star, distinct-agg via q_dedup_exact

@@ -36,7 +36,9 @@ def test_driver_window_covers_llm_pipeline_queries():
         # window (round 3): full probe == exact brute force, so the IVF
         # serving machinery is hash-verified rather than rows-only
         "q_embedding_sq8", "q_embedding_ivf_full",
-        "q_math_funcs", "q_array_funcs",
+        # r4 second rotation: q_math_funcs (scalar sibling of
+        # q_array_funcs) yielded its slot to the new operator families
+        "q_array_funcs",
         "q_user_totals", "q_repetition_score", "q_sample_stratified",
         "q_contamination",
         # round-2 window swaps promoted the new flagship operators over
