@@ -216,6 +216,9 @@ _TAIL: list[str] = [
     "q_record_linkage",  # blocked fuzzy entity resolution (levenshtein
     # over distinct names); block-join machinery in-window via
     # q_join_star, distinct-agg via q_dedup_exact
+    "q_resolve_entities",  # canonical-name clusters over the fuzzy
+    # pair graph; min-label CC machinery in-window via
+    # q_neardup_clusters (recursive-CTE oracle family)
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

@@ -1442,3 +1442,38 @@ def q_record_linkage(spark, sf_dir):
     return record_linkage(
         load_table(spark, sf_dir, "part"), "p_partkey", "p_name", 3
     )
+
+
+@query(
+    "q_resolve_entities",
+    oracle=(
+        "WITH RECURSIVE "
+        "d AS (SELECT DISTINCT lower(trim(p_name)) AS name FROM part), "
+        "b AS (SELECT name, string_split(name, ' ')[1] AS block FROM d), "
+        "pairs AS (SELECT a.name AS na, c.name AS nb FROM b a JOIN b c "
+        "ON a.block = c.block AND a.name < c.name "
+        "AND levenshtein(a.name, c.name) <= 3), "
+        "edges AS (SELECT na AS src, nb AS dst FROM pairs "
+        "UNION ALL SELECT nb, na FROM pairs), "
+        "reach(node, lab) AS (SELECT name, name FROM d "
+        "UNION SELECT e.dst, r.lab FROM edges e JOIN reach r "
+        "ON e.src = r.node), "
+        "canon AS (SELECT node AS name, MIN(lab) AS canonical_name "
+        "FROM reach GROUP BY node) "
+        "SELECT p.p_partkey, lower(trim(p.p_name)) AS name, "
+        "c.canonical_name FROM part p "
+        "JOIN canon c ON lower(trim(p.p_name)) = c.name"
+    ),
+    doc="2C entity resolution, cluster level: every record gains the "
+        "lexicographically-smallest name reachable through the fuzzy-"
+        "match graph — min-label propagation over DISTINCT names "
+        "(labels move, records join once at the end); blocking bounds "
+        "component diameter so the fixed iteration cap converges; "
+        "operators/linkage.py resolve_entities",
+)
+def q_resolve_entities(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.linkage import resolve_entities
+
+    return resolve_entities(
+        load_table(spark, sf_dir, "part"), "p_partkey", "p_name", 3
+    )

@@ -68,3 +68,23 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
+
+
+def read_csv_validated(spark: SparkSession, path: str,
+                       schema: T.StructType, header: bool = True,
+                       delimiter: str = ",") -> DataFrame:
+    """Schema-enforced CSV read with the same quarantine contract as
+    read_json_validated: PERMISSIVE routing, bad rows (wrong arity,
+    uncastable values) land raw in `_corrupt_record`, `split_corrupt`
+    forks them. CSV is the other format file-landing zones actually
+    receive; FAILFAST/DROPMALFORMED rejected for the same 100 TB
+    reasons — a job must survive bad rows and the loss must stay
+    auditable."""
+    return (
+        spark.read.schema(with_corrupt_channel(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )

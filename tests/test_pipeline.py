@@ -480,3 +480,32 @@ def test_write_partitioned_all_formats_round_trip(spark, tmp_path):
         assert got == {("s1", "2024-01-01", 1, "a"),
                        ("s1", "2024-01-02", 2, "b"),
                        ("s2", "2024-01-01", 3, "c")}, fmt
+
+
+def test_csv_validated_quarantines_bad_rows(spark, tmp_path):
+    """CSV landing: uncastable values quarantine per-row, good rows keep
+    flowing — same contract as the PERMISSIVE JSON channel."""
+    from pyspark.sql import types as T
+
+    from aws_data_pipeline_ads_spark.sources import files
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,price,name\n"
+        "1,3.5,widget\n"
+        "2,not_a_number,gizmo\n"   # uncastable price → quarantined
+        "3,7.25,bolt\n"
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("name", T.StringType()),
+    ])
+    df = files.read_csv_validated(spark, str(p), schema)
+    good, bad = files.split_corrupt(df)
+    assert sorted((r.id, r.price, r.name) for r in good.collect()) == [
+        (1, 3.5, "widget"), (3, 7.25, "bolt")
+    ]
+    quarantined = [r[files.CORRUPT_COL] for r in bad.collect()]
+    assert quarantined == ["2,not_a_number,gizmo"]
+    df.unpersist()
