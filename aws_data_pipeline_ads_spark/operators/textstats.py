@@ -1034,3 +1034,50 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         n_stop.alias("n_stop_hits"),
         gate.alias("gopher_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-style shape)
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_sql(dialect: str, table: str = "documents",
+                           salt: str = "qc1") -> str:
+    """Render the hashed-linear-classifier query for 'spark' or 'duckdb'.
+
+    The operator shape of a production quality classifier (CCNet /
+    fastText-style filtering): hashing-trick featurization (token →
+    weight via a salted hash, no vocabulary table to ship), a linear
+    logit, a sigmoid probability. The weights here are the hash values
+    themselves — a deterministic stand-in for trained weights; swapping
+    in a real model changes ONE expression (the per-token weight
+    lookup becomes a broadcast join against a (bucket, weight) table)
+    and nothing about the plan shape.
+
+    Exactness discipline: per-token weights are INTEGERS (the 32-bit
+    md5 prefix, centered at 0 by subtracting 2^31), the per-doc logit
+    is an exact BIGINT sum over the token array — order-invariant
+    under any partitioning — and only the final sigmoid touches
+    doubles. Zero shuffles: everything is a per-row array fold.
+    """
+    from aws_data_pipeline_ads_spark.operators.sampling import hash_u32_sql
+
+    w = hash_u32_sql(f"'{salt}|' || tk")
+    if dialect == "spark":
+        toks = f"split(trim(text), '\\\\s+')"
+        mapped = f"transform({toks}, tk -> {w} - CAST(2147483648 AS BIGINT))"
+        raw = f"aggregate({mapped}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        n = f"CAST(size({toks}) AS BIGINT)"
+    elif dialect == "duckdb":
+        toks = "regexp_split_to_array(trim(text), '\\s+')"
+        mapped = f"list_transform({toks}, tk -> {w} - CAST(2147483648 AS BIGINT))"
+        raw = f"CAST(list_sum({mapped}) AS BIGINT)"
+        n = f"CAST(len({toks}) AS BIGINT)"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+    return (
+        f"SELECT doc_id, {n} AS n_tokens, {raw} AS logit_raw, "
+        f"ROUND(1.0 / (1.0 + exp(-(CAST({raw} AS DOUBLE) "
+        f"/ ({n} * 2147483648.0)))), 6) AS quality_prob "
+        f"FROM {table}"
+    )

@@ -219,6 +219,8 @@ _TAIL: list[str] = [
     "q_resolve_entities",  # canonical-name clusters over the fuzzy
     # pair graph; min-label CC machinery in-window via
     # q_neardup_clusters (recursive-CTE oracle family)
+    "q_quality_classifier",  # hashed linear model scoring; array-fold
+    # machinery in-window via q_repetition_score/q_gopher_rules family
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

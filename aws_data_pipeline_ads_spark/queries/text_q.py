@@ -1328,3 +1328,23 @@ def q_image_neardup(spark, sf_dir):
 
     media = multimodal.attach_media(load_table(spark, sf_dir, "documents"))
     return multimodal.dhash_neardup_pairs(multimodal.image_dhash(media))
+
+
+@query(
+    "q_quality_classifier",
+    oracle=textstats.quality_classifier_sql("duckdb"),
+    doc="LLM curation: hashed linear quality classifier (fastText-style "
+        "shape — hashing-trick featurization, integer logit fold, "
+        "sigmoid) rendered from ONE SQL template for both engines; "
+        "per-token weights are exact integers so the logit is an "
+        "order-invariant BIGINT sum, zero shuffles; swapping in trained "
+        "weights = one broadcast join, same plan shape; "
+        "textstats.quality_classifier_sql",
+)
+def q_quality_classifier(spark, sf_dir):
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_qc"
+    )
+    return spark.sql(
+        textstats.quality_classifier_sql("spark", table="documents_qc")
+    )
