@@ -1060,17 +1060,27 @@ def quality_classifier_sql(dialect: str, table: str = "documents",
     under any partitioning — and only the final sigmoid touches
     doubles. Zero shuffles: everything is a per-row array fold.
     """
-    from aws_data_pipeline_ads_spark.operators.sampling import hash_u32_sql
-
-    w = hash_u32_sql(f"'{salt}|' || tk")
+    # The 32-bit weight folds hex digits of a BOUND md5 value: the
+    # inner transform computes md5 once per token, the outer parses
+    # its 8 digits. Inlining hash_u32_sql(md5(tok)) instead would
+    # evaluate md5 8× per token — lambda bodies run interpreted, so
+    # codegen subexpression elimination never sees them (measured ~2×
+    # the whole query).
+    fold = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        d = f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+        fold = f"({fold} * 16 + {d})"
+    centered = f"{fold} - CAST(2147483648 AS BIGINT)"
     if dialect == "spark":
         toks = f"split(trim(text), '\\\\s+')"
-        mapped = f"transform({toks}, tk -> {w} - CAST(2147483648 AS BIGINT))"
+        hashed = f"transform({toks}, tk -> md5('{salt}|' || tk))"
+        mapped = f"transform({hashed}, h -> {centered})"
         raw = f"aggregate({mapped}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         n = f"CAST(size({toks}) AS BIGINT)"
     elif dialect == "duckdb":
         toks = "regexp_split_to_array(trim(text), '\\s+')"
-        mapped = f"list_transform({toks}, tk -> {w} - CAST(2147483648 AS BIGINT))"
+        hashed = f"list_transform({toks}, tk -> md5('{salt}|' || tk))"
+        mapped = f"list_transform({hashed}, h -> {centered})"
         raw = f"CAST(list_sum({mapped}) AS BIGINT)"
         n = f"CAST(len({toks}) AS BIGINT)"
     else:  # pragma: no cover

@@ -493,6 +493,7 @@ _Z = f"(x - s / n) / sqrt({_ZVAR})"
 
 @query(
     "q_anomaly_zscore",
+    bench=True,  # grouped-counts + trailing-window shape, new in r4
     oracle=(
         "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, "
         "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "

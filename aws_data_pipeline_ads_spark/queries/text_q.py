@@ -118,6 +118,7 @@ def q_contamination(spark, sf_dir):
 
 @query(
     "q_decontaminate",
+    bench=True,  # the bloom-prefilter shape, new in r4
     oracle=(
         # Same shingle CTE chain as q_contamination; the result is the
         # KEEP side — corpus docs with zero benchmark shingle overlap.
@@ -1332,6 +1333,7 @@ def q_image_neardup(spark, sf_dir):
 
 @query(
     "q_quality_classifier",
+    bench=True,  # zero-shuffle integer-fold scoring, new in r4
     oracle=textstats.quality_classifier_sql("duckdb"),
     doc="LLM curation: hashed linear quality classifier (fastText-style "
         "shape — hashing-trick featurization, integer logit fold, "

@@ -99,11 +99,14 @@ def main() -> None:
         print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s",
               file=sys.stderr)
 
-    # Queries added to the bench set in round 3 (q_line_dedup,
-    # q_bm25_terms, q_simhash_pairs): totals including them are NOT
-    # comparable to BENCH_r1/r2 — `comparable_total` restates the cold
-    # total over the round-2 query set for honest cross-round reads.
-    added_r3 = {"q_line_dedup", "q_bm25_terms", "q_simhash_pairs"}
+    # Queries added to the bench set after round 2 (r3: q_line_dedup,
+    # q_bm25_terms, q_simhash_pairs; r4: q_decontaminate,
+    # q_anomaly_zscore, q_quality_classifier): totals including them are
+    # NOT comparable to BENCH_r1/r2 — `comparable_total` restates the
+    # cold total over the round-2 query set for honest cross-round reads.
+    added_r3 = {"q_line_dedup", "q_bm25_terms", "q_simhash_pairs",
+                "q_decontaminate", "q_anomaly_zscore",
+                "q_quality_classifier"}
     out = {
         "metric": "declared_query_set_wall_clock",
         "value": round(sum(cold.values()), 3),
