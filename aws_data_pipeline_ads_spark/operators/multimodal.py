@@ -763,3 +763,85 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+AUDIO_SPECTRAL = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("rolloff_hz", T.DoubleType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_spectral_features(media: DataFrame, sample_rate: int = 16000,
+                            use_fake_decoder: bool = True,
+                            max_fft: int = 1 << 16) -> DataFrame:
+    """Spectral audio descriptors per payload: zero-crossing rate,
+    spectral centroid, 85% rolloff, dominant frequency — the signals a
+    training pipeline filters audio corpora on (silence/tone/noise
+    screens) before expensive transcription.
+
+    Same decode contract as extract_audio_features (headerless PCM or
+    real RIFF/WAVE); the spectrum is a numpy rFFT over the first
+    `max_fft` samples (bounded work per clip regardless of length —
+    features of a 10 s prefix screen as well as the full clip and keep
+    per-row cost flat), vectorized per Arrow batch. Deterministic:
+    rFFT of identical input is bit-stable on a given BLAS, and the
+    features are ratios over the magnitude spectrum — pinned by a
+    synthetic-sine golden pytest rather than an oracle (complex FFT is
+    not SQL-expressible).
+    """
+    import numpy as np
+
+    def decode(raw: bytes):
+        if use_fake_decoder:
+            pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2")
+            return sample_rate, pcm.astype("float64") / 32768.0
+        return _parse_wav(raw)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("n_samples", "duration_s", "rms", "zcr",
+                                   "spectral_centroid_hz", "rolloff_hz",
+                                   "dominant_hz")}
+            for blob in pdf["content"]:
+                rate, s = decode(bytes(blob))
+                n = len(s)
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate)
+                if n == 0:
+                    for k in ("rms", "zcr", "spectral_centroid_hz",
+                              "rolloff_hz", "dominant_hz"):
+                        out[k].append(0.0)
+                    continue
+                out["rms"].append(float(np.sqrt(np.mean(s ** 2))))
+                out["zcr"].append(
+                    float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                    * rate / max(n - 1, 1)
+                )
+                w = s[:max_fft]
+                mag = np.abs(np.fft.rfft(w))
+                freqs = np.fft.rfftfreq(len(w), d=1.0 / rate)
+                total = float(mag.sum())
+                if total <= 0.0:
+                    for k in ("spectral_centroid_hz", "rolloff_hz",
+                              "dominant_hz"):
+                        out[k].append(0.0)
+                    continue
+                out["spectral_centroid_hz"].append(
+                    float((freqs * mag).sum() / total)
+                )
+                cum = np.cumsum(mag)
+                out["rolloff_hz"].append(
+                    float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+                )
+                out["dominant_hz"].append(float(freqs[int(np.argmax(mag))]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return media.mapInPandas(batches, AUDIO_SPECTRAL)

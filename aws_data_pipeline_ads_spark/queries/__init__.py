@@ -230,6 +230,8 @@ _TAIL: list[str] = [
     # mux→demux→decode pytest
     "q_audio_features",  # PCM decode → n_samples/duration/RMS
     # (rows-only; real-WAV path pytest-verified)
+    "q_audio_spectral",  # rFFT descriptors (rows-only — FFT has no
+    # SQL twin); sine-golden + determinism pytest
     "q_hard_negatives",  # LSH-blocked contrastive negatives; bucket +
     # window machinery in-window via q_embedding_neardup/q_window_rank
 ]

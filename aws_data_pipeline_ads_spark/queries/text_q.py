@@ -1350,3 +1350,21 @@ def q_quality_classifier(spark, sf_dir):
     return spark.sql(
         textstats.quality_classifier_sql("spark", table="documents_qc")
     )
+
+
+@query(
+    "q_audio_spectral",
+    oracle=None,  # complex rFFT is not SQL-expressible; synthetic-sine
+    # golden pytest pins the features (test_multimodal.py)
+    doc="2C multimodal: spectral audio descriptors — zero-crossing "
+        "rate, spectral centroid, 85% rolloff, dominant frequency via "
+        "a bounded numpy rFFT per clip (silence/tone/noise screens a "
+        "pipeline runs before transcription); same decode contract and "
+        "Arrow-batch shape as q_audio_features "
+        "(multimodal.audio_spectral_features)",
+)
+def q_audio_spectral(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_spectral_features(multimodal.attach_media(docs))

@@ -77,6 +77,8 @@ def test_oracle_sql_covers_most_queries():
             # not SQL-expressible; mux→demux→decode golden pytest
             "q_audio_features",  # int16-PCM RMS over VARCHAR bytes —
             # not SQL-expressible; WAV-parse + determinism pytest
+            "q_audio_spectral",  # rFFT descriptors — FFT has no SQL
+            # twin; sine-golden + determinism pytest
             "q_embedding_pq",  # PQ/ADC shortlist — approximate by
             # nature (recall < 1); determinism + recall +
             # full-shortlist==brute pytest-pinned

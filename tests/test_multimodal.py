@@ -620,3 +620,39 @@ def test_parser_hostile_inputs_regressions(spark):
     with _pytest.raises(ValueError, match="quant"):
         jpeg.jpeg_encode_pixels(np.zeros((8, 8), np.uint8),
                                 quant=np.full(64, 256))
+
+
+def test_audio_spectral_features_sine_golden(spark):
+    """A 440 Hz sine: dominant and centroid land on 440 Hz (within one
+    FFT bin), rolloff at or above the tone, ZCR = 2f."""
+    import hashlib as hl
+
+    import pytest
+
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    rate, seconds = 16000, 1.0
+    wav = _make_wav(rate, seconds)
+    media = spark.createDataFrame(
+        [Row(doc_id=1, content=wav,
+             meta=Row(media_type="audio/wav", n_bytes=len(wav),
+                      sha256=hl.sha256(wav).hexdigest()))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    r = multimodal.audio_spectral_features(
+        media, use_fake_decoder=False).collect()[0]
+    bin_hz = rate / (rate * seconds)  # 1 Hz bins at these settings
+    assert r.n_samples == rate
+    assert r.duration_s == pytest.approx(1.0)
+    assert r.rms == pytest.approx(0.5 / 2 ** 0.5, rel=1e-3)
+    assert r.dominant_hz == pytest.approx(440.0, abs=bin_hz)
+    # a pure tone concentrates the spectrum: centroid close to the tone
+    assert r.spectral_centroid_hz == pytest.approx(440.0, rel=0.05)
+    assert r.rolloff_hz >= 440.0 - bin_hz
+    assert r.zcr == pytest.approx(2 * 440.0, rel=0.01)
+    # determinism across invocations
+    r2 = multimodal.audio_spectral_features(
+        media, use_fake_decoder=False).collect()[0]
+    assert r == r2
