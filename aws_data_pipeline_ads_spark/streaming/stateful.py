@@ -19,7 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType, TimestampType,
+    ArrayType, BooleanType, DoubleType, LongType, StringType, StructField,
+    StructType, TimestampType,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -175,6 +176,110 @@ def user_funnel_state(events: DataFrame) -> DataFrame:
             _update_funnel,
             outputStructType=FUNNEL_OUTPUT_SCHEMA,
             stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ANOMALY_STATE_SCHEMA = StructType([
+    # present hours (epoch hour index) and their running counts —
+    # O(active hours) per series key, the honest state bound for a
+    # trailing-ROWS baseline that must absorb out-of-order backfill
+    StructField("hours", ArrayType(LongType())),
+    StructField("counts", ArrayType(LongType())),
+])
+
+ANOMALY_OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("bucket", TimestampType()),
+    StructField("x", LongType()),
+    StructField("zscore", DoubleType()),
+    StructField("is_anomaly", BooleanType()),
+])
+
+_ANOM_TRAIL = 24
+_ANOM_MIN_POINTS = 12
+_ANOM_THRESHOLD = 3.0
+
+
+def _update_anomaly(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold a micro-batch's events into per-hour counts and re-emit the
+    z-score rows whose trailing window changed.
+
+    Semantics mirror timeseries.rolling_anomaly exactly: the baseline
+    is the previous `_ANOM_TRAIL` PRESENT buckets (ROWS frame, not a
+    time range — absent hours are absent, as in batch), ≥ min_points
+    and positive variance required. A batch that backfills an earlier
+    hour re-emits every bucket within 24 positions downstream, so
+    update-mode consumers converge to the batch answer (latest emission
+    per key wins). Integer sums keep mean/variance math bit-identical
+    to the batch operator's exact-decimal partials."""
+    import numpy as np
+
+    (etype,) = key
+    if state.exists:
+        hrs, cts = state.get
+        hours = dict(zip(hrs, cts))
+    else:
+        hours = {}
+    touched = set()
+    for pdf in pdfs:
+        idx = pdf["ts"].astype("int64") // (3600 * 10 ** 9)  # ns → hour
+        for h, c in idx.value_counts().items():
+            h = int(h)
+            hours[h] = hours.get(h, 0) + int(c)
+            touched.add(h)
+    hs = sorted(hours)
+    cs = np.array([hours[h] for h in hs], dtype="int64")
+    pos = {h: i for i, h in enumerate(hs)}
+    affected: set = set()
+    for h in touched:
+        i = pos[h]
+        affected.update(range(i, min(i + _ANOM_TRAIL + 1, len(hs))))
+    rows = []
+    for i in sorted(affected):
+        x = int(cs[i])
+        w = cs[max(0, i - _ANOM_TRAIL):i]
+        n = len(w)
+        z = None
+        if n >= _ANOM_MIN_POINTS:
+            s = float(w.sum())
+            s2 = float((w * w).sum())
+            var = (s2 - s * s / n) / (n - 1)
+            if var > 0:
+                z = (x - s / n) / var ** 0.5
+        rows.append((
+            etype,
+            pd.Timestamp(hs[i] * 3600, unit="s"),
+            x,
+            None if z is None else round(z, 6),
+            bool(z is not None and abs(z) > _ANOM_THRESHOLD),
+        ))
+    state.update((hs, [int(hours[h]) for h in hs]))
+    yield pd.DataFrame(
+        rows,
+        columns=["event_type", "bucket", "x", "zscore", "is_anomaly"],
+    )
+
+
+def streaming_anomaly(events: DataFrame) -> DataFrame:
+    """Streaming twin of timeseries.rolling_anomaly: per-event-type
+    hourly counts with a trailing-24-bucket z-score, state surviving
+    across micro-batches (applyInPandasWithState, update output).
+
+    At drain over the same events, the latest emission per
+    (event_type, bucket) equals the batch operator row-for-row —
+    pinned by test_streaming_anomaly_matches_batch."""
+    return (
+        events.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_anomaly,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

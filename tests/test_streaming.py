@@ -4,6 +4,7 @@ formulation the oracle checks."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from aws_data_pipeline_ads_spark import streaming
@@ -326,3 +327,32 @@ def test_curation_ingest_incremental_dedup(spark, sf_dir, tmp_path):
     stream = streaming.documents_stream(spark, str(land), max_files_per_trigger=4)
     streaming.curation_ingest(stream, out, seen, ck)
     assert spark.read.parquet(out).count() == got.count()
+
+
+def test_streaming_anomaly_matches_batch(spark, sf_dir, ev_stream, tmp_path):
+    """Stateful streaming z-score == batch rolling_anomaly at drain:
+    the latest emission per (event_type, bucket) is the batch row."""
+    from aws_data_pipeline_ads_spark.streaming import stateful
+
+    out = stateful.run_update_now(
+        stateful.streaming_anomaly(ev_stream), "anom_out",
+        str(tmp_path / "ck_anom"),
+    )
+    assert len(out) > 0
+    # latest emission per key wins (update semantics); out rows are in
+    # emission order, so groupby..last() is the final state
+    out["bucket_s"] = out["bucket"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    final = out.groupby(["event_type", "bucket_s"]).last()
+    batch = {
+        (r.event_type, r.bucket): (r.x, r.zscore, r.is_anomaly)
+        for r in REGISTRY["q_anomaly_zscore"].build(spark, sf_dir).collect()
+    }
+    assert len(final) == len(batch)
+    for (etype, bucket), row in final.iterrows():
+        x, z, flag = batch[(etype, bucket)]
+        assert row["x"] == x
+        if z is None:
+            assert row["zscore"] is None or pd.isna(row["zscore"])
+        else:
+            assert abs(row["zscore"] - z) < 1e-6
+        assert bool(row["is_anomaly"]) == bool(flag)
