@@ -692,3 +692,56 @@ def pq_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
     )
     probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
     return cosine_topk(probed, qv, k)
+
+
+def pq_write(embeddings: DataFrame, books: list[list[list[float]]],
+             path: str, vec_col: str = "embedding") -> None:
+    """Materialize the PQ index: the 8-byte codes table plus the
+    codebooks, self-contained under one path (the serving-index pattern
+    of ivf_write/bm25_write — built once write-side, scanned by every
+    query). The codes table is the ONLY corpus-sized artifact and it is
+    32× smaller than the float column it encodes."""
+    spark = embeddings.sparkSession
+    pq_encode(embeddings, books, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    rows = [
+        (i, j, c)
+        for i, book in enumerate(books)
+        for j, c in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, schema="sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def pq_read_books(spark, path: str) -> list[list[list[float]]]:
+    """Rehydrate codebooks from a pq_write index (bounded: m × n_codes
+    rows)."""
+    rows = spark.read.parquet(f"{path}/books").collect()
+    m = max(r.sub for r in rows) + 1
+    k = max(r.code for r in rows) + 1
+    books: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r.sub][r.code] = list(r.centroid)
+    return books
+
+
+def pq_topk_served(spark, path: str, embeddings: DataFrame,
+                   qv: list[float], k: int = 10,
+                   shortlist_mult: int = 4) -> DataFrame:
+    """pq_topk over a materialized index: the ADC scan reads the codes
+    parquet (no re-encode of the corpus per query); exact rerank probes
+    the full-precision table for the broadcast shortlist only.
+    Bit-identical to the inline operator given the same codebooks
+    (pinned by test_pq_served_equals_inline)."""
+    books = pq_read_books(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    shortlist = (
+        pq_scores(codes, books, qv)
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(shortlist_mult * k)
+        .select("vec_id")
+    )
+    probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
+    return cosine_topk(probed, qv, k)

@@ -595,3 +595,21 @@ def test_pq_topk_recall_and_degenerate_exact(spark, sf_dir):
     ).collect()
     exact = similarity.cosine_topk(emb, qv, 10).collect()
     assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+
+def test_pq_served_equals_inline(spark, sf_dir, tmp_path):
+    """pq_write → pq_topk_served is bit-identical to the inline PQ
+    pipeline (the index stores the same codes pq_encode computes, and
+    the rehydrated codebooks round-trip exactly)."""
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    books = similarity.pq_train(emb)
+    idx = str(tmp_path / "pq")
+    similarity.pq_write(emb, books, idx)
+    assert similarity.pq_read_books(spark, idx) == books
+    served = similarity.pq_topk_served(spark, idx, emb, qv, 10).collect()
+    inline = similarity.pq_topk(emb, qv, 10, books=books).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inline]
+    assert len(served) == 10
