@@ -652,3 +652,98 @@ def test_perplexity_sample_invariants(spark, sf_dir):
     for r in out:
         rate = {"head": 64, "middle": 192, "tail": 64, "unscored": 64}[r.band]
         assert r.kept == (buckets[r.doc_id] < rate), r
+
+
+_bloom_strings = st.lists(
+    st.text(min_size=0, max_size=12), min_size=1, max_size=40, unique=True
+)
+
+
+@PROP
+@given(values=_bloom_strings)
+def test_bloom_never_false_negative_property(spark, values):
+    """∀ build sets (unicode, empties, dupes-of-normalization): every
+    build-side value passes its own filter — the bloom guarantee the
+    decontamination prefilter's correctness rests on."""
+    from aws_data_pipeline_ads_spark.operators import bloom
+
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    words = bloom.bloom_words_local(df, "v", m_bits=1 << 12)
+    kept = bloom.bloom_prefilter(df, "v", words, m_bits=1 << 12)
+    assert kept.count() == len(values)
+
+
+@PROP
+@given(
+    names=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=8),
+        min_size=2, max_size=12,
+    )
+)
+def test_record_linkage_matches_naive(spark, names):
+    """Blocked fuzzy pairs == the naive all-pairs scan restricted to
+    same-block names, for arbitrary short strings (ties, spaces,
+    duplicates)."""
+    from aws_data_pipeline_ads_spark.operators.linkage import record_linkage
+
+    df = spark.createDataFrame(
+        [Row(k=i, name=n) for i, n in enumerate(names)]
+    )
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in record_linkage(df, "k", "name", 2).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    norm = sorted({n.strip().lower() for n in names})
+    want = {}
+    for i, a in enumerate(norm):
+        for b in norm[i + 1:]:
+            if a.split(" ")[0] != b.split(" ")[0]:
+                continue
+            d = lev(a, b)
+            if d <= 2:
+                want[(a, b)] = d
+    assert got == want
+
+
+@PROP
+@given(texts=st.lists(st.text(alphabet="xy #…", min_size=0, max_size=20),
+                      min_size=1, max_size=8))
+def test_quality_classifier_matches_python(spark, texts):
+    """The hashed-linear logit == a pure-python md5 fold, for arbitrary
+    text (unicode ellipsis, empties, whitespace runs)."""
+    import hashlib
+    import math as m
+    import re
+
+    from aws_data_pipeline_ads_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    df.createOrReplaceTempView("qc_prop")
+    got = {
+        r.doc_id: (r.n_tokens, r.logit_raw, r.quality_prob)
+        for r in spark.sql(
+            textstats.quality_classifier_sql("spark", table="qc_prop")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip())
+        raw = sum(
+            int(hashlib.md5(f"qc1|{tk}".encode()).hexdigest()[:8], 16)
+            - 2147483648
+            for tk in toks
+        )
+        prob = round(1.0 / (1.0 + m.exp(-(raw / (len(toks) * 2147483648.0)))), 6)
+        assert got[i] == (len(toks), raw, prob)
