@@ -101,3 +101,60 @@ def neardup_clusters(documents: DataFrame, pairs: DataFrame,
         F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+
+def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+                 scale: int = 10 ** 12, damping_num: int = 17,
+                 damping_den: int = 20) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic — deterministic by
+    construction, which is what makes it oracle-verifiable.
+
+    Float PageRank sums contributions in shuffle order, so two runs (or
+    two engines) disagree in the last bits; this variant keeps ranks as
+    integers scaled by `scale` and uses integral division everywhere
+    (damping 0.85 as 17/20), so every engine computes bit-identical
+    ranks. The truncation error is ≤ iters × (indegree+2) ulp of 1e-12
+    — irrelevant at ranking granularity, and exactly mirrored by the
+    oracle's unrolled-iteration SQL.
+
+    Scale posture: ranks and degrees are slim (node, int64) tables; the
+    corpus-sized work per iteration is one equi-join of edges against
+    ranks and one map-side-combined sum — labels move, data doesn't.
+    Dangling nodes (no out-edges) keep their base mass (the standard
+    simplification; redistribute-dangling is a one-line aggregate if
+    exact mass conservation matters). Lineage is cut per iteration with
+    localCheckpoint, the connected_components discipline.
+
+    nodes: (node) — the universe; edges: (src, dst) DIRECTED (pass both
+    orientations for an undirected graph).
+    """
+    n = nodes.count()
+    base = (3 * scale) // (damping_den * n)  # (1-d)/N, scaled: 0.15 = 3/20
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = nodes.select("node").withColumn(
+        "r", F.lit(scale // n).cast("long")
+    ).localCheckpoint()
+    e = edges.select("src", "dst").persist()
+    try:
+        for _ in range(iters):
+            contrib = (
+                ranks.join(deg, "node")
+                .select(F.col("node"), F.expr("r DIV deg").alias("c"))
+                .join(e, F.col("node") == F.col("src"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = nodes.select("node").join(contrib, "node", "left").select(
+                "node",
+                (F.lit(base) + F.expr(
+                    f"({damping_num} * coalesce(s, CAST(0 AS BIGINT))) "
+                    f"DIV {damping_den}"
+                )).cast("long").alias("r"),
+            ).localCheckpoint()
+    finally:
+        e.unpersist()
+    return ranks.select(
+        "node", F.round(F.col("r") / F.lit(float(scale)), 6).alias("rank")
+    )

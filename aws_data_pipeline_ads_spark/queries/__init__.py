@@ -221,6 +221,8 @@ _TAIL: list[str] = [
     # q_neardup_clusters (recursive-CTE oracle family)
     "q_quality_classifier",  # hashed linear model scoring; array-fold
     # machinery in-window via q_repetition_score/q_gopher_rules family
+    "q_pagerank",  # integer-exact iterative PageRank; label-
+    # propagation machinery in-window via q_neardup_clusters
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

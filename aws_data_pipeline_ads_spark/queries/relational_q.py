@@ -1477,3 +1477,69 @@ def q_resolve_entities(spark, sf_dir):
     return resolve_entities(
         load_table(spark, sf_dir, "part"), "p_partkey", "p_name", 3
     )
+
+
+def _pagerank_oracle(iters: int = 5, scale: int = 10 ** 12) -> str:
+    """Unrolled-iteration twin of graph.pagerank_int — integer division
+    everywhere, so DuckDB computes bit-identical ranks (recursive CTEs
+    can't self-join the working table per round; 5 chained CTEs can)."""
+    base = f"(SELECT (3 * {scale}) // (20 * COUNT(*)) FROM nodes)"
+    sql = (
+        "WITH pairs AS (SELECT DISTINCT a.l_suppkey AS src, "
+        "b.l_suppkey AS dst FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey), "
+        "e AS (SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst, src FROM pairs), "
+        "nodes AS (SELECT s_suppkey AS node FROM supplier), "
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM e GROUP BY 1), "
+        f"pr0 AS (SELECT node, {scale} // (SELECT COUNT(*) FROM nodes) "
+        "AS r FROM nodes)"
+    )
+    for i in range(iters):
+        sql += (
+            f", pr{i + 1} AS (SELECT nd.node, "
+            f"{base} + (17 * COALESCE(m.s, 0)) // 20 AS r "
+            f"FROM nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(pr{i}.r // d.deg) AS s "
+            f"FROM pr{i} JOIN deg d ON pr{i}.node = d.node "
+            f"JOIN e ON pr{i}.node = e.src GROUP BY e.dst) m "
+            f"ON nd.node = m.node)"
+        )
+    return (
+        sql + f" SELECT node, ROUND(CAST(r AS DOUBLE) / {scale}, 6) "
+        f"AS rank FROM pr{iters}"
+    )
+
+
+@query(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="2C graph analytics: 5-iteration PageRank over the supplier "
+        "co-purchase graph (suppliers sharing an order), in INTEGER "
+        "arithmetic (ranks scaled 1e12, damping 17/20, integral "
+        "division) so both engines compute bit-identical ranks — the "
+        "float formulation is shuffle-order-dependent and cannot "
+        "hash-verify; per iteration one slim ranks⋈edges join + one "
+        "map-side-combined sum, lineage cut per round; "
+        "graph.pagerank_int",
+)
+def q_pagerank(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.graph import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .select(F.col("a.l_suppkey").alias("src"),
+                F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node")
+    )
+    return pagerank_int(nodes, edges)

@@ -1284,3 +1284,22 @@ def test_record_linkage_pairs_and_resolution(spark):
     # no fuzzy neighbor → canonicalize to self
     assert resolved[4] == "acme industries"
     assert resolved[5] == "zenith corp"
+
+
+def test_pagerank_int_star_graph(spark):
+    """On a star graph the hub outranks every leaf; ranks are
+    deterministic across runs and mass stays bounded by 1."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.graph import pagerank_int
+
+    nodes = spark.createDataFrame([Row(node=i) for i in range(6)])
+    spokes = [Row(src=0, dst=i) for i in range(1, 6)]
+    back = [Row(src=i, dst=0) for i in range(1, 6)]
+    edges = spark.createDataFrame(spokes + back)
+    r = {row.node: row.rank for row in pagerank_int(nodes, edges).collect()}
+    assert all(r[0] > r[i] for i in range(1, 6))
+    assert len({r[i] for i in range(1, 6)}) == 1  # symmetric leaves tie
+    assert 0.9 < sum(r.values()) <= 1.0 + 1e-9
+    r2 = {row.node: row.rank for row in pagerank_int(nodes, edges).collect()}
+    assert r == r2
