@@ -221,3 +221,56 @@ def rfm_scores(events: DataFrame, ref_date: str = "2025-01-01",
             score("monetary", F.col("tm")).alias("m_score"),
         )
     )
+
+
+def linear_attribution(events: DataFrame, lookback_days: int = 7) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's clicks in the preceding `lookback_days`
+    window; per click, the credited value across every conversion it
+    touched.
+
+    The ads-measurement counterpart of q_asof_lastclick (last-touch):
+    last-touch gives the final click everything, linear pays the whole
+    path. Plan shape: clicks ⋈ purchases is an equi-join on user_id
+    with the time window as a residual predicate (AQE skew-splittable
+    on hot users); the per-purchase touch count is a window over the
+    join output keyed by purchase (no second scan); the final groupBy
+    folds credit per click. Shuffles carry slim
+    (ids, ts, value) rows only.
+
+    Exactness: credit = value / n_touches is one double division of
+    exact inputs per row; per-click totals go through exact decimal
+    sums so the result is partitioning-invariant; emitted rounded to 6.
+    """
+    from pyspark.sql import Window as W
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    touched = clicks.join(purchases, "user_id").filter(
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr(f"INTERVAL {int(lookback_days)} DAYS"))
+    )
+    n_touch = F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+    credited = touched.select(
+        "click_id", "user_id", "purchase_id",
+        (F.col("value") / n_touch).alias("credit"),
+    )
+    return (
+        credited.groupBy("click_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(
+                F.sum(F.col("credit").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("credited_value"),
+        )
+    )

@@ -223,6 +223,8 @@ _TAIL: list[str] = [
     # machinery in-window via q_repetition_score/q_gopher_rules family
     "q_pagerank",  # integer-exact iterative PageRank; label-
     # propagation machinery in-window via q_neardup_clusters
+    "q_multitouch",  # linear multi-touch attribution; join+window
+    # machinery in-window via q_asof_join/q_window_rank
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

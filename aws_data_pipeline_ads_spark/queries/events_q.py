@@ -554,3 +554,34 @@ def q_ewma(spark, sf_dir):
 
     ensure_utc(spark)
     return ewma_smooth(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_multitouch",
+    oracle=(
+        "WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts "
+        "FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, "
+        "value FROM events WHERE event_type = 'purchase'), "
+        "t AS (SELECT c.click_id, c.user_id, p.purchase_id, p.value, "
+        "COUNT(*) OVER (PARTITION BY p.purchase_id) AS n "
+        "FROM c JOIN p USING (user_id) "
+        "WHERE c.click_ts <= p.purchase_ts "
+        "AND c.click_ts >= p.purchase_ts - INTERVAL 7 DAY) "
+        "SELECT click_id, user_id, CAST(COUNT(*) AS BIGINT) "
+        "AS n_conversions, "
+        "ROUND(CAST(SUM(CAST(value / n AS DECIMAL(38,6))) AS DOUBLE), 6) "
+        "AS credited_value FROM t GROUP BY click_id, user_id"
+    ),
+    doc="ads measurement: linear multi-touch attribution — each "
+        "purchase's value split equally across the user's clicks in the "
+        "trailing 7 days (last-touch sibling: q_asof_lastclick); equi-"
+        "join on user with time-window residual, per-purchase touch "
+        "count as a window over the join output, exact-decimal credit "
+        "fold; funnel.linear_attribution",
+)
+def q_multitouch(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.funnel import linear_attribution
+
+    ensure_utc(spark)
+    return linear_attribution(load_table(spark, sf_dir, "events"))
