@@ -158,3 +158,52 @@ def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 5,
     return ranks.select(
         "node", F.round(F.col("r") / F.lit(float(scale)), 6).alias("rank")
     )
+
+
+def strong_tie_edges(pairs_weighted: DataFrame,
+                     thr_mult: float = 1.2) -> DataFrame:
+    """Keep edges whose co-occurrence weight is ≥ `thr_mult` × the mean
+    weight — the scale-adaptive sparsifier that makes motif analytics
+    tractable on near-complete co-occurrence graphs (the raw supplier
+    co-purchase graph measures density ≈ 1; triangle counting on it is
+    O(n³)). The threshold is a 1-row aggregate broadcast into the
+    filter — deterministic, partitioning-invariant, and it scales with
+    the corpus instead of needing a hand-tuned absolute cutoff.
+
+    pairs_weighted: (src, dst, w) with src < dst, one row per pair.
+    """
+    thr = pairs_weighted.agg(
+        (F.lit(thr_mult) * F.avg("w")).alias("__thr")
+    )
+    return (
+        pairs_weighted.join(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("__thr"))
+        .select("src", "dst")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an undirected graph given
+    as canonical (src < dst) edges.
+
+    The classic two-join motif plan: wedges (a<b<c with a–b, b–c) close
+    against the a–c edge list — every join an equi-join on node ids
+    (shuffle-partitioned, AQE-splittable), never a cross product; the
+    canonical ordering counts each triangle exactly once. Per-node
+    counts come from exploding the 3 corners BEFORE the final
+    aggregation (map-side combined). Returns (node, n_triangles) for
+    nodes in ≥ 1 triangle.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1543,3 +1543,43 @@ def q_pagerank(spark, sf_dir):
         F.col("s_suppkey").alias("node")
     )
     return pagerank_int(nodes, edges)
+
+
+@query(
+    "q_triangles",
+    oracle=(
+        "WITH w AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS w FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey "
+        "GROUP BY 1, 2), "
+        "m AS (SELECT 1.2 * AVG(w) AS thr FROM w), "
+        "e AS (SELECT src, dst FROM w, m WHERE w >= thr), "
+        "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+        "FROM e e1 JOIN e e2 ON e1.dst = e2.src "
+        "JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst), "
+        "x AS (SELECT unnest([a, b, c]) AS node FROM tri) "
+        "SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM x GROUP BY node"
+    ),
+    doc="2C graph analytics: per-node triangle counts over the strong-"
+        "tie supplier co-purchase graph (weight >= 1.2x mean — the "
+        "scale-adaptive sparsifier; raw co-occurrence density is ~1) — "
+        "canonical-order wedge join closes against the edge list, all "
+        "equi-joins; graph.strong_tie_edges + triangle_counts",
+)
+def q_triangles(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.graph import (
+        strong_tie_edges,
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pw = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+        .groupBy(F.col("a.l_suppkey").alias("src"),
+                 F.col("b.l_suppkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return triangle_counts(strong_tie_edges(pw))

@@ -1303,3 +1303,18 @@ def test_pagerank_int_star_graph(spark):
     assert 0.9 < sum(r.values()) <= 1.0 + 1e-9
     r2 = {row.node: row.rank for row in pagerank_int(nodes, edges).collect()}
     assert r == r2
+
+
+def test_triangle_counts_known_graph(spark):
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} plus a pendant 5: C(4,3)=4 triangles, each K4 node
+    # participates in C(3,2)=3, the pendant in none.
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [Row(src=4, dst=5)]
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
