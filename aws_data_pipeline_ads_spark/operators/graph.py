@@ -194,6 +194,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     aggregation (map-side combined). Returns (node, n_triangles) for
     nodes in ≥ 1 triangle.
     """
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
+    # Three join legs consume the same edge list; Spark materializes no
+    # shared subplans, so an unpersisted `edges` re-runs its entire
+    # upstream (the corpus-sized co-occurrence aggregation) once per
+    # leg — measured 13 shuffles vs 5 with the tracked persist. The
+    # sparsified edge list is orders of magnitude smaller than its
+    # input by construction.
+    edges = persist_tracked(edges)
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = edges.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
     e3 = edges.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
