@@ -97,6 +97,9 @@ _NESTED_LOOP_OK = {
     "q_bigram_lm",
     # broadcast of the 1-row tercile-threshold percentile aggregate
     "q_perplexity_sample",
+    # broadcast of the 1-row mean-weight sparsifier threshold
+    # (graph.strong_tie_edges) — same bounded pattern
+    "q_triangles",
     # broadcast of the 1-row corpus token total (KL's q denominator)
     "q_source_kl",
     # broadcast of the 1-row quintile-threshold aggregate — same
