@@ -745,3 +745,63 @@ def pq_topk_served(spark, path: str, embeddings: DataFrame,
     )
     probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
     return cosine_topk(probed, qv, k)
+
+
+def ivfpq_write(embeddings: DataFrame, centroids: list[list[float]],
+                books: list[list[list[float]]], path: str,
+                vec_col: str = "embedding") -> None:
+    """The FAISS-style composite index: PQ codes partitioned by IVF
+    list. Storage per vector is m bytes of codes; a query touching
+    n_probe lists reads n_probe/K of the codes table AT THE FILE LEVEL
+    (partition pruning) and does zero vector math in the scan (ADC).
+    The two training artifacts (coarse centroids, subspace codebooks)
+    are the same bounded driver-side products used by the standalone
+    IVF and PQ tiers."""
+    assigned = ivf_assign(embeddings, centroids, vec_col).select(
+        "vec_id", "list_id"
+    )
+    codes = pq_encode(embeddings, books, vec_col)
+    (
+        codes.join(assigned, "vec_id")
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/codes")
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, j, c) for i, book in enumerate(books) for j, c in enumerate(book)],
+        schema="sub int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+
+def ivfpq_topk(spark, path: str, embeddings: DataFrame, qv: list[float],
+               centroids: list[list[float]], k: int = 10,
+               n_probe: int = 4, shortlist_mult: int = 4) -> DataFrame:
+    """ANN top-k over an ivfpq_write index: probe the n_probe nearest
+    lists (file-level pruning on list_id), rank candidates by ADC over
+    their 8-byte codes, exact-cosine rerank on the broadcast shortlist.
+    n_probe == K degenerates to pq_topk_served over the whole corpus
+    (the test anchor)."""
+    books = pq_read_books(spark, f"{path}")
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(qv, centroids[i]))
+            / (qnorm * math.sqrt(sum(x * x for x in centroids[i]))),
+            i,
+        ),
+    )
+    probe = order[:n_probe]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(probe)
+    )
+    shortlist = (
+        pq_scores(codes, books, qv)
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(shortlist_mult * k)
+        .select("vec_id")
+    )
+    probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
+    return cosine_topk(probed, qv, k)

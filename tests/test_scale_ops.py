@@ -613,3 +613,31 @@ def test_pq_served_equals_inline(spark, sf_dir, tmp_path):
     inline = similarity.pq_topk(emb, qv, 10, books=books).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in inline]
     assert len(served) == 10
+
+
+def test_ivfpq_index_prunes_and_degenerates_to_pq(spark, sf_dir, tmp_path):
+    """ivfpq_write + ivfpq_topk: full probe equals the flat PQ serving
+    path (same codes, same codebooks), and a pruned probe carries a
+    list_id PartitionFilter so unprobed lists are never read."""
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    centroids = similarity.train_centroids(emb, 8)
+    books = similarity.pq_train(emb)
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_write(emb, centroids, books, idx)
+    full = similarity.ivfpq_topk(
+        spark, idx, emb, qv, centroids, 10, n_probe=8
+    ).collect()
+    flat_idx = str(tmp_path / "pq")
+    similarity.pq_write(emb, books, flat_idx)
+    flat = similarity.pq_topk_served(spark, flat_idx, emb, qv, 10).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in flat]
+    pruned = similarity.ivfpq_topk(spark, idx, emb, qv, centroids, 10, n_probe=3)
+    fplan = plans.formatted_plan(pruned)
+    assert "PartitionFilters" in fplan and "list_id" in fplan
+    got = pruned.collect()
+    brute = similarity.cosine_topk(emb, qv, 10).collect()
+    recall = len({r.vec_id for r in got} & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.5
