@@ -181,6 +181,8 @@ _TAIL: list[str] = [
     # recall < 1); its serving machinery is hash-verified in-window by
     # q_embedding_ivf_full (full probe == exact brute force), and the
     # full-probe==brute pytest anchors the pruned path
+    "q_embedding_ivfpq",  # FAISS-style composite (rows-only by
+    # nature); full-probe==flat-PQ + pruning pytest-pinned
     "q_embedding_pq",  # product-quantization ADC tier (rows-only by
     # nature — recall < 1); recall + full-shortlist==brute pytest-pinned;
     # the rerank machinery is in-window via q_embedding_sq8

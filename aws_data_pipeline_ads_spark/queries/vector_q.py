@@ -310,3 +310,26 @@ def q_embedding_pq(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), _QV, 10,
         books=_pq_books(spark, sf_dir),
     )
+
+
+@query(
+    "q_embedding_ivfpq",
+    oracle=None,  # approximate by construction → rows-only check;
+    # full-probe==flat-PQ + PartitionFilters + recall pytest-pinned
+    doc="2C similarity scale path: the FAISS-style composite — PQ codes "
+        "partitioned by IVF list (ivfpq_write, built once per corpus); "
+        "a 3-probe query reads 3/8 of the 8-byte-per-vector codes table "
+        "at the file level, ranks by ADC lookups (zero vector math in "
+        "the scan), exact-cosine reranks the broadcast shortlist "
+        "(similarity.ivfpq_topk)",
+)
+def q_embedding_ivfpq(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _trained_centroids(spark, sf_dir)
+    idx = _index_path(
+        "ivfpq", sf_dir,
+        lambda p: similarity.ivfpq_write(
+            emb, centroids, _pq_books(spark, sf_dir), p
+        ),
+    )
+    return similarity.ivfpq_topk(spark, idx, emb, _QV, centroids, 10, n_probe=3)

@@ -79,6 +79,8 @@ def test_oracle_sql_covers_most_queries():
             # not SQL-expressible; WAV-parse + determinism pytest
             "q_audio_spectral",  # rFFT descriptors — FFT has no SQL
             # twin; sine-golden + determinism pytest
+            "q_embedding_ivfpq",  # IVF-PQ composite — approximate by
+            # nature; full-probe==flat-PQ + pruning pytest-pinned
             "q_embedding_pq",  # PQ/ADC shortlist — approximate by
             # nature (recall < 1); determinism + recall +
             # full-shortlist==brute pytest-pinned
