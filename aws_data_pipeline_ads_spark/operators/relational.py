@@ -259,3 +259,73 @@ def rolling_time_window(events: DataFrame, window_seconds: int = 3600,
         F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
         F.sum(dec).over(w).cast("double").alias("sum_trailing"),
     )
+
+
+def association_rules(baskets: DataFrame, basket_col: str, item_col: str,
+                      min_pair_support: int = 3, top: int = 100) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows:
+    directed rules a→b with support, confidence, and lift, top-`top`
+    by lift (deterministic tiebreak on the item ids).
+
+    The a-priori heavy lifting reduced to its scalable core: distinct
+    (basket, item) → item supports (one agg) and within-basket pair
+    supports (one self-equi-join on the basket key + one agg — the
+    quadratic is bounded per basket, the m×n trap of a global item
+    cross join never appears). The pair table is pruned by
+    `min_pair_support` BEFORE joining supports back, so the
+    statistics joins run on the interesting-pair subset only. The
+    basket total is a 1-row broadcast. Confidence/lift are single
+    double divisions of exact counts — engine-invariant, emitted
+    rounded to 6.
+    """
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
+    # Four consumers (item supports, both legs of the pair self-join,
+    # the basket total) would each re-run the corpus scan + distinct —
+    # the slim (basket, item) projection rides a tracked persist.
+    bi = persist_tracked(
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        ).distinct()
+    )
+    supp = bi.groupBy("it").agg(F.count(F.lit(1)).alias("supp"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.it") < F.col("b.it")))
+        .groupBy(F.col("a.it").alias("x"), F.col("b.it").alias("y"))
+        .agg(F.count(F.lit(1)).alias("supp_xy"))
+        .filter(F.col("supp_xy") >= min_pair_support)
+    )
+    directed = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("x").alias("antecedent"),
+                     F.col("y").alias("consequent"), "supp_xy"),
+            F.struct(F.col("y").alias("antecedent"),
+                     F.col("x").alias("consequent"), "supp_xy"),
+        )).alias("r")
+    ).select("r.*")
+    n_b = bi.select("bk").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    sa = supp.select(F.col("it").alias("antecedent"),
+                     F.col("supp").alias("supp_a"))
+    sc = supp.select(F.col("it").alias("consequent"),
+                     F.col("supp").alias("supp_c"))
+    out = (
+        directed.join(sa, "antecedent").join(sc, "consequent")
+        .join(F.broadcast(n_b))
+        .select(
+            "antecedent", "consequent",
+            F.col("supp_xy").alias("pair_support"),
+            F.round(F.col("supp_xy") / F.col("supp_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("supp_xy") * F.col("__n"))
+                / (F.col("supp_a") * F.col("supp_c")), 6
+            ).alias("lift"),
+        )
+    )
+    return (
+        out.orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+        .limit(top)
+    )

@@ -229,6 +229,8 @@ _TAIL: list[str] = [
     # machinery in-window via q_asof_join/q_window_rank
     "q_triangles",  # motif counting on the strong-tie graph;
     # equi-join machinery in-window via q_join_star/q_semi_anti
+    "q_association_rules",  # market-basket confidence/lift; pair-
+    # support machinery shared with q_triangles, top-k via q_limit_topk
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single

@@ -1583,3 +1583,40 @@ def q_triangles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return triangle_counts(strong_tie_edges(pw))
+
+
+@query(
+    "q_association_rules",
+    oracle=(
+        "WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it "
+        "FROM lineitem), "
+        "supp AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS supp "
+        "FROM bi GROUP BY 1), "
+        "pairs AS (SELECT a.it AS x, b.it AS y, "
+        "CAST(COUNT(*) AS BIGINT) AS supp_xy "
+        "FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+        "directed AS (SELECT x AS antecedent, y AS consequent, supp_xy "
+        "FROM pairs UNION ALL SELECT y, x, supp_xy FROM pairs), "
+        "n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM bi) "
+        "SELECT d.antecedent, d.consequent, d.supp_xy AS pair_support, "
+        "ROUND(CAST(d.supp_xy AS DOUBLE) / sa.supp, 6) AS confidence, "
+        "ROUND(CAST(d.supp_xy * n.nb AS DOUBLE) / (sa.supp * sc.supp), 6) "
+        "AS lift "
+        "FROM directed d JOIN supp sa ON d.antecedent = sa.it "
+        "JOIN supp sc ON d.consequent = sc.it CROSS JOIN n "
+        "ORDER BY lift DESC, d.antecedent, d.consequent LIMIT 100"
+    ),
+    doc="2C market-basket analytics: directed association rules a→b "
+        "over co-purchased parts — within-basket pair supports (the "
+        "quadratic bounded per basket), min-support pruning BEFORE the "
+        "statistics joins, 1-row basket-total broadcast, top-100 by "
+        "lift with deterministic tiebreaks; relational.association_rules",
+)
+def q_association_rules(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.relational import (
+        association_rules,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey")

@@ -100,6 +100,8 @@ _NESTED_LOOP_OK = {
     # broadcast of the 1-row mean-weight sparsifier threshold
     # (graph.strong_tie_edges) — same bounded pattern
     "q_triangles",
+    # broadcast of the 1-row basket-total (association lift denominator)
+    "q_association_rules",
     # broadcast of the 1-row corpus token total (KL's q denominator)
     "q_source_kl",
     # broadcast of the 1-row quintile-threshold aggregate — same
