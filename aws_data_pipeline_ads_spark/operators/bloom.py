@@ -25,12 +25,12 @@ package):
   re-derives the whole build pipeline once per hash-function join
   (measured: 4× redundant bench-side shuffles in the declared plan).
 * **Deterministic.** Positions are Kirsch–Mitzenmacher double hashing
-  over two 32-bit halves of `md5(value)` — engine-invariant, so a
-  DuckDB twin could replicate the filter bit-for-bit if it had to
-  (consumers below don't need it to: the bloom is a PREfilter, the
-  exact join afterwards kills false positives, so results are
-  bit-identical to the unfiltered plan and verify against the plain
-  exact-join oracle).
+  over two seeded-xxhash64-derived 32-bit values — deterministic
+  across runs and partitionings. No oracle twin is needed (or
+  attempted): the bloom is a PREfilter, the exact join afterwards
+  kills false positives, so results are bit-identical to the
+  unfiltered plan and verify against the plain exact-join oracle
+  regardless of the hash family.
 
 False-positive math: with `m_bits = 2^20` and k = 4 hashes, 100k
 distinct build-side keys give (1 - e^(-kn/m))^k ≈ 1% FP — i.e. the
@@ -79,7 +79,7 @@ def bloom_words(values: DataFrame, col: str,
     the logical filter domain.
     """
     # Bind the two hash halves before fanning out to k positions (one
-    # md5 per value, not per position — see bloom_prefilter).
+    # hash per value, not per position — see bloom_prefilter).
     h1, h2 = _h1_h2(col)
     bound = values.select(h1.alias("__bh1"), h2.alias("__bh2"))
     pos = F.explode(F.array(*[
@@ -128,10 +128,10 @@ def bloom_prefilter(df: DataFrame, col: str, words: DataFrame,
     no build-side value touched that word: `coalesce(w, 0)` fails the
     bit test and the row drops, as it must.
 
-    The two md5-derived hash halves are BOUND to columns first: the k
-    widx/bidx expressions then cost integer arithmetic, not a fresh
-    md5 + hex parse per use — inlining `_positions` here measured 16
-    md5 evaluations per probe row (interleaved joins defeat Spark's
+    The two hash halves are BOUND to columns first: the k widx/bidx
+    expressions then cost integer arithmetic, not a fresh hash per use
+    — inlining the position expressions here measured 16 hash
+    evaluations per probe row (interleaved joins defeat Spark's
     per-Project subexpression elimination), ~3× the whole prefilter.
     """
     h1, h2 = _h1_h2(col)
@@ -205,6 +205,57 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame, k: int = 5,
     # names make misresolution impossible (pinned by
     # test_decontaminate_bloom_equals_exact, which evaluates exactly
     # such a combined diff plan).
+    bench_j = (
+        doc_shingle_sets(benchmark, k=k)
+        .select(F.col("tok").alias("__bench_tok"))
+        .distinct()
+    )
+    hits = (
+        candidates.join(F.broadcast(bench_j),
+                        F.col("tok") == F.col("__bench_tok"), "left_semi")
+        .select(F.col("doc_id").alias("__hit_id"))
+        .distinct()
+    )
+    return corpus.join(hits, F.col("doc_id") == F.col("__hit_id"), "left_anti")
+
+
+def bloom_write(values: DataFrame, col: str, path: str,
+                m_bits: int = _DEFAULT_M_BITS,
+                n_hashes: int = _DEFAULT_HASHES) -> None:
+    """Materialize the words table (the serving-index pattern): the
+    filter for a benchmark/blocklist changes rarely, so build it once
+    write-side and let every decontamination run scan a ≤128 KiB
+    parquet instead of re-aggregating the build side. Parameters ride
+    along so probes can't silently mismatch the build geometry."""
+    words = bloom_words(values, col, m_bits, n_hashes)
+    words.coalesce(1).write.mode("overwrite").parquet(f"{path}/words")
+    spark = values.sparkSession
+    spark.createDataFrame(
+        [(int(m_bits), int(n_hashes))], schema="m_bits long, n_hashes int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bloom_read(spark, path: str) -> tuple[DataFrame, int, int]:
+    """(local words table, m_bits, n_hashes) from a bloom_write index —
+    the words collect is bounded by construction (≤ m_bits/64 rows)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    rows = spark.read.parquet(f"{path}/words").collect()
+    words = spark.createDataFrame(rows, schema="widx int, w bigint")
+    return words, int(meta.m_bits), int(meta.n_hashes)
+
+
+def decontaminate_served(spark, path: str, corpus: DataFrame,
+                         benchmark: DataFrame, k: int = 5) -> DataFrame:
+    """decontaminate_bloom with the prefilter served from a bloom_write
+    index — bit-identical output (the exact verify join still runs
+    against the live benchmark shingles; the index only decides which
+    corpus shingles reach it, and a stale-but-superset filter can only
+    admit extra candidates that the exact join kills)."""
+    from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+
+    words, m_bits, n_hashes = bloom_read(spark, path)
+    corpus_sh = doc_shingle_sets(corpus, k=k, distinct=False)
+    candidates = bloom_prefilter(corpus_sh, "tok", words, m_bits, n_hashes)
     bench_j = (
         doc_shingle_sets(benchmark, k=k)
         .select(F.col("tok").alias("__bench_tok"))

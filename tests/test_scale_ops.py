@@ -641,3 +641,27 @@ def test_ivfpq_index_prunes_and_degenerates_to_pq(spark, sf_dir, tmp_path):
     brute = similarity.cosine_topk(emb, qv, 10).collect()
     recall = len({r.vec_id for r in got} & {r.vec_id for r in brute}) / 10
     assert recall >= 0.5
+
+
+def test_bloom_served_equals_inline(spark, sf_dir, tmp_path):
+    """bloom_write → decontaminate_served is bit-identical to the
+    self-contained decontaminate_bloom (same hash geometry rehydrated
+    from the index meta)."""
+    from aws_data_pipeline_ads_spark.operators import bloom
+    from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    corpus = docs.filter(F.col("doc_id") % 101 != 7)
+    idx = str(tmp_path / "bloom")
+    bench_sh = doc_shingle_sets(bench, k=5).select("tok").distinct()
+    bloom.bloom_write(bench_sh, "tok", idx)
+    served = sorted(
+        r.doc_id for r in bloom.decontaminate_served(
+            spark, idx, corpus, bench, k=5).select("doc_id").collect()
+    )
+    inline = sorted(
+        r.doc_id for r in bloom.decontaminate_bloom(
+            corpus, bench, k=5).select("doc_id").collect()
+    )
+    assert served == inline and len(served) > 0
