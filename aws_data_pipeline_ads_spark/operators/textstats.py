@@ -1060,6 +1060,11 @@ def quality_classifier_sql(dialect: str, table: str = "documents",
     under any partitioning — and only the final sigmoid touches
     doubles. Zero shuffles: everything is a per-row array fold.
     """
+    # The salt is interpolated into SQL text rendered for two engines —
+    # restrict it to identifier-safe characters so a caller-supplied
+    # value can't terminate the string literal.
+    if not salt.replace("-", "").replace("_", "").isalnum():
+        raise ValueError(f"salt must be alphanumeric/-/_: {salt!r}")
     # The 32-bit weight folds hex digits of a BOUND md5 value: the
     # inner transform computes md5 once per token, the outer parses
     # its 8 digits. Inlining hash_u32_sql(md5(tok)) instead would
