@@ -1059,6 +1059,11 @@ def quality_classifier_sql(dialect: str, table: str = "documents",
     is an exact BIGINT sum over the token array — order-invariant
     under any partitioning — and only the final sigmoid touches
     doubles. Zero shuffles: everything is a per-row array fold.
+
+    Plan-shape note: an explode → codegen-Project → groupBy
+    formulation was measured at the same steady time (0.9–1.4 s vs
+    ~1.1 s at sf0.1) — the md5 + hex parse dominates either way — so
+    the zero-shuffle fold wins on the dimension that matters at scale.
     """
     # The salt is interpolated into SQL text rendered for two engines —
     # restrict it to identifier-safe characters so a caller-supplied
