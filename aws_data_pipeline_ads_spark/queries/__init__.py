@@ -33,31 +33,31 @@ DRIVER_WINDOW = 50  # driver checks the first N entries of queries()
 _WINDOW: list[str] = [
     # -- text analysis ----------------------------------------------------
     "q_text_stats", "q_curation_pipeline", "q_token_count", "q_lang_id",
-    "q_quality_score", "q_domain_mixture", "q_repetition_score",
+    "q_quality_classifier", "q_domain_mixture", "q_repetition_score",
     "q_sample_stratified", "q_contamination", "q_bm25_terms",
     # -- deduplication tiers ---------------------------------------------
     "q_dedup_exact", "q_line_dedup", "q_ngram_jaccard", "q_minhash_lsh",
-    "q_neardup_verified", "q_neardup_clusters", "q_span_dedup",
+    "q_neardup_verified", "q_neardup_clusters", "q_perplexity_sample",
     "q_simhash_pairs", "q_decontaminate",
     # -- similarity search + multimodal ----------------------------------
     "q_binary_meta", "q_embedding_knn", "q_semdedup",
-    "q_embedding_sq8", "q_embedding_ivf_full",
+    "q_record_linkage", "q_embedding_ivf_full",
     # -- scalar surface ---------------------------------------------------
     "q_array_funcs",
     "q_json_extract", "q_percentile",
     # -- streaming twins + stateful + time-series anchors ----------------
-    "q_tumbling_window", "q_session_gap", "q_user_totals",
+    "q_tumbling_window", "q_session_gap", "q_session_paths",
     "q_anomaly_zscore", "q_ewma",
     # -- reference parity ------------------------------------------------
-    "q_scan_project", "q_limit_topk", "q_run_summary",
+    "q_pagerank", "q_limit_topk", "q_run_summary",
     # -- dedup (reference ops) + sequence analytics ----------------------
-    "q_dedup_latest", "q_markov_transitions",
+    "q_dedup_latest", "q_multitouch",
     # -- joins ------------------------------------------------------------
     "q_join_star", "q_join_flagship", "q_semi_anti",
-    "q_asof_join", "q_range_join",
+    "q_asof_join", "q_triangles",
     # -- aggregation ------------------------------------------------------
     "q_agg_rollup", "q_count_distinct",
-    "q_pivot_counts",
+    "q_association_rules",
     # -- window functions -------------------------------------------------
     "q_window_rank",
     # -- set ops / SQL / top-k -------------------------------------------
@@ -67,6 +67,28 @@ _WINDOW: list[str] = [
 # Declared queries past the driver window: each exercises machinery an
 # in-window sibling already verifies (still oracle-checked locally).
 _TAIL: list[str] = [
+    # -- r5 rotation: eight long-green queries rotated out so the driver
+    # hash-verifies the round-4 operator families for the first time
+    # (quality classifier, record linkage, pagerank, triangles,
+    # multitouch, session paths, perplexity sampling, association
+    # rules). Each outgoing query's machinery stays in-window via the
+    # named sibling -------------------------------------------------------
+    "q_quality_score",  # length/punct/stopword gates in-window via
+    # q_text_stats/q_repetition_score/q_lang_id; hash-verified r01-r04
+    "q_span_dedup",  # positional span-hash dedup; shingle+window
+    # machinery in-window via q_line_dedup/q_minhash_lsh; verified r04
+    "q_embedding_sq8",  # int8 scalar-quantized rerank; exact kNN +
+    # IVF full-probe both stay in-window; hash-verified r04
+    "q_user_totals",  # streaming grouped totals; stream==batch twin
+    # machinery in-window via q_tumbling_window/q_session_gap; r04 green
+    "q_scan_project",  # envelope projection; same machinery as
+    # q_run_summary/q_limit_topk (in-window); hash-verified r01-r04
+    "q_markov_transitions",  # sequence analytics slot yields to
+    # q_multitouch (same join+window family); hash-verified r04
+    "q_range_join",  # non-equi band join in-window via q_asof_join;
+    # hash-verified r04
+    "q_pivot_counts",  # pivoted counts; agg family in-window via
+    # q_agg_rollup/q_count_distinct; hash-verified r04
     # -- r4 rotation: long-driver-verified queries whose machinery stays
     # in-window via a sibling, rotated out so the driver signal covers
     # operator families it has never hash-verified before -----------------
@@ -119,8 +141,6 @@ _TAIL: list[str] = [
     # by q_dedup_exact/q_set_ops in-window — swapped for q_funnel
     "q_cohort_retention",  # groupBy/distinct/join machinery all
     # in-window; oracle-checked locally
-    "q_session_paths",  # top-k session event paths; sessionize + window
-    # machinery in-window via q_session_gap, top-k via q_limit_topk
     "q_rfm",  # percentile + broadcast-threshold machinery in-window
     # via q_percentile/q_scalar_subquery; oracle-checked locally
     "q_scd2",  # lag/lead/row_number machinery in-window via
@@ -196,9 +216,6 @@ _TAIL: list[str] = [
     # explode/join/agg machinery in-window via q_bm25_terms
     "q_bigram_lm",  # order-2 LM nll (add-1 smoothed); same machinery
     # family as q_unigram_lm/q_bm25_terms, decimal-ln fold
-    "q_perplexity_sample",  # CCNet head/middle/tail nll terciles +
-    # per-band md5 gate; percentile + gate machinery in-window via
-    # q_percentile/q_sample_stratified
     "q_source_kl",  # KL(source ‖ corpus) mixture diagnostic; grouped
     # count + broadcast-total machinery in-window via q_domain_mixture
     "q_bpe_merges",  # iterative BPE training (rows-only by nature);
@@ -215,22 +232,9 @@ _TAIL: list[str] = [
     # join; hash/dedup machinery in-window via q_dedup_exact
     "q_gopher_rules",  # published Gopher curation battery; array-expr
     # machinery in-window via q_quality_score/q_repetition_score
-    "q_record_linkage",  # blocked fuzzy entity resolution (levenshtein
-    # over distinct names); block-join machinery in-window via
-    # q_join_star, distinct-agg via q_dedup_exact
     "q_resolve_entities",  # canonical-name clusters over the fuzzy
-    # pair graph; min-label CC machinery in-window via
-    # q_neardup_clusters (recursive-CTE oracle family)
-    "q_quality_classifier",  # hashed linear model scoring; array-fold
-    # machinery in-window via q_repetition_score/q_gopher_rules family
-    "q_pagerank",  # integer-exact iterative PageRank; label-
-    # propagation machinery in-window via q_neardup_clusters
-    "q_multitouch",  # linear multi-touch attribution; join+window
-    # machinery in-window via q_asof_join/q_window_rank
-    "q_triangles",  # motif counting on the strong-tie graph;
-    # equi-join machinery in-window via q_join_star/q_semi_anti
-    "q_association_rules",  # market-basket confidence/lift; pair-
-    # support machinery shared with q_triangles, top-k via q_limit_topk
+    # pair graph; pair machinery in-window via q_record_linkage,
+    # min-label CC via q_neardup_clusters (recursive-CTE oracle family)
     "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
     # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single
