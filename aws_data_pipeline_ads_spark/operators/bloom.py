@@ -219,6 +219,23 @@ def decontaminate_bloom(corpus: DataFrame, benchmark: DataFrame, k: int = 5,
     return corpus.join(hits, F.col("doc_id") == F.col("__hit_id"), "left_anti")
 
 
+def _value_fingerprint(values: DataFrame, col: str) -> tuple[int, int]:
+    """(n_distinct, xxhash64 bit_xor) over the DISTINCT values — an
+    order/partitioning-independent identity for the filter's build set.
+    bit_xor is commutative+associative, so the fold result is the same
+    no matter how Spark partitions the aggregate; together with the
+    exact count it detects both additions and swaps."""
+    row = (
+        values.select(F.col(col).alias("__v")).distinct()
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64(F.col("__v"))), F.lit(0)).alias("x"),
+        )
+        .collect()[0]
+    )
+    return int(row.n), int(row.x)
+
+
 def bloom_write(values: DataFrame, col: str, path: str,
                 m_bits: int = _DEFAULT_M_BITS,
                 n_hashes: int = _DEFAULT_HASHES) -> None:
@@ -226,22 +243,31 @@ def bloom_write(values: DataFrame, col: str, path: str,
     filter for a benchmark/blocklist changes rarely, so build it once
     write-side and let every decontamination run scan a ≤128 KiB
     parquet instead of re-aggregating the build side. Parameters ride
-    along so probes can't silently mismatch the build geometry."""
+    along so probes can't silently mismatch the build geometry, and a
+    build-set fingerprint (distinct count + xxhash64 bit_xor) rides
+    along so a SERVING query can prove the index was built from the
+    benchmark it is decontaminating against — a stale SUBSET filter
+    would silently pass contaminated docs (no false negatives holds
+    only for the build-time value set)."""
     words = bloom_words(values, col, m_bits, n_hashes)
     words.coalesce(1).write.mode("overwrite").parquet(f"{path}/words")
+    fp_n, fp_x = _value_fingerprint(values, col)
     spark = values.sparkSession
     spark.createDataFrame(
-        [(int(m_bits), int(n_hashes))], schema="m_bits long, n_hashes int"
+        [(int(m_bits), int(n_hashes), fp_n, fp_x)],
+        schema="m_bits long, n_hashes int, fp_count long, fp_xor long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def bloom_read(spark, path: str) -> tuple[DataFrame, int, int]:
-    """(local words table, m_bits, n_hashes) from a bloom_write index —
-    the words collect is bounded by construction (≤ m_bits/64 rows)."""
+def bloom_read(spark, path: str) -> tuple[DataFrame, int, int, tuple[int, int]]:
+    """(local words table, m_bits, n_hashes, build-set fingerprint) from
+    a bloom_write index — the words collect is bounded by construction
+    (≤ m_bits/64 rows)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     rows = spark.read.parquet(f"{path}/words").collect()
     words = spark.createDataFrame(rows, schema="widx int, w bigint")
-    return words, int(meta.m_bits), int(meta.n_hashes)
+    return (words, int(meta.m_bits), int(meta.n_hashes),
+            (int(meta.fp_count), int(meta.fp_xor)))
 
 
 def decontaminate_served(spark, path: str, corpus: DataFrame,
@@ -249,11 +275,28 @@ def decontaminate_served(spark, path: str, corpus: DataFrame,
     """decontaminate_bloom with the prefilter served from a bloom_write
     index — bit-identical output (the exact verify join still runs
     against the live benchmark shingles; the index only decides which
-    corpus shingles reach it, and a stale-but-superset filter can only
-    admit extra candidates that the exact join kills)."""
+    corpus shingles reach it, and a stale-but-SUPERSET filter can only
+    admit extra candidates that the exact join kills).
+
+    A stale SUBSET filter is the dangerous direction: shingles the
+    benchmark gained after bloom_write would be dropped by the
+    prefilter before the exact join ever sees them, silently keeping
+    contaminated docs. Guarded here by comparing the index's build-set
+    fingerprint against the LIVE benchmark shingles and refusing to
+    serve on mismatch — rebuild via bloom_write when the benchmark
+    changes."""
     from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
 
-    words, m_bits, n_hashes = bloom_read(spark, path)
+    words, m_bits, n_hashes, fp = bloom_read(spark, path)
+    live_sh = doc_shingle_sets(benchmark, k=k).select("tok").distinct()
+    live_fp = _value_fingerprint(live_sh, "tok")
+    if live_fp != fp:
+        raise ValueError(
+            f"bloom index at {path!r} was built from a different benchmark "
+            f"shingle set (index fingerprint {fp}, live {live_fp}); a stale "
+            f"prefilter can silently keep contaminated docs — rebuild with "
+            f"bloom_write(benchmark shingles, ...)"
+        )
     corpus_sh = doc_shingle_sets(corpus, k=k, distinct=False)
     candidates = bloom_prefilter(corpus_sh, "tok", words, m_bits, n_hashes)
     bench_j = (

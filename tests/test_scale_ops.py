@@ -665,3 +665,32 @@ def test_bloom_served_equals_inline(spark, sf_dir, tmp_path):
             corpus, bench, k=5).select("doc_id").collect()
     )
     assert served == inline and len(served) > 0
+
+
+def test_bloom_served_refuses_stale_benchmark(spark, sf_dir, tmp_path):
+    """A filter built from a DIFFERENT benchmark shingle set must not
+    serve: shingles the benchmark gained after bloom_write would be
+    dropped by the prefilter before the exact verify join, silently
+    keeping contaminated docs (a stale-subset filter breaks the
+    no-false-negatives guarantee). The index meta carries a build-set
+    fingerprint; decontaminate_served raises on mismatch."""
+    import pytest
+
+    from aws_data_pipeline_ads_spark.operators import bloom
+    from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    stale_bench = docs.filter(F.col("doc_id") % 101 == 7)
+    # The benchmark later GAINS documents (mod-13 widens the set).
+    live_bench = docs.filter(
+        (F.col("doc_id") % 101 == 7) | (F.col("doc_id") % 101 == 13)
+    )
+    corpus = docs.filter(F.col("doc_id") % 101 != 7)
+    idx = str(tmp_path / "bloom_stale")
+    stale_sh = doc_shingle_sets(stale_bench, k=5).select("tok").distinct()
+    bloom.bloom_write(stale_sh, "tok", idx)
+    with pytest.raises(ValueError, match="different benchmark"):
+        bloom.decontaminate_served(spark, idx, corpus, live_bench, k=5)
+    # The matching benchmark still serves.
+    assert bloom.decontaminate_served(
+        spark, idx, corpus, stale_bench, k=5).count() > 0
