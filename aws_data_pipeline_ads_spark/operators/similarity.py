@@ -600,15 +600,23 @@ def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     ds = d // m
+    if len(sample) == 0:
+        raise ValueError("pq_train: empty training sample")
+    # A sample smaller than the requested codebook can't seed n_codes
+    # distinct centroids (tiny corpus, or a sparse vec_id domain where
+    # `% step == 0` undersamples); clamp rather than index past the
+    # seed rows — serving iterates the actual book length, so a
+    # shorter codebook degrades recall gracefully instead of raising.
+    k = min(n_codes, len(sample))
     books = []
     for i in range(m):
         sub = sample[:, i * ds:(i + 1) * ds]
-        cents = sub[:n_codes].copy()  # deterministic seed: first rows
+        cents = sub[:k].copy()  # deterministic seed: first rows
         for _ in range(n_iter):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             # ties to the LARGEST index, matching _pq_assign_expr
-            assign = (n_codes - 1) - np.argmin(d2[:, ::-1], axis=1)
-            for c in range(n_codes):
+            assign = (k - 1) - np.argmin(d2[:, ::-1], axis=1)
+            for c in range(k):
                 members = sub[assign == c]
                 if len(members):
                     cents[c] = members.mean(axis=0)

@@ -1065,11 +1065,17 @@ def quality_classifier_sql(dialect: str, table: str = "documents",
     ~1.1 s at sf0.1) — the md5 + hex parse dominates either way — so
     the zero-shuffle fold wins on the dimension that matters at scale.
     """
-    # The salt is interpolated into SQL text rendered for two engines —
-    # restrict it to identifier-safe characters so a caller-supplied
-    # value can't terminate the string literal.
+    # Both salt and table are interpolated into SQL text rendered for
+    # two engines — restrict them to identifier-safe characters so a
+    # caller-supplied value can't terminate the literal / inject a
+    # subquery.
     if not salt.replace("-", "").replace("_", "").isalnum():
         raise ValueError(f"salt must be alphanumeric/-/_: {salt!r}")
+    if not all(
+        part.replace("_", "").isalnum() and part
+        for part in table.split(".")
+    ) or not table:
+        raise ValueError(f"table must be a (dotted) identifier: {table!r}")
     # The 32-bit weight folds hex digits of a BOUND md5 value: the
     # inner transform computes md5 once per token, the outer parses
     # its 8 digits. Inlining hash_u32_sql(md5(tok)) instead would

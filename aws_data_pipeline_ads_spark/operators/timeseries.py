@@ -183,7 +183,10 @@ def ewma_smooth(events: DataFrame, key: str = "event_type",
             {key: pdf[key], "h": pdf["h"], "x": pdf["x"], "ewma": out}
         )
 
-    schema = f"{key} string, h timestamp, x long, ewma double"
+    # The operator is key-type agnostic; hardcoding `string` here would
+    # coerce (or reject) e.g. a bigint user_id series key.
+    key_type = events.schema[key].dataType.simpleString()
+    schema = f"{key} {key_type}, h timestamp, x long, ewma double"
     return (
         b.groupBy(key).applyInPandas(fn, schema)
         .select(

@@ -272,7 +272,18 @@ def streaming_anomaly(events: DataFrame) -> DataFrame:
 
     At drain over the same events, the latest emission per
     (event_type, bucket) equals the batch operator row-for-row —
-    pinned by test_streaming_anomaly_matches_batch."""
+    pinned by test_streaming_anomaly_matches_batch.
+
+    Timezone: the stateful fn buckets by integer epoch division over
+    the Arrow-delivered session-LOCAL naive timestamps, while the
+    batch twin buckets with date_trunc('hour') in the session zone.
+    Those agree only when the session offset is a whole hour; pin the
+    session to UTC (as every batch query path does via ensure_utc) so
+    e.g. a +05:30 session can't silently shear the streaming buckets
+    half an hour off the batch ones."""
+    from aws_data_pipeline_ads_spark.session import ensure_utc
+
+    ensure_utc(events.sparkSession)
     return (
         events.select("event_type", "ts")
         .groupBy("event_type")
