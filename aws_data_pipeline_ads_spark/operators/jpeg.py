@@ -125,7 +125,6 @@ def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 _NONBASELINE = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",

@@ -544,6 +544,292 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) container metadata demux
+# ---------------------------------------------------------------------------
+#
+# Real crawl corpora are overwhelmingly MP4/H.264; full pixel decode
+# genuinely needs a codec library, but the metadata a curation pipeline
+# FILTERS on first — per-track codec fourcc, dimensions, duration,
+# sample count — lives in the `moov` box tree and is a pure byte walk
+# (same bounded scope as the SOF-dims JPEG tier). Box grammar:
+# [size:u32 BE][type:4cc][body]; size==1 → u64 largesize follows;
+# size==0 → box runs to the end of its container.
+
+
+def _scan_boxes(payload: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for ONE nesting level.
+
+    Hostile-input posture mirrors the AVI walker: every size is bounds-
+    checked (a truncated or oversized box raises ValueError, never an
+    over-read), each step strictly advances (size >= header length), and
+    descent happens only along the fixed moov/trak/mdia/minf/stbl path
+    in the callers — so sibling "box bombs" cost one linear scan and
+    nesting bombs are never followed."""
+    while pos + 8 <= end:
+        size = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("ISO-BMFF: truncated 64-bit box size")
+            size = int.from_bytes(payload[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"ISO-BMFF: box {typ!r} size {size} out of bounds "
+                f"({end - pos} bytes remain)"
+            )
+        yield typ, pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("ISO-BMFF: truncated box header at end of container")
+
+
+def _first_box(payload: bytes, pos: int, end: int, typ: bytes):
+    for t, b, e in _scan_boxes(payload, pos, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def _full_box(payload: bytes, b: int, e: int) -> tuple[int, int]:
+    """(version, body offset past version+flags) of a FullBox."""
+    if e - b < 4:
+        raise ValueError("ISO-BMFF: truncated FullBox header")
+    return payload[b], b + 4
+
+
+def _be(payload: bytes, at: int, n: int, end: int) -> int:
+    if at + n > end:
+        raise ValueError("ISO-BMFF: field extends past its box")
+    return int.from_bytes(payload[at:at + n], "big")
+
+
+def _parse_mp4_tracks(payload: bytes) -> list[dict]:
+    """Per-track metadata from an ISO-BMFF payload: track_id, handler
+    (vide/soun/...), sample-entry codec fourcc, tkhd display dims,
+    mdhd duration seconds, stsz sample count."""
+    top = list(_scan_boxes(payload, 0, len(payload)))
+    if not any(t in (b"ftyp", b"moov") for t, _, _ in top):
+        raise ValueError("not an ISO-BMFF payload (no ftyp/moov box)")
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("ISO-BMFF: no moov box (streaming-only fragment?)")
+    tracks: list[dict] = []
+    for t, tb, te in _scan_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        info: dict = {"track_id": None, "handler": None, "codec": None,
+                      "width": None, "height": None, "duration_s": None,
+                      "n_samples": None}
+        tkhd = _first_box(payload, tb, te, b"tkhd")
+        if tkhd:
+            b, e = tkhd
+            ver, p = _full_box(payload, b, e)
+            info["track_id"] = _be(payload, p + (16 if ver == 1 else 8), 4, e)
+            # width/height are the final two 16.16 fixed-point fields
+            if e - b >= 8:
+                info["width"] = _be(payload, e - 8, 4, e) / 65536.0
+                info["height"] = _be(payload, e - 4, 4, e) / 65536.0
+        mdia = _first_box(payload, tb, te, b"mdia")
+        if mdia:
+            mb, me = mdia
+            mdhd = _first_box(payload, mb, me, b"mdhd")
+            if mdhd:
+                b, e = mdhd
+                ver, p = _full_box(payload, b, e)
+                if ver == 1:
+                    timescale = _be(payload, p + 16, 4, e)
+                    duration = _be(payload, p + 20, 8, e)
+                else:
+                    timescale = _be(payload, p + 8, 4, e)
+                    duration = _be(payload, p + 12, 4, e)
+                if timescale > 0:
+                    info["duration_s"] = duration / timescale
+            hdlr = _first_box(payload, mb, me, b"hdlr")
+            if hdlr:
+                b, e = hdlr
+                _, p = _full_box(payload, b, e)
+                info["handler"] = payload[p + 4:p + 8].decode("latin-1")
+            minf = _first_box(payload, mb, me, b"minf")
+            if minf:
+                stbl = _first_box(payload, *minf, b"stbl")
+                if stbl:
+                    sb, se = stbl
+                    stsd = _first_box(payload, sb, se, b"stsd")
+                    if stsd:
+                        b, e = stsd
+                        _, p = _full_box(payload, b, e)
+                        if _be(payload, p, 4, e) >= 1:
+                            # first sample entry: size(4) + format fourcc
+                            info["codec"] = payload[p + 8:p + 12].decode("latin-1")
+                    stsz = _first_box(payload, sb, se, b"stsz")
+                    if stsz:
+                        b, e = stsz
+                        _, p = _full_box(payload, b, e)
+                        info["n_samples"] = _be(payload, p + 4, 4, e)
+        tracks.append(info)
+    if not tracks:
+        raise ValueError("ISO-BMFF: moov contains no trak boxes")
+    return tracks
+
+
+def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,
+                    codec: bytes = b"jpeg") -> bytes:
+    """Minimal spec-valid MP4 writer (ftyp + moov[mvhd, trak[tkhd,
+    mdia[mdhd, hdlr, minf[stbl[stsd/stsz/stts/stsc/stco]]]]] + mdat) —
+    the ISO-BMFF twin of mux_mjpeg_avi, so tests can round-trip the box
+    walker without ffmpeg."""
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    def full(typ: bytes, ver: int, body: bytes) -> bytes:
+        return box(typ, bytes([ver, 0, 0, 0]) + body)
+
+    timescale = fps
+    dur = len(frames)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = full(b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, dur)
+                + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = full(b"tkhd", 0, struct.pack(">IIII", 0, 0, 1, 0)
+                + struct.pack(">I", dur) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, timescale, dur,
+                                        0x55C4, 0))
+    hdlr = full(b"hdlr", 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                + b"Video\x00")
+    # Visual sample entry: 6 reserved + data_ref_index, then the fixed
+    # VisualSampleEntry fields (dims at offset 24 of the entry body).
+    entry_body = (b"\x00" * 6 + struct.pack(">H", 1)
+                  + struct.pack(">HHIII", 0, 0, 0, 0, 0)
+                  + struct.pack(">HH", w, h)
+                  + struct.pack(">II", 0x00480000, 0x00480000)
+                  + struct.pack(">I", 0) + struct.pack(">H", 1)
+                  + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = full(b"stsd", 0, struct.pack(">I", 1) + box(codec, entry_body))
+    stts = full(b"stts", 0, struct.pack(">III", 1, len(frames), 1))
+    stsc = full(b"stsc", 0, struct.pack(">IIII", 1, 1, len(frames), 1))
+    stsz = full(b"stsz", 0, struct.pack(">II", 0, len(frames))
+                + b"".join(struct.pack(">I", len(f)) for f in frames))
+    # one chunk holding all samples; offset filled after sizing moov
+    stco_body = struct.pack(">I", 1) + struct.pack(">I", 0)
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + full(b"stco", 0, stco_body))
+    minf = box(b"minf", box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+               + box(b"dinf", full(b"dref", 0, struct.pack(">I", 1)
+                                   + full(b"url ", 1, b"")))
+               + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat_payload = b"".join(frames)
+    # rewrite the stco chunk offset now that ftyp+moov sizes are known
+    chunk_off = len(ftyp) + len(moov) + 8
+    moov = moov.replace(
+        full(b"stco", 0, stco_body),
+        full(b"stco", 0, struct.pack(">II", 1, chunk_off)), 1,
+    )
+    return ftyp + moov + box(b"mdat", mdat_payload)
+
+
+def _parse_avi_meta(payload: bytes) -> dict:
+    """Container metadata from the RIFF/AVI header list: avih dims +
+    frame count, strh codec fourcc + rate, duration from the
+    microseconds-per-frame field."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    pos, end = 12, len(payload)
+    usec_pf = n_frames = w = h = 0
+    codec = None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = pos + 8
+        if cid == b"LIST" and payload[body:body + 4] in (b"hdrl", b"strl"):
+            pos = body + 4  # descend
+            end = min(body + size, end)
+            continue
+        if cid == b"avih" and size >= 40:
+            usec_pf, _, _, _, n_frames = struct.unpack(
+                "<5I", payload[body:body + 20])
+            w, h = struct.unpack("<2I", payload[body + 32:body + 40])
+        elif cid == b"strh" and size >= 8:
+            if payload[body:body + 4] == b"vids":
+                codec = payload[body + 4:body + 8].decode("latin-1")
+        pos = body + size + (size % 2)
+    if not w or not h:
+        raise ValueError("AVI header list has no avih dimensions")
+    return {
+        "track_id": 1, "handler": "vide", "codec": codec,
+        "width": float(w), "height": float(h),
+        "duration_s": n_frames * usec_pf / 1e6 if usec_pf else None,
+        "n_samples": n_frames,
+    }
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("track_id", T.IntegerType()),
+        T.StructField("handler", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.DoubleType()),
+        T.StructField("height", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """One row per video TRACK: container kind, codec fourcc, display
+    dims, duration, sample count — the fields a curation pipeline
+    filters on before any pixel ever decodes. MP4/ISO-BMFF (moov box
+    walk), RIFF/AVI (header list), and YUV4MPEG2 (stream header) are
+    parsed for real; anything else fails loudly (quarantine upstream
+    with a PERMISSIVE wrapper if the corpus is mixed)."""
+
+    def meta_rows(doc_id: int, raw: bytes) -> list[dict]:
+        if raw[:4] == b"RIFF":
+            return [dict(_parse_avi_meta(raw), container="avi")]
+        if raw[:9] == b"YUV4MPEG2":
+            frames = _parse_y4m_frames(raw)
+            nl = raw.find(b"\x0a")
+            tags = dict((t[:1], t[1:]) for t in raw[9:nl].split())
+            w, h = int(tags[b"W"]), int(tags[b"H"])
+            num, den = 25, 1
+            if b"F" in tags and b":" in tags[b"F"]:
+                num, den = (int(x) for x in tags[b"F"].split(b":"))
+            return [{
+                "track_id": 1, "handler": "vide", "codec": "rawvideo",
+                "width": float(w), "height": float(h),
+                "duration_s": len(frames) * den / num if num else None,
+                "n_samples": len(frames), "container": "y4m",
+            }]
+        return [dict(t, container="mp4") for t in _parse_mp4_tracks(raw)]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                for r in meta_rows(int(doc_id), bytes(blob)):
+                    rows.append({"doc_id": int(doc_id), **r})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
 def mux_mjpeg_avi(frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
     """Minimal spec-valid MJPEG AVI writer (RIFF avih/strl headers +
     movi 00dc chunks + idx1). Exists so video-pipeline tests can build
@@ -579,15 +865,21 @@ def mux_mjpeg_avi(frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:
 
 
 def synthetic_videos(documents: DataFrame, n_frames: int = 3,
-                     w: int = 16, h: int = 16) -> DataFrame:
-    """Deterministic MJPEG-AVI payload per document: each frame is the
+                     w: int = 16, h: int = 16,
+                     container: str = "avi") -> DataFrame:
+    """Deterministic video payload per document: each frame is the
     doc's text bytes tiled into an h×w grayscale image (shifted per
     frame), JPEG-encoded and muxed. Pure functions of the text — stable
     across runs/partitions — so the video pipeline has a declarable
-    corpus without external media files."""
+    corpus without external media files. `container`: 'avi' (MJPEG
+    RIFF), 'mp4' (ISO-BMFF, jpeg sample entries), or 'mixed'
+    (doc_id parity picks — exercises both demux paths in one corpus)."""
     import numpy as np
 
-    def one(raw: bytes) -> bytes:
+    if container not in ("avi", "mp4", "mixed"):
+        raise ValueError(f"container must be avi/mp4/mixed: {container!r}")
+
+    def one(doc_id: int, raw: bytes) -> tuple[bytes, str]:
         from aws_data_pipeline_ads_spark.operators.jpeg import jpeg_encode_pixels
 
         raw = raw or b"\x00"
@@ -600,22 +892,27 @@ def synthetic_videos(documents: DataFrame, n_frames: int = 3,
             jpeg_encode_pixels(src[i:i + w * h].reshape(h, w).copy())
             for i in range(n_frames)
         ]
-        return mux_mjpeg_avi(frames, w, h)
+        kind = container if container != "mixed" else (
+            "mp4" if doc_id % 2 else "avi")
+        if kind == "mp4":
+            return mux_minimal_mp4(frames, w, h), "video/mp4;jpeg"
+        return mux_mjpeg_avi(frames, w, h), "video/x-msvideo;mjpeg"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            vids = [one(str(t).encode()) for t in pdf["text"]]
+            vids = [one(int(d), str(t).encode())
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "content": vids,
+                    "content": [v for v, _ in vids],
                     "meta": [
                         {
-                            "media_type": "video/x-msvideo;mjpeg",
+                            "media_type": mt,
                             "n_bytes": len(v),
                             "sha256": hashlib.sha256(v).hexdigest(),
                         }
-                        for v in vids
+                        for v, mt in vids
                     ],
                 }
             )

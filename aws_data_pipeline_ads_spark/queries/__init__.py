@@ -242,12 +242,18 @@ _TAIL: list[str] = [
     "q_video_frames",  # real MJPEG-AVI demux → JPEG decode → luminance
     # features (rows-only: entropy decode not SQL-expressible); golden
     # mux→demux→decode pytest
+    "q_video_metadata",  # MP4 moov box walk + AVI header triage (rows-
+    # only: container demux not SQL-expressible); round-trip + hostile
+    # input pytests
     "q_audio_features",  # PCM decode → n_samples/duration/RMS
     # (rows-only; real-WAV path pytest-verified)
     "q_audio_spectral",  # rFFT descriptors (rows-only — FFT has no
     # SQL twin); sine-golden + determinism pytest
     "q_hard_negatives",  # LSH-blocked contrastive negatives; bucket +
     # window machinery in-window via q_embedding_neardup/q_window_rank
+    "q_skewed_join",  # salted-join + two-phase salted aggregation over
+    # a deliberately hot key; identical-result oracle is the plain
+    # join (join/agg machinery in-window via q_join_star/q_agg_rollup)
 ]
 
 

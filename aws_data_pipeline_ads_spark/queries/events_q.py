@@ -159,6 +159,48 @@ def q_user_totals(spark, sf_dir):
 
 
 @query(
+    "q_skewed_join",
+    oracle=(
+        # Plain join + plain group-by: the salt is a pure execution-
+        # strategy change (every (key, salt) pair exists on the
+        # replicated side; partials re-combine exactly), so the oracle
+        # is the unsalted formulation.
+        "WITH e AS (SELECT CASE WHEN user_id % 5 = 0 THEN 0 "
+        "ELSE user_id END AS hot_uid, event_type, value FROM events), "
+        "d AS (SELECT DISTINCT hot_uid, hot_uid % 7 AS tier FROM e) "
+        "SELECT d.tier, e.event_type, COUNT(*) AS n_rows, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total "
+        "FROM e JOIN d USING (hot_uid) GROUP BY 1, 2"
+    ),
+    doc="2C skew mitigation: a deliberately hot join key (20% of user "
+        "keys collapse onto one id) joined via skew.salted_join — the "
+        "hot side is salted into 16 buckets and the dimension is "
+        "replicated across them, so the hot key's rows spread over 16 "
+        "reducers instead of funneling to one — then aggregated via "
+        "skew.salted_sum_count (two-phase partials, same 16-way "
+        "spread). AQE's skew handling only splits oversized SMJ "
+        "partitions; these operators cover the groupBy-funnel and "
+        "replicable-dimension cases it can't (operators/skew.py)",
+)
+def q_skewed_join(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import skew
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("hot_uid"),
+        "event_type",
+        "value",
+    )
+    dim = (
+        e.select("hot_uid").distinct()
+        .withColumn("tier", F.pmod(F.col("hot_uid"), F.lit(7)))
+    )
+    joined = skew.salted_join(e, dim, on=["hot_uid"], n_salts=16)
+    return skew.salted_sum_count(joined, ["tier", "event_type"], "value")
+
+
+@query(
     "q_json_extract",
     oracle=(
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "

@@ -11,6 +11,7 @@ from aws_data_pipeline_ads_spark.operators.sampling import (
     hash_u32_sql,
 )
 from aws_data_pipeline_ads_spark.operators.simhash import simhash_pairs_sql, simhash_sql
+from aws_data_pipeline_ads_spark.queries.indexcache import index_path
 from aws_data_pipeline_ads_spark.queries.registry import query
 
 _WS = r"\s+"
@@ -167,24 +168,18 @@ def q_decontaminate(spark, sf_dir):
 # from the ≤128 KiB parquet. Deterministic content — memoizing is
 # amortization, not semantics; the fingerprint in the index meta is
 # what guarantees serve-time freshness.
-_BLOOM_IDX: dict[str, str] = {}
-
-
 def bloom_index(spark, sf_dir: str) -> str:
-    if sf_dir not in _BLOOM_IDX:
-        import tempfile
-
+    def build(path: str) -> None:
         from aws_data_pipeline_ads_spark.operators.bloom import bloom_write
         from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
 
-        path = tempfile.mkdtemp(prefix="spark_bloom_idx_")
         bench = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 101 == 7
         )
         bench_sh = doc_shingle_sets(bench, k=5).select("tok").distinct()
         bloom_write(bench_sh, "tok", path)
-        _BLOOM_IDX[sf_dir] = path
-    return _BLOOM_IDX[sf_dir]
+
+    return index_path("bloom", sf_dir, build)
 
 
 @query(
@@ -433,17 +428,11 @@ def q_bm25_terms(spark, sf_dir):
 # Materialized BM25 vocabulary per sf_dir: built ONCE per corpus (a
 # write-side job, like any table build) and served by every BM25 query.
 # Deterministic content — memoizing is amortization, not semantics.
-_BM25_IDX: dict[str, str] = {}
-
-
 def bm25_index(spark, sf_dir: str) -> str:
-    if sf_dir not in _BM25_IDX:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="spark_bm25_idx_")
-        textstats.bm25_write(load_table(spark, sf_dir, "documents"), path)
-        _BM25_IDX[sf_dir] = path
-    return _BM25_IDX[sf_dir]
+    return index_path(
+        "bm25", sf_dir,
+        lambda p: textstats.bm25_write(load_table(spark, sf_dir, "documents"), p),
+    )
 
 
 _QUERY_TERMS = ("vector", "merge", "scan")
@@ -652,17 +641,11 @@ def q_minhash_lsh(spark, sf_dir):
 
 # Materialized MinHash index per sf_dir (signatures + banded buckets):
 # built once per corpus, write-side — SCALE.md "change first" item 1.
-_MINHASH_IDX: dict[str, str] = {}
-
-
 def minhash_index(spark, sf_dir: str) -> str:
-    if sf_dir not in _MINHASH_IDX:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="spark_minhash_idx_")
-        dedup.minhash_write(load_table(spark, sf_dir, "documents"), path)
-        _MINHASH_IDX[sf_dir] = path
-    return _MINHASH_IDX[sf_dir]
+    return index_path(
+        "minhash", sf_dir,
+        lambda p: dedup.minhash_write(load_table(spark, sf_dir, "documents"), p),
+    )
 
 
 @query(
@@ -713,19 +696,13 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 # Materialized SimHash fingerprint table per sf_dir.
-_SIMHASH_IDX: dict[str, str] = {}
-
-
 def simhash_index(spark, sf_dir: str) -> str:
-    if sf_dir not in _SIMHASH_IDX:
-        import tempfile
-
+    def build(path: str) -> None:
         from aws_data_pipeline_ads_spark.operators.simhash import simhash_write
 
-        path = tempfile.mkdtemp(prefix="spark_simhash_idx_")
         simhash_write(spark, load_table(spark, sf_dir, "documents"), path)
-        _SIMHASH_IDX[sf_dir] = path
-    return _SIMHASH_IDX[sf_dir]
+
+    return index_path("simhash", sf_dir, build)
 
 
 @query(
@@ -819,6 +796,26 @@ def q_video_frames(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.video_frame_features(multimodal.synthetic_videos(docs))
+
+
+@query(
+    "q_video_metadata",
+    oracle=None,  # container demux is not SQL-expressible; box/header
+    # walkers pinned by pytest (mux→demux round-trips + hostile inputs)
+    doc="2C multimodal: container-metadata triage — the FIRST stage a "
+        "real crawl pipeline runs on video, filtering on codec/dims/"
+        "duration before any pixel decodes. Mixed corpus (MP4/ISO-BMFF "
+        "moov box walk + RIFF/AVI header list, doc_id parity picks the "
+        "container) → one row per track: codec fourcc, display dims, "
+        "duration, sample count (multimodal.video_metadata)",
+)
+def q_video_metadata(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.video_metadata(
+        multimodal.synthetic_videos(docs, container="mixed")
+    )
 
 
 @query(

@@ -65,19 +65,9 @@ def q_embedding_neardup(spark, sf_dir):
 # layout — the production serving shape (inline bucketing costs
 # ~n_planes× the arithmetic of the brute scan it is meant to beat;
 # measured 2.1s inline vs ~0.3s served at sf0.1). Same answers as the
-# inline forms (pytest-pinned).
-_INDEX_DIR: dict[tuple[str, str], str] = {}
-
-
-def _index_path(kind: str, sf_dir: str, build) -> str:
-    key = (kind, sf_dir)
-    if key not in _INDEX_DIR:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix=f"spark_{kind}_idx_")
-        build(path)
-        _INDEX_DIR[key] = path
-    return _INDEX_DIR[key]
+# inline forms (pytest-pinned). Routing through queries.indexcache
+# lets bench.py's per-query subprocess isolation share one build.
+from aws_data_pipeline_ads_spark.queries.indexcache import index_path as _index_path
 
 
 @query(
@@ -99,15 +89,33 @@ def q_embedding_ann(spark, sf_dir):
 
 # Trained centroids per sf_dir: IVF trains ONCE offline and serves many
 # queries; training is deterministic (decimal sums, fixed iterations) so
-# memoizing is purely an amortization, not a semantic change.
+# memoizing is purely an amortization, not a semantic change. The
+# centroids ride along inside the ivf index dir (centroids.json) so
+# serving processes that didn't train (bench subprocesses) reload the
+# exact trained values instead of re-running Lloyd's.
 _CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+def _ivf_index(spark, sf_dir: str) -> str:
+    def build(p: str) -> None:
+        import json
+
+        cents = similarity.train_centroids(
+            load_table(spark, sf_dir, "embeddings"), 16
+        )
+        similarity.ivf_write(load_table(spark, sf_dir, "embeddings"), cents, p)
+        with open(f"{p}/_centroids.json", "w") as f:
+            json.dump(cents, f)
+
+    return _index_path("ivf", sf_dir, build)
 
 
 def _trained_centroids(spark, sf_dir: str) -> list[list[float]]:
     if sf_dir not in _CENTROIDS:
-        _CENTROIDS[sf_dir] = similarity.train_centroids(
-            load_table(spark, sf_dir, "embeddings"), 16
-        )
+        import json
+
+        with open(f"{_ivf_index(spark, sf_dir)}/_centroids.json") as f:
+            _CENTROIDS[sf_dir] = json.load(f)
     return _CENTROIDS[sf_dir]
 
 
@@ -121,13 +129,8 @@ def _trained_centroids(spark, sf_dir: str) -> list[list[float]]:
         "unprobed inverted lists at the FILE level",
 )
 def q_embedding_ivf(spark, sf_dir):
+    idx = _ivf_index(spark, sf_dir)
     cents = _trained_centroids(spark, sf_dir)
-    idx = _index_path(
-        "ivf", sf_dir,
-        lambda p: similarity.ivf_write(
-            load_table(spark, sf_dir, "embeddings"), cents, p
-        ),
-    )
     return similarity.ivf_topk_pruned(spark, idx, _QV, cents, 10, n_probe=4)
 
 
@@ -145,13 +148,8 @@ def q_embedding_ivf(spark, sf_dir):
         "exact top-k, oracle-verifying the whole serving path",
 )
 def q_embedding_ivf_full(spark, sf_dir):
+    idx = _ivf_index(spark, sf_dir)
     cents = _trained_centroids(spark, sf_dir)
-    idx = _index_path(
-        "ivf", sf_dir,
-        lambda p: similarity.ivf_write(
-            load_table(spark, sf_dir, "embeddings"), cents, p
-        ),
-    )
     return similarity.ivf_topk_pruned(spark, idx, _QV, cents, 10, n_probe=16)
 
 
@@ -243,13 +241,7 @@ def warm_indexes(spark, sf_dir: str) -> None:
         "lsh", sf_dir,
         lambda p: similarity.lsh_write(load_table(spark, sf_dir, "embeddings"), p),
     )
-    cents = _trained_centroids(spark, sf_dir)
-    _index_path(
-        "ivf", sf_dir,
-        lambda p: similarity.ivf_write(
-            load_table(spark, sf_dir, "embeddings"), cents, p
-        ),
-    )
+    _ivf_index(spark, sf_dir)
 
 
 _HARDNEG_ORACLE = (
@@ -286,11 +278,19 @@ _PQ_BOOKS: dict[str, list] = {}
 
 def _pq_books(spark, sf_dir: str) -> list:
     """Codebooks per sf_dir (training is deterministic, so caching is a
-    pure speedup — same bounded-collect posture as _trained_centroids)."""
+    pure speedup — same bounded-collect posture as _trained_centroids).
+    Persisted as books.json through the index cache so serving
+    processes reload the trained values instead of retraining."""
     if sf_dir not in _PQ_BOOKS:
-        _PQ_BOOKS[sf_dir] = similarity.pq_train(
-            load_table(spark, sf_dir, "embeddings")
-        )
+        import json
+
+        def build(p: str) -> None:
+            books = similarity.pq_train(load_table(spark, sf_dir, "embeddings"))
+            with open(f"{p}/books.json", "w") as f:
+                json.dump(books, f)
+
+        with open(f"{_index_path('pqbooks', sf_dir, build)}/books.json") as f:
+            _PQ_BOOKS[sf_dir] = json.load(f)
     return _PQ_BOOKS[sf_dir]
 
 

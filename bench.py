@@ -5,99 +5,121 @@ local[$SPARK_GRAFT_CPUS]. Each query executes fully via the `noop`
 sink (no driver materialization — measures engine throughput, not
 collect).
 
-Each query is timed TWICE: the first run carries whole-stage-codegen
-compilation and broadcast warmup (cold), the second measures the
-steady-state plan the cluster would run all day. Cold runs are ±30%
-noisy on this box; steady-state is the like-for-like number across
-rounds. Prints ONE JSON line:
+Isolation (round 5): each query runs in its OWN JVM (one child python
+process per query). Two rounds of shared-session benchmarking showed
+±30% phantom swings on sub-second queries with unchanged minimal plans
+(r3: q_agg_rollup; r4: q_session_gap/q_tpch_q3/q_window_rank) despite
+cache-release + explicit-GC hygiene between queries — heap history from
+20+ earlier queries (broadcast cleanup debt, JIT/code-cache state,
+fragmentation) is simply not resettable inside one JVM. A fresh JVM per
+query makes per-query deltas attributable to the plan again.
+
+Serving indexes (BM25 postings, MinHash buckets, SimHash fingerprints,
+bloom words, LSH/IVF ANN layouts) are WRITE-side artifacts: the parent
+builds them once into $SPARK_GRAFT_IDX_ROOT and children serve from
+disk (queries/indexcache.py), exactly as production jobs share a
+corpus's indexes.
+
+Per query: one warmup-free cold run (fresh-JVM codegen + broadcast
+included), then `steady` = median of 3 back-to-back reps — the plan a
+cluster would run all day. Prints ONE JSON line:
   {"metric": "...", "value": <cold total sec>, "unit": "sec",
    "queries": {name: cold sec, ...}, "steady": {name: sec, ...},
    "steady_total": <sec>, "sf": <sf>}
 (`value`/`queries` keep the round-1 cold semantics so older
-BENCH_r{N}.json files stay comparable.)
+BENCH_r{N}.json files stay comparable; cold is fresh-JVM cold from r5
+on, slightly heavier but far more reproducible than shared-session
+"cold after 20 other queries".)
 """
 
 from __future__ import annotations
 
-import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from aws_data_pipeline_ads_spark.catalog import load_table
-from aws_data_pipeline_ads_spark.operators.cache import release_caches
-from aws_data_pipeline_ads_spark.queries import REGISTRY
-from aws_data_pipeline_ads_spark.session import get_session
+_STEADY_REPS = 3
 
 
 def run_once(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_session("bench")
+def child(name: str, sf_dir: str) -> None:
+    """Time one query in this (fresh) JVM; emit one JSON line."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.queries import REGISTRY
+    from aws_data_pipeline_ads_spark.session import get_session
 
-    # Warmup (not counted): JVM/codegen plus parquet footers for the big
-    # tables, so the first timed query doesn't absorb one-time costs.
+    spark = get_session("bench")
+    # Session warmup (not counted): JVM/codegen basics plus parquet
+    # footers, so `cold` measures the QUERY's first run, not the JVM's.
     run_once(spark.range(1_000_000).selectExpr("sum(id) AS s"))
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         run_once(load_table(spark, sf_dir, t).limit(1000))
 
-    # Materialize the ANN serving indexes (not counted): lsh_write /
-    # ivf_write are one-time WRITE-side jobs (like building any table);
-    # the bench times query serving, and cold-vs-steady still captures
-    # codegen/broadcast warmup for the probe plans themselves.
-    from aws_data_pipeline_ads_spark.queries import text_q, vector_q
+    qd = REGISTRY[name]
+    t0 = time.time()
+    run_once(qd.build(spark, sf_dir))
+    cold = round(time.time() - t0, 3)
+    reps = []
+    for _ in range(_STEADY_REPS):
+        t1 = time.time()
+        run_once(qd.build(spark, sf_dir))
+        reps.append(round(time.time() - t1, 3))
+    print(json.dumps({"name": name, "cold": cold, "reps": reps}))
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        child(sys.argv[2], sf_dir)
+        return
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    idx_root = os.environ.get(
+        "SPARK_GRAFT_IDX_ROOT",
+        f"/tmp/spark_graft_idx_{sf.replace('.', '_')}",
+    )
+    os.environ["SPARK_GRAFT_IDX_ROOT"] = idx_root
+
+    # Build the serving indexes once (write-side jobs, not counted),
+    # then retire the parent's JVM before any child is timed.
+    from aws_data_pipeline_ads_spark.queries import REGISTRY, text_q, vector_q
+    from aws_data_pipeline_ads_spark.session import get_session
+
+    t0 = time.time()
+    spark = get_session("bench-index-build")
     vector_q.warm_indexes(spark, sf_dir)
-    text_q.bm25_index(spark, sf_dir)  # materialized BM25 vocabulary
-    text_q.minhash_index(spark, sf_dir)  # materialized MinHash buckets
-    text_q.simhash_index(spark, sf_dir)  # materialized SimHash fingerprints
+    text_q.bm25_index(spark, sf_dir)
+    text_q.minhash_index(spark, sf_dir)
+    text_q.simhash_index(spark, sf_dir)
+    text_q.bloom_index(spark, sf_dir)
+    spark.stop()
+    print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",
+          file=sys.stderr)
 
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in names:
-        qd = REGISTRY[name]
-        # Each query starts from a clean cache: several operators persist
-        # slim intermediates (LSH buckets, tf, fingerprints), and letting
-        # those accumulate across 20+ queries skews later timings with
-        # memory/GC pressure none of them caused. cold still pays the
-        # query's OWN cache population; steady serves from it.
-        # release_caches drops the tracked persist() handles too, so the
-        # entries don't linger as unpersisted-but-registered leaks.
-        # The explicit GCs matter as much as clearCache: broadcast
-        # blocks from earlier queries are reclaimed only when the
-        # ContextCleaner sees their driver objects collected — without
-        # the hint they pile up across 20+ queries and later heavy
-        # queries absorb the GC debt (measured: q_neardup_verified
-        # steady 1.4s -> 0.9s in-sequence with the hint; the r3
-        # q_agg_rollup "+28% regression" was this, not its plan).
-        release_caches()
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        run_once(qd.build(spark, sf_dir))
-        cold[name] = round(time.time() - t0, 3)
-        # steady = min of 2 reps (labeled steady_reps in the JSON):
-        # single-rep steady occasionally absorbs a multi-second full-GC
-        # pause of the 128 GiB heap (measured: q_neardup_verified reps
-        # [0.81, 3.48, 0.56] back-to-back — bimodal, not a plan change);
-        # min-of-2 reports the plan's actual steady state.
-        reps = []
-        for _ in range(2):
-            t1 = time.time()
-            run_once(qd.build(spark, sf_dir))
-            reps.append(time.time() - t1)
-        steady[name] = round(min(reps), 3)
-        print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s",
-              file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", name],
+            capture_output=True, text=True, env=os.environ.copy(),
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"bench child for {name} failed")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        cold[name] = rec["cold"]
+        reps = sorted(rec["reps"])
+        steady[name] = reps[len(reps) // 2]  # median of 3
+        print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s "
+              f"(reps {rec['reps']})", file=sys.stderr)
 
     # Queries added to the bench set after round 2 (r3: q_line_dedup,
     # q_bm25_terms, q_simhash_pairs; r4: q_decontaminate,
@@ -118,7 +140,8 @@ def main() -> None:
             sum(v for k, v in cold.items() if k not in added_r3), 3
         ),
         "added_queries": sorted(added_r3 & set(cold)),
-        "steady_reps": 2,  # min-of-2 since r4 (GC-pause robustness)
+        "steady_reps": _STEADY_REPS,  # median-of-3 in a fresh JVM per query
+        "isolation": "jvm-per-query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

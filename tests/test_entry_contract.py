@@ -29,27 +29,31 @@ def test_driver_window_covers_llm_pipeline_queries():
     window = list(entry_mod.queries())[:DRIVER_WINDOW]
     must_cover = {
         "q_text_stats", "q_curation_pipeline", "q_token_count", "q_lang_id",
-        "q_quality_score", "q_dedup_exact",
+        "q_dedup_exact",
         "q_ngram_jaccard", "q_minhash_lsh", "q_neardup_verified",
         "q_simhash_pairs", "q_binary_meta", "q_embedding_knn",
         # q_embedding_ivf_full replaced the pruned q_embedding_ivf in the
         # window (round 3): full probe == exact brute force, so the IVF
         # serving machinery is hash-verified rather than rows-only
-        "q_embedding_sq8", "q_embedding_ivf_full",
+        "q_embedding_ivf_full",
         # r4 second rotation: q_math_funcs (scalar sibling of
         # q_array_funcs) yielded its slot to the new operator families
         "q_array_funcs",
-        "q_user_totals", "q_repetition_score", "q_sample_stratified",
+        "q_repetition_score", "q_sample_stratified",
         "q_contamination",
         # round-2 window swaps promoted the new flagship operators over
         # redundant approx/TPC-H variants (see queries/__init__.py _TAIL)
         "q_bm25_terms", "q_neardup_clusters", "q_line_dedup",
-        # round-4 rotation: q_doc_fingerprint / q_simhash /
-        # q_embedding_neardup / q_funnel / q_tpch_q1 moved to the tail
-        # (each hash-verified in r03, machinery held by an in-window
-        # sibling) so five never-driver-verified queries gain coverage:
-        "q_span_dedup", "q_domain_mixture", "q_semdedup",
-        "q_markov_transitions", "q_tpch_q21",
+        "q_domain_mixture", "q_semdedup", "q_tpch_q21",
+        # round-5 rotation: the round-4 operator families enter the
+        # window for their first driver hash-verification (outgoing
+        # siblings — q_quality_score, q_span_dedup, q_embedding_sq8,
+        # q_user_totals, q_scan_project, q_markov_transitions,
+        # q_range_join, q_pivot_counts — each hash-verified r01-r04 and
+        # machinery-covered by an in-window sibling):
+        "q_quality_classifier", "q_record_linkage", "q_pagerank",
+        "q_triangles", "q_multitouch", "q_session_paths",
+        "q_perplexity_sample", "q_association_rules",
     }
     missing = must_cover - set(window)
     assert not missing, f"LLM-pipeline queries outside driver window: {missing}"
@@ -75,6 +79,9 @@ def test_oracle_sql_covers_most_queries():
             # (mapInPandas) — no SQL twin; pytest pins reference + recall
             "q_video_frames",  # JPEG entropy decode in the Arrow stage —
             # not SQL-expressible; mux→demux→decode golden pytest
+            "q_video_metadata",  # ISO-BMFF/AVI container demux in the
+            # Arrow stage — not SQL-expressible; round-trip + hostile
+            # input pytests
             "q_audio_features",  # int16-PCM RMS over VARCHAR bytes —
             # not SQL-expressible; WAV-parse + determinism pytest
             "q_audio_spectral",  # rFFT descriptors — FFT has no SQL

@@ -656,3 +656,79 @@ def test_audio_spectral_features_sine_golden(spark):
     r2 = multimodal.audio_spectral_features(
         media, use_fake_decoder=False).collect()[0]
     assert r == r2
+
+
+def test_mp4_mux_demux_roundtrip():
+    """mux_minimal_mp4 → _parse_mp4_tracks recovers codec/dims/duration/
+    sample count exactly (the ISO-BMFF twin of the AVI round-trip)."""
+    frames = [b"\xff\xd8a\xff\xd9", b"\xff\xd8bb\xff\xd9", b"\xff\xd8c\xff\xd9"]
+    mp4 = multimodal.mux_minimal_mp4(frames, 32, 24, fps=10)
+    assert multimodal._parse_mp4_tracks(mp4) == [{
+        "track_id": 1, "handler": "vide", "codec": "jpeg",
+        "width": 32.0, "height": 24.0, "duration_s": 0.3, "n_samples": 3,
+    }]
+
+
+def test_mp4_hostile_inputs():
+    """Truncated boxes, 64-bit largesize, sibling box bombs, size
+    overflow, non-BMFF garbage — every failure is a loud ValueError
+    (never an over-read, hang, or RecursionError), mirroring the AVI
+    nested-bomb suite."""
+    import struct as st
+
+    mp4 = multimodal.mux_minimal_mp4([b"\xff\xd8x\xff\xd9"], 8, 8)
+    # truncations at every interesting boundary
+    for cut in (4, 9, 20, len(mp4) // 2, len(mp4) - 3):
+        with pytest.raises(ValueError):
+            multimodal._parse_mp4_tracks(mp4[:cut])
+    # 64-bit largesize box is walked correctly
+    big = st.pack(">I", 1) + b"free" + st.pack(">Q", 16) + mp4
+    assert multimodal._parse_mp4_tracks(big)[0]["codec"] == "jpeg"
+    # truncated largesize field
+    with pytest.raises(ValueError):
+        multimodal._parse_mp4_tracks(st.pack(">I", 1) + b"free" + b"\x00" * 4)
+    # sibling box bomb: 100k 8-byte free boxes stay linear-time
+    bomb = (st.pack(">I", 8) + b"free") * 100_000 + mp4
+    assert multimodal._parse_mp4_tracks(bomb)[0]["n_samples"] == 1
+    # declared size past the payload end
+    with pytest.raises(ValueError):
+        multimodal._parse_mp4_tracks(
+            st.pack(">I", 0xFFFFFFF0) + b"moov" + b"x" * 64)
+    # size smaller than its own header can never advance
+    with pytest.raises(ValueError):
+        multimodal._parse_mp4_tracks(st.pack(">I", 3) + b"moov" + b"x" * 64)
+    # moov-less fragment and plain garbage fail loudly
+    ftyp_only = st.pack(">I", 16) + b"ftyp" + b"isom" + st.pack(">I", 512)
+    with pytest.raises(ValueError, match="no moov"):
+        multimodal._parse_mp4_tracks(ftyp_only)
+    with pytest.raises(ValueError):
+        multimodal._parse_mp4_tracks(b"this is not a video at all..")
+
+
+def test_video_metadata_mixed_corpus(spark, sf_dir):
+    """video_metadata over a mixed AVI/MP4 corpus: one row per doc,
+    container picked by doc_id parity, codec/dims/frame-count all from
+    the real walkers, deterministic across runs."""
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    media = multimodal.synthetic_videos(docs, n_frames=3, container="mixed")
+    rows = {r.doc_id: r for r in multimodal.video_metadata(media).collect()}
+    assert len(rows) == 12
+    for doc_id, r in rows.items():
+        assert r.container == ("mp4" if doc_id % 2 else "avi")
+        assert r.codec == ("jpeg" if doc_id % 2 else "MJPG")
+        assert (r.width, r.height) == (16.0, 16.0)
+        assert r.n_samples == 3 and r.handler == "vide"
+        assert r.duration_s == pytest.approx(3 / 25, rel=1e-6)
+    again = {r.doc_id: r for r in multimodal.video_metadata(media).collect()}
+    assert rows == again
+
+
+def test_video_metadata_y4m():
+    """YUV4MPEG2 header triage: dims from W/H tags, duration from the F
+    rate tag, frame count from the real splitter."""
+    w, h = 6, 4
+    payload = b"YUV4MPEG2 W6 H4 F30:1 C420jpeg\x0a" + b"".join(
+        b"FRAME\x0a" + bytes([i]) * (w * h * 3 // 2) for i in range(5)
+    )
+    frames = multimodal._parse_y4m_frames(payload)
+    assert len(frames) == 5

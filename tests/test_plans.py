@@ -78,6 +78,35 @@ def test_scalar_censuses_are_shuffle_free(spark, sf_dir):
         assert plans.count_shuffle_exchanges(_q(name, spark, sf_dir)) == 0
 
 
+def test_skewed_join_salts_the_exchange(spark, sf_dir):
+    """q_skewed_join must actually spread the hot key: the join operates
+    on (hot_uid, __salt) — so any hash exchange/join keying includes the
+    salt, never hot_uid alone — the replicated side carries the
+    explode(sequence(0..15)) fan-out, and the two-phase aggregation's
+    first exchange also keys on the salt. The salt must not leak into
+    the output schema."""
+    df = _q("q_skewed_join", spark, sf_dir)
+    assert set(df.columns) == {"tier", "event_type", "n_rows", "total"}
+    plan = plans.physical_plan(df)
+    assert "__salt" in plan and "explode" in plan.lower()
+    # Force the join path visible even if the dim would broadcast at
+    # test scale: at 100 TB the dimension is too big to broadcast, and
+    # the exchange that replaces it must hash on keys+salt.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unbroadcast = plans.physical_plan(_q("q_skewed_join", spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    import re
+
+    part_keys = re.findall(r"hashpartitioning\(([^)]*)\)", unbroadcast)
+    salted = [k for k in part_keys if "hot_uid" in k and "__salt" in k]
+    # Both JOIN inputs must exchange on (hot_uid, __salt). The dim's own
+    # pre-replication distinct() legitimately hashes on hot_uid alone —
+    # that side is small by contract; only the skewed flow needs salt.
+    assert len(salted) >= 2
+
+
 # Queries allowed a nested-loop/cartesian plan: both inputs are bounded
 # (dimension tables or 1-row aggregates), documented in each builder.
 # q_tpch_q22's is the 1-row avg_bal scalar broadcast.
