@@ -1,18 +1,26 @@
-"""Baseline JPEG codec, pure Python + numpy — no libjpeg/PIL.
+"""JPEG codec (baseline + Huffman progressive), pure Python + numpy —
+no libjpeg/PIL.
 
 Scope (the subset training-image corpora overwhelmingly use):
-- decode: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+- decode: baseline sequential DCT (SOF0) AND Huffman progressive
+  (SOF2 — spectral selection, successive approximation, multi-block
+  EOB runs, interleaved DC scans; ~10% of web JPEGs are progressive,
+  so a crawl pipeline hits them daily), 8-bit, grayscale or YCbCr
   with any h/v sampling factors in {1, 2} (4:4:4, 4:2:2, 4:2:0),
-  restart intervals, multiple DQT/DHT segments. Progressive (SOF2),
-  arithmetic coding (SOF9+), 12-bit precision, and hierarchical modes
-  are rejected LOUDLY with the reason in the error.
-- encode: baseline sequential, grayscale or 4:4:4 / 4:2:0 YCbCr, with
-  per-image canonical Huffman tables built from actual symbol
-  frequencies (fixed-length canonical codes — valid DHT, zero reliance
-  on remembering Annex K constants). quant=None writes all-ones
-  quantization tables, making the round-trip near-lossless (error is
-  float-DCT rounding only, ≤1 level) — which is what makes golden-pixel
-  decoder tests possible without a codec library.
+  restart intervals, multiple DQT/DHT segments. Arithmetic coding
+  (SOF9+), 12-bit precision, lossless, and hierarchical modes are
+  rejected LOUDLY with the reason in the error.
+- encode: baseline sequential or progressive (jpeg_encode_progressive;
+  fixture-grade, spec-valid SOF2 with a configurable scan script),
+  grayscale or 4:4:4 / 4:2:2 / 4:2:0 YCbCr, with per-image canonical
+  Huffman tables built from actual symbol frequencies (fixed-length
+  canonical codes — valid DHT, zero reliance on remembering Annex K
+  constants). quant=None writes all-ones quantization tables, making
+  the round-trip near-lossless (error is float-DCT rounding only,
+  ≤1 level) — which is what makes golden-pixel decoder tests possible
+  without a codec library. Both encoders share one FDCT/quantizer, so
+  progressive decode must equal baseline decode BIT-FOR-BIT — the
+  strongest oracle available without a codec library.
 
 Everything is float64 numpy per 8x8 block; the entropy loop is plain
 Python. That is thumbnail-scale throughput — fine for the test suite
@@ -158,6 +166,31 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
         ) from e
 
 
+def _parse_dqt(body: bytes, qt: dict[int, np.ndarray]) -> None:
+    p = 0
+    while p < len(body):
+        pq, tq = body[p] >> 4, body[p] & 0xF
+        p += 1
+        if pq == 0:
+            qt[tq] = np.frombuffer(body[p:p + 64], np.uint8).astype(np.float64)
+            p += 64
+        else:
+            qt[tq] = np.frombuffer(body[p:p + 128], ">u2").astype(np.float64)
+            p += 128
+
+
+def _parse_dht(body: bytes, huff_dc: dict[int, dict],
+               huff_ac: dict[int, dict]) -> None:
+    p = 0
+    while p < len(body):
+        tc, th = body[p] >> 4, body[p] & 0xF
+        bits = list(body[p + 1:p + 17])
+        n = sum(bits)
+        vals = list(body[p + 17:p + 17 + n])
+        (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
+        p += 17 + n
+
+
 def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
@@ -165,6 +198,8 @@ def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hi, vi, tq)])
+    progressive = False
+    store = None  # progressive: cid -> (blocks_y, blocks_x, 64) int32
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
@@ -174,32 +209,18 @@ def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
         if marker in _NONBASELINE:
             raise ValueError(
                 f"unsupported JPEG mode: {_NONBASELINE[marker]} — only "
-                f"baseline sequential (SOF0) is implemented"
+                f"baseline sequential (SOF0) and Huffman progressive "
+                f"(SOF2) are implemented"
             )
+        if marker == 0xD9:  # EOI
+            break
         size = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         body = payload[pos + 4:pos + 2 + size]
         if marker == 0xDB:  # DQT (possibly several tables)
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 0xF
-                p += 1
-                if pq == 0:
-                    tab = np.frombuffer(body[p:p + 64], np.uint8).astype(np.float64)
-                    p += 64
-                else:
-                    tab = np.frombuffer(body[p:p + 128], ">u2").astype(np.float64)
-                    p += 128
-                qt[tq] = tab
+            _parse_dqt(body, qt)
         elif marker == 0xC4:  # DHT (possibly several tables)
-            p = 0
-            while p < len(body):
-                tc, th = body[p] >> 4, body[p] & 0xF
-                bits = list(body[p + 1:p + 17])
-                n = sum(bits)
-                vals = list(body[p + 17:p + 17 + n])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
-                p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+            _parse_dht(body, huff_dc, huff_ac)
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (need 8-bit)")
@@ -208,26 +229,50 @@ def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
                 cid, hv, tq_i = body[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_i))
             frame = (h, w, comps)
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                store = {
+                    cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), np.int64)
+                    for cid, hi, vi, _tq in comps
+                }
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            scan_map = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i:3 + 2 * i]
-                scan_map[cs] = (tdta >> 4, tdta & 0xF)
-            segments = _split_entropy(payload, pos + 2 + size)
-            return _decode_scan(
-                frame, scan_map, qt, huff_dc, huff_ac, restart_interval, segments
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            segments, entropy_end = _split_entropy(payload, pos + 2 + size)
+            if not progressive:
+                scan_map = {cs: (td, ta) for cs, td, ta in scan_comps}
+                return _decode_scan(
+                    frame, scan_map, qt, huff_dc, huff_ac,
+                    restart_interval, segments,
+                )
+            _progressive_scan(
+                frame, store, scan_comps, ss, se, ahal >> 4, ahal & 0xF,
+                huff_dc, huff_ac, restart_interval, segments,
             )
+            pos = entropy_end
+            continue
         pos += 2 + size
+    if progressive and store is not None:
+        return _reconstruct_progressive(frame, store, qt)
     raise ValueError("JPEG missing SOS scan")
 
 
-def _split_entropy(payload: bytes, start: int) -> list[bytes]:
-    """De-stuff the entropy-coded bytes; split at RSTn markers."""
+def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """De-stuff the entropy-coded bytes; split at RSTn markers. Returns
+    (segments, end) where end points at the 0xFF of the marker that
+    terminated the scan (so a multi-scan parse can resume there)."""
     segs: list[bytes] = []
     cur = bytearray()
     p = start
@@ -248,7 +293,7 @@ def _split_entropy(payload: bytes, start: int) -> list[bytes]:
         else:  # EOI or next marker — scan ends
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, min(p, len(payload))
 
 
 def _decode_scan(frame, scan_map, qt, huff_dc, huff_ac,
@@ -315,6 +360,12 @@ def _decode_scan(frame, scan_map, qt, huff_dc, huff_ac,
         p = planes[cid]
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w])
+    return _finish_planes(full)
+
+
+def _finish_planes(full: list[np.ndarray]) -> np.ndarray:
+    """Color-convert upsampled component planes to uint8 pixels
+    (shared by the baseline and progressive reconstruction paths)."""
     if len(full) == 1:
         out = full[0][:, :, None]
     else:
@@ -324,6 +375,194 @@ def _decode_scan(frame, scan_map, qt, huff_dc, huff_ac,
         b = y + 1.772 * cb
         out = np.stack([r, g, b], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# -- progressive (SOF2) scan decoding -----------------------------------------
+#
+# A progressive JPEG spreads each block's 64 coefficients over MANY
+# scans: DC first/refinement scans (optionally interleaved), then
+# per-component AC scans over a spectral band [Ss, Se] at successive
+# approximation levels (first scan codes coefficient >> Al; refinements
+# add one magnitude bit each). Coefficients accumulate in an integer
+# store; dequantization + IDCT happen ONCE at EOI. Algorithms follow
+# T.81 G.1.2 (the same control flow libjpeg documents publicly).
+
+
+def _ac_first(r: _BitReader, act: dict, coef, ss: int, se: int, al: int,
+              eobrun: int) -> int:
+    """First AC scan of a band: run-length coded (coef >> Al) values
+    plus EOBn symbols that skip 2^n + extra WHOLE blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, act)
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if run != 15:
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.read_bits(run)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("JPEG progressive AC run past band end")
+        coef[k] = _receive_extend(r, s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r: _BitReader, act: dict, coef, ss: int, se: int, al: int,
+               eobrun: int) -> int:
+    """AC refinement scan (T.81 G.1.2.3): newly-nonzero coefficients
+    arrive as (run, 1) symbols + a sign bit; every already-nonzero
+    coefficient crossed on the way contributes one correction bit that
+    may add ±2^Al toward larger magnitude."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, act)
+            run, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # run == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                newval = p1 if r.read_bit() else m1
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if r.read_bit() and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    run -= 1
+                    if run < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement run past band end")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if r.read_bit() and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _comp_block_grid(frame, cid) -> tuple[int, int]:
+    """REAL (not MCU-padded) block grid of one component — the unit
+    space of non-interleaved progressive scans (T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    hi, vi = next((hi, vi) for c, hi, vi, _ in comps if c == cid)
+    cw = -(-(w * hi) // hmax)
+    ch = -(-(h * vi) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _progressive_scan(frame, store, scan_comps, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval, segments) -> None:
+    h, w, comps = frame
+    byid = {cid: (hi, vi) for cid, hi, vi, _tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    interleaved = len(scan_comps) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se = 0")
+    if ss > 0 and interleaved:
+        raise ValueError("JPEG progressive AC scans must be single-component")
+    if ss > 0 and not (ss <= se <= 63):
+        raise ValueError("JPEG progressive band out of range")
+    if interleaved:
+        units = mcus_y * mcus_x
+    else:
+        bh, bw = _comp_block_grid(frame, scan_comps[0][0])
+        units = bh * bw
+
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    preds = {cs: 0 for cs, _, _ in scan_comps}
+    eobrun = 0
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG restart interval past entropy data")
+            reader = _BitReader(segments[seg_i])
+            preds = dict.fromkeys(preds, 0)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            blocks = [
+                (cs, my * vi + by, mx * hi + bx, td)
+                for cs, td, _ta in scan_comps
+                for hi, vi in (byid[cs],)
+                for by in range(vi)
+                for bx in range(hi)
+            ]
+        else:
+            cs, td, _ta = scan_comps[0]
+            by, bx = divmod(u, bw)
+            blocks = [(cs, by, bx, td)]
+        for cs, by, bx, td in blocks:
+            coef = store[cs][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    t = _huff_decode(reader, huff_dc[td])
+                    if t > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    preds[cs] += _receive_extend(reader, t)
+                    coef[0] = preds[cs] << al
+                elif reader.read_bit():
+                    coef[0] |= 1 << al
+            else:
+                _ta = scan_comps[0][2]
+                if ah == 0:
+                    eobrun = _ac_first(
+                        reader, huff_ac[_ta], coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(
+                        reader, huff_ac[_ta], coef, ss, se, al, eobrun)
+
+
+def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
+    """Dequantize the accumulated coefficient store and IDCT every block
+    (vectorized: one matmul pair per component, not per block)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    inv_r = np.array([r for r, _ in ZIGZAG])
+    inv_c = np.array([c for _, c in ZIGZAG])
+    full = []
+    for cid, hi, vi, tq in comps:
+        cf = store[cid].astype(np.float64) * qt[tq][None, None, :]
+        by, bx = cf.shape[:2]
+        blocks = np.zeros((by, bx, 8, 8))
+        blocks[:, :, inv_r, inv_c] = cf
+        px = DCT_MAT.T @ blocks @ DCT_MAT + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
+        full.append(plane[:h, :w])
+    return _finish_planes(full)
 
 
 # -- encoder (test-fixture grade, but spec-valid baseline JPEG) ---------------
@@ -413,16 +652,12 @@ def _block_symbols(zz: np.ndarray, pred: int):
     return (t, dc_extra), acs, int(zz[0])
 
 
-def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
-                       subsample: str = "444",
-                       restart_interval: int = 0) -> bytes:
-    """Encode an (h, w, 1|3) uint8 array as baseline JPEG.
-
-    quant: 64 zigzag-ordered quantization values (default all-ones —
-    near-lossless, the golden-test configuration). subsample: '444',
-    '422' or '420' (3-channel only). restart_interval > 0 writes a DRI
-    segment and RSTn markers every N MCUs (predictors reset,
-    byte-aligned)."""
+def _prep_encode(arr: np.ndarray, quant, subsample: str):
+    """Shared encode front end (baseline + progressive): validate,
+    color-convert/subsample, FDCT+quantize every block. Returns
+    (h, w, samps, q, blocks, mcus_x, mcus_y) with blocks[i] a 2D list
+    [rows][cols] of zigzag coefficient vectors over the MCU-padded
+    grid."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
@@ -473,6 +708,22 @@ def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
         bl = list(_encode_component_blocks(padded, q))
         ncols = padded.shape[1] // 8
         blocks[i] = [bl[r * ncols:(r + 1) * ncols] for r in range(len(bl) // ncols)]
+    return h, w, samps, q, blocks, mcus_x, mcus_y
+
+
+def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
+                       subsample: str = "444",
+                       restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 1|3) uint8 array as baseline JPEG.
+
+    quant: 64 zigzag-ordered quantization values (default all-ones —
+    near-lossless, the golden-test configuration). subsample: '444',
+    '422' or '420' (3-channel only). restart_interval > 0 writes a DRI
+    segment and RSTn markers every N MCUs (predictors reset,
+    byte-aligned)."""
+    h, w, samps, q, blocks, mcus_x, mcus_y = _prep_encode(arr, quant, subsample)
+    nc = len(samps)
+    ch = 1 if nc == 1 else 3
 
     # Pass 1: walk MCU order collecting symbols (per table class),
     # resetting DC predictors at restart boundaries exactly as the
@@ -480,10 +731,10 @@ def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
     dc_syms: dict[int, set] = {0: set(), 1: set()}
     ac_syms: dict[int, set] = {0: set(), 1: set()}
     mcu_stream = []  # one entry per MCU: list of (tcls, dc, acs)
-    preds = [0] * len(planes)
+    preds = [0] * nc
     for mcu in range(mcus_y * mcus_x):
         if restart_interval and mcu and mcu % restart_interval == 0:
-            preds = [0] * len(planes)
+            preds = [0] * nc
         my, mx = divmod(mcu, mcus_x)
         entry = []
         for i, (hi, vi) in enumerate(samps):
@@ -527,7 +778,7 @@ def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in q))
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
     for i, (hi, vi) in enumerate(samps):
         sof += bytes([i + 1, (hi << 4) | vi, 0])
     out += seg(0xC0, sof)
@@ -538,13 +789,228 @@ def jpeg_encode_pixels(arr: np.ndarray, quant: np.ndarray | None = None,
         out += seg(0xC4, bytes([0x00 | c]) + bytes(bits) + bytes(vals))
         bits, vals, _ = ac_tabs[c]
         out += seg(0xC4, bytes([0x10 | c]) + bytes(bits) + bytes(vals))
-    sos = bytes([len(planes)])
-    for i in range(len(planes)):
+    sos = bytes([nc])
+    for i in range(nc):
         c = 0 if i == 0 else min(1, n_tables - 1)
         sos += bytes([i + 1, (c << 4) | c])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -- progressive encoder (test-fixture grade, spec-valid SOF2) ----------------
+#
+# Exists so the progressive DECODER has hand-built fixtures covering
+# both progressive dimensions — spectral selection (per-band AC scans)
+# and successive approximation (point transform + refinement bits) —
+# without shipping libjpeg output as binary blobs. Symbol semantics
+# mirror T.81 G.1.2: DC uses an arithmetic shift, AC magnitudes shift
+# toward zero, refinement correction bits are buffered until the next
+# emitted symbol (the only order the decoder can consume them in).
+
+
+def _ac_first_ops(zz, ss: int, se: int, al: int) -> tuple[list, bool]:
+    """(ops, band_ends_open): ops WITHOUT a terminating EOB — the caller
+    aggregates open blocks into multi-block EOBn runs."""
+    ops = []
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = abs(c) >> al
+        if v == 0:
+            r += 1
+            continue
+        if c < 0:
+            v = -v
+        while r > 15:
+            ops.append((0xF0, 0, 0))  # ZRL
+            r -= 16
+        s = _bit_length(abs(v))
+        extra = v if v >= 0 else v + (1 << s) - 1
+        ops.append(((r << 4) | s, extra, s))
+        r = 0
+    return ops, r > 0
+
+
+def _ac_refine_ops(zz, ss: int, se: int, al: int) -> tuple[list, bool, list]:
+    """(ops, band_ends_open, trailing_correction_bits): correction bits
+    after the last newly-nonzero coefficient ride the block's EOB and
+    are returned for the caller's run buffer."""
+    band = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1  # last newly-nonzero position (relative)
+    for j, t in enumerate(band):
+        if t == 1:
+            eob = j
+    ops: list = []
+    br: list[int] = []  # buffered correction bits
+    r = 0
+    for j, t in enumerate(band):
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs are needed only when another newly-nonzero coefficient
+        # follows; trailing runs fold into the EOB
+        while r > 15 and j <= eob:
+            ops.append((0xF0, 0, 0))
+            ops += [(None, b, 1) for b in br]
+            br = []
+            r -= 16
+        if t > 1:  # already nonzero: one correction bit, buffered
+            br.append(t & 1)
+            continue
+        # newly nonzero: (run, 1) + sign bit, then the buffered bits
+        ops.append(((r << 4) | 1, 1 if int(zz[ss + j]) >= 0 else 0, 1))
+        ops += [(None, b, 1) for b in br]
+        br = []
+        r = 0
+    return ops, bool(r > 0 or br), br
+
+
+def _prog_scan_ops(comp_idx, ss, se, ah, al, blocks, samps,
+                   mcus_x, mcus_y, h, w, restart_interval) -> list[list]:
+    """Op stream for one progressive scan, split at restart boundaries.
+    Each op is (symbol|None, raw_value, n_raw_bits)."""
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    interleaved = len(comp_idx) > 1
+    if interleaved:
+        units = mcus_y * mcus_x
+    else:
+        i = comp_idx[0]
+        hi, vi = samps[i]
+        bw = -(-(-(-(w * hi) // hmax)) // 8)
+        bh = -(-(-(-(h * vi) // vmax)) // 8)
+        units = bh * bw
+    segments: list[list] = []
+    ops: list = []
+    preds = dict.fromkeys(comp_idx, 0)
+    eobrun = 0
+    pending: list = []  # refine correction bits riding the open EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1  # 2^n <= eobrun
+            ops.append(((n << 4) | 0, eobrun - (1 << n), n))
+            ops.extend(pending)
+        eobrun = 0
+        pending = []
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            flush_eob()
+            segments.append(ops)
+            ops = []
+            preds = dict.fromkeys(preds, 0)
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            unit = [
+                (i, my * vi + by, mx * hi + bx)
+                for i in comp_idx
+                for hi, vi in (samps[i],)
+                for by in range(vi)
+                for bx in range(hi)
+            ]
+        else:
+            by, bx = divmod(u, bw)
+            unit = [(comp_idx[0], by, bx)]
+        for i, by, bx in unit:
+            zz = blocks[i][by][bx]
+            if ss == 0:
+                v = int(zz[0]) >> al  # arithmetic shift (T.81 DC rule)
+                if ah == 0:
+                    diff = v - preds[i]
+                    preds[i] = v
+                    t = _bit_length(abs(diff))
+                    extra = diff if diff >= 0 else diff + (1 << t) - 1
+                    ops.append((t, extra, t))
+                else:
+                    ops.append((None, v & 1, 1))
+            elif ah == 0:
+                bops, open_ = _ac_first_ops(zz, ss, se, al)
+                if bops:
+                    flush_eob()
+                    ops += bops
+                if open_:
+                    eobrun += 1
+                    if eobrun == 32767:  # EOBn cap (T.81: n <= 14)
+                        flush_eob()
+            else:
+                bops, open_, br = _ac_refine_ops(zz, ss, se, al)
+                if bops:
+                    flush_eob()
+                    ops += bops
+                if open_:
+                    eobrun += 1
+                    pending += [(None, b, 1) for b in br]
+                    if eobrun == 32767:
+                        flush_eob()
+    flush_eob()
+    segments.append(ops)
+    return segments
+
+
+def jpeg_encode_progressive(arr: np.ndarray, quant: np.ndarray | None = None,
+                            subsample: str = "444",
+                            restart_interval: int = 0,
+                            scans: list[tuple] | None = None) -> bytes:
+    """Encode an (h, w, 1|3) uint8 array as progressive JPEG (SOF2).
+
+    The default scan script exercises BOTH progressive dimensions:
+    an interleaved DC first scan at Al=1 plus a DC refinement, then
+    per-component AC scans split into two spectral bands at Al=1 with
+    matching refinement scans to Al=0. A custom script is a list of
+    (comp_indices, Ss, Se, Ah, Al). Coefficients are identical to the
+    baseline encoder's (same FDCT/quantizer), so progressive decode of
+    this stream must match baseline decode bit-for-bit."""
+    h, w, samps, q, blocks, mcus_x, mcus_y = _prep_encode(arr, quant, subsample)
+    nc = len(samps)
+    if scans is None:
+        scans = [(list(range(nc)), 0, 0, 0, 1), (list(range(nc)), 0, 0, 1, 0)]
+        for c in range(nc):
+            scans += [([c], 1, 5, 0, 1), ([c], 6, 63, 0, 1)]
+        for c in range(nc):
+            scans += [([c], 1, 5, 1, 0), ([c], 6, 63, 1, 0)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) & 0xFF for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (hi, vi) in enumerate(samps):
+        sof += bytes([i + 1, (hi << 4) | vi, 0])
+    out += seg(0xC2, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    for comp_idx, ss, se, ah, al in scans:
+        tcls = 0 if ss == 0 else 1
+        segments = _prog_scan_ops(comp_idx, ss, se, ah, al, blocks, samps,
+                                  mcus_x, mcus_y, h, w, restart_interval)
+        syms = {s for segops in segments for s, _, _ in segops if s is not None}
+        enc = None
+        if syms:  # DC refinement scans are pure raw bits — no DHT
+            bits, vals, enc = _fixed_len_table(syms)
+            out += seg(0xC4, bytes([(tcls << 4) | 0]) + bytes(bits) + bytes(vals))
+        sos = bytes([len(comp_idx)])
+        for i in comp_idx:
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        for si, segops in enumerate(segments):
+            if si:
+                out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+            wtr = _BitWriter()
+            for s, val, nb in segops:
+                if s is not None:
+                    code, ln = enc[s]
+                    wtr.write(code, ln)
+                if nb:
+                    wtr.write(val & ((1 << nb) - 1), nb)
+            out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

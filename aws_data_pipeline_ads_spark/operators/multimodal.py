@@ -4,16 +4,18 @@ Images/audio/video ride as `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages. Real codec paths that need no native libraries
 ARE implemented: PNG header AND full pixel decode (stdlib-zlib inflate
-+ scanline unfilter), BASELINE JPEG pixel decode (pure-numpy Huffman +
-dequant + IDCT, operators/jpeg.py; progressive/arithmetic rejected
-loudly), nearest-neighbor resize + PNG re-encode, dHash over real
-luminance grids, RIFF/WAVE 16-bit PCM parsing, and REAL video demux
-(RIFF/AVI chunk walk → MJPEG frames the JPEG codec decodes; YUV4MPEG2
-raw-frame splits) — `use_fake_decoder=False` exercises them
-end-to-end. The remaining honest boundary is inter-coded video
-codecs (H.264 etc.), which genuinely need a decoder library; their
-payloads fail loudly at the JPEG-decode stage, and the fake-decoder
-contract covers arbitrary bytes.
++ scanline unfilter), BASELINE + PROGRESSIVE JPEG pixel decode
+(pure-numpy Huffman + dequant + IDCT, operators/jpeg.py; arithmetic
+coding rejected loudly), nearest-neighbor resize + PNG re-encode,
+dHash over real luminance grids, RIFF/WAVE 16-bit PCM parsing, REAL
+video demux (RIFF/AVI chunk walk → MJPEG frames the JPEG codec
+decodes; YUV4MPEG2 raw-frame splits), and ISO-BMFF (MP4) container
+metadata (moov box walk → per-track codec/dims/duration/samples) —
+`use_fake_decoder=False` exercises them end-to-end. The remaining
+honest boundary is inter-coded video codecs (H.264 etc.), which
+genuinely need a decoder library; their payloads fail loudly at the
+JPEG-decode stage (while their MP4 metadata still parses), and the
+fake-decoder contract covers arbitrary bytes.
 
 Scale notes: mapInPandas streams Arrow batches, so peak memory is one
 batch, not one partition; media tables should be repartitioned by a

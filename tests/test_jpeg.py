@@ -133,15 +133,24 @@ def test_roundtrip_restart_intervals():
 
 
 def test_nonbaseline_rejected_loudly():
+    """Arithmetic/lossless/differential modes stay loudly rejected;
+    progressive (SOF2) is DECODED since round 5 — a baseline stream
+    merely relabeled SOF2 still fails loudly (its baseline scan header
+    Se=63 is invalid for a progressive DC scan)."""
     arr = np.zeros((8, 8), dtype=np.uint8)
     enc = bytearray(jpeg.jpeg_encode_pixels(arr))
     i = enc.find(b"\xff\xc0")
-    for marker, words in [(0xC2, "progressive"), (0xC9, "arithmetic"),
-                          (0xC3, "lossless")]:
+    for marker, words in [(0xC9, "arithmetic"), (0xC3, "lossless"),
+                          (0xCA, "arithmetic progressive"),
+                          (0xC6, "differential")]:
         bad = bytearray(enc)
         bad[i + 1] = marker
         with pytest.raises(ValueError, match=words):
             jpeg.jpeg_decode_pixels(bytes(bad))
+    relabeled = bytearray(enc)
+    relabeled[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se = 0"):
+        jpeg.jpeg_decode_pixels(bytes(relabeled))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.jpeg_decode_pixels(b"\x00\x01\x02")
     # 12-bit precision
@@ -149,6 +158,78 @@ def test_nonbaseline_rejected_loudly():
     twelve[i + 4] = 12  # SOF precision byte
     with pytest.raises(ValueError, match="precision"):
         jpeg.jpeg_decode_pixels(bytes(twelve))
+
+
+def test_progressive_decode_matches_baseline_exactly():
+    """Progressive encode → decode is BIT-IDENTICAL to baseline encode →
+    decode of the same pixels: both encoders share one FDCT/quantizer,
+    so a correct progressive decoder must reconstruct the identical
+    coefficient store. Covers spectral selection (split AC bands),
+    successive approximation (Al=1 + refinement), every subsampling,
+    odd dimensions, grayscale, and restart intervals."""
+    rng = np.random.default_rng(42)
+    cases = [
+        ((16, 16, 3), "444", 0),
+        ((24, 40, 3), "420", 0),
+        ((24, 40, 3), "422", 3),
+        ((17, 19), "444", 0),  # grayscale, non-multiple-of-8
+        ((8, 8, 3), "420", 2),
+        ((64, 48, 3), "444", 5),
+    ]
+    for shape, ss, ri in cases:
+        img = rng.integers(0, 256, shape, np.uint8)
+        base = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode_pixels(img, subsample=ss))
+        prog = jpeg.jpeg_decode_pixels(
+            jpeg.jpeg_encode_progressive(img, subsample=ss, restart_interval=ri)
+        )
+        assert np.array_equal(base, prog), (shape, ss, ri)
+
+
+def test_progressive_eob_runs_and_deep_refinement():
+    """Smooth/flat content under a real quantization table produces
+    multi-block EOBn runs (the encoder aggregates, the decoder must
+    skip 2^n + extra whole blocks); a deep custom scan script walks
+    Al=2 → 1 → 0, exercising repeated AC refinement over both bands."""
+    rng = np.random.default_rng(1)
+    q = np.array([16] * 8 + [24] * 16 + [40] * 40, np.float64)
+    g = np.tile(np.arange(64, dtype=np.uint8), (48, 1))
+    cases = [
+        (np.stack([g, g // 2, 255 - g], axis=2), "420", 0, None),  # gradient
+        (np.full((40, 56, 3), 130, np.uint8), "444", 4, None),  # flat
+        (rng.integers(0, 256, (32, 32, 3), np.uint8), "422", 0, None),
+    ]
+    img = rng.integers(0, 256, (24, 24, 3), np.uint8)
+    scans = [([0, 1, 2], 0, 0, 0, 2), ([0, 1, 2], 0, 0, 1, 1),
+             ([0, 1, 2], 0, 0, 1, 0)]
+    for c in range(3):
+        scans += [([c], 1, 20, 0, 2), ([c], 21, 63, 0, 2)]
+    for c in range(3):
+        scans += [([c], 1, 20, 1, 1), ([c], 21, 63, 1, 1)]
+    for c in range(3):
+        scans += [([c], 1, 20, 1, 0), ([c], 21, 63, 1, 0)]
+    cases.append((img, "444", 2, scans))
+    for im, ss, ri, sc in cases:
+        base = jpeg.jpeg_decode_pixels(
+            jpeg.jpeg_encode_pixels(im, quant=q, subsample=ss))
+        prog = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode_progressive(
+            im, quant=q, subsample=ss, restart_interval=ri, scans=sc))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_hostile_inputs():
+    """Truncated progressive streams and malformed scan scripts raise
+    ValueError (quarantineable), never internal errors or hangs."""
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    enc = jpeg.jpeg_encode_progressive(img)
+    # truncations inside scan data / between scans
+    for cut in (len(enc) // 4, len(enc) // 2, len(enc) - 4):
+        with pytest.raises(ValueError):
+            jpeg.jpeg_decode_pixels(enc[:cut])
+    # interleaved AC scan is illegal
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="single-component"):
+        jpeg.jpeg_decode_pixels(jpeg.jpeg_encode_progressive(
+            rgb, scans=[([0, 1, 2], 0, 0, 0, 0), ([0, 1, 2], 1, 63, 0, 0)]))
 
 
 def test_resize_images_real_decoder_handles_jpeg(spark):
