@@ -254,6 +254,9 @@ _TAIL: list[str] = [
     "q_skewed_join",  # salted-join + two-phase salted aggregation over
     # a deliberately hot key; identical-result oracle is the plain
     # join (join/agg machinery in-window via q_join_star/q_agg_rollup)
+    "q_tpch_q3_bucketed",  # Q3 over bucketed+sorted facts — zero
+    # shuffle exchanges end-to-end (plan-asserted); result identical
+    # to in-window q_tpch_q3, same oracle SQL
 ]
 
 

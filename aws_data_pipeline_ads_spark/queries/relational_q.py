@@ -407,6 +407,71 @@ def q_tpch_q3(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q3_bucketed",
+    oracle=(
+        # Identical result to q_tpch_q3 — bucketing is an execution-
+        # strategy change only, so the oracle is the same SQL.
+        "SELECT l_orderkey, "
+        + _DEC_SUM_SQL.format(x="l_extendedprice * (1 - l_discount)")
+        + " AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1997-06-01' "
+        "AND l_shipdate > TIMESTAMP '1997-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    doc="TPC-H Q3 over BUCKETED facts (SCALE.md 'what we'd change "
+        "first'): orders and lineitem written bucketed+sorted by their "
+        "order key (operators/bucketing.py, one write-time shuffle "
+        "amortized over every orderkey query), customer broadcast — "
+        "the fact⋈fact join AND the per-orderkey aggregation both "
+        "reuse the bucket partitioning, so the whole plan runs with "
+        "ZERO shuffle exchanges (plan-asserted in test_plans.py); at "
+        "100 TB this is the difference between re-shuffling the "
+        "lineitem table per query and never shuffling it at all",
+)
+def q_tpch_q3_bucketed(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import bucketing
+
+    ensure_utc(spark)
+    ot, lt = bucketing.ensure_bucketed_facts(spark, sf_dir)
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.table(ot)
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.table(lt)
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
     "q_tpch_q13",
     oracle=(
         "WITH per_cust AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count "

@@ -78,6 +78,41 @@ def test_scalar_censuses_are_shuffle_free(spark, sf_dir):
         assert plans.count_shuffle_exchanges(_q(name, spark, sf_dir)) == 0
 
 
+def test_tpch_q3_bucketed_is_shuffle_free(spark, sf_dir):
+    """The bucketed-fact Q3: orders⋈lineitem reuses the bucket
+    partitioning (no Exchange, and the bucket sort feeds the SMJ), the
+    customer side broadcasts, and the per-orderkey aggregation also
+    reuses the partitioning — ZERO shuffle exchanges in the whole plan.
+    The vanilla q_tpch_q3 plan on the same data carries the fact-join
+    exchanges this bucketing amortizes away."""
+    # Disable size-based broadcast so test-scale data takes the path
+    # 100 TB facts would: the fact⋈fact join must survive as a bucket-
+    # co-located SMJ (the explicit F.broadcast hint on the customer dim
+    # is unaffected by the threshold).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _q("q_tpch_q3_bucketed", spark, sf_dir)
+        assert plans.count_shuffle_exchanges(df) == 0
+        assert plans.uses_sort_merge_or_shuffled_hash(df)  # the fact leg
+        assert plans.uses_broadcast_join(df)  # hinted dim still broadcasts
+        assert plans.uses_take_ordered(df)  # top-k never a global sort
+        # and the vanilla plan really does shuffle — the comparison that
+        # makes the zero above meaningful
+        assert plans.count_shuffle_exchanges(_q("q_tpch_q3", spark, sf_dir)) >= 2
+        # identical rows to the unbucketed query
+        got = [tuple(r) for r in df.collect()]
+        want = [tuple(r) for r in _q("q_tpch_q3", spark, sf_dir).collect()]
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        import re
+
+        tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS b_lineitem_{tag}")
+
+
 def test_skewed_join_salts_the_exchange(spark, sf_dir):
     """q_skewed_join must actually spread the hot key: the join operates
     on (hot_uid, __salt) — so any hash exchange/join keying includes the
