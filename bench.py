@@ -42,7 +42,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-_STEADY_REPS = 3
+_STEADY_REPS = 5  # steady = median of the LAST 3 (first 2 absorb JIT tail)
+_WARMUP_QUERIES = ("q_agg_rollup", "q_join_star", "q_window_rank")
 
 
 def run_once(df) -> None:
@@ -52,15 +53,27 @@ def run_once(df) -> None:
 def child(name: str, sf_dir: str) -> None:
     """Time one query in this (fresh) JVM; emit one JSON line."""
     from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.cache import release_caches
     from aws_data_pipeline_ads_spark.queries import REGISTRY
     from aws_data_pipeline_ads_spark.session import get_session
 
     spark = get_session("bench")
-    # Session warmup (not counted): JVM/codegen basics plus parquet
-    # footers, so `cold` measures the QUERY's first run, not the JVM's.
+    # Session warmup (not counted): parquet footers, plus three shape-
+    # diverse queries (agg / join / window, 2 reps each) to walk the JVM
+    # up the JIT ramp — measured: a fresh JVM needs ~6 query executions
+    # before sub-second plans stop paying a flat ~0.2 s interpreter/C1
+    # tax, which would otherwise masquerade as per-query regressions vs
+    # a warmed shared session. The timed query itself is excluded from
+    # its own warmup so `cold` keeps first-run semantics.
     run_once(spark.range(1_000_000).selectExpr("sum(id) AS s"))
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         run_once(load_table(spark, sf_dir, t).limit(1000))
+    for wq in _WARMUP_QUERIES:
+        if wq != name:
+            for _ in range(2):
+                run_once(REGISTRY[wq].build(spark, sf_dir))
+    release_caches()
+    spark.catalog.clearCache()
 
     qd = REGISTRY[name]
     t0 = time.time()
@@ -116,8 +129,8 @@ def main() -> None:
             raise RuntimeError(f"bench child for {name} failed")
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         cold[name] = rec["cold"]
-        reps = sorted(rec["reps"])
-        steady[name] = reps[len(reps) // 2]  # median of 3
+        last3 = sorted(rec["reps"][-3:])
+        steady[name] = last3[1]  # median of the last 3 reps
         print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s "
               f"(reps {rec['reps']})", file=sys.stderr)
 
@@ -140,7 +153,7 @@ def main() -> None:
             sum(v for k, v in cold.items() if k not in added_r3), 3
         ),
         "added_queries": sorted(added_r3 & set(cold)),
-        "steady_reps": _STEADY_REPS,  # median-of-3 in a fresh JVM per query
+        "steady_reps": _STEADY_REPS,  # median of last 3 of 5, fresh JVM/query
         "isolation": "jvm-per-query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -13,6 +13,9 @@ Artifacts (all parquet, all derived deterministically from the corpus):
                     simhash_pairs_served)
   {out}/lsh       — bucket-partitioned ANN embedding index
                     (similarity.lsh_write; serves lsh_topk_pruned)
+  {out}/bloom     — decontamination words table + fingerprinted meta
+                    (bloom.bloom_write; serves decontaminate_served,
+                    which refuses a stale-benchmark index)
   {out}/ivf       — list_id-partitioned IVF index + centroids.json
                     (similarity.train_centroids + ivf_write; serves
                     ivf_topk_pruned)
@@ -54,6 +57,22 @@ def main() -> int:
     step("minhash", lambda: dedup.minhash_write(docs, f"{out}/minhash"))
     step("simhash", lambda: simhash_write(spark, docs, f"{out}/simhash"))
     step("lsh", lambda: similarity.lsh_write(emb, f"{out}/lsh"))
+
+    def build_bloom() -> dict:
+        from pyspark.sql import functions as F
+
+        from aws_data_pipeline_ads_spark.operators.bloom import bloom_write
+        from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+
+        bench_sh = (
+            doc_shingle_sets(docs.filter(F.col("doc_id") % 101 == 7), k=5)
+            .select("tok").distinct()
+        )
+        bloom_write(bench_sh, "tok", f"{out}/bloom")
+        return {"note": "meta carries the benchmark fingerprint; "
+                        "decontaminate_served refuses a stale index"}
+
+    step("bloom", build_bloom)
 
     def build_ivf() -> dict:
         cents = similarity.train_centroids(emb, 16)
