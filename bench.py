@@ -120,10 +120,15 @@ def main() -> None:
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in names:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", name],
-            capture_output=True, text=True, env=os.environ.copy(),
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", name],
+                capture_output=True, text=True, env=os.environ.copy(),
+                timeout=600,  # one wedged query must not eat the round
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {name}: TIMED OUT after 600s — skipped", file=sys.stderr)
+            continue
         if proc.returncode != 0:
             print(proc.stderr[-4000:], file=sys.stderr)
             raise RuntimeError(f"bench child for {name} failed")
