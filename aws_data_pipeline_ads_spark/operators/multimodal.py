@@ -791,14 +791,25 @@ VIDEO_META_SCHEMA = T.StructType(
     ]
 )
 
+# permissive mode: same columns + the quarantine reason
+VIDEO_META_PERMISSIVE_SCHEMA = T.StructType(
+    list(VIDEO_META_SCHEMA.fields) + [T.StructField("error", T.StringType())]
+)
 
-def video_metadata(media: DataFrame) -> DataFrame:
+
+def video_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
     """One row per video TRACK: container kind, codec fourcc, display
     dims, duration, sample count — the fields a curation pipeline
     filters on before any pixel ever decodes. MP4/ISO-BMFF (moov box
     walk), RIFF/AVI (header list), and YUV4MPEG2 (stream header) are
-    parsed for real; anything else fails loudly (quarantine upstream
-    with a PERMISSIVE wrapper if the corpus is mixed)."""
+    parsed for real.
+
+    Failure mode is the caller's choice, same contract as Spark's own
+    PERMISSIVE/FAILFAST readers: by default a malformed container fails
+    the task loudly (ValueError); with `permissive=True` the output
+    gains an `error` column and each unparsable payload becomes ONE
+    quarantine row (null metadata + the reason) while good payloads
+    parse normally — the shape a mixed crawl corpus needs."""
 
     def meta_rows(doc_id: int, raw: bytes) -> list[dict]:
         if raw[:4] == b"RIFF":
@@ -819,17 +830,23 @@ def video_metadata(media: DataFrame) -> DataFrame:
             }]
         return [dict(t, container="mp4") for t in _parse_mp4_tracks(raw)]
 
+    schema = VIDEO_META_PERMISSIVE_SCHEMA if permissive else VIDEO_META_SCHEMA
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                for r in meta_rows(int(doc_id), bytes(blob)):
-                    rows.append({"doc_id": int(doc_id), **r})
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in VIDEO_META_SCHEMA.fields]
-            )
+                try:
+                    for r in meta_rows(int(doc_id), bytes(blob)):
+                        rows.append({"doc_id": int(doc_id), **r,
+                                     **({"error": None} if permissive else {})})
+                except ValueError as e:
+                    if not permissive:
+                        raise
+                    rows.append({"doc_id": int(doc_id), "error": str(e)})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(batches, VIDEO_META_SCHEMA)
+    return media.mapInPandas(batches, schema)
 
 
 def mux_mjpeg_avi(frames: list[bytes], w: int, h: int, fps: int = 25) -> bytes:

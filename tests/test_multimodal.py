@@ -732,3 +732,30 @@ def test_video_metadata_y4m():
     )
     frames = multimodal._parse_y4m_frames(payload)
     assert len(frames) == 5
+
+
+def test_video_metadata_permissive_quarantine(spark, sf_dir):
+    """permissive=True: malformed payloads become one quarantine row
+    (null metadata + the ValueError text) instead of failing the task;
+    good payloads still parse. Default mode stays FAILFAST."""
+    from pyspark.sql import Row
+
+    good = multimodal.mux_minimal_mp4(
+        [b"\xff\xd8x\xff\xd9"], 8, 8, fps=5)
+    media = spark.createDataFrame([
+        Row(doc_id=1, content=bytearray(good)),
+        Row(doc_id=2, content=bytearray(b"definitely not a video....")),
+        Row(doc_id=3, content=bytearray(good[: len(good) // 2])),
+    ])
+    rows = {r.doc_id: r for r in
+            multimodal.video_metadata(media, permissive=True).collect()}
+    assert rows[1].codec == "jpeg" and rows[1].error is None
+    assert rows[2].codec is None and "ISO-BMFF" in rows[2].error
+    assert rows[3].codec is None and rows[3].error
+    # FAILFAST default still raises through the task
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        multimodal.video_metadata(media).collect()
+    assert "ISO-BMFF" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
