@@ -80,3 +80,42 @@ def streaming_upsert_sink(stream_df: DataFrame, target_path: str,
         .start()
     )
     q.awaitTermination()
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  content_cols: list[str]) -> DataFrame:
+    """Change-data-capture between two corpus snapshots: one row per
+    key that was `added`, `removed`, or `changed` (unchanged keys drop).
+
+    The operand a versioned-lake pipeline runs after every rebuild —
+    "what did this crawl/filter revision actually do to the corpus?" —
+    and the input a downstream incremental consumer (index refresh,
+    re-embedding, re-tokenization) reads instead of reprocessing the
+    world. With a table format this is Delta CDF / Iceberg changelog;
+    the semantics are pinned here engine-independently.
+
+    Scale shape: each side reduces to (key, md5(content)) BEFORE the
+    join, so the full-outer join — the only shuffle — carries 16-byte
+    hashes, never document bodies; at 100 TB the exchange is the key
+    space, not the corpus. Output: key, change, old_hash, new_hash.
+    """
+    content = F.md5(F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]
+    ))
+    o = old.select(F.col(key).alias("__ok"), content.alias("old_hash"))
+    n = new.select(F.col(key).alias("__nk"), content.alias("new_hash"))
+    j = o.join(n, F.col("__ok") == F.col("__nk"), "full_outer")
+    change = (
+        F.when(F.col("__ok").isNull(), F.lit("added"))
+        .when(F.col("__nk").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("__ok"), F.col("__nk")).alias(key),
+            change.alias("change"),
+            "old_hash",
+            "new_hash",
+        )
+        .filter(F.col("change").isNotNull())
+    )

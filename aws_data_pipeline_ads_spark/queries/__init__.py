@@ -257,6 +257,9 @@ _TAIL: list[str] = [
     "q_tpch_q3_bucketed",  # Q3 over bucketed+sorted facts — zero
     # shuffle exchanges end-to-end (plan-asserted); result identical
     # to in-window q_tpch_q3, same oracle SQL
+    "q_snapshot_diff",  # corpus-version CDC (added/removed/changed by
+    # key-hash full-outer join); merge machinery in-window via
+    # q_semi_anti/q_dedup_exact, hash parity via q_dedup_exact
 ]
 
 

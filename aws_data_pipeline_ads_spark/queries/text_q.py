@@ -781,6 +781,45 @@ def q_incremental_dedup(spark, sf_dir):
 
 
 @query(
+    "q_snapshot_diff",
+    oracle=(
+        "WITH old AS (SELECT doc_id, md5(coalesce(text, '')) AS h "
+        "FROM documents WHERE doc_id % 5 <> 0), "
+        "new AS (SELECT doc_id, md5(coalesce(CASE WHEN doc_id % 11 = 0 "
+        "THEN upper(text) ELSE text END, '')) AS h "
+        "FROM documents WHERE doc_id % 7 <> 0) "
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "WHEN n.doc_id IS NULL THEN 'removed' "
+        "WHEN o.h <> n.h THEN 'changed' END AS change, "
+        "o.h AS old_hash, n.h AS new_hash "
+        "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
+        "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h"
+    ),
+    doc="LLM lake versioning: change-data-capture between two corpus "
+        "snapshots (upsert.snapshot_diff) — added/removed/changed per "
+        "key, each side reduced to (key, md5) BEFORE the full-outer "
+        "join so the only shuffle carries 16-byte hashes, never "
+        "document bodies; the diff a rebuild publishes so downstream "
+        "index/embedding refreshes process the delta, not the world. "
+        "Snapshots simulated from one table: old = doc_id%5!=0, new = "
+        "doc_id%7!=0 with text perturbed on doc_id%11==0",
+)
+def q_snapshot_diff(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.upsert import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
+@query(
     "q_video_frames",
     oracle=None,  # JPEG entropy decode is not SQL-expressible;
     # deterministic output pinned by pytest (mux→demux→decode golden)
