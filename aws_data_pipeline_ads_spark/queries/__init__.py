@@ -260,6 +260,10 @@ _TAIL: list[str] = [
     "q_snapshot_diff",  # corpus-version CDC (added/removed/changed by
     # key-hash full-outer join); merge machinery in-window via
     # q_semi_anti/q_dedup_exact, hash parity via q_dedup_exact
+    "q_embedding_pca",  # distributed-covariance PCA projection (rows-
+    # only: eigendecomposition has no SQL twin); numpy-equality +
+    # orthonormality pytest; array-fold machinery in-window via
+    # q_embedding_knn
 ]
 
 

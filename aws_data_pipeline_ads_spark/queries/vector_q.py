@@ -312,6 +312,45 @@ def q_embedding_pq(spark, sf_dir):
     )
 
 
+def _pca_model(spark, sf_dir: str) -> dict:
+    """16-component PCA model per corpus (exact full-corpus covariance;
+    training is deterministic, so caching through the index cache is
+    amortization — serving processes reload the trained json)."""
+    import json
+
+    from aws_data_pipeline_ads_spark.operators import pca
+
+    def build(p: str) -> None:
+        model = pca.pca_train(load_table(spark, sf_dir, "embeddings"), k=16)
+        with open(f"{p}/model.json", "w") as f:
+            json.dump(model, f)
+
+    with open(f"{_index_path('pcamodel', sf_dir, build)}/model.json") as f:
+        return json.load(f)
+
+
+@query(
+    "q_embedding_pca",
+    oracle=None,  # eigendecomposition has no SQL twin; pinned by
+    # pytest against a numpy full PCA (projection equality, descending
+    # explained variance, orthonormal components)
+    doc="2C similarity: distributed PCA — EXACT full-corpus covariance "
+        "via one Arrow-batched scan (a partial Gram row per batch, "
+        "componentwise-mergeable), driver-side eigh on the 64x64 "
+        "matrix, sign-canonicalized components embedded as literals, "
+        "projection as pure codegen aggregate dot products (zero "
+        "Python, zero shuffle). The dim-reduction/whitening stage a "
+        "vector lake runs before PQ/ANN (operators/pca.py)",
+)
+def q_embedding_pca(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import pca
+
+    model = _pca_model(spark, sf_dir)
+    return pca.pca_project(
+        load_table(spark, sf_dir, "embeddings"), model, k=8
+    ).select("vec_id", "pca")
+
+
 @query(
     "q_embedding_ivfpq",
     oracle=None,  # approximate by construction → rows-only check;

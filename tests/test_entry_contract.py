@@ -91,6 +91,8 @@ def test_oracle_sql_covers_most_queries():
             "q_embedding_pq",  # PQ/ADC shortlist — approximate by
             # nature (recall < 1); determinism + recall +
             # full-shortlist==brute pytest-pinned
+            "q_embedding_pca",  # eigendecomposition has no SQL twin;
+            # numpy-equality + orthonormality pytest-pinned
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"

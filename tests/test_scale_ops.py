@@ -694,3 +694,40 @@ def test_bloom_served_refuses_stale_benchmark(spark, sf_dir, tmp_path):
     # The matching benchmark still serves.
     assert bloom.decontaminate_served(
         spark, idx, corpus, stale_bench, k=5).count() > 0
+
+
+def test_pca_matches_numpy_full_decomposition(spark, sf_dir):
+    """The distributed one-scan covariance + driver eigh must equal a
+    plain numpy PCA over the collected corpus: same explained-variance
+    ladder (descending), orthonormal sign-canonical components, and
+    per-vector projections equal to 1e-5 (operator rounds to 6dp)."""
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca.pca_train(emb, k=8)
+    comps = np.array(model["components"])
+    # orthonormal, variance descending
+    assert np.allclose(comps @ comps.T, np.eye(len(comps)), atol=1e-6)
+    assert all(a >= b - 1e-12 for a, b in
+               zip(model["explained"], model["explained"][1:]))
+    # reference: numpy PCA on the collected vectors, same sign rule
+    m = np.array([r.embedding for r in emb.select("embedding").collect()],
+                 dtype=np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:8]
+    for j, i in enumerate(order):
+        v = vecs[:, i]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        assert np.allclose(comps[j], v, atol=1e-6), f"component {j}"
+        assert model["explained"][j] == pytest.approx(float(vals[i]), abs=1e-9)
+    # projections match numpy end-to-end
+    got = {r.vec_id: np.array(r.pca) for r in
+           pca.pca_project(emb, model, k=8).select("vec_id", "pca").collect()}
+    want = (m - m.mean(axis=0)) @ comps.T
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    for row, vid in zip(want, ids):
+        assert np.allclose(got[vid], row, atol=1e-5)
