@@ -160,6 +160,7 @@ def q_user_totals(spark, sf_dir):
 
 @query(
     "q_skewed_join",
+    bench=True,  # added r5: the salted-join/agg shape
     oracle=(
         # Plain join + plain group-by: the salt is a pure execution-
         # strategy change (every (key, salt) pair exists on the

@@ -782,6 +782,7 @@ def q_incremental_dedup(spark, sf_dir):
 
 @query(
     "q_snapshot_diff",
+    bench=True,  # added r5: the CDC hash-join shape
     oracle=(
         "WITH old AS (SELECT doc_id, md5(coalesce(text, '')) AS h "
         "FROM documents WHERE doc_id % 5 <> 0), "

@@ -141,12 +141,13 @@ def main() -> None:
 
     # Queries added to the bench set after round 2 (r3: q_line_dedup,
     # q_bm25_terms, q_simhash_pairs; r4: q_decontaminate,
-    # q_anomaly_zscore, q_quality_classifier): totals including them are
-    # NOT comparable to BENCH_r1/r2 — `comparable_total` restates the
-    # cold total over the round-2 query set for honest cross-round reads.
+    # q_anomaly_zscore, q_quality_classifier; r5: q_skewed_join,
+    # q_snapshot_diff): totals including them are NOT comparable to
+    # BENCH_r1/r2 — `comparable_total` restates the cold total over the
+    # round-2 query set for honest cross-round reads.
     added_r3 = {"q_line_dedup", "q_bm25_terms", "q_simhash_pairs",
                 "q_decontaminate", "q_anomaly_zscore",
-                "q_quality_classifier"}
+                "q_quality_classifier", "q_skewed_join", "q_snapshot_diff"}
     out = {
         "metric": "declared_query_set_wall_clock",
         "value": round(sum(cold.values()), 3),

@@ -24,7 +24,13 @@ from aws_data_pipeline_ads_spark.catalog import TABLES
 from aws_data_pipeline_ads_spark.queries import DRIVER_WINDOW, REGISTRY
 from tools.check_oracle import compare
 
-SF01 = "/root/testdata/sf0.01"
+import os
+
+# Override with SPARK_GRAFT_TAIL_SF=/root/testdata/sf0.1 for a
+# full-scale rotation pass (slower; the per-round artifact sweep in
+# tools/check_oracle.py covers ALL queries at sf0.1 — see
+# ORACLE_SF01_r5.txt).
+SF01 = os.environ.get("SPARK_GRAFT_TAIL_SF", "/root/testdata/sf0.01")
 SAMPLE = 12
 
 
