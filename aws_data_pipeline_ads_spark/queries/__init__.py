@@ -264,6 +264,9 @@ _TAIL: list[str] = [
     # only: eigendecomposition has no SQL twin); numpy-equality +
     # orthonormality pytest; array-fold machinery in-window via
     # q_embedding_knn
+    "q_heavy_hitters_cms",  # Count-Min heavy hitters (portable md5
+    # sketch → exact cross-engine twin); explode/agg machinery
+    # in-window via q_bm25_terms, top-k via q_limit_topk
 ]
 
 

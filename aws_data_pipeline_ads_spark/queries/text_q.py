@@ -780,6 +780,60 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_exact_dedup(batch, corpus)
 
 
+def _cms_fold_sql(seed: int, expr: str) -> str:
+    from aws_data_pipeline_ads_spark.operators.sampling import hash_u32_sql
+    from aws_data_pipeline_ads_spark.operators.sketches import CMS_WIDTH
+
+    key = "concat('cms" + str(seed) + "|', " + expr + ")"
+    return f"({hash_u32_sql(key)} % {CMS_WIDTH})"
+
+
+_CMS_ORACLE = (
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), "
+    "'\\s+')) AS tok FROM documents), "
+    "b AS (SELECT tok, "
+    + ", ".join(f"{_cms_fold_sql(i, 'tok')} AS b{i}" for i in range(4))
+    + " FROM tok), "
+    "cms AS (SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {i} AS seed, b{i} AS bucket FROM b" for i in range(4))
+    + ") GROUP BY 1, 2), "
+    "vocab AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS exact_count "
+    "FROM tok GROUP BY 1), "
+    "vb AS (SELECT token, exact_count, "
+    + ", ".join(f"{_cms_fold_sql(i, 'token')} AS b{i}" for i in range(4))
+    + " FROM vocab) "
+    "SELECT token, LEAST(c0.c, c1.c, c2.c, c3.c) AS est_count, exact_count "
+    "FROM vb "
+    + " ".join(
+        f"JOIN cms c{i} ON c{i}.seed = {i} AND c{i}.bucket = vb.b{i}"
+        for i in range(4))
+    + " ORDER BY est_count DESC, token LIMIT 20"
+)
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=_CMS_ORACLE,
+    doc="LLM corpus profiling: Count-Min-Sketch heavy hitters — a "
+        "4x1024 integer grid (fixed size regardless of vocabulary, "
+        "map-side combined, mergeable cell-wise across shards/days) "
+        "estimates every token's frequency as min over 4 seeded-md5 "
+        "rows; top-20 by estimate with the exact count alongside so "
+        "the overcount-only property is visible. The sketch math is "
+        "portable md5 arithmetic, so the DuckDB oracle reproduces the "
+        "sketch EXACTLY — hash-verified, unlike approximate-by-nature "
+        "HLL (operators/sketches.py)",
+)
+def q_heavy_hitters_cms(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sketches import cms_heavy_hitters
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return cms_heavy_hitters(tok, "tok", k=20)
+
+
 @query(
     "q_snapshot_diff",
     bench=True,  # added r5: the CDC hash-join shape

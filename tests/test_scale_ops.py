@@ -731,3 +731,28 @@ def test_pca_matches_numpy_full_decomposition(spark, sf_dir):
     ids = [r.vec_id for r in emb.select("vec_id").collect()]
     for row, vid in zip(want, ids):
         assert np.allclose(got[vid], row, atol=1e-5)
+
+
+def test_cms_mergeable_and_overcount_only(spark, sf_dir):
+    """The CMS grid is cell-wise mergeable (build on two disjoint
+    halves, add cells → identical to one build over the union) and
+    every estimate bounds the exact count from above — the properties
+    the 100 TB shard-then-merge pattern relies on."""
+    from aws_data_pipeline_ads_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    full = {(r.seed, r.bucket): r.c
+            for r in sketches.cms_build(tok, "tok").collect()}
+    half_a = sketches.cms_build(tok.filter(F.col("doc_id") % 2 == 0), "tok")
+    half_b = sketches.cms_build(tok.filter(F.col("doc_id") % 2 == 1), "tok")
+    merged: dict = {}
+    for r in half_a.collect() + half_b.collect():
+        merged[(r.seed, r.bucket)] = merged.get((r.seed, r.bucket), 0) + r.c
+    assert merged == full
+    hh = sketches.cms_heavy_hitters(tok.select("tok"), "tok", k=50).collect()
+    assert len(hh) > 0
+    assert all(r.est_count >= r.exact_count for r in hh)
