@@ -254,3 +254,53 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame,
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
         "purchase_value",
     )
+
+
+def cms_merge_batch(batch_df: DataFrame, batch_id: int, sketch_path: str,
+                    col: str = "text") -> None:
+    """One micro-batch of the streaming heavy-hitter tracker: tokenize,
+    build the batch's Count-Min partial grid (≤ depth·width rows —
+    bounded regardless of batch size), write it to its OWN batch_id=N
+    directory with overwrite. A replayed batch rewrites the same
+    directory instead of double-counting (the idempotent-foreachBatch
+    contract shared with curation_ingest)."""
+    from pyspark.sql import functions as SF
+
+    from aws_data_pipeline_ads_spark.operators.sketches import cms_build
+
+    tok = batch_df.select(
+        SF.explode(SF.split(SF.trim(SF.lower(SF.col(col))), r"\s+")).alias("tok")
+    )
+    cms_build(tok, "tok").write.mode("overwrite").parquet(
+        f"{sketch_path}/batch_id={batch_id}"
+    )
+
+
+def streaming_cms_sink(docs_stream: DataFrame, sketch_path: str,
+                       checkpoint_dir: str, col: str = "text") -> None:
+    """Heavy-hitter frequency state over an unbounded document stream
+    with FIXED per-batch footprint: each micro-batch appends its
+    ≤ depth·width-row CMS partial under batch_id=N; serving sums cells
+    across partials (cms_served). State lives in the lake, merging is
+    cell-wise addition (pinned mergeable by the batch-operator test),
+    and the total answer equals one batch build over all data drained
+    so far — the stream==batch twin contract."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            lambda df, bid: cms_merge_batch(df, bid, sketch_path, col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_served(spark, sketch_path: str) -> DataFrame:
+    """The accumulated sketch: cell-wise sum over every batch partial —
+    exactly cms_build over the union of all drained batches."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

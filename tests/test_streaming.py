@@ -356,3 +356,47 @@ def test_streaming_anomaly_matches_batch(spark, sf_dir, ev_stream, tmp_path):
         else:
             assert abs(row["zscore"] - z) < 1e-6
         assert bool(row["is_anomaly"]) == bool(flag)
+
+
+def test_streaming_cms_equals_batch_and_replay_safe(spark, sf_dir, tmp_path):
+    """Heavy-hitter stream: draining the corpus through the CMS sink
+    (multiple micro-batches) accumulates a sketch identical to one
+    batch cms_build over all documents; re-running a batch id (crash
+    replay) rewrites its partial instead of double-counting; a second
+    drain over the same checkpoint adds nothing."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.operators.sketches import cms_build
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    land = tmp_path / "landing"
+    src.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.parquet(str(land / "s1"))
+    src.filter(F.col("doc_id") % 2 == 1).coalesce(2).write.parquet(str(land / "s2"))
+    sketch, ck = str(tmp_path / "cms"), str(tmp_path / "ck_cms")
+
+    stream = streaming.documents_stream(spark, str(land), max_files_per_trigger=2)
+    streaming.streaming_cms_sink(stream, sketch, ck)
+    got = {(r.seed, r.bucket): r.c
+           for r in streaming.cms_served(spark, sketch).collect()}
+    tok = src.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    want = {(r.seed, r.bucket): r.c for r in cms_build(tok, "tok").collect()}
+    assert got == want
+    # crash replay: re-running an existing batch id must not double-count
+    streaming.cms_merge_batch(src.filter(F.col("doc_id") % 2 == 0), 0, sketch)
+    # (batch 0's partial content depends on the trigger split, so merge
+    # equality is checked via a fresh id-0 overwrite being idempotent)
+    streaming.cms_merge_batch(src.filter(F.col("doc_id") % 2 == 0), 0, sketch)
+    once = {(r.seed, r.bucket): r.c
+            for r in streaming.cms_served(spark, sketch).collect()}
+    streaming.cms_merge_batch(src.filter(F.col("doc_id") % 2 == 0), 0, sketch)
+    twice = {(r.seed, r.bucket): r.c
+             for r in streaming.cms_served(spark, sketch).collect()}
+    assert once == twice
+    # second drain, same checkpoint: no new input → sketch unchanged
+    stream = streaming.documents_stream(spark, str(land), max_files_per_trigger=2)
+    streaming.streaming_cms_sink(stream, sketch, ck)
+    again = {(r.seed, r.bucket): r.c
+             for r in streaming.cms_served(spark, sketch).collect()}
+    assert again == twice
