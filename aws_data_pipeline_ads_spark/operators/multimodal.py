@@ -1161,3 +1161,75 @@ def audio_spectral_features(media: DataFrame, sample_rate: int = 16000,
             yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
 
     return media.mapInPandas(batches, AUDIO_SPECTRAL)
+
+
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("segment_no", T.IntegerType()),
+        T.StructField("start_s", T.DoubleType()),
+        T.StructField("end_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_segments(media: DataFrame, frame_ms: int = 20,
+                   threshold: float = 0.02, min_frames: int = 2,
+                   sample_rate: int = 16000,
+                   use_fake_decoder: bool = True) -> DataFrame:
+    """Energy-based segmentation (the VAD-ish stage a speech pipeline
+    runs before transcription): frame the signal at `frame_ms`, mark
+    frames whose RMS exceeds `threshold`, merge contiguous active
+    frames into segments, drop segments shorter than `min_frames`.
+    Emits one row per segment (1→N explosion like sample_frames).
+
+    Same decode contract as extract_audio_features (headerless PCM or
+    real RIFF/WAVE via use_fake_decoder=False); per-clip work is one
+    vectorized reshape + per-frame RMS — no Python loop over samples.
+    Deterministic, pinned by a constructed silence/tone golden test
+    (frame algebra is not SQL-expressible over a VARCHAR corpus)."""
+    import numpy as np
+
+    def decode(raw: bytes):
+        if use_fake_decoder:
+            pcm = np.frombuffer(raw[: len(raw) - len(raw) % 2], dtype="<i2")
+            return sample_rate, pcm.astype("float64") / 32768.0
+        return _parse_wav(raw)
+
+    def segments_of(rate: int, s) -> list[tuple[float, float, float]]:
+        spf = max(1, rate * frame_ms // 1000)
+        n_frames = len(s) // spf
+        if n_frames == 0:
+            return []
+        frames = s[: n_frames * spf].reshape(n_frames, spf)
+        rms = np.sqrt((frames * frames).mean(axis=1))
+        active = rms > threshold
+        segs = []
+        start = None
+        for i, a in enumerate(list(active) + [False]):  # sentinel closes
+            if a and start is None:
+                start = i
+            elif not a and start is not None:
+                if i - start >= min_frames:
+                    seg_rms = float(np.sqrt(
+                        (frames[start:i] ** 2).mean()))
+                    segs.append((start * spf / rate, i * spf / rate,
+                                 round(seg_rms, 6)))
+                start = None
+        return segs
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                rate, s = decode(bytes(blob))
+                for j, (a, b, r) in enumerate(segments_of(rate, s)):
+                    rows.append({"doc_id": int(doc_id), "segment_no": j,
+                                 "start_s": round(a, 6), "end_s": round(b, 6),
+                                 "rms": r})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, AUDIO_SEGMENTS_SCHEMA)

@@ -247,6 +247,8 @@ _TAIL: list[str] = [
     # input pytests
     "q_audio_features",  # PCM decode → n_samples/duration/RMS
     # (rows-only; real-WAV path pytest-verified)
+    "q_audio_segments",  # energy-based VAD segmentation (rows-only;
+    # silence/tone golden pytest pins boundaries + RMS)
     "q_audio_spectral",  # rFFT descriptors (rows-only — FFT has no
     # SQL twin); sine-golden + determinism pytest
     "q_hard_negatives",  # LSH-blocked contrastive negatives; bucket +

@@ -929,6 +929,23 @@ def q_audio_features(spark, sf_dir):
     return multimodal.extract_audio_features(multimodal.attach_media(docs))
 
 
+@query(
+    "q_audio_segments",
+    oracle=None,  # frame algebra over int16-decoded samples is not
+    # SQL-expressible on a VARCHAR corpus; silence/tone golden pytest
+    doc="2C multimodal: energy-based audio segmentation (the VAD-ish "
+        "stage a speech pipeline runs before transcription) — 20 ms "
+        "frame RMS, threshold gate, contiguous-active merge, one row "
+        "per voiced segment; vectorized reshape per clip, 1-to-N "
+        "mapInPandas explosion (multimodal.audio_segments)",
+)
+def q_audio_segments(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_segments(multimodal.attach_media(docs))
+
+
 _BPE_SQL = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
             "| ?[^\\sA-Za-z0-9]+|\\s+")
 

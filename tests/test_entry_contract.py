@@ -84,6 +84,8 @@ def test_oracle_sql_covers_most_queries():
             # input pytests
             "q_audio_features",  # int16-PCM RMS over VARCHAR bytes —
             # not SQL-expressible; WAV-parse + determinism pytest
+            "q_audio_segments",  # frame-RMS segmentation — not
+            # SQL-expressible; silence/tone golden pytest
             "q_audio_spectral",  # rFFT descriptors — FFT has no SQL
             # twin; sine-golden + determinism pytest
             "q_embedding_ivfpq",  # IVF-PQ composite — approximate by

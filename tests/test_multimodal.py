@@ -759,3 +759,53 @@ def test_video_metadata_permissive_quarantine(spark, sf_dir):
     with _pytest.raises(Exception) as exc:
         multimodal.video_metadata(media).collect()
     assert "ISO-BMFF" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+
+
+def test_audio_segments_golden_silence_tone(spark):
+    """Constructed WAV: 0.2s silence | 0.3s tone | 0.2s silence | 0.1s
+    tone (below min length after framing, still >= 2 frames → kept) —
+    segment boundaries land on frame edges, per-segment RMS matches the
+    tone amplitude, pure silence yields zero rows."""
+    import io
+    import wave
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    rate = 16000
+
+    def wav_of(samples: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes((samples * 32767).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    t = lambda dur: np.sin(2 * np.pi * 440 * np.arange(int(rate * dur)) / rate) * 0.5
+    z = lambda dur: np.zeros(int(rate * dur))
+    sig = np.concatenate([z(0.2), t(0.3), z(0.2), t(0.1)])
+    media = spark.createDataFrame([
+        Row(doc_id=1, content=bytearray(wav_of(sig))),
+        Row(doc_id=2, content=bytearray(wav_of(z(0.5)))),  # all silence
+    ])
+    rows = sorted(
+        multimodal.audio_segments(media, use_fake_decoder=False).collect(),
+        key=lambda r: (r.doc_id, r.segment_no),
+    )
+    assert [r.doc_id for r in rows] == [1, 1]
+    a, b = rows
+    assert a.start_s == pytest.approx(0.2, abs=0.02)
+    assert a.end_s == pytest.approx(0.5, abs=0.02)
+    assert b.start_s == pytest.approx(0.7, abs=0.02)
+    assert b.end_s == pytest.approx(0.8, abs=0.02)
+    # sine RMS = amp/sqrt(2)
+    for r in rows:
+        assert r.rms == pytest.approx(0.5 / np.sqrt(2), rel=0.05)
+    # determinism
+    again = sorted(
+        multimodal.audio_segments(media, use_fake_decoder=False).collect(),
+        key=lambda r: (r.doc_id, r.segment_no),
+    )
+    assert rows == again
