@@ -102,25 +102,23 @@ def _lit_arr(xs: list[float]):
 
 
 def pca_project(embeddings: DataFrame, model: dict, k: int | None = None,
-                vec_col: str = "embedding",
-                out_col: str = "pca") -> DataFrame:
+                vec_col: str = "embedding", out_col: str = "pca",
+                center: bool = True, round_to: int | None = 6) -> DataFrame:
     """Project each vector onto the first k components: center against
-    the literal mean, then one codegen `F.aggregate` dot product per
-    output dimension — zero Python, zero shuffle, 6-decimal rounding
-    for cross-run stability."""
+    the literal mean (unless center=False — a PURE ROTATION, which
+    preserves norms and dot products and is what OPQ-style quantization
+    needs), then one codegen `F.aggregate` dot product per output
+    dimension — zero Python, zero shuffle; round_to=6 for cross-run
+    stability (None keeps full precision for downstream quantizers)."""
     comps = model["components"][: (k or len(model["components"]))]
-    centered = F.zip_with(
-        F.col(vec_col).cast("array<double>"), _lit_arr(model["mean"]),
-        lambda x, m: x - m,
-    )
-    dims = [
-        F.round(
-            F.aggregate(
-                F.zip_with(centered, _lit_arr(c), lambda x, w: x * w),
-                F.lit(0.0), lambda acc, v: acc + v,
-            ),
-            6,
+    v = F.col(vec_col).cast("array<double>")
+    if center:
+        v = F.zip_with(v, _lit_arr(model["mean"]), lambda x, m: x - m)
+    dims = []
+    for c in comps:
+        d = F.aggregate(
+            F.zip_with(v, _lit_arr(c), lambda x, w: x * w),
+            F.lit(0.0), lambda acc, vv: acc + vv,
         )
-        for c in comps
-    ]
+        dims.append(F.round(d, round_to) if round_to is not None else d)
     return embeddings.withColumn(out_col, F.array(*dims))

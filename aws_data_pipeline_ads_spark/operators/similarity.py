@@ -813,3 +813,67 @@ def ivfpq_topk(spark, path: str, embeddings: DataFrame, qv: list[float],
     )
     probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
     return cosine_topk(probed, qv, k)
+
+
+# ---------------------------------------------------------------------------
+# OPQ-style rotated product quantization (PCA-initialized)
+# ---------------------------------------------------------------------------
+
+
+def opq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
+              vec_col: str = "embedding") -> dict:
+    """Train the rotated-PQ tier: a full-d PCA ROTATION (energy
+    compaction — the one-shot PCA initialization of OPQ; the iterative
+    Gauss-Seidel refinement of Ge et al. 2013 would slot in here
+    without changing serving) followed by PQ codebooks trained in the
+    rotated space. The rotation is orthonormal and UNCENTERED, so it
+    preserves norms and dot products exactly — the final rerank can
+    score ORIGINAL vectors and stay bit-identical to brute force over
+    the shortlist. Returns {"rotation": model, "books": [...]}."""
+    from aws_data_pipeline_ads_spark.operators import pca
+
+    d = len(embeddings.select(vec_col).first()[0])
+    model = pca.pca_train(embeddings, k=d, vec_col=vec_col)
+    rotated = pca.pca_project(
+        embeddings, model, k=d, vec_col=vec_col, out_col="__rot",
+        center=False, round_to=None,
+    ).select("vec_id", F.col("__rot").alias(vec_col))
+    books = pq_train(rotated, m=m, n_codes=n_codes, vec_col=vec_col)
+    return {"rotation": model, "books": books}
+
+
+def _rotate_vec(qv: list[float], model: dict) -> list[float]:
+    """Driver-side rotation of the query vector (tiny: d × d)."""
+    return [
+        sum(float(w) * float(x) for w, x in zip(c, qv))
+        for c in model["components"]
+    ]
+
+
+def opq_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
+             opq: dict | None = None, shortlist_mult: int = 4,
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via rotated PQ: rotate the corpus (pure codegen dot
+    products), ADC-score the 8-byte codes against the ROTATED query,
+    exact-cosine rerank the broadcast shortlist against the ORIGINAL
+    vectors — rotation invariance makes the rerank arithmetic identical
+    to brute force, so a full-width shortlist IS the exact answer
+    (pytest anchor)."""
+    from aws_data_pipeline_ads_spark.operators import pca
+
+    if opq is None:
+        opq = opq_train(embeddings, vec_col=vec_col)
+    model, books = opq["rotation"], opq["books"]
+    rotated = pca.pca_project(
+        embeddings, model, k=len(model["components"]), vec_col=vec_col,
+        out_col="__rot", center=False, round_to=None,
+    ).select("vec_id", F.col("__rot").alias(vec_col))
+    codes = pq_encode(rotated, books, vec_col)
+    shortlist = (
+        pq_scores(codes, books, _rotate_vec(qv, model))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(shortlist_mult * k)
+        .select("vec_id")
+    )
+    probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
+    return cosine_topk(probed, qv, k)

@@ -756,3 +756,27 @@ def test_cms_mergeable_and_overcount_only(spark, sf_dir):
     hh = sketches.cms_heavy_hitters(tok.select("tok"), "tok", k=50).collect()
     assert len(hh) > 0
     assert all(r.est_count >= r.exact_count for r in hh)
+
+
+def test_opq_full_shortlist_exact_and_pruned_recall(spark, sf_dir):
+    """OPQ (PCA-rotated PQ): the rotation is orthonormal and uncentered,
+    so the exact-cosine rerank over a corpus-wide shortlist is
+    bit-identical to brute force; the default pruned shortlist keeps
+    recall@10 usable."""
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    opq = similarity.opq_train(emb)
+    n = emb.count()
+    full = similarity.opq_topk(emb, qv, 10, opq=opq,
+                               shortlist_mult=n).collect()
+    brute = similarity.cosine_topk(emb, qv, 10).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in brute]
+    got = similarity.opq_topk(emb, qv, 10, opq=opq).collect()
+    recall = len({r.vec_id for r in got} & {r.vec_id for r in brute}) / 10
+    assert recall >= 0.5
+    # determinism across invocations (training included)
+    opq2 = similarity.opq_train(emb)
+    assert opq2["books"] == opq["books"]
+    assert opq2["rotation"]["components"] == opq["rotation"]["components"]
