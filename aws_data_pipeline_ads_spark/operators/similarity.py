@@ -596,12 +596,23 @@ def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
     sample = np.array([r.v for r in rows])
     norms = np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
     sample = sample / norms
-    d = sample.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    ds = d // m
+    if sample.shape[1] % m:
+        raise ValueError(f"dim {sample.shape[1]} not divisible by m={m}")
     if len(sample) == 0:
         raise ValueError("pq_train: empty training sample")
+    return _train_books_np(sample, m, n_codes, n_iter)
+
+
+def _train_books_np(sample, m: int, n_codes: int,
+                    n_iter: int = 4) -> list[list[list[float]]]:
+    """Driver-side Lloyd's over an already-normalized numpy sample —
+    the shared trainer behind pq_train and the OPQ alternating loop.
+    Deterministic: first-rows seed, ties to the LARGEST index
+    (mirroring _pq_assign_expr)."""
+    import numpy as np
+
+    d = sample.shape[1]
+    ds = d // m
     # A sample smaller than the requested codebook can't seed n_codes
     # distinct centroids (tiny corpus, or a sparse vec_id domain where
     # `% step == 0` undersamples); clamp rather than index past the
@@ -622,6 +633,24 @@ def pq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
                     cents[c] = members.mean(axis=0)
         books.append([[round(float(x), 9) for x in c] for c in cents])
     return books
+
+
+def _pq_reconstruct_np(sample, books: list[list[list[float]]]):
+    """Encode-then-decode a normalized numpy sample against the given
+    codebooks (same tie rule as serving) — the OPQ loop's X̂."""
+    import numpy as np
+
+    m = len(books)
+    d = sample.shape[1]
+    ds = d // m
+    out = np.empty_like(sample)
+    for i, book in enumerate(books):
+        cents = np.array(book)
+        sub = sample[:, i * ds:(i + 1) * ds]
+        d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = (len(cents) - 1) - np.argmin(d2[:, ::-1], axis=1)
+        out[:, i * ds:(i + 1) * ds] = cents[assign]
+    return out
 
 
 def _unit_expr(emb):
@@ -820,26 +849,98 @@ def ivfpq_topk(spark, path: str, embeddings: DataFrame, qv: list[float],
 # ---------------------------------------------------------------------------
 
 
+def _eigenvalue_allocation(explained: list[float], m: int) -> list[int]:
+    """Parametric OPQ's balanced subspace assignment (Ge et al. 2013
+    §4, "eigenvalue allocation"): a raw PCA rotation piles nearly all
+    the variance into the first subspaces, so their codebooks saturate
+    while the tail subspaces quantize noise — exactly the recall
+    collapse the naive PCA-then-PQ tier shows. Instead, walk the
+    eigenvalues in descending order and greedily hand each dimension
+    to the subspace whose current variance PRODUCT (sum of logs) is
+    smallest among those not yet full. Deterministic (ties break on
+    the lowest bucket index). Returns a permutation of range(d):
+    position p of the output holds the ORIGINAL component index whose
+    rotated coordinate should land in slot p, with subspace i owning
+    slots [i*d/m, (i+1)*d/m)."""
+    import math as _math
+
+    d = len(explained)
+    cap = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logsum = [0.0] * m
+    for dim in range(d):  # explained[] is already variance-descending
+        open_ = [i for i in range(m) if len(buckets[i]) < cap]
+        tgt = min(open_, key=lambda i: (logsum[i], i))
+        buckets[tgt].append(dim)
+        logsum[tgt] += _math.log(max(explained[dim], 1e-12))
+    return [dim for b in buckets for dim in b]
+
+
 def opq_train(embeddings: DataFrame, m: int = 8, n_codes: int = 16,
-              vec_col: str = "embedding") -> dict:
-    """Train the rotated-PQ tier: a full-d PCA ROTATION (energy
-    compaction — the one-shot PCA initialization of OPQ; the iterative
-    Gauss-Seidel refinement of Ge et al. 2013 would slot in here
-    without changing serving) followed by PQ codebooks trained in the
-    rotated space. The rotation is orthonormal and UNCENTERED, so it
-    preserves norms and dot products exactly — the final rerank can
-    score ORIGINAL vectors and stay bit-identical to brute force over
-    the shortlist. Returns {"rotation": model, "books": [...]}."""
+              vec_col: str = "embedding", n_opt: int = 3,
+              sample_per_code: int = 64) -> dict:
+    """Train the rotated-PQ tier — full OPQ (Ge et al. 2013):
+
+    1. **Init** — a full-d PCA rotation whose components are PERMUTED
+       by eigenvalue allocation (§4 of the paper) so each of the m PQ
+       subspaces receives a balanced share of the variance.
+    2. **Alternating (Gauss-Seidel) refinement** — for n_opt rounds:
+       rotate the sample, train codebooks, encode-decode to get the
+       reconstruction X̂, then re-estimate the rotation as the
+       orthogonal Procrustes solution R = UVᵀ of svd(XᵀX̂). Entirely
+       driver-side over the SAME bounded deterministic sample pq_train
+       uses (`vec_id % step == 0`, ordered) — the corpus is scanned
+       once for the sample and never again during training.
+
+    Every intermediate rotation is orthogonal (a permutation of an
+    orthonormal basis, then Procrustes solutions), and it is applied
+    UNCENTERED, so it preserves norms and dot products exactly — the
+    final rerank can score ORIGINAL vectors and stay bit-identical to
+    brute force over the shortlist. Deterministic end-to-end (no random
+    init anywhere; numpy SVD of a fixed matrix).
+    Returns {"rotation": model, "books": [...]} where model["components"]
+    rows are the final rotation matrix (rounded to 9 decimals so the
+    serving expressions embed engine-exact literals) and the books were
+    trained against that rounded rotation."""
+    import numpy as np
+
     from aws_data_pipeline_ads_spark.operators import pca
 
-    d = len(embeddings.select(vec_col).first()[0])
+    row = embeddings.select(vec_col).first()
+    if row is None:
+        raise ValueError("opq_train: empty embedding table")
+    d = len(row[0])
     model = pca.pca_train(embeddings, k=d, vec_col=vec_col)
-    rotated = pca.pca_project(
-        embeddings, model, k=d, vec_col=vec_col, out_col="__rot",
-        center=False, round_to=None,
-    ).select("vec_id", F.col("__rot").alias(vec_col))
-    books = pq_train(rotated, m=m, n_codes=n_codes, vec_col=vec_col)
-    return {"rotation": model, "books": books}
+    perm = _eigenvalue_allocation(model["explained"], m)
+    rot = np.array([model["components"][i] for i in perm])  # rows = C
+    # the same bounded deterministic sample rule as pq_train
+    n = embeddings.count()
+    step = max(1, n // (n_codes * sample_per_code))
+    rows = (
+        embeddings.filter(F.col("vec_id") % step == 0)
+        .select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([r.v for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    for _ in range(n_opt):
+        y = x @ rot.T
+        books = _train_books_np(y, m, n_codes)
+        recon = _pq_reconstruct_np(y, books)
+        # orthogonal Procrustes: rotation R minimizing ||X R − X̂||_F
+        u, _s, vt = np.linalg.svd(x.T @ recon)
+        rot = (u @ vt).T  # rows = new C
+    comps = [[round(float(w), 9) for w in r] for r in rot]
+    # final books against the ROUNDED rotation — the exact literals the
+    # serving projection embeds, so train and serve see the same space
+    final_rot = np.array(comps)
+    books = _train_books_np(x @ final_rot.T, m, n_codes)
+    return {
+        "rotation": {"mean": model["mean"], "components": comps,
+                     "explained": [model["explained"][i] for i in perm]},
+        "books": books,
+    }
 
 
 def _rotate_vec(qv: list[float], model: dict) -> list[float]:
@@ -851,14 +952,18 @@ def _rotate_vec(qv: list[float], model: dict) -> list[float]:
 
 
 def opq_topk(embeddings: DataFrame, qv: list[float], k: int = 10,
-             opq: dict | None = None, shortlist_mult: int = 4,
+             opq: dict | None = None, shortlist_mult: int = 8,
              vec_col: str = "embedding") -> DataFrame:
     """ANN top-k via rotated PQ: rotate the corpus (pure codegen dot
     products), ADC-score the 8-byte codes against the ROTATED query,
     exact-cosine rerank the broadcast shortlist against the ORIGINAL
     vectors — rotation invariance makes the rerank arithmetic identical
     to brute force, so a full-width shortlist IS the exact answer
-    (pytest anchor)."""
+    (pytest anchor). Default shortlist is 8×k (vs pq_topk's 4×): ADC
+    over 8-byte codes makes shortlist scoring nearly free, and the
+    wider rerank buys the rotated tier recall headroom on corpora where
+    the rotation's variance compaction misleads individual subspaces
+    (recall@10 floor pytest-pinned)."""
     from aws_data_pipeline_ads_spark.operators import pca
 
     if opq is None:

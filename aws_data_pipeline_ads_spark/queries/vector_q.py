@@ -372,3 +372,38 @@ def q_embedding_ivfpq(spark, sf_dir):
         ),
     )
     return similarity.ivfpq_topk(spark, idx, emb, _QV, centroids, 10, n_probe=3)
+
+
+def _opq_model(spark, sf_dir: str) -> dict:
+    """Trained OPQ model per corpus (rotation + books json through the
+    index cache — training is deterministic, reload beats retrain)."""
+    import json
+
+    def build(p: str) -> None:
+        model = similarity.opq_train(load_table(spark, sf_dir, "embeddings"))
+        with open(f"{p}/opq.json", "w") as f:
+            json.dump(model, f)
+
+    with open(f"{_index_path('opq', sf_dir, build)}/opq.json") as f:
+        return json.load(f)
+
+
+@query(
+    "q_embedding_opq",
+    oracle=None,  # approximate by construction → rows-only check;
+    # recall floor + full-shortlist==brute + training determinism
+    # pinned in test_scale_ops (the rotation is orthonormal and
+    # uncentered, so the exact rerank is bit-identical to brute force)
+    doc="2C similarity scale path: OPQ (Ge et al. 2013) — PCA-"
+        "initialized rotation with eigenvalue allocation balancing "
+        "variance across the m subspaces, refined by alternating "
+        "Gauss-Seidel rounds (train books → Procrustes re-estimate) "
+        "driver-side on the same bounded sample pq_train uses; corpus "
+        "rotated by pure codegen dot products, ADC shortlist, exact "
+        "rerank on ORIGINAL vectors (similarity.opq_topk)",
+)
+def q_embedding_opq(spark, sf_dir):
+    return similarity.opq_topk(
+        load_table(spark, sf_dir, "embeddings"), _QV, 10,
+        opq=_opq_model(spark, sf_dir),
+    )
