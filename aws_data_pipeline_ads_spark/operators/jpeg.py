@@ -205,6 +205,13 @@ def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker stream desynced")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker (common between progressive scans) — skip them so the
+        # length read below starts at the real marker byte.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker in _NONBASELINE:
             raise ValueError(

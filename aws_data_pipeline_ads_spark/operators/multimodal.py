@@ -613,7 +613,19 @@ def _be(payload: bytes, at: int, n: int, end: int) -> int:
 def _parse_mp4_tracks(payload: bytes) -> list[dict]:
     """Per-track metadata from an ISO-BMFF payload: track_id, handler
     (vide/soun/...), sample-entry codec fourcc, tkhd display dims,
-    mdhd duration seconds, stsz sample count."""
+    mdhd duration seconds, plus the SAMPLE-TABLE tier — the fields a
+    curation pipeline filters on without any pixel decode:
+
+    * stsz → n_samples, avg/max sample size, bitrate_bps (8·Σsize/dur)
+    * stss → n_keyframes (sync-sample count; absent stss means every
+      sample is a sync sample per ISO 14496-12 §8.6.2, so n_samples)
+    * stco/co64 → n_chunks, mdat_truncated (any chunk offset at or
+      past the payload end — the cheap corrupt-stream detector for a
+      crawl corpus whose downloads got cut mid-mdat)
+
+    Every table read is bounds-checked against its box end (a declared
+    entry count that overruns the box raises ValueError — hostile-input
+    posture identical to the box walker itself)."""
     top = list(_scan_boxes(payload, 0, len(payload)))
     if not any(t in (b"ftyp", b"moov") for t, _, _ in top):
         raise ValueError("not an ISO-BMFF payload (no ftyp/moov box)")
@@ -626,7 +638,10 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
             continue
         info: dict = {"track_id": None, "handler": None, "codec": None,
                       "width": None, "height": None, "duration_s": None,
-                      "n_samples": None}
+                      "n_samples": None, "n_keyframes": None,
+                      "avg_sample_size": None, "max_sample_size": None,
+                      "bitrate_bps": None, "n_chunks": None,
+                      "mdat_truncated": None}
         tkhd = _first_box(payload, tb, te, b"tkhd")
         if tkhd:
             b, e = tkhd
@@ -672,7 +687,67 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
                     if stsz:
                         b, e = stsz
                         _, p = _full_box(payload, b, e)
-                        info["n_samples"] = _be(payload, p + 4, 4, e)
+                        uniform = _be(payload, p, 4, e)
+                        count = _be(payload, p + 4, 4, e)
+                        info["n_samples"] = count
+                        if count:
+                            if uniform:  # constant-size samples
+                                total = uniform * count
+                                info["max_sample_size"] = uniform
+                            else:
+                                if p + 8 + 4 * count > e:
+                                    raise ValueError(
+                                        "ISO-BMFF: stsz table overruns its box"
+                                    )
+                                sizes = [
+                                    int.from_bytes(
+                                        payload[p + 8 + 4 * i:p + 12 + 4 * i],
+                                        "big")
+                                    for i in range(count)
+                                ]
+                                total = sum(sizes)
+                                info["max_sample_size"] = max(sizes)
+                            info["avg_sample_size"] = total / count
+                            if info["duration_s"]:
+                                info["bitrate_bps"] = (
+                                    8.0 * total / info["duration_s"]
+                                )
+                    stss = _first_box(payload, sb, se, b"stss")
+                    if stss:
+                        b, e = stss
+                        _, p = _full_box(payload, b, e)
+                        nk = _be(payload, p, 4, e)
+                        if p + 4 + 4 * nk > e:
+                            raise ValueError(
+                                "ISO-BMFF: stss table overruns its box"
+                            )
+                        info["n_keyframes"] = nk
+                    elif info["n_samples"] is not None:
+                        # no stss box: every sample is a sync sample
+                        info["n_keyframes"] = info["n_samples"]
+                    for co_typ, width_b in ((b"stco", 4), (b"co64", 8)):
+                        co = _first_box(payload, sb, se, co_typ)
+                        if not co:
+                            continue
+                        b, e = co
+                        _, p = _full_box(payload, b, e)
+                        nc = _be(payload, p, 4, e)
+                        if p + 4 + width_b * nc > e:
+                            raise ValueError(
+                                f"ISO-BMFF: {co_typ.decode()} table "
+                                f"overruns its box"
+                            )
+                        offs = [
+                            int.from_bytes(
+                                payload[p + 4 + width_b * i:
+                                        p + 4 + width_b * (i + 1)], "big")
+                            for i in range(nc)
+                        ]
+                        info["n_chunks"] = nc
+                        info["mdat_truncated"] = any(
+                            o >= len(payload) for o in offs
+                        )
+                        break
         tracks.append(info)
     if not tracks:
         raise ValueError("ISO-BMFF: moov contains no trak boxes")
@@ -774,6 +849,11 @@ def _parse_avi_meta(payload: bytes) -> dict:
         "width": float(w), "height": float(h),
         "duration_s": n_frames * usec_pf / 1e6 if usec_pf else None,
         "n_samples": n_frames,
+        # RIFF keeps no cheap sample-table analog in the header list
+        # (idx1 sits after movi); the MP4/Y4M tiers carry these
+        "n_keyframes": None, "avg_sample_size": None,
+        "max_sample_size": None, "bitrate_bps": None,
+        "n_chunks": None, "mdat_truncated": None,
     }
 
 
@@ -788,6 +868,14 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("height", T.DoubleType()),
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("n_samples", T.LongType()),
+        # sample-table tier (MP4 stss/stsz/stco; Y4M from the frame
+        # splitter; AVI reports null where RIFF has no cheap source)
+        T.StructField("n_keyframes", T.LongType()),
+        T.StructField("avg_sample_size", T.DoubleType()),
+        T.StructField("max_sample_size", T.LongType()),
+        T.StructField("bitrate_bps", T.DoubleType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("mdat_truncated", T.BooleanType()),
     ]
 )
 
@@ -822,11 +910,19 @@ def video_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
             num, den = 25, 1
             if b"F" in tags and b":" in tags[b"F"]:
                 num, den = (int(x) for x in tags[b"F"].split(b":"))
+            dur = len(frames) * den / num if num else None
+            total = sum(len(f) for f in frames)
             return [{
                 "track_id": 1, "handler": "vide", "codec": "rawvideo",
                 "width": float(w), "height": float(h),
-                "duration_s": len(frames) * den / num if num else None,
+                "duration_s": dur,
                 "n_samples": len(frames), "container": "y4m",
+                # every raw frame is independently decodable
+                "n_keyframes": len(frames),
+                "avg_sample_size": total / len(frames) if frames else None,
+                "max_sample_size": max((len(f) for f in frames), default=None),
+                "bitrate_bps": 8.0 * total / dur if dur else None,
+                "n_chunks": None, "mdat_truncated": None,
             }]
         return [dict(t, container="mp4") for t in _parse_mp4_tracks(raw)]
 
@@ -840,9 +936,16 @@ def video_metadata(media: DataFrame, permissive: bool = False) -> DataFrame:
                     for r in meta_rows(int(doc_id), bytes(blob)):
                         rows.append({"doc_id": int(doc_id), **r,
                                      **({"error": None} if permissive else {})})
-                except ValueError as e:
+                except (ValueError, struct.error, IndexError, KeyError) as e:
+                    # struct.error/IndexError/KeyError: a truncated or
+                    # hostile container whose declared chunk sizes
+                    # overrun the payload — the jpeg_decode_pixels
+                    # untrusted-input contract: one quarantine row per
+                    # bad payload, never a failed task.
                     if not permissive:
-                        raise
+                        if isinstance(e, ValueError):
+                            raise
+                        raise ValueError(f"malformed container: {e}") from e
                     rows.append({"doc_id": int(doc_id), "error": str(e)})
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 

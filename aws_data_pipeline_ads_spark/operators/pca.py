@@ -44,7 +44,10 @@ def _gram_partials(embeddings: DataFrame, vec_col: str) -> tuple:
     count, not corpus size)."""
     import numpy as np
 
-    d = len(embeddings.select(vec_col).first()[0])
+    row = embeddings.select(vec_col).first()
+    if row is None:
+        raise ValueError("pca_train: empty embedding table")
+    d = len(row[0])
     schema = "n long, s array<double>, g array<double>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

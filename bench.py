@@ -119,6 +119,7 @@ def main() -> None:
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
+    timed_out: list[str] = []
     for name in names:
         try:
             proc = subprocess.run(
@@ -128,6 +129,7 @@ def main() -> None:
             )
         except subprocess.TimeoutExpired:
             print(f"# {name}: TIMED OUT after 600s — skipped", file=sys.stderr)
+            timed_out.append(name)
             continue
         if proc.returncode != 0:
             print(proc.stderr[-4000:], file=sys.stderr)
@@ -159,6 +161,10 @@ def main() -> None:
             sum(v for k, v in cold.items() if k not in added_r3), 3
         ),
         "added_queries": sorted(added_r3 & set(cold)),
+        # A wedged child shrinks the totals — record it so cross-round
+        # total comparisons can detect the missing query instead of
+        # reading the shrunken sum as an improvement.
+        "timed_out": timed_out,
         "steady_reps": _STEADY_REPS,  # median of last 3 of 5, fresh JVM/query
         "isolation": "jvm-per-query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

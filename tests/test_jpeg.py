@@ -185,6 +185,42 @@ def test_progressive_decode_matches_baseline_exactly():
         assert np.array_equal(base, prog), (shape, ss, ri)
 
 
+def test_marker_fill_bytes_between_scans():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker. Inject fill runs before every marker of a progressive
+    stream (where real encoders pad between scans) and before baseline
+    markers — decode must be unaffected, not desync."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24, 3), np.uint8)
+    for enc in (jpeg.jpeg_encode_progressive(img, subsample="420"),
+                jpeg.jpeg_encode_pixels(img)):
+        want = jpeg.jpeg_decode_pixels(enc)
+        # rebuild the stream with 3 fill bytes before each non-SOI
+        # marker segment (walk markers, skip entropy data verbatim)
+        out = bytearray(enc[:2])
+        pos = 2
+        while pos < len(enc):
+            assert enc[pos] == 0xFF
+            marker = enc[pos + 1]
+            if marker == 0xD9:
+                out += b"\xff\xff\xff" + enc[pos:pos + 2]
+                pos += 2
+                continue
+            size = int.from_bytes(enc[pos + 2:pos + 4], "big")
+            out += b"\xff\xff\xff" + enc[pos:pos + 2 + size]
+            pos += 2 + size
+            if marker == 0xDA:  # copy entropy bytes until next marker
+                while pos < len(enc):
+                    if (enc[pos] == 0xFF and pos + 1 < len(enc)
+                            and enc[pos + 1] != 0x00
+                            and not 0xD0 <= enc[pos + 1] <= 0xD7):
+                        break
+                    out.append(enc[pos])
+                    pos += 1
+        got = jpeg.jpeg_decode_pixels(bytes(out))
+        assert np.array_equal(want, got)
+
+
 def test_progressive_eob_runs_and_deep_refinement():
     """Smooth/flat content under a real quantization table produces
     multi-block EOBn runs (the encoder aggregates, the decoder must

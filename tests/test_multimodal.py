@@ -660,13 +660,52 @@ def test_audio_spectral_features_sine_golden(spark):
 
 def test_mp4_mux_demux_roundtrip():
     """mux_minimal_mp4 → _parse_mp4_tracks recovers codec/dims/duration/
-    sample count exactly (the ISO-BMFF twin of the AVI round-trip)."""
+    sample count exactly (the ISO-BMFF twin of the AVI round-trip),
+    plus the sample-table tier: stsz sizes (avg/max/bitrate), stss-less
+    keyframe default (every sample sync), stco chunk count, and the
+    offsets-inside-payload corruption check."""
     frames = [b"\xff\xd8a\xff\xd9", b"\xff\xd8bb\xff\xd9", b"\xff\xd8c\xff\xd9"]
     mp4 = multimodal.mux_minimal_mp4(frames, 32, 24, fps=10)
+    total = sum(len(f) for f in frames)
     assert multimodal._parse_mp4_tracks(mp4) == [{
         "track_id": 1, "handler": "vide", "codec": "jpeg",
         "width": 32.0, "height": 24.0, "duration_s": 0.3, "n_samples": 3,
+        "n_keyframes": 3,  # no stss box → every sample is sync
+        "avg_sample_size": total / 3,
+        "max_sample_size": max(len(f) for f in frames),
+        "bitrate_bps": 8.0 * total / 0.3,
+        "n_chunks": 1, "mdat_truncated": False,
     }]
+
+
+def test_mp4_sample_tables_hostile_and_truncated_mdat():
+    """Sample-table hostility: an stsz/stss/stco whose declared entry
+    count overruns its box raises loudly; a payload whose moov parses
+    but whose mdat is gone (chunk offsets past the end) reports
+    mdat_truncated=True — the cheap corrupt-download detector."""
+    import struct as st
+
+    frames = [b"\xff\xd8a\xff\xd9", b"\xff\xd8bb\xff\xd9"]
+    mp4 = multimodal.mux_minimal_mp4(frames, 16, 16, fps=5)
+    # strip the mdat box entirely: boxes stay well-formed, stco now
+    # points past the payload end
+    mdat_at = mp4.find(b"mdat") - 4
+    headless = mp4[:mdat_at]
+    (track,) = multimodal._parse_mp4_tracks(headless)
+    assert track["mdat_truncated"] is True and track["n_samples"] == 2
+    # corrupt the stsz entry count to overrun its box
+    stsz_at = mp4.find(b"stsz")
+    bad = bytearray(mp4)
+    bad[stsz_at + 12:stsz_at + 16] = st.pack(">I", 10 ** 6)
+    with pytest.raises(ValueError, match="stsz"):
+        multimodal._parse_mp4_tracks(bytes(bad))
+    # an stss box whose count overruns: inject right after stsd inside
+    # stbl would shift offsets — instead corrupt stco's count
+    stco_at = mp4.find(b"stco")
+    bad2 = bytearray(mp4)
+    bad2[stco_at + 8:stco_at + 12] = st.pack(">I", 10 ** 6)
+    with pytest.raises(ValueError, match="stco"):
+        multimodal._parse_mp4_tracks(bytes(bad2))
 
 
 def test_mp4_hostile_inputs():
@@ -742,16 +781,23 @@ def test_video_metadata_permissive_quarantine(spark, sf_dir):
 
     good = multimodal.mux_minimal_mp4(
         [b"\xff\xd8x\xff\xd9"], 8, 8, fps=5)
+    # Truncated AVI: the avih chunk declares its full size but the
+    # payload is cut inside it, so struct.unpack sees a short slice —
+    # struct.error, not ValueError; must still quarantine (one bad
+    # payload must not fail the whole task).
+    avi = multimodal.mux_mjpeg_avi([b"\xff\xd8x\xff\xd9"] * 3, 8, 8)
     media = spark.createDataFrame([
         Row(doc_id=1, content=bytearray(good)),
         Row(doc_id=2, content=bytearray(b"definitely not a video....")),
         Row(doc_id=3, content=bytearray(good[: len(good) // 2])),
+        Row(doc_id=4, content=bytearray(avi[:40])),
     ])
     rows = {r.doc_id: r for r in
             multimodal.video_metadata(media, permissive=True).collect()}
     assert rows[1].codec == "jpeg" and rows[1].error is None
     assert rows[2].codec is None and "ISO-BMFF" in rows[2].error
     assert rows[3].codec is None and rows[3].error
+    assert rows[4].codec is None and rows[4].error
     # FAILFAST default still raises through the task
     import pytest as _pytest
     from py4j.protocol import Py4JJavaError
