@@ -88,13 +88,20 @@ def cms_build(values: DataFrame, col: str, depth: int = CMS_DEPTH,
 
 def cms_heavy_hitters(values: DataFrame, col: str, k: int = 20,
                       depth: int = CMS_DEPTH,
-                      width: int = CMS_WIDTH) -> DataFrame:
+                      width: int = CMS_WIDTH,
+                      cms: DataFrame | None = None) -> DataFrame:
     """Top-k values by CMS estimate (min over the depth rows), with the
     exact count alongside so the overcount property is visible. The
     sketch is broadcast (≤ depth·width rows); the vocabulary joins it
     map-side, so the only full exchanges are the two bounded
-    aggregations (sketch cells, distinct vocabulary)."""
-    cms = cms_build(values, col, depth, width)
+    aggregations (sketch cells, distinct vocabulary).
+
+    Pass `cms` to serve from an already-accumulated grid (e.g. the
+    streaming sink's lake-resident state summed by cms_served) instead
+    of rebuilding from `values` — cell-wise mergeability makes the two
+    identical when the grid drained the same data."""
+    if cms is None:
+        cms = cms_build(values, col, depth, width)
     vocab = (
         values.groupBy(col)
         .agg(F.count(F.lit(1)).alias("exact_count"))

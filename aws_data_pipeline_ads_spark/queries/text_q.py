@@ -834,6 +834,56 @@ def q_heavy_hitters_cms(spark, sf_dir):
     return cms_heavy_hitters(tok, "tok", k=20)
 
 
+# Lake-resident streaming CMS state per corpus: the documents table is
+# landed as file shards and drained through the streaming sink ONCE
+# (availableNow, multiple micro-batches); every serve reads the
+# accumulated batch partials. Build is a write-side job like
+# bm25_index; drain==batch is the pytest-pinned contract, so the
+# served answer hash-matches the same oracle as the batch query.
+def cms_stream_index(spark, sf_dir: str) -> str:
+    def build(path: str) -> None:
+        from aws_data_pipeline_ads_spark import streaming
+
+        src = load_table(spark, sf_dir, "documents")
+        src.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.parquet(
+            f"{path}/landing/s1"
+        )
+        src.filter(F.col("doc_id") % 2 == 1).coalesce(2).write.parquet(
+            f"{path}/landing/s2"
+        )
+        stream = streaming.documents_stream(
+            spark, f"{path}/landing", max_files_per_trigger=2
+        )
+        streaming.streaming_cms_sink(stream, f"{path}/sketch", f"{path}/ck")
+
+    return index_path("cms_stream", sf_dir, build)
+
+
+@query(
+    "q_heavy_hitters_served",
+    oracle=_CMS_ORACLE,  # IDENTICAL oracle to q_heavy_hitters_cms:
+    # the streaming drain accumulates cell-wise-mergeable partials, so
+    # the served grid equals one batch build over the same documents
+    doc="streaming-lake serving path: heavy hitters answered from the "
+        "ACCUMULATED Count-Min state the streaming sink drained into "
+        "the lake (one partial grid per micro-batch, summed cell-wise "
+        "at serve time — streaming.cms_served), not from a fresh "
+        "corpus scan; the drain==batch contract makes it hash-equal "
+        "to q_heavy_hitters_cms and its DuckDB oracle "
+        "(streaming/__init__.py, operators/sketches.py)",
+)
+def q_heavy_hitters_served(spark, sf_dir):
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.operators.sketches import cms_heavy_hitters
+
+    idx = cms_stream_index(spark, sf_dir)
+    grid = streaming.cms_served(spark, f"{idx}/sketch")
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return cms_heavy_hitters(tok, "tok", k=20, cms=grid)
+
+
 @query(
     "q_snapshot_diff",
     bench=True,  # added r5: the CDC hash-join shape
