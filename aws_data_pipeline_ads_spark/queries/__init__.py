@@ -31,42 +31,117 @@ DRIVER_WINDOW = 50  # driver checks the first N entries of queries()
 # first (charter centerpiece), then one representative per remaining
 # operator family.
 _WINDOW: list[str] = [
-    # -- text analysis ----------------------------------------------------
-    "q_text_stats", "q_curation_pipeline", "q_token_count", "q_lang_id",
-    "q_quality_classifier", "q_domain_mixture", "q_repetition_score",
-    "q_sample_stratified", "q_contamination", "q_bm25_terms",
-    # -- deduplication tiers ---------------------------------------------
-    "q_dedup_exact", "q_line_dedup", "q_ngram_jaccard", "q_minhash_lsh",
-    "q_neardup_verified", "q_neardup_clusters", "q_perplexity_sample",
-    "q_simhash_pairs", "q_decontaminate",
-    # -- similarity search + multimodal ----------------------------------
+    # ==== r6 rotation: 31 never-driver-verified queries take window
+    # slots (each already green in the identical local harness at
+    # sf0.1 — ORACLE_SF01_r5.txt — and in the r5 judge's sf0.01
+    # spot-checks where sampled). The 19 remaining slots are
+    # multi-round-verified anchors keeping every operator family
+    # hash-covered. ======================================================
+    # -- round-5 operators, first driver exposure -------------------------
+    "q_snapshot_diff", "q_heavy_hitters_cms", "q_skewed_join",
+    "q_tpch_q3_bucketed", "q_incremental_dedup", "q_resolve_entities",
+    "q_scd2", "q_merge_upsert",
+    # -- TPC-H never-verified backlog (densest correctness surface:
+    # correlated-subquery decorrelations, dual-role joins) ---------------
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q20",
+    # -- LLM-pipeline tail, first driver exposure -------------------------
+    "q_bm25_search", "q_gopher_rules", "q_normalize_text",
+    "q_bigram_lm", "q_source_kl", "q_corpus_prep",
+    # -- analytics tail, first driver exposure ----------------------------
+    "q_cohort_retention", "q_rfm", "q_histogram", "q_correlation",
+    # -- new this round: streaming-served CMS (same oracle as the
+    # in-window batch twin q_heavy_hitters_cms)
+    "q_heavy_hitters_served",
+    # -- verified anchors: text analysis ---------------------------------
+    "q_text_stats", "q_lang_id",
+    # -- verified anchors: dedup tiers ------------------------------------
+    "q_dedup_exact", "q_line_dedup", "q_minhash_lsh", "q_simhash_pairs",
+    "q_decontaminate",
+    # -- verified anchors: similarity + multimodal ------------------------
     "q_binary_meta", "q_embedding_knn", "q_semdedup",
-    "q_record_linkage", "q_embedding_ivf_full",
-    # -- scalar surface ---------------------------------------------------
-    "q_array_funcs",
-    "q_json_extract", "q_percentile",
-    # -- streaming twins + stateful + time-series anchors ----------------
-    "q_tumbling_window", "q_session_gap", "q_session_paths",
-    "q_anomaly_zscore", "q_ewma",
-    # -- reference parity ------------------------------------------------
-    "q_pagerank", "q_limit_topk", "q_run_summary",
-    # -- dedup (reference ops) + sequence analytics ----------------------
-    "q_dedup_latest", "q_multitouch",
-    # -- joins ------------------------------------------------------------
-    "q_join_star", "q_join_flagship", "q_semi_anti",
-    "q_asof_join", "q_triangles",
-    # -- aggregation ------------------------------------------------------
-    "q_agg_rollup", "q_count_distinct",
-    "q_association_rules",
-    # -- window functions -------------------------------------------------
-    "q_window_rank",
-    # -- set ops / SQL / top-k -------------------------------------------
-    "q_set_ops", "q_sql_over_lake", "q_tpch_q3", "q_tpch_q21",
+    # -- verified anchors: scalar surface ---------------------------------
+    "q_array_funcs", "q_json_extract", "q_percentile",
+    # -- verified anchors: streaming/time-series --------------------------
+    "q_tumbling_window", "q_session_gap", "q_ewma",
+    # -- verified anchors: joins ------------------------------------------
+    "q_join_flagship", "q_asof_join",
 ]
 
 # Declared queries past the driver window: each exercises machinery an
 # in-window sibling already verifies (still oracle-checked locally).
 _TAIL: list[str] = [
+    # -- r6 rotation: 31 multi-round-verified queries yield their slots
+    # to the never-driver-verified backlog (r5 operators, the 13 TPC-H
+    # dials, LLM-pipeline + analytics tail). Every outgoing query's
+    # machinery stays hash-covered in-window via a sibling:
+    "q_curation_pipeline",  # gate→dedup→agg composition in-window via
+    # q_text_stats/q_dedup_exact/q_corpus_prep; hash-verified r01-r05
+    "q_quality_classifier",  # hashing-trick linear scorer; zero-shuffle
+    # expr machinery in-window via q_text_stats; hash-verified r05
+    "q_domain_mixture",  # grouped mixture weights in-window via
+    # q_source_kl (same broadcast-total machinery); hash-verified r05
+    "q_repetition_score",  # array-expr battery in-window via
+    # q_gopher_rules (superset rules); hash-verified r05
+    "q_sample_stratified",  # md5-gate sampling in-window via
+    # q_corpus_prep (hash-sample stage); hash-verified r05
+    "q_contamination",  # bloom-membership count; the full decontaminate
+    # filter stays in-window via q_decontaminate; hash-verified r05
+    "q_token_count",  # whitespace/BPE-ish token census; regexp
+    # machinery in-window via q_text_stats/q_gopher_rules; hash-verified
+    # r01-r05 — yields its slot to q_heavy_hitters_served
+    "q_bm25_terms",  # postings scoring in-window via q_bm25_search
+    # (served probe over the same index); hash-verified r03-r05
+    "q_ngram_jaccard",  # df-capped shingle Jaccard; shingle machinery
+    # in-window via q_minhash_lsh/q_decontaminate; hash-verified r05
+    "q_neardup_verified",  # LSH→exact-verify pairs in-window via
+    # q_minhash_lsh (band machinery) + q_semdedup; hash-verified r05
+    "q_neardup_clusters",  # min-label CC clusters in-window via
+    # q_resolve_entities (same CC machinery); hash-verified r05
+    "q_perplexity_sample",  # LM-scored stratified sampling; bigram LM
+    # scoring in-window via q_bigram_lm; hash-verified r05
+    "q_record_linkage",  # fuzzy pair scoring in-window via
+    # q_resolve_entities (same blocked pair graph); hash-verified r05
+    "q_embedding_ivf_full",  # full-probe IVF == brute force anchor;
+    # exact kNN stays in-window via q_embedding_knn; hash-verified r05
+    "q_session_paths",  # ordered-path agg in-window via q_session_gap
+    # (same sessionize machinery); hash-verified r05
+    "q_anomaly_zscore",  # RANGE-frame window detector in-window via
+    # q_ewma (sequential state twin); hash-verified r05
+    "q_pagerank",  # iterative graph op; persisted-edges machinery has
+    # multi-round history (r05); q_resolve_entities keeps CC in-window
+    "q_limit_topk",  # TakeOrderedAndProject in-window via q_tpch_q10
+    # (top-k over join+agg); hash-verified r01-r05
+    "q_run_summary",  # reference run-summary agg; envelope machinery
+    # pytest-anchored E2E; hash-verified r05
+    "q_dedup_latest",  # latest-wins window dedup in-window via q_scd2
+    # (same row_number machinery); hash-verified r05
+    "q_multitouch",  # credit-split attribution; join+window machinery
+    # in-window via q_cohort_retention/q_scd2; hash-verified r05
+    "q_join_star",  # broadcast star join in-window via q_tpch_q5/q8
+    # (denser star shapes); hash-verified r01-r05
+    "q_semi_anti",  # left-semi/anti pair in-window via q_tpch_q4 (semi)
+    # + q_tpch_q16 (anti blocklist); hash-verified r05
+    "q_triangles",  # canonical-orientation triangle count; self-join
+    # machinery in-window via q_resolve_entities; hash-verified r05
+    "q_agg_rollup",  # ROLLUP grouping in-window via q_histogram/q_rfm
+    # (grouped agg) + TPC-H aggs; hash-verified r05
+    "q_count_distinct",  # exact distinct agg in-window via q_tpch_q16
+    # (grouped distinct count); hash-verified r05
+    "q_association_rules",  # support/confidence/lift pairs; explode+
+    # self-join machinery in-window via q_bm25_search; hash-verified r05
+    "q_window_rank",  # rank-frame window in-window via q_scd2/q_rfm
+    # (row_number/ntile); hash-verified r05
+    "q_set_ops",  # UNION/INTERSECT/EXCEPT in-window via q_merge_upsert
+    # (anti ∪ union machinery); hash-verified r05
+    "q_sql_over_lake",  # spark.sql over registered lake views; SQL
+    # machinery in-window via every TPC-H dial; hash-verified r05
+    "q_tpch_q3",  # the canonical Q3 plan stays in-window via
+    # q_tpch_q3_bucketed (identical result + oracle, zero-exchange
+    # layout); hash-verified r01-r05
+    "q_tpch_q21",  # EXISTS/NOT-EXISTS decorrelation in-window via
+    # q_tpch_q4 (EXISTS) + q_tpch_q16 (anti); hash-verified r05
     # -- r5 rotation: eight long-green queries rotated out so the driver
     # hash-verifies the round-4 operator families for the first time
     # (quality classifier, record linkage, pagerank, triangles,
@@ -116,9 +191,6 @@ _TAIL: list[str] = [
     "q_ngram_jaccard_uncapped",  # exact-uncapped Jaccard semantics at
     # modest scale; declared q_ngram_jaccard (in-window) runs the
     # df-capped scale-safe variant
-    "q_bm25_search",  # inverted-index BM25 retrieval over the
-    # bm25_write postings index; scoring machinery hash-verified
-    # in-window via q_bm25_terms (served from the same index)
     "q_ntile_lpad",  # scalar-census stragglers (lpad, segment-scoped
     # ntile); window machinery in-window via q_window_rank
     "q_string_funcs", "q_date_parts",  # scalar family stays covered by
@@ -139,24 +211,12 @@ _TAIL: list[str] = [
     # pytest-verified (stream-stream join == batch twin)
     "q_dedup",  # plain distinct; hash-matched in r01, machinery covered
     # by q_dedup_exact/q_set_ops in-window — swapped for q_funnel
-    "q_cohort_retention",  # groupBy/distinct/join machinery all
-    # in-window; oracle-checked locally
-    "q_rfm",  # percentile + broadcast-threshold machinery in-window
-    # via q_percentile/q_scalar_subquery; oracle-checked locally
-    "q_scd2",  # lag/lead/row_number machinery in-window via
-    # q_window_rank/q_window_running; oracle-checked locally
     "q_profile",  # agg/count_distinct machinery in-window via
     # q_count_distinct/q_agg_rollup; oracle-checked locally
-    "q_correlation",  # exact-raw-moment Pearson; grouped-agg machinery
-    # in-window via q_agg_rollup; oracle-checked locally
-    "q_histogram",  # fixed-width binning; grouped-agg machinery
-    # in-window; oracle-checked locally
     "q_quantile_sketch",  # histogram-interpolated quantiles; window +
     # min_by machinery in-window via q_window_running; oracle-checked
     "q_hll_rollup",  # sketch estimates rows-only by nature (like
     # q_approx_distinct); accuracy + merge-invariance pytest-pinned
-    "q_merge_upsert",  # anti-join ∪ union machinery in-window via
-    # q_semi_anti/q_set_ops; streaming side pytest-verified
     "q_sliding_window", "q_json_typed", "q_surrogate_hash",
     "q_cast_default", "q_truncate_concat", "q_rename_project",
     "q_null_guard", "q_status_filter", "q_envelope_date",
@@ -165,28 +225,10 @@ _TAIL: list[str] = [
     "q_tpch_q13", "q_tpch_q14", "q_tpch_q19", "q_tpch_q22",
     "q_tpch_q18",  # groupBy+HAVING+top-k machinery held in-window by
     # q_tpch_q3/q_tpch_q1 — swapped for q_line_dedup
-    "q_tpch_q5", "q_tpch_q10",  # classic shapes; join machinery
-    # in-window via q_join_flagship/q_tpch_q3
-    "q_tpch_q17",  # correlated scalar-AVG subquery decorrelated into a
-    # per-part aggregate join-back; agg/join machinery in-window
-    "q_tpch_q4",  # correlated EXISTS with non-equi residual → left-semi
-    # join; semi machinery in-window via q_semi_anti
-    "q_tpch_q16",  # NOT IN blocklist → broadcast anti join + grouped
-    # distinct count; machinery in-window via q_semi_anti/q_count_distinct
-    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",  # TPC-H
-    # completion set (scan-only agg, dual-role nation joins, share
-    # ratio, profit rollup); join/agg machinery in-window via
-    # q_join_flagship/q_tpch_q1/q_tpch_q3
-    "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q20",  # TPC-H
-    # completion set (correlated min join-back, scalar-threshold
-    # HAVING, late-shipment class counts, nested semi with derived
-    # aggregate); machinery in-window via q_semi_anti/q_top_supplier
     "q_token_bpe",  # regexp-census machinery in-window via
     # q_token_count/q_quality_score; oracle-checked locally
     "q_sample_weighted",  # hash-gate machinery in-window via
     # q_sample_stratified; top-k via q_limit_topk
-    "q_corpus_prep",  # composition of in-window stages (PII scrub,
-    # quality gate, dedup, hash sample); oracle-checked locally
     "q_rolling_window",  # window machinery in-window via
     # q_window_running (rows frame); this is the RANGE-frame variant
     "q_resample_fill",  # groupBy/left-join/window machinery in-window;
@@ -206,6 +248,9 @@ _TAIL: list[str] = [
     "q_embedding_pq",  # product-quantization ADC tier (rows-only by
     # nature — recall < 1); recall + full-shortlist==brute pytest-pinned;
     # the rerank machinery is in-window via q_embedding_sq8
+    "q_embedding_opq",  # rotated-PQ tier, alternating-optimized OPQ
+    # (rows-only by nature — recall < 1); recall floor + rotation-
+    # invariant full-shortlist==brute + determinism pytest-pinned
     "q_embedding_ann",  # LSH-served ANN (rows-only by nature); swapped
     # out of the window for the hash-verified q_embedding_sq8 — the
     # bucket-serving machinery stays in-window via q_embedding_ivf, and
@@ -214,10 +259,6 @@ _TAIL: list[str] = [
     # window machinery in-window via q_window_rank
     "q_unigram_lm",  # corpus-trained unigram-LM nll scoring;
     # explode/join/agg machinery in-window via q_bm25_terms
-    "q_bigram_lm",  # order-2 LM nll (add-1 smoothed); same machinery
-    # family as q_unigram_lm/q_bm25_terms, decimal-ln fold
-    "q_source_kl",  # KL(source ‖ corpus) mixture diagnostic; grouped
-    # count + broadcast-total machinery in-window via q_domain_mixture
     "q_bpe_merges",  # iterative BPE training (rows-only by nature);
     # exact-equality pytest vs a pure-Python reference trainer
     "q_pack_sequences",  # GPT-style concat-and-chunk packing;
@@ -228,15 +269,6 @@ _TAIL: list[str] = [
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode
     # stage); pytest pins hash vs reference + exact brute-force recall
-    "q_incremental_dedup",  # arriving-batch vs corpus-fingerprint flag
-    # join; hash/dedup machinery in-window via q_dedup_exact
-    "q_gopher_rules",  # published Gopher curation battery; array-expr
-    # machinery in-window via q_quality_score/q_repetition_score
-    "q_resolve_entities",  # canonical-name clusters over the fuzzy
-    # pair graph; pair machinery in-window via q_record_linkage,
-    # min-label CC via q_neardup_clusters (recursive-CTE oracle family)
-    "q_normalize_text",  # NFC canonicalization (pandas_udf vs DuckDB
-    # nfc_normalize, both UAX #15); scalar machinery in-window
     "q_filter_attrition",  # filter-funnel survivor counts (single
     # aggregate); gate expressions in-window via q_quality_score
     "q_video_frames",  # real MJPEG-AVI demux → JPEG decode → luminance
@@ -253,22 +285,10 @@ _TAIL: list[str] = [
     # SQL twin); sine-golden + determinism pytest
     "q_hard_negatives",  # LSH-blocked contrastive negatives; bucket +
     # window machinery in-window via q_embedding_neardup/q_window_rank
-    "q_skewed_join",  # salted-join + two-phase salted aggregation over
-    # a deliberately hot key; identical-result oracle is the plain
-    # join (join/agg machinery in-window via q_join_star/q_agg_rollup)
-    "q_tpch_q3_bucketed",  # Q3 over bucketed+sorted facts — zero
-    # shuffle exchanges end-to-end (plan-asserted); result identical
-    # to in-window q_tpch_q3, same oracle SQL
-    "q_snapshot_diff",  # corpus-version CDC (added/removed/changed by
-    # key-hash full-outer join); merge machinery in-window via
-    # q_semi_anti/q_dedup_exact, hash parity via q_dedup_exact
     "q_embedding_pca",  # distributed-covariance PCA projection (rows-
     # only: eigendecomposition has no SQL twin); numpy-equality +
     # orthonormality pytest; array-fold machinery in-window via
     # q_embedding_knn
-    "q_heavy_hitters_cms",  # Count-Min heavy hitters (portable md5
-    # sketch → exact cross-engine twin); explode/agg machinery
-    # in-window via q_bm25_terms, top-k via q_limit_topk
 ]
 
 
