@@ -1,0 +1,282 @@
+"""Versioned lake commit log: time travel + atomic publish + MERGE.
+
+The unified transaction layer the manifest zone (pipeline/sink.py
+write_manifest — reference `config/config.json:15` manifest/ folder),
+atomic-swap compaction (operators/compaction.py), MERGE upsert
+(operators/upsert.py) and snapshot CDC (upsert.snapshot_diff) grow
+into at scale — the minimal form of what Delta Lake's `_delta_log` /
+Iceberg's metadata tree formalize, built from public first principles:
+
+* **A commit is a FILE LIST, not a directory.** Every version is one
+  JSON entry `_log/{version:08d}.json` recording the complete set of
+  parquet files that make up that snapshot. Readers never LIST the
+  data directory (slow, rate-limited, eventually consistent on object
+  stores at 100 TB); they read one small JSON and open exactly those
+  files. Data files are immutable and write-once under uniquely named
+  `data/<uuid>/` subdirs, so a commit never rewrites or moves bytes
+  that older versions reference — append and copy-on-write updates
+  share unchanged files across versions for free.
+
+* **Atomic publish = exclusive create of the next log entry.** The
+  data files of an in-flight commit are invisible garbage until the
+  entry exists; `open(path, "x")` makes exactly one writer win a
+  version number. A loser gets ConcurrentWriteError and must re-read
+  the new head and retry (optimistic concurrency — Delta's protocol).
+  POSIX rename/create is atomic on local/HDFS; on S3 this single
+  operation is what needs a coordination layer (a DynamoDB-style
+  LogStore), everything else ports unchanged.
+
+* **Exactly-once via txn ids.** A commit may carry an idempotency
+  token (`txn_id`); replaying it (streaming foreachBatch crash-replay,
+  re-run jobs) returns the already-committed version instead of
+  double-applying. Same contract as Delta's txn action.
+
+* **Time travel** (`read(version=...)`) is just reading an old entry's
+  file list — retention is explicit via `vacuum(keep_last)`, which
+  deletes data files no retained version references.
+
+At 100 TB the JSON file list would itself be checkpointed into parquet
+every N commits (Delta checkpoints); the protocol here is unchanged by
+that optimization.
+
+No reference parity beyond the manifest zone: the reference never
+implements versioned reads (SURVEY §2B D12); this is the charter's
+lakehouse tier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+class LakeTable:
+    """A versioned parquet table rooted at `path` (local/HDFS-style FS).
+
+    Layout::
+
+        <path>/_log/00000000.json   one entry per commit (file list)
+        <path>/data/<uuid>/*.parquet   immutable, write-once
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- log primitives ----------------------------------------------------
+
+    def _entry_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.json")
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def current_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _read_entry(self, version: int) -> dict:
+        p = self._entry_path(version)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"lake table {self.path}: version {version} does not exist"
+            )
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """All commit entries, oldest first (file lists elided to counts)."""
+        out = []
+        for v in self._versions():
+            e = self._read_entry(v)
+            out.append({k: e[k] for k in
+                        ("version", "op", "txn_id", "n_files", "timestamp_ms")})
+        return out
+
+    def _txn_version(self, txn_id: str) -> int | None:
+        for v in reversed(self._versions()):
+            if self._read_entry(v).get("txn_id") == txn_id:
+                return v
+        return None
+
+    # -- write path --------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Land `df` as immutable parquet under a fresh uuid dir and
+        return the file list (metadata listing, no data re-scan)."""
+        sub = os.path.join(self.path, "data", uuid.uuid4().hex)
+        df.write.parquet(sub)
+        return sorted(
+            os.path.join(dirpath, f)
+            for dirpath, _dirs, files in os.walk(sub)
+            for f in files
+            if not f.startswith("_") and not f.startswith(".")
+        )
+
+    def _next_version(self) -> int:
+        head = self.current_version()
+        return head + 1 if head is not None else 0
+
+    def _publish(self, files: list[str], op: str,
+                 txn_id: str | None, version: int | None = None) -> int:
+        """Publish `files` as `version` (decided at TRANSACTION START —
+        a transform computed against head N must not silently land on
+        top of a competitor's N+1: that is a lost update, and the
+        exclusive create is what surfaces it as ConcurrentWriteError)."""
+        if version is None:
+            version = self._next_version()
+        entry = {
+            "version": version,
+            "op": op,
+            "txn_id": txn_id,
+            "files": files,
+            "n_files": len(files),
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        try:
+            # the commit point: exactly one writer creates this entry
+            with open(self._entry_path(version), "x") as f:
+                json.dump(entry, f)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"lake table {self.path}: version {version} was committed "
+                f"by another writer — re-read the head and retry"
+            ) from None
+        return version
+
+    def commit(self, df: DataFrame, mode: str = "overwrite",
+               txn_id: str | None = None, op: str | None = None) -> int:
+        """Commit `df` as the next version. mode='overwrite' replaces
+        the snapshot; mode='append' adds files to the current file list
+        (unchanged files are SHARED with prior versions — no copy).
+        With `txn_id`, a replay returns the original version."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        base = self.current_version()
+        version = base + 1 if base is not None else 0
+        files = self._write_files(df)
+        if mode == "append" and base is not None:
+            files = self._read_entry(base)["files"] + files
+        return self._publish(files, op or mode, txn_id, version)
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The snapshot at `version` (default: current head) — opens
+        exactly the committed file list, no directory listing."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(head if version is None else version)
+        if not entry["files"]:
+            raise ValueError(
+                f"lake table {self.path}: version {entry['version']} is empty"
+            )
+        return self.spark.read.parquet(*entry["files"])
+
+    # -- operators that commit through the log -----------------------------
+
+    def merge(self, source: DataFrame, key: str,
+              txn_id: str | None = None) -> int:
+        """MERGE INTO (update-else-insert by key) as a new commit —
+        operators/upsert.merge_upsert against the current snapshot,
+        published copy-on-write (the old version stays readable)."""
+        from aws_data_pipeline_ads_spark.operators.upsert import merge_upsert
+
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        base = self.current_version()
+        if base is None:
+            return self.commit(source, "overwrite", txn_id, op="merge")
+        merged = merge_upsert(self.read(base), source, key)
+        files = self._write_files(merged)
+        return self._publish(files, "merge", txn_id, base + 1)
+
+    def diff(self, v_old: int, v_new: int, key: str,
+             content_cols: list[str]) -> DataFrame:
+        """Snapshot CDC between two COMMITTED versions — the change a
+        rebuild published, straight from the log (upsert.snapshot_diff
+        over the two file-list reads; the only shuffle carries
+        (key, md5) pairs)."""
+        from aws_data_pipeline_ads_spark.operators.upsert import snapshot_diff
+
+        return snapshot_diff(
+            self.read(v_old), self.read(v_new), key, content_cols
+        )
+
+    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> int:
+        """OPTIMIZE through the log: rewrite the current snapshot into
+        ≈target_bytes files as a NEW version. No directory swap, no
+        reader-visible gap — old versions keep their (immutable) files
+        until vacuum; the atomic publish is the same exclusive-create
+        every commit uses."""
+        import math
+
+        base = self.current_version()
+        entry = self._read_entry(base)
+        total = sum(os.path.getsize(f) for f in entry["files"])
+        n = max(1, math.ceil(total / target_bytes))
+        compacted = self.read(base).repartition(n)
+        files = self._write_files(compacted)
+        return self._publish(files, "compact", None, base + 1)
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data files referenced ONLY by versions older than the
+        last `keep_last` commits (their log entries remain as history,
+        but read() on them will fail). Returns files deleted."""
+        if keep_last < 1:
+            raise ValueError("vacuum must keep at least the head version")
+        vs = self._versions()
+        keep = set(vs[-keep_last:])
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._read_entry(v)["files"])
+        dead: set[str] = set()
+        for v in vs:
+            if v not in keep:
+                dead.update(self._read_entry(v)["files"])
+        dead -= live
+        for f in dead:
+            if os.path.exists(f):
+                os.remove(f)
+        return len(dead)
+
+
+def lake_upsert_sink(stream_df: DataFrame, table: LakeTable,
+                     checkpoint_dir: str, key: str) -> None:
+    """Streaming MERGE through the commit log: each micro-batch merges
+    into the table as one commit carrying txn_id=batch_id, so a crash
+    replay of a batch is a no-op (the log answers with the original
+    version) — exactly-once without rewriting the whole snapshot dir
+    per batch (contrast upsert.streaming_upsert_sink's swap)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch, bid: table.merge(
+                batch, key, txn_id=f"stream-batch-{bid}"
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

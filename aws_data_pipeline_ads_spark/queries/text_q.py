@@ -901,27 +901,47 @@ def q_heavy_hitters_served(spark, sf_dir):
         "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id "
         "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h"
     ),
-    doc="LLM lake versioning: change-data-capture between two corpus "
-        "snapshots (upsert.snapshot_diff) — added/removed/changed per "
-        "key, each side reduced to (key, md5) BEFORE the full-outer "
-        "join so the only shuffle carries 16-byte hashes, never "
-        "document bodies; the diff a rebuild publishes so downstream "
-        "index/embedding refreshes process the delta, not the world. "
-        "Snapshots simulated from one table: old = doc_id%5!=0, new = "
-        "doc_id%7!=0 with text perturbed on doc_id%11==0",
+    doc="LLM lake versioning: change-data-capture between two COMMITTED "
+        "versions of a lakelog.LakeTable — the two corpus revisions are "
+        "published as commits v0/v1 of one versioned table (write-side "
+        "job via the index cache; file-list manifests, atomic publish) "
+        "and the query is LakeTable.diff(0, 1) = upsert.snapshot_diff "
+        "over the two time-travel reads. Each side reduces to "
+        "(key, md5) BEFORE the full-outer join so the only shuffle "
+        "carries 16-byte hashes, never document bodies. Revisions "
+        "simulated from one table: old = doc_id%5!=0, new = doc_id%7!=0 "
+        "with text perturbed on doc_id%11==0",
 )
 def q_snapshot_diff(spark, sf_dir):
-    from aws_data_pipeline_ads_spark.operators.upsert import snapshot_diff
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
 
-    docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
-    new = docs.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id",
-        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    return snapshot_diff(old, new, "doc_id", ["text"])
+    idx = lakediff_index(spark, sf_dir)
+    return LakeTable(spark, f"{idx}/tbl").diff(0, 1, "doc_id", ["text"])
+
+
+# Two committed corpus revisions per sf_dir (write-side job like
+# bm25_index — the commits are the artifact; the diff query reads them)
+def lakediff_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(
+            docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text"),
+            txn_id="rev-old",
+        )
+        t.commit(
+            docs.filter(F.col("doc_id") % 7 != 0).select(
+                "doc_id",
+                F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text")))
+                .otherwise(F.col("text"))
+                .alias("text"),
+            ),
+            txn_id="rev-new",
+        )
+
+    return index_path("lakediff", sf_dir, build)
 
 
 @query(

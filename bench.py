@@ -43,6 +43,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _STEADY_REPS = 5  # steady = median of the LAST 3 (first 2 absorb JIT tail)
+_EXTRA_REPS_FAST = 6  # sub-0.3s queries: 6 more reps → median of last 8
 _WARMUP_QUERIES = ("q_agg_rollup", "q_join_star", "q_window_rank")
 
 
@@ -84,6 +85,15 @@ def child(name: str, sf_dir: str) -> None:
         t1 = time.time()
         run_once(qd.build(spark, sf_dir))
         reps.append(round(time.time() - t1, 3))
+    # Sub-0.3 s queries carry ±50% relative noise at 3 tail reps (r5→r6
+    # finding): a single JIT/GC hiccup owns the median. Extend the run
+    # so the tail has 8 samples — the median of 8 is robust to two
+    # hiccups, and the extra ~2 s only applies to the cheapest queries.
+    if sorted(reps[-3:])[1] < 0.3:
+        for _ in range(_EXTRA_REPS_FAST):
+            t1 = time.time()
+            run_once(qd.build(spark, sf_dir))
+            reps.append(round(time.time() - t1, 3))
     print(json.dumps({"name": name, "cold": cold, "reps": reps}))
 
 
@@ -112,6 +122,7 @@ def main() -> None:
     text_q.minhash_index(spark, sf_dir)
     text_q.simhash_index(spark, sf_dir)
     text_q.bloom_index(spark, sf_dir)
+    text_q.lakediff_index(spark, sf_dir)
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",
           file=sys.stderr)
@@ -119,6 +130,7 @@ def main() -> None:
     names = sorted(n for n, qd in REGISTRY.items() if qd.bench)
     cold: dict[str, float] = {}
     steady: dict[str, float] = {}
+    spread: dict[str, float] = {}
     timed_out: list[str] = []
     for name in names:
         try:
@@ -136,10 +148,15 @@ def main() -> None:
             raise RuntimeError(f"bench child for {name} failed")
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         cold[name] = rec["cold"]
-        last3 = sorted(rec["reps"][-3:])
-        steady[name] = last3[1]  # median of the last 3 reps
+        # tail = everything past the 2-rep JIT ramp (3 samples for
+        # normal queries, 8 for the extended sub-0.3s runs); steady is
+        # its median, spread its max−min (the visible noise floor)
+        tail = sorted(rec["reps"][2:])
+        steady[name] = tail[len(tail) // 2] if len(tail) % 2 else round(
+            (tail[len(tail) // 2 - 1] + tail[len(tail) // 2]) / 2, 3)
+        spread[name] = round(tail[-1] - tail[0], 3)
         print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s "
-              f"(reps {rec['reps']})", file=sys.stderr)
+              f"±{spread[name]:.3f} (reps {rec['reps']})", file=sys.stderr)
 
     # Queries added to the bench set after round 2 (r3: q_line_dedup,
     # q_bm25_terms, q_simhash_pairs; r4: q_decontaminate,
@@ -157,6 +174,9 @@ def main() -> None:
         "queries": cold,
         "steady": steady,
         "steady_total": round(sum(steady.values()), 3),
+        # per-query max−min of the steady tail reps: the noise floor a
+        # round-over-round delta must clear before it means anything
+        "steady_spread": spread,
         "comparable_total": round(
             sum(v for k, v in cold.items() if k not in added_r3), 3
         ),

@@ -1,0 +1,196 @@
+"""Versioned lake commit log: time travel, atomic publish, exactly-once
+replay, MERGE/compaction/CDC committing through the log
+(aws_data_pipeline_ads_spark/lakelog.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.lakelog import (
+    ConcurrentWriteError,
+    LakeTable,
+    lake_upsert_sink,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_commit_append_time_travel_history(spark, sf_dir, tmp_path):
+    """overwrite → append → overwrite: every version stays readable at
+    its pinned content (time travel), the head tracks the latest, and
+    history records the ops in order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    assert t.current_version() is None
+    with pytest.raises(ValueError, match="no commits"):
+        t.read()
+
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    v0 = t.commit(a, "overwrite")
+    v1 = t.commit(b, "append")
+    v2 = t.commit(b, "overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert t.current_version() == 2
+    assert _rows(t.read(0)) == _rows(a)
+    assert _rows(t.read(1)) == _rows(a.unionByName(b))
+    assert _rows(t.read(2)) == _rows(b)
+    assert _rows(t.read()) == _rows(b)  # head
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["overwrite", "append", "overwrite"]
+    with pytest.raises(ValueError, match="version 9"):
+        t.read(9)
+    # append shares the prior version's files — no copy of old data
+    f0 = set(json.load(open(t._entry_path(0)))["files"])
+    f1 = set(json.load(open(t._entry_path(1)))["files"])
+    assert f0 < f1
+
+
+def test_concurrent_writer_refusal(spark, sf_dir, tmp_path, monkeypatch):
+    """Two writers race for the same version number: exactly one wins
+    the exclusive-create; the loser — whose transform was computed
+    against the now-stale head — gets ConcurrentWriteError (a silent
+    land on N+2 would be a lost update), and the winner's commit is
+    untouched. A retry that re-reads the head succeeds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    other = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.limit(5))
+    # interleave: while t's merge is writing its data files, the other
+    # writer lands version 1 first
+    orig = t._write_files
+
+    def hijack(df):
+        files = orig(df)
+        if other.current_version() == 0:
+            other.commit(docs.limit(2))
+        return files
+
+    monkeypatch.setattr(t, "_write_files", hijack)
+    with pytest.raises(ConcurrentWriteError, match="version 1"):
+        t.merge(docs.limit(3).withColumn("text", F.lit("x")), "doc_id")
+    # the winner's commit survived; loser's retry lands version 2
+    assert t.current_version() == 1
+    assert len(_rows(t.read())) == 2
+    assert t.merge(docs.limit(3).withColumn("text", F.lit("x")),
+                   "doc_id") == 2
+
+
+def test_txn_exactly_once_replay(spark, sf_dir, tmp_path):
+    """A commit carrying a txn_id is idempotent: the replay returns the
+    original version and writes nothing new — the foreachBatch
+    crash-replay contract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    v = t.commit(docs.limit(10), txn_id="job-1")
+    again = t.commit(docs.limit(99), txn_id="job-1")  # replay: ignored
+    assert (v, again) == (0, 0)
+    assert t.current_version() == 0
+    assert len(_rows(t.read())) == 10
+    # merge replay too
+    src = docs.limit(3).withColumn("text", F.lit("changed"))
+    v1 = t.merge(src, "doc_id", txn_id="merge-1")
+    v2 = t.merge(src, "doc_id", txn_id="merge-1")
+    assert (v1, v2) == (1, 1)
+
+
+def test_merge_and_diff_through_log(spark, sf_dir, tmp_path):
+    """MERGE commits copy-on-write (old version intact) and diff(v0,v1)
+    equals snapshot_diff over the two reads — CDC straight from the
+    log, matching the q_snapshot_diff machinery."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    t.commit(base)
+    changed = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.upper(F.col("text")))
+    )
+    t.merge(changed, "doc_id")
+    # old version unchanged (copy-on-write)
+    assert _rows(t.read(0)) == _rows(base)
+    d = t.diff(0, 1, "doc_id", ["text"])
+    got = {r.doc_id: r.change for r in d.collect()}
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    chg_ids = {r.doc_id for r in changed.select("doc_id").collect()}
+    # every %7 doc joined in: added if absent from base, else changed
+    # (unless its text was already upper — sf docs always have lower)
+    for i in chg_ids:
+        assert got[i] == ("added" if i not in base_ids else "changed")
+    assert set(got) == chg_ids  # nothing else moved
+
+
+def test_compact_preserves_content_and_history(spark, sf_dir, tmp_path):
+    """Compaction is just another commit: fewer files, identical rows,
+    and the fragmented prior version still reads (no swap gap)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.repartition(16))  # fragment
+    n_before = json.load(open(t._entry_path(0)))["n_files"]
+    v = t.compact(target_bytes=1 << 30)
+    n_after = json.load(open(t._entry_path(v)))["n_files"]
+    assert n_after < n_before and n_after == 1
+    assert _rows(t.read(v)) == _rows(t.read(0)) == _rows(docs)
+    assert t.history()[-1]["op"] == "compact"
+
+
+def test_vacuum_retention(spark, sf_dir, tmp_path):
+    """vacuum(keep_last=1) deletes files only old versions reference:
+    time travel to them fails, the head is untouched, and files shared
+    with the head survive."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.filter(F.col("doc_id") % 2 == 0))
+    t.commit(docs.filter(F.col("doc_id") % 2 == 1), "append")  # shares v0 files
+    t.commit(docs.limit(7))  # head: fresh files only
+    head_rows = _rows(t.read())
+    n = t.vacuum(keep_last=1)
+    assert n > 0
+    assert _rows(t.read()) == head_rows
+    # v0's files were only referenced by retired versions → gone
+    v0_files = json.load(open(t._entry_path(0)))["files"]
+    assert not any(os.path.exists(f) for f in v0_files)
+    with pytest.raises(Exception):
+        t.read(0).collect()
+    # shared-file safety: keep_last=2 over a fresh table with an append
+    t2 = LakeTable(spark, str(tmp_path / "tbl2"))
+    t2.commit(docs.limit(5))
+    t2.commit(docs.limit(3), "append")
+    assert t2.vacuum(keep_last=2) == 0  # both versions retained
+
+
+def test_streaming_upsert_through_log_exactly_once(spark, sf_dir, tmp_path):
+    """lake_upsert_sink: each micro-batch is one MERGE commit with
+    txn_id=batch_id; a second drain over the same checkpoint adds no
+    commits, and a manual replay of a batch's txn is a no-op."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "landing"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land / "s1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land / "s2"))
+    from aws_data_pipeline_ads_spark import streaming
+
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_upsert_sink(stream, t, str(tmp_path / "ck"), "doc_id")
+    head = t.current_version()
+    assert head is not None
+    assert _rows(t.read().select("doc_id", "text")) == _rows(docs)
+    # second drain, same checkpoint: no new input → no new commits
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_upsert_sink(stream, t, str(tmp_path / "ck"), "doc_id")
+    assert t.current_version() == head
+    # crash-replay of batch 0's txn: answered from the log
+    assert t.merge(docs.limit(1), "doc_id",
+                   txn_id="stream-batch-0") <= head
+    assert t.current_version() == head
