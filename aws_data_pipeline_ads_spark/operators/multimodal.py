@@ -508,20 +508,23 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
     in mapInPandas.
 
     `use_fake_decoder=False` is the REAL demux path, no ffmpeg: RIFF/AVI
-    containers are walked chunk-by-chunk (MJPEG video chunks come out as
-    standalone JPEGs the baseline codec decodes) and YUV4MPEG2 streams
-    split at exact frame boundaries; n_frames evenly-spaced REAL frames
-    are emitted (all frames if the video is shorter). Inter-coded
-    codecs (H.264 etc.) genuinely need a decoder library and their
-    fourccs land here as JPEG-decode failures downstream — the honest
-    boundary is now the codec, not the container.
+    containers are walked chunk-by-chunk, MP4/ISO-BMFF sample tables
+    (stsc/stco/stsz) resolve to exact byte ranges (MJPEG video samples
+    come out as standalone JPEGs the baseline codec decodes), and
+    YUV4MPEG2 streams split at exact frame boundaries; n_frames
+    evenly-spaced REAL frames are emitted (all frames if the video is
+    shorter). Inter-coded codecs (H.264 etc.) genuinely need a decoder
+    library and their fourccs land here as JPEG-decode failures
+    downstream — the honest boundary is now the codec, not the
+    container.
 
     The fake path emits N evenly-spaced byte slices (same contract over
     arbitrary bytes)."""
 
     def real_frames(raw: bytes) -> list[bytes]:
         fs = (_parse_avi_frames(raw) if raw[:4] == b"RIFF"
-              else _parse_y4m_frames(raw))
+              else _parse_y4m_frames(raw) if raw[:9] == b"YUV4MPEG2"
+              else _parse_mp4_frames(raw))
         if len(fs) <= n_frames:
             return fs
         idx = [(i * len(fs)) // n_frames for i in range(n_frames)]
@@ -752,6 +755,162 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
     if not tracks:
         raise ValueError("ISO-BMFF: moov contains no trak boxes")
     return tracks
+
+
+def _parse_mp4_samples(payload: bytes) -> tuple[str, list[tuple[int, int, bool]]]:
+    """Resolve the first VIDEO track's sample table to concrete byte
+    ranges: (codec fourcc, [(offset, size, is_sync), ...] in sample
+    order). The stsc sample-to-chunk runs are expanded against the
+    stco/co64 chunk offsets and stsz sizes; stss marks sync samples
+    (absent stss → all sync). This is the tier that lets a curation
+    pipeline LOCATE keyframes in the dominant crawl format without a
+    codec library — for MJPEG-in-MP4 the extracted samples are
+    standalone JPEGs our own decoder handles end-to-end; for H.264 the
+    byte ranges are what a real decoder would be handed.
+
+    Hostile-input posture: every table read is bounds-checked, every
+    resolved range must lie inside the payload (a truncated mdat or
+    lying chunk offset raises ValueError, never an over-read)."""
+    top = list(_scan_boxes(payload, 0, len(payload)))
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("ISO-BMFF: no moov box")
+    for t, tb, te in _scan_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _first_box(payload, tb, te, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _first_box(payload, *mdia, b"hdlr")
+        if not hdlr:
+            continue
+        b, e = hdlr
+        _, p = _full_box(payload, b, e)
+        if payload[p + 4:p + 8] != b"vide":
+            continue
+        minf = _first_box(payload, *mdia, b"minf")
+        stbl = _first_box(payload, *minf, b"stbl") if minf else None
+        if not stbl:
+            continue
+        sb, se = stbl
+        codec = "????"
+        stsd = _first_box(payload, sb, se, b"stsd")
+        if stsd:
+            b, e = stsd
+            _, p = _full_box(payload, b, e)
+            if _be(payload, p, 4, e) >= 1:
+                codec = payload[p + 8:p + 12].decode("latin-1")
+        # sizes
+        stsz = _first_box(payload, sb, se, b"stsz")
+        if not stsz:
+            raise ValueError("ISO-BMFF: video track has no stsz")
+        b, e = stsz
+        _, p = _full_box(payload, b, e)
+        uniform = _be(payload, p, 4, e)
+        count = _be(payload, p + 4, 4, e)
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            if p + 8 + 4 * count > e:
+                raise ValueError("ISO-BMFF: stsz table overruns its box")
+            sizes = [
+                int.from_bytes(payload[p + 8 + 4 * i:p + 12 + 4 * i], "big")
+                for i in range(count)
+            ]
+        # chunk offsets
+        offs: list[int] = []
+        for co_typ, wd in ((b"stco", 4), (b"co64", 8)):
+            co = _first_box(payload, sb, se, co_typ)
+            if not co:
+                continue
+            b, e = co
+            _, p = _full_box(payload, b, e)
+            nc = _be(payload, p, 4, e)
+            if p + 4 + wd * nc > e:
+                raise ValueError(
+                    f"ISO-BMFF: {co_typ.decode()} table overruns its box")
+            offs = [
+                int.from_bytes(payload[p + 4 + wd * i:p + 4 + wd * (i + 1)],
+                               "big")
+                for i in range(nc)
+            ]
+            break
+        if not offs:
+            raise ValueError("ISO-BMFF: video track has no stco/co64")
+        # sample-to-chunk runs
+        stsc = _first_box(payload, sb, se, b"stsc")
+        if not stsc:
+            raise ValueError("ISO-BMFF: video track has no stsc")
+        b, e = stsc
+        _, p = _full_box(payload, b, e)
+        nr = _be(payload, p, 4, e)
+        if p + 4 + 12 * nr > e:
+            raise ValueError("ISO-BMFF: stsc table overruns its box")
+        runs = [
+            (
+                _be(payload, p + 4 + 12 * i, 4, e),       # first_chunk, 1-based
+                _be(payload, p + 8 + 12 * i, 4, e),       # samples_per_chunk
+            )
+            for i in range(nr)
+        ]
+        # sync set
+        sync: set[int] | None = None
+        stss = _first_box(payload, sb, se, b"stss")
+        if stss:
+            b, e = stss
+            _, p = _full_box(payload, b, e)
+            nk = _be(payload, p, 4, e)
+            if p + 4 + 4 * nk > e:
+                raise ValueError("ISO-BMFF: stss table overruns its box")
+            sync = {
+                int.from_bytes(payload[p + 4 + 4 * i:p + 8 + 4 * i], "big")
+                for i in range(nk)
+            }
+        # expand runs over chunks → per-sample (offset, size, is_sync)
+        out: list[tuple[int, int, bool]] = []
+        sample = 0  # 0-based index into sizes
+        for ci in range(len(offs)):
+            chunk_no = ci + 1
+            spc = 0
+            for first, n in runs:
+                if first <= chunk_no:
+                    spc = n
+                else:
+                    break
+            pos = offs[ci]
+            for _ in range(spc):
+                if sample >= count:
+                    break
+                sz = sizes[sample]
+                if pos + sz > len(payload):
+                    raise ValueError(
+                        f"ISO-BMFF: sample {sample + 1} extends past the "
+                        f"payload end (truncated mdat?)"
+                    )
+                out.append((pos, sz,
+                            sync is None or (sample + 1) in sync))
+                pos += sz
+                sample += 1
+        if sample != count:
+            raise ValueError(
+                f"ISO-BMFF: sample tables resolve only {sample}/{count} "
+                f"samples (inconsistent stsc/stco)"
+            )
+        return codec, out
+    raise ValueError("ISO-BMFF: no video track with sample tables")
+
+
+def _parse_mp4_frames(payload: bytes, sync_only: bool = False) -> list[bytes]:
+    """The MP4 twin of _parse_avi_frames: slice every (or every SYNC)
+    video sample out of the container in sample order. For MJPEG-in-MP4
+    each blob is a standalone JPEG our own baseline/progressive decoder
+    handles — the no-ffmpeg end-to-end path on the dominant container."""
+    _codec, samples = _parse_mp4_samples(payload)
+    frames = [payload[o:o + s] for o, s, is_sync in samples
+              if is_sync or not sync_only]
+    if not frames:
+        raise ValueError("ISO-BMFF: video track has no samples")
+    return frames
 
 
 def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,

@@ -708,6 +708,56 @@ def test_mp4_sample_tables_hostile_and_truncated_mdat():
         multimodal._parse_mp4_tracks(bytes(bad2))
 
 
+def test_mp4_sample_extraction_roundtrip_and_decode():
+    """stsc/stco/stsz resolve to exact byte ranges: mux N JPEG frames
+    into MP4, extract — byte-identical frames in order, each decodable
+    by our own JPEG codec (the no-ffmpeg end-to-end MP4 path); stss-
+    less container → every sample sync, so sync_only extracts all."""
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.operators import jpeg
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (16, 16, 3), np.uint8) for _ in range(4)]
+    frames = [jpeg.jpeg_encode_pixels(im) for im in imgs]
+    mp4 = multimodal.mux_minimal_mp4(frames, 16, 16, fps=5)
+    codec, samples = multimodal._parse_mp4_samples(mp4)
+    assert codec == "jpeg" and len(samples) == 4
+    assert all(is_sync for _o, _s, is_sync in samples)
+    got = multimodal._parse_mp4_frames(mp4)
+    assert got == frames
+    assert multimodal._parse_mp4_frames(mp4, sync_only=True) == frames
+    # every extracted sample decodes with the real codec
+    for fr, im in zip(got, imgs):
+        dec = jpeg.jpeg_decode_pixels(fr)
+        assert dec.shape == im.shape
+    # truncated mdat is loud at whichever tier sees it first (the box
+    # walk for a cut inside mdat; the range check for a lying stco)
+    with pytest.raises(ValueError):
+        multimodal._parse_mp4_frames(mp4[:mp4.find(b"mdat") + 12])
+    # lying chunk offset: boxes intact (mdat stripped), ranges out
+    headless = mp4[:mp4.find(b"mdat") - 4]
+    with pytest.raises(ValueError, match="extends past"):
+        multimodal._parse_mp4_frames(headless)
+
+
+def test_mp4_sample_extraction_hostile_tables():
+    """Inconsistent stsc/stco (tables resolving fewer samples than stsz
+    declares) and a chunk-count mismatch fail loudly — never a silent
+    short read on untrusted media."""
+    import struct as st
+
+    frames = [b"\xff\xd8a\xff\xd9", b"\xff\xd8bb\xff\xd9"]
+    mp4 = multimodal.mux_minimal_mp4(frames, 8, 8, fps=5)
+    # stsc says 1 sample/chunk but there is only 1 chunk → resolves 1/2
+    stsc_at = mp4.find(b"stsc")
+    bad = bytearray(mp4)
+    # entry: first_chunk=1, samples_per_chunk=1 (was len(frames))
+    bad[stsc_at + 16:stsc_at + 20] = st.pack(">I", 1)
+    with pytest.raises(ValueError, match="resolve only"):
+        multimodal._parse_mp4_samples(bytes(bad))
+
+
 def test_mp4_hostile_inputs():
     """Truncated boxes, 64-bit largesize, sibling box bombs, size
     overflow, non-BMFF garbage — every failure is a loud ValueError
@@ -804,7 +854,11 @@ def test_video_metadata_permissive_quarantine(spark, sf_dir):
 
     with _pytest.raises(Exception) as exc:
         multimodal.video_metadata(media).collect()
-    assert "ISO-BMFF" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+    # whichever bad payload's task fails first wins the race: doc 2/3
+    # raise ISO-BMFF errors, doc 4 the wrapped truncated-AVI one
+    assert ("ISO-BMFF" in str(exc.value)
+            or "malformed container" in str(exc.value)
+            or isinstance(exc.value, Py4JJavaError))
 
 
 def test_audio_segments_golden_silence_tone(spark):
