@@ -644,7 +644,9 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
                       "n_samples": None, "n_keyframes": None,
                       "avg_sample_size": None, "max_sample_size": None,
                       "bitrate_bps": None, "n_chunks": None,
-                      "mdat_truncated": None}
+                      "mdat_truncated": None, "codec_profile": None,
+                      "codec_level": None, "coded_width": None,
+                      "coded_height": None}
         tkhd = _first_box(payload, tb, te, b"tkhd")
         if tkhd:
             b, e = tkhd
@@ -686,6 +688,20 @@ def _parse_mp4_tracks(payload: bytes) -> list[dict]:
                         if _be(payload, p, 4, e) >= 1:
                             # first sample entry: size(4) + format fourcc
                             info["codec"] = payload[p + 8:p + 12].decode("latin-1")
+                            entry = next(
+                                iter(_scan_boxes(payload, p + 4, e)), None)
+                            if entry is not None and info["handler"] == "vide":
+                                _, eb, ee = entry
+                                # VisualSampleEntry fixed dims (body+24);
+                                # SPS-derived values override below when
+                                # an avcC config is present
+                                if eb + 28 <= ee:
+                                    info["coded_width"] = _be(
+                                        payload, eb + 24, 2, ee)
+                                    info["coded_height"] = _be(
+                                        payload, eb + 26, 2, ee)
+                                info.update(
+                                    _parse_codec_config(payload, eb, ee))
                     stsz = _first_box(payload, sb, se, b"stsz")
                     if stsz:
                         b, e = stsz
@@ -913,8 +929,189 @@ def _parse_mp4_frames(payload: bytes, sync_only: bool = False) -> list[bytes]:
     return frames
 
 
+# ---------------------------------------------------------------------------
+# Codec-configuration tier: avcC (H.264) / hvcC (H.265) records in stsd.
+#
+# Inter-coded pixel decode stays out of pure-Python reach, but the codec
+# CONFIG is plain bit-syntax: the AVCDecoderConfigurationRecord carries
+# profile/level directly and embeds the SPS NAL, whose Exp-Golomb fields
+# yield the TRUE coded dimensions (the tkhd/stsd dims are writer-supplied
+# and routinely lie in crawl corpora — anamorphic, rotated, or plain
+# wrong). A curation pipeline filters on profile/level/dims to route
+# payloads to real decoders; this tier computes them with zero codec
+# libraries. ISO 14496-15 §5.3.3.1 (avcC), §8.3.3.1 (hvcC);
+# ITU-T H.264 §7.3.2.1.1 (SPS RBSP syntax).
+
+
+class _BitReader:
+    """MSB-first bit reader with Exp-Golomb (ue/se) decode over an RBSP.
+    Every read is bounds-checked: running off the end raises ValueError
+    (hostile-input posture matching the box walker)."""
+
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0  # bit cursor
+
+    def u(self, n: int) -> int:
+        if self._pos + n > 8 * len(self._d):
+            raise ValueError("SPS: bit read past end of RBSP")
+        v = 0
+        for _ in range(n):
+            byte = self._d[self._pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("SPS: Exp-Golomb code exceeds 32 bits")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(data: bytes) -> bytes:
+    """NAL → RBSP: drop the 0x03 of every 00 00 03 emulation-prevention
+    sequence (H.264 §7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+_AVC_PROFILES = {66: "Baseline", 77: "Main", 88: "Extended", 100: "High",
+                 110: "High 10", 122: "High 4:2:2", 244: "High 4:4:4",
+                 44: "CAVLC 4:4:4"}
+_HEVC_PROFILES = {1: "Main", 2: "Main 10", 3: "Main Still Picture"}
+# profile_idc values whose SPS carries the chroma/bit-depth block
+_AVC_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128,
+                      138, 139, 134, 135}
+
+
+def _parse_avc_sps(sps: bytes) -> dict:
+    """profile/level + true coded WxH from an H.264 sequence parameter
+    set (§7.3.2.1.1): macroblock grid minus the frame-cropping window,
+    with chroma-format-dependent crop units. Parses every field up to
+    frame_cropping (incl. scaling lists) so the bit cursor is exact."""
+    if not sps or (sps[0] & 0x1F) != 7:
+        raise ValueError("avcC: first SPS NAL is not nal_unit_type 7")
+    r = _BitReader(_strip_emulation(sps[1:]))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint_set flags + reserved_zero_2bits
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1  # default 4:2:0 when the block is absent
+    separate_colour_plane = 0
+    if profile_idc in _AVC_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            separate_colour_plane = r.u(1)
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            n_lists = 12 if chroma_format_idc == 3 else 8
+            for i in range(n_lists):
+                if r.u(1):  # seq_scaling_list_present_flag[i]
+                    size = 16 if i < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):
+                        if nxt != 0:
+                            nxt = (last + r.se() + 256) % 256
+                        last = last if nxt == 0 else nxt
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    width = w_mbs * 16
+    height = (2 - frame_mbs_only) * h_units * 16
+    if r.u(1):  # frame_cropping_flag
+        left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
+        if chroma_format_idc == 0 or separate_colour_plane:
+            cux, cuy = 1, 2 - frame_mbs_only
+        else:
+            sub_w = 1 if chroma_format_idc == 3 else 2
+            sub_h = 2 if chroma_format_idc == 1 else 1
+            cux, cuy = sub_w, sub_h * (2 - frame_mbs_only)
+        width -= cux * (left + right)
+        height -= cuy * (top + bottom)
+    if width <= 0 or height <= 0:
+        raise ValueError("SPS: cropping window exceeds the coded frame")
+    return {"profile_idc": profile_idc, "level_idc": level_idc,
+            "width": width, "height": height}
+
+
+def _parse_codec_config(payload: bytes, body: int, end: int) -> dict:
+    """Scan a VisualSampleEntry's child boxes (past the 78-byte fixed
+    header) for avcC/hvcC and return codec_profile / codec_level /
+    coded_width / coded_height (SPS-derived for H.264; record fields
+    for H.265, whose coded dims would need an HEVC SPS parse — profile
+    and level are fixed-offset there). Unknown/absent config → {}."""
+    kids = body + 78
+    if kids + 8 > end:
+        return {}
+    for t, b, e in _scan_boxes(payload, kids, end):
+        if t == b"avcC":
+            if e - b < 7:
+                raise ValueError("avcC: record shorter than its fixed header")
+            profile_idc = payload[b + 1]
+            level_idc = payload[b + 3]
+            out = {
+                "codec_profile": _AVC_PROFILES.get(
+                    profile_idc, f"avc profile {profile_idc}"),
+                "codec_level": level_idc / 10.0,
+            }
+            n_sps = payload[b + 5] & 0x1F
+            p = b + 6
+            if n_sps:
+                ln = _be(payload, p, 2, e)
+                if p + 2 + ln > e:
+                    raise ValueError("avcC: SPS length overruns the record")
+                sps = _parse_avc_sps(payload[p + 2:p + 2 + ln])
+                out["coded_width"] = sps["width"]
+                out["coded_height"] = sps["height"]
+            return out
+        if t == b"hvcC":
+            if e - b < 13:
+                raise ValueError("hvcC: record shorter than its fixed header")
+            profile_idc = payload[b + 1] & 0x1F
+            tier = "High" if payload[b + 1] & 0x20 else "Main"
+            level_idc = payload[b + 12]
+            return {
+                "codec_profile": "hevc " + _HEVC_PROFILES.get(
+                    profile_idc, f"profile {profile_idc}") + f" ({tier} tier)",
+                "codec_level": level_idc / 30.0,
+            }
+    return {}
+
+
 def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,
-                    codec: bytes = b"jpeg") -> bytes:
+                    codec: bytes = b"jpeg",
+                    codec_config: tuple[bytes, bytes] | None = None) -> bytes:
     """Minimal spec-valid MP4 writer (ftyp + moov[mvhd, trak[tkhd,
     mdia[mdhd, hdlr, minf[stbl[stsd/stsz/stts/stsc/stco]]]]] + mdat) —
     the ISO-BMFF twin of mux_mjpeg_avi, so tests can round-trip the box
@@ -951,6 +1148,9 @@ def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,
                   + struct.pack(">II", 0x00480000, 0x00480000)
                   + struct.pack(">I", 0) + struct.pack(">H", 1)
                   + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    if codec_config is not None:
+        cfg_type, cfg_bytes = codec_config
+        entry_body += box(cfg_type, cfg_bytes)
     stsd = full(b"stsd", 0, struct.pack(">I", 1) + box(codec, entry_body))
     stts = full(b"stts", 0, struct.pack(">III", 1, len(frames), 1))
     stsc = full(b"stsc", 0, struct.pack(">IIII", 1, 1, len(frames), 1))
@@ -1035,6 +1235,14 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("bitrate_bps", T.DoubleType()),
         T.StructField("n_chunks", T.LongType()),
         T.StructField("mdat_truncated", T.BooleanType()),
+        # codec-config tier (avcC/hvcC in stsd): profile/level from the
+        # decoder configuration record; coded dims from the H.264 SPS
+        # when present (the authoritative values — stsd/tkhd dims are
+        # writer-supplied), else the VisualSampleEntry fixed fields
+        T.StructField("codec_profile", T.StringType()),
+        T.StructField("codec_level", T.DoubleType()),
+        T.StructField("coded_width", T.LongType()),
+        T.StructField("coded_height", T.LongType()),
     ]
 )
 

@@ -675,6 +675,10 @@ def test_mp4_mux_demux_roundtrip():
         "max_sample_size": max(len(f) for f in frames),
         "bitrate_bps": 8.0 * total / 0.3,
         "n_chunks": 1, "mdat_truncated": False,
+        # codec-config tier: no avcC/hvcC in a jpeg entry; coded dims
+        # fall back to the VisualSampleEntry fixed fields
+        "codec_profile": None, "codec_level": None,
+        "coded_width": 32, "coded_height": 24,
     }]
 
 
@@ -909,3 +913,172 @@ def test_audio_segments_golden_silence_tone(spark):
         key=lambda r: (r.doc_id, r.segment_no),
     )
     assert rows == again
+
+
+# ---------------------------------------------------------------------------
+# Codec-configuration tier: avcC/hvcC parse, H.264 SPS dims
+
+
+class _SpsWriter:
+    """MSB-first bit writer with Exp-Golomb encode — the test-side twin
+    of multimodal._BitReader, so SPS fixtures are real bitstreams, not
+    hand-packed hex."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int):
+        self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+    def ue(self, v: int):
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def _make_sps(profile_idc: int, level_idc: int, w_mbs: int, h_units: int,
+              crop=(0, 0, 0, 0)) -> bytes:
+    """A parse-legal H.264 SPS NAL (§7.3.2.1.1) for a frame_mbs_only
+    4:2:0 stream of (w_mbs*16 − 2*(l+r)) × (h_units*16 − 2*(t+b))."""
+    w = _SpsWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)           # constraint flags + reserved
+    w.u(level_idc, 8)
+    w.ue(0)             # seq_parameter_set_id
+    if profile_idc in multimodal._AVC_HIGH_PROFILES:
+        w.ue(1)         # chroma_format_idc 4:2:0
+        w.ue(0)         # bit_depth_luma_minus8
+        w.ue(0)         # bit_depth_chroma_minus8
+        w.u(0, 1)       # qpprime_y_zero_transform_bypass
+        w.u(0, 1)       # seq_scaling_matrix_present
+    w.ue(0)             # log2_max_frame_num_minus4
+    w.ue(0)             # pic_order_cnt_type = 0
+    w.ue(0)             # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(4)             # max_num_ref_frames
+    w.u(0, 1)           # gaps_in_frame_num_value_allowed
+    w.ue(w_mbs - 1)
+    w.ue(h_units - 1)
+    w.u(1, 1)           # frame_mbs_only_flag
+    w.u(1, 1)           # direct_8x8_inference_flag
+    left, right, top, bottom = crop
+    if any(crop):
+        w.u(1, 1)
+        for v in crop:
+            w.ue(v)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)           # vui_parameters_present_flag
+    return b"\x67" + w.rbsp()
+
+
+def _make_avcc(sps: bytes, profile_idc: int, level_idc: int) -> bytes:
+    import struct as st
+
+    pps = b"\x68\xce\x38\x80"
+    return (bytes([1, profile_idc, 0, level_idc, 0xFF, 0xE1])
+            + st.pack(">H", len(sps)) + sps
+            + bytes([1]) + st.pack(">H", len(pps)) + pps)
+
+
+def test_mp4_avcc_sps_dims_override_display_dims():
+    """An avc1 entry with an avcC record: profile/level come from the
+    record, coded dims from the SPS macroblock grid minus cropping —
+    OVERRIDING the writer-supplied stsd dims (muxed deliberately wrong,
+    the lying-container case a crawl corpus hits constantly). High
+    profile 1920x1080 needs the chroma-format block and a bottom crop
+    of 4 chroma units (1088 → 1080)."""
+    sps = _make_sps(100, 40, 120, 68, crop=(0, 0, 0, 4))
+    assert multimodal._parse_avc_sps(sps) == {
+        "profile_idc": 100, "level_idc": 40, "width": 1920, "height": 1080}
+    mp4 = multimodal.mux_minimal_mp4(
+        [b"fake-h264-au"], 640, 480, fps=25, codec=b"avc1",
+        codec_config=(b"avcC", _make_avcc(sps, 100, 40)))
+    (track,) = multimodal._parse_mp4_tracks(mp4)
+    assert track["codec"] == "avc1"
+    assert track["codec_profile"] == "High"
+    assert track["codec_level"] == 4.0
+    assert (track["coded_width"], track["coded_height"]) == (1920, 1080)
+    # display dims still report what the container claims
+    assert (track["width"], track["height"]) == (640.0, 480.0)
+
+
+def test_mp4_avcc_baseline_no_chroma_block_and_hvcc():
+    """Baseline profile (66) skips the chroma/bit-depth block — the
+    parser must branch on profile_idc; hvcC reports HEVC profile/level
+    from the record's fixed offsets (dims stay the entry fields)."""
+    sps = _make_sps(66, 30, 40, 30)  # 640x480, no crop
+    assert multimodal._parse_avc_sps(sps) == {
+        "profile_idc": 66, "level_idc": 30, "width": 640, "height": 480}
+    mp4 = multimodal.mux_minimal_mp4(
+        [b"au"], 640, 480, codec=b"avc3",
+        codec_config=(b"avcC", _make_avcc(sps, 66, 30)))
+    (track,) = multimodal._parse_mp4_tracks(mp4)
+    assert track["codec_profile"] == "Baseline"
+    assert track["codec_level"] == 3.0
+    assert (track["coded_width"], track["coded_height"]) == (640, 480)
+    # hvcC: version, (space|tier|profile_idc=2 → Main 10), 4 compat,
+    # 6 constraint bytes, general_level_idc 120 → level 4.0
+    hvcc = bytes([1, 0x02]) + b"\x60\x00\x00\x00" + b"\x90" + b"\x00" * 5 \
+        + bytes([120]) + b"\xf0\x00\xfc\xfd\xf8\xf8\x00\x00\x0f"
+    mp4h = multimodal.mux_minimal_mp4(
+        [b"au"], 320, 240, codec=b"hvc1", codec_config=(b"hvcC", hvcc))
+    (trk,) = multimodal._parse_mp4_tracks(mp4h)
+    assert trk["codec_profile"] == "hevc Main 10 (Main tier)"
+    assert trk["codec_level"] == 4.0
+    assert (trk["coded_width"], trk["coded_height"]) == (320, 240)
+
+
+def test_mp4_avcc_emulation_prevention_and_hostile():
+    """Emulation-prevention stripping (00 00 03 → 00 00) end-to-end: an
+    SPS whose RBSP contains 00 00 runs parses identically with 0x03
+    bytes inserted after every zero pair (decoders must discard them
+    wherever they follow 00 00). Hostile records raise loudly: short
+    avcC, SPS length overrunning the record, crop window swallowing the
+    whole frame, bit-reads past the RBSP end."""
+    import struct as st
+
+    # profile 66 + constraints 0x00 + level 0x00 → a real 00 00 run
+    sps = _make_sps(66, 0, 40, 30)
+    assert b"\x00\x00" in sps
+    plain = multimodal._parse_avc_sps(sps)
+    rbsp = sps[1:]
+    encoded = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2:
+            encoded.append(3)
+            zeros = 0
+        encoded.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    assert multimodal._parse_avc_sps(b"\x67" + bytes(encoded)) == plain
+    assert multimodal._strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+    # short avcC record
+    mp4 = multimodal.mux_minimal_mp4(
+        [b"au"], 64, 64, codec=b"avc1", codec_config=(b"avcC", b"\x01\x64"))
+    with pytest.raises(ValueError, match="avcC"):
+        multimodal._parse_mp4_tracks(mp4)
+    # SPS length field overruns the record
+    bad = bytes([1, 100, 0, 40, 0xFF, 0xE1]) + st.pack(">H", 9999) + b"\x67"
+    mp4 = multimodal.mux_minimal_mp4(
+        [b"au"], 64, 64, codec=b"avc1", codec_config=(b"avcC", bad))
+    with pytest.raises(ValueError, match="SPS length"):
+        multimodal._parse_mp4_tracks(mp4)
+    # crop window larger than the coded frame
+    with pytest.raises(ValueError, match="cropping"):
+        multimodal._parse_avc_sps(_make_sps(66, 30, 2, 2, crop=(0, 20, 0, 0)))
+    # truncated SPS: the bit reader must fail loudly, never over-read
+    with pytest.raises(ValueError):
+        multimodal._parse_avc_sps(sps[:6])
+    # wrong NAL type
+    with pytest.raises(ValueError, match="nal_unit_type"):
+        multimodal._parse_avc_sps(b"\x68" + sps[1:])
