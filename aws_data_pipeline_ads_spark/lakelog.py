@@ -58,6 +58,17 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
+class SchemaMismatchError(ValueError):
+    """An append's schema drifted from the table's committed schema.
+
+    Without this gate the drift is SILENT data loss: a file-list read
+    resolves the schema from one arbitrary parquet footer, so rows from
+    files with extra/renamed columns come back with those columns
+    dropped or nulled depending on which file won. At 100 TB with many
+    producers, schema drift is routine — it must be an explicit refusal
+    (or an explicit `evolve=True` widening), never a quiet coin flip."""
+
+
 class LakeTable:
     """A versioned parquet table rooted at `path` (local/HDFS-style FS).
 
@@ -132,7 +143,8 @@ class LakeTable:
         return head + 1 if head is not None else 0
 
     def _publish(self, files: list[str], op: str,
-                 txn_id: str | None, version: int | None = None) -> int:
+                 txn_id: str | None, version: int | None = None,
+                 schema=None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -147,6 +159,11 @@ class LakeTable:
             "n_files": len(files),
             "timestamp_ms": int(time.time() * 1000),
         }
+        if schema is not None:
+            # each version pins ITS OWN schema: reads resolve columns
+            # from the log, not from an arbitrary parquet footer, and
+            # time travel returns the schema that version actually had
+            entry["schema"] = schema.json()
         try:
             # the commit point: exactly one writer creates this entry
             with open(self._entry_path(version), "x") as f:
@@ -158,12 +175,57 @@ class LakeTable:
             ) from None
         return version
 
+    # -- schema tracking ---------------------------------------------------
+
+    def _merged_schema(self, base_entry: dict, df: DataFrame,
+                       evolve: bool) -> "T.StructType":
+        """Validate an append's schema against the committed one and
+        return the schema the new version records. Matching is by NAME
+        (parquet reads are name-based under an explicit read schema, so
+        column order may differ freely); nullability never blocks.
+
+        An append may OMIT committed columns (its rows read them as
+        null under the pinned schema — the standard partial-producer
+        append). NEW columns require evolve=True (they read as null
+        from older files). A TYPE change is always refused: under
+        footer-resolved reads it is a silent coercion-or-null coin
+        flip, and no widening semantics can make it safe."""
+        from pyspark.sql import types as T
+
+        committed = T.StructType.fromJson(json.loads(base_entry["schema"]))
+        old = {f.name: f.dataType for f in committed.fields}
+        new = {f.name: f.dataType for f in df.schema.fields}
+        changed = sorted(n for n in old.keys() & new.keys()
+                         if old[n] != new[n])
+        if changed:
+            raise SchemaMismatchError(
+                f"lake table {self.path}: append changes column types "
+                f"{changed} (committed vs incoming) — rewrite via a new "
+                f"overwrite commit instead"
+            )
+        added = sorted(new.keys() - old.keys())
+        if added and not evolve:
+            raise SchemaMismatchError(
+                f"lake table {self.path}: append adds columns {added}; "
+                f"pass evolve=True to widen the table schema"
+            )
+        extra = [f for f in df.schema.fields if f.name not in old]
+        return T.StructType(
+            list(committed.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in extra]
+        )
+
     def commit(self, df: DataFrame, mode: str = "overwrite",
-               txn_id: str | None = None, op: str | None = None) -> int:
+               txn_id: str | None = None, op: str | None = None,
+               evolve: bool = False) -> int:
         """Commit `df` as the next version. mode='overwrite' replaces
         the snapshot; mode='append' adds files to the current file list
         (unchanged files are SHARED with prior versions — no copy).
-        With `txn_id`, a replay returns the original version."""
+        With `txn_id`, a replay returns the original version.
+
+        Every entry records the snapshot's SCHEMA; appends are validated
+        against it before any file lands (SchemaMismatchError on drift;
+        `evolve=True` permits add-column widening — see _merged_schema)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown commit mode {mode!r}")
         if txn_id is not None:
@@ -172,10 +234,16 @@ class LakeTable:
                 return done
         base = self.current_version()
         version = base + 1 if base is not None else 0
+        schema = df.schema
+        if mode == "append" and base is not None:
+            base_entry = self._read_entry(base)
+            if "schema" in base_entry:  # pre-schema-tier entries lack it
+                schema = self._merged_schema(base_entry, df, evolve)
         files = self._write_files(df)
         if mode == "append" and base is not None:
             files = self._read_entry(base)["files"] + files
-        return self._publish(files, op or mode, txn_id, version)
+        return self._publish(files, op or mode, txn_id, version,
+                             schema=schema)
 
     # -- read path ---------------------------------------------------------
 
@@ -190,6 +258,14 @@ class LakeTable:
             raise ValueError(
                 f"lake table {self.path}: version {entry['version']} is empty"
             )
+        if "schema" in entry:
+            # schema comes from the LOG, not a parquet footer: after an
+            # evolve-append, files written before the widening simply
+            # read the added columns as null (name-based resolution)
+            from pyspark.sql import types as T
+
+            pinned = T.StructType.fromJson(json.loads(entry["schema"]))
+            return self.spark.read.schema(pinned).parquet(*entry["files"])
         return self.spark.read.parquet(*entry["files"])
 
     # -- operators that commit through the log -----------------------------
@@ -210,7 +286,8 @@ class LakeTable:
             return self.commit(source, "overwrite", txn_id, op="merge")
         merged = merge_upsert(self.read(base), source, key)
         files = self._write_files(merged)
-        return self._publish(files, "merge", txn_id, base + 1)
+        return self._publish(files, "merge", txn_id, base + 1,
+                             schema=merged.schema)
 
     def diff(self, v_old: int, v_new: int, key: str,
              content_cols: list[str]) -> DataFrame:
@@ -238,7 +315,8 @@ class LakeTable:
         n = max(1, math.ceil(total / target_bytes))
         compacted = self.read(base).repartition(n)
         files = self._write_files(compacted)
-        return self._publish(files, "compact", None, base + 1)
+        return self._publish(files, "compact", None, base + 1,
+                             schema=compacted.schema)
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by versions older than the

@@ -194,3 +194,61 @@ def test_streaming_upsert_through_log_exactly_once(spark, sf_dir, tmp_path):
     assert t.merge(docs.limit(1), "doc_id",
                    txn_id="stream-batch-0") <= head
     assert t.current_version() == head
+
+
+def test_schema_drift_refused_and_evolution(spark, sf_dir, tmp_path):
+    """Schema tier: every commit pins its schema in the log entry;
+    appends are validated against it BEFORE any file lands. Drift
+    (added column) is refused by default; evolve=True widens the table
+    — old files read the new column as null, and time travel returns
+    each version's OWN schema (v0 never shows the evolved column)."""
+    from aws_data_pipeline_ads_spark.lakelog import SchemaMismatchError
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    t.commit(a, "overwrite")
+
+    widened = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "lang", F.lit("en"))
+    # refusal happens before any data file is written
+    n_data_dirs = len(os.listdir(tmp_path / "tbl" / "data"))
+    with pytest.raises(SchemaMismatchError, match="adds columns \\['lang'\\]"):
+        t.commit(widened, "append")
+    assert t.current_version() == 0
+    assert len(os.listdir(tmp_path / "tbl" / "data")) == n_data_dirs
+
+    v1 = t.commit(widened, "append", evolve=True)
+    assert v1 == 1
+    head = t.read()
+    assert set(head.columns) == {"doc_id", "text", "lang"}
+    by_parity = {r.doc_id % 2: r.lang for r in head.collect()}
+    assert by_parity[0] is None and by_parity[1] == "en"  # old files → null
+    # time travel: v0 keeps its original two-column schema
+    assert set(t.read(0).columns) == {"doc_id", "text"}
+    # column ORDER is free (name-based resolution under a pinned
+    # schema), and an append may OMIT committed columns — the standard
+    # partial-producer append; its rows read the omitted column as null
+    reordered = a.select("text", "doc_id")
+    v2 = t.commit(reordered, "append")
+    assert _rows(t.read(v2).select("doc_id", "text")) == _rows(
+        a.unionByName(a).unionByName(
+            docs.filter(F.col("doc_id") % 2 == 1)).select("doc_id", "text"))
+    assert set(t.read(v2).columns) == {"doc_id", "text", "lang"}
+
+
+def test_schema_type_change_refused(spark, sf_dir, tmp_path):
+    """A type change is refused even under evolve=True — no widening
+    semantics makes it safe (a footer-resolved read would coerce or
+    null depending on which file won). An overwrite commit may change
+    schema freely: it IS the rewrite."""
+    from aws_data_pipeline_ads_spark.lakelog import SchemaMismatchError
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs, "overwrite")
+    retyped = docs.withColumn("doc_id", F.col("doc_id").cast("string"))
+    with pytest.raises(SchemaMismatchError, match="changes column types"):
+        t.commit(retyped, "append", evolve=True)
+    v = t.commit(retyped, "overwrite")
+    assert t.read(v).schema["doc_id"].dataType.typeName() == "string"
