@@ -138,13 +138,56 @@ class LakeTable:
             if not f.startswith("_") and not f.startswith(".")
         )
 
+    _STATS_TYPES = (bool, int, float, str)
+
+    def _collect_stats(self, files: list[str]) -> dict:
+        """Per-file min/max per top-level primitive column, read from
+        the parquet FOOTERS just written (metadata-only — no data
+        re-scan; the write-time cost Delta/Iceberg pay for the same
+        reason). Columns whose statistics are absent or non-primitive
+        are simply omitted — the scanner treats a missing stat as
+        'might match' (conservative, never wrong)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            per_col: dict[str, list] = {}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    name = col.path_in_schema
+                    if "." in name:  # nested leaves: skip
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            continue
+                    if not (isinstance(lo, self._STATS_TYPES)
+                            and isinstance(hi, self._STATS_TYPES)):
+                        continue
+                    if name in per_col:
+                        per_col[name] = [min(per_col[name][0], lo),
+                                         max(per_col[name][1], hi)]
+                    else:
+                        per_col[name] = [lo, hi]
+            if per_col:
+                out[f] = per_col
+        return out
+
     def _next_version(self) -> int:
         head = self.current_version()
         return head + 1 if head is not None else 0
 
     def _publish(self, files: list[str], op: str,
                  txn_id: str | None, version: int | None = None,
-                 schema=None) -> int:
+                 schema=None, stats: dict | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -164,6 +207,8 @@ class LakeTable:
             # from the log, not from an arbitrary parquet footer, and
             # time travel returns the schema that version actually had
             entry["schema"] = schema.json()
+        if stats is not None:
+            entry["stats"] = stats
         try:
             # the commit point: exactly one writer creates this entry
             with open(self._entry_path(version), "x") as f:
@@ -235,15 +280,18 @@ class LakeTable:
         base = self.current_version()
         version = base + 1 if base is not None else 0
         schema = df.schema
-        if mode == "append" and base is not None:
-            base_entry = self._read_entry(base)
-            if "schema" in base_entry:  # pre-schema-tier entries lack it
-                schema = self._merged_schema(base_entry, df, evolve)
+        base_entry = (self._read_entry(base)
+                      if mode == "append" and base is not None else None)
+        if base_entry is not None and "schema" in base_entry:
+            # pre-schema-tier entries lack the pin; footer fallback
+            schema = self._merged_schema(base_entry, df, evolve)
         files = self._write_files(df)
-        if mode == "append" and base is not None:
-            files = self._read_entry(base)["files"] + files
+        stats = self._collect_stats(files)
+        if base_entry is not None:
+            files = base_entry["files"] + files
+            stats = {**base_entry.get("stats", {}), **stats}
         return self._publish(files, op or mode, txn_id, version,
-                             schema=schema)
+                             schema=schema, stats=stats)
 
     # -- read path ---------------------------------------------------------
 
@@ -258,6 +306,9 @@ class LakeTable:
             raise ValueError(
                 f"lake table {self.path}: version {entry['version']} is empty"
             )
+        return self._read_files(entry, entry["files"])
+
+    def _read_files(self, entry: dict, files: list[str]) -> DataFrame:
         if "schema" in entry:
             # schema comes from the LOG, not a parquet footer: after an
             # evolve-append, files written before the widening simply
@@ -265,8 +316,56 @@ class LakeTable:
             from pyspark.sql import types as T
 
             pinned = T.StructType.fromJson(json.loads(entry["schema"]))
-            return self.spark.read.schema(pinned).parquet(*entry["files"])
-        return self.spark.read.parquet(*entry["files"])
+            if not files:
+                return self.spark.createDataFrame([], pinned)
+            return self.spark.read.schema(pinned).parquet(*files)
+        if not files:
+            # no pinned schema (pre-schema-tier entry): borrow it from
+            # the version's footers without scanning any data
+            return self.spark.read.parquet(*entry["files"]).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def scan(self, ranges: dict, version: int | None = None) -> DataFrame:
+        """Data-skipping read: `ranges` maps column → (lo, hi) (either
+        end None = unbounded). Files whose committed [min, max] cannot
+        intersect every range are NEVER OPENED — the driver decides
+        from the log alone, no footer reads, no tasks. The returned
+        DataFrame also applies the exact predicate, so results equal
+        read().filter(...) while touching a subset of files.
+
+        This is the Delta/Iceberg data-skipping contract: at 100 TB a
+        time-bounded or key-bounded query over a range-clustered table
+        opens thousands of files instead of millions. Files with no
+        recorded stat for a column are conservatively kept, so the
+        pruning is an optimization, never a correctness bet."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(head if version is None else version)
+        stats = entry.get("stats", {})
+        keep = []
+        for f in entry["files"]:
+            per_col = stats.get(f, {})
+            ok = True
+            for col, (lo, hi) in ranges.items():
+                if col not in per_col:
+                    continue  # no stat → might match
+                fmin, fmax = per_col[col]
+                if (lo is not None and fmax < lo) or \
+                        (hi is not None and fmin > hi):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f)
+        from pyspark.sql import functions as F
+
+        df = self._read_files(entry, keep)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # -- operators that commit through the log -----------------------------
 
@@ -287,7 +386,8 @@ class LakeTable:
         merged = merge_upsert(self.read(base), source, key)
         files = self._write_files(merged)
         return self._publish(files, "merge", txn_id, base + 1,
-                             schema=merged.schema)
+                             schema=merged.schema,
+                             stats=self._collect_stats(files))
 
     def diff(self, v_old: int, v_new: int, key: str,
              content_cols: list[str]) -> DataFrame:
@@ -316,7 +416,8 @@ class LakeTable:
         compacted = self.read(base).repartition(n)
         files = self._write_files(compacted)
         return self._publish(files, "compact", None, base + 1,
-                             schema=compacted.schema)
+                             schema=compacted.schema,
+                             stats=self._collect_stats(files))
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by versions older than the
