@@ -1109,6 +1109,84 @@ def _parse_codec_config(payload: bytes, body: int, end: int) -> dict:
     return {}
 
 
+class _BitWriter:
+    """MSB-first bit writer with Exp-Golomb encode — the write-side
+    twin of _BitReader, so avc1 fixtures carry REAL SPS bitstreams."""
+
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def u(self, v: int, n: int):
+        self._bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+    def ue(self, v: int):
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def rbsp(self) -> bytes:
+        bits = self._bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def make_avc_config(width: int, height: int, profile_idc: int = 100,
+                    level_idc: int = 40) -> bytes:
+    """A spec-valid AVCDecoderConfigurationRecord whose embedded SPS
+    encodes exactly `width`×`height` (4:2:0, frame_mbs_only): the
+    macroblock grid rounds up to 16 and the frame-cropping window trims
+    the remainder in 2-pixel chroma units — so dims must be even, the
+    4:2:0 constraint every real encoder enforces. The write-side twin
+    of _parse_codec_config/_parse_avc_sps; lets a declarable corpus
+    carry real H.264 codec configs with no codec library."""
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError(f"avc 4:2:0 dims must be positive and even: "
+                         f"{width}x{height}")
+    w_mbs = -(-width // 16)
+    h_units = -(-height // 16)
+    w = _BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)                 # constraint flags + reserved
+    w.u(level_idc, 8)
+    w.ue(0)                   # seq_parameter_set_id
+    if profile_idc in _AVC_HIGH_PROFILES:
+        w.ue(1)               # chroma_format_idc 4:2:0
+        w.ue(0)               # bit_depth_luma_minus8
+        w.ue(0)               # bit_depth_chroma_minus8
+        w.u(0, 1)             # qpprime_y_zero_transform_bypass
+        w.u(0, 1)             # seq_scaling_matrix_present
+    w.ue(0)                   # log2_max_frame_num_minus4
+    w.ue(0)                   # pic_order_cnt_type = 0
+    w.ue(0)                   # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)                   # max_num_ref_frames
+    w.u(0, 1)                 # gaps_in_frame_num_value_allowed
+    w.ue(w_mbs - 1)
+    w.ue(h_units - 1)
+    w.u(1, 1)                 # frame_mbs_only_flag
+    w.u(1, 1)                 # direct_8x8_inference_flag
+    crop_r = (w_mbs * 16 - width) // 2
+    crop_b = (h_units * 16 - height) // 2
+    if crop_r or crop_b:
+        w.u(1, 1)             # frame_cropping_flag
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)                 # vui_parameters_present_flag
+    sps = b"\x67" + w.rbsp()
+    pps = b"\x68\xce\x38\x80"
+    return (bytes([1, profile_idc, 0, level_idc, 0xFF, 0xE1])
+            + struct.pack(">H", len(sps)) + sps
+            + bytes([1]) + struct.pack(">H", len(pps)) + pps)
+
+
 def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,
                     codec: bytes = b"jpeg",
                     codec_config: tuple[bytes, bytes] | None = None) -> bytes:
@@ -1361,17 +1439,32 @@ def synthetic_videos(documents: DataFrame, n_frames: int = 3,
     frame), JPEG-encoded and muxed. Pure functions of the text — stable
     across runs/partitions — so the video pipeline has a declarable
     corpus without external media files. `container`: 'avi' (MJPEG
-    RIFF), 'mp4' (ISO-BMFF, jpeg sample entries), or 'mixed'
-    (doc_id parity picks — exercises both demux paths in one corpus)."""
+    RIFF), 'mp4' (ISO-BMFF, jpeg sample entries), 'mixed' (doc_id
+    parity picks — exercises both demux paths in one corpus), or
+    'avc1' (ISO-BMFF with a REAL H.264 codec config: per-doc coded
+    dims `(w + 2*(doc_id%8)) x (h + 2*(doc_id%6))` are encoded into an
+    SPS via make_avc_config and the sample payloads are opaque access
+    units — honest about the pure-Python boundary, pixel decode needs
+    a codec library; the metadata tier is fully real)."""
     import numpy as np
 
-    if container not in ("avi", "mp4", "mixed"):
-        raise ValueError(f"container must be avi/mp4/mixed: {container!r}")
+    if container not in ("avi", "mp4", "mixed", "avc1"):
+        raise ValueError(f"container must be avi/mp4/mixed/avc1: "
+                         f"{container!r}")
 
     def one(doc_id: int, raw: bytes) -> tuple[bytes, str]:
         from aws_data_pipeline_ads_spark.operators.jpeg import jpeg_encode_pixels
 
         raw = raw or b"\x00"
+        if container == "avc1":
+            wi = w + 2 * (doc_id % 8)
+            hi = h + 2 * (doc_id % 6)
+            aus = [hashlib.sha256(raw + bytes([i])).digest()
+                   for i in range(n_frames)]
+            payload = mux_minimal_mp4(
+                aus, wi, hi, codec=b"avc1",
+                codec_config=(b"avcC", make_avc_config(wi, hi)))
+            return payload, "video/mp4;avc1"
         # frame i reads bytes [i, i + w*h): size the tiled buffer for the
         # LAST frame's end (w*h + n_frames), not just w*h — with a short
         # doc and n_frames > 3 an undersized buffer would fail reshape

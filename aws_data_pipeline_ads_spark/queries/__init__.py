@@ -277,6 +277,8 @@ _TAIL: list[str] = [
     "q_video_metadata",  # MP4 moov box walk + AVI header triage (rows-
     # only: container demux not SQL-expressible); round-trip + hostile
     # input pytests
+    "q_video_codec_triage",  # H.264 avcC/SPS parse vs arithmetic oracle
+    # (hash-verified: SPS-encoded per-doc dims must round-trip exactly)
     "q_audio_features",  # PCM decode → n_samples/duration/RMS
     # (rows-only; real-WAV path pytest-verified)
     "q_audio_segments",  # energy-based VAD segmentation (rows-only;

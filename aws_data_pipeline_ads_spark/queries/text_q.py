@@ -983,6 +983,35 @@ def q_video_metadata(spark, sf_dir):
 
 
 @query(
+    "q_video_codec_triage",
+    oracle=(
+        "SELECT doc_id, 'avc1' AS codec, 'High' AS codec_profile, "
+        "4.0 AS codec_level, "
+        "CAST(16 + 2*(doc_id % 8) AS BIGINT) AS coded_width, "
+        "CAST(16 + 2*(doc_id % 6) AS BIGINT) AS coded_height, "
+        "CAST(3 AS BIGINT) AS n_samples FROM documents"
+    ),
+    doc="2C multimodal: H.264 codec-config triage over an avc1 corpus — "
+        "each doc carries an MP4 whose avcC embeds a REAL SPS encoding "
+        "per-doc coded dims (macroblock grid + frame-cropping window, "
+        "multimodal.make_avc_config); video_metadata recovers profile/"
+        "level/dims by PARSING the bitstream (Exp-Golomb, emulation "
+        "stripping), and the oracle computes the expected dims "
+        "arithmetically — a hash match proves the mux→SPS-parse "
+        "roundtrip lossless. The filter a curation pipeline runs to "
+        "route crawl video to decoders by profile/level/resolution",
+)
+def q_video_codec_triage(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = multimodal.video_metadata(
+        multimodal.synthetic_videos(docs, container="avc1"))
+    return meta.select("doc_id", "codec", "codec_profile", "codec_level",
+                       "coded_width", "coded_height", "n_samples")
+
+
+@query(
     "q_audio_features",
     oracle=None,  # rms over int16-decoded samples is not SQL-expressible
     # on a VARCHAR corpus; deterministic contract pinned by pytest

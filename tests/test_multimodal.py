@@ -1082,3 +1082,37 @@ def test_mp4_avcc_emulation_prevention_and_hostile():
     # wrong NAL type
     with pytest.raises(ValueError, match="nal_unit_type"):
         multimodal._parse_avc_sps(b"\x68" + sps[1:])
+
+
+def test_make_avc_config_roundtrip_and_avc1_corpus(spark, sf_dir):
+    """Package-side SPS writer vs package-side parser: make_avc_config
+    dims round-trip exactly for every even size incl. non-multiple-of-
+    16 (crop window engaged); odd dims refused (4:2:0). The avc1
+    synthetic corpus then carries per-doc dims through a full
+    mux→video_metadata pass."""
+    for wh in [(16, 16), (30, 26), (100, 90), (1920, 1080), (2, 2)]:
+        cfg = multimodal.make_avc_config(*wh)
+        mp4 = multimodal.mux_minimal_mp4(
+            [b"au"], *wh, codec=b"avc1", codec_config=(b"avcC", cfg))
+        (trk,) = multimodal._parse_mp4_tracks(mp4)
+        assert (trk["coded_width"], trk["coded_height"]) == wh
+        assert trk["codec_profile"] == "High" and trk["codec_level"] == 4.0
+    with pytest.raises(ValueError, match="even"):
+        multimodal.make_avc_config(15, 16)
+    # Baseline profile branch (no chroma block in the SPS)
+    cfg = multimodal.make_avc_config(64, 48, profile_idc=66, level_idc=31)
+    mp4 = multimodal.mux_minimal_mp4(
+        [b"au"], 64, 48, codec=b"avc1", codec_config=(b"avcC", cfg))
+    (trk,) = multimodal._parse_mp4_tracks(mp4)
+    assert trk["codec_profile"] == "Baseline" and trk["codec_level"] == 3.1
+    assert (trk["coded_width"], trk["coded_height"]) == (64, 48)
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.synthetic_videos(docs, container="avc1")
+    rows = {r.doc_id: r for r in multimodal.video_metadata(media).collect()}
+    assert len(rows) == 20
+    for doc_id, r in rows.items():
+        assert r.codec == "avc1"
+        assert (r.coded_width, r.coded_height) == (
+            16 + 2 * (doc_id % 8), 16 + 2 * (doc_id % 6))
+        assert r.n_samples == 3
