@@ -279,6 +279,9 @@ _TAIL: list[str] = [
     # input pytests
     "q_video_codec_triage",  # H.264 avcC/SPS parse vs arithmetic oracle
     # (hash-verified: SPS-encoded per-doc dims must round-trip exactly)
+    "q_lake_pruned_scan",  # commit-log data skipping: range-clustered
+    # lake table, scan() prunes files from logged min/max stats
+    # (hash-verified vs a plain SQL filter; pruning inputFiles-pinned)
     "q_audio_features",  # PCM decode → n_samples/duration/RMS
     # (rows-only; real-WAV path pytest-verified)
     "q_audio_segments",  # energy-based VAD segmentation (rows-only;

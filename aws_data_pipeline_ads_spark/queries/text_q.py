@@ -945,6 +945,47 @@ def lakediff_index(spark, sf_dir: str) -> str:
 
 
 @query(
+    "q_lake_pruned_scan",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents "
+        "WHERE doc_id <= (SELECT max(doc_id) // 5 FROM documents)"
+    ),
+    doc="LLM lake versioning: DATA-SKIPPING read — documents are "
+        "committed range-clustered (repartitionByRange on doc_id, so "
+        "each parquet file covers a disjoint key range recorded as "
+        "min/max stats in the commit log), and LakeTable.scan prunes "
+        "the file list on the DRIVER from the log alone before Spark "
+        "opens anything: a bottom-quintile key scan touches ~1/5 of "
+        "the files (inputFiles()-pinned in pytest). At 100 TB this is "
+        "the difference between opening thousands of files and "
+        "millions — the Delta/Iceberg skipping contract. Results are "
+        "exact: scan applies the predicate on top of the pruning",
+)
+def q_lake_pruned_scan(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakescan_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    hi = t.read().agg(F.max("doc_id")).collect()[0][0] // 5
+    return t.scan({"doc_id": (None, hi)}).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+# One range-clustered committed revision per sf_dir (write-side job;
+# the clustering is what gives each file a narrow doc_id min/max)
+def lakescan_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        LakeTable(spark, f"{path}/tbl").commit(
+            docs.repartitionByRange(16, "doc_id"), txn_id="rev-0")
+
+    return index_path("lakescan", sf_dir, build)
+
+
+@query(
     "q_video_frames",
     oracle=None,  # JPEG entropy decode is not SQL-expressible;
     # deterministic output pinned by pytest (mux→demux→decode golden)
