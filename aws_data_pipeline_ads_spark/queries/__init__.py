@@ -61,8 +61,13 @@ _WINDOW: list[str] = [
     "q_decontaminate",
     # -- verified anchors: similarity + multimodal ------------------------
     "q_binary_meta", "q_embedding_knn", "q_semdedup",
+    # -- new this round: codec-config triage (hash-verified SPS
+    # roundtrip) + commit-log data skipping — both first exposure;
+    # they take the slots of q_array_funcs/q_percentile (hash-verified
+    # r01-r05, machinery in-window via q_json_extract/q_tpch_q1)
+    "q_video_codec_triage", "q_lake_pruned_scan",
     # -- verified anchors: scalar surface ---------------------------------
-    "q_array_funcs", "q_json_extract", "q_percentile",
+    "q_json_extract",
     # -- verified anchors: streaming/time-series --------------------------
     "q_tumbling_window", "q_session_gap", "q_ewma",
     # -- verified anchors: joins ------------------------------------------
@@ -277,11 +282,12 @@ _TAIL: list[str] = [
     "q_video_metadata",  # MP4 moov box walk + AVI header triage (rows-
     # only: container demux not SQL-expressible); round-trip + hostile
     # input pytests
-    "q_video_codec_triage",  # H.264 avcC/SPS parse vs arithmetic oracle
-    # (hash-verified: SPS-encoded per-doc dims must round-trip exactly)
-    "q_lake_pruned_scan",  # commit-log data skipping: range-clustered
-    # lake table, scan() prunes files from logged min/max stats
-    # (hash-verified vs a plain SQL filter; pruning inputFiles-pinned)
+    "q_array_funcs",  # scalar array battery; hash-verified r01-r05,
+    # yields its slot to q_video_codec_triage (scalar machinery stays
+    # in-window via q_json_extract)
+    "q_percentile",  # exact percentile agg; hash-verified r01-r05,
+    # yields its slot to q_lake_pruned_scan (agg machinery in-window
+    # via q_tpch_q1/q_count_distinct)
     "q_audio_features",  # PCM decode → n_samples/duration/RMS
     # (rows-only; real-WAV path pytest-verified)
     "q_audio_segments",  # energy-based VAD segmentation (rows-only;
