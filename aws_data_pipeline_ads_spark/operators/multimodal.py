@@ -1065,6 +1065,50 @@ def _parse_avc_sps(sps: bytes) -> dict:
             "width": width, "height": height}
 
 
+def _parse_hevc_sps(sps: bytes) -> dict:
+    """True coded WxH from an H.265 sequence parameter set (ITU-T H.265
+    §7.3.2.2.1): profile_tier_level is a fixed 12-byte block plus
+    per-sub-layer presence flags, then pic_width/height_in_luma_samples
+    (ue) minus the conformance window in chroma sub-sampling units."""
+    if len(sps) < 2 or ((sps[0] >> 1) & 0x3F) != 33:
+        raise ValueError("hvcC: NAL is not nal_unit_type 33 (SPS)")
+    r = _BitReader(_strip_emulation(sps[2:]))  # 2-byte HEVC NAL header
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    r.u(1)  # sps_temporal_id_nesting_flag
+    # profile_tier_level(1, max_sub_layers_minus1)
+    r.u(2 + 1 + 5)      # profile_space / tier / profile_idc
+    r.u(32)             # general_profile_compatibility_flags
+    r.u(48)             # progressive/interlaced/non-packed/frame-only
+    #                     + general_reserved_zero_43bits + inbld flag
+    r.u(8)              # general_level_idc
+    profile_present = [r.u(1) for _ in range(max_sub_layers_minus1)]
+    level_present = [r.u(1) for _ in range(max_sub_layers_minus1)]
+    if max_sub_layers_minus1 > 0:
+        for _ in range(max_sub_layers_minus1, 8):
+            r.u(2)      # reserved_zero_2bits
+    for i in range(max_sub_layers_minus1):
+        if profile_present[i]:
+            r.u(88)
+        if level_present[i]:
+            r.u(8)
+    r.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc == 3:
+        r.u(1)  # separate_colour_plane_flag
+    width = r.ue()   # pic_width_in_luma_samples
+    height = r.ue()  # pic_height_in_luma_samples
+    if r.u(1):       # conformance_window_flag
+        left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        width -= sub_w * (left + right)
+        height -= sub_h * (top + bottom)
+    if width <= 0 or height <= 0:
+        raise ValueError("HEVC SPS: conformance window exceeds the frame")
+    return {"width": width, "height": height}
+
+
 def _parse_codec_config(payload: bytes, body: int, end: int) -> dict:
     """Scan a VisualSampleEntry's child boxes (past the 78-byte fixed
     header) for avcC/hvcC and return codec_profile / codec_level /
@@ -1101,11 +1145,35 @@ def _parse_codec_config(payload: bytes, body: int, end: int) -> dict:
             profile_idc = payload[b + 1] & 0x1F
             tier = "High" if payload[b + 1] & 0x20 else "Main"
             level_idc = payload[b + 12]
-            return {
+            out = {
                 "codec_profile": "hevc " + _HEVC_PROFILES.get(
                     profile_idc, f"profile {profile_idc}") + f" ({tier} tier)",
                 "codec_level": level_idc / 30.0,
             }
+            # NAL-unit arrays start after the 22-byte fixed record
+            # (ISO 14496-15 §8.3.3.1); find the SPS array (type 33)
+            # and parse its first NAL for the true coded dims
+            if e - b >= 23:
+                p = b + 23
+                for _ in range(payload[b + 22]):  # numOfArrays
+                    if p + 3 > e:
+                        raise ValueError("hvcC: truncated NAL array header")
+                    nal_type = payload[p] & 0x3F
+                    n_nalus = _be(payload, p + 1, 2, e)
+                    p += 3
+                    for _ in range(n_nalus):
+                        ln = _be(payload, p, 2, e)
+                        if p + 2 + ln > e:
+                            raise ValueError(
+                                "hvcC: NAL length overruns the record")
+                        if nal_type == 33:
+                            out.update(
+                                _parse_hevc_sps(payload[p + 2:p + 2 + ln]))
+                            out["coded_width"] = out.pop("width")
+                            out["coded_height"] = out.pop("height")
+                            return out
+                        p += 2 + ln
+            return out
     return {}
 
 
@@ -1185,6 +1253,52 @@ def make_avc_config(width: int, height: int, profile_idc: int = 100,
     return (bytes([1, profile_idc, 0, level_idc, 0xFF, 0xE1])
             + struct.pack(">H", len(sps)) + sps
             + bytes([1]) + struct.pack(">H", len(pps)) + pps)
+
+
+def make_hevc_config(width: int, height: int, level_idc: int = 120) -> bytes:
+    """A spec-valid HEVCDecoderConfigurationRecord (hvcC) whose SPS NAL
+    array encodes exactly `width`×`height`: luma samples round up to
+    the 8-pixel minimum coding block and the conformance window trims
+    the remainder in 4:2:0 chroma units (even dims required). The
+    write-side twin of the hvcC/_parse_hevc_sps path."""
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError(f"hevc 4:2:0 dims must be positive and even: "
+                         f"{width}x{height}")
+    luma_w = -(-width // 8) * 8
+    luma_h = -(-height // 8) * 8
+    w = _BitWriter()
+    w.u(0, 4)             # sps_video_parameter_set_id
+    w.u(0, 3)             # sps_max_sub_layers_minus1
+    w.u(1, 1)             # sps_temporal_id_nesting_flag
+    # profile_tier_level: space/tier/profile, compat, flags, level
+    w.u(0, 2)
+    w.u(0, 1)             # Main tier
+    w.u(1, 5)             # general_profile_idc = Main
+    w.u(1 << 30, 32)      # compatibility: Main profile bit
+    w.u(1 << 47, 48)      # general_progressive_source_flag + reserved
+    w.u(level_idc, 8)
+    w.ue(0)               # sps_seq_parameter_set_id
+    w.ue(1)               # chroma_format_idc 4:2:0
+    w.ue(luma_w)          # pic_width_in_luma_samples
+    w.ue(luma_h)          # pic_height_in_luma_samples
+    crop_r = (luma_w - width) // 2
+    crop_b = (luma_h - height) // 2
+    if crop_r or crop_b:
+        w.u(1, 1)         # conformance_window_flag
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    sps = bytes([33 << 1, 1]) + w.rbsp()
+    fixed = (bytes([1, 0x01]) + struct.pack(">I", 1 << 30)
+             + (1 << 47).to_bytes(6, "big") + bytes([level_idc])
+             + b"\xf0\x00\xfc\xfd\xf8\xf8" + b"\x00\x00" + bytes([0x03]))
+    assert len(fixed) == 22
+    return (fixed + bytes([1])                     # numOfArrays
+            + bytes([0x80 | 33]) + struct.pack(">H", 1)  # SPS array, 1 NAL
+            + struct.pack(">H", len(sps)) + sps)
 
 
 def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,

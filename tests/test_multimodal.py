@@ -1116,3 +1116,33 @@ def test_make_avc_config_roundtrip_and_avc1_corpus(spark, sf_dir):
         assert (r.coded_width, r.coded_height) == (
             16 + 2 * (doc_id % 8), 16 + 2 * (doc_id % 6))
         assert r.n_samples == 3
+
+
+def test_make_hevc_config_sps_dims_roundtrip():
+    """hvcC SPS tier: make_hevc_config dims round-trip through the
+    NAL-array walk + HEVC SPS parse, incl. non-multiple-of-8 sizes
+    (conformance window engaged); the existing hvcC without an SPS
+    array (fixed 13-byte prefix only) still yields profile/level with
+    entry-field dims. Hostile: truncated NAL array raises."""
+    import struct as st
+
+    for wh in [(1920, 1080), (100, 90), (8, 8), (1280, 720), (2, 2)]:
+        cfg = multimodal.make_hevc_config(*wh)
+        mp4 = multimodal.mux_minimal_mp4(
+            [b"au"], 64, 64, codec=b"hvc1", codec_config=(b"hvcC", cfg))
+        (trk,) = multimodal._parse_mp4_tracks(mp4)
+        assert (trk["coded_width"], trk["coded_height"]) == wh
+        assert trk["codec_profile"] == "hevc Main (Main tier)"
+        assert trk["codec_level"] == 4.0
+    with pytest.raises(ValueError, match="even"):
+        multimodal.make_hevc_config(7, 8)
+    # direct SPS parse: wrong NAL type refused
+    cfg = multimodal.make_hevc_config(64, 64)
+    with pytest.raises(ValueError, match="nal_unit_type 33"):
+        multimodal._parse_hevc_sps(b"\x40\x01\x00")
+    # truncated NAL array: length field overruns the record
+    bad = cfg[:-3]
+    mp4 = multimodal.mux_minimal_mp4(
+        [b"au"], 64, 64, codec=b"hvc1", codec_config=(b"hvcC", bad))
+    with pytest.raises(ValueError, match="hvcC"):
+        multimodal._parse_mp4_tracks(mp4)
