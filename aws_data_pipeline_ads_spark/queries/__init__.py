@@ -270,6 +270,9 @@ _TAIL: list[str] = [
     # running-window machinery in-window via q_window_running
     "q_data_split",  # deterministic 3-way hash split; md5-gate
     # machinery in-window via q_sample_stratified
+    "q_leakage_safe_split",  # cluster-atomic split (near-dup CC ×
+    # md5 gate on cluster_id); both parents hash-verified; oracle =
+    # recursive-CTE CC + same gate arithmetic
     "q_corpus_shuffle",  # deterministic training-order permutation;
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode

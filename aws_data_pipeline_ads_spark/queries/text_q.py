@@ -1551,6 +1551,56 @@ def q_data_split(spark, sf_dir):
 
 
 @query(
+    "q_leakage_safe_split",
+    oracle=(
+        "WITH RECURSIVE "
+        "toks AS (SELECT DISTINCT doc_id, lang, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents), "
+        "counts AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common "
+        "FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang = b.lang "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN counts ca ON doc_a = ca.doc_id JOIN counts cb ON doc_b = cb.doc_id "
+        "WHERE CAST(n_common AS DOUBLE) / (ca.n_toks + cb.n_toks - n_common) >= 0.8), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lab) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.node), "
+        "lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id "
+        "FROM reach GROUP BY node) "
+        "SELECT doc_id, cluster_id, "
+        "CASE WHEN " + hash_bucket_sql("CAST(cluster_id AS STRING)")
+        + " < 204 THEN 'train' WHEN "
+        + hash_bucket_sql("CAST(cluster_id AS STRING)")
+        + " < 230 THEN 'val' ELSE 'test' END AS split FROM lab"
+    ),
+    doc="LLM data management: LEAKAGE-SAFE train/val/test split — the "
+        "md5 gate keys on the near-dup CLUSTER id (connected components "
+        "over the exact Jaccard pair graph, same machinery as "
+        "q_neardup_clusters), so every member of a duplicate cluster "
+        "lands on the SAME side of the train/test boundary. A plain "
+        "per-doc split leaks: near-identical docs straddle the "
+        "boundary and eval scores inflate — the classic contamination "
+        "failure this query closes. Composition of two independently "
+        "hash-verified operators, itself fully oracle-verified",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import graph
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.token_jaccard_pairs(docs, 0.8)
+    clusters = graph.neardup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id")
+    return train_val_test_split(clusters, "cluster_id")
+
+
+@query(
     "q_bpe_merges",
     oracle=None,  # iterative argmax-per-round training — not one SQL
     doc="LLM tokenizer training: learn a BPE merge table on the corpus "
