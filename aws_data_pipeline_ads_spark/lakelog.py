@@ -401,6 +401,27 @@ class LakeTable:
             self.read(v_old), self.read(v_new), key, content_cols
         )
 
+    def changes(self, v_from: int, v_to: int, key: str,
+                content_cols: list[str]) -> DataFrame:
+        """Multi-version CDC feed: every added/removed/changed row
+        between consecutive commits in (v_from, v_to], each tagged with
+        the version that introduced it — the 'give me everything since
+        version N' contract an incremental consumer (downstream dedup,
+        index refresh, replication) reads instead of re-diffing full
+        snapshots. Each step reduces to (key, md5) before its only
+        shuffle, same as diff()."""
+        from pyspark.sql import functions as F
+
+        if not v_from < v_to:
+            raise ValueError(f"changes: need v_from < v_to, "
+                             f"got {v_from} >= {v_to}")
+        out = None
+        for v in range(v_from, v_to):
+            step = self.diff(v, v + 1, key, content_cols).withColumn(
+                "version", F.lit(v + 1).cast("long"))
+            out = step if out is None else out.unionByName(step)
+        return out
+
     def compact(self, target_bytes: int = 128 * 1024 * 1024) -> int:
         """OPTIMIZE through the log: rewrite the current snapshot into
         ≈target_bytes files as a NEW version. No directory swap, no
@@ -417,6 +438,35 @@ class LakeTable:
         files = self._write_files(compacted)
         return self._publish(files, "compact", None, base + 1,
                              schema=compacted.schema,
+                             stats=self._collect_stats(files))
+
+    def optimize_zorder(self, cols: list[str], n_files: int = 16,
+                        bits: int = 10) -> int:
+        """OPTIMIZE ZORDER through the log: rewrite the current snapshot
+        range-partitioned by the Morton key over `cols`
+        (operators/partitioning.zorder_key), published as a NEW version
+        whose per-file stats then let scan() prune on ANY of the listed
+        columns — not just a single leading sort key. Each output file
+        covers a compact box of the multi-dimensional space; the
+        recorded min/max boxes are what make a two-column range scan
+        open a subset of files. Same commit protocol as compact:
+        copy-on-write, no reader-visible gap."""
+        from aws_data_pipeline_ads_spark.operators.partitioning import (
+            zorder_key,
+        )
+
+        base = self.current_version()
+        keyed, z = zorder_key(self.read(base), cols, bits)
+        helper = [c for c in keyed.columns
+                  if c.startswith("__mn_") or c.startswith("__mx_")]
+        clustered = (
+            keyed.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .drop("__z", *helper)
+        )
+        files = self._write_files(clustered)
+        return self._publish(files, "zorder", None, base + 1,
+                             schema=clustered.schema,
                              stats=self._collect_stats(files))
 
     def vacuum(self, keep_last: int = 1) -> int:

@@ -290,3 +290,55 @@ def test_data_skipping_scan(spark, sf_dir, tmp_path):
     s2 = t.scan({"doc_id": (100000 + lo, 100000 + hi)})
     assert s2.count() == expect.count()
     assert 0 < len(s2.inputFiles()) < 12
+
+
+def test_optimize_zorder_multicolumn_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER as a commit: after clustering on (doc_id,
+    n_chars), scan() prunes files for a narrow range on EITHER column
+    (every file covers a compact box, so both dimensions' min/max are
+    selective), with exact results; history records the op and the
+    pre-optimize version still reads."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    # commit in a layout clustered by NEITHER column's hash → stats
+    # boxes are wide and pruning would be impossible
+    t.commit(docs.repartition(16, "text"))
+    v = t.optimize_zorder(["doc_id", "n_chars"], n_files=16)
+    assert t.history()[-1]["op"] == "zorder" and v == 1
+    assert _rows(t.read(1).select("doc_id")) == _rows(docs.select("doc_id"))
+
+    mx_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    mx_ch = docs.agg(F.max("n_chars")).collect()[0][0]
+    for col, hi in (("doc_id", mx_id // 8), ("n_chars", mx_ch // 8)):
+        s = t.scan({col: (None, hi)})
+        assert _rows(s) == _rows(docs.filter(F.col(col) <= hi))
+        assert 0 < len(s.inputFiles()) < 16, col
+    # the unclustered version cannot prune (wide boxes keep all files)
+    wide = t.scan({"doc_id": (None, mx_id // 8)}, version=0)
+    assert _rows(wide) == _rows(docs.filter(F.col("doc_id") <= mx_id // 8))
+
+
+def test_changes_multiversion_cdc_feed(spark, sf_dir, tmp_path):
+    """changes(v_from, v_to): the concatenation of consecutive diffs,
+    each row tagged with the version that introduced it — an
+    incremental consumer's 'everything since N' read."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.filter(F.col("doc_id") % 2 == 0))
+    t.merge(docs.filter(F.col("doc_id") % 4 == 1), "doc_id")        # adds
+    t.merge(docs.filter(F.col("doc_id") % 4 == 0)
+            .withColumn("text", F.upper("text")), "doc_id")         # changes
+    feed = t.changes(0, 2, "doc_id", ["text"]).collect()
+    by_ver = {}
+    for r in feed:
+        by_ver.setdefault(r.version, []).append((r.doc_id, r.change))
+    assert set(by_ver) == {1, 2}
+    assert all(c == "added" and d % 4 == 1 for d, c in by_ver[1])
+    assert all(c == "changed" and d % 4 == 0 for d, c in by_ver[2])
+    # equivalence with the pairwise diffs
+    assert sorted((r.doc_id, r.change) for r in feed) == sorted(
+        [(r.doc_id, r.change) for r in t.diff(0, 1, "doc_id", ["text"]).collect()]
+        + [(r.doc_id, r.change) for r in t.diff(1, 2, "doc_id", ["text"]).collect()])
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        t.changes(2, 2, "doc_id", ["text"])
