@@ -273,6 +273,9 @@ _TAIL: list[str] = [
     "q_leakage_safe_split",  # cluster-atomic split (near-dup CC ×
     # md5 gate on cluster_id); both parents hash-verified; oracle =
     # recursive-CTE CC + same gate arithmetic
+    "q_lake_zorder_scan",  # multi-column data skipping over an
+    # OPTIMIZE ZORDER commit (both dims prune); plain 2-predicate
+    # SQL oracle
     "q_corpus_shuffle",  # deterministic training-order permutation;
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode

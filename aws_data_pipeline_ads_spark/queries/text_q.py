@@ -986,6 +986,51 @@ def lakescan_index(spark, sf_dir: str) -> str:
 
 
 @query(
+    "q_lake_zorder_scan",
+    oracle=(
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents) "
+        "AND n_chars <= (SELECT max(n_chars) // 4 FROM documents)"
+    ),
+    doc="LLM lake versioning: MULTI-COLUMN data skipping — the corpus "
+        "is committed via OPTIMIZE ZORDER on (doc_id, n_chars) "
+        "(Morton-key range partitioning, lakelog.optimize_zorder), so "
+        "every file covers a compact box in BOTH dimensions and "
+        "scan() prunes on either column's logged min/max, not just a "
+        "leading sort key. The query scans the bottom-quartile box of "
+        "both columns; hash-verified against a plain two-predicate SQL "
+        "filter. The layout Delta/Iceberg OPTIMIZE ZORDER buys at "
+        "100 TB, expressed as plain Spark expressions + the commit log",
+)
+def q_lake_zorder_scan(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakezorder_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    head = t.read()
+    hi_id, hi_ch = head.agg(
+        F.max("doc_id"), F.max("n_chars")).collect()[0]
+    return t.scan({"doc_id": (None, hi_id // 4),
+                   "n_chars": (None, hi_ch // 4)}).select(
+        "doc_id", "n_chars")
+
+
+# Z-order-clustered committed revision per sf_dir (write-side job):
+# commit v0 in a stats-hostile layout, then OPTIMIZE ZORDER → v1
+def lakezorder_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartition(16, "n_chars"), txn_id="rev-0")
+        t.optimize_zorder(["doc_id", "n_chars"], n_files=16)
+
+    return index_path("lakezorder", sf_dir, build)
+
+
+@query(
     "q_video_frames",
     oracle=None,  # JPEG entropy decode is not SQL-expressible;
     # deterministic output pinned by pytest (mux→demux→decode golden)
