@@ -44,12 +44,16 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_binary_meta",                                  # multimodal
         "q_embedding_knn", "q_semdedup",                  # similarity
         "q_tumbling_window", "q_session_gap", "q_ewma",   # streaming/TS
-        "q_array_funcs", "q_json_extract", "q_percentile",  # scalar
+        "q_json_extract",                                 # scalar
+        # (q_array_funcs/q_percentile — hash-verified r01-r05 — later
+        # yielded their slots to the two new round-6 queries below)
         "q_join_flagship", "q_asof_join",                 # joins
         # the r6 first-exposure set the verdict named
         "q_snapshot_diff", "q_heavy_hitters_cms", "q_skewed_join",
         "q_tpch_q3_bucketed", "q_incremental_dedup", "q_resolve_entities",
         "q_scd2", "q_merge_upsert", "q_heavy_hitters_served",
+        # new round-6 operators, first exposure
+        "q_video_codec_triage", "q_lake_pruned_scan",
         # TPC-H never-verified backlog
         "q_tpch_q2", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
         "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",

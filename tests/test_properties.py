@@ -342,7 +342,12 @@ _hist_vals = st.lists(st.floats(0.0, 499.0, allow_nan=False),
 @given(vals=_hist_vals)
 def test_histogram_quantile_error_bound_property(spark, vals):
     """For arbitrary value sets, the histogram-interpolated median is
-    within one bin width of numpy's exact median."""
+    within one bin width of an exact ORDER-STATISTIC median (lower or
+    upper). Not of numpy's default interpolated midpoint: for an
+    even-count two-spike sample like [0,0,0,201,201,201] that midpoint
+    (100.5) sits in EMPTY bins between the spikes — no histogram can
+    land near a value the data never put mass at, and both order
+    statistics are equally exact medians of the sample."""
     import numpy as np
     from pyspark.sql import Row
 
@@ -352,7 +357,10 @@ def test_histogram_quantile_error_bound_property(spark, vals):
 
     df = spark.createDataFrame([Row(g="a", value=float(v)) for v in vals])
     est = quantile_from_histogram(df, "value", "g", qs=(0.5,)).collect()[0]
-    assert abs(est.p50_est - float(np.quantile(vals, 0.5))) <= 50.0
+    lower = float(np.quantile(vals, 0.5, method="lower"))
+    upper = float(np.quantile(vals, 0.5, method="higher"))
+    err = min(abs(est.p50_est - lower), abs(est.p50_est - upper))
+    assert err <= 50.0, (est.p50_est, lower, upper)
 
 
 @settings(max_examples=15, deadline=None,
