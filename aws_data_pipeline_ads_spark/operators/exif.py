@@ -227,6 +227,39 @@ def make_exif_jpeg(orientation: int = 1, make: str = "", model: str = "",
     return b"\xff\xd8" + seg + b"\xff\xd9"
 
 
+def synthetic_exif_images(documents: DataFrame) -> DataFrame:
+    """Deterministic EXIF-bearing JPEG per document: orientation
+    1+(doc_id%8), make 'maker_<doc_id%5>', model 'm<doc_id%3>', a GPS
+    IFD when doc_id%3==0, and byte order alternating II/MM by parity —
+    pure functions of doc_id, so a declared query over the parsed
+    output has an arithmetic DuckDB oracle and a hash match proves the
+    EXIF write→parse roundtrip lossless (same pattern as the avc1
+    codec-config corpus)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "content": [
+                    make_exif_jpeg(
+                        orientation=1 + d % 8,
+                        make=f"maker_{d % 5}",
+                        model=f"m{d % 3}",
+                        gps=(d % 3 == 0),
+                        byte_order="II" if d % 2 else "MM",
+                    )
+                    for d in ids
+                ],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("content", T.BinaryType())]),
+    )
+
+
 EXIF_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("orientation", T.IntegerType()),

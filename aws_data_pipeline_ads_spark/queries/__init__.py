@@ -276,6 +276,9 @@ _TAIL: list[str] = [
     "q_lake_zorder_scan",  # multi-column data skipping over an
     # OPTIMIZE ZORDER commit (both dims prune); plain 2-predicate
     # SQL oracle
+    "q_image_exif",  # EXIF/TIFF IFD parse vs arithmetic oracle
+    # (hash-verified write→parse roundtrip, both byte orders; has_gps
+    # PII signal)
     "q_corpus_shuffle",  # deterministic training-order permutation;
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode

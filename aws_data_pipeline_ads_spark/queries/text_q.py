@@ -1596,6 +1596,34 @@ def q_data_split(spark, sf_dir):
 
 
 @query(
+    "q_image_exif",
+    oracle=(
+        "SELECT doc_id, CAST(1 + doc_id % 8 AS INTEGER) AS orientation, "
+        "'maker_' || CAST(doc_id % 5 AS VARCHAR) AS make, "
+        "'m' || CAST(doc_id % 3 AS VARCHAR) AS model, "
+        "doc_id % 3 = 0 AS has_gps, "
+        "CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS n_tags FROM documents"
+    ),
+    doc="2C multimodal: EXIF/TIFF metadata triage — each doc carries a "
+        "JPEG whose APP1 EXIF encodes per-doc orientation/make/model/"
+        "GPS-presence (write-side twin exif.make_exif_jpeg, byte order "
+        "alternating II/MM by parity); image_exif recovers them by "
+        "PARSING the TIFF IFD chain, and the oracle computes the same "
+        "fields arithmetically — a hash match proves the write→parse "
+        "roundtrip lossless in both byte orders. has_gps is the "
+        "geotag/PII routing signal; coordinates are never extracted",
+)
+def q_image_exif(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import exif
+
+    docs = load_table(spark, sf_dir, "documents")
+    parsed = exif.image_exif(exif.synthetic_exif_images(docs))
+    return parsed.select("doc_id", "orientation", "make", "model",
+                         "has_gps", "n_tags")
+
+
+@query(
     "q_leakage_safe_split",
     oracle=(
         "WITH RECURSIVE "
