@@ -55,7 +55,11 @@ _WINDOW: list[str] = [
     # in-window batch twin q_heavy_hitters_cms)
     "q_heavy_hitters_served",
     # -- verified anchors: text analysis ---------------------------------
-    "q_text_stats", "q_lang_id",
+    "q_lang_id",
+    # -- new this round: leakage-safe cluster-atomic split (first
+    # exposure; q_text_stats — hash-verified r01-r05 — yields its slot,
+    # expr machinery stays in-window via q_gopher_rules/q_normalize_text)
+    "q_leakage_safe_split",
     # -- verified anchors: dedup tiers ------------------------------------
     "q_dedup_exact", "q_line_dedup", "q_minhash_lsh", "q_simhash_pairs",
     "q_decontaminate",
@@ -270,9 +274,9 @@ _TAIL: list[str] = [
     # running-window machinery in-window via q_window_running
     "q_data_split",  # deterministic 3-way hash split; md5-gate
     # machinery in-window via q_sample_stratified
-    "q_leakage_safe_split",  # cluster-atomic split (near-dup CC ×
-    # md5 gate on cluster_id); both parents hash-verified; oracle =
-    # recursive-CTE CC + same gate arithmetic
+    "q_text_stats",  # length/punct/stopword battery; hash-verified
+    # r01-r05, yields its slot to q_leakage_safe_split (pure-expr
+    # machinery in-window via q_gopher_rules/q_normalize_text)
     "q_lake_zorder_scan",  # multi-column data skipping over an
     # OPTIMIZE ZORDER commit (both dims prune); plain 2-predicate
     # SQL oracle

@@ -37,7 +37,7 @@ def test_driver_window_covers_llm_pipeline_queries():
     # machinery-covered per the _TAIL annotations.
     must_cover = {
         # one verified anchor per LLM-pipeline family
-        "q_text_stats", "q_lang_id",                      # text analysis
+        "q_lang_id", "q_leakage_safe_split",              # text analysis + split
         "q_dedup_exact", "q_line_dedup",                  # exact/line dedup
         "q_minhash_lsh", "q_simhash_pairs",               # near-dup tiers
         "q_decontaminate",                                # bloom filter
