@@ -128,9 +128,23 @@ class LakeTable:
 
     def _write_files(self, df: DataFrame) -> list[str]:
         """Land `df` as immutable parquet under a fresh uuid dir and
-        return the file list (metadata listing, no data re-scan)."""
+        return the file list (metadata listing, no data re-scan).
+
+        Timestamps are written as TIMESTAMP_MICROS (set-and-restored
+        around the write): Spark's INT96 default is a deprecated type
+        that carries NO column statistics, which would silently disable
+        time-range data skipping — the predicate that matters most."""
         sub = os.path.join(self.path, "data", uuid.uuid4().hex)
-        df.write.parquet(sub)
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.parquet(sub)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
         return sorted(
             os.path.join(dirpath, f)
             for dirpath, _dirs, files in os.walk(sub)
@@ -139,6 +153,24 @@ class LakeTable:
         )
 
     _STATS_TYPES = (bool, int, float, str)
+
+    @staticmethod
+    def _stat_key(v):
+        """Canonical JSON-safe form of a stat or scan bound. Timestamps
+        (THE dominant skipping predicate at 100 TB — every time-bounded
+        query) serialize to fixed-width microsecond ISO strings, which
+        compare lexicographically in chronological order; tz-aware
+        values normalize to UTC first so a bound built in any zone
+        prunes correctly. Dates use their ISO form the same way."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat(timespec="microseconds")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
 
     def _collect_stats(self, files: list[str]) -> dict:
         """Per-file min/max per top-level primitive column, read from
@@ -169,6 +201,7 @@ class LakeTable:
                             lo, hi = lo.decode(), hi.decode()
                         except UnicodeDecodeError:
                             continue
+                    lo, hi = self._stat_key(lo), self._stat_key(hi)
                     if not (isinstance(lo, self._STATS_TYPES)
                             and isinstance(hi, self._STATS_TYPES)):
                         continue
@@ -344,10 +377,16 @@ class LakeTable:
         entry = self._read_entry(head if version is None else version)
         stats = entry.get("stats", {})
         keep = []
+        # pruning compares in stat-key space (timestamps/dates become
+        # fixed-width ISO strings); the exact filter below keeps the
+        # caller's original typed bounds
+        keys = {col: (self._stat_key(lo) if lo is not None else None,
+                      self._stat_key(hi) if hi is not None else None)
+                for col, (lo, hi) in ranges.items()}
         for f in entry["files"]:
             per_col = stats.get(f, {})
             ok = True
-            for col, (lo, hi) in ranges.items():
+            for col, (lo, hi) in keys.items():
                 if col not in per_col:
                     continue  # no stat → might match
                 fmin, fmax = per_col[col]

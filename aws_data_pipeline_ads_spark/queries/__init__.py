@@ -283,6 +283,9 @@ _TAIL: list[str] = [
     "q_image_exif",  # EXIF/TIFF IFD parse vs arithmetic oracle
     # (hash-verified write→parse roundtrip, both byte orders; has_gps
     # PII signal)
+    "q_lake_time_scan",  # time-range data skipping over a ts-clustered
+    # commit (epoch-micros oracle, tz-aware bound; TIMESTAMP_MICROS
+    # stats)
     "q_corpus_shuffle",  # deterministic training-order permutation;
     # md5-gate + window machinery in-window; oracle-checked locally
     "q_image_neardup",  # dHash banded pairs (rows-only: Arrow decode

@@ -1015,6 +1015,55 @@ def q_lake_zorder_scan(spark, sf_dir):
         "doc_id", "n_chars")
 
 
+@query(
+    "q_lake_time_scan",
+    oracle=(
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us "
+        "FROM events WHERE epoch_us(ts) <= "
+        "(SELECT min(epoch_us(ts)) + "
+        "(max(epoch_us(ts)) - min(epoch_us(ts))) // 4 FROM events)"
+    ),
+    doc="LLM lake versioning: TIME-RANGE data skipping — the dominant "
+        "100 TB predicate. Events are committed range-clustered on ts "
+        "(TIMESTAMP_MICROS parquet, so footers carry real min/max; "
+        "Spark's INT96 default has NO stats) and the bottom-quarter "
+        "time window prunes files from the log's ISO-microsecond "
+        "boxes. The cut is computed and compared in epoch MICROS on "
+        "both engines and the scan bound is passed tz-AWARE, so a "
+        "hostile non-UTC driver session changes nothing. Output "
+        "carries ts as epoch micros for an exact cross-engine hash",
+)
+def q_lake_time_scan(spark, sf_dir):
+    import datetime as dt
+
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = laketime_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    lo, hi = t.read().agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cut_us = lo + (hi - lo) // 4
+    cut = (dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+           + dt.timedelta(microseconds=cut_us))
+    return t.scan({"ts": (None, cut)}).select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"))
+
+
+# Time-clustered committed events revision per sf_dir (write-side job)
+def laketime_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type")
+        LakeTable(spark, f"{path}/tbl").commit(
+            ev.repartitionByRange(8, "ts"), txn_id="rev-0")
+
+    return index_path("laketime", sf_dir, build)
+
+
 # Z-order-clustered committed revision per sf_dir (write-side job):
 # commit v0 in a stats-hostile layout, then OPTIMIZE ZORDER → v1
 def lakezorder_index(spark, sf_dir: str) -> str:

@@ -342,3 +342,33 @@ def test_changes_multiversion_cdc_feed(spark, sf_dir, tmp_path):
         + [(r.doc_id, r.change) for r in t.diff(1, 2, "doc_id", ["text"]).collect()])
     with pytest.raises(ValueError, match="v_from < v_to"):
         t.changes(2, 2, "doc_id", ["text"])
+
+
+def test_timestamp_data_skipping(spark, sf_dir, tmp_path):
+    """Time-range skipping — the dominant 100 TB predicate: events
+    committed range-clustered on ts carry per-file ISO-microsecond
+    min/max in the log; a narrow time window prunes files with exact
+    results, and a tz-aware bound (normalized to UTC) prunes
+    identically to the naive-UTC one."""
+    import datetime as dt
+
+    from aws_data_pipeline_ads_spark.catalog import load_table as lt
+
+    ev = lt(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(ev.repartitionByRange(8, "ts"))
+    entry = json.load(open(t._entry_path(0)))
+    assert all(isinstance(s["ts"][0], str) and "T" in s["ts"][0]
+               for s in entry["stats"].values())
+
+    lo_r, hi_r = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo_r + (hi_r - lo_r) / 8
+    s = t.scan({"ts": (None, cut)})
+    assert _rows(s) == _rows(ev.filter(F.col("ts") <= cut))
+    assert 0 < len(s.inputFiles()) < 8
+    # tz-aware bound prunes identically (UTC-normalized stat key)
+    aware = cut.replace(tzinfo=dt.timezone.utc).astimezone(
+        dt.timezone(dt.timedelta(hours=-5)))
+    s2 = t.scan({"ts": (None, aware)})
+    assert len(s2.inputFiles()) == len(s.inputFiles())
+    assert s2.count() == s.count()
