@@ -89,12 +89,24 @@ class LakeTable:
     def _entry_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:08d}.json")
 
+    def _checkpoint_path(self) -> str:
+        return os.path.join(self.log_dir, "_checkpoint.json")
+
+    def _load_checkpoint(self) -> dict:
+        p = self._checkpoint_path()
+        if not os.path.exists(p):
+            return {"through": -1, "entries": {}}
+        with open(p) as f:
+            return json.load(f)
+
     def _versions(self) -> list[int]:
-        return sorted(
+        listed = {
             int(f[:-5])
             for f in os.listdir(self.log_dir)
             if f.endswith(".json") and f[:-5].isdigit()
-        )
+        }
+        listed.update(int(k) for k in self._load_checkpoint()["entries"])
+        return sorted(listed)
 
     def current_version(self) -> int | None:
         vs = self._versions()
@@ -102,12 +114,42 @@ class LakeTable:
 
     def _read_entry(self, version: int) -> dict:
         p = self._entry_path(version)
-        if not os.path.exists(p):
-            raise ValueError(
-                f"lake table {self.path}: version {version} does not exist"
-            )
-        with open(p) as f:
-            return json.load(f)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        e = self._load_checkpoint()["entries"].get(str(version))
+        if e is not None:
+            return e
+        raise ValueError(
+            f"lake table {self.path}: version {version} does not exist"
+        )
+
+    def checkpoint(self, expire: bool = True) -> int:
+        """Consolidate every log entry through the head into ONE
+        atomically-replaced checkpoint file (and, with expire=True,
+        delete the per-version JSONs it covers). At 100 TB a table
+        accrues millions of commits; without checkpoints every reader
+        pays an O(versions) directory walk and every txn-replay check
+        an O(versions) chain of entry reads — the same reason Delta
+        checkpoints its _delta_log. Publish atomicity is untouched:
+        the NEXT version's exclusive-create file never existed, and
+        version numbering reads max(checkpoint, listed entries)."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: nothing to checkpoint")
+        ck = {"through": head,
+              "entries": {str(v): self._read_entry(v)
+                          for v in self._versions() if v <= head}}
+        tmp = self._checkpoint_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+        os.replace(tmp, self._checkpoint_path())  # atomic swap
+        if expire:
+            for v in list(ck["entries"]):
+                p = self._entry_path(int(v))
+                if os.path.exists(p):
+                    os.remove(p)
+        return head
 
     def history(self) -> list[dict]:
         """All commit entries, oldest first (file lists elided to counts)."""

@@ -372,3 +372,40 @@ def test_timestamp_data_skipping(spark, sf_dir, tmp_path):
     s2 = t.scan({"ts": (None, aware)})
     assert len(s2.inputFiles()) == len(s.inputFiles())
     assert s2.count() == s.count()
+
+
+def test_log_checkpoint_consolidation(spark, sf_dir, tmp_path):
+    """checkpoint(expire=True): per-version entry files collapse into
+    one atomically-swapped checkpoint; reads, time travel, history,
+    txn replay, scan stats, and the NEXT commit's version numbering
+    all survive — the O(versions) log walk becomes O(1)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(docs.filter(F.col("doc_id") % 2 == 0)
+             .repartitionByRange(4, "doc_id"), txn_id="job-a")
+    t.commit(docs.filter(F.col("doc_id") % 2 == 1), "append")
+    t.merge(docs.limit(5).withColumn("text", F.lit("x")), "doc_id",
+            txn_id="job-b")
+    rows_head = _rows(t.read())
+    rows_v0 = _rows(t.read(0))
+
+    assert t.checkpoint() == 2
+    # per-version files gone; only the checkpoint remains
+    assert sorted(os.listdir(t.log_dir)) == ["_checkpoint.json"]
+    assert t.current_version() == 2
+    assert _rows(t.read()) == rows_head
+    assert _rows(t.read(0)) == rows_v0          # time travel via checkpoint
+    assert [h["op"] for h in t.history()] == ["overwrite", "append", "merge"]
+    # txn replay across the checkpoint: original versions answered
+    assert t.commit(docs.limit(99), txn_id="job-a") == 0
+    assert t.merge(docs.limit(9), "doc_id", txn_id="job-b") == 2
+    # scan stats preserved through the checkpoint
+    s = t.scan({"doc_id": (None, 5)}, version=0)
+    assert _rows(s) == _rows(docs.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") <= 5)))
+    assert 0 < len(s.inputFiles()) < 4
+    # next commit numbers past the checkpointed head
+    assert t.commit(docs.limit(3)) == 3
+    assert _rows(t.read(2)) == rows_head  # pre-checkpoint head intact
+    with pytest.raises(ValueError, match="version 9"):
+        t.read(9)
