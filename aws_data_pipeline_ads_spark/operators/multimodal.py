@@ -1910,3 +1910,191 @@ def audio_segments(media: DataFrame, frame_ms: int = 20,
             )
 
     return media.mapInPandas(batches, AUDIO_SEGMENTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header triage — the audio twin of the MP4/EXIF metadata tiers.
+#
+# MPEG audio frames are self-describing: a 4-byte header carries
+# version/layer/bitrate/samplerate/padding, from which the frame length
+# is computable, so the whole stream can be WALKED without decoding a
+# single sample (ISO/IEC 11172-3). A curation pipeline filters crawl
+# audio on bitrate floors, duration bounds, and CBR/VBR before any
+# decoder runs. ID3v2 tags (syncsafe length prefix) are skipped, not
+# parsed. Honest boundary: pixel... sample decode (MDCT synthesis)
+# needs a real codec; this tier never claims it.
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                      160, 192, 224, 256, 320]
+_MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def _parse_mp3_meta(payload: bytes) -> dict:
+    """Walk every MPEG-1 Layer III frame header: n_frames, duration
+    (1152 samples/frame), first-frame bitrate, CBR/VBR flag, ID3v2
+    presence. Bounds-checked; a sync loss mid-stream or a frame
+    running past the payload raises ValueError (truncated download —
+    the corrupt-stream detector)."""
+    pos = 0
+    has_id3 = payload[:3] == b"ID3"
+    if has_id3:
+        if len(payload) < 10:
+            raise ValueError("mp3: truncated ID3v2 header")
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("mp3: ID3v2 size byte has high bit set")
+            size = (size << 7) | b
+        pos = 10 + size
+        if pos > len(payload):
+            raise ValueError("mp3: ID3v2 tag extends past payload")
+    n_frames = 0
+    bitrates = set()
+    sample_rate = None
+    first_bitrate = None
+    while pos + 4 <= len(payload):
+        h = payload[pos:pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            raise ValueError(
+                f"mp3: lost frame sync at byte {pos} "
+                f"(frame {n_frames})"
+            )
+        version = (h[1] >> 3) & 0x3
+        layer = (h[1] >> 1) & 0x3
+        if version != 3 or layer != 1:
+            raise ValueError("mp3: only MPEG-1 Layer III is triaged")
+        br_idx = (h[2] >> 4) & 0xF
+        sr_idx = (h[2] >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("mp3: free-format/bad bitrate or rate index")
+        bitrate = _MP3_BITRATES_V1L3[br_idx]
+        rate = _MP3_RATES_V1[sr_idx]
+        if sample_rate is None:
+            sample_rate, first_bitrate = rate, bitrate
+        elif rate != sample_rate:
+            raise ValueError("mp3: sample rate changes mid-stream")
+        padding = (h[2] >> 1) & 0x1
+        frame_len = 144 * bitrate * 1000 // rate + padding
+        if pos + frame_len > len(payload):
+            raise ValueError(
+                f"mp3: frame {n_frames} extends past the payload "
+                f"(truncated download?)"
+            )
+        bitrates.add(bitrate)
+        n_frames += 1
+        pos += frame_len
+        if n_frames > 4_000_000:
+            raise ValueError("mp3: frame-count bomb")
+    if n_frames == 0:
+        raise ValueError("mp3: no MPEG audio frames")
+    return {
+        "codec": "mp3", "n_frames": n_frames,
+        "sample_rate": sample_rate, "bitrate_kbps": first_bitrate,
+        "vbr": len(bitrates) > 1, "has_id3": has_id3,
+        # integer micros: exact in any engine (1152 samples per
+        # MPEG-1 Layer III frame)
+        "duration_us": n_frames * 1152 * 1_000_000 // sample_rate,
+    }
+
+
+def make_mp3(n_frames: int, bitrate_kbps: int = 128,
+             sample_rate: int = 44100, id3: bool = False,
+             vbr_second_rate: int | None = None) -> bytes:
+    """Header-valid MPEG-1 Layer III stream (zero audio payload — the
+    triage tier reads only headers, and a header walker is exactly what
+    this exercises): n_frames frames at bitrate_kbps, optional ID3v2
+    shell, optional alternating second bitrate to fabricate VBR."""
+    br_rev = {v: i for i, v in enumerate(_MP3_BITRATES_V1L3)}
+    sr_rev = {v: i for i, v in enumerate(_MP3_RATES_V1)}
+    if bitrate_kbps not in br_rev or sample_rate not in sr_rev:
+        raise ValueError("mp3: unsupported bitrate/sample rate")
+    out = bytearray()
+    if id3:
+        body = b"\x00" * 17
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]) + body
+    for i in range(n_frames):
+        br = bitrate_kbps
+        if vbr_second_rate is not None and i % 2:
+            br = vbr_second_rate
+        h = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1),          # MPEG-1, Layer III
+            (br_rev[br] << 4) | (sr_rev[sample_rate] << 2),
+            0x00,
+        ])
+        frame_len = 144 * br * 1000 // sample_rate
+        out += h + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+MP3_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("vbr", T.BooleanType()),
+    T.StructField("has_id3", T.BooleanType()),
+    T.StructField("duration_us", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def audio_mp3_metadata(media: DataFrame,
+                       permissive: bool = True) -> DataFrame:
+    """Per-payload MP3 triage over (doc_id, content): Arrow-batched
+    mapInPandas, headers only, PERMISSIVE quarantine by default (the
+    mixed-crawl contract shared with video_metadata/image_exif)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    meta = _parse_mp3_meta(bytes(blob))
+                    rows.append({"doc_id": int(doc_id), **meta,
+                                 "error": None})
+                except (ValueError, IndexError) as e:
+                    if not permissive:
+                        if isinstance(e, ValueError):
+                            raise
+                        raise ValueError(f"malformed mp3: {e}") from e
+                    rows.append({"doc_id": int(doc_id), "error": str(e)})
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              MP3_META_SCHEMA.fields])
+
+    return media.mapInPandas(batches, MP3_META_SCHEMA)
+
+
+def synthetic_mp3s(documents: DataFrame) -> DataFrame:
+    """Deterministic MP3 per document: n_frames 3+(doc_id%5), bitrate
+    from [64,128,192,320] by doc_id%4, ID3v2 shell when doc_id%2==0,
+    VBR (alternating 64/128) when doc_id%7==0 — pure functions of
+    doc_id, so the parsed output has an arithmetic DuckDB oracle and a
+    hash match proves the write→walk roundtrip (same pattern as the
+    avc1 and EXIF corpora)."""
+    choices = [64, 128, 192, 320]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "content": [
+                    make_mp3(
+                        3 + d % 5,
+                        bitrate_kbps=64 if d % 7 == 0 else choices[d % 4],
+                        id3=(d % 2 == 0),
+                        vbr_second_rate=128 if d % 7 == 0 else None,
+                    )
+                    for d in ids
+                ],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        batches,
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("content", T.BinaryType())]),
+    )
