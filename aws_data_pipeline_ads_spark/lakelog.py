@@ -58,6 +58,150 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
 
+class CommitBackend:
+    """The metadata plane of the commit log, extracted to a seam.
+
+    Data files always travel through Spark's Hadoop FS; the backend
+    governs ONLY the small `_log/` JSON objects, because the one
+    primitive the whole protocol leans on — ATOMIC CREATE-IF-ABSENT of
+    the next version's entry — is exactly what differs across stores:
+
+    * local / HDFS / NFS-with-O_EXCL  → ``open(path, "x")``
+      (:class:`PosixCommitBackend`, the default);
+    * S3 / GCS / ABFS → a conditional PUT (``If-None-Match: *`` /
+      ``x-goog-if-generation-match: 0`` / ETag ``*``) — modelled by
+      :class:`ConditionalPutCommitBackend`;
+    * S3 before conditional writes → an external LogStore (the
+      DynamoDB coordination table Delta-on-S3 uses) implementing the
+      same ``put_if_absent`` contract.
+
+    Everything else the log needs is plain GET / LIST / DELETE plus an
+    atomic-overwrite PUT for the checkpoint file. No rename, no
+    directories, no append — deliberately the object-store-safe
+    subset, so a real S3 backend slots in without touching LakeTable.
+    """
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        """Create `path` holding `data` iff it does not exist. Exactly
+        one concurrent caller may win (True); everyone else must see
+        False. THE commit point — its atomicity is the protocol."""
+        raise NotImplementedError
+
+    def put_atomic(self, path: str, data: str) -> None:
+        """Overwrite `path` with `data` such that readers see either
+        the old or the new complete object, never a torn mix."""
+        raise NotImplementedError
+
+    def get(self, path: str) -> str | None:
+        """Full contents of `path`, or None if it does not exist."""
+        raise NotImplementedError
+
+    def list(self, dir_path: str) -> list[str]:
+        """Immediate child object names under `dir_path` ('' if none)."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Remove `path`; deleting a missing object is a no-op."""
+        raise NotImplementedError
+
+    def ensure_dir(self, dir_path: str) -> None:
+        """Make `dir_path` listable (no-op on stores without dirs)."""
+        raise NotImplementedError
+
+
+class PosixCommitBackend(CommitBackend):
+    """Local / HDFS-style implementation: O_EXCL create is the commit
+    point, write-to-unique-temp + rename is the atomic overwrite."""
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        try:
+            with open(path, "x") as f:
+                f.write(data)
+            return True
+        except FileExistsError:
+            return False
+
+    def put_atomic(self, path: str, data: str) -> None:
+        # unique temp per writer: two concurrent checkpoints must never
+        # interleave writes into the SAME temp file and then atomically
+        # publish the torn result — each writes its own complete temp,
+        # os.replace makes last-complete-writer-wins
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def get(self, path: str) -> str | None:
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def list(self, dir_path: str) -> list[str]:
+        try:
+            return os.listdir(dir_path)
+        except FileNotFoundError:
+            return []
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def ensure_dir(self, dir_path: str) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+
+
+class ConditionalPutCommitBackend(CommitBackend):
+    """In-memory object store exposing exactly the primitives a
+    conditional-PUT-capable store (S3 `If-None-Match: *`, GCS
+    generation-match 0, ABFS ETag `*`) gives you: flat keys, no
+    rename, no directories, PUT/GET/LIST/DELETE. Exists to prove the
+    commit protocol relies on nothing POSIX-only — the lakelog suite
+    runs against both backends — and as the reference shape for a real
+    S3 implementation (swap the dict ops for boto3 calls; the lock
+    models the store's own conditional-write atomicity)."""
+
+    def __init__(self):
+        import threading
+
+        self._objects: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        with self._lock:  # the store's conditional-write atomicity
+            if path in self._objects:
+                return False
+            self._objects[path] = data
+            return True
+
+    def put_atomic(self, path: str, data: str) -> None:
+        with self._lock:  # single-key PUT is atomic on object stores
+            self._objects[path] = data
+
+    def get(self, path: str) -> str | None:
+        with self._lock:
+            return self._objects.get(path)
+
+    def list(self, dir_path: str) -> list[str]:
+        prefix = dir_path.rstrip("/") + "/"
+        with self._lock:
+            return sorted(
+                k[len(prefix):]
+                for k in self._objects
+                if k.startswith(prefix) and "/" not in k[len(prefix):]
+            )
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._objects.pop(path, None)
+
+    def ensure_dir(self, dir_path: str) -> None:
+        pass  # object stores have no directories
+
+
 class SchemaMismatchError(ValueError):
     """An append's schema drifted from the table's committed schema.
 
@@ -78,11 +222,13 @@ class LakeTable:
         <path>/data/<uuid>/*.parquet   immutable, write-once
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 backend: CommitBackend | None = None):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_log")
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.backend = backend if backend is not None else PosixCommitBackend()
+        self.backend.ensure_dir(self.log_dir)
 
     # -- log primitives ----------------------------------------------------
 
@@ -93,16 +239,15 @@ class LakeTable:
         return os.path.join(self.log_dir, "_checkpoint.json")
 
     def _load_checkpoint(self) -> dict:
-        p = self._checkpoint_path()
-        if not os.path.exists(p):
+        s = self.backend.get(self._checkpoint_path())
+        if s is None:
             return {"through": -1, "entries": {}}
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(s)
 
     def _versions(self) -> list[int]:
         listed = {
             int(f[:-5])
-            for f in os.listdir(self.log_dir)
+            for f in self.backend.list(self.log_dir)
             if f.endswith(".json") and f[:-5].isdigit()
         }
         listed.update(int(k) for k in self._load_checkpoint()["entries"])
@@ -113,10 +258,9 @@ class LakeTable:
         return vs[-1] if vs else None
 
     def _read_entry(self, version: int) -> dict:
-        p = self._entry_path(version)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+        s = self.backend.get(self._entry_path(version))
+        if s is not None:
+            return json.loads(s)
         e = self._load_checkpoint()["entries"].get(str(version))
         if e is not None:
             return e
@@ -140,15 +284,18 @@ class LakeTable:
         ck = {"through": head,
               "entries": {str(v): self._read_entry(v)
                           for v in self._versions() if v <= head}}
-        tmp = self._checkpoint_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(ck, f)
-        os.replace(tmp, self._checkpoint_path())  # atomic swap
+        self.backend.put_atomic(self._checkpoint_path(), json.dumps(ck))
         if expire:
+            # expire ONLY entries the published checkpoint actually
+            # covers, decided by reading it BACK: if a concurrent
+            # checkpoint won the put_atomic race, deleting per-version
+            # JSONs our own (lost) snapshot covered could destroy the
+            # only copy of metadata the winner never captured
+            published = self._load_checkpoint()
             for v in list(ck["entries"]):
-                p = self._entry_path(int(v))
-                if os.path.exists(p):
-                    os.remove(p)
+                if (int(v) <= published["through"]
+                        and v in published["entries"]):
+                    self.backend.delete(self._entry_path(int(v)))
         return head
 
     def history(self) -> list[dict]:
@@ -213,6 +360,26 @@ class LakeTable:
         if isinstance(v, _dt.date):
             return v.isoformat()
         return v
+
+    def _bound_key(self, v):
+        """Stat-key form of a SCAN BOUND. Differs from _stat_key on one
+        case: a NAIVE datetime. File stats are UTC instants (parquet
+        TIMESTAMP_MICROS), but the exact predicate `F.lit(bound)`
+        interprets a naive Python datetime as OS-LOCAL wall time
+        (PySpark's datetime→Catalyst conversion goes through
+        time.mktime — the TZ env var, NOT spark.sql.session.timeZone;
+        verified empirically, it is also what collect() hands back). A
+        pruner that read the same naive value as UTC would, under any
+        non-UTC process zone, prune files whose rows the filter keeps —
+        silent row loss. So naive bounds are localized exactly the way
+        the filter will localize them (astimezone() on a naive value
+        applies the OS zone, mktime's twin), then UTC-normalized like
+        every other stat."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            v = v.astimezone(_dt.timezone.utc)
+        return self._stat_key(v)
 
     def _collect_stats(self, files: list[str]) -> dict:
         """Per-file min/max per top-level primitive column, read from
@@ -284,15 +451,15 @@ class LakeTable:
             entry["schema"] = schema.json()
         if stats is not None:
             entry["stats"] = stats
-        try:
-            # the commit point: exactly one writer creates this entry
-            with open(self._entry_path(version), "x") as f:
-                json.dump(entry, f)
-        except FileExistsError:
+        # the commit point: exactly one writer creates this entry
+        # (O_EXCL locally, conditional PUT on object stores — the
+        # CommitBackend seam is exactly this primitive)
+        if not self.backend.put_if_absent(
+                self._entry_path(version), json.dumps(entry)):
             raise ConcurrentWriteError(
                 f"lake table {self.path}: version {version} was committed "
                 f"by another writer — re-read the head and retry"
-            ) from None
+            )
         return version
 
     # -- schema tracking ---------------------------------------------------
@@ -357,9 +524,20 @@ class LakeTable:
         schema = df.schema
         base_entry = (self._read_entry(base)
                       if mode == "append" and base is not None else None)
-        if base_entry is not None and "schema" in base_entry:
-            # pre-schema-tier entries lack the pin; footer fallback
-            schema = self._merged_schema(base_entry, df, evolve)
+        if base_entry is not None:
+            if "schema" not in base_entry and base_entry["files"]:
+                # pre-schema-tier entry (hand-built / older log): the
+                # drift gate must still apply, so resolve the committed
+                # schema from the existing files' FOOTERS (mergeSchema
+                # unions every footer, metadata-only, and refuses
+                # incompatible types loudly) — pinning the incoming
+                # df.schema over legacy files would silently null any
+                # type-drifted legacy column on read
+                committed = (self.spark.read.option("mergeSchema", "true")
+                             .parquet(*base_entry["files"]).schema)
+                base_entry = {**base_entry, "schema": committed.json()}
+            if "schema" in base_entry:
+                schema = self._merged_schema(base_entry, df, evolve)
         files = self._write_files(df)
         stats = self._collect_stats(files)
         if base_entry is not None:
@@ -420,10 +598,12 @@ class LakeTable:
         stats = entry.get("stats", {})
         keep = []
         # pruning compares in stat-key space (timestamps/dates become
-        # fixed-width ISO strings); the exact filter below keeps the
-        # caller's original typed bounds
-        keys = {col: (self._stat_key(lo) if lo is not None else None,
-                      self._stat_key(hi) if hi is not None else None)
+        # fixed-width ISO strings; naive datetimes localized to the
+        # session tz — _bound_key — so pruning agrees with the exact
+        # F.lit filter below in every session zone); the filter keeps
+        # the caller's original typed bounds
+        keys = {col: (self._bound_key(lo) if lo is not None else None,
+                      self._bound_key(hi) if hi is not None else None)
                 for col, (lo, hi) in ranges.items()}
         for f in entry["files"]:
             per_col = stats.get(f, {})
@@ -512,6 +692,8 @@ class LakeTable:
         import math
 
         base = self.current_version()
+        if base is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
         total = sum(os.path.getsize(f) for f in entry["files"])
         n = max(1, math.ceil(total / target_bytes))
@@ -537,6 +719,8 @@ class LakeTable:
         )
 
         base = self.current_version()
+        if base is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
         keyed, z = zorder_key(self.read(base), cols, bits)
         helper = [c for c in keyed.columns
                   if c.startswith("__mn_") or c.startswith("__mx_")]

@@ -221,6 +221,12 @@ def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
             )
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            # fill-byte skipping may leave <2 bytes for the length
+            # field; a hostile stream truncated right after trailing
+            # 0xFF padding must fail as the documented ValueError, not
+            # let struct.unpack raise struct.error past strict callers
+            raise ValueError("JPEG truncated inside a marker segment")
         size = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         body = payload[pos + 4:pos + 2 + size]
         if marker == 0xDB:  # DQT (possibly several tables)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.lakelog import (
     ConcurrentWriteError,
+    ConditionalPutCommitBackend,
     LakeTable,
     lake_upsert_sink,
 )
@@ -22,12 +23,38 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_commit_append_time_travel_history(spark, sf_dir, tmp_path):
+@pytest.fixture(params=["posix", "condput"])
+def mk_table(request, spark):
+    """LakeTable factory running every test against BOTH commit
+    backends: POSIX O_EXCL (local/HDFS) and the conditional-PUT object
+    store (the S3 `If-None-Match: *` model — flat keys, no rename, no
+    directories). Proves the commit protocol relies on no POSIX-only
+    behavior. condput shares ONE in-memory store per path: two writers
+    on the same table must see each other's commits, exactly as they
+    would through the real store."""
+    if request.param == "posix":
+        return lambda path: LakeTable(spark, path)
+    stores: dict[str, ConditionalPutCommitBackend] = {}
+
+    def make(path: str) -> LakeTable:
+        backend = stores.setdefault(path, ConditionalPutCommitBackend())
+        return LakeTable(spark, path, backend=backend)
+
+    return make
+
+
+def _entry(t: LakeTable, version: int) -> dict:
+    """A version's raw log entry through the table's own backend (a
+    direct open() would be POSIX-only)."""
+    return json.loads(t.backend.get(t._entry_path(version)))
+
+
+def test_commit_append_time_travel_history(spark, sf_dir, tmp_path, mk_table):
     """overwrite → append → overwrite: every version stays readable at
     its pinned content (time travel), the head tracks the latest, and
     history records the ops in order."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     assert t.current_version() is None
     with pytest.raises(ValueError, match="no commits"):
         t.read()
@@ -48,20 +75,20 @@ def test_commit_append_time_travel_history(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="version 9"):
         t.read(9)
     # append shares the prior version's files — no copy of old data
-    f0 = set(json.load(open(t._entry_path(0)))["files"])
-    f1 = set(json.load(open(t._entry_path(1)))["files"])
+    f0 = set(_entry(t, 0)["files"])
+    f1 = set(_entry(t, 1)["files"])
     assert f0 < f1
 
 
-def test_concurrent_writer_refusal(spark, sf_dir, tmp_path, monkeypatch):
+def test_concurrent_writer_refusal(spark, sf_dir, tmp_path, mk_table, monkeypatch):
     """Two writers race for the same version number: exactly one wins
     the exclusive-create; the loser — whose transform was computed
     against the now-stale head — gets ConcurrentWriteError (a silent
     land on N+2 would be a lost update), and the winner's commit is
     untouched. A retry that re-reads the head succeeds."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
-    other = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
+    other = mk_table(str(tmp_path / "tbl"))
     t.commit(docs.limit(5))
     # interleave: while t's merge is writing its data files, the other
     # writer lands version 1 first
@@ -83,12 +110,12 @@ def test_concurrent_writer_refusal(spark, sf_dir, tmp_path, monkeypatch):
                    "doc_id") == 2
 
 
-def test_txn_exactly_once_replay(spark, sf_dir, tmp_path):
+def test_txn_exactly_once_replay(spark, sf_dir, tmp_path, mk_table):
     """A commit carrying a txn_id is idempotent: the replay returns the
     original version and writes nothing new — the foreachBatch
     crash-replay contract."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     v = t.commit(docs.limit(10), txn_id="job-1")
     again = t.commit(docs.limit(99), txn_id="job-1")  # replay: ignored
     assert (v, again) == (0, 0)
@@ -101,12 +128,12 @@ def test_txn_exactly_once_replay(spark, sf_dir, tmp_path):
     assert (v1, v2) == (1, 1)
 
 
-def test_merge_and_diff_through_log(spark, sf_dir, tmp_path):
+def test_merge_and_diff_through_log(spark, sf_dir, tmp_path, mk_table):
     """MERGE commits copy-on-write (old version intact) and diff(v0,v1)
     equals snapshot_diff over the two reads — CDC straight from the
     log, matching the q_snapshot_diff machinery."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     base = docs.filter(F.col("doc_id") % 5 != 0)
     t.commit(base)
     changed = (
@@ -127,26 +154,26 @@ def test_merge_and_diff_through_log(spark, sf_dir, tmp_path):
     assert set(got) == chg_ids  # nothing else moved
 
 
-def test_compact_preserves_content_and_history(spark, sf_dir, tmp_path):
+def test_compact_preserves_content_and_history(spark, sf_dir, tmp_path, mk_table):
     """Compaction is just another commit: fewer files, identical rows,
     and the fragmented prior version still reads (no swap gap)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     t.commit(docs.repartition(16))  # fragment
-    n_before = json.load(open(t._entry_path(0)))["n_files"]
+    n_before = _entry(t, 0)["n_files"]
     v = t.compact(target_bytes=1 << 30)
-    n_after = json.load(open(t._entry_path(v)))["n_files"]
+    n_after = _entry(t, v)["n_files"]
     assert n_after < n_before and n_after == 1
     assert _rows(t.read(v)) == _rows(t.read(0)) == _rows(docs)
     assert t.history()[-1]["op"] == "compact"
 
 
-def test_vacuum_retention(spark, sf_dir, tmp_path):
+def test_vacuum_retention(spark, sf_dir, tmp_path, mk_table):
     """vacuum(keep_last=1) deletes files only old versions reference:
     time travel to them fails, the head is untouched, and files shared
     with the head survive."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     t.commit(docs.filter(F.col("doc_id") % 2 == 0))
     t.commit(docs.filter(F.col("doc_id") % 2 == 1), "append")  # shares v0 files
     t.commit(docs.limit(7))  # head: fresh files only
@@ -155,18 +182,18 @@ def test_vacuum_retention(spark, sf_dir, tmp_path):
     assert n > 0
     assert _rows(t.read()) == head_rows
     # v0's files were only referenced by retired versions → gone
-    v0_files = json.load(open(t._entry_path(0)))["files"]
+    v0_files = _entry(t, 0)["files"]
     assert not any(os.path.exists(f) for f in v0_files)
     with pytest.raises(Exception):
         t.read(0).collect()
     # shared-file safety: keep_last=2 over a fresh table with an append
-    t2 = LakeTable(spark, str(tmp_path / "tbl2"))
+    t2 = mk_table(str(tmp_path / "tbl2"))
     t2.commit(docs.limit(5))
     t2.commit(docs.limit(3), "append")
     assert t2.vacuum(keep_last=2) == 0  # both versions retained
 
 
-def test_streaming_upsert_through_log_exactly_once(spark, sf_dir, tmp_path):
+def test_streaming_upsert_through_log_exactly_once(spark, sf_dir, tmp_path, mk_table):
     """lake_upsert_sink: each micro-batch is one MERGE commit with
     txn_id=batch_id; a second drain over the same checkpoint adds no
     commits, and a manual replay of a batch's txn is a no-op."""
@@ -178,7 +205,7 @@ def test_streaming_upsert_through_log_exactly_once(spark, sf_dir, tmp_path):
         str(land / "s2"))
     from aws_data_pipeline_ads_spark import streaming
 
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     stream = streaming.documents_stream(spark, str(land),
                                         max_files_per_trigger=1)
     lake_upsert_sink(stream, t, str(tmp_path / "ck"), "doc_id")
@@ -196,7 +223,7 @@ def test_streaming_upsert_through_log_exactly_once(spark, sf_dir, tmp_path):
     assert t.current_version() == head
 
 
-def test_schema_drift_refused_and_evolution(spark, sf_dir, tmp_path):
+def test_schema_drift_refused_and_evolution(spark, sf_dir, tmp_path, mk_table):
     """Schema tier: every commit pins its schema in the log entry;
     appends are validated against it BEFORE any file lands. Drift
     (added column) is refused by default; evolve=True widens the table
@@ -205,7 +232,7 @@ def test_schema_drift_refused_and_evolution(spark, sf_dir, tmp_path):
     from aws_data_pipeline_ads_spark.lakelog import SchemaMismatchError
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     a = docs.filter(F.col("doc_id") % 2 == 0)
     t.commit(a, "overwrite")
 
@@ -237,7 +264,7 @@ def test_schema_drift_refused_and_evolution(spark, sf_dir, tmp_path):
     assert set(t.read(v2).columns) == {"doc_id", "text", "lang"}
 
 
-def test_schema_type_change_refused(spark, sf_dir, tmp_path):
+def test_schema_type_change_refused(spark, sf_dir, tmp_path, mk_table):
     """A type change is refused even under evolve=True — no widening
     semantics makes it safe (a footer-resolved read would coerce or
     null depending on which file won). An overwrite commit may change
@@ -245,7 +272,7 @@ def test_schema_type_change_refused(spark, sf_dir, tmp_path):
     from aws_data_pipeline_ads_spark.lakelog import SchemaMismatchError
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     t.commit(docs, "overwrite")
     retyped = docs.withColumn("doc_id", F.col("doc_id").cast("string"))
     with pytest.raises(SchemaMismatchError, match="changes column types"):
@@ -254,17 +281,17 @@ def test_schema_type_change_refused(spark, sf_dir, tmp_path):
     assert t.read(v).schema["doc_id"].dataType.typeName() == "string"
 
 
-def test_data_skipping_scan(spark, sf_dir, tmp_path):
+def test_data_skipping_scan(spark, sf_dir, tmp_path, mk_table):
     """File-skipping: commit a range-clustered snapshot, scan a narrow
     key range — the driver prunes files from the LOG's per-file min/max
     stats alone (no footer reads, no tasks), results equal the full
     filter, and strictly fewer files are opened. Files without a
     recorded stat are conservatively kept."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     # range-clustered layout → per-file doc_id ranges are disjoint
     t.commit(docs.repartitionByRange(8, "doc_id"), "overwrite")
-    entry = json.load(open(t._entry_path(0)))
+    entry = _entry(t, 0)
     assert len(entry["files"]) == 8
     assert all("doc_id" in s for s in entry["stats"].values())
 
@@ -285,14 +312,14 @@ def test_data_skipping_scan(spark, sf_dir, tmp_path):
     # append keeps per-file stats for old AND new files
     extra = docs.withColumn("doc_id", F.col("doc_id") + 100000)
     t.commit(extra.repartitionByRange(4, "doc_id"), "append")
-    entry1 = json.load(open(t._entry_path(1)))
+    entry1 = _entry(t, 1)
     assert len(entry1["stats"]) == 12
     s2 = t.scan({"doc_id": (100000 + lo, 100000 + hi)})
     assert s2.count() == expect.count()
     assert 0 < len(s2.inputFiles()) < 12
 
 
-def test_optimize_zorder_multicolumn_skipping(spark, sf_dir, tmp_path):
+def test_optimize_zorder_multicolumn_skipping(spark, sf_dir, tmp_path, mk_table):
     """OPTIMIZE ZORDER as a commit: after clustering on (doc_id,
     n_chars), scan() prunes files for a narrow range on EITHER column
     (every file covers a compact box, so both dimensions' min/max are
@@ -300,7 +327,7 @@ def test_optimize_zorder_multicolumn_skipping(spark, sf_dir, tmp_path):
     pre-optimize version still reads."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     # commit in a layout clustered by NEITHER column's hash → stats
     # boxes are wide and pruning would be impossible
     t.commit(docs.repartition(16, "text"))
@@ -319,12 +346,12 @@ def test_optimize_zorder_multicolumn_skipping(spark, sf_dir, tmp_path):
     assert _rows(wide) == _rows(docs.filter(F.col("doc_id") <= mx_id // 8))
 
 
-def test_changes_multiversion_cdc_feed(spark, sf_dir, tmp_path):
+def test_changes_multiversion_cdc_feed(spark, sf_dir, tmp_path, mk_table):
     """changes(v_from, v_to): the concatenation of consecutive diffs,
     each row tagged with the version that introduced it — an
     incremental consumer's 'everything since N' read."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     t.commit(docs.filter(F.col("doc_id") % 2 == 0))
     t.merge(docs.filter(F.col("doc_id") % 4 == 1), "doc_id")        # adds
     t.merge(docs.filter(F.col("doc_id") % 4 == 0)
@@ -344,7 +371,7 @@ def test_changes_multiversion_cdc_feed(spark, sf_dir, tmp_path):
         t.changes(2, 2, "doc_id", ["text"])
 
 
-def test_timestamp_data_skipping(spark, sf_dir, tmp_path):
+def test_timestamp_data_skipping(spark, sf_dir, tmp_path, mk_table):
     """Time-range skipping — the dominant 100 TB predicate: events
     committed range-clustered on ts carry per-file ISO-microsecond
     min/max in the log; a narrow time window prunes files with exact
@@ -355,9 +382,9 @@ def test_timestamp_data_skipping(spark, sf_dir, tmp_path):
     from aws_data_pipeline_ads_spark.catalog import load_table as lt
 
     ev = lt(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     t.commit(ev.repartitionByRange(8, "ts"))
-    entry = json.load(open(t._entry_path(0)))
+    entry = _entry(t, 0)
     assert all(isinstance(s["ts"][0], str) and "T" in s["ts"][0]
                for s in entry["stats"].values())
 
@@ -374,13 +401,13 @@ def test_timestamp_data_skipping(spark, sf_dir, tmp_path):
     assert s2.count() == s.count()
 
 
-def test_log_checkpoint_consolidation(spark, sf_dir, tmp_path):
+def test_log_checkpoint_consolidation(spark, sf_dir, tmp_path, mk_table):
     """checkpoint(expire=True): per-version entry files collapse into
     one atomically-swapped checkpoint; reads, time travel, history,
     txn replay, scan stats, and the NEXT commit's version numbering
     all survive — the O(versions) log walk becomes O(1)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t = mk_table(str(tmp_path / "tbl"))
     t.commit(docs.filter(F.col("doc_id") % 2 == 0)
              .repartitionByRange(4, "doc_id"), txn_id="job-a")
     t.commit(docs.filter(F.col("doc_id") % 2 == 1), "append")
@@ -391,7 +418,7 @@ def test_log_checkpoint_consolidation(spark, sf_dir, tmp_path):
 
     assert t.checkpoint() == 2
     # per-version files gone; only the checkpoint remains
-    assert sorted(os.listdir(t.log_dir)) == ["_checkpoint.json"]
+    assert sorted(t.backend.list(t.log_dir)) == ["_checkpoint.json"]
     assert t.current_version() == 2
     assert _rows(t.read()) == rows_head
     assert _rows(t.read(0)) == rows_v0          # time travel via checkpoint
@@ -409,3 +436,131 @@ def test_log_checkpoint_consolidation(spark, sf_dir, tmp_path):
     assert _rows(t.read(2)) == rows_head  # pre-checkpoint head intact
     with pytest.raises(ValueError, match="version 9"):
         t.read(9)
+
+
+def test_scan_naive_datetime_bound_hostile_os_tz(spark, sf_dir, tmp_path,
+                                                 mk_table):
+    """A NAIVE datetime scan bound must mean the same instant to the
+    pruner and to the exact F.lit filter. PySpark converts naive
+    datetimes through time.mktime — the OS timezone (TZ env), not the
+    session tz — while file stats are UTC instants; a pruner reading
+    the naive value as UTC would, under a non-UTC process zone, prune
+    files whose rows the filter keeps (silent row loss, the r6 advice
+    find). Flip the OS zone in-process (tzset — the datetime→Catalyst
+    conversion and collect() both happen Python-side) and check scan()
+    equals the plain filter while still pruning."""
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(ev.repartitionByRange(8, "ts"))
+    prev_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        # collect() returns naive datetimes in OS-local (NY) wall time
+        # — exactly the bound a user would pass back into scan()
+        lo_r, hi_r = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        low_cut = lo_r + (hi_r - lo_r) / 8             # lower eighth
+        high_cut = hi_r - (hi_r - lo_r) / 8            # upper eighth
+        for cut in (low_cut, high_cut):
+            assert cut.tzinfo is None
+            # BOTH directions must equal the plain filter (the r6 bug
+            # silently dropped rows on exactly this shape)...
+            s_le = t.scan({"ts": (None, cut)})
+            assert _rows(s_le) == _rows(ev.filter(F.col("ts") <= cut))
+            s_ge = t.scan({"ts": (cut, None)})
+            assert _rows(s_ge) == _rows(ev.filter(F.col("ts") >= cut))
+            # ...and the selective side of each cut still prunes
+            selective = s_le if cut is low_cut else s_ge
+            assert 0 < len(selective.inputFiles()) < 8
+    finally:
+        if prev_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev_tz
+        _time.tzset()
+
+
+def test_checkpoint_expire_respects_published_winner(spark, sf_dir,
+                                                     tmp_path, mk_table):
+    """If a CONCURRENT checkpoint wins the put_atomic race, expire must
+    not delete per-version entries the published (winning) checkpoint
+    never captured — that would destroy the only copy of their
+    metadata. expire re-reads the checkpoint that actually published
+    and deletes only entries it covers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.limit(4))
+    t.commit(docs.limit(2), "append")
+    t.commit(docs.limit(6))                      # head = v2
+    rows_v2 = _rows(t.read(2))
+
+    # simulate losing the race: right after OUR checkpoint (through=2)
+    # publishes, a competitor's older snapshot (through=1, knows
+    # nothing of v2) overwrites it before our expire pass runs
+    competitor = {"through": 1,
+                  "entries": {str(v): t._read_entry(v) for v in (0, 1)}}
+    orig = t.backend.put_atomic
+
+    def lose_race(path, data):
+        orig(path, data)
+        orig(path, json.dumps(competitor))
+
+    t.backend.put_atomic = lose_race
+    t.checkpoint(expire=True)
+    t.backend.put_atomic = orig
+
+    # v2's entry JSON must SURVIVE (the winner doesn't cover it)...
+    assert t.backend.get(t._entry_path(2)) is not None
+    # ...so a fresh reader over the same log still sees the true head
+    t2 = mk_table(str(tmp_path / "tbl"))
+    assert t2.current_version() == 2
+    assert _rows(t2.read(2)) == rows_v2
+    # entries the winner covers (0, 1) were safely expired
+    assert t.backend.get(t._entry_path(0)) is None
+    assert _rows(t2.read(0)) == _rows(docs.limit(4))  # via checkpoint
+
+
+def test_legacy_entry_append_resolves_footer_schema(spark, sf_dir,
+                                                    tmp_path, mk_table):
+    """Appending onto a PRE-SCHEMA-TIER log entry (hand-built/older
+    log, no pinned schema) must not blindly pin the incoming df.schema
+    over legacy files: the committed schema is resolved from the
+    existing files' footers and the drift gate applies — a type-drifted
+    append is refused, a widened one needs evolve=True."""
+    from aws_data_pipeline_ads_spark.lakelog import SchemaMismatchError
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.limit(10))
+    # strip the schema pin, simulating a legacy entry
+    e = _entry(t, 0)
+    del e["schema"]
+    t.backend.delete(t._entry_path(0))
+    assert t.backend.put_if_absent(t._entry_path(0), json.dumps(e))
+
+    retyped = docs.limit(3).withColumn("doc_id",
+                                       F.col("doc_id").cast("string"))
+    with pytest.raises(SchemaMismatchError, match="changes column types"):
+        t.commit(retyped, "append")
+    widened = docs.limit(3).withColumn("lang", F.lit("en"))
+    with pytest.raises(SchemaMismatchError, match="adds columns"):
+        t.commit(widened, "append")
+    v1 = t.commit(widened, "append", evolve=True)
+    got = t.read(v1)
+    assert set(got.columns) == {"doc_id", "text", "lang"}
+    assert got.count() == 13
+    # and the new version is schema-pinned going forward
+    assert "schema" in _entry(t, v1)
+
+
+def test_empty_table_maintenance_guards(spark, tmp_path, mk_table):
+    """compact()/optimize_zorder() on a table with no commits raise the
+    same clear ValueError as read()/checkpoint() — not a TypeError from
+    formatting version None."""
+    t = mk_table(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="no commits"):
+        t.compact()
+    with pytest.raises(ValueError, match="no commits"):
+        t.optimize_zorder(["doc_id"])
