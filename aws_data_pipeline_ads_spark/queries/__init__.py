@@ -310,6 +310,9 @@ _TAIL: list[str] = [
     # silence/tone golden pytest pins boundaries + RMS)
     "q_audio_spectral",  # rFFT descriptors (rows-only — FFT has no
     # SQL twin); sine-golden + determinism pytest
+    "q_audio_mp3",  # MPEG-1 Layer III frame-header walk vs arithmetic
+    # oracle (make→walk roundtrip, ID3v2 syncsafe skip, VBR flag);
+    # declared r7 closing the r6 verdict's untested-tier finding
     "q_hard_negatives",  # LSH-blocked contrastive negatives; bucket +
     # window machinery in-window via q_embedding_neardup/q_window_rank
     "q_embedding_pca",  # distributed-covariance PCA projection (rows-

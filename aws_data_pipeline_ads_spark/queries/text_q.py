@@ -1147,6 +1147,43 @@ def q_video_codec_triage(spark, sf_dir):
 
 
 @query(
+    "q_audio_mp3",
+    oracle=(
+        "SELECT doc_id, 'mp3' AS codec, "
+        "CAST(3 + doc_id % 5 AS BIGINT) AS n_frames, "
+        "CAST(44100 AS INT) AS sample_rate, "
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 64 "
+        "WHEN doc_id % 4 = 0 THEN 64 WHEN doc_id % 4 = 1 THEN 128 "
+        "WHEN doc_id % 4 = 2 THEN 192 ELSE 320 END AS INT) "
+        "AS bitrate_kbps, "
+        "doc_id % 7 = 0 AS vbr, "
+        "doc_id % 2 = 0 AS has_id3, "
+        "CAST((3 + doc_id % 5) * 1152 * 1000000 // 44100 AS BIGINT) "
+        "AS duration_us, "
+        "CAST(NULL AS VARCHAR) AS error "
+        "FROM documents"
+    ),
+    doc="2C multimodal: MP3 audio triage over a synthetic MPEG-1 Layer "
+        "III corpus — every payload carries real frame headers encoding "
+        "per-doc frame count / bitrate / VBR / ID3v2 shell as pure "
+        "functions of doc_id (multimodal.synthetic_mp3s); "
+        "audio_mp3_metadata WALKS the frame headers (sync, bitrate/rate "
+        "tables, padding-aware frame lengths, ID3v2 syncsafe skip) and "
+        "the oracle computes the expected fields arithmetically — a "
+        "hash match proves the make→walk roundtrip lossless, incl. the "
+        "integer-micros duration (1152 samples/frame). The triage a "
+        "crawl pipeline runs to route audio by codec/bitrate before "
+        "any sample decode; error stays NULL (no quarantines on a "
+        "clean corpus)",
+)
+def q_audio_mp3(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_mp3_metadata(multimodal.synthetic_mp3s(docs))
+
+
+@query(
     "q_audio_features",
     oracle=None,  # rms over int16-decoded samples is not SQL-expressible
     # on a VARCHAR corpus; deterministic contract pinned by pytest

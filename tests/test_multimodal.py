@@ -1146,3 +1146,111 @@ def test_make_hevc_config_sps_dims_roundtrip():
         [b"au"], 64, 64, codec=b"hvc1", codec_config=(b"hvcC", bad))
     with pytest.raises(ValueError, match="hvcC"):
         multimodal._parse_mp4_tracks(mp4)
+
+
+def test_audio_mp3_arithmetic_roundtrip(spark, sf_dir):
+    """q_audio_mp3's contract in miniature: synthetic_mp3s writes real
+    MPEG-1 Layer III frame headers as pure functions of doc_id;
+    audio_mp3_metadata walks them back. Every field must equal its
+    arithmetic law, with zero quarantines on the clean corpus."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    rows = multimodal.audio_mp3_metadata(
+        multimodal.synthetic_mp3s(docs)).collect()
+    assert len(rows) == 40
+    choices = [64, 128, 192, 320]
+    for r in rows:
+        d = r.doc_id
+        assert r.error is None, r
+        assert r.codec == "mp3"
+        assert r.n_frames == 3 + d % 5
+        assert r.sample_rate == 44100
+        assert r.bitrate_kbps == (64 if d % 7 == 0 else choices[d % 4])
+        assert r.vbr == (d % 7 == 0)
+        assert r.has_id3 == (d % 2 == 0)
+        assert r.duration_us == r.n_frames * 1152 * 1_000_000 // 44100
+
+
+def test_audio_mp3_header_walk_edges():
+    """_parse_mp3_meta unit edges: padding-bit frame length, ID3v2
+    syncsafe size skip, VBR detection, and the documented ValueError on
+    every malformed shape (truncation, sync loss, bad indices,
+    oversized ID3)."""
+    import pytest as _pytest
+
+    from aws_data_pipeline_ads_spark.operators.multimodal import (
+        _parse_mp3_meta,
+        make_mp3,
+    )
+
+    # clean CBR: exact frame count + integer-micros duration
+    m = _parse_mp3_meta(make_mp3(5, bitrate_kbps=192, sample_rate=32000))
+    assert (m["n_frames"], m["bitrate_kbps"], m["sample_rate"],
+            m["vbr"], m["has_id3"]) == (5, 192, 32000, False, False)
+    assert m["duration_us"] == 5 * 1152 * 1_000_000 // 32000
+    # ID3v2 shell skipped via syncsafe size
+    assert _parse_mp3_meta(make_mp3(3, id3=True))["has_id3"] is True
+    # VBR: alternating bitrates flip the flag
+    assert _parse_mp3_meta(make_mp3(4, bitrate_kbps=320,
+                                    vbr_second_rate=64))["vbr"] is True
+    # padding bit lengthens ONE frame by one byte — hand-patch a frame
+    # header and re-walk (the padded stream must still parse cleanly)
+    raw = bytearray(make_mp3(2, bitrate_kbps=128, sample_rate=44100))
+    frame_len = 144 * 128 * 1000 // 44100
+    raw[2] |= 0x02                       # padding bit of frame 0
+    raw.insert(frame_len, 0)             # its one pad byte
+    m = _parse_mp3_meta(bytes(raw))
+    assert m["n_frames"] == 2 and m["vbr"] is False
+
+    for bad, msg in [
+        (b"", "no MPEG audio frames"),
+        (b"ID3\x04\x00\x00", "truncated ID3v2"),
+        (b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f", "extends past"),
+        (b"ID3\x04\x00\x00\x00\x00\x80\x00" + b"\x00" * 200,
+         "high bit set"),
+        (b"garbage-not-audio", "lost frame sync"),
+        (make_mp3(3)[:-10], "extends past the payload"),
+        (bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1), 0x00, 0x00]),
+         "free-format/bad bitrate"),
+        (bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1), 0x4C, 0x00]),
+         "rate index"),
+        (bytes([0xFF, 0xE2, 0x92, 0x00]), "only MPEG-1 Layer III"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            _parse_mp3_meta(bad)
+    # mid-stream sample-rate change
+    a = make_mp3(1, sample_rate=44100)
+    b = make_mp3(1, sample_rate=48000)
+    with _pytest.raises(ValueError, match="sample rate changes"):
+        _parse_mp3_meta(a + b)
+
+
+def test_audio_mp3_permissive_quarantine(spark):
+    """The mixed-crawl contract shared with video_metadata/image_exif:
+    permissive (default) turns each malformed payload into ONE
+    quarantine row (null fields + the error text) without failing the
+    task; good payloads still parse; permissive=False raises through
+    the task."""
+    from pyspark.sql import Row
+
+    good = multimodal.make_mp3(4, bitrate_kbps=128, id3=True)
+    media = spark.createDataFrame([
+        Row(doc_id=1, content=bytearray(good)),
+        Row(doc_id=2, content=bytearray(b"definitely not audio......")),
+        Row(doc_id=3, content=bytearray(good[: len(good) - 7])),
+        Row(doc_id=4, content=bytearray(b"")),
+    ])
+    rows = {r.doc_id: r for r in
+            multimodal.audio_mp3_metadata(media).collect()}
+    assert len(rows) == 4
+    assert rows[1].error is None and rows[1].n_frames == 4
+    assert rows[1].has_id3 is True
+    assert rows[2].codec is None and "sync" in rows[2].error
+    assert rows[3].codec is None and "extends past" in rows[3].error
+    assert rows[4].codec is None and rows[4].error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc:
+        multimodal.audio_mp3_metadata(media, permissive=False).collect()
+    assert "mp3" in str(exc.value)
