@@ -755,3 +755,68 @@ def test_quality_classifier_matches_python(spark, texts):
         )
         prob = round(1.0 / (1.0 + m.exp(-(raw / (len(toks) * 2147483648.0)))), 6)
         assert got[i] == (len(toks), raw, prob)
+
+
+# ---------------------------------------------------------------------------
+# Permissive-parser fuzz: the r6-advice class of bug (an uncaught
+# struct.error escaping a PERMISSIVE mapInPandas task) as a standing
+# property instead of a review find.
+# ---------------------------------------------------------------------------
+
+def _media_pool():
+    """Valid payloads for every permissive parser — mutations of these
+    exercise deep parser paths that pure-random bytes never reach."""
+    from aws_data_pipeline_ads_spark.operators import exif, multimodal
+
+    jpg = b"\xff\xd8x\xff\xd9"
+    return [
+        multimodal.mux_minimal_mp4([jpg] * 2, 16, 16, fps=5),
+        multimodal.mux_mjpeg_avi([jpg] * 3, 8, 8),
+        multimodal.make_mp3(4, bitrate_kbps=128, id3=True),
+        multimodal.make_mp3(3, vbr_second_rate=64),
+        exif.make_exif_jpeg(orientation=6, make="acme", model="m1"),
+    ]
+
+
+_blob = st.one_of(
+    st.binary(min_size=0, max_size=64),                       # random junk
+    st.tuples(st.integers(0, 4), st.floats(0.01, 0.99)).map(  # truncations
+        lambda t: (lambda p: p[: max(1, int(len(p) * t[1]))])(
+            _media_pool()[t[0]])),
+    st.tuples(st.integers(0, 4), st.integers(0, 10_000),      # byte flips
+              st.integers(1, 255)).map(
+        lambda t: (lambda p: p[: t[1] % len(p)]
+                   + bytes([p[t[1] % len(p)] ^ t[2]])
+                   + p[t[1] % len(p) + 1:])(_media_pool()[t[0]])),
+)
+
+
+@PROP
+@given(blobs=st.lists(_blob, min_size=1, max_size=10))
+def test_permissive_parsers_always_quarantine(spark, blobs):
+    """INVARIANT for every PERMISSIVE media parser (video_metadata,
+    image_exif, audio_mp3_metadata): any byte blob — random, truncated
+    mid-structure, or bit-flipped — yields >=1 output row for its
+    doc_id and NEVER kills the task; a payload either parses (error
+    None) or quarantines (null fields + non-empty error string)."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators import exif, multimodal
+
+    media = spark.createDataFrame(
+        [Row(doc_id=i, content=bytearray(b)) for i, b in enumerate(blobs)],
+        "doc_id long, content binary")
+    for parse in (
+        lambda m: multimodal.video_metadata(m, permissive=True),
+        exif.image_exif,                  # permissive by default
+        multimodal.audio_mp3_metadata,    # permissive by default
+    ):
+        rows = parse(media).collect()     # must not raise
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert set(by_doc) == set(range(len(blobs)))
+        for rs in by_doc.values():
+            for r in rs:
+                assert r.error is None or (isinstance(r.error, str)
+                                           and r.error)
