@@ -1627,15 +1627,38 @@ VIDEO_FRAME_FEATURES = T.StructType(
 )
 
 
-def video_frame_features(media: DataFrame, n_frames: int = 3) -> DataFrame:
-    """The full real video pipeline in one declared stage: AVI demux →
-    evenly-spaced frame sample → baseline-JPEG pixel decode → per-frame
-    luminance features. Every step is the real parser/codec
-    (no fake decode anywhere); Arrow-batched, pixels never shuffle —
-    only (doc_id, frame_no, dims, mean) rows leave the stage."""
+def video_frame_features(media: DataFrame, n_frames: int = 3,
+                         frame_decoder=None,
+                         sync_only: bool = False) -> DataFrame:
+    """The full real video pipeline in one declared stage: container
+    demux (RIFF/AVI chunk walk, MP4 sample-table byte ranges, Y4M frame
+    split) → evenly-spaced frame sample → pixel decode → per-frame
+    luminance features. Arrow-batched, pixels never shuffle — only
+    (doc_id, frame_no, dims, mean) rows leave the stage.
+
+    `frame_decoder` is THE one sanctioned codec-library boundary in
+    this repo: a callable `bytes -> HxWxC uint8 ndarray` applied to
+    each demuxed sample. Default None = the built-in pure-Python
+    baseline/progressive JPEG decoder (MJPEG-AVI / MJPEG-in-MP4 / Y4M
+    corpora decode end-to-end with no libraries). For inter-coded
+    codecs (H.264/H.265 — the dominant crawl format) the sample tier
+    already computes EXACT per-sample byte ranges (stsc/stco/stsz, with
+    `sync_only=True` restricting to stss keyframes); inject e.g. a
+    PyAV/ffmpeg wrapper here and every downstream feature works
+    unchanged. Decoder exceptions propagate (the caller chose the
+    codec boundary; a quarantine wrapper belongs in the decoder)."""
     import numpy as np
 
     from aws_data_pipeline_ads_spark.operators.jpeg import jpeg_decode_pixels
+
+    decode = frame_decoder if frame_decoder is not None else jpeg_decode_pixels
+
+    def demux(raw: bytes) -> list[bytes]:
+        if raw[:4] == b"RIFF":
+            return _parse_avi_frames(raw)
+        if raw[:9] == b"YUV4MPEG2":
+            return _parse_y4m_frames(raw)
+        return _parse_mp4_frames(raw, sync_only=sync_only)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1644,11 +1667,11 @@ def video_frame_features(media: DataFrame, n_frames: int = 3) -> DataFrame:
                 "mean_luma": [],
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
-                fs = _parse_avi_frames(bytes(blob))
+                fs = demux(bytes(blob))
                 if len(fs) > n_frames:
                     fs = [fs[(i * len(fs)) // n_frames] for i in range(n_frames)]
                 for i, fr in enumerate(fs):
-                    px = jpeg_decode_pixels(fr).astype(np.float64)
+                    px = np.asarray(decode(fr)).astype(np.float64)
                     luma = (px[:, :, 0] if px.shape[2] == 1
                             else 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
                             + 0.114 * px[:, :, 2])

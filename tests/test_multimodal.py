@@ -1254,3 +1254,48 @@ def test_audio_mp3_permissive_quarantine(spark):
     with _pytest.raises(Exception) as exc:
         multimodal.audio_mp3_metadata(media, permissive=False).collect()
     assert "mp3" in str(exc.value)
+
+
+def test_injected_frame_decoder_over_mp4_sample_ranges(spark):
+    """The one sanctioned codec-library boundary: an avc1 MP4 whose
+    sample table records three distinct-size 'H.264' samples. The
+    built-in JPEG decoder must fail loudly on them; an injected
+    frame_decoder must receive EXACTLY the stsz/stco byte ranges the
+    mux wrote (each sample is a uniform run of a distinct byte, and
+    the fake decoder asserts uniformity worker-side + encodes the byte
+    into the pixels, so mean_luma proves which bytes arrived)."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    samples = [bytes([10 * (i + 1)]) * (50 + 7 * i) for i in range(3)]
+    cfg = multimodal.make_avc_config(32, 24)
+    mp4 = multimodal.mux_minimal_mp4(samples, 32, 24, fps=5,
+                                     codec=b"avc1",
+                                     codec_config=(b"avcC", cfg))
+    media = spark.createDataFrame([Row(doc_id=7, content=bytearray(mp4))])
+
+    with _pytest.raises(Exception):  # inter-coded: no built-in decode
+        multimodal.video_frame_features(media).collect()
+
+    def fake_h264_decode(fr: bytes):
+        assert len(fr) in (50, 57, 64), len(fr)       # exact stsz sizes
+        assert fr == bytes([fr[0]]) * len(fr)         # exact mdat bytes
+        return np.full((4, 6, 3), fr[0], dtype=np.uint8)
+
+    rows = sorted(
+        multimodal.video_frame_features(
+            media, frame_decoder=fake_h264_decode).collect(),
+        key=lambda r: r.frame_no)
+    assert [(r.width, r.height) for r in rows] == [(6, 4)] * 3
+    for r, want in zip(rows, (10.0, 20.0, 30.0)):
+        assert abs(r.mean_luma - want) < 1e-6
+    # the MJPEG default path is untouched by the seam
+    from aws_data_pipeline_ads_spark.operators.jpeg import (
+        jpeg_encode_pixels,
+    )
+
+    frame = jpeg_encode_pixels(np.full((8, 8, 1), 128, dtype=np.uint8))
+    avi = multimodal.mux_mjpeg_avi([frame] * 2, 8, 8)
+    media2 = spark.createDataFrame([Row(doc_id=1, content=bytearray(avi))])
+    assert multimodal.video_frame_features(media2).count() == 2
