@@ -946,6 +946,7 @@ def lakediff_index(spark, sf_dir: str) -> str:
 
 @query(
     "q_lake_pruned_scan",
+    bench=True,
     oracle=(
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
         "FROM documents "
@@ -987,6 +988,7 @@ def lakescan_index(spark, sf_dir: str) -> str:
 
 @query(
     "q_lake_zorder_scan",
+    bench=True,
     oracle=(
         "SELECT doc_id, n_chars FROM documents "
         "WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents) "
@@ -1017,6 +1019,7 @@ def q_lake_zorder_scan(spark, sf_dir):
 
 @query(
     "q_lake_time_scan",
+    bench=True,
     oracle=(
         "SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us "
         "FROM events WHERE epoch_us(ts) <= "
@@ -1119,6 +1122,7 @@ def q_video_metadata(spark, sf_dir):
 
 @query(
     "q_video_codec_triage",
+    bench=True,
     oracle=(
         "SELECT doc_id, 'avc1' AS codec, 'High' AS codec_profile, "
         "4.0 AS codec_level, "
@@ -1148,6 +1152,7 @@ def q_video_codec_triage(spark, sf_dir):
 
 @query(
     "q_audio_mp3",
+    bench=True,
     oracle=(
         "SELECT doc_id, 'mp3' AS codec, "
         "CAST(3 + doc_id % 5 AS BIGINT) AS n_frames, "
@@ -1683,6 +1688,7 @@ def q_data_split(spark, sf_dir):
 
 @query(
     "q_image_exif",
+    bench=True,
     oracle=(
         "SELECT doc_id, CAST(1 + doc_id % 8 AS INTEGER) AS orientation, "
         "'maker_' || CAST(doc_id % 5 AS VARCHAR) AS make, "
