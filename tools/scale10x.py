@@ -43,6 +43,14 @@ QUERIES = [
     "q_simhash_pairs", "q_session_gap",
 ]
 
+# Lake data-skipping queries: besides wall-clock and exchange count
+# (which must stay 0 — the driver prunes from the log, no shuffle),
+# the FRACTION of committed files the scan opens must hold at 10× —
+# the whole 100 TB story is that a bounded predicate opens a bounded
+# fraction of the table, independent of table size.
+LAKE_QUERIES = ["q_lake_pruned_scan", "q_lake_zorder_scan",
+                "q_lake_time_scan"]
+
 COPIES = 10
 OFFSET = 10_000_000
 
@@ -95,6 +103,20 @@ def run_once(df) -> float:
     return time.time() - t0
 
 
+def lake_files(spark, sf_dir: str, name: str, df) -> tuple[int, int]:
+    """(files the scan opens, files the committed head holds) — the
+    pruned fraction opened/total is the scale-invariant the lake tier
+    promises."""
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.queries import text_q
+
+    idx_fn = {"q_lake_pruned_scan": text_q.lakescan_index,
+              "q_lake_zorder_scan": text_q.lakezorder_index,
+              "q_lake_time_scan": text_q.laketime_index}[name]
+    t = LakeTable(spark, f"{idx_fn(spark, sf_dir)}/tbl")
+    return len(df.inputFiles()), len(t.read().inputFiles())
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALE10X.md"
@@ -141,6 +163,31 @@ def main() -> None:
         print(f"# {name}: 1x {t1:.2f}s  10x {t10:.2f}s  factor "
               f"{factor:.1f}  shuffles {s1}->{s10}{flag}", file=sys.stderr)
         rows.append((name, t1, t10, factor, s1, s10))
+
+    lake_rows = []
+    for name in LAKE_QUERIES:
+        d1 = REGISTRY[name].build(spark, base)
+        d10 = REGISTRY[name].build(spark, big)
+        s1 = plans.count_shuffle_exchanges(d1)
+        s10 = plans.count_shuffle_exchanges(d10)
+        o1, n1 = lake_files(spark, base, name, d1)
+        o10, n10 = lake_files(spark, big, name, d10)
+        run_once(d1)
+        run_once(d10)
+        r1, r10 = [], []
+        for _ in range(3):
+            r1.append(run_once(REGISTRY[name].build(spark, base)))
+            r10.append(run_once(REGISTRY[name].build(spark, big)))
+        t1, t10 = sorted(r1)[1], sorted(r10)[1]
+        frac1, frac10 = o1 / n1, o10 / n10
+        # the contract: zero exchanges at both scales, and the opened
+        # fraction does not degrade materially at 10×
+        ok = (s1 == s10 == 0) and frac10 <= frac1 * 1.5 and frac10 < 1.0
+        flag = "" if ok else "  ⚠ SKIPPING DEGRADED"
+        print(f"# {name}: 1x {t1:.2f}s ({o1}/{n1} files)  10x {t10:.2f}s "
+              f"({o10}/{n10} files)  shuffles {s1}->{s10}{flag}",
+              file=sys.stderr)
+        lake_rows.append((name, t1, t10, o1, n1, o10, n10, s1, s10, ok))
     spark.stop()
 
     lines = [
@@ -176,6 +223,28 @@ def main() -> None:
         f"Worst growth factor: **{worst:.1f}×** over a 10× corpus; "
         f"{sum(1 for r in rows if r[4] != r[5])} queries changed their "
         "exchange count (must be 0).",
+        "",
+        "## Lake data-skipping tier",
+        "",
+        "The scale-invariant here is the OPENED-FILE FRACTION: the "
+        "driver prunes the commit-log file list before Spark opens "
+        "anything, so a bounded predicate must open a bounded fraction "
+        "of the table at any size — and the plan carries ZERO shuffle "
+        "exchanges at both scales.",
+        "",
+        "| query | 1× sec | 10× sec | files 1× | files 10× | "
+        "shuffles | skipping holds |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, t1, t10, o1, n1, o10, n10, s1, s10, ok in lake_rows:
+        lines.append(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {o1}/{n1} | {o10}/{n10} "
+            f"| {s1}→{s10} | {'yes' if ok else '**NO**'} |"
+        )
+    lines += [
+        "",
+        f"{sum(1 for r in lake_rows if not r[9])} lake queries degraded "
+        "their pruned fraction or grew exchanges (must be 0).",
         "",
     ]
     with open(out_md, "w") as f:
