@@ -595,16 +595,32 @@ class LakeTable:
         if head is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(head if version is None else version)
+        keep, _never = self._split_files(entry, ranges)
+        from pyspark.sql import functions as F
+
+        df = self._read_files(entry, keep)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def _split_files(self, entry: dict, ranges: dict
+                     ) -> tuple[list[str], list[str]]:
+        """Split a version's file list on the DRIVER from the logged
+        min/max stats alone: (maybe, never) — files whose stat box
+        intersects every range vs files that PROVABLY hold no matching
+        row. Comparison happens in stat-key space (timestamps/dates →
+        fixed-width ISO strings; naive datetimes localized the way
+        F.lit will localize them — _bound_key); a file with no recorded
+        stat for a column is conservatively 'maybe'. scan() opens only
+        `maybe`; delete() rewrites only `maybe` and SHARES `never`."""
         stats = entry.get("stats", {})
-        keep = []
-        # pruning compares in stat-key space (timestamps/dates become
-        # fixed-width ISO strings; naive datetimes localized to the
-        # session tz — _bound_key — so pruning agrees with the exact
-        # F.lit filter below in every session zone); the filter keeps
-        # the caller's original typed bounds
         keys = {col: (self._bound_key(lo) if lo is not None else None,
                       self._bound_key(hi) if hi is not None else None)
                 for col, (lo, hi) in ranges.items()}
+        maybe, never = [], []
         for f in entry["files"]:
             per_col = stats.get(f, {})
             ok = True
@@ -616,17 +632,8 @@ class LakeTable:
                         (hi is not None and fmin > hi):
                     ok = False
                     break
-            if ok:
-                keep.append(f)
-        from pyspark.sql import functions as F
-
-        df = self._read_files(entry, keep)
-        for col, (lo, hi) in ranges.items():
-            if lo is not None:
-                df = df.filter(F.col(col) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(col) <= F.lit(hi))
-        return df
+            (maybe if ok else never).append(f)
+        return maybe, never
 
     # -- operators that commit through the log -----------------------------
 
@@ -649,6 +656,84 @@ class LakeTable:
         return self._publish(files, "merge", txn_id, base + 1,
                              schema=merged.schema,
                              stats=self._collect_stats(files))
+
+    def delete(self, ranges: dict, txn_id: str | None = None) -> int:
+        """Row-level DELETE as a copy-on-write commit; `ranges` is the
+        same column → (lo, hi) dict scan() takes (either end None =
+        unbounded; a row matches — and is deleted — only if it falls
+        inside EVERY range; rows with NULL in a ranged column never
+        match, standard SQL semantics).
+
+        The commit-log min/max stats split the file list on the driver:
+        files whose stat box cannot intersect the ranges keep all their
+        rows by construction and are SHARED with the new version —
+        zero bytes rewritten; only files that might hold matching rows
+        are read, filtered with the exact negated predicate, and
+        rewritten. On a range-clustered/z-ordered table at 100 TB this
+        is the Delta-style DELETE contract: a bounded predicate
+        rewrites a bounded fraction of the table, never the snapshot.
+        Old versions keep the original files (time travel intact).
+        Returns the new version."""
+        from pyspark.sql import functions as F
+
+        if not ranges or all(lo is None and hi is None
+                             for lo, hi in ranges.values()):
+            raise ValueError("delete: at least one bounded range required")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        base = self.current_version()
+        if base is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(base)
+        affected, untouched = self._split_files(entry, ranges)
+        pred = None
+        for col, (lo, hi) in ranges.items():
+            for cond in ([F.col(col) >= F.lit(lo)] if lo is not None
+                         else []) + ([F.col(col) <= F.lit(hi)]
+                                     if hi is not None else []):
+                pred = cond if pred is None else pred & cond
+        new_files: list[str] = []
+        if affected:
+            kept = self._read_files(entry, affected).filter(
+                # NULL never matches a delete predicate → keep the row
+                ~F.coalesce(pred, F.lit(False)))
+            new_files = self._write_files(kept)
+        files = untouched + new_files
+        untouched_set = set(untouched)
+        stats = {f: s for f, s in entry.get("stats", {}).items()
+                 if f in untouched_set}
+        stats.update(self._collect_stats(new_files))
+        schema = None
+        if "schema" in entry:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        return self._publish(files, "delete", txn_id, base + 1,
+                             schema=schema, stats=stats)
+
+    def restore(self, version: int, txn_id: str | None = None) -> int:
+        """Re-publish an old version's exact snapshot (file list,
+        schema, stats) as a NEW head commit — the undo that never loses
+        history and never copies data: every file is shared with the
+        restored version (vacuum keeps them as long as the new head is
+        retained). The bad commit stays readable for forensics."""
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        base = self.current_version()
+        if base is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(version)  # ValueError if absent
+        schema = None
+        if "schema" in entry:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        return self._publish(entry["files"], "restore", txn_id, base + 1,
+                             schema=schema, stats=entry.get("stats"))
 
     def diff(self, v_old: int, v_new: int, key: str,
              content_cols: list[str]) -> DataFrame:

@@ -54,8 +54,13 @@ _WINDOW: list[str] = [
     # header walks (q_audio_mp3 new this round, q_image_exif) ------------
     "q_video_frames", "q_video_metadata", "q_audio_features",
     "q_audio_segments", "q_audio_spectral", "q_audio_mp3", "q_image_exif",
-    # -- commit-log data skipping (zorder + time-range) ------------------
-    "q_lake_zorder_scan", "q_lake_time_scan",
+    # -- commit-log data skipping (zorder + time-range) + r7's new CoW
+    # DELETE and RESTORE commits (first exposure; they take the slots of
+    # anchors q_dedup_exact / q_asof_join, whose machinery stays hash-
+    # covered in-window via q_minhash_lsh + neardup/image dedup tiers
+    # and via q_attribution_join's as-of twin + q_join_flagship) ---------
+    "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_delete",
+    "q_lake_restore",
     # -- time-series / analytics tail, first driver exposure -------------
     "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
     "q_attribution_join", "q_profile", "q_quantile_sketch",
@@ -63,9 +68,9 @@ _WINDOW: list[str] = [
     # -- verified anchors, one per family: TPC-H star join, equi/as-of
     # joins, exact + LSH dedup, bloom decontamination, text expr battery,
     # exact kNN, streaming window, lake pruned scan ----------------------
-    "q_tpch_q5", "q_join_flagship", "q_asof_join", "q_dedup_exact",
-    "q_minhash_lsh", "q_decontaminate", "q_gopher_rules", "q_embedding_knn",
-    "q_tumbling_window", "q_lake_pruned_scan",
+    "q_tpch_q5", "q_join_flagship", "q_minhash_lsh", "q_decontaminate",
+    "q_gopher_rules", "q_embedding_knn", "q_tumbling_window",
+    "q_lake_pruned_scan",
 ]
 
 # Declared queries past the driver window. EVERY tail entry now carries
@@ -77,8 +82,9 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
-    # -- r7 rotation: 40 multi-round-verified queries yielded their
+    # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
+    "q_dedup_exact", "q_asof_join",
     "q_snapshot_diff", "q_heavy_hitters_cms", "q_skewed_join",
     "q_tpch_q3_bucketed", "q_incremental_dedup", "q_resolve_entities",
     "q_scd2", "q_merge_upsert", "q_tpch_q2", "q_tpch_q4", "q_tpch_q6",

@@ -1054,6 +1054,89 @@ def q_lake_time_scan(spark, sf_dir):
         F.unix_micros("ts").alias("ts_us"))
 
 
+@query(
+    "q_lake_delete",
+    bench=True,
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents "
+        "WHERE doc_id < (SELECT max(doc_id) // 3 FROM documents) "
+        "OR doc_id > (SELECT 2 * max(doc_id) // 3 FROM documents)"
+    ),
+    doc="LLM lake versioning: row-level DELETE as a copy-on-write "
+        "commit (LakeTable.delete) — the commit-log min/max stats "
+        "split the range-clustered file list on the driver, files "
+        "outside the deleted key band are SHARED byte-for-byte with "
+        "the prior version (zero bytes rewritten), only the files that "
+        "might hold matching rows are read, negated-filtered, and "
+        "rewritten. The middle-third doc_id band is deleted write-side "
+        "(txn-guarded, built once per corpus) and the head read must "
+        "hash-match the plain negated SQL filter; the old version "
+        "stays readable (time travel). Delta-style DELETE at 100 TB: "
+        "bounded predicate → bounded rewrite, never the snapshot",
+)
+def q_lake_delete(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakedelete_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    return t.read().select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+# Range-clustered commit + middle-third CoW delete (write-side job)
+def lakedelete_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(16, "doc_id"), txn_id="rev-0")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        t.delete({"doc_id": (mx // 3, 2 * mx // 3)}, txn_id="del-0")
+
+    return index_path("lakedelete", sf_dir, build)
+
+
+@query(
+    "q_lake_restore",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents"
+    ),
+    doc="LLM lake versioning: RESTORE — the head is rolled back to "
+        "version 0 after a bad overwrite shrank the table to a ~1% "
+        "subset, as a NEW commit sharing every file with the restored "
+        "version (zero data copied; LakeTable.restore, txn-guarded "
+        "write-side). The head read hash-matches the FULL corpus — "
+        "which only holds if the restore actually undid the bad "
+        "commit — while the bad version stays readable for forensics",
+)
+def q_lake_restore(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakerestore_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    return t.read().select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+# Good commit → bad overwrite → restore(0) (write-side job)
+def lakerestore_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs, txn_id="rev-0")
+        t.commit(docs.filter(F.col("doc_id") % 97 == 0), txn_id="bad-1")
+        t.restore(0, txn_id="undo-1")
+
+    return index_path("lakerestore", sf_dir, build)
+
+
 # Time-clustered committed events revision per sf_dir (write-side job)
 def laketime_index(spark, sf_dir: str) -> str:
     from aws_data_pipeline_ads_spark.lakelog import LakeTable

@@ -564,3 +564,61 @@ def test_empty_table_maintenance_guards(spark, tmp_path, mk_table):
         t.compact()
     with pytest.raises(ValueError, match="no commits"):
         t.optimize_zorder(["doc_id"])
+
+
+def test_delete_cow_partial_rewrite(spark, sf_dir, tmp_path, mk_table):
+    """Row-level DELETE: results equal the negated filter, files whose
+    stat box cannot contain matching rows are SHARED byte-for-byte with
+    the prior version (never rewritten), the old version still reads in
+    full (time travel), and a txn_id makes the delete replay-safe."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.repartitionByRange(8, "doc_id"))
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    lo, hi = mx // 3, 2 * mx // 3
+
+    v1 = t.delete({"doc_id": (lo, hi)}, txn_id="del-1")
+    assert v1 == 1 and t.history()[-1]["op"] == "delete"
+    assert _rows(t.read()) == _rows(
+        docs.filter((F.col("doc_id") < lo) | (F.col("doc_id") > hi)))
+    assert _rows(t.read(0)) == _rows(docs)  # old version intact
+    # CoW sharing: most files outside the deleted key band survive
+    # verbatim in the new file list; at least one was rewritten
+    f0, f1 = set(_entry(t, 0)["files"]), set(_entry(t, 1)["files"])
+    shared = f0 & f1
+    assert shared and f1 - f0, (len(shared), len(f1 - f0))
+    # stats carried over for shared files → scan still prunes
+    s = t.scan({"doc_id": (None, lo - 1)})
+    assert 0 < len(s.inputFiles()) < len(f1)
+    # replay: same txn returns the committed version, no new commit
+    assert t.delete({"doc_id": (0, mx)}, txn_id="del-1") == 1
+    assert t.current_version() == 1
+    # a row with NULL in the ranged column never matches → survives
+    t2 = mk_table(str(tmp_path / "tbl2"))
+    nulls = spark.createDataFrame(
+        [(1, "a"), (None, "keep-me"), (9, "z")], "doc_id long, text string")
+    t2.commit(nulls)
+    t2.delete({"doc_id": (0, 100)})
+    assert [r.text for r in t2.read().collect()] == ["keep-me"]
+    with pytest.raises(ValueError, match="bounded range"):
+        t2.delete({"doc_id": (None, None)})
+
+
+def test_restore_rolls_back_without_losing_history(spark, sf_dir,
+                                                   tmp_path, mk_table):
+    """restore(v): the head becomes v's exact snapshot as a NEW commit
+    — zero data copied (file lists identical), the bad commit stays
+    readable, and subsequent commits number past the restore."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs)
+    t.commit(docs.limit(3))                     # the "bad" overwrite
+    v2 = t.restore(0, txn_id="undo-1")
+    assert v2 == 2 and t.history()[-1]["op"] == "restore"
+    assert _rows(t.read()) == _rows(docs)
+    assert _entry(t, 2)["files"] == _entry(t, 0)["files"]  # shared
+    assert len(_rows(t.read(1))) == 3           # forensics intact
+    assert t.restore(0, txn_id="undo-1") == 2   # replay-safe
+    # restored stats still drive data skipping on the new head
+    assert "stats" in _entry(t, 2)
+    assert t.commit(docs.limit(5)) == 3
