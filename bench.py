@@ -123,6 +123,13 @@ def main() -> None:
     text_q.simhash_index(spark, sf_dir)
     text_q.bloom_index(spark, sf_dir)
     text_q.lakediff_index(spark, sf_dir)
+    # lake-tier write-side jobs (commits, zorder, CoW delete): children
+    # serve the committed tables from disk, same as production
+    text_q.lakescan_index(spark, sf_dir)
+    text_q.lakezorder_index(spark, sf_dir)
+    text_q.laketime_index(spark, sf_dir)
+    text_q.lakedelete_index(spark, sf_dir)
+    text_q.lakerestore_index(spark, sf_dir)
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",
           file=sys.stderr)
