@@ -423,13 +423,71 @@ class LakeTable:
                 out[f] = per_col
         return out
 
+    # -- per-file bloom index (equality skipping) --------------------------
+
+    _BLOOM_BITS = 1 << 15  # 4 KiB per file per column
+    _BLOOM_K = 4
+
+    @classmethod
+    def _bloom_positions(cls, value) -> list[int]:
+        """k bit positions for `value`, derived from one md5 — the same
+        function at write (index build) and read (probe) time. Values
+        canonicalize through repr of their stat-key form so int/str/
+        date keys hash identically across sessions."""
+        import hashlib
+
+        h = hashlib.md5(repr(cls._stat_key(value)).encode()).digest()
+        x = int.from_bytes(h, "big")
+        out = []
+        for _ in range(cls._BLOOM_K):
+            out.append(x % cls._BLOOM_BITS)
+            x //= cls._BLOOM_BITS
+        return out
+
+    def _collect_blooms(self, files: list[str],
+                        cols: list[str]) -> dict:
+        """Per-file Bloom filters over `cols`: a 4 KiB bitset each,
+        built from a COLUMN-PRUNED read of the just-written file (the
+        write-time cost Delta pays for its file-level bloom index).
+        Serialized as hex into the log entry. Min/max stats answer
+        range predicates on CLUSTERED columns; blooms answer EQUALITY
+        probes on columns the layout was not sorted by — the
+        needle-in-a-haystack lookup (one doc hash out of 100 TB) where
+        every file's [min, max] spans the whole domain. A missing
+        bloom means 'might match' (conservative, never wrong)."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, str]] = {}
+        for f in files:
+            per_col: dict[str, str] = {}
+            tbl = pq.read_table(f, columns=[c for c in cols])
+            for c in cols:
+                bits = bytearray(self._BLOOM_BITS // 8)
+                for v in tbl.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    for p in self._bloom_positions(v):
+                        bits[p >> 3] |= 1 << (p & 7)
+                per_col[c] = bytes(bits).hex()
+            if per_col:
+                out[f] = per_col
+        return out
+
+    @classmethod
+    def _bloom_may_contain(cls, hex_bits: str, value) -> bool:
+        bits = bytes.fromhex(hex_bits)
+        return all(bits[p >> 3] & (1 << (p & 7))
+                   for p in cls._bloom_positions(value))
+
     def _next_version(self) -> int:
         head = self.current_version()
         return head + 1 if head is not None else 0
 
     def _publish(self, files: list[str], op: str,
                  txn_id: str | None, version: int | None = None,
-                 schema=None, stats: dict | None = None) -> int:
+                 schema=None, stats: dict | None = None,
+                 blooms: dict | None = None,
+                 bloom_cols: list[str] | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -451,6 +509,10 @@ class LakeTable:
             entry["schema"] = schema.json()
         if stats is not None:
             entry["stats"] = stats
+        if blooms is not None:
+            entry["blooms"] = blooms
+        if bloom_cols:
+            entry["bloom_cols"] = bloom_cols
         # the commit point: exactly one writer creates this entry
         # (O_EXCL locally, conditional PUT on object stores — the
         # CommitBackend seam is exactly this primitive)
@@ -504,7 +566,8 @@ class LakeTable:
 
     def commit(self, df: DataFrame, mode: str = "overwrite",
                txn_id: str | None = None, op: str | None = None,
-               evolve: bool = False) -> int:
+               evolve: bool = False,
+               bloom_cols: list[str] | None = None) -> int:
         """Commit `df` as the next version. mode='overwrite' replaces
         the snapshot; mode='append' adds files to the current file list
         (unchanged files are SHARED with prior versions — no copy).
@@ -512,7 +575,12 @@ class LakeTable:
 
         Every entry records the snapshot's SCHEMA; appends are validated
         against it before any file lands (SchemaMismatchError on drift;
-        `evolve=True` permits add-column widening — see _merged_schema)."""
+        `evolve=True` permits add-column widening — see _merged_schema).
+
+        `bloom_cols` attaches a per-file Bloom index over the listed
+        columns (equality skipping for scan_point — see
+        _collect_blooms); appends inherit the table's bloom_cols when
+        not given, so incremental producers keep the index complete."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown commit mode {mode!r}")
         if txn_id is not None:
@@ -538,13 +606,20 @@ class LakeTable:
                 base_entry = {**base_entry, "schema": committed.json()}
             if "schema" in base_entry:
                 schema = self._merged_schema(base_entry, df, evolve)
+        if bloom_cols is None and base_entry is not None:
+            bloom_cols = base_entry.get("bloom_cols")
         files = self._write_files(df)
         stats = self._collect_stats(files)
+        blooms = (self._collect_blooms(files, bloom_cols)
+                  if bloom_cols else None)
         if base_entry is not None:
             files = base_entry["files"] + files
             stats = {**base_entry.get("stats", {}), **stats}
+            if bloom_cols:
+                blooms = {**base_entry.get("blooms", {}), **(blooms or {})}
         return self._publish(files, op or mode, txn_id, version,
-                             schema=schema, stats=stats)
+                             schema=schema, stats=stats,
+                             blooms=blooms, bloom_cols=bloom_cols)
 
     # -- read path ---------------------------------------------------------
 
@@ -635,6 +710,37 @@ class LakeTable:
             (maybe if ok else never).append(f)
         return maybe, never
 
+    def scan_point(self, eq: dict, version: int | None = None) -> DataFrame:
+        """Equality-probe read: `eq` maps column → value. Two pruning
+        passes run driver-side before Spark opens anything — the
+        min/max boxes (degenerate [v, v] ranges) and, where the commit
+        carries a per-file Bloom index over the column, the bloom
+        probe. On a layout NOT clustered by the probed column the
+        min/max pass keeps everything and the bloom does the work:
+        a single-key lookup (one doc hash out of the corpus) opens the
+        one-or-few files whose bloom fires instead of the whole table.
+        Results are exact — the predicate applies on top, blooms only
+        ever skip files that provably lack the value."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(head if version is None else version)
+        keep, _ = self._split_files(entry, {c: (v, v)
+                                            for c, v in eq.items()})
+        blooms = entry.get("blooms", {})
+        kept = []
+        for f in keep:
+            per_col = blooms.get(f, {})
+            if all(self._bloom_may_contain(per_col[c], v)
+                   for c, v in eq.items() if c in per_col):
+                kept.append(f)
+        from pyspark.sql import functions as F
+
+        df = self._read_files(entry, kept)
+        for c, v in eq.items():
+            df = df.filter(F.col(c) == F.lit(v))
+        return df
+
     # -- operators that commit through the log -----------------------------
 
     def merge(self, source: DataFrame, key: str,
@@ -651,11 +757,16 @@ class LakeTable:
         base = self.current_version()
         if base is None:
             return self.commit(source, "overwrite", txn_id, op="merge")
+        base_entry = self._read_entry(base)
         merged = merge_upsert(self.read(base), source, key)
         files = self._write_files(merged)
+        bloom_cols = base_entry.get("bloom_cols")
         return self._publish(files, "merge", txn_id, base + 1,
                              schema=merged.schema,
-                             stats=self._collect_stats(files))
+                             stats=self._collect_stats(files),
+                             blooms=(self._collect_blooms(files, bloom_cols)
+                                     if bloom_cols else None),
+                             bloom_cols=bloom_cols)
 
     def delete(self, ranges: dict, txn_id: str | None = None) -> int:
         """Row-level DELETE as a copy-on-write commit; `ranges` is the
@@ -700,18 +811,85 @@ class LakeTable:
                 # NULL never matches a delete predicate → keep the row
                 ~F.coalesce(pred, F.lit(False)))
             new_files = self._write_files(kept)
+        return self._publish_rewrite(entry, "delete", txn_id, base + 1,
+                                     untouched, new_files)
+
+    def _publish_rewrite(self, entry: dict, op: str, txn_id: str | None,
+                         version: int, untouched: list[str],
+                         new_files: list[str]) -> int:
+        """Publish a partial rewrite: `untouched` files carry their
+        stats/blooms forward verbatim, `new_files` get fresh stats (and
+        a fresh bloom when the table carries a bloom index); schema is
+        the entry's pinned schema."""
         files = untouched + new_files
         untouched_set = set(untouched)
         stats = {f: s for f, s in entry.get("stats", {}).items()
                  if f in untouched_set}
         stats.update(self._collect_stats(new_files))
+        bloom_cols = entry.get("bloom_cols")
+        blooms = None
+        if bloom_cols:
+            blooms = {f: b for f, b in entry.get("blooms", {}).items()
+                      if f in untouched_set}
+            blooms.update(self._collect_blooms(new_files, bloom_cols))
         schema = None
         if "schema" in entry:
             from pyspark.sql import types as T
 
             schema = T.StructType.fromJson(json.loads(entry["schema"]))
-        return self._publish(files, "delete", txn_id, base + 1,
-                             schema=schema, stats=stats)
+        return self._publish(files, op, txn_id, version,
+                             schema=schema, stats=stats,
+                             blooms=blooms, bloom_cols=bloom_cols)
+
+    def update(self, ranges: dict, set_exprs: dict,
+               txn_id: str | None = None) -> int:
+        """Row-level UPDATE as a copy-on-write commit: rows matching
+        every range get each `set_exprs` column replaced (values are
+        pyspark Columns or SQL expression strings; the rest of the row
+        is untouched), all other rows pass through unchanged. File
+        handling is delete()'s stats-driven split: files that cannot
+        contain matching rows are SHARED, only possibly-matching files
+        are rewritten with the CASE WHEN expression — Delta-style
+        UPDATE, bounded rewrite at any table size. NULL in a ranged
+        column never matches. Returns the new version."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        if not ranges or all(lo is None and hi is None
+                             for lo, hi in ranges.values()):
+            raise ValueError("update: at least one bounded range required")
+        if not set_exprs:
+            raise ValueError("update: set_exprs must not be empty")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        base = self.current_version()
+        if base is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(base)
+        affected, untouched = self._split_files(entry, ranges)
+        pred = None
+        for col, (lo, hi) in ranges.items():
+            for cond in ([F.col(col) >= F.lit(lo)] if lo is not None
+                         else []) + ([F.col(col) <= F.lit(hi)]
+                                     if hi is not None else []):
+                pred = cond if pred is None else pred & cond
+        pred = F.coalesce(pred, F.lit(False))
+        new_files: list[str] = []
+        if affected:
+            df = self._read_files(entry, affected)
+            for col, expr in set_exprs.items():
+                if col not in df.columns:
+                    raise ValueError(f"update: unknown column {col!r}")
+                val = expr if isinstance(expr, Column) else F.expr(expr)
+                df = df.withColumn(
+                    col, F.when(pred, val).otherwise(F.col(col)))
+            new_files = self._write_files(df)
+        return self._publish_rewrite(entry, "update", txn_id, base + 1,
+                                     untouched, new_files)
+
+    # -- operators that commit through the log -----------------------------
 
     def restore(self, version: int, txn_id: str | None = None) -> int:
         """Re-publish an old version's exact snapshot (file list,
@@ -733,7 +911,9 @@ class LakeTable:
 
             schema = T.StructType.fromJson(json.loads(entry["schema"]))
         return self._publish(entry["files"], "restore", txn_id, base + 1,
-                             schema=schema, stats=entry.get("stats"))
+                             schema=schema, stats=entry.get("stats"),
+                             blooms=entry.get("blooms"),
+                             bloom_cols=entry.get("bloom_cols"))
 
     def diff(self, v_old: int, v_new: int, key: str,
              content_cols: list[str]) -> DataFrame:
@@ -784,9 +964,13 @@ class LakeTable:
         n = max(1, math.ceil(total / target_bytes))
         compacted = self.read(base).repartition(n)
         files = self._write_files(compacted)
+        bloom_cols = entry.get("bloom_cols")
         return self._publish(files, "compact", None, base + 1,
                              schema=compacted.schema,
-                             stats=self._collect_stats(files))
+                             stats=self._collect_stats(files),
+                             blooms=(self._collect_blooms(files, bloom_cols)
+                                     if bloom_cols else None),
+                             bloom_cols=bloom_cols)
 
     def optimize_zorder(self, cols: list[str], n_files: int = 16,
                         bits: int = 10) -> int:
@@ -815,9 +999,14 @@ class LakeTable:
             .drop("__z", *helper)
         )
         files = self._write_files(clustered)
+        base_entry = self._read_entry(base)
+        bloom_cols = base_entry.get("bloom_cols")
         return self._publish(files, "zorder", None, base + 1,
                              schema=clustered.schema,
-                             stats=self._collect_stats(files))
+                             stats=self._collect_stats(files),
+                             blooms=(self._collect_blooms(files, bloom_cols)
+                                     if bloom_cols else None),
+                             bloom_cols=bloom_cols)
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by versions older than the

@@ -1100,6 +1100,91 @@ def lakedelete_index(spark, sf_dir: str) -> str:
 
 
 @query(
+    "q_lake_update",
+    oracle=(
+        "SELECT doc_id, CASE WHEN "
+        "doc_id >= (SELECT max(doc_id) // 3 FROM documents) AND "
+        "doc_id <= (SELECT 2 * max(doc_id) // 3 FROM documents) "
+        "THEN CAST(-1 AS BIGINT) ELSE n_chars END AS n_chars "
+        "FROM documents"
+    ),
+    doc="LLM lake versioning: row-level UPDATE as a copy-on-write "
+        "commit (LakeTable.update) — same stats-driven file split as "
+        "delete: files outside the middle-third doc_id band are shared "
+        "byte-for-byte, only possibly-matching files are rewritten with "
+        "the CASE WHEN set-expression (n_chars := -1 inside the band). "
+        "Head read hash-matches the SQL CASE twin; pre-update version "
+        "stays readable. Delta-style UPDATE: bounded predicate → "
+        "bounded rewrite",
+)
+def q_lake_update(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakeupdate_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    return t.read().select("doc_id", "n_chars")
+
+
+# Range-clustered commit + middle-third CoW update (write-side job)
+def lakeupdate_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(16, "doc_id"), txn_id="rev-0")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        t.update({"doc_id": (mx // 3, 2 * mx // 3)},
+                 {"n_chars": F.lit(-1).cast("long")}, txn_id="upd-0")
+
+    return index_path("lakeupdate", sf_dir, build)
+
+
+@query(
+    "q_lake_point_lookup",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents "
+        "WHERE doc_id = (SELECT max(doc_id) // 2 FROM documents)"
+    ),
+    doc="LLM lake versioning: per-file BLOOM-INDEX equality skipping "
+        "(LakeTable.scan_point) — the corpus is committed "
+        "hash-partitioned on text with bloom_cols=['doc_id'], so every "
+        "file's doc_id [min,max] spans the whole domain and min/max "
+        "stats cannot prune at all; the 4 KiB-per-file bloom probe "
+        "opens only the file(s) that can hold the key. The "
+        "needle-in-a-haystack lookup (one doc out of 100 TB on an "
+        "unclustered column) Delta's file-level bloom index serves; "
+        "exact — the equality predicate applies on top. "
+        "inputFiles()-pinned in pytest",
+)
+def q_lake_point_lookup(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakepoint_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    target = (load_table(spark, sf_dir, "documents")
+              .agg(F.max("doc_id")).collect()[0][0] // 2)
+    return t.scan_point({"doc_id": target}).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+# Text-hash-partitioned commit with a doc_id bloom index (write-side)
+def lakepoint_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        LakeTable(spark, f"{path}/tbl").commit(
+            docs.repartition(16, "text"), txn_id="rev-0",
+            bloom_cols=["doc_id"])
+
+    return index_path("lakepoint", sf_dir, build)
+
+
+@query(
     "q_lake_restore",
     oracle=(
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "

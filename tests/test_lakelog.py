@@ -622,3 +622,85 @@ def test_restore_rolls_back_without_losing_history(spark, sf_dir,
     # restored stats still drive data skipping on the new head
     assert "stats" in _entry(t, 2)
     assert t.commit(docs.limit(5)) == 3
+
+
+def test_update_cow_partial_rewrite(spark, sf_dir, tmp_path, mk_table):
+    """Row-level UPDATE: matched rows get the SET expression, all other
+    rows pass through bit-identical; files outside the key band are
+    shared with the prior version; NULL in the ranged column never
+    matches; txn replay is a no-op."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.repartitionByRange(8, "doc_id"))
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    lo, hi = mx // 3, 2 * mx // 3
+
+    v1 = t.update({"doc_id": (lo, hi)}, {"n_chars": F.lit(-1).cast("long")},
+                  txn_id="upd-1")
+    assert v1 == 1 and t.history()[-1]["op"] == "update"
+    expect = docs.withColumn(
+        "n_chars",
+        F.when((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi),
+               F.lit(-1).cast("long")).otherwise(F.col("n_chars")))
+    assert _rows(t.read()) == _rows(expect)
+    assert _rows(t.read(0)) == _rows(docs)            # time travel
+    f0, f1 = set(_entry(t, 0)["files"]), set(_entry(t, 1)["files"])
+    assert (f0 & f1) and (f1 - f0)                    # CoW sharing
+    assert t.update({"doc_id": (0, mx)}, {"n_chars": "0"},
+                    txn_id="upd-1") == 1              # replay
+    # SQL-string expressions work too
+    t.update({"doc_id": (None, lo - 1)}, {"n_chars": "n_chars * 10"})
+    got = {r.doc_id: r.n_chars for r in t.read().collect()}
+    base = {r.doc_id: r.n_chars for r in docs.collect()}
+    for d, n in base.items():
+        want = -1 if lo <= d <= hi else (n * 10 if d < lo else n)
+        assert got[d] == want, d
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update({"doc_id": (0, 1)}, {"nope": "1"})
+
+
+def test_bloom_point_lookup_skips_files(spark, sf_dir, tmp_path, mk_table):
+    """Per-file bloom index: on a layout NOT clustered by the probed
+    column the min/max boxes keep every file, but scan_point's bloom
+    probe opens only the file(s) that can hold the key — exact results,
+    needle-in-a-haystack contract. The index survives append (inherited
+    bloom_cols), delete (partial rewrite), compact, and restore."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    # hash-partitioned on text → every file's doc_id [min,max] spans
+    # the whole domain, min/max pruning is useless by construction
+    t.commit(docs.repartition(16, "text"), bloom_cols=["doc_id"])
+    e = _entry(t, 0)
+    assert e["bloom_cols"] == ["doc_id"]
+    assert len(e["blooms"]) == len(e["files"])
+
+    target = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    s = t.scan_point({"doc_id": target})
+    assert _rows(s) == _rows(docs.filter(F.col("doc_id") == target))
+    n_total = len(e["files"])
+    assert 0 < len(s.inputFiles()) < n_total  # bloom did the skipping
+    # plain scan() (min/max only) cannot prune this layout
+    assert len(t.scan({"doc_id": (target, target)}).inputFiles()) == n_total
+    # absent key: typically zero files opened, always zero rows
+    assert t.scan_point({"doc_id": -12345}).count() == 0
+
+    # append WITHOUT restating bloom_cols: index inherited + extended
+    extra = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    t.commit(extra, "append")
+    e1 = _entry(t, 1)
+    assert e1["bloom_cols"] == ["doc_id"] and len(e1["blooms"]) > len(e["blooms"])
+    s2 = t.scan_point({"doc_id": target})
+    assert _rows(s2) == _rows(docs.filter(F.col("doc_id") == target))
+    assert len(s2.inputFiles()) < len(e1["files"])
+    # delete rewrites only affected files and refreshes their blooms
+    t.delete({"doc_id": (target, target)})
+    assert t.scan_point({"doc_id": target}).count() == 0
+    assert "blooms" in _entry(t, 2)
+    # compact keeps the index alive (recomputed over the new layout)
+    t.compact(target_bytes=1 << 30)
+    e3 = _entry(t, 3)
+    assert e3["bloom_cols"] == ["doc_id"] and len(e3["blooms"]) == len(e3["files"])
+    # restore brings back the pre-delete index verbatim
+    t.restore(1)
+    assert _rows(t.scan_point({"doc_id": target})) == _rows(
+        docs.filter(F.col("doc_id") == target))
