@@ -423,6 +423,14 @@ class LakeTable:
                 out[f] = per_col
         return out
 
+    def _collect_row_counts(self, files: list[str]) -> dict:
+        """Per-file row counts from the footers just written (metadata
+        only). Recorded in the entry so COUNT(*) — the most common
+        query there is — answers from the log with ZERO file opens."""
+        import pyarrow.parquet as pq
+
+        return {f: pq.ParquetFile(f).metadata.num_rows for f in files}
+
     # -- per-file bloom index (equality skipping) --------------------------
 
     _BLOOM_BITS = 1 << 15  # 4 KiB per file per column
@@ -487,7 +495,8 @@ class LakeTable:
                  txn_id: str | None, version: int | None = None,
                  schema=None, stats: dict | None = None,
                  blooms: dict | None = None,
-                 bloom_cols: list[str] | None = None) -> int:
+                 bloom_cols: list[str] | None = None,
+                 row_counts: dict | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -513,6 +522,8 @@ class LakeTable:
             entry["blooms"] = blooms
         if bloom_cols:
             entry["bloom_cols"] = bloom_cols
+        if row_counts is not None:
+            entry["row_counts"] = row_counts
         # the commit point: exactly one writer creates this entry
         # (O_EXCL locally, conditional PUT on object stores — the
         # CommitBackend seam is exactly this primitive)
@@ -610,16 +621,19 @@ class LakeTable:
             bloom_cols = base_entry.get("bloom_cols")
         files = self._write_files(df)
         stats = self._collect_stats(files)
+        rows = self._collect_row_counts(files)
         blooms = (self._collect_blooms(files, bloom_cols)
                   if bloom_cols else None)
         if base_entry is not None:
             files = base_entry["files"] + files
             stats = {**base_entry.get("stats", {}), **stats}
+            rows = {**base_entry.get("row_counts", {}), **rows}
             if bloom_cols:
                 blooms = {**base_entry.get("blooms", {}), **(blooms or {})}
         return self._publish(files, op or mode, txn_id, version,
                              schema=schema, stats=stats,
-                             blooms=blooms, bloom_cols=bloom_cols)
+                             blooms=blooms, bloom_cols=bloom_cols,
+                             row_counts=rows)
 
     # -- read path ---------------------------------------------------------
 
@@ -710,6 +724,46 @@ class LakeTable:
             (maybe if ok else never).append(f)
         return maybe, never
 
+    def stats(self, version: int | None = None) -> dict:
+        """Metadata-only aggregates from the LOG alone — zero files
+        opened, zero tasks: `{"rows": <count(*)>, "min": {col: v},
+        "max": {col: v}}`. The Delta/Spark metadata-only-query
+        optimization: at 100 TB, COUNT(*)/MIN/MAX — the monitoring
+        queries every pipeline fires constantly — should cost one small
+        JSON read, not a table scan. min/max cover only columns where
+        EVERY file carries the stat (a file with no recorded stat could
+        hold the true extremum — omitting the column is the only honest
+        answer); values are in stat-key space (timestamps as their
+        UTC ISO-microsecond form). `rows` requires the version to carry
+        per-file counts (every commit written since the row_counts
+        tier does) — absent counts raise rather than guess."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(head if version is None else version)
+        counts = entry.get("row_counts", {})
+        missing = [f for f in entry["files"] if f not in counts]
+        if missing:
+            raise ValueError(
+                f"lake table {self.path}: version {entry['version']} has "
+                f"no row counts for {len(missing)} file(s) (pre-row_counts "
+                f"commit) — use read() and aggregate"
+            )
+        stats = entry.get("stats", {})
+        mins: dict = {}
+        maxs: dict = {}
+        # 0-row files (a CoW rewrite can empty a file) hold no extremum
+        # and carry no footer stats — they must not veto a column
+        data_files = [f for f in entry["files"] if counts[f] > 0]
+        per_file = [stats.get(f, {}) for f in data_files]
+        if per_file:
+            for col in set(per_file[0]):
+                if all(col in pc for pc in per_file):
+                    mins[col] = min(pc[col][0] for pc in per_file)
+                    maxs[col] = max(pc[col][1] for pc in per_file)
+        return {"rows": sum(counts[f] for f in entry["files"]),
+                "min": mins, "max": maxs}
+
     def scan_point(self, eq: dict, version: int | None = None) -> DataFrame:
         """Equality-probe read: `eq` maps column → value. Two pruning
         passes run driver-side before Spark opens anything — the
@@ -766,7 +820,8 @@ class LakeTable:
                              stats=self._collect_stats(files),
                              blooms=(self._collect_blooms(files, bloom_cols)
                                      if bloom_cols else None),
-                             bloom_cols=bloom_cols)
+                             bloom_cols=bloom_cols,
+                             row_counts=self._collect_row_counts(files))
 
     def delete(self, ranges: dict, txn_id: str | None = None) -> int:
         """Row-level DELETE as a copy-on-write commit; `ranges` is the
@@ -826,6 +881,9 @@ class LakeTable:
         stats = {f: s for f, s in entry.get("stats", {}).items()
                  if f in untouched_set}
         stats.update(self._collect_stats(new_files))
+        rows = {f: n for f, n in entry.get("row_counts", {}).items()
+                if f in untouched_set}
+        rows.update(self._collect_row_counts(new_files))
         bloom_cols = entry.get("bloom_cols")
         blooms = None
         if bloom_cols:
@@ -839,7 +897,8 @@ class LakeTable:
             schema = T.StructType.fromJson(json.loads(entry["schema"]))
         return self._publish(files, op, txn_id, version,
                              schema=schema, stats=stats,
-                             blooms=blooms, bloom_cols=bloom_cols)
+                             blooms=blooms, bloom_cols=bloom_cols,
+                             row_counts=rows)
 
     def update(self, ranges: dict, set_exprs: dict,
                txn_id: str | None = None) -> int:
@@ -913,7 +972,8 @@ class LakeTable:
         return self._publish(entry["files"], "restore", txn_id, base + 1,
                              schema=schema, stats=entry.get("stats"),
                              blooms=entry.get("blooms"),
-                             bloom_cols=entry.get("bloom_cols"))
+                             bloom_cols=entry.get("bloom_cols"),
+                             row_counts=entry.get("row_counts"))
 
     def diff(self, v_old: int, v_new: int, key: str,
              content_cols: list[str]) -> DataFrame:
@@ -970,7 +1030,8 @@ class LakeTable:
                              stats=self._collect_stats(files),
                              blooms=(self._collect_blooms(files, bloom_cols)
                                      if bloom_cols else None),
-                             bloom_cols=bloom_cols)
+                             bloom_cols=bloom_cols,
+                             row_counts=self._collect_row_counts(files))
 
     def optimize_zorder(self, cols: list[str], n_files: int = 16,
                         bits: int = 10) -> int:
@@ -1006,7 +1067,8 @@ class LakeTable:
                              stats=self._collect_stats(files),
                              blooms=(self._collect_blooms(files, bloom_cols)
                                      if bloom_cols else None),
-                             bloom_cols=bloom_cols)
+                             bloom_cols=bloom_cols,
+                             row_counts=self._collect_row_counts(files))
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by versions older than the

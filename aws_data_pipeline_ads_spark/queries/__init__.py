@@ -42,7 +42,9 @@ _WINDOW: list[str] = [
     # at sf0.01; the backlog's 24 hash-checkable members also passed the
     # r6 judge's own driver_sim sweep. The 6 remaining slots are
     # multi-round-verified anchors keeping the core operator families
-    # hash-covered in-window. ============================================
+    # hash-covered in-window (q_decontaminate yielded its slot to the
+    # metadata-only stats tier; its bloom-prefilter machinery is r06
+    # hash-verified and stays oracle-swept locally). =====================
     # -- LLM text-pipeline tail, first driver exposure -------------------
     "q_pii_redaction", "q_token_bpe", "q_chunk_documents", "q_pack_sequences",
     "q_corpus_shuffle", "q_domain_caps", "q_data_split", "q_sample_weighted",
@@ -64,6 +66,7 @@ _WINDOW: list[str] = [
     # and via q_attribution_join's as-of twin + q_join_flagship) ---------
     "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_delete",
     "q_lake_restore", "q_lake_update", "q_lake_point_lookup",
+    "q_lake_stats_agg",
     # -- time-series / analytics tail, first driver exposure -------------
     "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
     "q_attribution_join", "q_profile", "q_quantile_sketch",
@@ -74,8 +77,8 @@ _WINDOW: list[str] = [
     # CoW UPDATE + bloom point-lookup tiers; both families remain
     # hash-covered in-window via q_join_flagship and the text battery
     # q_token_bpe/q_pii_redaction/q_unigram_lm) --------------------------
-    "q_join_flagship", "q_minhash_lsh", "q_decontaminate",
-    "q_embedding_knn", "q_tumbling_window", "q_lake_pruned_scan",
+    "q_join_flagship", "q_minhash_lsh", "q_embedding_knn",
+    "q_tumbling_window", "q_lake_pruned_scan",
 ]
 
 # Declared queries past the driver window. EVERY tail entry now carries
@@ -90,6 +93,7 @@ _TAIL: list[str] = [
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
     "q_dedup_exact", "q_asof_join", "q_tpch_q5", "q_gopher_rules",
+    "q_decontaminate",
     "q_snapshot_diff", "q_heavy_hitters_cms", "q_skewed_join",
     "q_tpch_q3_bucketed", "q_incremental_dedup", "q_resolve_entities",
     "q_scd2", "q_merge_upsert", "q_tpch_q2", "q_tpch_q4", "q_tpch_q6",

@@ -1185,6 +1185,47 @@ def lakepoint_index(spark, sf_dir: str) -> str:
 
 
 @query(
+    "q_lake_stats_agg",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(min(doc_id) AS BIGINT) AS min_id, "
+        "CAST(max(doc_id) AS BIGINT) AS max_id FROM documents"
+    ),
+    doc="LLM lake versioning: METADATA-ONLY aggregation — COUNT(*)/"
+        "MIN/MAX answered from the commit log alone (per-file row "
+        "counts + min/max stats recorded at write time), ZERO data "
+        "files opened, zero Spark tasks (LakeTable.stats; the 1-row "
+        "result is then lifted into a DataFrame). The Delta/Spark "
+        "metadata-only-query optimization: the monitoring aggregates "
+        "every pipeline fires constantly cost one small JSON read at "
+        "any table size. Hash-verified against the full-scan SQL twin "
+        "— the log's numbers must equal the data's",
+)
+def q_lake_stats_agg(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakestats_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    s = t.stats()  # driver-side: one log-entry read, no files opened
+    return spark.createDataFrame(
+        [(s["rows"], s["min"]["doc_id"], s["max"]["doc_id"])],
+        "n_rows long, min_id long, max_id long")
+
+
+# Committed documents revision carrying row-count metadata (write-side)
+def lakestats_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars")
+        LakeTable(spark, f"{path}/tbl").commit(
+            docs.repartitionByRange(8, "doc_id"), txn_id="rev-0")
+
+    return index_path("lakestats", sf_dir, build)
+
+
+@query(
     "q_lake_restore",
     oracle=(
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "

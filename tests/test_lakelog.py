@@ -704,3 +704,45 @@ def test_bloom_point_lookup_skips_files(spark, sf_dir, tmp_path, mk_table):
     t.restore(1)
     assert _rows(t.scan_point({"doc_id": target})) == _rows(
         docs.filter(F.col("doc_id") == target))
+
+
+def test_metadata_only_stats(spark, sf_dir, tmp_path, mk_table):
+    """stats(): COUNT(*)/MIN/MAX from the log alone — values equal the
+    full-scan aggregates after every commit kind (overwrite, append,
+    delete, update, merge, compact, restore), and a pre-row_counts
+    entry refuses rather than guesses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = mk_table(str(tmp_path / "tbl"))
+
+    def check():
+        s = t.stats()
+        df = t.read()
+        n, mn, mx = df.agg(F.count("*"), F.min("doc_id"),
+                           F.max("doc_id")).collect()[0]
+        assert s["rows"] == n
+        assert s["min"]["doc_id"] == mn and s["max"]["doc_id"] == mx
+
+    t.commit(docs.repartitionByRange(4, "doc_id"))
+    check()
+    extra = docs.limit(7).withColumn("doc_id", F.col("doc_id") + 500_000)
+    t.commit(extra, "append")
+    check()
+    mx0 = docs.agg(F.max("doc_id")).collect()[0][0]
+    t.delete({"doc_id": (0, mx0 // 4)})
+    check()
+    t.update({"doc_id": (mx0 // 2, mx0)}, {"n_chars": "0"})
+    check()
+    t.merge(docs.limit(3).withColumn("n_chars", F.lit(1).cast("long")),
+            "doc_id")
+    check()
+    t.compact(target_bytes=1 << 30)
+    check()
+    t.restore(0)
+    check()
+    # legacy entry without counts → loud refusal
+    e = _entry(t, 0)
+    del e["row_counts"]
+    t.backend.delete(t._entry_path(0))
+    assert t.backend.put_if_absent(t._entry_path(0), json.dumps(e))
+    with pytest.raises(ValueError, match="no row counts"):
+        t.stats(version=0)
