@@ -578,7 +578,8 @@ class LakeTable:
     def commit(self, df: DataFrame, mode: str = "overwrite",
                txn_id: str | None = None, op: str | None = None,
                evolve: bool = False,
-               bloom_cols: list[str] | None = None) -> int:
+               bloom_cols: list[str] | None = None,
+               retries: int = 0) -> int:
         """Commit `df` as the next version. mode='overwrite' replaces
         the snapshot; mode='append' adds files to the current file list
         (unchanged files are SHARED with prior versions — no copy).
@@ -591,49 +592,82 @@ class LakeTable:
         `bloom_cols` attaches a per-file Bloom index over the listed
         columns (equality skipping for scan_point — see
         _collect_blooms); appends inherit the table's bloom_cols when
-        not given, so incremental producers keep the index complete."""
+        not given, so incremental producers keep the index complete.
+
+        `retries` (append only): a blind append cannot conflict with a
+        competitor's CONTENT — losing the version race just means the
+        base file list moved. On ConcurrentWriteError the already-
+        written data files are re-merged onto the new head (the schema
+        gate re-validates against it) and the publish retried, so
+        concurrent appenders all land without rewriting a byte —
+        Delta's appends-never-conflict semantics. Overwrite is not
+        auto-retryable: it replaces a snapshot the loser never saw, and
+        that decision belongs to the caller."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        if retries and mode != "append":
+            raise ValueError("retries only apply to mode='append' — an "
+                             "overwrite losing the race must re-decide "
+                             "against the new head")
         if txn_id is not None:
             done = self._txn_version(txn_id)
             if done is not None:
                 return done
-        base = self.current_version()
-        version = base + 1 if base is not None else 0
-        schema = df.schema
-        base_entry = (self._read_entry(base)
-                      if mode == "append" and base is not None else None)
-        if base_entry is not None:
-            if "schema" not in base_entry and base_entry["files"]:
-                # pre-schema-tier entry (hand-built / older log): the
-                # drift gate must still apply, so resolve the committed
-                # schema from the existing files' FOOTERS (mergeSchema
-                # unions every footer, metadata-only, and refuses
-                # incompatible types loudly) — pinning the incoming
-                # df.schema over legacy files would silently null any
-                # type-drifted legacy column on read
-                committed = (self.spark.read.option("mergeSchema", "true")
-                             .parquet(*base_entry["files"]).schema)
-                base_entry = {**base_entry, "schema": committed.json()}
-            if "schema" in base_entry:
-                schema = self._merged_schema(base_entry, df, evolve)
-        if bloom_cols is None and base_entry is not None:
-            bloom_cols = base_entry.get("bloom_cols")
-        files = self._write_files(df)
-        stats = self._collect_stats(files)
-        rows = self._collect_row_counts(files)
-        blooms = (self._collect_blooms(files, bloom_cols)
-                  if bloom_cols else None)
-        if base_entry is not None:
-            files = base_entry["files"] + files
-            stats = {**base_entry.get("stats", {}), **stats}
-            rows = {**base_entry.get("row_counts", {}), **rows}
-            if bloom_cols:
-                blooms = {**base_entry.get("blooms", {}), **(blooms or {})}
-        return self._publish(files, op or mode, txn_id, version,
-                             schema=schema, stats=stats,
-                             blooms=blooms, bloom_cols=bloom_cols,
-                             row_counts=rows)
+        new_files: list[str] | None = None
+        new_stats: dict = {}
+        new_rows: dict = {}
+        bloom_cache: dict = {}  # bloom-cols tuple → blooms for new_files
+        for attempt in range(retries + 1):
+            base = self.current_version()
+            version = base + 1 if base is not None else 0
+            schema = df.schema
+            base_entry = (self._read_entry(base)
+                          if mode == "append" and base is not None else None)
+            if base_entry is not None:
+                if "schema" not in base_entry and base_entry["files"]:
+                    # pre-schema-tier entry (hand-built / older log):
+                    # the drift gate must still apply, so resolve the
+                    # committed schema from the existing files' FOOTERS
+                    # (mergeSchema unions every footer, metadata-only,
+                    # and refuses incompatible types loudly) — pinning
+                    # the incoming df.schema over legacy files would
+                    # silently null any type-drifted legacy column
+                    committed = (self.spark.read
+                                 .option("mergeSchema", "true")
+                                 .parquet(*base_entry["files"]).schema)
+                    base_entry = {**base_entry, "schema": committed.json()}
+                if "schema" in base_entry:
+                    schema = self._merged_schema(base_entry, df, evolve)
+            bc = bloom_cols
+            if bc is None and base_entry is not None:
+                bc = base_entry.get("bloom_cols")
+            if new_files is None:
+                # data files land ONCE; retries only re-publish metadata
+                new_files = self._write_files(df)
+                new_stats = self._collect_stats(new_files)
+                new_rows = self._collect_row_counts(new_files)
+            blooms = None
+            if bc:
+                key = tuple(bc)
+                if key not in bloom_cache:
+                    bloom_cache[key] = self._collect_blooms(new_files, bc)
+                blooms = bloom_cache[key]
+            files, stats, rows = new_files, new_stats, new_rows
+            if base_entry is not None:
+                files = base_entry["files"] + files
+                stats = {**base_entry.get("stats", {}), **stats}
+                rows = {**base_entry.get("row_counts", {}), **rows}
+                if bc:
+                    blooms = {**base_entry.get("blooms", {}), **blooms}
+            try:
+                return self._publish(files, op or mode, txn_id, version,
+                                     schema=schema, stats=stats,
+                                     blooms=blooms, bloom_cols=bc,
+                                     row_counts=rows)
+            except ConcurrentWriteError:
+                if attempt == retries:
+                    raise
+        raise AssertionError("unreachable")
 
     # -- read path ---------------------------------------------------------
 
@@ -1090,6 +1124,29 @@ class LakeTable:
             if os.path.exists(f):
                 os.remove(f)
         return len(dead)
+
+
+def lake_append_sink(stream_df: DataFrame, table: LakeTable,
+                     checkpoint_dir: str,
+                     bloom_cols: list[str] | None = None) -> None:
+    """Streaming APPEND through the commit log: each micro-batch lands
+    as one append commit carrying txn_id=batch_id — a crash replay of a
+    batch is answered from the log (exactly-once), a lost version race
+    against a concurrent writer is absorbed by append-retry (the
+    batch's files are re-merged onto the new head, never rewritten).
+    The ingestion contract a 100 TB landing table needs: many
+    producers, one log, no coordination beyond the commit point."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda batch, bid: table.commit(
+                batch, "append", txn_id=f"append-batch-{bid}",
+                bloom_cols=bloom_cols, retries=3)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def lake_upsert_sink(stream_df: DataFrame, table: LakeTable,

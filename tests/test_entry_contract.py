@@ -27,41 +27,34 @@ def test_driver_window_covers_llm_pipeline_queries():
     from aws_data_pipeline_ads_spark.queries import DRIVER_WINDOW
 
     window = list(entry_mod.queries())[:DRIVER_WINDOW]
-    # r6 rotation: the window's job is now BACKLOG BURNDOWN — 32
-    # never-driver-verified queries hold slots (round-5 operators, the
-    # 13 TPC-H dials, LLM tail, the streaming-served CMS) while every
-    # LLM-pipeline FAMILY keeps a verified anchor in-window. The
-    # rotated-out siblings (q_curation_pipeline, q_token_count,
-    # q_bm25_terms, q_ngram_jaccard, q_neardup_verified/_clusters,
-    # q_record_linkage, etc. — each hash-verified r01-r05) are
-    # machinery-covered per the _TAIL annotations.
+    # r7 rotation: the window's job is COMPLETING first-exposure
+    # coverage — every query that had never been driver-verified
+    # entering the round (the 40-entry backlog) plus the five new r7
+    # tiers hold slots, with 5 multi-round-verified anchors keeping the
+    # core families hash-covered. After r7, every registry entry has
+    # had >=1 driver exposure; rotated-out siblings carry their own
+    # hash history (CORRECTNESS_r0*.json).
     must_cover = {
-        # one verified anchor per LLM-pipeline family
-        "q_lang_id", "q_leakage_safe_split",              # text analysis + split
-        "q_dedup_exact", "q_line_dedup",                  # exact/line dedup
-        "q_minhash_lsh", "q_simhash_pairs",               # near-dup tiers
-        "q_decontaminate",                                # bloom filter
-        "q_binary_meta",                                  # multimodal
-        "q_embedding_knn", "q_semdedup",                  # similarity
-        "q_tumbling_window", "q_session_gap", "q_ewma",   # streaming/TS
-        "q_json_extract",                                 # scalar
-        # (q_array_funcs/q_percentile — hash-verified r01-r05 — later
-        # yielded their slots to the two new round-6 queries below)
-        "q_join_flagship", "q_asof_join",                 # joins
-        # the r6 first-exposure set the verdict named
-        "q_snapshot_diff", "q_heavy_hitters_cms", "q_skewed_join",
-        "q_tpch_q3_bucketed", "q_incremental_dedup", "q_resolve_entities",
-        "q_scd2", "q_merge_upsert", "q_heavy_hitters_served",
-        # new round-6 operators, first exposure
-        "q_video_codec_triage", "q_lake_pruned_scan",
-        # TPC-H never-verified backlog
-        "q_tpch_q2", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
-        "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
-        "q_tpch_q12", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20",
-        # LLM-pipeline + analytics tail, first exposure
-        "q_bm25_search", "q_gopher_rules", "q_normalize_text",
-        "q_bigram_lm", "q_source_kl", "q_corpus_prep",
-        "q_cohort_retention", "q_rfm", "q_histogram", "q_correlation",
+        # the never-driver-verified backlog entering r7
+        "q_ngram_jaccard_uncapped", "q_ntile_lpad", "q_pii_redaction",
+        "q_percentile_approx", "q_top_ngrams", "q_length_outliers",
+        "q_attribution_join", "q_profile", "q_quantile_sketch",
+        "q_hll_rollup", "q_token_bpe", "q_sample_weighted",
+        "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
+        "q_neardup_clusters_lsh", "q_chunk_documents", "q_embedding_ivfpq",
+        "q_embedding_pq", "q_embedding_opq", "q_embedding_ann",
+        "q_domain_caps", "q_unigram_lm", "q_bpe_merges",
+        "q_pack_sequences", "q_data_split", "q_lake_zorder_scan",
+        "q_image_exif", "q_lake_time_scan", "q_corpus_shuffle",
+        "q_image_neardup", "q_filter_attrition", "q_video_frames",
+        "q_video_metadata", "q_audio_features", "q_audio_segments",
+        "q_audio_spectral", "q_hard_negatives", "q_embedding_pca",
+        # the five new r7 tiers (first exposure)
+        "q_audio_mp3", "q_lake_delete", "q_lake_restore",
+        "q_lake_update", "q_lake_point_lookup", "q_lake_stats_agg",
+        # verified anchors for the core families
+        "q_join_flagship", "q_minhash_lsh", "q_embedding_knn",
+        "q_tumbling_window", "q_lake_pruned_scan",
     }
     missing = must_cover - set(window)
     assert not missing, f"LLM-pipeline queries outside driver window: {missing}"

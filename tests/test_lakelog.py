@@ -746,3 +746,70 @@ def test_metadata_only_stats(spark, sf_dir, tmp_path, mk_table):
     assert t.backend.put_if_absent(t._entry_path(0), json.dumps(e))
     with pytest.raises(ValueError, match="no row counts"):
         t.stats(version=0)
+
+
+def test_append_retry_merges_onto_new_head(spark, sf_dir, tmp_path,
+                                           mk_table, monkeypatch):
+    """Appends never conflict: with retries, an append that loses the
+    version race re-merges its ALREADY-WRITTEN files onto the winner's
+    head and republishes — no byte rewritten (data lands exactly once),
+    no ConcurrentWriteError escapes, and the final snapshot holds both
+    writers' rows. Overwrite refuses the retry knob (losing a race on a
+    snapshot replacement must be re-decided by the caller)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    other = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.filter(F.col("doc_id") % 3 == 0))
+
+    writes = 0
+    orig = t._write_files
+
+    def hijack(df):
+        nonlocal writes
+        writes += 1
+        files = orig(df)
+        if other.current_version() == 0:  # competitor wins version 1
+            other.commit(docs.filter(F.col("doc_id") % 3 == 1), "append")
+        return files
+
+    monkeypatch.setattr(t, "_write_files", hijack)
+    appended = docs.filter(F.col("doc_id") % 3 == 2)
+    v = t.commit(appended, "append", retries=2)
+    assert v == 2 and writes == 1          # data written exactly once
+    assert _rows(t.read()) == _rows(docs)  # all three thirds landed
+    # row-count metadata survived the re-merge
+    assert t.stats()["rows"] == docs.count()
+    with pytest.raises(ValueError, match="mode='append'"):
+        t.commit(docs, "overwrite", retries=1)
+
+
+def test_lake_append_sink_exactly_once(spark, sf_dir, tmp_path, mk_table):
+    """lake_append_sink: each micro-batch is one append commit with
+    txn_id=batch_id; a second drain over the same checkpoint adds no
+    commits and a manual replay of a batch txn is a no-op."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakelog import lake_append_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "landing"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land / "s1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land / "s2"))
+    t = mk_table(str(tmp_path / "tbl"))
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_append_sink(stream, t, str(tmp_path / "ck"))
+    head = t.current_version()
+    assert head is not None
+    assert _rows(t.read()) == _rows(docs)
+    assert [h["op"] for h in t.history()].count("append") >= 1
+    # second drain, same checkpoint: no new input → no new commits
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_append_sink(stream, t, str(tmp_path / "ck"))
+    assert t.current_version() == head
+    # crash-replay of batch 0's txn: answered from the log
+    assert t.commit(docs.limit(1), "append",
+                    txn_id="append-batch-0") <= head
+    assert t.current_version() == head
