@@ -496,7 +496,8 @@ class LakeTable:
                  schema=None, stats: dict | None = None,
                  blooms: dict | None = None,
                  bloom_cols: list[str] | None = None,
-                 row_counts: dict | None = None) -> int:
+                 row_counts: dict | None = None,
+                 deferred_deletes: list | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -524,6 +525,8 @@ class LakeTable:
             entry["bloom_cols"] = bloom_cols
         if row_counts is not None:
             entry["row_counts"] = row_counts
+        if deferred_deletes:
+            entry["deferred_deletes"] = deferred_deletes
         # the commit point: exactly one writer creates this entry
         # (O_EXCL locally, conditional PUT on object stores — the
         # CommitBackend seam is exactly this primitive)
@@ -660,10 +663,14 @@ class LakeTable:
                 if bc:
                     blooms = {**base_entry.get("blooms", {}), **blooms}
             try:
-                return self._publish(files, op or mode, txn_id, version,
-                                     schema=schema, stats=stats,
-                                     blooms=blooms, bloom_cols=bc,
-                                     row_counts=rows)
+                return self._publish(
+                    files, op or mode, txn_id, version,
+                    schema=schema, stats=stats,
+                    blooms=blooms, bloom_cols=bc, row_counts=rows,
+                    # pending merge-on-read deletes still cover the
+                    # base files this append shares
+                    deferred_deletes=(base_entry or {}).get(
+                        "deferred_deletes"))
             except ConcurrentWriteError:
                 if attempt == retries:
                     raise
@@ -684,7 +691,33 @@ class LakeTable:
             )
         return self._read_files(entry, entry["files"])
 
+    @staticmethod
+    def _range_pred(ranges: dict):
+        """Conjunction Column for a column→(lo, hi) dict, NULL-safe
+        (NULL never matches): the one predicate builder delete(),
+        update(), and the deferred-delete read filter all share."""
+        from pyspark.sql import functions as F
+
+        pred = None
+        for col, (lo, hi) in ranges.items():
+            for cond in ([F.col(col) >= F.lit(lo)] if lo is not None
+                         else []) + ([F.col(col) <= F.lit(hi)]
+                                     if hi is not None else []):
+                pred = cond if pred is None else pred & cond
+        return F.coalesce(pred, F.lit(False))
+
     def _read_files(self, entry: dict, files: list[str]) -> DataFrame:
+        df = self._read_files_raw(entry, files)
+        # merge-on-read: deferred deletes (delete(defer=True)) are
+        # predicates in the LOG, not rewritten bytes — every read path
+        # (read/scan/scan_point/diff/changes and the rewrite ops that
+        # materialize) funnels through here, so they apply exactly once
+        for ranges in entry.get("deferred_deletes", []):
+            df = df.filter(~self._range_pred(
+                {c: tuple(b) for c, b in ranges.items()}))
+        return df
+
+    def _read_files_raw(self, entry: dict, files: list[str]) -> DataFrame:
         if "schema" in entry:
             # schema comes from the LOG, not a parquet footer: after an
             # evolve-append, files written before the widening simply
@@ -775,6 +808,12 @@ class LakeTable:
         if head is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(head if version is None else version)
+        if entry.get("deferred_deletes"):
+            raise ValueError(
+                f"lake table {self.path}: version {entry['version']} has "
+                f"pending deferred deletes — physical row counts would "
+                f"overcount; compact() to materialize first"
+            )
         counts = entry.get("row_counts", {})
         missing = [f for f in entry["files"] if f not in counts]
         if missing:
@@ -857,25 +896,32 @@ class LakeTable:
                              bloom_cols=bloom_cols,
                              row_counts=self._collect_row_counts(files))
 
-    def delete(self, ranges: dict, txn_id: str | None = None) -> int:
-        """Row-level DELETE as a copy-on-write commit; `ranges` is the
-        same column → (lo, hi) dict scan() takes (either end None =
-        unbounded; a row matches — and is deleted — only if it falls
-        inside EVERY range; rows with NULL in a ranged column never
-        match, standard SQL semantics).
+    def delete(self, ranges: dict, txn_id: str | None = None,
+               defer: bool = False) -> int:
+        """Row-level DELETE; `ranges` is the same column → (lo, hi)
+        dict scan() takes (either end None = unbounded; a row matches —
+        and is deleted — only if it falls inside EVERY range; rows with
+        NULL in a ranged column never match, standard SQL semantics).
 
-        The commit-log min/max stats split the file list on the driver:
-        files whose stat box cannot intersect the ranges keep all their
-        rows by construction and are SHARED with the new version —
-        zero bytes rewritten; only files that might hold matching rows
-        are read, filtered with the exact negated predicate, and
-        rewritten. On a range-clustered/z-ordered table at 100 TB this
-        is the Delta-style DELETE contract: a bounded predicate
-        rewrites a bounded fraction of the table, never the snapshot.
-        Old versions keep the original files (time travel intact).
-        Returns the new version."""
-        from pyspark.sql import functions as F
+        Default (copy-on-write): the commit-log min/max stats split the
+        file list on the driver — files whose stat box cannot intersect
+        the ranges keep all their rows by construction and are SHARED
+        with the new version, zero bytes rewritten; only files that
+        might hold matching rows are read, filtered with the exact
+        negated predicate, and rewritten. Delta-style DELETE: bounded
+        predicate → bounded rewrite. Old versions keep the original
+        files (time travel intact).
 
+        `defer=True` (merge-on-read): the delete is recorded as a
+        PREDICATE in the log entry and NO data file is touched — an
+        O(1) commit regardless of table size, the shape a takedown /
+        right-to-be-erased queue needs at 100 TB (rows become invisible
+        the instant the entry publishes; every read path applies the
+        stored predicates). compact() materializes pending deferred
+        deletes away; stats() refuses while any are pending (its row
+        counts describe the physical files). Deferred bounds must be
+        JSON-native (int/float/str/bool) — use the CoW path for
+        timestamp bounds. Returns the new version."""
         if not ranges or all(lo is None and hi is None
                              for lo, hi in ranges.values()):
             raise ValueError("delete: at least one bounded range required")
@@ -887,21 +933,42 @@ class LakeTable:
         if base is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
+        if defer:
+            for col, (lo, hi) in ranges.items():
+                for b in (lo, hi):
+                    if b is not None and not isinstance(
+                            b, (int, float, str, bool)):
+                        raise ValueError(
+                            f"delete(defer=True): bound {b!r} for "
+                            f"{col!r} is not JSON-native — use the "
+                            f"copy-on-write path for typed bounds"
+                        )
+            return self._publish(
+                entry["files"], "delete-defer", txn_id, base + 1,
+                schema=self._entry_schema(entry),
+                stats=entry.get("stats"),
+                blooms=entry.get("blooms"),
+                bloom_cols=entry.get("bloom_cols"),
+                row_counts=entry.get("row_counts"),
+                deferred_deletes=(entry.get("deferred_deletes", [])
+                                  + [{c: list(b) for c, b
+                                      in ranges.items()}]))
         affected, untouched = self._split_files(entry, ranges)
-        pred = None
-        for col, (lo, hi) in ranges.items():
-            for cond in ([F.col(col) >= F.lit(lo)] if lo is not None
-                         else []) + ([F.col(col) <= F.lit(hi)]
-                                     if hi is not None else []):
-                pred = cond if pred is None else pred & cond
         new_files: list[str] = []
         if affected:
             kept = self._read_files(entry, affected).filter(
                 # NULL never matches a delete predicate → keep the row
-                ~F.coalesce(pred, F.lit(False)))
+                ~self._range_pred(ranges))
             new_files = self._write_files(kept)
         return self._publish_rewrite(entry, "delete", txn_id, base + 1,
                                      untouched, new_files)
+
+    def _entry_schema(self, entry: dict):
+        if "schema" not in entry:
+            return None
+        from pyspark.sql import types as T
+
+        return T.StructType.fromJson(json.loads(entry["schema"]))
 
     def _publish_rewrite(self, entry: dict, op: str, txn_id: str | None,
                          version: int, untouched: list[str],
@@ -932,7 +999,9 @@ class LakeTable:
         return self._publish(files, op, txn_id, version,
                              schema=schema, stats=stats,
                              blooms=blooms, bloom_cols=bloom_cols,
-                             row_counts=rows)
+                             row_counts=rows,
+                             deferred_deletes=entry.get(
+                                 "deferred_deletes"))
 
     def update(self, ranges: dict, set_exprs: dict,
                txn_id: str | None = None) -> int:
@@ -1007,7 +1076,9 @@ class LakeTable:
                              schema=schema, stats=entry.get("stats"),
                              blooms=entry.get("blooms"),
                              bloom_cols=entry.get("bloom_cols"),
-                             row_counts=entry.get("row_counts"))
+                             row_counts=entry.get("row_counts"),
+                             deferred_deletes=entry.get(
+                                 "deferred_deletes"))
 
     def diff(self, v_old: int, v_new: int, key: str,
              content_cols: list[str]) -> DataFrame:

@@ -66,7 +66,7 @@ _WINDOW: list[str] = [
     # and via q_attribution_join's as-of twin + q_join_flagship) ---------
     "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_delete",
     "q_lake_restore", "q_lake_update", "q_lake_point_lookup",
-    "q_lake_stats_agg",
+    "q_lake_stats_agg", "q_lake_gdpr_delete",
     # -- time-series / analytics tail, first driver exposure -------------
     "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
     "q_attribution_join", "q_profile", "q_quantile_sketch",
@@ -77,8 +77,8 @@ _WINDOW: list[str] = [
     # CoW UPDATE + bloom point-lookup tiers; both families remain
     # hash-covered in-window via q_join_flagship and the text battery
     # q_token_bpe/q_pii_redaction/q_unigram_lm) --------------------------
-    "q_join_flagship", "q_minhash_lsh", "q_embedding_knn",
-    "q_tumbling_window", "q_lake_pruned_scan",
+    "q_join_flagship", "q_minhash_lsh", "q_tumbling_window",
+    "q_lake_pruned_scan",
 ]
 
 # Declared queries past the driver window. EVERY tail entry now carries
@@ -93,7 +93,7 @@ _TAIL: list[str] = [
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
     "q_dedup_exact", "q_asof_join", "q_tpch_q5", "q_gopher_rules",
-    "q_decontaminate",
+    "q_decontaminate", "q_embedding_knn",
     "q_snapshot_diff", "q_heavy_hitters_cms", "q_skewed_join",
     "q_tpch_q3_bucketed", "q_incremental_dedup", "q_resolve_entities",
     "q_scd2", "q_merge_upsert", "q_tpch_q2", "q_tpch_q4", "q_tpch_q6",

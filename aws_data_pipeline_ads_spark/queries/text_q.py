@@ -1185,6 +1185,49 @@ def lakepoint_index(spark, sf_dir: str) -> str:
 
 
 @query(
+    "q_lake_gdpr_delete",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents "
+        "WHERE doc_id < (SELECT max(doc_id) // 4 FROM documents) "
+        "OR doc_id > (SELECT max(doc_id) // 2 FROM documents)"
+    ),
+    doc="LLM lake versioning: DEFERRED (merge-on-read) DELETE — the "
+        "takedown/right-to-be-erased shape: delete(defer=True) records "
+        "the predicate in the log entry and touches ZERO data files "
+        "(an O(1) commit at any table size; rows invisible the instant "
+        "the entry publishes — every read path applies the stored "
+        "predicates; compact() later materializes them away). The head "
+        "read hash-matches the negated SQL filter, which only holds if "
+        "the merge-on-read filter actually applies",
+)
+def q_lake_gdpr_delete(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakegdpr_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    return t.read().select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+# Committed docs + one O(1) deferred delete of the (1/4, 1/2] doc_id
+# band (write-side job)
+def lakegdpr_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(8, "doc_id"), txn_id="rev-0")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        t.delete({"doc_id": (mx // 4, mx // 2)}, txn_id="gdpr-0",
+                 defer=True)
+
+    return index_path("lakegdpr", sf_dir, build)
+
+
+@query(
     "q_lake_stats_agg",
     oracle=(
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

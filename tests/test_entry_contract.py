@@ -52,8 +52,9 @@ def test_driver_window_covers_llm_pipeline_queries():
         # the five new r7 tiers (first exposure)
         "q_audio_mp3", "q_lake_delete", "q_lake_restore",
         "q_lake_update", "q_lake_point_lookup", "q_lake_stats_agg",
+        "q_lake_gdpr_delete",
         # verified anchors for the core families
-        "q_join_flagship", "q_minhash_lsh", "q_embedding_knn",
+        "q_join_flagship", "q_minhash_lsh",
         "q_tumbling_window", "q_lake_pruned_scan",
     }
     missing = must_cover - set(window)

@@ -813,3 +813,50 @@ def test_lake_append_sink_exactly_once(spark, sf_dir, tmp_path, mk_table):
     assert t.commit(docs.limit(1), "append",
                     txn_id="append-batch-0") <= head
     assert t.current_version() == head
+
+
+def test_deferred_delete_merge_on_read(spark, sf_dir, tmp_path, mk_table):
+    """delete(defer=True): an O(1) commit — the file list is untouched
+    (no data dir grows), yet every read path hides the rows instantly
+    (read/scan/scan_point/time-travel semantics); appends keep the
+    predicate; stats() refuses while pending; compact() materializes
+    the deletes and clears them; the pre-delete version still shows the
+    rows (time travel)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.repartitionByRange(8, "doc_id"), bloom_cols=["doc_id"])
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    lo, hi = mx // 3, 2 * mx // 3
+    n_dirs = len(os.listdir(tmp_path / "tbl" / "data"))
+
+    v1 = t.delete({"doc_id": (lo, hi)}, txn_id="gdpr-1", defer=True)
+    assert v1 == 1 and t.history()[-1]["op"] == "delete-defer"
+    # O(1): same file list, not one new data directory
+    assert _entry(t, 1)["files"] == _entry(t, 0)["files"]
+    assert len(os.listdir(tmp_path / "tbl" / "data")) == n_dirs
+    surviving = docs.filter((F.col("doc_id") < lo) | (F.col("doc_id") > hi))
+    assert _rows(t.read()) == _rows(surviving)
+    assert _rows(t.read(0)) == _rows(docs)            # time travel
+    # scan and point-lookup read through the predicate too
+    assert _rows(t.scan({"doc_id": (None, mx)})) == _rows(surviving)
+    assert t.scan_point({"doc_id": (lo + hi) // 2}).count() == 0
+    # replay-safe
+    assert t.delete({"doc_id": (0, mx)}, txn_id="gdpr-1", defer=True) == 1
+    # stats refuses while pending
+    with pytest.raises(ValueError, match="deferred deletes"):
+        t.stats()
+    # append: new rows land, predicate still covers the old files
+    extra = docs.limit(4).withColumn("doc_id", F.col("doc_id") + 900_000)
+    t.commit(extra, "append")
+    assert _rows(t.read()) == _rows(surviving.unionByName(extra))
+    # compact materializes and clears
+    t.compact(target_bytes=1 << 30)
+    e = _entry(t, t.current_version())
+    assert "deferred_deletes" not in e
+    assert _rows(t.read()) == _rows(surviving.unionByName(extra))
+    assert t.stats()["rows"] == surviving.count() + 4  # stats work again
+    # typed (datetime) bounds refuse the deferred path
+    import datetime as dt
+
+    with pytest.raises(ValueError, match="JSON-native"):
+        t.delete({"doc_id": (dt.datetime(2024, 1, 1), None)}, defer=True)
