@@ -437,14 +437,31 @@ class LakeTable:
     _BLOOM_K = 4
 
     @classmethod
+    def _bloom_key(cls, value) -> str:
+        """Canonical hash key for a bloom value. Numerics collapse to
+        one spelling (int 5, numpy.int64(5) and 5.0 must all probe the
+        same bits — a repr() split here would be a FALSE NEGATIVE, i.e.
+        skipping a file that holds the value); a huge int that rounds
+        in float does so identically at write and probe time, which at
+        worst adds a false positive (safe). Everything else uses the
+        stat-key repr (strings, dates)."""
+        import numbers
+
+        sk = cls._stat_key(value)
+        if isinstance(sk, bool):
+            return repr(sk)
+        if isinstance(sk, numbers.Number):
+            f = float(sk)
+            return repr(int(f)) if f.is_integer() else repr(f)
+        return repr(sk)
+
+    @classmethod
     def _bloom_positions(cls, value) -> list[int]:
         """k bit positions for `value`, derived from one md5 — the same
-        function at write (index build) and read (probe) time. Values
-        canonicalize through repr of their stat-key form so int/str/
-        date keys hash identically across sessions."""
+        function at write (index build) and read (probe) time."""
         import hashlib
 
-        h = hashlib.md5(repr(cls._stat_key(value)).encode()).digest()
+        h = hashlib.md5(cls._bloom_key(value).encode()).digest()
         x = int.from_bytes(h, "big")
         out = []
         for _ in range(cls._BLOOM_K):
@@ -468,8 +485,16 @@ class LakeTable:
         out: dict[str, dict[str, str]] = {}
         for f in files:
             per_col: dict[str, str] = {}
-            tbl = pq.read_table(f, columns=[c for c in cols])
-            for c in cols:
+            # a partial-producer append may omit a bloom column: its
+            # rows read the column as NULL (never equality-matching),
+            # so the file simply carries no bloom for it — scan_point
+            # treats a missing bloom as 'might match' (conservative)
+            present = [c for c in cols
+                       if c in pq.ParquetFile(f).schema_arrow.names]
+            if not present:
+                continue
+            tbl = pq.read_table(f, columns=present)
+            for c in present:
                 bits = bytearray(self._BLOOM_BITS // 8)
                 for v in tbl.column(c).to_pylist():
                     if v is None:
@@ -621,6 +646,13 @@ class LakeTable:
         new_rows: dict = {}
         bloom_cache: dict = {}  # bloom-cols tuple → blooms for new_files
         for attempt in range(retries + 1):
+            if attempt and txn_id is not None:
+                # the competitor that beat us may have been a crashed
+                # twin replaying OUR txn — re-check before re-publishing
+                # or the same txn lands twice
+                done = self._txn_version(txn_id)
+                if done is not None:
+                    return done
             base = self.current_version()
             version = base + 1 if base is not None else 0
             schema = df.schema

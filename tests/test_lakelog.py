@@ -860,3 +860,24 @@ def test_deferred_delete_merge_on_read(spark, sf_dir, tmp_path, mk_table):
 
     with pytest.raises(ValueError, match="JSON-native"):
         t.delete({"doc_id": (dt.datetime(2024, 1, 1), None)}, defer=True)
+
+
+def test_bloom_key_canonicalization(spark, sf_dir, tmp_path, mk_table):
+    """A numpy integer or float-spelled probe of an int bloom column
+    must hit the same bits the writer set (a repr() split would be a
+    false NEGATIVE — skipping a file that holds the value); and a
+    partial-producer append lacking the bloom column commits cleanly
+    (its file just carries no bloom — conservative keep)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.repartition(8, "text"), bloom_cols=["doc_id"])
+    target = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    want = _rows(t.scan_point({"doc_id": int(target)}))
+    assert want  # the doc exists
+    assert _rows(t.scan_point({"doc_id": np.int64(target)})) == want
+    assert _rows(t.scan_point({"doc_id": float(target)})) == want
+    # append WITHOUT the bloom column: commit succeeds, lookups intact
+    t.commit(spark.createDataFrame([("orphan",)], "text string"), "append")
+    assert _rows(t.scan_point({"doc_id": int(target)})) == want
