@@ -1063,23 +1063,29 @@ class LakeTable:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
         affected, untouched = self._split_files(entry, ranges)
-        pred = None
-        for col, (lo, hi) in ranges.items():
-            for cond in ([F.col(col) >= F.lit(lo)] if lo is not None
-                         else []) + ([F.col(col) <= F.lit(hi)]
-                                     if hi is not None else []):
-                pred = cond if pred is None else pred & cond
-        pred = F.coalesce(pred, F.lit(False))
+        pred = self._range_pred(ranges)
         new_files: list[str] = []
         if affected:
             df = self._read_files(entry, affected)
-            for col, expr in set_exprs.items():
-                if col not in df.columns:
-                    raise ValueError(f"update: unknown column {col!r}")
-                val = expr if isinstance(expr, Column) else F.expr(expr)
-                df = df.withColumn(
-                    col, F.when(pred, val).otherwise(F.col(col)))
-            new_files = self._write_files(df)
+            unknown = [c for c in set_exprs if c not in df.columns]
+            if unknown:
+                raise ValueError(f"update: unknown column {unknown[0]!r}")
+            # ONE simultaneous projection, SQL UPDATE semantics: every
+            # SET right-hand side AND the predicate evaluate against
+            # the ORIGINAL row. A sequential withColumn chain would let
+            # a SET on a ranged column flip the predicate for later
+            # columns, and a column swap ({a: b, b: a}) would read
+            # already-updated values.
+            proj = []
+            for c in df.columns:
+                if c in set_exprs:
+                    expr = set_exprs[c]
+                    val = expr if isinstance(expr, Column) else F.expr(expr)
+                    proj.append(
+                        F.when(pred, val).otherwise(F.col(c)).alias(c))
+                else:
+                    proj.append(F.col(c))
+            new_files = self._write_files(df.select(*proj))
         return self._publish_rewrite(entry, "update", txn_id, base + 1,
                                      untouched, new_files)
 

@@ -881,3 +881,20 @@ def test_bloom_key_canonicalization(spark, sf_dir, tmp_path, mk_table):
     # append WITHOUT the bloom column: commit succeeds, lookups intact
     t.commit(spark.createDataFrame([("orphan",)], "text string"), "append")
     assert _rows(t.scan_point({"doc_id": int(target)})) == want
+
+
+def test_update_simultaneous_set_semantics(spark, tmp_path, mk_table):
+    """SQL UPDATE semantics: every SET right-hand side and the
+    predicate evaluate against the ORIGINAL row — a SET on the ranged
+    column must not flip the predicate for later columns, and a column
+    swap must read pre-update values."""
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [(1, 10, 100), (5, 50, 500), (20, 70, 700)],
+        "k long, a long, b long"))
+    # SET touches the ranged column k AND other columns; swap a/b
+    t.update({"k": (0, 9)}, {"k": "k + 1000", "a": "b", "b": "a"})
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(20, 70, 700),            # outside range: untouched
+                   (1001, 100, 10),          # k bumped, a/b swapped
+                   (1005, 500, 50)]
