@@ -1151,18 +1151,45 @@ class LakeTable:
             out = step if out is None else out.unionByName(step)
         return out
 
-    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(self, target_bytes: int = 128 * 1024 * 1024,
+                incremental: bool = False) -> int:
         """OPTIMIZE through the log: rewrite the current snapshot into
         ≈target_bytes files as a NEW version. No directory swap, no
         reader-visible gap — old versions keep their (immutable) files
         until vacuum; the atomic publish is the same exclusive-create
-        every commit uses."""
+        every commit uses. A full compact also MATERIALIZES pending
+        deferred deletes (the read feeding the rewrite applies them)
+        and clears them from the new entry.
+
+        `incremental=True` rewrites ONLY the small-file tail (files
+        under target_bytes/2) and shares every right-sized file
+        byte-for-byte — the form OPTIMIZE must take at 100 TB, where a
+        streaming ingest accretes thousands of small files per day and
+        a full rewrite of the snapshot is off the table. Returns the
+        current version unchanged when fewer than two small files
+        exist (nothing to merge). Pending deferred deletes are
+        materialized for the rewritten files and PRESERVED in the
+        entry (the untouched files still hold those rows physically) —
+        idempotent on re-application."""
         import math
 
         base = self.current_version()
         if base is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
+        if incremental:
+            sizes = {f: os.path.getsize(f) for f in entry["files"]}
+            small = [f for f in entry["files"]
+                     if sizes[f] < target_bytes // 2]
+            if len(small) < 2:
+                return base  # nothing worth merging
+            big = [f for f in entry["files"] if sizes[f] >= target_bytes // 2]
+            n = max(1, math.ceil(sum(sizes[f] for f in small)
+                                 / target_bytes))
+            merged = self._read_files(entry, small).repartition(n)
+            new_files = self._write_files(merged)
+            return self._publish_rewrite(entry, "compact", None, base + 1,
+                                         big, new_files)
         total = sum(os.path.getsize(f) for f in entry["files"])
         n = max(1, math.ceil(total / target_bytes))
         compacted = self.read(base).repartition(n)

@@ -898,3 +898,38 @@ def test_update_simultaneous_set_semantics(spark, tmp_path, mk_table):
     assert got == [(20, 70, 700),            # outside range: untouched
                    (1001, 100, 10),          # k bumped, a/b swapped
                    (1005, 500, 50)]
+
+
+def test_incremental_compaction_rewrites_only_small_files(spark, sf_dir,
+                                                          tmp_path,
+                                                          mk_table):
+    """compact(incremental=True): right-sized files are shared
+    byte-for-byte, only the small-file tail merges; rows identical;
+    pending deferred deletes are preserved (untouched files still hold
+    the rows physically) yet reads stay filtered; a table with <2 small
+    files is a no-op returning the current version."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.coalesce(1))                           # one big file
+    t.commit(docs.limit(40).repartition(8), "append")    # small tail
+    e0 = _entry(t, 1)
+    big = max(e0["files"], key=os.path.getsize)
+    target = 2 * os.path.getsize(big) // 3  # big >= target/2 > small
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t.delete({"doc_id": (0, mx // 10)}, defer=True)      # pending MoR
+    before = _rows(t.read())
+
+    v = t.compact(target_bytes=target, incremental=True)
+    e = _entry(t, v)
+    assert t.history()[-1]["op"] == "compact"
+    assert big in e["files"]                             # shared
+    assert len(e["files"]) < len(e0["files"])            # tail merged
+    assert _rows(t.read()) == before                     # rows identical
+    assert e.get("deferred_deletes")                     # MoR preserved
+    # idempotent re-application over the merged (already-filtered) files
+    assert _rows(t.read()) == _rows(t.read(v))
+    # a compacted table with nothing small left: no-op, same version
+    t2 = mk_table(str(tmp_path / "tbl2"))
+    t2.commit(docs.coalesce(1))
+    assert t2.compact(target_bytes=10, incremental=True) == 0
+    assert t2.current_version() == 0
