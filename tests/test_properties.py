@@ -820,3 +820,100 @@ def test_permissive_parsers_always_quarantine(spark, blobs):
             for r in rs:
                 assert r.error is None or (isinstance(r.error, str)
                                            and r.error)
+
+
+# ---------------------------------------------------------------------------
+# Model-based check of the lake commit log: a random sequence of table
+# operations must keep LakeTable.read() equal to a trivial in-memory
+# model at every step — the strongest guard the versioned-lake tier has
+# against cross-operation interaction bugs (CoW delete on top of a
+# deferred delete, update after evolve-append, restore after compact…).
+# ---------------------------------------------------------------------------
+
+def _lake_model_rows(model):
+    return sorted(model.items())
+
+
+@PROP
+@given(seed=st.integers(0, 10_000))
+def test_lake_oplog_matches_model(spark, tmp_path_factory, seed):
+    """Apply ~8 random ops (overwrite/append/CoW-delete/deferred-delete/
+    update/merge/compact/incremental-compact/restore) to a LakeTable
+    AND to a dict model {k: v}; after every op the table read must
+    equal the model, and at the end every historical version must
+    still read (time travel never breaks)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    rng = random.Random(seed)
+    path = str(tmp_path_factory.mktemp("lakeprop") / "tbl")
+    t = LakeTable(spark, path)
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows.items()] or [(None, None)],
+            "k long, v long").filter(F.col("k").isNotNull())
+
+    def fresh(n):
+        return {rng.randrange(0, 50): rng.randrange(0, 1000)
+                for _ in range(n)}
+
+    model = fresh(8)
+    t.commit(mk_df(model))
+    snapshots = {0: dict(model)}
+    next_key = 100  # appended keys never repeat: the model is a dict,
+    # so the table must stay duplicate-free by construction
+
+    def check():
+        got = sorted((r.k, r.v) for r in t.read().collect())
+        assert got == _lake_model_rows(model), \
+            f"seed={seed} v={t.current_version()}"
+
+    for _ in range(8):
+        op = rng.choice(["overwrite", "append", "delete", "defer",
+                         "update", "merge", "compact", "inc_compact",
+                         "restore"])
+        if op == "overwrite":
+            model = fresh(rng.randrange(1, 10))
+            t.commit(mk_df(model))
+        elif op == "append":
+            n = rng.randrange(1, 4)
+            extra = {k: rng.randrange(0, 1000)
+                     for k in range(next_key, next_key + n)}
+            next_key += n
+            t.commit(mk_df(extra), "append")
+            model = {**model, **extra}
+        elif op in ("delete", "defer"):
+            lo = rng.randrange(0, 60)
+            hi = lo + rng.randrange(0, 30)
+            t.delete({"k": (lo, hi)}, defer=(op == "defer"))
+            model = {k: v for k, v in model.items()
+                     if not (lo <= k <= hi)}
+        elif op == "update":
+            lo = rng.randrange(0, 60)
+            hi = lo + rng.randrange(0, 30)
+            t.update({"k": (lo, hi)}, {"v": "v + 10000"})
+            model = {k: (v + 10000 if lo <= k <= hi else v)
+                     for k, v in model.items()}
+        elif op == "merge":
+            src = {k: rng.randrange(0, 1000)
+                   for k in rng.sample(range(0, 120), rng.randrange(1, 4))}
+            t.merge(mk_df(src), "k")
+            model = {**model, **src}
+        elif op == "compact":
+            t.compact(target_bytes=1 << 20)
+        elif op == "inc_compact":
+            t.compact(target_bytes=1 << 20, incremental=True)
+        elif op == "restore":
+            v = rng.choice(sorted(snapshots))
+            t.restore(v)
+            model = dict(snapshots[v])
+        snapshots[t.current_version()] = dict(model)
+        check()
+    # time travel: every recorded version still reads to its snapshot
+    for v, snap in snapshots.items():
+        got = sorted((r.k, r.v) for r in t.read(v).collect())
+        assert got == _lake_model_rows(snap), f"seed={seed} travel v={v}"
