@@ -375,11 +375,7 @@ class LakeTable:
         the filter will localize them (astimezone() on a naive value
         applies the OS zone, mktime's twin), then UTC-normalized like
         every other stat."""
-        import datetime as _dt
-
-        if isinstance(v, _dt.datetime) and v.tzinfo is None:
-            v = v.astimezone(_dt.timezone.utc)
-        return self._stat_key(v)
+        return self._stat_key(self._probe_value(v))
 
     def _collect_stats(self, files: list[str]) -> dict:
         """Per-file min/max per top-level primitive column, read from
@@ -436,6 +432,20 @@ class LakeTable:
     _BLOOM_BITS = 1 << 15  # 4 KiB per file per column
     _BLOOM_K = 4
 
+    @staticmethod
+    def _probe_value(v):
+        """Normalize an equality-probe value the way the F.lit filter
+        will interpret it: a NAIVE datetime means OS-local wall time
+        (PySpark's time.mktime conversion — same rule as _bound_key),
+        so it must become the same UTC instant the write-side stats and
+        bloom keys were built from, or the probe would falsely skip the
+        file holding the value under a non-UTC process zone."""
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            return v.astimezone(_dt.timezone.utc)
+        return v
+
     @classmethod
     def _bloom_key(cls, value) -> str:
         """Canonical hash key for a bloom value. Numerics collapse to
@@ -489,8 +499,8 @@ class LakeTable:
             # rows read the column as NULL (never equality-matching),
             # so the file simply carries no bloom for it — scan_point
             # treats a missing bloom as 'might match' (conservative)
-            present = [c for c in cols
-                       if c in pq.ParquetFile(f).schema_arrow.names]
+            names = pq.ParquetFile(f).schema_arrow.names
+            present = [c for c in cols if c in names]
             if not present:
                 continue
             tbl = pq.read_table(f, columns=present)
@@ -652,12 +662,16 @@ class LakeTable:
                 # or the same txn lands twice
                 done = self._txn_version(txn_id)
                 if done is not None:
+                    # our attempt-0 files were never published and no
+                    # entry will ever reference them — discard, or they
+                    # are orphans vacuum() can never reclaim
+                    self._discard_files(new_files or [])
                     return done
             base = self.current_version()
             version = base + 1 if base is not None else 0
             schema = df.schema
-            base_entry = (self._read_entry(base)
-                          if mode == "append" and base is not None else None)
+            head_entry = self._read_entry(base) if base is not None else None
+            base_entry = head_entry if mode == "append" else None
             if base_entry is not None:
                 if "schema" not in base_entry and base_entry["files"]:
                     # pre-schema-tier entry (hand-built / older log):
@@ -674,8 +688,11 @@ class LakeTable:
                 if "schema" in base_entry:
                     schema = self._merged_schema(base_entry, df, evolve)
             bc = bloom_cols
-            if bc is None and base_entry is not None:
-                bc = base_entry.get("bloom_cols")
+            if bc is None and head_entry is not None:
+                # a table PROPERTY, not a per-commit flag: a routine
+                # overwrite must not silently drop the bloom index
+                # (pass bloom_cols=[] to clear it explicitly)
+                bc = head_entry.get("bloom_cols")
             if new_files is None:
                 # data files land ONCE; retries only re-publish metadata
                 new_files = self._write_files(df)
@@ -700,13 +717,27 @@ class LakeTable:
                     schema=schema, stats=stats,
                     blooms=blooms, bloom_cols=bc, row_counts=rows,
                     # pending merge-on-read deletes still cover the
-                    # base files this append shares
-                    deferred_deletes=(base_entry or {}).get(
-                        "deferred_deletes"))
+                    # base files this append shares (scoped per-file,
+                    # so the appended rows stay visible)
+                    deferred_deletes=self._live_deferred(
+                        (base_entry or {}).get("deferred_deletes"),
+                        files))
             except ConcurrentWriteError:
                 if attempt == retries:
+                    # never published: discard our data files so the
+                    # caller's full re-invocation (which rewrites) does
+                    # not leak unreferenced orphans under data/
+                    self._discard_files(new_files or [])
                     raise
         raise AssertionError("unreachable")
+
+    @staticmethod
+    def _discard_files(files: list[str]) -> None:
+        for f in files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
 
     # -- read path ---------------------------------------------------------
 
@@ -739,15 +770,38 @@ class LakeTable:
         return F.coalesce(pred, F.lit(False))
 
     def _read_files(self, entry: dict, files: list[str]) -> DataFrame:
-        df = self._read_files_raw(entry, files)
         # merge-on-read: deferred deletes (delete(defer=True)) are
         # predicates in the LOG, not rewritten bytes — every read path
         # (read/scan/scan_point/diff/changes and the rewrite ops that
-        # materialize) funnels through here, so they apply exactly once
-        for ranges in entry.get("deferred_deletes", []):
-            df = df.filter(~self._range_pred(
-                {c: tuple(b) for c, b in ranges.items()}))
-        return df
+        # materialize) funnels through here. Each predicate is SCOPED
+        # to the files that existed when its delete committed (snapshot
+        # semantics, like Delta's per-file deletion vectors): rows
+        # appended or rewritten AFTER the delete are new data and must
+        # not be hidden by an old predicate. Files are grouped by which
+        # predicates cover them; each group reads once and the groups
+        # union.
+        deferred = entry.get("deferred_deletes", [])
+        if not deferred or not files:
+            return self._read_files_raw(entry, files)
+        # legacy entries (pre-scoping) stored a bare ranges dict with no
+        # file list: treat as covering the whole snapshot (old behavior)
+        deferred = [d if "ranges" in d
+                    else {"ranges": d, "files": entry["files"]}
+                    for d in deferred]
+        covered = [set(d["files"]) for d in deferred]
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            sig = tuple(i for i, cov in enumerate(covered) if f in cov)
+            groups.setdefault(sig, []).append(f)
+        out = None
+        for sig, fs in groups.items():
+            df = self._read_files_raw(entry, fs)
+            for i in sig:
+                df = df.filter(~self._range_pred(
+                    {c: tuple(b)
+                     for c, b in deferred[i]["ranges"].items()}))
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def _read_files_raw(self, entry: dict, files: list[str]) -> DataFrame:
         if "schema" in entry:
@@ -888,10 +942,11 @@ class LakeTable:
                                             for c, v in eq.items()})
         blooms = entry.get("blooms", {})
         kept = []
+        probes = {c: self._probe_value(v) for c, v in eq.items()}
         for f in keep:
             per_col = blooms.get(f, {})
-            if all(self._bloom_may_contain(per_col[c], v)
-                   for c, v in eq.items() if c in per_col):
+            if all(self._bloom_may_contain(per_col[c], pv)
+                   for c, pv in probes.items() if c in per_col):
                 kept.append(f)
         from pyspark.sql import functions as F
 
@@ -983,8 +1038,13 @@ class LakeTable:
                 bloom_cols=entry.get("bloom_cols"),
                 row_counts=entry.get("row_counts"),
                 deferred_deletes=(entry.get("deferred_deletes", [])
-                                  + [{c: list(b) for c, b
-                                      in ranges.items()}]))
+                                  + [{"ranges": {c: list(b) for c, b
+                                                 in ranges.items()},
+                                      # snapshot scope: the predicate
+                                      # covers exactly the files that
+                                      # exist NOW — later appends and
+                                      # rewrites are new data
+                                      "files": list(entry["files"])}]))
         affected, untouched = self._split_files(entry, ranges)
         new_files: list[str] = []
         if affected:
@@ -1017,23 +1077,30 @@ class LakeTable:
         rows = {f: n for f, n in entry.get("row_counts", {}).items()
                 if f in untouched_set}
         rows.update(self._collect_row_counts(new_files))
+        schema = self._entry_schema(entry)
         bloom_cols = entry.get("bloom_cols")
         blooms = None
         if bloom_cols:
             blooms = {f: b for f, b in entry.get("blooms", {}).items()
                       if f in untouched_set}
             blooms.update(self._collect_blooms(new_files, bloom_cols))
-        schema = None
-        if "schema" in entry:
-            from pyspark.sql import types as T
-
-            schema = T.StructType.fromJson(json.loads(entry["schema"]))
         return self._publish(files, op, txn_id, version,
                              schema=schema, stats=stats,
                              blooms=blooms, bloom_cols=bloom_cols,
                              row_counts=rows,
-                             deferred_deletes=entry.get(
-                                 "deferred_deletes"))
+                             deferred_deletes=self._live_deferred(
+                                 entry.get("deferred_deletes"), files))
+
+    @staticmethod
+    def _live_deferred(deferred, files) -> list | None:
+        """Deferred predicates still covering at least one published
+        file; a predicate whose covered files were all rewritten is
+        fully materialized and drops out of the entry."""
+        if not deferred:
+            return None
+        fs = set(files)
+        live = [d for d in deferred if fs & set(d["files"])]
+        return live or None
 
     def update(self, ranges: dict, set_exprs: dict,
                txn_id: str | None = None) -> int:
@@ -1062,14 +1129,19 @@ class LakeTable:
         if base is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
+        pinned = self._entry_schema(entry)
+        known = ([f.name for f in pinned.fields] if pinned is not None
+                 else self._read_files_raw(entry, entry["files"]).columns)
+        unknown = [c for c in set_exprs if c not in known]
+        if unknown:
+            # validated BEFORE the stats split: a typo'd column must
+            # fail even when pruning leaves no affected files
+            raise ValueError(f"update: unknown column {unknown[0]!r}")
         affected, untouched = self._split_files(entry, ranges)
         pred = self._range_pred(ranges)
         new_files: list[str] = []
         if affected:
             df = self._read_files(entry, affected)
-            unknown = [c for c in set_exprs if c not in df.columns]
-            if unknown:
-                raise ValueError(f"update: unknown column {unknown[0]!r}")
             # ONE simultaneous projection, SQL UPDATE semantics: every
             # SET right-hand side AND the predicate evaluate against
             # the ORIGINAL row. A sequential withColumn chain would let
@@ -1105,13 +1177,18 @@ class LakeTable:
         if base is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(version)  # ValueError if absent
-        schema = None
-        if "schema" in entry:
-            from pyspark.sql import types as T
-
-            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        gone = [f for f in entry["files"] if not os.path.exists(f)]
+        if gone:
+            # restoring past a vacuum would publish a head whose reads
+            # fail at scan time — refuse at commit time instead
+            raise ValueError(
+                f"lake table {self.path}: cannot restore version "
+                f"{version} — {len(gone)} of its data files were "
+                f"vacuumed (first: {gone[0]})"
+            )
         return self._publish(entry["files"], "restore", txn_id, base + 1,
-                             schema=schema, stats=entry.get("stats"),
+                             schema=self._entry_schema(entry),
+                             stats=entry.get("stats"),
                              blooms=entry.get("blooms"),
                              bloom_cols=entry.get("bloom_cols"),
                              row_counts=entry.get("row_counts"),

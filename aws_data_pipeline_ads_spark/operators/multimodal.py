@@ -1639,8 +1639,10 @@ def video_frame_features(media: DataFrame, n_frames: int = 3,
     `frame_decoder` is THE one sanctioned codec-library boundary in
     this repo: a callable `bytes -> HxWxC uint8 ndarray` applied to
     each demuxed sample. Default None = the built-in pure-Python
-    baseline/progressive JPEG decoder (MJPEG-AVI / MJPEG-in-MP4 / Y4M
-    corpora decode end-to-end with no libraries). For inter-coded
+    baseline/progressive JPEG decoder, so MJPEG-AVI and MJPEG-in-MP4
+    corpora decode end-to-end with no libraries (Y4M demuxes to RAW
+    planar YCbCr frames — route them through an injected decoder, the
+    default JPEG path rejects them loudly). For inter-coded
     codecs (H.264/H.265 — the dominant crawl format) the sample tier
     already computes EXACT per-sample byte ranges (stsc/stco/stsz, with
     `sync_only=True` restricting to stss keyframes); inject e.g. a

@@ -129,7 +129,6 @@ def main() -> None:
     text_q.lakezorder_index(spark, sf_dir)
     text_q.laketime_index(spark, sf_dir)
     text_q.lakedelete_index(spark, sf_dir)
-    text_q.lakerestore_index(spark, sf_dir)
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",
           file=sys.stderr)

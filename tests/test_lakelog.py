@@ -933,3 +933,141 @@ def test_incremental_compaction_rewrites_only_small_files(spark, sf_dir,
     t2.commit(docs.coalesce(1))
     assert t2.compact(target_bytes=10, incremental=True) == 0
     assert t2.current_version() == 0
+
+
+def test_deferred_delete_scoped_to_snapshot_files(spark, sf_dir, tmp_path,
+                                                  mk_table):
+    """Snapshot semantics (the per-file deletion-vector contract): a
+    deferred delete covers the files that existed when it committed —
+    rows APPENDED into the same key range afterwards are new data and
+    stay visible; an update() moving a row into the range keeps it
+    visible (its rewritten file is not covered); a fully-materialized
+    predicate drops out of the entry."""
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [(k, k * 10) for k in range(20)], "k long, v long"))
+    t.delete({"k": (5, 9)}, defer=True)
+    assert sorted(r.k for r in t.read().collect()) == \
+        [k for k in range(20) if not 5 <= k <= 9]
+    # append INTO the deleted range: new data, must be visible
+    t.commit(spark.createDataFrame([(7, 700)], "k long, v long"), "append")
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[7] == 700
+    # update() moving a surviving row INTO the range keeps it visible
+    t.update({"k": (15, 15)}, {"k": "6"})
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert (6, 150) in got and (15, 150) not in got
+    # CoW-delete the full 0..20 range: every covered file is rewritten,
+    # the deferred predicate is fully materialized and leaves the entry,
+    # and no rows remain (keys never exceeded 20)
+    t.delete({"k": (0, 20)})
+    e = _entry(t, t.current_version())
+    assert not e.get("deferred_deletes")
+    assert t.read().count() == 0
+
+
+def test_restore_refuses_vacuumed_version(spark, sf_dir, tmp_path,
+                                          mk_table):
+    """restore() must refuse a version whose data files were vacuumed —
+    publishing a head that points at deleted files would fail at scan
+    time instead of commit time."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.limit(10))
+    t.commit(docs.limit(3))
+    t.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
+    assert t.current_version() == 1  # nothing published
+
+
+def test_update_unknown_column_fails_even_when_pruned(spark, tmp_path,
+                                                      mk_table):
+    """A typo'd SET column raises even when the stats split leaves no
+    affected file (the bug: validation lived inside `if affected`)."""
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, 2)], "k long, v long"))
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update({"k": (10**12, 10**12 + 1)}, {"nope": "0"})
+    assert t.current_version() == 0  # no no-op commit published
+
+
+def test_bloom_cols_is_a_table_property(spark, sf_dir, tmp_path, mk_table):
+    """A routine overwrite must not silently drop the bloom index: the
+    new snapshot inherits bloom_cols (and rebuilds the blooms);
+    bloom_cols=[] clears it explicitly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.repartition(8, "text"), bloom_cols=["doc_id"])
+    t.commit(docs.limit(50).repartition(8, "text"))  # plain overwrite
+    e = _entry(t, 1)
+    assert e["bloom_cols"] == ["doc_id"] and e["blooms"]
+    target = docs.limit(50).agg(F.max("doc_id")).collect()[0][0]
+    s = t.scan_point({"doc_id": target})
+    assert s.count() >= 1 and len(s.inputFiles()) < 8
+    t.commit(docs.limit(5), bloom_cols=[])           # explicit clear
+    assert "bloom_cols" not in _entry(t, 2)
+
+
+def test_lost_race_discards_unpublished_files(spark, sf_dir, tmp_path,
+                                              mk_table, monkeypatch):
+    """An append that loses its race with retries exhausted discards
+    the data files it wrote (no entry will ever reference them): after
+    the failure, every parquet file on disk is referenced by some log
+    entry — vacuum-reclaimable, no permanent orphans."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    other = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.limit(5))
+    orig = t._write_files
+
+    def hijack(df):
+        files = orig(df)
+        other.commit(docs.limit(2), "append")  # competitor always wins
+        return files
+
+    monkeypatch.setattr(t, "_write_files", hijack)
+    with pytest.raises(ConcurrentWriteError):
+        t.commit(docs.limit(3), "append", retries=0)
+    monkeypatch.setattr(t, "_write_files", orig)
+    referenced = set()
+    for v in t._versions():
+        referenced.update(t._read_entry(v)["files"])
+    on_disk = {
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(tmp_path / "tbl" / "data")
+        for f in fs if f.endswith(".parquet")
+    }
+    assert on_disk <= referenced  # no orphans survive the lost race
+
+
+def test_bloom_timestamp_probe_hostile_os_tz(spark, sf_dir, tmp_path,
+                                             mk_table):
+    """A naive-datetime probe of a TIMESTAMP bloom column under a
+    non-UTC process zone must hit the bits the (UTC-instant) writer
+    set: the probe localizes like F.lit does (review find — _stat_key
+    alone would key the naive wall time and falsely skip the file
+    holding the value)."""
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    t = mk_table(str(tmp_path / "tbl"))
+    # hash-partitioned on event_id → every file's ts box spans the whole
+    # range; only the bloom can prune
+    t.commit(ev.repartition(8, "event_id"), bloom_cols=["ts"])
+    prev_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        row = ev.limit(1).collect()[0]   # ts: naive, OS-local (NY) wall
+        assert row.ts.tzinfo is None
+        s = t.scan_point({"ts": row.ts})
+        ids = {r.event_id for r in s.collect()}
+        assert row.event_id in ids       # the row is found...
+        assert 0 < len(s.inputFiles()) <= 8
+    finally:
+        if prev_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev_tz
+        _time.tzset()
