@@ -46,3 +46,48 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, k: int = 5) -> DataFr
     through the shuffle, never document bodies)."""
     hits = contamination_report(corpus, benchmark, k).select("doc_id")
     return corpus.join(hits, "doc_id", "left_anti")
+
+
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                          k: int = 5,
+                          threshold_pct: int = 70) -> DataFrame:
+    """GRADED contamination: per corpus doc, the FRACTION of its
+    distinct k-gram shingles that appear in the benchmark — the
+    severity screen the PaLM/GPT-4 reports run on top of the binary
+    any-overlap flag (drop only examples above ~70% overlap; a stray
+    quoted sentence shouldn't cost a whole document).
+
+    Output: (doc_id, n_shingles, n_hits, overlap_frac, flagged) for
+    EVERY corpus doc — clean docs report 0 hits; at 100 TB this is the
+    per-doc QC metadata a curation run writes next to the corpus.
+
+    Scale shape: the corpus side is one distinct-shingle explode (same
+    pass `contamination_report` makes); the benchmark shingle set is
+    dim-sized and explicitly broadcast, so the hit count adds NO extra
+    shuffle beyond the per-doc groupBy. The flag compares integers
+    (n_hits * 100 >= n_shingles * threshold_pct) so the cut is exact
+    and engine-identical — never derived from the rounded float.
+    """
+    corpus_sh = doc_shingle_sets(corpus, k=k)
+    bench_sh = doc_shingle_sets(benchmark, k=k).select("tok").distinct()
+    tot = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_hits.alias("n_hits"),
+            F.round(n_hits / F.col("n_shingles"), 6).alias("overlap_frac"),
+            (n_hits * 100 >= F.col("n_shingles") * threshold_pct).alias(
+                "flagged"
+            ),
+        )
+    )

@@ -103,6 +103,53 @@ def neardup_clusters(documents: DataFrame, pairs: DataFrame,
     )
 
 
+def neardup_keep_best(documents: DataFrame, pairs: DataFrame,
+                      quality_col: str = "n_chars",
+                      id_col: str = "doc_id",
+                      max_iters: int = 30) -> DataFrame:
+    """Near-dup collapse keeping the BEST document per cluster, not an
+    arbitrary one.
+
+    `neardup_clusters` marks the min-id member as canonical — fine for
+    counting, wrong for curation: when a cluster holds a full article
+    and three truncated scrapes of it, the dedup should keep the
+    highest-quality member. This picks argmax(quality_col) per cluster
+    (ties broken by min id, so the choice is total and deterministic).
+
+    Output: (doc_id, cluster_id, cluster_size, <quality_col>, keep) for
+    every document; `keep = false` rows are the drop set.
+
+    Scale shape: connected components run over slim (id, label) pairs
+    (the `connected_components` discipline — localCheckpoint per
+    round); the argmax is ONE row_number window over
+    (id, cluster, quality) — a single shuffle on cluster_id, document
+    bodies never move.
+    """
+    from pyspark.sql import Window as W
+
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        documents.select(F.col(id_col).alias("node")),
+        max_iters=max_iters,
+    )
+    lab = comp.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    ).join(documents.select(id_col, quality_col), id_col)
+    rank = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(
+            F.desc(quality_col), F.asc(id_col)
+        )
+    )
+    return lab.select(
+        id_col, "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias(
+            "cluster_size"
+        ),
+        quality_col,
+        (rank == 1).alias("keep"),
+    )
+
+
 def pagerank_int(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                  scale: int = 10 ** 12, damping_num: int = 17,
                  damping_den: int = 20) -> DataFrame:

@@ -178,6 +178,77 @@ def domain_mixture_sample(df: DataFrame, domain_col: str = "source",
     )
 
 
+def epoch_mixture_rates(df: DataFrame, domain_col: str = "source",
+                        tau: float = 0.5,
+                        target_rows: int = 1000) -> DataFrame:
+    """`domain_mixture_rates` WITHOUT the min(1,·) cap: per-domain
+    EPOCH counts for a training mixture that may up-sample.
+
+    Real training mixtures repeat scarce high-value domains (the
+    Llama/Gopher mixture tables list per-source epochs like 2.45 or
+    3.0, not keep-rates) — a rate capped at 1 can only down-sample.
+    epochs_i = target_rows · q_i / n_i with q_i ∝ n_i^τ; values above
+    1 mean every doc appears ⌊e⌋ times plus once more with probability
+    frac(e). Same determinism contract as the rate variant: sqrt for
+    τ=0.5 (correctly rounded per IEEE, engine-identical) and the final
+    epochs rounded to 6 decimals so both engines gate on the SAME
+    number. Only the per-domain count scales with the corpus.
+    """
+    w = F.sqrt(F.col("n_docs").cast("double")) if tau == 0.5 else (
+        F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
+    )
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("__w", w)
+    tot = counts.agg(F.sum("__w").alias("__tw"))
+    epochs = F.round(
+        F.lit(float(target_rows)) * (F.col("__w") / F.col("__tw"))
+        / F.col("n_docs").cast("double"),
+        6,
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(domain_col, "n_docs", epochs.alias("epochs"))
+    )
+
+
+def epoch_mixture_sample(df: DataFrame, domain_col: str = "source",
+                         key_col: str = "doc_id", tau: float = 0.5,
+                         target_rows: int = 1000) -> DataFrame:
+    """Materialize an epoch-aware mixture: each row is REPLICATED
+    ⌊epochs⌋ times, plus one more copy when its md5 gate lands under
+    frac(epochs) — deterministic multi-epoch up/down-sampling in one
+    pass (copy indices let the downstream shuffle interleave epochs).
+
+    n_copies is a pure function of (key, epochs): stable under re-runs
+    and appends, exactly reproducible cross-engine (rounded epochs,
+    md5-template hash, integer floor). The ':epoch' salt decorrelates
+    this gate from the plain mixture/sample gates on the same key.
+    Scale shape: broadcast the per-domain epochs table, explode by a
+    per-row integer — no shuffle of the corpus at all; output size is
+    target_rows in expectation.
+    """
+    rates = epoch_mixture_rates(df, domain_col, tau, target_rows)
+    u = F.expr(
+        hash_u32_sql(f"CAST({key_col} AS STRING) || ':epoch'")
+    ).cast("double") / F.lit(4294967296.0)
+    base = F.floor(F.col("epochs")).cast("long")
+    n_copies = (base + (u < (F.col("epochs") - base)).cast("long")).alias(
+        "n_copies"
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .select(key_col, domain_col, "epochs", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            key_col, domain_col, "epochs",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("copy"),
+        )
+    )
+
+
 def train_val_test_split(df: DataFrame, key_col: str,
                          train_of_256: int = 204,
                          val_of_256: int = 230) -> DataFrame:

@@ -93,6 +93,11 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
+    # -- NEW in late r7 (after the window rotation was pinned):
+    # oracle-backed, verified locally via tools/driver_sim + the sf0.1
+    # sweep this round; rotate into the r8 window for first driver
+    # exposure ----------------------------------------------------------
+    "q_contamination_overlap", "q_epoch_mixture", "q_neardup_keep_best",
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
     "q_dedup_exact", "q_asof_join", "q_tpch_q5", "q_gopher_rules",

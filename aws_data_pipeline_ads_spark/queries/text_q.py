@@ -183,6 +183,50 @@ def bloom_index(spark, sf_dir: str) -> str:
 
 
 @query(
+    "q_contamination_overlap",
+    oracle=(
+        # Same shingle CTE chain as q_contamination, graded: per-doc
+        # overlap FRACTION and an integer-arithmetic 70% flag. Every
+        # corpus doc is emitted (clean docs report 0 hits).
+        "WITH tok AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 "
+        "THEN [array_to_string(toks, ' ')] "
+        "ELSE [array_to_string(toks[i:i+4], ' ') "
+        "for i in generate_series(1, len(toks)-4)] END) AS tok FROM tok), "
+        "shd AS (SELECT DISTINCT doc_id, tok FROM sh), "
+        "bench AS (SELECT DISTINCT tok FROM shd WHERE doc_id % 101 = 7), "
+        "corpus AS (SELECT * FROM shd WHERE doc_id % 101 <> 7), "
+        "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles "
+        "FROM corpus GROUP BY doc_id), "
+        "hits AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits "
+        "FROM corpus c JOIN bench b USING (tok) GROUP BY c.doc_id) "
+        "SELECT t.doc_id, t.n_shingles, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 6) "
+        "AS overlap_frac, "
+        "COALESCE(h.n_hits, 0) * 100 >= t.n_shingles * 70 AS flagged "
+        "FROM tot t LEFT JOIN hits h USING (doc_id)"
+    ),
+    doc="LLM curation: GRADED contamination — per-doc fraction of "
+        "distinct 5-gram shingles shared with the benchmark, flagged "
+        "at >=70% (the PaLM-style severity screen on top of the binary "
+        "any-overlap report); benchmark shingles broadcast, flag "
+        "computed in integer arithmetic "
+        "(contamination.contamination_overlap)",
+)
+def q_contamination_overlap(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    corpus = docs.filter(F.col("doc_id") % 101 != 7)
+    return contamination_overlap(corpus, bench, k=5, threshold_pct=70)
+
+
+@query(
     "q_repetition_score",
     oracle=(
         "WITH tok AS (SELECT doc_id, "
@@ -1599,6 +1643,45 @@ def q_neardup_clusters_lsh(spark, sf_dir):
 
 
 @query(
+    "q_neardup_keep_best",
+    # Same verified-pair + recursive-CTE CC chain as
+    # q_neardup_clusters_lsh; the canonical pick changes from min-id to
+    # argmax(n_chars) — the curation-correct collapse (keep the full
+    # article, drop the truncated scrapes).
+    oracle=(
+        "WITH RECURSIVE " + dedup.verified_neardup_cte(0.8) + ", "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs "
+        "UNION ALL SELECT doc_b, doc_a FROM vpairs), "
+        "reach(node, lab) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.node), "
+        "lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id "
+        "FROM reach GROUP BY node), "
+        "j AS (SELECT l.doc_id, l.cluster_id, d.n_chars "
+        "FROM lab l JOIN documents d USING (doc_id)) "
+        "SELECT doc_id, cluster_id, "
+        "COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size, "
+        "n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY n_chars DESC, doc_id) = 1 AS keep FROM j"
+    ),
+    doc="LLM dedup: quality-canonical near-dup collapse — LSH "
+        "candidates → exact-Jaccard verify → connected components → "
+        "keep the HIGHEST-QUALITY member per cluster (argmax n_chars, "
+        "min-id tiebreak), not an arbitrary one "
+        "(graph.neardup_keep_best)",
+)
+def q_neardup_keep_best(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs_served(spark, minhash_index(spark, sf_dir))
+    pairs = dedup.verified_neardup_pairs(docs, 0.8, cand=cand)
+    return graph.neardup_keep_best(docs, pairs, quality_col="n_chars")
+
+
+@query(
     "q_chunk_documents",
     oracle=(
         "WITH t AS (SELECT doc_id, "
@@ -1640,6 +1723,50 @@ def q_domain_caps(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators.sampling import per_source_cap
 
     return per_source_cap(load_table(spark, sf_dir, "documents"), 10)
+
+
+@query(
+    "q_epoch_mixture",
+    oracle=(
+        # Mirrors sampling.epoch_mixture_sample: tempered per-domain
+        # epochs (τ=0.5 → sqrt, correctly rounded per IEEE; same
+        # multiply/divide order as the Spark expression; ROUND 6), then
+        # per-row n_copies = ⌊e⌋ + (md5-gate < frac(e)) and a
+        # generate_series expansion. generate_series(1, 0) is empty in
+        # DuckDB, matching Spark's n_copies > 0 filter.
+        "WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY source), "
+        "w AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wgt "
+        "FROM counts), "
+        "tw AS (SELECT SUM(wgt) AS t FROM w), "
+        "e AS (SELECT source, n_docs, "
+        "ROUND(8000.0 * (wgt / t) / CAST(n_docs AS DOUBLE), 6) AS epochs "
+        "FROM w, tw), "
+        "g AS (SELECT d.doc_id, d.source, e.epochs, "
+        "CAST(FLOOR(e.epochs) AS BIGINT) + (CASE WHEN "
+        "CAST(" + hash_u32_sql("CAST(doc_id AS STRING) || ':epoch'")
+        + " AS DOUBLE) / 4294967296.0 < e.epochs - FLOOR(e.epochs) "
+        "THEN 1 ELSE 0 END) AS n_copies "
+        "FROM documents d JOIN e USING (source)) "
+        "SELECT doc_id, source, epochs, "
+        "CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy "
+        "FROM g"
+    ),
+    doc="LLM mixing: epoch-aware training mixture — per-domain epoch "
+        "counts q_i ∝ sqrt(n_i) (UNCAPPED: scarce domains repeat, like "
+        "the Llama/Gopher mixture tables), each doc replicated ⌊e⌋ "
+        "times plus one md5-gated extra at frac(e); deterministic, "
+        "partitioning-invariant, zero corpus shuffle "
+        "(sampling.epoch_mixture_sample)",
+)
+def q_epoch_mixture(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        epoch_mixture_sample,
+    )
+
+    return epoch_mixture_sample(
+        load_table(spark, sf_dir, "documents"), target_rows=8000
+    )
 
 
 @query(

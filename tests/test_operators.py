@@ -1318,3 +1318,87 @@ def test_triangle_counts_known_graph(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_contamination_overlap_fractions(spark):
+    """Graded contamination: full copy → frac 1.0 flagged, half overlap
+    → frac in (0,0.7) unflagged, clean doc → 0 hits; every corpus doc
+    is emitted (clean docs included) and the integer-arithmetic flag
+    cuts exactly at the threshold."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.contamination import (
+        contamination_overlap,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=bench_text),                       # exact copy
+        Row(doc_id=2, text="alpha beta gamma delta epsilon "  # shares a prefix
+                            "completely different tail words here now"),
+        Row(doc_id=3, text="nothing in common with the benchmark at all"),
+    ])
+    bench = spark.createDataFrame([Row(doc_id=99, text=bench_text)])
+    out = {r.doc_id: r for r in
+           contamination_overlap(docs, bench, k=5, threshold_pct=70).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].overlap_frac == 1.0 and out[1].flagged
+    assert 0 < out[2].overlap_frac < 0.7 and not out[2].flagged
+    assert out[3].n_hits == 0 and out[3].overlap_frac == 0.0 and not out[3].flagged
+    # the flag is integer-exact at the boundary: n_hits*100 >= n_shingles*70
+    for r in out.values():
+        assert r.flagged == (r.n_hits * 100 >= r.n_shingles * 70)
+
+
+def test_epoch_mixture_replicates_deterministically(spark, sf_dir):
+    """Epoch-aware mixing: every doc gets ⌊e⌋ or ⌊e⌋+1 copies with
+    copy indices 1..n, the realized total is near target_rows, and the
+    expansion is a pure function of the key (stable under
+    repartitioning)."""
+    import math
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        epoch_mixture_rates, epoch_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = {r.source: r.epochs
+              for r in epoch_mixture_rates(docs, target_rows=8000).collect()}
+    out = epoch_mixture_sample(docs, target_rows=8000).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in per_doc.items():
+        e = epochs[rows[0].source]
+        assert len(rows) in (math.floor(e), math.floor(e) + 1)
+        assert sorted(r.copy for r in rows) == list(range(1, len(rows) + 1))
+    total = len(out)
+    assert abs(total - 8000) < 0.1 * 8000  # realized ≈ target in expectation
+    # determinism: identical multiset under a different partitioning
+    out2 = epoch_mixture_sample(docs.repartition(7), target_rows=8000).collect()
+    key = lambda r: (r.doc_id, r.copy)
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_neardup_keep_best_picks_highest_quality(spark):
+    """Quality-canonical collapse: the kept member of each near-dup
+    cluster is the argmax of the quality column (min-id tiebreak), and
+    singletons keep themselves."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.graph import neardup_keep_best
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, n_chars=100),
+        Row(doc_id=2, n_chars=300),   # best of cluster {1,2,3}
+        Row(doc_id=3, n_chars=300),   # ties with 2 → min id wins (2)
+        Row(doc_id=9, n_chars=50),    # singleton
+    ])
+    pairs = spark.createDataFrame([
+        Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3),
+    ])
+    out = {r.doc_id: r for r in neardup_keep_best(docs, pairs).collect()}
+    assert {d for d, r in out.items() if r.keep} == {2, 9}
+    assert out[1].cluster_size == 3 and out[9].cluster_size == 1
+    assert len({out[d].cluster_id for d in (1, 2, 3)}) == 1
