@@ -64,6 +64,49 @@ def cosine_topk(embeddings: DataFrame, qv: list[float], k: int = 10) -> DataFram
     )
 
 
+def rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10,
+             c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval result lists — the
+    standard hybrid-search combiner (Cormack et al.: rrf = Σ 1/(c+r)
+    over the lists a doc appears in, c=60).
+
+    Inputs are already-truncated top-N lists (doc_id, score), one from
+    a sparse scorer (BM25) and one from a dense scorer (cosine); each
+    is re-ranked here by (score DESC, doc_id) so the rank — and
+    therefore the fused score — is a deterministic function of the
+    rounded scores, engine-reproducible. Docs on one list only get the
+    single term.
+
+    Scale shape: both inputs are k-bounded serving outputs (the heavy
+    lifting — postings pruning, ANN probes — happened upstream), so
+    the windows and the full-outer join run over ≤2N rows; this is a
+    driver-scale fusion regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+        return df.select(
+            "doc_id", F.row_number().over(w).cast("long").alias(name)
+        )
+
+    f = ranked(sparse, "sparse_rank").join(
+        ranked(dense, "dense_rank"), "doc_id", "full_outer"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(c) + F.col("sparse_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("dense_rank")), F.lit(0.0))
+    return (
+        f.select(
+            "doc_id", "sparse_rank", "dense_rank",
+            F.round(rrf, 6).alias("rrf_score"), rrf.alias("__raw"),
+        )
+        .orderBy(F.desc("__raw"), F.asc("doc_id"))
+        .limit(k)
+        .drop("__raw")
+    )
+
+
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.25) -> DataFrame:
     """Exact pairwise cosine within a blocking key (label).
 

@@ -525,6 +525,87 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+# Hybrid retrieval: the dense side shares the fixed query vector (and
+# its exact-fold oracle arithmetic) with vector_q's kNN tier; vec_id is
+# the corpus doc_id (TESTDATA.md: embeddings are per-document).
+from aws_data_pipeline_ads_spark.operators.similarity import (  # noqa: E402
+    fixed_query_vector as _fixed_qv,
+)
+
+_HQV = _fixed_qv()
+_HQV_SQL = "[" + ", ".join(repr(x) for x in _HQV) + "]::DOUBLE[]"
+_HQNORM = repr(__import__("math").sqrt(sum(x * x for x in _HQV)))
+
+
+@query(
+    "q_hybrid_search",
+    oracle=(
+        # Sparse side: the q_bm25_search CTE chain at top-50; dense
+        # side: the q_embedding_knn exact-fold cosine at top-50 (raw
+        # selection, rounded ranking — both engine-identical because
+        # each side's scores hash-match on its own query). Fusion:
+        # rrf = Σ 1/(60+rank), ranks from (rounded score DESC, doc_id).
+        "WITH tok AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM tok GROUP BY doc_id, term), "
+        "x AS (SELECT doc_id, term, tf, "
+        "CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl, "
+        "CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf), "
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) "
+        "AS BIGINT) AS total_toks FROM documents), "
+        "s AS (SELECT doc_id, "
+        "(CAST(n_docs AS DOUBLE) - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) "
+        f"* (tf * {_K1P1}::DOUBLE) / (tf + {_BM25_K1!r}::DOUBLE * "
+        f"({_OMB}::DOUBLE + {_BM25_B!r}::DOUBLE * dl "
+        "/ (CAST(total_toks AS DOUBLE) / n_docs))) AS score FROM x, g "
+        f"WHERE term IN ({_QT_SQL})), "
+        "bm AS (SELECT doc_id, "
+        "round(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE), 6) "
+        "AS s_score FROM s GROUP BY doc_id "
+        "ORDER BY round(CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE), "
+        "6) DESC, doc_id LIMIT 50), "
+        "sr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY s_score DESC, doc_id) AS BIGINT) AS sparse_rank FROM bm), "
+        "sc AS (SELECT vec_id, "
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[])) > 0 THEN "
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {_HQV_SQL}) / "
+        "(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST(embedding AS DOUBLE[]))) * {_HQNORM}) "
+        "ELSE NULL END AS raw_score FROM embeddings), "
+        "dn AS (SELECT vec_id AS doc_id, round(raw_score, 6) AS d_score "
+        "FROM sc ORDER BY raw_score DESC NULLS LAST, vec_id LIMIT 50), "
+        "dr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY d_score DESC, doc_id) AS BIGINT) AS dense_rank FROM dn), "
+        "f AS (SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, "
+        "sr.sparse_rank, dr.dense_rank, "
+        "COALESCE(1.0::DOUBLE / (60 + sr.sparse_rank), 0.0::DOUBLE) "
+        "+ COALESCE(1.0::DOUBLE / (60 + dr.dense_rank), 0.0::DOUBLE) AS rrf "
+        "FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id) "
+        "SELECT doc_id, sparse_rank, dense_rank, ROUND(rrf, 6) AS rrf_score "
+        "FROM f ORDER BY rrf DESC, doc_id LIMIT 10"
+    ),
+    doc="LLM retrieval: HYBRID search — BM25 top-50 (served postings "
+        "index, bucket-pruned scan) + exact cosine top-50 against the "
+        "fixed query vector, fused by reciprocal-rank fusion "
+        "(Σ 1/(60+rank)); the fusion runs over ≤100 k-bounded rows "
+        "regardless of corpus size (similarity.rrf_fuse)",
+)
+def q_hybrid_search(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    sparse = textstats.bm25_search(
+        spark, bm25_index(spark, sf_dir), list(_QUERY_TERMS), k=50
+    ).select("doc_id", "score")
+    dense = similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), _HQV, 50
+    ).select(F.col("vec_id").alias("doc_id"), "score")
+    return similarity.rrf_fuse(sparse, dense, k=10)
+
+
 @query(
     "q_dedup_exact",
     oracle=(

@@ -1402,3 +1402,31 @@ def test_neardup_keep_best_picks_highest_quality(spark):
     assert {d for d, r in out.items() if r.keep} == {2, 9}
     assert out[1].cluster_size == 3 and out[9].cluster_size == 1
     assert len({out[d].cluster_id for d in (1, 2, 3)}) == 1
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion: doc on both lists beats doc on one list at similar
+    ranks, each term is 1/(60+rank), and one-list docs get a single
+    term with a NULL rank on the absent side."""
+    from pyspark.sql import Row
+
+    from aws_data_pipeline_ads_spark.operators.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame([
+        Row(doc_id=1, score=9.0), Row(doc_id=2, score=5.0),
+        Row(doc_id=3, score=1.0),
+    ])
+    dense = spark.createDataFrame([
+        Row(doc_id=2, score=0.9), Row(doc_id=4, score=0.8),
+    ])
+    out = {r.doc_id: r for r in rrf_fuse(sparse, dense, k=10).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 2: rank 2 sparse + rank 1 dense
+    assert abs(out[2].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[2].sparse_rank == 2 and out[2].dense_rank == 1
+    # doc 1: sparse rank 1 only; dense side NULL
+    assert abs(out[1].rrf_score - round(1 / 61, 6)) < 1e-9
+    assert out[1].dense_rank is None
+    # both-lists doc outranks every single-list doc here
+    top = max(out.values(), key=lambda r: r.rrf_score)
+    assert top.doc_id == 2
