@@ -306,6 +306,63 @@ def corpus_shuffle(df: DataFrame, key_col: str, n_shards: int = 64,
     return keyed.withColumn("pos", pos).drop("__h")
 
 
+def curriculum_order(df: DataFrame, quality_col: str = "n_chars",
+                     key_col: str = "doc_id", n_shards: int = 16,
+                     salt: str = "curriculum0") -> DataFrame:
+    """Curriculum ordering: quality-descending bands, deterministic
+    shuffle within each band.
+
+    Curriculum-style training schedules feed the highest-quality slice
+    first; a naive global ORDER BY quality would both funnel the corpus
+    through one range sort AND destroy intra-band randomness. Instead:
+    band 1..4 by EXACT quartiles of `quality_col` (band 1 = top
+    quartile, trained first — thresholds are one broadcast aggregate
+    row, the perplexity_stratified_sample pattern), then the
+    corpus_shuffle discipline inside each band (md5 shard + in-shard
+    position, both pure functions of the key). Global training order =
+    (band, shard, pos): a writer emits one file per (band, shard) and
+    readers stream band-major — no global sort, bit-stable anywhere,
+    fresh permutation per `salt`.
+
+    Output: (key, quality, band, shard, pos) for every row.
+    """
+    from pyspark.sql import Window as W
+
+    qs = df.agg(
+        F.expr(
+            f"percentile({quality_col}, array(0.25D, 0.5D, 0.75D))"
+        ).alias("__qs")
+    ).select(
+        F.col("__qs")[0].alias("__q1"),
+        F.col("__qs")[1].alias("__q2"),
+        F.col("__qs")[2].alias("__q3"),
+    )
+    band = (
+        F.when(F.col(quality_col) >= F.col("__q3"), F.lit(1))
+        .when(F.col(quality_col) >= F.col("__q2"), F.lit(2))
+        .when(F.col(quality_col) >= F.col("__q1"), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    esc = salt.replace("'", "''")
+    h = F.expr(
+        hash_u32_sql(f"concat('{esc}', ':', CAST({key_col} AS STRING))")
+    )
+    keyed = (
+        df.crossJoin(F.broadcast(qs))
+        .select(
+            key_col, quality_col,
+            band.cast("int").alias("band"), h.alias("__h"),
+        )
+        .withColumn(
+            "shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("long")
+        )
+    )
+    pos = F.row_number().over(
+        W.partitionBy("band", "shard").orderBy(F.col("__h"), F.col(key_col))
+    )
+    return keyed.withColumn("pos", pos.cast("long")).drop("__h")
+
+
 def corpus_shuffle_write(df: DataFrame, path: str, key_col: str,
                          n_shards: int = 64, salt: str = "epoch0") -> None:
     """Materialize the permutation: one file per shard, rows in

@@ -98,7 +98,7 @@ _TAIL: list[str] = [
     # sweep this round; rotate into the r8 window for first driver
     # exposure ----------------------------------------------------------
     "q_contamination_overlap", "q_epoch_mixture", "q_neardup_keep_best",
-    "q_hybrid_search",
+    "q_hybrid_search", "q_curriculum_order",
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
     "q_dedup_exact", "q_asof_join", "q_tpch_q5", "q_gopher_rules",

@@ -1807,6 +1807,40 @@ def q_domain_caps(spark, sf_dir):
 
 
 @query(
+    "q_curriculum_order",
+    oracle=(
+        # Mirrors sampling.curriculum_order: exact quartile thresholds
+        # (quantile_cont == Spark's percentile, both type-7 linear
+        # interpolation — the q_sample_stratified precedent), band by
+        # descending quality, md5 shard + in-shard rank.
+        "WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS q1, "
+        "quantile_cont(n_chars, 0.5) AS q2, "
+        "quantile_cont(n_chars, 0.75) AS q3 FROM documents), "
+        "b AS (SELECT doc_id, n_chars, "
+        "CASE WHEN n_chars >= q3 THEN 1 WHEN n_chars >= q2 THEN 2 "
+        "WHEN n_chars >= q1 THEN 3 ELSE 4 END AS band, "
+        + hash_u32_sql("concat('curriculum0', ':', CAST(doc_id AS STRING))")
+        + " AS h FROM documents, q) "
+        "SELECT doc_id, n_chars, band, CAST(h % 16 AS BIGINT) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY band, h % 16 "
+        "ORDER BY h, doc_id) AS BIGINT) AS pos FROM b"
+    ),
+    doc="LLM training prep: curriculum ordering — quality-descending "
+        "quartile bands (band 1 = top quartile, trained first; "
+        "broadcast exact-percentile thresholds), deterministic md5 "
+        "shard + position within each band; global order = "
+        "(band, shard, pos) with no global sort "
+        "(sampling.curriculum_order)",
+)
+def q_curriculum_order(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    return curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "q_epoch_mixture",
     oracle=(
         # Mirrors sampling.epoch_mixture_sample: tempered per-domain

@@ -1430,3 +1430,32 @@ def test_rrf_fuse_semantics(spark):
     # both-lists doc outranks every single-list doc here
     top = max(out.values(), key=lambda r: r.rrf_score)
     assert top.doc_id == 2
+
+
+def test_curriculum_order_bands_and_determinism(spark, sf_dir):
+    """Curriculum ordering: band 1 holds the top quality quartile (its
+    min quality >= band 2's max), every (band, shard) is densely
+    positioned 1..n, and the whole layout is invariant to input
+    partitioning."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.sampling import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curriculum_order(docs).collect()
+    assert len(out) == docs.count()
+    by_band: dict[int, list] = {}
+    for r in out:
+        by_band.setdefault(r.band, []).append(r)
+    assert set(by_band) <= {1, 2, 3, 4}
+    for hi, lo in ((1, 2), (2, 3), (3, 4)):
+        if hi in by_band and lo in by_band:
+            assert min(r.n_chars for r in by_band[hi]) >= \
+                max(r.n_chars for r in by_band[lo])
+    shard_pos: dict[tuple, list] = {}
+    for r in out:
+        shard_pos.setdefault((r.band, r.shard), []).append(r.pos)
+    for poss in shard_pos.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    out2 = curriculum_order(docs.repartition(13)).collect()
+    key = lambda r: (r.doc_id, r.band, r.shard, r.pos)
+    assert sorted(map(key, out)) == sorted(map(key, out2))
