@@ -539,6 +539,7 @@ _HQNORM = repr(__import__("math").sqrt(sum(x * x for x in _HQV)))
 
 @query(
     "q_hybrid_search",
+    bench=True,  # the served hybrid-retrieval shape, new in r7
     oracle=(
         # Sparse side: the q_bm25_search CTE chain at top-50; dense
         # side: the q_embedding_knn exact-fold cosine at top-50 (raw
@@ -1808,6 +1809,7 @@ def q_domain_caps(spark, sf_dir):
 
 @query(
     "q_curriculum_order",
+    bench=True,  # percentile-broadcast + banded shuffle shape, new in r7
     oracle=(
         # Mirrors sampling.curriculum_order: exact quartile thresholds
         # (quantile_cont == Spark's percentile, both type-7 linear
