@@ -61,33 +61,35 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame,
     EVERY corpus doc — clean docs report 0 hits; at 100 TB this is the
     per-doc QC metadata a curation run writes next to the corpus.
 
-    Scale shape: the corpus side is one distinct-shingle explode (same
-    pass `contamination_report` makes); the benchmark shingle set is
-    dim-sized and explicitly broadcast, so the hit count adds NO extra
-    shuffle beyond the per-doc groupBy. The flag compares integers
-    (n_hits * 100 >= n_shingles * threshold_pct) so the cut is exact
-    and engine-identical — never derived from the rounded float.
+    Scale shape: ONE distinct-shingle explode of the corpus, a
+    broadcast LEFT join that marks benchmark membership per shingle
+    (no exchange — the benchmark set is dim-sized), and ONE per-doc
+    groupBy computing both counts — 2 shuffles total; a separate
+    tot/hits branch pair would tokenize and distinct the corpus twice.
+    The flag compares integers (n_hits * 100 >= n_shingles *
+    threshold_pct) so the cut is exact and engine-identical — never
+    derived from the rounded float.
     """
     corpus_sh = doc_shingle_sets(corpus, k=k)
-    bench_sh = doc_shingle_sets(benchmark, k=k).select("tok").distinct()
-    tot = corpus_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    bench_sh = (
+        doc_shingle_sets(benchmark, k=k).select("tok").distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
     )
-    hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "tok")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    marked = corpus_sh.join(F.broadcast(bench_sh), "tok", "left")
+    agged = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias(
+            "n_hits"
+        ),
     )
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
-    return (
-        tot.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            n_hits.alias("n_hits"),
-            F.round(n_hits / F.col("n_shingles"), 6).alias("overlap_frac"),
-            (n_hits * 100 >= F.col("n_shingles") * threshold_pct).alias(
-                "flagged"
-            ),
-        )
+    return agged.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias(
+            "overlap_frac"
+        ),
+        (F.col("n_hits") * 100 >= F.col("n_shingles") * threshold_pct).alias(
+            "flagged"
+        ),
     )

@@ -174,6 +174,15 @@ _NESTED_LOOP_OK = {
     # broadcast of the 1-row tempered-weight total (Σ n_i^τ) into the
     # per-domain rates table — same bounded pattern
     "q_domain_mixture",
+    # broadcast of the same 1-row tempered-weight total into the
+    # per-domain epochs table (sampling.epoch_mixture_sample)
+    "q_epoch_mixture",
+    # broadcast of the 1-row exact-percentile quartile thresholds
+    # (sampling.curriculum_order) — same bounded pattern as q_rfm
+    "q_curriculum_order",
+    # inherits q_bm25_search's 1-row (N, avgdl) stats broadcast on its
+    # sparse arm; the RRF fusion itself joins two ≤k ranked sets
+    "q_hybrid_search",
 }
 
 
