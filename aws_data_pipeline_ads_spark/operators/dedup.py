@@ -665,3 +665,167 @@ def verified_neardup_oracle_sql(threshold: float = 0.8, n_hashes: int = 16,
         "WITH " + verified_neardup_cte(threshold, n_hashes, bands, shingle_k, table)
         + " SELECT doc_a, doc_b, jaccard FROM vpairs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (tier 5)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(documents: DataFrame, k: int = 4, w: int = 4,
+                        text_col: str = "text",
+                        toked: DataFrame | None = None) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03; the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window over the gram sequence, select the minimum hash in
+    each window (leftmost occurrence on ties), and dedup the
+    selections. Guarantees: any shared token run of length >= w+k-1
+    between two documents yields at least one shared fingerprint, and
+    expected density is 2/(w+1) — a position-aware, reordering-robust
+    fingerprint set at a fraction of the gram count.
+
+    The classical implementation uses a Rabin-Karp rolling hash; here
+    the gram hash is md5 of the gram text — same sliding selection,
+    same guarantees (any uniform hash works), but engine-portable:
+    fixed-width lowercase hex compares identically everywhere, so the
+    DuckDB oracle reproduces fingerprints bit-exactly. The min-per-
+    window runs on `digest || '-' || zero-padded-position` strings,
+    which encodes (hash asc, position asc) tie-breaking in ONE
+    portable MIN.
+
+    Documents shorter than k tokens contribute their whole text as a
+    single gram (mirroring doc_shingle_sets); windows are the complete
+    ones only (start <= n_grams - w + 1), degenerating to one window
+    for docs with fewer than w grams.
+
+    Scale shape: tokenize + posexplode is linear; the min-select and
+    the per-doc gram count share ONE exchange (two window specs over
+    the same doc_id partitioning); the selection dedup is a distinct
+    on slim (doc_id, fingerprint) rows. Nothing is quadratic and no
+    state exceeds a document's gram list.
+
+    Returns (doc_id, n_grams, h, pos) fingerprint rows.
+    """
+    if toked is None:
+        toked = doc_token_arrays(documents, text_col)
+    t = F.col("__toks")
+    grams = F.when(
+        F.size(t) < k, F.array(F.array_join(t, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+    )
+    g = toked.select("doc_id", F.posexplode(grams).alias("__i", "__gram"))
+    g = g.select(
+        "doc_id",
+        (F.col("__i") + 1).alias("pos"),
+        F.md5("__gram").alias("__gh"),
+    )
+    fpk = F.concat(
+        F.col("__gh"), F.lit("-"),
+        F.lpad(F.col("pos").cast("string"), 10, "0"),
+    )
+    wd = W.partitionBy("doc_id")
+    sel = (
+        g.withColumn("__fpk", fpk)
+        .withColumn(
+            "__sel",
+            F.min("__fpk").over(wd.orderBy("pos").rowsBetween(0, w - 1)),
+        )
+        .withColumn("n_grams", F.count(F.lit(1)).over(wd))
+    )
+    kept = sel.filter(
+        F.col("pos") <= F.greatest(F.col("n_grams") - (w - 1), F.lit(1))
+    )
+    return (
+        kept.select(
+            "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("__sel").alias("__fpk"),
+        )
+        .distinct()
+        .select(
+            "doc_id", "n_grams",
+            F.substring("__fpk", 1, 32).alias("h"),
+            F.substring("__fpk", 34, 10).cast("long").alias("pos"),
+        )
+    )
+
+
+def winnow_stats(documents: DataFrame, k: int = 4, w: int = 4,
+                 text_col: str = "text") -> DataFrame:
+    """Per-document fingerprint rollup: gram count, fingerprint count,
+    selection density (expected 2/(w+1) on random text), and the
+    smallest fingerprint digest (a deterministic per-doc sample key —
+    two exact copies of a document share it)."""
+    fp = winnow_fingerprints(documents, k=k, w=w, text_col=text_col)
+    return (
+        fp.groupBy("doc_id", "n_grams")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            F.min("h").alias("min_fp"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_fingerprints",
+            F.round(
+                F.col("n_fingerprints").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("density"),
+            "min_fp",
+        )
+    )
+
+
+def winnow_pairs(documents: DataFrame, k: int = 4, w: int = 4,
+                 min_shared: int = 2, max_df: int | None = None,
+                 text_col: str = "text") -> DataFrame:
+    """MOSS-style near-dup candidates: document pairs sharing at least
+    `min_shared` winnowing fingerprint DIGESTS, scored by the overlap
+    coefficient |shared| / min(|fp_a|, |fp_b|).
+
+    `max_df` is the same scale guard token_jaccard_pairs carries: a
+    fingerprint appearing in more than max_df documents (boilerplate,
+    licence headers) would make its self-join partition quadratic, so
+    hot digests are dropped from BOTH the join stream and the per-doc
+    set sizes. Per-doc fingerprint counts ride the join as a window
+    count over the SAME exchange — no counts table, no re-join.
+    """
+    fp = winnow_fingerprints(
+        documents, k=k, w=w, text_col=text_col
+    ).select("doc_id", "h").distinct()
+    if max_df is not None:
+        rare = (
+            fp.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("h")
+        )
+        fp = fp.join(rare, "h")
+    fp = fp.withColumn(
+        "n_fp", F.count(F.lit(1)).over(W.partitionBy("doc_id")).cast("long")
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    overlap = F.col("n_shared").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.max(F.col("a.n_fp")).alias("na"),  # constant per group
+            F.max(F.col("b.n_fp")).alias("nb"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b", "n_shared",
+                F.round(overlap, 6).alias("overlap"))
+    )

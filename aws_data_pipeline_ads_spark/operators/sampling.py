@@ -41,16 +41,24 @@ def hash_sample(df: DataFrame, key_col: str, keep_of_256: int) -> DataFrame:
     return df.filter(bucket < F.lit(int(keep_of_256)))
 
 
-def hash_u32_sql(key_expr: str) -> str:
-    """Portable SQL for a 32-bit uniform hash of key_expr (first 8 hex
-    digits of md5) — same text runs on Spark SQL and DuckDB."""
+def hex_u32_sql(hex_expr: str) -> str:
+    """Portable SQL for the u32 spelled by the FIRST 8 digits of an
+    existing lowercase-hex string expression — same text runs on Spark
+    SQL and DuckDB. Building block for hash_u32_sql and for consumers
+    that already hold an md5 digest column (KMV sketch normalization)."""
     # BIGINT accumulator: 8 hex digits exceed INT32 and Spark's ANSI
     # mode (default-on in Spark 4) faults on overflow instead of wrapping
     acc = "CAST(0 AS BIGINT)"
     for i in range(1, 9):
-        d = f"(instr('0123456789abcdef', substr(md5({key_expr}), {i}, 1)) - 1)"
+        d = f"(instr('0123456789abcdef', substr({hex_expr}, {i}, 1)) - 1)"
         acc = f"({acc} * 16 + {d})"
     return acc
+
+
+def hash_u32_sql(key_expr: str) -> str:
+    """Portable SQL for a 32-bit uniform hash of key_expr (first 8 hex
+    digits of md5) — same text runs on Spark SQL and DuckDB."""
+    return hex_u32_sql(f"md5({key_expr})")
 
 
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str,

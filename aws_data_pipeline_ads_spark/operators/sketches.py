@@ -123,3 +123,174 @@ def cms_heavy_hitters(values: DataFrame, col: str, k: int = 20,
         .orderBy(F.desc("est_count"), F.asc("token"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum values) bottom-k sketch
+# ---------------------------------------------------------------------------
+#
+# The third mergeable-sketch tier. HLL answers "how many distinct"
+# approximately; CMS answers "how often"; the KMV sketch (Bar-Yossef et
+# al. 2002; Beyer et al., SIGMOD'07 "On synopses for distinct-value
+# estimation under multiset operations") keeps the k smallest hash
+# values of the distinct set, which makes it simultaneously
+#   * a distinct-count estimator: D-hat = (k-1) / U_(k),
+#   * closed under union (merge = the k smallest of the concatenation),
+#     the rollup property HLL has, AND
+#   * an intersection/Jaccard estimator (Beyer et al. section 5) —
+#     which HLL registers cannot provide at all.
+# Like the CMS (and unlike HLL's opaque binary registers), the hash is
+# portable md5 arithmetic: md5 digests are FIXED-WIDTH lowercase hex,
+# so lexicographic string order IS numeric 128-bit order in every
+# engine, and DuckDB reproduces the sketch — and therefore the
+# estimates — bit-exactly. The declared queries are hash-verified,
+# not rows-only.
+
+from pyspark.sql import Window as W
+
+from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+from aws_data_pipeline_ads_spark.operators.sampling import hex_u32_sql
+
+KMV_K = 256
+
+
+def kmv_sketch(values: DataFrame, keys: list[str], col: str,
+               k: int = KMV_K) -> DataFrame:
+    """Per-key bottom-k sketch: the k lexicographically smallest md5
+    digests of the DISTINCT `col` values in each key group, plus the
+    group's exact distinct count.
+
+    Scale shape: one distinct over slim (keys, digest) rows, then TWO
+    bounded rank passes — rows are salted by the digest's LAST two hex
+    digits (uniform, and independent of the leading digits that define
+    the bottom-k order), ranked per (key, salt) first so no single
+    reducer ever sorts a whole key group, and the survivors (<= 256*k
+    per key) are ranked per key in a second window whose input is
+    constant-bounded. The exact distinct count rides the same
+    exchanges: per-salt counts in pass 1, summed in pass 2 — no third
+    scan of the data.
+
+    Returns (keys..., h, rn, n_exact) with rn = 1..min(k, n_exact).
+    """
+    keys = list(keys)
+    d = values.select(
+        *keys, F.md5(F.col(col).cast("string")).alias("h")
+    ).distinct()
+    salt = (
+        (F.expr("instr('0123456789abcdef', substr(h, 31, 1))") - 1) * 16
+        + (F.expr("instr('0123456789abcdef', substr(h, 32, 1))") - 1)
+    )
+    w1 = W.partitionBy(*keys, "__salt")
+    p1 = (
+        d.withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1.orderBy("h")))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w1))
+        .filter(F.col("__rn1") <= k)
+    )
+    w2 = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    return (
+        p1.withColumn("rn", F.row_number().over(w2.orderBy("h")))
+        .withColumn(
+            "n_exact",
+            F.sum(
+                F.when(F.col("__rn1") == 1, F.col("__cnt")).otherwise(F.lit(0))
+            ).over(w2).cast("long"),
+        )
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h", F.col("rn").cast("long").alias("rn"), "n_exact")
+    )
+
+
+def kmv_merge(sketch: DataFrame, keys: list[str], k: int = KMV_K) -> DataFrame:
+    """Roll sketches up to a coarser key set: the k smallest digests of
+    the union of the fine sketches — the closure property that makes
+    KMV a cube-able partial aggregate like HLL. Input is already <= k
+    rows per fine key, so the rank pass is bounded by construction.
+    Returns (keys..., h, rn)."""
+    keys = list(keys)
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    return (
+        sketch.select(*keys, "h").distinct()
+        .withColumn("rn", F.row_number().over(part.orderBy("h")))
+        .filter(F.col("rn") <= k)
+        .select(*keys, "h", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def kmv_distinct(sketch: DataFrame, keys: list[str],
+                 k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: D-hat = (k-1)/U_(k),
+    with U_(k) the k-th smallest digest normalized to [0,1) by its
+    first 8 hex digits; exact when the group holds <= k distinct values
+    (the sketch IS the set then). Both branches are md5 + one IEEE
+    division each — engine-portable, so the DuckDB oracle reproduces
+    the estimates bit-exactly."""
+    keys = list(keys)
+    kth = sketch.filter(F.col("rn") == F.least(F.col("n_exact"), F.lit(k)))
+    u = F.expr(hex_u32_sql("h")).cast("double") / F.lit(4294967296.0)
+    est = F.when(
+        F.col("n_exact") <= k, F.col("n_exact").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) / u, 6))
+    return kth.select(
+        *keys,
+        F.col("n_exact").alias("n_distinct_exact"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_union_jaccard(sketch: DataFrame, key: str,
+                      k: int = KMV_K) -> DataFrame:
+    """Pairwise Jaccard estimates between every two key groups from
+    their KMV sketches ALONE (Beyer et al. section 5): with K the
+    bottom-k of the union of two sketches, J-hat = |{h in K : h in A
+    and h in B}| / |K|. Membership needs only the per-group sketches —
+    h in A and h among the k smallest of A union B implies h is among
+    the k smallest of A, so the sketch row is guaranteed present.
+
+    Scale shape: the pair table is key-values x key-values (a dim-sized
+    square, e.g. sources x sources — NOT corpus-sized); both expansion
+    joins broadcast it and are key-equi, and every per-pair group is
+    <= 2k rows, constant in the corpus size. The sketch build is the
+    only part that ever sees data volume — and it runs ONCE: the
+    sketch (<= k rows per key) is persisted before fanning into the
+    pair dim and the two expansion arms, which would otherwise each
+    replay the full corpus-side distinct + rank lineage."""
+    sk = persist_tracked(sketch.select(F.col(key).alias("__k"), "h"))
+    kv = sk.select("__k").distinct()
+    pairs = (
+        kv.select(F.col("__k").alias("src_a"))
+        .join(kv.select(F.col("__k").alias("src_b")),
+              F.col("src_a") < F.col("src_b"))
+    )
+    ua = sk.join(
+        F.broadcast(pairs), F.col("__k") == F.col("src_a")
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    ub = sk.join(
+        F.broadcast(pairs), F.col("__k") == F.col("src_b")
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    wp = W.partitionBy("src_a", "src_b")
+    ranked = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .withColumn("rn", F.row_number().over(wp.orderBy("h")))
+        .withColumn("n_u", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") <= k)
+    )
+    agged = ranked.groupBy("src_a", "src_b").agg(
+        F.least(F.max("n_u"), F.lit(k)).cast("long").alias("k_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    return agged.select(
+        "src_a", "src_b", "k_union", "n_both",
+        F.round(
+            F.col("n_both").cast("double") / F.col("k_union").cast("double"),
+            6,
+        ).alias("est_jaccard"),
+    )

@@ -9,6 +9,7 @@ from aws_data_pipeline_ads_spark.operators import dedup, textstats
 from aws_data_pipeline_ads_spark.operators.sampling import (
     hash_bucket_sql,
     hash_u32_sql,
+    hex_u32_sql,
 )
 from aws_data_pipeline_ads_spark.operators.simhash import simhash_pairs_sql, simhash_sql
 from aws_data_pipeline_ads_spark.queries.indexcache import index_path
@@ -2358,3 +2359,185 @@ def q_audio_spectral(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.audio_spectral_features(multimodal.attach_media(docs))
+
+
+# -- KMV bottom-k sketches (sketches.kmv_*) ---------------------------------
+
+# Shingle stream keyed by SOURCE (the domain-level vocabulary): same
+# tokenization + k=3 shingling text the minhash oracle uses, grouped by
+# source instead of doc_id.
+_KMV_SH_CTE = (
+    "toked AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') "
+    "AS toks FROM documents), "
+    "sh AS (SELECT source, unnest(CASE WHEN len(toks) < 3 "
+    "THEN [array_to_string(toks, ' ')] "
+    "ELSE [array_to_string(toks[i:i+2], ' ') "
+    "for i in generate_series(1, len(toks)-2)] END) AS tok FROM toked), "
+    "d AS (SELECT DISTINCT source, md5(tok) AS h FROM sh), "
+    "r AS (SELECT source, h, "
+    "ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn, "
+    "COUNT(*) OVER (PARTITION BY source) AS n_exact FROM d)"
+)
+
+_KMV_K = 256
+
+
+def _source_shingles(spark, sf_dir):
+    """(source, tok) shingle stream — doc_shingle_sets keyed by source
+    (the toked override carries source in the doc_id slot; renamed on
+    the way out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aws_data_pipeline_ads_spark.functions import tokens
+
+    toked = docs.select(
+        F.col("source").alias("doc_id"), tokens("text").alias("__toks")
+    )
+    return dedup.doc_shingle_sets(
+        docs, k=3, distinct=False, toked=toked
+    ).select(F.col("doc_id").alias("source"), "tok")
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=(
+        "WITH " + _KMV_SH_CTE + ", "
+        "kth AS (SELECT * FROM r WHERE rn = LEAST(n_exact, 256)) "
+        "SELECT source, CAST(n_exact AS BIGINT) AS n_distinct_exact, "
+        "CASE WHEN n_exact <= 256 THEN CAST(n_exact AS DOUBLE) "
+        "ELSE ROUND(255.0 / (CAST(" + hex_u32_sql("h")
+        + " AS DOUBLE) / 4294967296.0), 6) END AS est_distinct FROM kth"
+    ),
+    doc="LLM sketches tier 3: KMV bottom-k distinct-count estimate of "
+        "each source's 3-shingle vocabulary (Beyer et al. SIGMOD'07) — "
+        "unlike HLL the sketch is portable md5 arithmetic, so the "
+        "ESTIMATES are hash-verified cross-engine, and the sketch is "
+        "union-mergeable for rollups (sketches.kmv_sketch/kmv_distinct; "
+        "pytest pins merge closure + estimator error)",
+)
+def q_kmv_distinct(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import sketches
+
+    sk = sketches.kmv_sketch(
+        _source_shingles(spark, sf_dir), ["source"], "tok", k=_KMV_K
+    )
+    return sketches.kmv_distinct(sk, ["source"], k=_KMV_K)
+
+
+@query(
+    "q_kmv_jaccard",
+    bench=True,  # the sketch-build + bounded-pair-fusion shape
+    oracle=(
+        "WITH " + _KMV_SH_CTE + ", "
+        "sk AS (SELECT source, h FROM r WHERE rn <= 256), "
+        "srcs AS (SELECT DISTINCT source FROM documents), "
+        "p AS (SELECT a.source AS src_a, b.source AS src_b FROM srcs a "
+        "JOIN srcs b ON a.source < b.source), "
+        "u AS (SELECT p.src_a, p.src_b, sk.h, 1 AS in_a, 0 AS in_b "
+        "FROM p JOIN sk ON sk.source = p.src_a "
+        "UNION ALL SELECT p.src_a, p.src_b, sk.h, 0 AS in_a, 1 AS in_b "
+        "FROM p JOIN sk ON sk.source = p.src_b), "
+        "m AS (SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b "
+        "FROM u GROUP BY 1, 2, 3), "
+        "wnd AS (SELECT src_a, src_b, in_a, in_b, "
+        "ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn, "
+        "COUNT(*) OVER (PARTITION BY src_a, src_b) AS n_u FROM m) "
+        "SELECT src_a, src_b, "
+        "CAST(LEAST(MAX(n_u), 256) AS BIGINT) AS k_union, "
+        "CAST(SUM(in_a * in_b) AS BIGINT) AS n_both, "
+        "ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) "
+        "/ CAST(LEAST(MAX(n_u), 256) AS DOUBLE), 6) AS est_jaccard "
+        "FROM wnd WHERE rn <= 256 GROUP BY src_a, src_b"
+    ),
+    doc="LLM sketches tier 3b: pairwise source-vocabulary Jaccard from "
+        "the KMV sketches ALONE (Beyer et al. §5: bottom-k of the "
+        "union, count members of both) — the domain-similarity / "
+        "mirror-detection matrix without touching the corpus twice; "
+        "every per-pair group is ≤ 2k rows at any corpus size "
+        "(sketches.kmv_union_jaccard)",
+)
+def q_kmv_jaccard(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import sketches
+
+    sk = sketches.kmv_sketch(
+        _source_shingles(spark, sf_dir), ["source"], "tok", k=_KMV_K
+    )
+    return sketches.kmv_union_jaccard(sk, "source", k=_KMV_K)
+
+
+# -- Winnowing fingerprints (dedup.winnow_*) --------------------------------
+
+# Fingerprint selection CTE (k=4 token grams, w=4 window): ends in
+# kept(doc_id, n_grams, fpk) where fpk = digest || '-' || lpad(pos).
+_WINNOW_CTE = (
+    "toked AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') "
+    "AS toks FROM documents), "
+    "g0 AS (SELECT doc_id, CASE WHEN len(toks) < 4 "
+    "THEN [array_to_string(toks, ' ')] "
+    "ELSE [array_to_string(toks[i:i+3], ' ') "
+    "for i in generate_series(1, len(toks)-3)] END AS grams FROM toked), "
+    "g AS (SELECT doc_id, unnest([{'pos': i, 'gh': md5(grams[i])} "
+    "for i in generate_series(1, len(grams))], recursive := true) FROM g0), "
+    "s AS (SELECT doc_id, pos, "
+    "MIN(gh || '-' || lpad(CAST(pos AS VARCHAR), 10, '0')) OVER "
+    "(PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fpk, "
+    "COUNT(*) OVER (PARTITION BY doc_id) AS n_grams FROM g), "
+    "kept AS (SELECT DISTINCT doc_id, n_grams, fpk FROM s "
+    "WHERE pos <= GREATEST(n_grams - 3, 1))"
+)
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=(
+        "WITH " + _WINNOW_CTE + " "
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, "
+        "CAST(COUNT(*) AS BIGINT) AS n_fingerprints, "
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) "
+        "AS density, MIN(substr(fpk, 1, 32)) AS min_fp "
+        "FROM kept GROUP BY doc_id, n_grams"
+    ),
+    doc="LLM dedup tier 5: winnowing document fingerprints (Schleimer/"
+        "Wilkerson/Aiken SIGMOD'03, the MOSS algorithm) — min-hash "
+        "selection over a w=4 window of k=4-token gram md5s, density "
+        "E=2/(w+1); the charter's rolling-hash fingerprinting with a "
+        "portable hash so selections are hash-verified cross-engine "
+        "(dedup.winnow_stats)",
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    return dedup.winnow_stats(
+        load_table(spark, sf_dir, "documents"), k=4, w=4
+    )
+
+
+@query(
+    "q_winnow_pairs",
+    bench=True,  # fingerprint-select + df-capped self-join shape
+    oracle=(
+        "WITH " + _WINNOW_CTE + ", "
+        "fpd AS (SELECT DISTINCT doc_id, substr(fpk, 1, 32) AS h FROM kept), "
+        "rare AS (SELECT h FROM fpd GROUP BY h HAVING COUNT(*) <= 1000), "
+        "c AS (SELECT doc_id, h FROM fpd JOIN rare USING (h)), "
+        "n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM c "
+        "GROUP BY doc_id), "
+        "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared FROM c a JOIN c b "
+        "ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_shared, "
+        "ROUND(CAST(n_shared AS DOUBLE) / CAST(LEAST(na.nf, nb.nf) "
+        "AS DOUBLE), 6) AS overlap FROM i "
+        "JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id "
+        "WHERE n_shared >= 2"
+    ),
+    doc="LLM dedup tier 5b: MOSS-style near-dup candidates — pairs "
+        "sharing ≥2 winnowing fingerprints, overlap coefficient over "
+        "the df-capped (≤1000) fingerprint space; position-aware "
+        "complement to the set-based MinHash tier: any shared run of "
+        "≥ w+k-1 tokens guarantees a shared fingerprint "
+        "(dedup.winnow_pairs)",
+)
+def q_winnow_pairs(spark, sf_dir):
+    return dedup.winnow_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=4, w=4, min_shared=2, max_df=1000,
+    )

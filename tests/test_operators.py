@@ -898,6 +898,109 @@ def test_hll_sketches_accuracy_and_merge_invariance(spark, sf_dir):
         assert abs(rolled[et] - n) / n < 0.05, (et, rolled[et], n)
 
 
+def test_kmv_merge_closure_and_estimator_error(spark):
+    """(a) Union-merge closure: merging per-group KMV sketches yields
+    EXACTLY the sketch of the whole set (same digests, same ranks) —
+    the property that makes KMV a cube-able partial aggregate. (b) The
+    distinct estimate (k-1)/U_(k) lands within 4 standard errors
+    (4/sqrt(k-2)) of the true cardinality — deterministic given md5,
+    so this pins the estimator arithmetic, not a random draw."""
+    from aws_data_pipeline_ads_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    n = 5000
+    rows = [(f"g{i % 4}", f"value-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+
+    per_group = kmv_sketch(df, ["grp"], "v", k=k)
+    merged = {(r.h, r.rn) for r in kmv_merge(per_group, [], k=k).collect()}
+    direct_sk = kmv_sketch(df.select("v"), [], "v", k=k)
+    direct = {(r.h, r.rn) for r in direct_sk.collect()}
+    assert merged == direct and len(direct) == k
+
+    est = kmv_distinct(direct_sk, [], k=k).collect()[0]
+    assert est.n_distinct_exact == n
+    rel_err = abs(est.est_distinct - n) / n
+    assert rel_err < 4.0 / (k - 2) ** 0.5, (est.est_distinct, rel_err)
+
+    # groups smaller than k report the exact count through the same API
+    small = kmv_distinct(per_group, ["grp"], k=2048).collect()
+    assert all(r.est_distinct == float(r.n_distinct_exact) for r in small)
+
+
+def test_kmv_jaccard_estimate_tracks_true_overlap(spark):
+    """Two sets built with a known 50% overlap: the sketch-only Jaccard
+    estimate must land within 4·sqrt(J(1-J)/k) of the truth, and a
+    disjoint pair must estimate exactly 0."""
+    from aws_data_pipeline_ads_spark.operators.sketches import (
+        kmv_sketch,
+        kmv_union_jaccard,
+    )
+
+    k = 256
+    # A = 0..1999, B = 1000..2999 -> |A∩B|=1000, |A∪B|=3000, J=1/3
+    rows = [("A", f"v{i}") for i in range(2000)]
+    rows += [("B", f"v{i}") for i in range(1000, 3000)]
+    rows += [("C", f"w{i}") for i in range(500)]  # disjoint from both
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    sk = kmv_sketch(df, ["grp"], "v", k=k)
+    est = {(r.src_a, r.src_b): r for r in
+           kmv_union_jaccard(sk, "grp", k=k).collect()}
+    j_ab = est[("A", "B")].est_jaccard
+    true_j = 1000.0 / 3000.0
+    assert abs(j_ab - true_j) < 4.0 * (true_j * (1 - true_j) / k) ** 0.5
+    assert est[("A", "C")].est_jaccard == 0.0
+    assert est[("B", "C")].est_jaccard == 0.0
+    # C has fewer than k values and is disjoint: its pairs' union size
+    # is still capped correctly (k_union <= k, n_both = 0)
+    assert est[("A", "C")].n_both == 0
+
+
+def test_winnow_fingerprint_guarantee_and_density(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    length >= w+k-1 share at least one fingerprint digest; exact
+    duplicate texts share their ENTIRE fingerprint set; and density
+    stays within [1/w, 1] for docs with at least w grams."""
+    from aws_data_pipeline_ads_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+        winnow_stats,
+    )
+
+    k, w = 4, 4
+    shared = "alpha beta gamma delta epsilon zeta eta"  # w+k-1 = 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven twelve"),
+            (3, "completely different words with nothing in common here"),
+            (4, "completely different words with nothing in common here"),
+            (5, "tiny"),  # shorter than k tokens: one whole-text gram
+        ],
+        ["doc_id", "text"],
+    )
+    sets: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=k, w=w).collect():
+        sets.setdefault(r.doc_id, set()).add(r.h)
+    assert sets[1] & sets[2], "shared >= w+k-1 run must share a fingerprint"
+    assert sets[3] == sets[4], "exact duplicates share the whole set"
+    assert len(sets[5]) == 1, "sub-k doc fingerprints its whole text"
+
+    stats = {r.doc_id: r for r in winnow_stats(docs, k=k, w=w).collect()}
+    for d in (1, 2, 3, 4):
+        assert stats[d].n_grams >= w
+        assert 1.0 / w <= stats[d].density <= 1.0
+    assert stats[3].min_fp == stats[4].min_fp
+
+    pairs = {(r.doc_a, r.doc_b): r for r in
+             winnow_pairs(docs, k=k, w=w, min_shared=1).collect()}
+    assert (3, 4) in pairs and pairs[(3, 4)].overlap == 1.0
+
+
 def test_merge_upsert_update_insert_keep(spark):
     from pyspark.sql import Row
 

@@ -183,6 +183,10 @@ _NESTED_LOOP_OK = {
     # inherits q_bm25_search's 1-row (N, avgdl) stats broadcast on its
     # sparse arm; the RRF fusion itself joins two ≤k ranked sets
     "q_hybrid_search",
+    # source×source pair dim (20×20 at any corpus size) built by a
+    # broadcast theta self-join of the DISTINCT key values — the
+    # corpus-sized sketch build below it is equi-join only
+    "q_kmv_jaccard",
 }
 
 
