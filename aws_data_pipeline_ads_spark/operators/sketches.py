@@ -294,3 +294,24 @@ def kmv_union_jaccard(sketch: DataFrame, key: str,
             6,
         ).alias("est_jaccard"),
     )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, keys: list[str],
+                          k: int = KMV_K) -> DataFrame:
+    """Distinct estimate from a sketch WITHOUT an exact-count column —
+    the streaming/merged case, where per-contributor exact counts do
+    not add up across batches. A merged sketch holding fewer than k
+    digests is still EXACT: any contributor that hit the k cap would
+    alone have contributed k digests, so < k rows means every
+    contributor was complete and the union is the true distinct set.
+    At exactly k rows the (k-1)/U_(k) estimator applies."""
+    keys = list(keys)
+    part = W.partitionBy(*keys) if keys else W.partitionBy(F.lit(1))
+    last = sketch.withColumn("__n", F.max("rn").over(part)).filter(
+        F.col("rn") == F.col("__n")
+    )
+    u = F.expr(hex_u32_sql("h")).cast("double") / F.lit(4294967296.0)
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) / u, 6))
+    return last.select(*keys, est.alias("est_distinct"))

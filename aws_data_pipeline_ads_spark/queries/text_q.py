@@ -2541,3 +2541,60 @@ def q_winnow_pairs(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         k=4, w=4, min_shared=2, max_df=1000,
     )
+
+
+# Lake-resident streaming KMV state per corpus: same landing/drain
+# shape as cms_stream_index — the drain==batch contract here is union
+# CLOSURE (bottom-k of a union of bottom-k sets == bottom-k of the
+# union), so the served estimates hash-match the batch-side oracle.
+def kmv_stream_index(spark, sf_dir: str) -> str:
+    def build(path: str) -> None:
+        from aws_data_pipeline_ads_spark import streaming
+
+        src = load_table(spark, sf_dir, "documents")
+        src.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.parquet(
+            f"{path}/landing/s1"
+        )
+        src.filter(F.col("doc_id") % 2 == 1).coalesce(2).write.parquet(
+            f"{path}/landing/s2"
+        )
+        stream = streaming.documents_stream(
+            spark, f"{path}/landing", max_files_per_trigger=2
+        )
+        streaming.streaming_kmv_sink(
+            stream, f"{path}/sketch", f"{path}/ck", k=_KMV_K
+        )
+
+    return index_path("kmv_stream", sf_dir, build)
+
+
+@query(
+    "q_kmv_served",
+    oracle=(
+        # Same sketch CTE as q_kmv_distinct; the exact-branch guard is
+        # STRICT (< k): a merged sketch cannot tell "exactly k distinct"
+        # from "capped at k", so the served path estimates at n = k
+        # (the batch query, which carries n_exact, stays exact there).
+        "WITH " + _KMV_SH_CTE + ", "
+        "kth AS (SELECT * FROM r WHERE rn = LEAST(n_exact, 256)) "
+        "SELECT source, "
+        "CASE WHEN n_exact < 256 THEN CAST(n_exact AS DOUBLE) "
+        "ELSE ROUND(255.0 / (CAST(" + hex_u32_sql("h")
+        + " AS DOUBLE) / 4294967296.0), 6) END AS est_distinct FROM kth"
+    ),
+    doc="streaming-lake serving path: per-source distinct-vocabulary "
+        "estimates answered from the ACCUMULATED KMV state the "
+        "streaming sink drained into the lake (one ≤k-rows-per-source "
+        "partial per micro-batch, bottom-k-merged at serve time — "
+        "streaming.kmv_served); union closure makes the served sketch "
+        "IDENTICAL to a batch build, so the estimates hash-match the "
+        "same arithmetic oracle (streaming/__init__.py, "
+        "operators/sketches.py)",
+)
+def q_kmv_served(spark, sf_dir):
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.operators import sketches
+
+    idx = kmv_stream_index(spark, sf_dir)
+    merged = streaming.kmv_served(spark, f"{idx}/sketch", k=_KMV_K)
+    return sketches.kmv_distinct_estimate(merged, ["source"], k=_KMV_K)

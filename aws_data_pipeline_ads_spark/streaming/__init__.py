@@ -304,3 +304,68 @@ def cms_served(spark, sketch_path: str) -> DataFrame:
         .groupBy("seed", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def kmv_merge_batch(batch_df: DataFrame, batch_id: int, sketch_path: str,
+                    k: int = 256) -> None:
+    """One micro-batch of the streaming distinct-vocabulary tracker:
+    shingle the batch (k=3, the q_kmv_distinct feature), build its
+    per-source KMV bottom-k partial (≤ k rows per source — bounded
+    regardless of batch size), write it to its OWN batch_id=N directory
+    with overwrite. A replayed batch rewrites the same directory
+    instead of polluting the union (the idempotent-foreachBatch
+    contract shared with cms_merge_batch)."""
+    from pyspark.sql import functions as SF
+
+    from aws_data_pipeline_ads_spark.functions import tokens
+    from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+    from aws_data_pipeline_ads_spark.operators.sketches import kmv_sketch
+
+    toked = batch_df.select(
+        SF.col("source").alias("doc_id"), tokens("text").alias("__toks")
+    )
+    sh = doc_shingle_sets(
+        batch_df, k=3, distinct=False, toked=toked
+    ).select(SF.col("doc_id").alias("source"), "tok")
+    kmv_sketch(sh, ["source"], "tok", k=k).select("source", "h").write.mode(
+        "overwrite"
+    ).parquet(f"{sketch_path}/batch_id={batch_id}")
+
+
+def streaming_kmv_sink(docs_stream: DataFrame, sketch_path: str,
+                       checkpoint_dir: str, k: int = 256) -> None:
+    """Distinct-vocabulary state over an unbounded document stream with
+    FIXED per-batch footprint: each micro-batch appends its ≤ k-rows-
+    per-source KMV partial under batch_id=N; serving merges bottom-k
+    across partials (kmv_served). Union closure makes the served sketch
+    IDENTICAL to one batch build over all drained data — bottom-k of a
+    union of bottom-k sets is the bottom-k of the union — so the served
+    estimates hash-match the batch oracle, not just approximate it."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            lambda df, bid: kmv_merge_batch(df, bid, sketch_path, k)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kmv_served(spark, sketch_path: str, k: int = 256) -> DataFrame:
+    """The accumulated sketch: bottom-k merge over every batch partial —
+    exactly kmv_sketch over the union of all drained batches (minus the
+    exact-count column, which does not survive merging; serve estimates
+    through sketches.kmv_distinct_estimate).
+
+    refreshByPath first: a batch REPLAY overwrites its partial under an
+    already-read path, and Spark's shared file-status cache would
+    otherwise serve the pre-replay listing (FAILED_READ_FILE on the
+    deleted part files)."""
+    from aws_data_pipeline_ads_spark.operators.sketches import kmv_merge
+
+    spark.catalog.refreshByPath(sketch_path)
+    return kmv_merge(
+        spark.read.parquet(sketch_path).select("source", "h"),
+        ["source"], k=k,
+    )

@@ -400,3 +400,68 @@ def test_streaming_cms_equals_batch_and_replay_safe(spark, sf_dir, tmp_path):
     again = {(r.seed, r.bucket): r.c
              for r in streaming.cms_served(spark, sketch).collect()}
     assert again == twice
+
+
+def test_streaming_kmv_union_closure_and_replay_safe(spark, sf_dir, tmp_path):
+    """Distinct-vocabulary stream: the bottom-k merge of per-batch KMV
+    partials equals one batch kmv_sketch over all documents — union
+    closure makes drain==batch EXACT (same digests, same ranks), which
+    is what lets q_kmv_served share the batch arithmetic oracle. Batch
+    replay overwrites its partial (idempotent); the estimator-only
+    serving path agrees with the exact-count batch path on every source
+    that exceeds k."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.functions import tokens
+    from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+    from aws_data_pipeline_ads_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    k = 64
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    land = tmp_path / "landing"
+    src.filter(F.col("doc_id") % 2 == 0).coalesce(2).write.parquet(str(land / "s1"))
+    src.filter(F.col("doc_id") % 2 == 1).coalesce(2).write.parquet(str(land / "s2"))
+    sketch, ck = str(tmp_path / "kmv"), str(tmp_path / "ck_kmv")
+
+    stream = streaming.documents_stream(spark, str(land), max_files_per_trigger=2)
+    streaming.streaming_kmv_sink(stream, sketch, ck, k=k)
+    served = streaming.kmv_served(spark, sketch, k=k)
+    got = {(r.source, r.rn): r.h for r in served.collect()}
+
+    toked = src.select(F.col("source").alias("doc_id"), tokens("text").alias("__toks"))
+    sh = doc_shingle_sets(src, k=3, distinct=False, toked=toked).select(
+        F.col("doc_id").alias("source"), "tok"
+    )
+    batch_sk = kmv_sketch(sh, ["source"], "tok", k=k)
+    want = {(r.source, r.rn): r.h for r in batch_sk.collect()}
+    assert got == want and got  # exact sketch equality, nonempty
+
+    # replay/idempotence + dedup-for-free: landing a NEW batch id twice
+    # with an already-drained subset is (a) a stable overwrite and
+    # (b) a no-op on the union — a distinct sketch absorbs re-ingested
+    # data, so the served state still equals the full-corpus build
+    for _ in range(2):
+        streaming.kmv_merge_batch(
+            src.filter(F.col("doc_id") % 2 == 0), 7, sketch, k=k
+        )
+        again = {(r.source, r.rn): r.h
+                 for r in streaming.kmv_served(spark, sketch, k=k).collect()}
+        assert again == want
+
+    # estimator-only serving == exact-count batch estimate wherever the
+    # source's vocabulary exceeds k (both take the (k-1)/U_(k) branch);
+    # re-serve: the pre-rewrite `served` handle lists deleted part files
+    served_est = {r.source: r.est_distinct for r in
+                  kmv_distinct_estimate(
+                      streaming.kmv_served(spark, sketch, k=k),
+                      ["source"], k=k).collect()}
+    batch_est = {r.source: (r.est_distinct, r.n_distinct_exact) for r in
+                 kmv_distinct(batch_sk, ["source"], k=k).collect()}
+    over_cap = {s for s, (_, n) in batch_est.items() if n > k}
+    assert over_cap  # the fixture corpus must exercise the estimator
+    for s in over_cap:
+        assert served_est[s] == batch_est[s][0]

@@ -41,6 +41,11 @@ QUERIES = [
     "q_decontaminate", "q_line_dedup", "q_curation_pipeline",
     "q_minhash_lsh", "q_neardup_verified", "q_bm25_terms",
     "q_simhash_pairs", "q_session_gap",
+    # r7 sketch/fingerprint tiers: disjoint per-copy vocabularies keep
+    # the winnow pair profile per copy and grow each source's shingle
+    # space 10× (the KMV sketch build is the data-sized part; the pair
+    # fusion stays 20×20-bounded)
+    "q_kmv_jaccard", "q_winnow_pairs",
 ]
 
 # Lake data-skipping queries: besides wall-clock and exchange count
@@ -98,9 +103,18 @@ def prebuild_indexes(spark, sf_dir: str) -> None:
 
 
 def run_once(df) -> float:
+    """Time one full execution, then drop any persist_tracked caches the
+    query pinned: Spark's CacheManager dedupes identical logical plans,
+    so without the release a second build() of a caching query (the KMV
+    sketch, the verified-neardup token arrays) would serve its
+    data-sized stage from memory and fake a flat scale factor."""
+    from aws_data_pipeline_ads_spark.operators.cache import release_caches
+
     t0 = time.time()
     df.write.mode("overwrite").format("noop").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    release_caches()
+    return dt
 
 
 def lake_files(spark, sf_dir: str, name: str, df) -> tuple[int, int]:
