@@ -99,7 +99,7 @@ _TAIL: list[str] = [
     # exposure ----------------------------------------------------------
     "q_contamination_overlap", "q_epoch_mixture", "q_neardup_keep_best",
     "q_hybrid_search", "q_curriculum_order",
-    "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_served",
+    "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_served", "q_kmv_rollup",
     "q_winnow_fingerprint", "q_winnow_pairs",
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------

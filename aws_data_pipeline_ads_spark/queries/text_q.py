@@ -2598,3 +2598,47 @@ def q_kmv_served(spark, sf_dir):
     idx = kmv_stream_index(spark, sf_dir)
     merged = streaming.kmv_served(spark, f"{idx}/sketch", k=_KMV_K)
     return sketches.kmv_distinct_estimate(merged, ["source"], k=_KMV_K)
+
+
+@query(
+    "q_kmv_rollup",
+    oracle=(
+        # Union closure: merging the per-source sketches == one global
+        # bottom-k — so the oracle just builds the global sketch
+        # directly (no source grouping) and estimates at the k-th row.
+        "WITH toked AS (SELECT source, "
+        "regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents), "
+        "sh AS (SELECT unnest(CASE WHEN len(toks) < 3 "
+        "THEN [array_to_string(toks, ' ')] "
+        "ELSE [array_to_string(toks[i:i+2], ' ') "
+        "for i in generate_series(1, len(toks)-2)] END) AS tok FROM toked), "
+        "d AS (SELECT DISTINCT md5(tok) AS h FROM sh), "
+        "r AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn, "
+        "COUNT(*) OVER () AS n_exact FROM d), "
+        "kth AS (SELECT * FROM r WHERE rn = LEAST(n_exact, 256)) "
+        "SELECT CAST(LEAST(n_exact, 256) AS BIGINT) AS k_used, "
+        "CASE WHEN n_exact < 256 THEN CAST(n_exact AS DOUBLE) "
+        "ELSE ROUND(255.0 / (CAST(" + hex_u32_sql("h")
+        + " AS DOUBLE) / 4294967296.0), 6) END AS est_distinct FROM kth"
+    ),
+    doc="LLM sketches tier 3c: corpus-wide distinct-vocabulary estimate "
+        "answered by MERGING the 20 per-source KMV sketches (bottom-k "
+        "of the union of bottom-k sets — sketches.kmv_merge), never "
+        "rescanning the corpus: the OLAP-cube rollup HLL offers, but "
+        "hash-verified because the merged sketch is bit-identical to a "
+        "direct global build (the oracle builds directly; closure makes "
+        "them equal)",
+)
+def q_kmv_rollup(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import sketches
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
+    sk = sketches.kmv_sketch(
+        _source_shingles(spark, sf_dir), ["source"], "tok", k=_KMV_K
+    )
+    # the merged sketch (<= k rows) feeds both output branches; persist
+    # it so the corpus-sized build underneath runs once
+    merged = persist_tracked(sketches.kmv_merge(sk, [], k=_KMV_K))
+    out = sketches.kmv_distinct_estimate(merged, [], k=_KMV_K)
+    n = merged.groupBy().agg(F.max("rn").cast("long").alias("k_used"))
+    return n.crossJoin(out.select("est_distinct"))

@@ -187,6 +187,9 @@ _NESTED_LOOP_OK = {
     # broadcast theta self-join of the DISTINCT key values — the
     # corpus-sized sketch build below it is equi-join only
     "q_kmv_jaccard",
+    # crossJoin of two 1-row frames (merged-sketch size × its estimate)
+    # — same bounded pattern as q_scalar_subquery
+    "q_kmv_rollup",
 }
 
 
