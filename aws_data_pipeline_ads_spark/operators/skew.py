@@ -82,3 +82,41 @@ def top_keys(df: DataFrame, keys: list[str], n: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
         .limit(n)
     )
+
+
+def key_skew_profile(df: DataFrame, keys: list[str], top: int = 10,
+                     hot_factor: int = 5) -> DataFrame:
+    """The detector that decides when the two mitigations above are
+    needed: per-key row-count concentration for a prospective join/agg
+    key. Reports the `top` heaviest keys with their share of all rows,
+    their ratio to the mean key size, and an exact integer hot flag
+    (cnt · n_keys > hot_factor · n_rows, i.e. more than hot_factor×
+    the mean) — the planning signal a 100 TB pipeline computes BEFORE
+    shuffling on a key, not after the straggler shows up.
+
+    Shape: one map-combined groupBy(keys) count, a 1-row stats
+    aggregate over the (already small) counts stream, and a top-k via
+    orderBy+limit — which plans as TakeOrderedAndProject, a per-
+    partition k-heap, NOT a global sort. The 1-row stats frame rides a
+    broadcast cross join (the bounded q_scalar_subquery pattern).
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    topk = counts.orderBy(
+        F.desc("cnt"), *[F.asc(k) for k in keys]
+    ).limit(top)
+    out = topk.crossJoin(F.broadcast(stats))
+    return out.select(
+        *keys, "cnt", "n_keys", "n_rows",
+        F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6)
+        .alias("share"),
+        F.round(
+            F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"),
+            6,
+        ).alias("skew_ratio"),
+        (F.col("cnt") * F.col("n_keys")
+         > F.lit(int(hot_factor)) * F.col("n_rows")).alias("is_hot"),
+    )

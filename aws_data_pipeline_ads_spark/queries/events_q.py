@@ -628,3 +628,40 @@ def q_multitouch(spark, sf_dir):
 
     ensure_utc(spark)
     return linear_attribution(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_skew_profile",
+    oracle=(
+        # Same synthesized hot key q_skewed_join mitigates: the profile
+        # is the detector that says salting is needed there.
+        "WITH e AS (SELECT CASE WHEN user_id % 5 = 0 THEN 0 "
+        "ELSE user_id END AS hot_uid FROM events), "
+        "c AS (SELECT hot_uid, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM e GROUP BY 1), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c), "
+        "t AS (SELECT hot_uid, cnt FROM c ORDER BY cnt DESC, hot_uid "
+        "LIMIT 10) "
+        "SELECT t.hot_uid, t.cnt, s.n_keys, s.n_rows, "
+        "ROUND(CAST(t.cnt AS DOUBLE) / s.n_rows, 6) AS share, "
+        "ROUND(CAST(t.cnt AS DOUBLE) * s.n_keys / s.n_rows, 6) "
+        "AS skew_ratio, "
+        "(t.cnt * s.n_keys > 5 * s.n_rows) AS is_hot FROM t, s"
+    ),
+    doc="2C skew mitigation (detector): per-key concentration profile "
+        "of the join key q_skewed_join salts — top-10 keys by row "
+        "count with share, ratio-to-mean, and an exact integer hot "
+        "flag (cnt·n_keys > 5·n_rows); TakeOrderedAndProject top-k + "
+        "1-row broadcast stats, the planning signal computed BEFORE "
+        "shuffling on a key (skew.key_skew_profile)",
+)
+def q_skew_profile(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import skew
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("hot_uid")
+    )
+    return skew.key_skew_profile(e, ["hot_uid"], top=10, hot_factor=5)

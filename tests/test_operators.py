@@ -1562,3 +1562,32 @@ def test_curriculum_order_bands_and_determinism(spark, sf_dir):
     out2 = curriculum_order(docs.repartition(13)).collect()
     key = lambda r: (r.doc_id, r.band, r.shard, r.pos)
     assert sorted(map(key, out)) == sorted(map(key, out2))
+
+
+def test_key_skew_profile_flags_hot_key_and_avoids_global_sort(spark, sf_dir):
+    """The detector behind salted_join/salted_sum_count: the synthesized
+    hot key (20% of users collapsed onto id 0, q_skewed_join's setup)
+    must be flagged hot and carry ~20% share; uniform keys must not be
+    flagged; and the top-k must plan as TakeOrderedAndProject (a
+    per-partition k-heap), never a global Sort."""
+    from pyspark.sql import functions as F
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.skew import key_skew_profile
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("hot_uid")
+    )
+    # hot_factor=2 at this fixture scale: sf0.001's key space is only
+    # ~13 ids, so the hot key's ratio-to-mean is ~2.5 (at sf0.01+ it is
+    # ~24 and the declared query's factor-5 flag fires — driver-gated)
+    prof = key_skew_profile(e, ["hot_uid"], top=10, hot_factor=2)
+    rows = {r.hot_uid: r for r in prof.collect()}
+    assert rows[0].is_hot and rows[0].share > 0.15 and rows[0].skew_ratio > 2
+    assert all(not r.is_hot for uid, r in rows.items() if uid != 0)
+    assert all(rows[0].cnt >= r.cnt for r in rows.values())
+
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -190,6 +190,9 @@ _NESTED_LOOP_OK = {
     # crossJoin of two 1-row frames (merged-sketch size × its estimate)
     # — same bounded pattern as q_scalar_subquery
     "q_kmv_rollup",
+    # broadcast of the 1-row (n_keys, n_rows) stats aggregate into the
+    # ≤top-k heaviest-keys frame — same bounded pattern
+    "q_skew_profile",
 }
 
 
