@@ -917,3 +917,60 @@ def test_lake_oplog_matches_model(spark, tmp_path_factory, seed):
     for v, snap in snapshots.items():
         got = sorted((r.k, r.v) for r in t.read(v).collect())
         assert got == _lake_model_rows(snap), f"seed={seed} travel v={v}"
+
+
+_kmv_vals = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.text("xyz01", min_size=1, max_size=6)),
+    min_size=1, max_size=120,
+)
+
+
+@PROP
+@given(vals=_kmv_vals, parts=st.integers(1, 7), k=st.sampled_from([4, 16]))
+def test_kmv_sketch_partitioning_invariant(spark, vals, parts, k):
+    """The property every KMV oracle comparison rests on: the sketch
+    (digests AND ranks AND exact counts) is identical under any input
+    partitioning or row order — bottom-k of a set has one answer."""
+    from aws_data_pipeline_ads_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([Row(grp=g, v=v) for g, v in vals])
+    base = {(r.grp, r.rn): (r.h, r.n_exact)
+            for r in kmv_sketch(df.coalesce(1), ["grp"], "v", k=k).collect()}
+    re = {(r.grp, r.rn): (r.h, r.n_exact)
+          for r in kmv_sketch(
+              df.repartition(parts, "v"), ["grp"], "v", k=k).collect()}
+    assert re == base
+    # ranks are 1..min(k, n_exact) with no gaps, per group
+    for g in {g for g, _v in vals}:
+        rns = sorted(rn for (gg, rn) in base if gg == g)
+        n_exact = len({v for gg, v in vals if gg == g})
+        assert rns == list(range(1, min(k, n_exact) + 1))
+
+
+_winnow_docs = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=30).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+@PROP
+@given(texts=_winnow_docs, parts=st.integers(1, 5))
+def test_winnow_fingerprints_partitioning_invariant(spark, texts, parts):
+    """Winnowing selections depend only on each document's own token
+    sequence: identical fingerprint sets under any partitioning, and
+    every fingerprint's position lies inside the document's gram
+    range."""
+    from aws_data_pipeline_ads_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    base = {(r.doc_id, r.h, r.pos) for r in
+            winnow_fingerprints(df.coalesce(1), k=3, w=3).collect()}
+    re = {(r.doc_id, r.h, r.pos) for r in
+          winnow_fingerprints(df.repartition(parts), k=3, w=3).collect()}
+    assert re == base
+    for r in winnow_fingerprints(df, k=3, w=3).collect():
+        n_toks = len(texts[r.doc_id].split())
+        n_grams = max(n_toks - 2, 1)
+        assert 1 <= r.pos <= n_grams and r.n_grams == n_grams
