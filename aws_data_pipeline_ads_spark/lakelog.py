@@ -1281,24 +1281,34 @@ class LakeTable:
                              row_counts=self._collect_row_counts(files))
 
     def optimize_zorder(self, cols: list[str], n_files: int = 16,
-                        bits: int = 10) -> int:
+                        bits: int = 10, curve: str = "morton") -> int:
         """OPTIMIZE ZORDER through the log: rewrite the current snapshot
-        range-partitioned by the Morton key over `cols`
-        (operators/partitioning.zorder_key), published as a NEW version
-        whose per-file stats then let scan() prune on ANY of the listed
-        columns — not just a single leading sort key. Each output file
-        covers a compact box of the multi-dimensional space; the
-        recorded min/max boxes are what make a two-column range scan
-        open a subset of files. Same commit protocol as compact:
-        copy-on-write, no reader-visible gap."""
+        range-partitioned by a space-filling-curve key over `cols`,
+        published as a NEW version whose per-file stats then let scan()
+        prune on ANY of the listed columns — not just a single leading
+        sort key. Each output file covers a compact box of the
+        multi-dimensional space; the recorded min/max boxes are what
+        make a two-column range scan open a subset of files. Same
+        commit protocol as compact: copy-on-write, no reader-visible
+        gap.
+
+        `curve` picks the key: "morton" (default — pure expressions,
+        operators/partitioning.zorder_key) or "hilbert"
+        (partitioning.hilbert_key, Skilling transform: unit-step curve,
+        tighter per-file boxes; write-side Arrow UDF). Readers never
+        see the difference — only the file boxes do."""
         from aws_data_pipeline_ads_spark.operators.partitioning import (
+            hilbert_key,
             zorder_key,
         )
 
+        if curve not in ("morton", "hilbert"):
+            raise ValueError(f"unknown curve {curve!r}")
+        key_fn = zorder_key if curve == "morton" else hilbert_key
         base = self.current_version()
         if base is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
-        keyed, z = zorder_key(self.read(base), cols, bits)
+        keyed, z = key_fn(self.read(base), cols, bits)
         helper = [c for c in keyed.columns
                   if c.startswith("__mn_") or c.startswith("__mx_")]
         clustered = (

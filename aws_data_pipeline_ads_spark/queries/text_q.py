@@ -2642,3 +2642,48 @@ def q_kmv_rollup(spark, sf_dir):
     out = sketches.kmv_distinct_estimate(merged, [], k=_KMV_K)
     n = merged.groupBy().agg(F.max("rn").cast("long").alias("k_used"))
     return n.crossJoin(out.select("est_distinct"))
+
+
+def lakehilbert_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartition(16, "n_chars"), txn_id="rev-0")
+        t.optimize_zorder(["doc_id", "n_chars"], n_files=16,
+                          curve="hilbert")
+
+    return index_path("lakehilbert", sf_dir, build)
+
+
+@query(
+    "q_lake_hilbert_scan",
+    oracle=(
+        # Same two-predicate twin as q_lake_zorder_scan: the curve is
+        # an execution-layout change only, results are identical.
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE doc_id <= (SELECT max(doc_id) // 4 FROM documents) "
+        "AND n_chars <= (SELECT max(n_chars) // 4 FROM documents)"
+    ),
+    doc="LLM lake versioning: multi-column skipping over a HILBERT "
+        "layout (lakelog.optimize_zorder curve='hilbert' — Skilling "
+        "transform, partitioning.hilbert_index): every curve step "
+        "moves one coordinate by 1, so per-file boxes are at least as "
+        "tight as Morton's (pytest pins hilbert ≤ morton files opened "
+        "on this exact workload, and pins the transform exhaustively "
+        "at bits=4). Same bottom-quartile box scan, hash-verified "
+        "against the plain two-predicate filter",
+)
+def q_lake_hilbert_scan(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakehilbert_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    head = t.read()
+    hi_id, hi_ch = head.agg(
+        F.max("doc_id"), F.max("n_chars")).collect()[0]
+    return t.scan({"doc_id": (None, hi_id // 4),
+                   "n_chars": (None, hi_ch // 4)}).select(
+        "doc_id", "n_chars")

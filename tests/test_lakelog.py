@@ -1071,3 +1071,68 @@ def test_bloom_timestamp_probe_hostile_os_tz(spark, sf_dir, tmp_path,
         else:
             os.environ["TZ"] = prev_tz
         _time.tzset()
+
+
+def test_hilbert_index_is_a_unit_step_space_filling_curve():
+    """Exhaustive correctness of the Skilling transform at bits=4, d=2:
+    the 256 cell keys are a permutation of 0..255 (space-filling
+    bijection), and walking the curve in key order moves exactly ONE
+    coordinate by exactly 1 per step (the unit-step locality Morton
+    lacks — Morton's diagonal jumps are why Hilbert boxes are tighter).
+    Plus a d=3 bijection check."""
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.operators.partitioning import (
+        hilbert_index,
+    )
+
+    grid = np.array([(x, y) for x in range(16) for y in range(16)])
+    keys = hilbert_index(grid, bits=4)
+    assert sorted(keys) == list(range(256))
+    walk = grid[np.argsort(keys)]
+    steps = np.abs(np.diff(walk, axis=0))
+    assert (steps.sum(axis=1) == 1).all()
+
+    g3 = np.array([(x, y, z) for x in range(8) for y in range(8)
+                   for z in range(8)])
+    k3 = hilbert_index(g3, bits=3)
+    assert sorted(k3) == list(range(512))
+    w3 = g3[np.argsort(k3)]
+    assert (np.abs(np.diff(w3, axis=0)).sum(axis=1) == 1).all()
+
+
+def test_optimize_zorder_hilbert_curve_skipping(spark, sf_dir, tmp_path,
+                                                mk_table):
+    """curve='hilbert': same OPTIMIZE commit protocol and exact
+    results as Morton, pruning on EITHER clustered column, and — on
+    the same data, params, and workload — the Hilbert layout opens no
+    MORE files than the Morton layout (unit-step locality ⇒ per-file
+    boxes at least as tight)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text")
+    hm = {}
+    for curve in ("hilbert", "morton"):
+        t = mk_table(str(tmp_path / curve))
+        t.commit(docs.repartition(16, "text"))
+        v = t.optimize_zorder(["doc_id", "n_chars"], n_files=16,
+                              curve=curve)
+        assert t.history()[-1]["op"] == "zorder" and v == 1
+        assert _rows(t.read(1).select("doc_id")) == _rows(
+            docs.select("doc_id"))
+        mx_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        mx_ch = docs.agg(F.max("n_chars")).collect()[0][0]
+        opened = 0
+        for col, hi in (("doc_id", mx_id // 8), ("n_chars", mx_ch // 8)):
+            s = t.scan({col: (None, hi)})
+            assert _rows(s) == _rows(docs.filter(F.col(col) <= hi)), curve
+            n = len(s.inputFiles())
+            assert 0 < n < 16, (curve, col)
+            opened += n
+        hm[curve] = opened
+    assert hm["hilbert"] <= hm["morton"], hm
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown curve"):
+        mk_table(str(tmp_path / "bad")).optimize_zorder(
+            ["doc_id"], curve="peano")
