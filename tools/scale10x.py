@@ -54,7 +54,7 @@ QUERIES = [
 # the whole 100 TB story is that a bounded predicate opens a bounded
 # fraction of the table, independent of table size.
 LAKE_QUERIES = ["q_lake_pruned_scan", "q_lake_zorder_scan",
-                "q_lake_time_scan"]
+                "q_lake_time_scan", "q_lake_hilbert_scan"]
 
 COPIES = 10
 OFFSET = 10_000_000
@@ -125,6 +125,7 @@ def lake_files(spark, sf_dir: str, name: str, df) -> tuple[int, int]:
     from aws_data_pipeline_ads_spark.queries import text_q
 
     idx_fn = {"q_lake_pruned_scan": text_q.lakescan_index,
+              "q_lake_hilbert_scan": text_q.lakehilbert_index,
               "q_lake_zorder_scan": text_q.lakezorder_index,
               "q_lake_time_scan": text_q.laketime_index}[name]
     t = LakeTable(spark, f"{idx_fn(spark, sf_dir)}/tbl")
