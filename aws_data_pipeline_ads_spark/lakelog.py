@@ -427,6 +427,52 @@ class LakeTable:
 
         return {f: pq.ParquetFile(f).metadata.num_rows for f in files}
 
+    def _collect_sums(self, files: list[str], sum_cols: list[str],
+                      prior: dict | None = None) -> dict:
+        """Per-file DECIMAL(38,6)-exact sums of `sum_cols` — the one
+        write-time aggregate parquet footers cannot provide. Unlike
+        min/max (footer metadata, free), each file's sum costs one
+        pass over the file at COMMIT time — pay once at write, answer
+        SUM/AVG forever from the log (stats()). Files already summed
+        in `prior` (shared byte-for-byte by a CoW rewrite or append)
+        carry their record verbatim; only genuinely new files are
+        scanned, in ONE Spark job grouped by input_file_name. Decimal
+        sums serialize as strings: exact, order-independent under any
+        partitioning, and engine-portable (same value the full-scan
+        SUM(CAST(col AS DECIMAL(38,6))) twin computes)."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        prior = prior or {}
+        out = {f: prior[f] for f in files if f in prior}
+        missing = [f for f in files if f not in prior]
+        if not missing:
+            return out
+        agged = (
+            self.spark.read.parquet(*missing)
+            .select(
+                F.input_file_name().alias("__f"),
+                *[F.col(c).cast("decimal(38,6)").alias(c)
+                  for c in sum_cols],
+            )
+            .groupBy("__f")
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
+        by_path = {}
+        for r in agged.collect():
+            p = unquote(urlparse(r["__f"]).path)
+            # an all-NULL file's SUM is NULL; its contribution to the
+            # table total is exactly 0 (SUM ignores nulls)
+            by_path[p] = {c: (str(r[c]) if r[c] is not None else "0")
+                          for c in sum_cols}
+        for f in missing:
+            # 0-row files never appear in the groupBy output; their
+            # contribution is exactly 0
+            out[f] = by_path.get(os.path.abspath(f),
+                                 {c: "0" for c in sum_cols})
+        return out
+
     # -- per-file bloom index (equality skipping) --------------------------
 
     _BLOOM_BITS = 1 << 15  # 4 KiB per file per column
@@ -532,7 +578,9 @@ class LakeTable:
                  blooms: dict | None = None,
                  bloom_cols: list[str] | None = None,
                  row_counts: dict | None = None,
-                 deferred_deletes: list | None = None) -> int:
+                 deferred_deletes: list | None = None,
+                 sums: dict | None = None,
+                 sum_cols: list[str] | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -562,6 +610,10 @@ class LakeTable:
             entry["row_counts"] = row_counts
         if deferred_deletes:
             entry["deferred_deletes"] = deferred_deletes
+        if sums is not None:
+            entry["sums"] = sums
+        if sum_cols:
+            entry["sum_cols"] = sum_cols
         # the commit point: exactly one writer creates this entry
         # (O_EXCL locally, conditional PUT on object stores — the
         # CommitBackend seam is exactly this primitive)
@@ -617,6 +669,7 @@ class LakeTable:
                txn_id: str | None = None, op: str | None = None,
                evolve: bool = False,
                bloom_cols: list[str] | None = None,
+               sum_cols: list[str] | None = None,
                retries: int = 0) -> int:
         """Commit `df` as the next version. mode='overwrite' replaces
         the snapshot; mode='append' adds files to the current file list
@@ -631,6 +684,12 @@ class LakeTable:
         columns (equality skipping for scan_point — see
         _collect_blooms); appends inherit the table's bloom_cols when
         not given, so incremental producers keep the index complete.
+
+        `sum_cols` records per-file decimal-exact sums of the listed
+        numeric columns (one write-time pass per new file — see
+        _collect_sums), which lets stats() answer SUM/AVG from the log
+        with zero files opened. Same table-property semantics as
+        bloom_cols: appends inherit, pass [] to clear.
 
         `retries` (append only): a blind append cannot conflict with a
         competitor's CONTENT — losing the version race just means the
@@ -655,6 +714,7 @@ class LakeTable:
         new_stats: dict = {}
         new_rows: dict = {}
         bloom_cache: dict = {}  # bloom-cols tuple → blooms for new_files
+        sum_cache: dict = {}    # sum-cols tuple → sums for new_files
         for attempt in range(retries + 1):
             if attempt and txn_id is not None:
                 # the competitor that beat us may have been a crashed
@@ -693,6 +753,10 @@ class LakeTable:
                 # overwrite must not silently drop the bloom index
                 # (pass bloom_cols=[] to clear it explicitly)
                 bc = head_entry.get("bloom_cols")
+            sc = sum_cols
+            if sc is None and head_entry is not None:
+                # same property semantics as bloom_cols
+                sc = head_entry.get("sum_cols")
             if new_files is None:
                 # data files land ONCE; retries only re-publish metadata
                 new_files = self._write_files(df)
@@ -704,6 +768,12 @@ class LakeTable:
                 if key not in bloom_cache:
                     bloom_cache[key] = self._collect_blooms(new_files, bc)
                 blooms = bloom_cache[key]
+            sums = None
+            if sc:
+                skey = tuple(sc)
+                if skey not in sum_cache:
+                    sum_cache[skey] = self._collect_sums(new_files, sc)
+                sums = sum_cache[skey]
             files, stats, rows = new_files, new_stats, new_rows
             if base_entry is not None:
                 files = base_entry["files"] + files
@@ -711,11 +781,14 @@ class LakeTable:
                 rows = {**base_entry.get("row_counts", {}), **rows}
                 if bc:
                     blooms = {**base_entry.get("blooms", {}), **blooms}
+                if sc:
+                    sums = {**base_entry.get("sums", {}), **sums}
             try:
                 return self._publish(
                     files, op or mode, txn_id, version,
                     schema=schema, stats=stats,
                     blooms=blooms, bloom_cols=bc, row_counts=rows,
+                    sums=sums, sum_cols=sc,
                     # pending merge-on-read deletes still cover the
                     # base files this append shares (scoped per-file,
                     # so the appended rows stay visible)
@@ -920,8 +993,22 @@ class LakeTable:
                 if all(col in pc for pc in per_file):
                     mins[col] = min(pc[col][0] for pc in per_file)
                     maxs[col] = max(pc[col][1] for pc in per_file)
+        # exact SUM from the per-file decimal sums (sum_cols tables):
+        # string-decimal partials added with exact integer arithmetic,
+        # cast to double only at the very end — the same value the
+        # full-scan SUM(CAST(col AS DECIMAL(38,6))) twin produces. A
+        # column is reported only when EVERY data file carries it.
+        from decimal import Decimal
+
+        sums_rec = entry.get("sums", {})
+        sums: dict = {}
+        for col in entry.get("sum_cols") or []:
+            if all(col in sums_rec.get(f, {}) for f in data_files):
+                sums[col] = float(sum(
+                    (Decimal(sums_rec[f][col]) for f in data_files),
+                    Decimal(0)))
         return {"rows": sum(counts[f] for f in entry["files"]),
-                "min": mins, "max": maxs}
+                "min": mins, "max": maxs, "sum": sums}
 
     def scan_point(self, eq: dict, version: int | None = None) -> DataFrame:
         """Equality-probe read: `eq` maps column → value. Two pruning
@@ -975,12 +1062,16 @@ class LakeTable:
         merged = merge_upsert(self.read(base), source, key)
         files = self._write_files(merged)
         bloom_cols = base_entry.get("bloom_cols")
+        sum_cols = base_entry.get("sum_cols")
         return self._publish(files, "merge", txn_id, base + 1,
                              schema=merged.schema,
                              stats=self._collect_stats(files),
                              blooms=(self._collect_blooms(files, bloom_cols)
                                      if bloom_cols else None),
                              bloom_cols=bloom_cols,
+                             sums=(self._collect_sums(files, sum_cols)
+                                   if sum_cols else None),
+                             sum_cols=sum_cols,
                              row_counts=self._collect_row_counts(files))
 
     def delete(self, ranges: dict, txn_id: str | None = None,
@@ -1036,6 +1127,8 @@ class LakeTable:
                 stats=entry.get("stats"),
                 blooms=entry.get("blooms"),
                 bloom_cols=entry.get("bloom_cols"),
+                sums=entry.get("sums"),
+                sum_cols=entry.get("sum_cols"),
                 row_counts=entry.get("row_counts"),
                 deferred_deletes=(entry.get("deferred_deletes", [])
                                   + [{"ranges": {c: list(b) for c, b
@@ -1084,9 +1177,19 @@ class LakeTable:
             blooms = {f: b for f, b in entry.get("blooms", {}).items()
                       if f in untouched_set}
             blooms.update(self._collect_blooms(new_files, bloom_cols))
+        sum_cols = entry.get("sum_cols")
+        sums = None
+        if sum_cols:
+            # untouched files share bytes, so they share their sums;
+            # only the rewritten files are rescanned
+            sums = self._collect_sums(
+                files, sum_cols,
+                prior={f: s for f, s in entry.get("sums", {}).items()
+                       if f in untouched_set})
         return self._publish(files, op, txn_id, version,
                              schema=schema, stats=stats,
                              blooms=blooms, bloom_cols=bloom_cols,
+                             sums=sums, sum_cols=sum_cols,
                              row_counts=rows,
                              deferred_deletes=self._live_deferred(
                                  entry.get("deferred_deletes"), files))
@@ -1191,6 +1294,8 @@ class LakeTable:
                              stats=entry.get("stats"),
                              blooms=entry.get("blooms"),
                              bloom_cols=entry.get("bloom_cols"),
+                             sums=entry.get("sums"),
+                             sum_cols=entry.get("sum_cols"),
                              row_counts=entry.get("row_counts"),
                              deferred_deletes=entry.get(
                                  "deferred_deletes"))
@@ -1272,12 +1377,18 @@ class LakeTable:
         compacted = self.read(base).repartition(n)
         files = self._write_files(compacted)
         bloom_cols = entry.get("bloom_cols")
+        sum_cols = entry.get("sum_cols")
         return self._publish(files, "compact", None, base + 1,
                              schema=compacted.schema,
                              stats=self._collect_stats(files),
                              blooms=(self._collect_blooms(files, bloom_cols)
                                      if bloom_cols else None),
                              bloom_cols=bloom_cols,
+                             # deferred deletes just materialized: the
+                             # rewritten files' sums must be recomputed
+                             sums=(self._collect_sums(files, sum_cols)
+                                   if sum_cols else None),
+                             sum_cols=sum_cols,
                              row_counts=self._collect_row_counts(files))
 
     def optimize_zorder(self, cols: list[str], n_files: int = 16,
@@ -1319,12 +1430,16 @@ class LakeTable:
         files = self._write_files(clustered)
         base_entry = self._read_entry(base)
         bloom_cols = base_entry.get("bloom_cols")
+        sum_cols = base_entry.get("sum_cols")
         return self._publish(files, "zorder", None, base + 1,
                              schema=clustered.schema,
                              stats=self._collect_stats(files),
                              blooms=(self._collect_blooms(files, bloom_cols)
                                      if bloom_cols else None),
                              bloom_cols=bloom_cols,
+                             sums=(self._collect_sums(files, sum_cols)
+                                   if sum_cols else None),
+                             sum_cols=sum_cols,
                              row_counts=self._collect_row_counts(files))
 
     def vacuum(self, keep_last: int = 1) -> int:
@@ -1351,7 +1466,8 @@ class LakeTable:
 
 def lake_append_sink(stream_df: DataFrame, table: LakeTable,
                      checkpoint_dir: str,
-                     bloom_cols: list[str] | None = None) -> None:
+                     bloom_cols: list[str] | None = None,
+                     sum_cols: list[str] | None = None) -> None:
     """Streaming APPEND through the commit log: each micro-batch lands
     as one append commit carrying txn_id=batch_id — a crash replay of a
     batch is answered from the log (exactly-once), a lost version race
@@ -1363,7 +1479,7 @@ def lake_append_sink(stream_df: DataFrame, table: LakeTable,
         stream_df.writeStream.foreachBatch(
             lambda batch, bid: table.commit(
                 batch, "append", txn_id=f"append-batch-{bid}",
-                bloom_cols=bloom_cols, retries=3)
+                bloom_cols=bloom_cols, sum_cols=sum_cols, retries=3)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

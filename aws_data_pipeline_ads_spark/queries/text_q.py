@@ -2687,3 +2687,47 @@ def q_lake_hilbert_scan(spark, sf_dir):
     return t.scan({"doc_id": (None, hi_id // 4),
                    "n_chars": (None, hi_ch // 4)}).select(
         "doc_id", "n_chars")
+
+
+# Committed documents revision carrying per-file decimal sums (write-side)
+def lakesum_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars")
+        LakeTable(spark, f"{path}/tbl").commit(
+            docs.repartitionByRange(8, "doc_id"), txn_id="rev-0",
+            sum_cols=["n_chars"])
+
+    return index_path("lakesum", sf_dir, build)
+
+
+@query(
+    "q_lake_sum_agg",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS total_chars, "
+        "CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) "
+        "/ COUNT(*) AS DOUBLE) AS avg_chars FROM documents"
+    ),
+    doc="LLM lake versioning: METADATA-ONLY SUM/AVG — the aggregate "
+        "parquet footers cannot provide, paid for once at commit time "
+        "(sum_cols per-file decimal sums, lakelog._collect_sums) and "
+        "answered forever from the log with zero files opened; "
+        "string-decimal partials added exactly driver-side, cast to "
+        "double at the end, so the result hash-matches the full-scan "
+        "decimal-SUM twin. Extends the stats() tier beyond "
+        "COUNT/MIN/MAX; propagation across every commit kind is "
+        "pytest-pinned (LakeTable.stats)",
+)
+def q_lake_sum_agg(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lakesum_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    s = t.stats()  # driver-side: one log-entry read, no files opened
+    return spark.createDataFrame(
+        [(s["rows"], s["sum"]["n_chars"], s["sum"]["n_chars"] / s["rows"])],
+        "n_rows long, total_chars double, avg_chars double")

@@ -1136,3 +1136,56 @@ def test_optimize_zorder_hilbert_curve_skipping(spark, sf_dir, tmp_path,
     with pytest.raises(ValueError, match="unknown curve"):
         mk_table(str(tmp_path / "bad")).optimize_zorder(
             ["doc_id"], curve="peano")
+
+
+def test_metadata_only_sum_propagates_all_commit_kinds(spark, sf_dir,
+                                                       tmp_path, mk_table):
+    """sum_cols tables: stats()['sum'] — answered from the log's
+    per-file decimal sums, zero files opened — equals the full-scan
+    SUM(CAST(col AS DECIMAL(38,6))) after EVERY commit kind, with CoW
+    rewrites rescanning only their rewritten files (shared files carry
+    their recorded sums verbatim). sum_cols behaves as a table
+    property: appends and transforms inherit it; a sum-less table
+    reports no 'sum' entries."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = mk_table(str(tmp_path / "tbl"))
+
+    def check():
+        got = t.stats()["sum"]["n_chars"]
+        want = t.read().agg(
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .cast("double")).collect()[0][0]
+        assert got == want, (got, want)
+
+    t.commit(docs.repartitionByRange(4, "doc_id"), sum_cols=["n_chars"])
+    check()
+    extra = docs.limit(7).withColumn("doc_id", F.col("doc_id") + 500_000)
+    t.commit(extra, "append")              # inherits the property
+    check()
+    mx0 = docs.agg(F.max("doc_id")).collect()[0][0]
+    t.delete({"doc_id": (0, mx0 // 4)})    # CoW: shared sums carried
+    check()
+    t.update({"doc_id": (mx0 // 2, mx0)}, {"n_chars": "0"})
+    check()
+    t.merge(docs.limit(3).withColumn("n_chars", F.lit(1).cast("long")),
+            "doc_id")
+    check()
+    t.optimize_zorder(["doc_id", "n_chars"], n_files=4)
+    check()
+    t.compact(target_bytes=1 << 30)
+    check()
+    t.restore(0)
+    check()
+    # untouched-file sharing really happened: the delete entry (v2)
+    # reuses recorded sums for every file it shares with v1
+    e1, e2 = _entry(t, 1), _entry(t, 2)
+    shared = set(e1["files"]) & set(e2["files"])
+    assert shared and all(e2["sums"][f] == e1["sums"][f] for f in shared)
+    # sums survive a checkpointed log walk (entries copied verbatim;
+    # expire deletes the per-version JSONs the checkpoint covers)
+    t.checkpoint()
+    check()
+    # a table without sum_cols reports no sums
+    t2 = mk_table(str(tmp_path / "plain"))
+    t2.commit(docs.limit(5))
+    assert t2.stats()["sum"] == {}
