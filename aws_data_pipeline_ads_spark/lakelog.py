@@ -462,15 +462,30 @@ class LakeTable:
         by_path = {}
         for r in agged.collect():
             p = unquote(urlparse(r["__f"]).path)
-            # an all-NULL file's SUM is NULL; its contribution to the
-            # table total is exactly 0 (SUM ignores nulls)
-            by_path[p] = {c: (str(r[c]) if r[c] is not None else "0")
+            # an all-NULL file's SUM is NULL and recorded as such: SQL
+            # SUM ignores nulls, so a null partial contributes NOTHING
+            # (mapping it to "0" would make stats() report 0.0 where
+            # the full-scan twin returns NULL)
+            by_path[p] = {c: (str(r[c]) if r[c] is not None else None)
                           for c in sum_cols}
+        import pyarrow.parquet as pq
+
         for f in missing:
-            # 0-row files never appear in the groupBy output; their
-            # contribution is exactly 0
-            out[f] = by_path.get(os.path.abspath(f),
-                                 {c: "0" for c in sum_cols})
+            got = by_path.get(os.path.abspath(f))
+            if got is None:
+                # absent from the groupBy output: legitimate ONLY for a
+                # 0-row file (SUM over zero rows is NULL). A row-bearing
+                # file missing here means the input_file_name URI did
+                # not normalize back to this entry path — refuse rather
+                # than record a silently-wrong null partial.
+                if pq.ParquetFile(f).metadata.num_rows > 0:
+                    raise ValueError(
+                        f"lake table {self.path}: _collect_sums could "
+                        f"not match {f!r} to a scanned file URI — "
+                        f"path normalization mismatch"
+                    )
+                got = {c: None for c in sum_cols}
+            out[f] = got
         return out
 
     # -- per-file bloom index (equality skipping) --------------------------
@@ -996,17 +1011,21 @@ class LakeTable:
         # exact SUM from the per-file decimal sums (sum_cols tables):
         # string-decimal partials added with exact integer arithmetic,
         # cast to double only at the very end — the same value the
-        # full-scan SUM(CAST(col AS DECIMAL(38,6))) twin produces. A
-        # column is reported only when EVERY data file carries it.
+        # full-scan SUM(CAST(col AS DECIMAL(38,6))) twin produces,
+        # including the NULL result when no file holds a non-null value
+        # (a None partial is a NULL per-file SUM and contributes
+        # nothing, exactly like SQL SUM). A column is reported only
+        # when EVERY data file carries a recorded entry for it.
         from decimal import Decimal
 
         sums_rec = entry.get("sums", {})
         sums: dict = {}
         for col in entry.get("sum_cols") or []:
             if all(col in sums_rec.get(f, {}) for f in data_files):
-                sums[col] = float(sum(
-                    (Decimal(sums_rec[f][col]) for f in data_files),
-                    Decimal(0)))
+                parts = [Decimal(sums_rec[f][col]) for f in data_files
+                         if sums_rec[f][col] is not None]
+                sums[col] = (float(sum(parts, Decimal(0)))
+                             if parts else None)
         return {"rows": sum(counts[f] for f in entry["files"]),
                 "min": mins, "max": maxs, "sum": sums}
 

@@ -791,9 +791,15 @@ def winnow_pairs(documents: DataFrame, k: int = 4, w: int = 4,
     set sizes. Per-doc fingerprint counts ride the join as a window
     count over the SAME exchange — no counts table, no re-join.
     """
-    fp = winnow_fingerprints(
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
+    # the fingerprint selection (tokenize + posexplode + two window
+    # passes over every document) feeds the df-cap aggregate AND both
+    # self-join arms — persist it so the corpus-sized build runs once
+    # (same reasoning as kmv_union_jaccard's sketch persist)
+    fp = persist_tracked(winnow_fingerprints(
         documents, k=k, w=w, text_col=text_col
-    ).select("doc_id", "h").distinct()
+    ).select("doc_id", "h").distinct())
     if max_df is not None:
         rare = (
             fp.groupBy("h")
@@ -829,3 +835,18 @@ def winnow_pairs(documents: DataFrame, k: int = 4, w: int = 4,
         .select("doc_a", "doc_b", "n_shared",
                 F.round(overlap, 6).alias("overlap"))
     )
+
+
+def source_shingle_stream(documents: DataFrame, k: int = 3,
+                          text_col: str = "text") -> DataFrame:
+    """(source, tok) k-shingle stream keyed by SOURCE — the shared
+    composition behind the KMV vocabulary sketches. The batch queries
+    (q_kmv_*) and the streaming drain (streaming.kmv_merge_batch) must
+    shingle IDENTICALLY or the drain==batch hash contract silently
+    breaks; one definition here pins both call sites."""
+    toked = documents.select(
+        F.col("source").alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    return doc_shingle_sets(
+        documents, k=k, distinct=False, toked=toked
+    ).select(F.col("doc_id").alias("source"), "tok")

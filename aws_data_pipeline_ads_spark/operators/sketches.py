@@ -173,7 +173,10 @@ def kmv_sketch(values: DataFrame, keys: list[str], col: str,
     Returns (keys..., h, rn, n_exact) with rn = 1..min(k, n_exact).
     """
     keys = list(keys)
-    d = values.select(
+    # NULL is not a set member (COUNT(DISTINCT) semantics) — and
+    # md5(NULL)=NULL would rank FIRST under Spark's NULLS-FIRST window
+    # order but LAST under DuckDB's, breaking the cross-engine contract
+    d = values.where(F.col(col).isNotNull()).select(
         *keys, F.md5(F.col(col).cast("string")).alias("h")
     ).distinct()
     salt = (

@@ -117,6 +117,10 @@ def key_skew_profile(df: DataFrame, keys: list[str], top: int = 10,
             F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"),
             6,
         ).alias("skew_ratio"),
-        (F.col("cnt") * F.col("n_keys")
-         > F.lit(int(hot_factor)) * F.col("n_rows")).alias("is_hot"),
+        # widened to DECIMAL(38,0): cnt·n_keys on a trillion-row table
+        # exceeds int64 (ANSI mode would fault, non-ANSI would wrap the
+        # hottest key to not-hot) — still integer-exact, never rounded
+        (F.col("cnt").cast("decimal(38,0)") * F.col("n_keys")
+         > F.lit(int(hot_factor))
+         * F.col("n_rows").cast("decimal(38,0)")).alias("is_hot"),
     )

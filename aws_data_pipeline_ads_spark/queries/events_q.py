@@ -647,7 +647,8 @@ def q_multitouch(spark, sf_dir):
         "ROUND(CAST(t.cnt AS DOUBLE) / s.n_rows, 6) AS share, "
         "ROUND(CAST(t.cnt AS DOUBLE) * s.n_keys / s.n_rows, 6) "
         "AS skew_ratio, "
-        "(t.cnt * s.n_keys > 5 * s.n_rows) AS is_hot FROM t, s"
+        "(CAST(t.cnt AS DECIMAL(38,0)) * s.n_keys "
+        "> 5 * CAST(s.n_rows AS DECIMAL(38,0))) AS is_hot FROM t, s"
     ),
     doc="2C skew mitigation (detector): per-key concentration profile "
         "of the join key q_skewed_join salts — top-10 keys by row "

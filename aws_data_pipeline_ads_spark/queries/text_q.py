@@ -2383,18 +2383,11 @@ _KMV_K = 256
 
 
 def _source_shingles(spark, sf_dir):
-    """(source, tok) shingle stream — doc_shingle_sets keyed by source
-    (the toked override carries source in the doc_id slot; renamed on
-    the way out)."""
-    docs = load_table(spark, sf_dir, "documents")
-    from aws_data_pipeline_ads_spark.functions import tokens
-
-    toked = docs.select(
-        F.col("source").alias("doc_id"), tokens("text").alias("__toks")
-    )
-    return dedup.doc_shingle_sets(
-        docs, k=3, distinct=False, toked=toked
-    ).select(F.col("doc_id").alias("source"), "tok")
+    """(source, tok) shingle stream — the shared composition the
+    streaming drain also uses (dedup.source_shingle_stream), so the
+    q_kmv_served drain==batch contract is pinned to one definition."""
+    return dedup.source_shingle_stream(
+        load_table(spark, sf_dir, "documents"), k=3)
 
 
 @query(

@@ -315,18 +315,12 @@ def kmv_merge_batch(batch_df: DataFrame, batch_id: int, sketch_path: str,
     with overwrite. A replayed batch rewrites the same directory
     instead of polluting the union (the idempotent-foreachBatch
     contract shared with cms_merge_batch)."""
-    from pyspark.sql import functions as SF
-
-    from aws_data_pipeline_ads_spark.functions import tokens
-    from aws_data_pipeline_ads_spark.operators.dedup import doc_shingle_sets
+    from aws_data_pipeline_ads_spark.operators.dedup import (
+        source_shingle_stream,
+    )
     from aws_data_pipeline_ads_spark.operators.sketches import kmv_sketch
 
-    toked = batch_df.select(
-        SF.col("source").alias("doc_id"), tokens("text").alias("__toks")
-    )
-    sh = doc_shingle_sets(
-        batch_df, k=3, distinct=False, toked=toked
-    ).select(SF.col("doc_id").alias("source"), "tok")
+    sh = source_shingle_stream(batch_df, k=3)
     kmv_sketch(sh, ["source"], "tok", k=k).select("source", "h").write.mode(
         "overwrite"
     ).parquet(f"{sketch_path}/batch_id={batch_id}")
