@@ -1189,3 +1189,22 @@ def test_metadata_only_sum_propagates_all_commit_kinds(spark, sf_dir,
     t2 = mk_table(str(tmp_path / "plain"))
     t2.commit(docs.limit(5))
     assert t2.stats()["sum"] == {}
+
+
+def test_metadata_sum_null_semantics(spark, tmp_path, mk_table):
+    """SQL SUM edge cases through the log: an all-NULL column sums to
+    None (not 0.0 — the full-scan twin returns NULL), a mixed column
+    ignores its nulls, and both match the scan exactly."""
+    from pyspark.sql import Row
+
+    t = mk_table(str(tmp_path / "tbl"))
+    rows = [Row(k=1, all_null=None, mixed=2.5),
+            Row(k=2, all_null=None, mixed=None),
+            Row(k=3, all_null=None, mixed=4.25)]
+    df = spark.createDataFrame(rows, "k long, all_null double, mixed double")
+    t.commit(df.repartition(2), sum_cols=["all_null", "mixed"])
+    s = t.stats()["sum"]
+    assert s["all_null"] is None
+    want = df.agg(F.sum(F.col("mixed").cast("decimal(38,6)"))
+                  .cast("double")).collect()[0][0]
+    assert s["mixed"] == want == 6.75
