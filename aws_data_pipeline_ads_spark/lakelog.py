@@ -449,25 +449,55 @@ class LakeTable:
         missing = [f for f in files if f not in prior]
         if not missing:
             return out
-        agged = (
-            self.spark.read.parquet(*missing)
-            .select(
-                F.input_file_name().alias("__f"),
-                *[F.col(c).cast("decimal(38,6)").alias(c)
-                  for c in sum_cols],
+        # mergeSchema: a producer may legally append files that OMIT a
+        # committed column (_merged_schema allows it) — such a file's
+        # rows read as NULL for that column and its partial records
+        # [None, 0], never a crash. A column absent from EVERY scanned
+        # file records [None, 0] for all of them.
+        src = self.spark.read.option("mergeSchema", "true").parquet(*missing)
+        present = [c for c in sum_cols if c in src.columns]
+        if not present:
+            # none of the scanned files carry any sum column: every
+            # partial is a NULL sum over zero non-null values — no scan,
+            # and no file-URI matching to go wrong
+            out.update({f: {c: [None, 0] for c in sum_cols}
+                        for f in missing})
+            return out
+        aggs = []
+        for i, c in enumerate(present):
+            aggs += [
+                F.sum(F.col(c).cast("decimal(38,6)")).alias(f"__s_{i}"),
+                F.count(F.col(c)).alias(f"__n_{i}"),
+            ]
+        rows = []
+        if present:
+            rows = (
+                src.select(F.input_file_name().alias("__f"), *present)
+                .groupBy("__f").agg(*aggs).collect()
             )
-            .groupBy("__f")
-            .agg(*[F.sum(c).alias(c) for c in sum_cols])
-        )
         by_path = {}
-        for r in agged.collect():
+        for r in rows:
             p = unquote(urlparse(r["__f"]).path)
-            # an all-NULL file's SUM is NULL and recorded as such: SQL
-            # SUM ignores nulls, so a null partial contributes NOTHING
-            # (mapping it to "0" would make stats() report 0.0 where
-            # the full-scan twin returns NULL)
-            by_path[p] = {c: (str(r[c]) if r[c] is not None else None)
-                          for c in sum_cols}
+            rec = {c: [None, 0] for c in sum_cols}
+            for i, c in enumerate(present):
+                s, n = r[f"__s_{i}"], int(r[f"__n_{i}"])
+                if s is None and n > 0:
+                    # a NULL sum over non-null values is a decimal(38,6)
+                    # OVERFLOW (non-ANSI sessions null instead of
+                    # faulting) — refuse rather than record a partial
+                    # indistinguishable from a legitimately all-null
+                    # file, which would make stats() finite-but-wrong
+                    raise ValueError(
+                        f"lake table {self.path}: decimal(38,6) sum of "
+                        f"{c!r} overflowed in {p!r} — cannot record an "
+                        f"exact partial"
+                    )
+                # an all-NULL file's SUM is NULL and recorded as such:
+                # SQL SUM ignores nulls, so it contributes NOTHING; the
+                # non-null count rides along so stats() can also answer
+                # true AVG(col) = SUM/COUNT(col)
+                rec[c] = [str(s) if s is not None else None, n]
+            by_path[p] = rec
         import pyarrow.parquet as pq
 
         for f in missing:
@@ -484,7 +514,7 @@ class LakeTable:
                         f"not match {f!r} to a scanned file URI — "
                         f"path normalization mismatch"
                     )
-                got = {c: None for c in sum_cols}
+                got = {c: [None, 0] for c in sum_cols}
             out[f] = got
         return out
 
@@ -1015,19 +1045,31 @@ class LakeTable:
         # including the NULL result when no file holds a non-null value
         # (a None partial is a NULL per-file SUM and contributes
         # nothing, exactly like SQL SUM). A column is reported only
-        # when EVERY data file carries a recorded entry for it.
+        # when EVERY data file carries a recorded entry for it. Where
+        # the entries carry per-file non-null counts ([sum, n] records;
+        # legacy entries hold the bare sum string), true AVG(col) =
+        # SUM(col)/COUNT(col) is answered too — NOT sum/rows, which
+        # silently diverges on null-bearing columns.
         from decimal import Decimal
 
         sums_rec = entry.get("sums", {})
         sums: dict = {}
+        avgs: dict = {}
         for col in entry.get("sum_cols") or []:
-            if all(col in sums_rec.get(f, {}) for f in data_files):
-                parts = [Decimal(sums_rec[f][col]) for f in data_files
-                         if sums_rec[f][col] is not None]
-                sums[col] = (float(sum(parts, Decimal(0)))
-                             if parts else None)
+            if not all(col in sums_rec.get(f, {}) for f in data_files):
+                continue
+            recs = [sums_rec[f][col] for f in data_files]
+            vals = [r if isinstance(r, list) else [r, None] for r in recs]
+            parts = [Decimal(s) for s, _n in vals if s is not None]
+            sums[col] = float(sum(parts, Decimal(0))) if parts else None
+            ns = [n for _s, n in vals]
+            if all(n is not None for n in ns):
+                n_nonnull = sum(ns)
+                avgs[col] = (sums[col] / n_nonnull
+                             if n_nonnull and sums[col] is not None
+                             else None)
         return {"rows": sum(counts[f] for f in entry["files"]),
-                "min": mins, "max": maxs, "sum": sums}
+                "min": mins, "max": maxs, "sum": sums, "avg": avgs}
 
     def scan_point(self, eq: dict, version: int | None = None) -> DataFrame:
         """Equality-probe read: `eq` maps column → value. Two pruning

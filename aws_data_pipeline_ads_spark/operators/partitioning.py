@@ -171,10 +171,18 @@ def hilbert_key(df: DataFrame, cols: list[str], bits: int = 10):
         import numpy as np
         import pandas as pd
 
+        # NULL clustered values arrive as NaN: mirror the Morton path
+        # (NULL bucket → NULL key, repartitionByRange groups the null
+        # keys together) instead of faulting on the int64 conversion
         coords = np.column_stack(
-            [c.to_numpy(dtype="int64") for c in bucket_cols]
+            [c.to_numpy(dtype="float64", na_value=np.nan)
+             for c in bucket_cols]
         )
-        return pd.Series(hilbert_index(coords, bits))
+        ok = ~np.isnan(coords).any(axis=1)
+        keys = pd.array([pd.NA] * len(coords), dtype="Int64")
+        if ok.any():
+            keys[ok] = hilbert_index(coords[ok].astype("int64"), bits)
+        return pd.Series(keys)
 
     return out, _hkey(*buckets)
 

@@ -1208,3 +1208,40 @@ def test_metadata_sum_null_semantics(spark, tmp_path, mk_table):
     want = df.agg(F.sum(F.col("mixed").cast("decimal(38,6)"))
                   .cast("double")).collect()[0][0]
     assert s["mixed"] == want == 6.75
+
+
+def test_sum_partial_producer_and_avg_and_hilbert_nulls(spark, tmp_path,
+                                                        mk_table):
+    """Three review-hardening cases: (a) an append whose df OMITS a
+    committed sum column (legal per _merged_schema) commits cleanly and
+    the column's metadata SUM still equals the full-scan twin; (b)
+    stats()['avg'] is true SQL AVG(col) = SUM/COUNT(col), not sum/rows,
+    on a null-bearing column; (c) OPTIMIZE curve='hilbert' tolerates
+    NULL clustered values exactly like Morton (NULL key rows grouped,
+    no fault), rows preserved."""
+    from pyspark.sql import Row
+
+    t = mk_table(str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [Row(k=1, x=1.5), Row(k=2, x=None), Row(k=3, x=4.5)],
+        "k long, x double")
+    t.commit(base, sum_cols=["x"])
+    extra = spark.createDataFrame([Row(k=9), Row(k=10)], "k long")
+    t.commit(extra, "append")                     # omits committed col x
+    s = t.stats()
+    full = t.read()
+    want_sum = full.agg(F.sum(F.col("x").cast("decimal(38,6)"))
+                        .cast("double")).collect()[0][0]
+    want_avg = full.agg((F.sum(F.col("x").cast("decimal(38,6)"))
+                         .cast("double")
+                         / F.count("x")).cast("double")).collect()[0][0]
+    assert s["sum"]["x"] == want_sum == 6.0
+    assert s["avg"]["x"] == want_avg == 3.0       # /COUNT(x)=2, not /rows=5
+
+    docs = spark.createDataFrame(
+        [Row(a=i, b=(None if i % 7 == 0 else i * 2)) for i in range(50)],
+        "a long, b long")
+    th = mk_table(str(tmp_path / "h"))
+    th.commit(docs.repartition(4))
+    th.optimize_zorder(["a", "b"], n_files=4, curve="hilbert")
+    assert sorted(r.a for r in th.read().collect()) == list(range(50))
