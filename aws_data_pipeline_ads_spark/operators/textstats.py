@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from aws_data_pipeline_ads_spark.functions import (
     content_fingerprint,
+    dec_sum,
     token_count,
     tokens,
 )
@@ -1106,4 +1107,61 @@ def quality_classifier_sql(dialect: str, table: str = "documents",
         f"ROUND(1.0 / (1.0 + exp(-(CAST({raw} AS DOUBLE) "
         f"/ ({n} * 2147483648.0)))), 6) AS quality_prob "
         f"FROM {table}"
+    )
+
+
+def zipf_fit(documents: DataFrame, top_k: int = 1000,
+             text_col: str = "text") -> DataFrame:
+    """Zipf power-law fit of the token frequency distribution — the
+    classic corpus-health QC signal: natural text fits ln(freq) ≈
+    intercept + slope·ln(rank) with slope ≈ −1; a strongly deviating
+    slope flags templated/synthetic/boilerplate-heavy data, and a
+    post-dedup slope shift quantifies how much of the head the dedup
+    removed.
+
+    Least squares over the TOP-K tokens only (the standard fit window,
+    and the scale guard: top-k plans as a TakeOrderedAndProject
+    per-partition heap — the full vocabulary is never globally sorted;
+    the rank window then runs over ≤ top_k rows). Moment sums pass
+    through DECIMAL(38,18) (the dec_sum convention), so the fit is
+    partitioning-invariant and reproduced bit-exactly by the DuckDB
+    twin — ln and IEEE double products agree cross-engine, as
+    q_unigram_lm already pins.
+
+    Returns one row: (n_tokens, zipf_slope, zipf_intercept).
+    """
+    from pyspark.sql import Window as W
+
+    toks = documents.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    order = [F.desc("c"), F.asc("tok")]
+    top = counts.orderBy(*order).limit(top_k)
+    ranked = top.withColumn(
+        "r", F.row_number().over(W.orderBy(*order)).cast("long")
+    )
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec_sum(x, "sx", scale=18),
+        dec_sum(y, "sy", scale=18),
+        dec_sum(x * y, "sxy", scale=18),
+        dec_sum(x * x, "sxx", scale=18),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "zipf_intercept"
+        ),
     )

@@ -2724,3 +2724,42 @@ def q_lake_sum_agg(spark, sf_dir):
     return spark.createDataFrame(
         [(s["rows"], s["sum"]["n_chars"], s["sum"]["n_chars"] / s["rows"])],
         "n_rows long, total_chars double, avg_chars double")
+
+
+@query(
+    "q_zipf_fit",
+    oracle=(
+        "WITH toks AS (SELECT unnest(regexp_split_to_array("
+        "trim(lower(text)), '\\s+')) AS tok FROM documents), "
+        "c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks "
+        "GROUP BY tok), "
+        "t AS (SELECT tok, c FROM c ORDER BY c DESC, tok LIMIT 1000), "
+        "r AS (SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) "
+        "AS BIGINT) AS r FROM t), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(38,18))) "
+        "AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,18))) "
+        "AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE)) "
+        "AS DECIMAL(38,18))) AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) "
+        "AS DECIMAL(38,18))) AS DOUBLE) AS sxx FROM r) "
+        "SELECT n AS n_tokens, "
+        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) "
+        "AS zipf_slope, "
+        "ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) "
+        "/ n, 6) AS zipf_intercept FROM m"
+    ),
+    doc="LLM corpus health: Zipf power-law fit — least squares of "
+        "ln(freq) on ln(rank) over the top-1000 tokens (natural text "
+        "fits slope ≈ −1; deviation flags templated/synthetic data, "
+        "and a post-dedup slope shift quantifies head removal). Top-k "
+        "via TakeOrderedAndProject (no global vocabulary sort), "
+        "DECIMAL(38,18) moment sums — partitioning-invariant, "
+        "hash-verified (textstats.zipf_fit)",
+)
+def q_zipf_fit(spark, sf_dir):
+    return textstats.zipf_fit(
+        load_table(spark, sf_dir, "documents"), top_k=1000
+    )

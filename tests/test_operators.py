@@ -1591,3 +1591,24 @@ def test_key_skew_profile_flags_hot_key_and_avoids_global_sort(spark, sf_dir):
 
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_fit_recovers_known_exponent(spark):
+    """Synthetic corpus drawn as an EXACT power law (token i repeated
+    ⌊1000/i⌋ times → slope −1): the fit must recover the exponent
+    closely and be invariant to input partitioning."""
+    from aws_data_pipeline_ads_spark.operators.textstats import zipf_fit
+
+    words = []
+    for i in range(1, 101):
+        words += [f"tok{i:03d}"] * (1000 // i)
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::10])) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    fit = zipf_fit(docs, top_k=100).collect()[0]
+    assert fit.n_tokens == 100
+    assert abs(fit.zipf_slope - (-1.0)) < 0.05, fit.zipf_slope
+    re_fit = zipf_fit(docs.repartition(7), top_k=100).collect()[0]
+    assert (re_fit.zipf_slope, re_fit.zipf_intercept) == (
+        fit.zipf_slope, fit.zipf_intercept)
