@@ -1165,3 +1165,83 @@ def zipf_fit(documents: DataFrame, top_k: int = 1000,
             "zipf_intercept"
         ),
     )
+
+
+def heaps_fit(documents: DataFrame, n_points: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """Heaps' law fit — the vocabulary-GROWTH counterpart of zipf_fit:
+    V(n) ≈ K·n^β (β ≈ 0.4–0.6 for natural text). A sub-linear β says
+    new data keeps contributing new vocabulary at the expected rate;
+    β near 0 flags a saturated/templated corpus, β near 1 flags
+    near-random token soup.
+
+    The classic computation walks the corpus sequentially — impossible
+    at scale. Here the growth curve comes from NESTED deterministic
+    subsets instead: every document lands in one of `n_points` md5-gate
+    buckets, subset_i = buckets 1..i, and ONE pass computes both curves
+    as running sums over the bucket axis — a token's first-seen bucket
+    is min(bucket) over its documents, so distinct(subset_i) is the
+    cumulative count of first-seen ≤ i, and tokens(subset_i) is the
+    cumulative occurrence count. Membership is partitioning-invariant
+    (md5 on doc_id), the per-bucket frames are `n_points` rows, and the
+    ln-ln least squares uses the same DECIMAL(38,18) moments as
+    zipf_fit — hash-exact cross-engine.
+
+    Returns one row: (n_points, heaps_beta, heaps_lnk).
+    """
+    from pyspark.sql import Window as W
+
+    from aws_data_pipeline_ads_spark.operators.sampling import hash_u32_sql
+
+    g = (
+        F.pmod(
+            F.expr(hash_u32_sql("CAST(doc_id AS STRING)")),
+            F.lit(n_points),
+        ) + 1
+    ).cast("long")
+    toks = documents.select(
+        g.alias("g"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    # token occurrences per bucket, and each token's first-seen bucket
+    occ = toks.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    first = (
+        toks.groupBy("tok").agg(F.min("g").alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("new_toks"))
+    )
+    wcum = W.orderBy("g").rowsBetween(W.unboundedPreceding, 0)
+    pts = (
+        occ.join(first, "g", "full")
+        .select(
+            "g",
+            F.coalesce("occ", F.lit(0)).alias("occ"),
+            F.coalesce("new_toks", F.lit(0)).alias("new_toks"),
+        )
+        .withColumn("n_seen", F.sum("occ").over(wcum).cast("long"))
+        .withColumn("v_seen", F.sum("new_toks").over(wcum).cast("long"))
+        .filter((F.col("n_seen") > 0) & (F.col("v_seen") > 0))
+    )
+    x = F.log(F.col("n_seen").cast("double"))
+    y = F.log(F.col("v_seen").cast("double"))
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec_sum(x, "sx", scale=18),
+        dec_sum(y, "sy", scale=18),
+        dec_sum(x * y, "sxy", scale=18),
+        dec_sum(x * x, "sxx", scale=18),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "heaps_lnk"
+        ),
+    )

@@ -101,7 +101,7 @@ _TAIL: list[str] = [
     "q_hybrid_search", "q_curriculum_order",
     "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_served", "q_kmv_rollup",
     "q_winnow_fingerprint", "q_winnow_pairs", "q_skew_profile",
-    "q_lake_hilbert_scan", "q_lake_sum_agg", "q_zipf_fit",
+    "q_lake_hilbert_scan", "q_lake_sum_agg", "q_zipf_fit", "q_heaps_fit",
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
     "q_dedup_exact", "q_asof_join", "q_tpch_q5", "q_gopher_rules",

@@ -2763,3 +2763,54 @@ def q_zipf_fit(spark, sf_dir):
     return textstats.zipf_fit(
         load_table(spark, sf_dir, "documents"), top_k=1000
     )
+
+
+@query(
+    "q_heaps_fit",
+    oracle=(
+        "WITH toks AS (SELECT (CAST("
+        + hash_u32_sql("CAST(doc_id AS STRING)")
+        + " AS BIGINT) % 8) + 1 AS g, "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok "
+        "FROM documents), "
+        "o AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS occ FROM toks "
+        "GROUP BY g), "
+        "fs AS (SELECT tok, MIN(g) AS g FROM toks GROUP BY tok), "
+        "nt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS new_toks FROM fs "
+        "GROUP BY g), "
+        "p0 AS (SELECT COALESCE(o.g, nt.g) AS g, "
+        "COALESCE(o.occ, 0) AS occ, COALESCE(nt.new_toks, 0) AS new_toks "
+        "FROM o FULL OUTER JOIN nt ON o.g = nt.g), "
+        "pts AS (SELECT CAST(SUM(occ) OVER (ORDER BY g ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_seen, "
+        "CAST(SUM(new_toks) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS v_seen FROM p0), "
+        "f AS (SELECT * FROM pts WHERE n_seen > 0 AND v_seen > 0), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ln(CAST(n_seen AS DOUBLE)) AS DECIMAL(38,18))) "
+        "AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(ln(CAST(v_seen AS DOUBLE)) AS DECIMAL(38,18))) "
+        "AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(ln(CAST(n_seen AS DOUBLE)) * "
+        "ln(CAST(v_seen AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(ln(CAST(n_seen AS DOUBLE)) * "
+        "ln(CAST(n_seen AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sxx "
+        "FROM f) "
+        "SELECT n AS n_points, "
+        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) "
+        "AS heaps_beta, "
+        "ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) "
+        "/ n, 6) AS heaps_lnk FROM m"
+    ),
+    doc="LLM corpus health: Heaps'-law vocabulary-growth fit V(n)≈K·n^β "
+        "— the sequential growth curve recast as ONE distributed pass: "
+        "nested md5-gate subsets, token first-seen bucket = min(bucket)"
+        ", both curves as running sums over the 8-row bucket axis; "
+        "ln-ln least squares through DECIMAL(38,18) moments like "
+        "q_zipf_fit. β≈0.4–0.6 on natural text; β→0 flags saturation, "
+        "β→1 token soup (textstats.heaps_fit)",
+)
+def q_heaps_fit(spark, sf_dir):
+    return textstats.heaps_fit(
+        load_table(spark, sf_dir, "documents"), n_points=8
+    )

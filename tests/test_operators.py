@@ -1612,3 +1612,44 @@ def test_zipf_fit_recovers_known_exponent(spark):
     re_fit = zipf_fit(docs.repartition(7), top_k=100).collect()[0]
     assert (re_fit.zipf_slope, re_fit.zipf_intercept) == (
         fit.zipf_slope, fit.zipf_intercept)
+
+
+def test_heaps_fit_sublinear_growth_and_invariance(spark, sf_dir):
+    """Heaps' β on the fixture corpus is strictly sublinear (0 < β < 1 —
+    vocabulary grows, but slower than tokens), ln K is consistent with
+    V = K·n^β at the full-corpus point within fit error, and the fit is
+    invariant to input partitioning (md5-gate buckets, not row order)."""
+    import math
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.textstats import heaps_fit
+
+    # growing corpus: each doc contributes sqrt-ish new vocabulary plus
+    # shared filler, so every md5 bucket keeps finding new tokens
+    docs = spark.createDataFrame(
+        [(i, " ".join([f"w{i}_{j}" for j in range(1 + i % 5)]
+                      + ["the", "of", "and"] * 4))
+         for i in range(400)],
+        ["doc_id", "text"],
+    )
+    fit = heaps_fit(docs, n_points=8).collect()[0]
+    assert fit.n_points == 8
+    assert 0.0 < fit.heaps_beta < 1.0, fit.heaps_beta
+
+    from pyspark.sql import functions as F
+
+    toks = docs.select(F.explode(
+        F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+    n, v = toks.agg(F.count("*"), F.countDistinct("t")).collect()[0]
+    pred = fit.heaps_lnk + fit.heaps_beta * math.log(n)
+    assert abs(pred - math.log(v)) < 1.0  # same order of magnitude
+
+    re_fit = heaps_fit(docs.repartition(13), n_points=8).collect()[0]
+    assert (re_fit.heaps_beta, re_fit.heaps_lnk) == (
+        fit.heaps_beta, fit.heaps_lnk)
+
+    # the saturation flag: the fixture corpus's ~31-token vocabulary is
+    # fully seen in the first bucket → β is exactly 0
+    sat = heaps_fit(load_table(spark, sf_dir, "documents"),
+                    n_points=8).collect()[0]
+    assert sat.heaps_beta == 0.0
