@@ -31,55 +31,59 @@ DRIVER_WINDOW = 50  # driver checks the first N entries of queries()
 # first (charter centerpiece), then one representative per remaining
 # operator family.
 _WINDOW: list[str] = [
-    # ==== r7 rotation: ALL 46 never-driver-verified queries take window
-    # slots — the 40-query backlog entering the round plus the six new
-    # r7 tiers (q_audio_mp3, q_lake_delete/restore/update,
-    # q_lake_point_lookup, q_lake_stats_agg, q_lake_gdpr_delete) —
-    # completing first-exposure coverage: after this round every
-    # registry entry has >=1 driver exposure (hash-checkable entries a
-    # hash verdict, rows-only entries the driver's own rows-only
-    # check). Each is already green in the identical local harness
-    # (sf0.1 sweep) and under tools/driver_sim at sf0.01; the backlog's
-    # 24 hash-checkable members also passed the r6 judge's own
-    # driver_sim sweep. The 4 remaining slots are multi-round-verified
-    # anchors keeping the core operator families hash-covered in-window
-    # (anchors q_dedup_exact/q_asof_join/q_tpch_q5/q_gopher_rules/
-    # q_decontaminate/q_embedding_knn yielded slots to the new tiers;
-    # each family keeps in-window hash coverage via the siblings named
-    # in the section comments below, and every rotated-out anchor
-    # carries multi-round hash history). =================================
-    # -- LLM text-pipeline tail, first driver exposure -------------------
-    "q_pii_redaction", "q_token_bpe", "q_chunk_documents", "q_pack_sequences",
-    "q_corpus_shuffle", "q_domain_caps", "q_data_split", "q_sample_weighted",
-    "q_unigram_lm", "q_top_ngrams", "q_length_outliers", "q_filter_attrition",
-    "q_ngram_jaccard_uncapped", "q_hard_negatives", "q_neardup_clusters_lsh",
-    "q_image_neardup", "q_bpe_merges",
+    # ==== r8 rotation: the 16 late-r7 additions that have never seen a
+    # driver window (KMV sketch tier, winnowing, Zipf/Heaps fits,
+    # Hilbert scan, metadata SUM/AVG, hybrid search, skew profile,
+    # curriculum/epoch mixing, graded contamination overlap,
+    # quality-canonical near-dup collapse) take slots for first
+    # exposure — each already green under tools/driver_sim at sf0.01
+    # (and independently re-run by the r7 judge, 16/16 pass). The two
+    # r7 weak marks (q_embedding_pca: canonicalizable declaration;
+    # q_audio_segments: corpus-scaled sample_rate, now non-empty) stay
+    # in-window so their fixes get driver verification. 16
+    # multi-round-verified r7 window members rotated to the tail
+    # (q_pii_redaction, q_token_bpe, q_chunk_documents,
+    # q_pack_sequences, q_corpus_shuffle, q_domain_caps, q_data_split,
+    # q_sample_weighted, q_ngram_jaccard_uncapped, q_hard_negatives,
+    # q_lake_delete/restore/update/point_lookup/gdpr_delete,
+    # q_ntile_lpad) — every one hash-verified r07; their families keep
+    # in-window hash coverage via the siblings named below. =============
+    # -- KMV bottom-k sketch tier + winnowing fingerprints (first
+    # driver exposure; cross-engine-exact sketch algebra) ---------------
+    "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served",
+    "q_winnow_fingerprint", "q_winnow_pairs",
+    # -- corpus-health fits + hybrid retrieval + skew profiling + data
+    # mixing (first driver exposure) -------------------------------------
+    "q_zipf_fit", "q_heaps_fit", "q_hybrid_search", "q_skew_profile",
+    "q_curriculum_order", "q_epoch_mixture", "q_contamination_overlap",
+    "q_neardup_keep_best",
+    # -- LLM text battery (kept: hash anchors for the text family whose
+    # siblings rotated out) ----------------------------------------------
+    "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
+    "q_filter_attrition", "q_neardup_clusters_lsh", "q_image_neardup",
+    "q_bpe_merges",
     # -- embedding serving tiers (rows-only by nature; each pytest-pinned
-    # against an exact full-probe/brute twin) ----------------------------
+    # against an exact full-probe/brute twin). q_embedding_pca carries
+    # the r7 canonicalizer fix — must re-verify ---------------------------
     "q_embedding_pq", "q_embedding_opq", "q_embedding_ivfpq",
     "q_embedding_ann", "q_embedding_pca",
     # -- multimodal decode tiers (rows-only) + two arithmetic-oracle
-    # header walks (q_audio_mp3 new this round, q_image_exif) ------------
+    # header walks. q_audio_segments carries the r7 empty-result fix —
+    # must re-verify non-empty --------------------------------------------
     "q_video_frames", "q_video_metadata", "q_audio_features",
     "q_audio_segments", "q_audio_spectral", "q_audio_mp3", "q_image_exif",
-    # -- commit-log data skipping (zorder + time-range) + r7's new CoW
-    # DELETE and RESTORE commits (first exposure; they take the slots of
-    # anchors q_dedup_exact / q_asof_join, whose machinery stays hash-
-    # covered in-window via q_minhash_lsh + neardup/image dedup tiers
-    # and via q_attribution_join's as-of twin + q_join_flagship) ---------
-    "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_delete",
-    "q_lake_restore", "q_lake_update", "q_lake_point_lookup",
-    "q_lake_stats_agg", "q_lake_gdpr_delete",
-    # -- time-series / analytics tail, first driver exposure -------------
+    # -- commit-log data skipping: zorder + time-range + Hilbert (first
+    # exposure) + metadata-only stats/SUM (q_lake_sum_agg first
+    # exposure). CoW DELETE/UPDATE/RESTORE/point-lookup/GDPR all
+    # hash-verified r07, rotated to tail ----------------------------------
+    "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_hilbert_scan",
+    "q_lake_stats_agg", "q_lake_sum_agg",
+    # -- time-series / analytics anchors ----------------------------------
     "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
     "q_attribution_join", "q_profile", "q_quantile_sketch",
-    "q_percentile_approx", "q_hll_rollup", "q_ntile_lpad",
-    # -- verified anchors: joins, LSH dedup, bloom decontamination,
-    # exact kNN, streaming window, lake pruned scan (TPC-H + text-expr
-    # anchors q_tpch_q5/q_gopher_rules yielded their slots to the new
-    # CoW UPDATE + bloom point-lookup tiers; both families remain
-    # hash-covered in-window via q_join_flagship and the text battery
-    # q_token_bpe/q_pii_redaction/q_unigram_lm) --------------------------
+    "q_percentile_approx", "q_hll_rollup",
+    # -- verified anchors: joins, LSH dedup, streaming window, lake
+    # pruned scan ----------------------------------------------------------
     "q_join_flagship", "q_minhash_lsh", "q_tumbling_window",
     "q_lake_pruned_scan",
 ]
@@ -93,15 +97,14 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
-    # -- NEW in late r7 (after the window rotation was pinned):
-    # oracle-backed, verified locally via tools/driver_sim + the sf0.1
-    # sweep this round; rotate into the r8 window for first driver
-    # exposure ----------------------------------------------------------
-    "q_contamination_overlap", "q_epoch_mixture", "q_neardup_keep_best",
-    "q_hybrid_search", "q_curriculum_order",
-    "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_served", "q_kmv_rollup",
-    "q_winnow_fingerprint", "q_winnow_pairs", "q_skew_profile",
-    "q_lake_hilbert_scan", "q_lake_sum_agg", "q_zipf_fit", "q_heaps_fit",
+    # -- r8 rotation: hash-verified-r07 window members that yielded
+    # their slots to the 16 first-exposure late-r7 tiers ------------------
+    "q_pii_redaction", "q_token_bpe", "q_chunk_documents",
+    "q_pack_sequences", "q_corpus_shuffle", "q_domain_caps",
+    "q_data_split", "q_sample_weighted", "q_ngram_jaccard_uncapped",
+    "q_hard_negatives", "q_lake_delete", "q_lake_restore",
+    "q_lake_update", "q_lake_point_lookup", "q_lake_gdpr_delete",
+    "q_ntile_lpad",
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
     "q_dedup_exact", "q_asof_join", "q_tpch_q5", "q_gopher_rules",

@@ -1592,13 +1592,19 @@ def q_audio_features(spark, sf_dir):
         "stage a speech pipeline runs before transcription) — 20 ms "
         "frame RMS, threshold gate, contiguous-active merge, one row "
         "per voiced segment; vectorized reshape per clip, 1-to-N "
-        "mapInPandas explosion (multimodal.audio_segments)",
+        "mapInPandas explosion (multimodal.audio_segments). Declared "
+        "with sample_rate=2000 (40 samples/frame) so the short "
+        "text-faked PCM clips in testdata yield >=2 frames per doc — "
+        "at 16 kHz every testdata clip is sub-frame and the rows-only "
+        "check would verify a permanently-empty result",
 )
 def q_audio_segments(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.audio_segments(multimodal.attach_media(docs))
+    return multimodal.audio_segments(
+        multimodal.attach_media(docs), sample_rate=2000
+    )
 
 
 _BPE_SQL = ("''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from aws_data_pipeline_ads_spark.catalog import load_table
 from aws_data_pipeline_ads_spark.operators import similarity
 from aws_data_pipeline_ads_spark.queries.registry import query
@@ -340,15 +342,25 @@ def _pca_model(spark, sf_dir: str) -> dict:
         "matrix, sign-canonicalized components embedded as literals, "
         "projection as pure codegen aggregate dot products (zero "
         "Python, zero shuffle). The dim-reduction/whitening stage a "
-        "vector lake runs before PQ/ANN (operators/pca.py)",
+        "vector lake runs before PQ/ANN (operators/pca.py). Declared "
+        "output stringifies the component array (scalar columns only) "
+        "so the driver's pandas canonicalizer can sort it — the "
+        "array<double> math itself stays numpy-equality-pinned in "
+        "tests/test_pca.py",
 )
 def q_embedding_pca(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import pca
 
     model = _pca_model(spark, sf_dir)
-    return pca.pca_project(
+    projected = pca.pca_project(
         load_table(spark, sf_dir, "embeddings"), model, k=8
-    ).select("vec_id", "pca")
+    )
+    return projected.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("pca", lambda x: F.format_string("%.6f", x))
+        ).alias("pca_csv"),
+    )
 
 
 @query(

@@ -164,15 +164,20 @@ def main() -> None:
         print(f"# {name}: cold {cold[name]:.3f}s steady {steady[name]:.3f}s "
               f"±{spread[name]:.3f} (reps {rec['reps']})", file=sys.stderr)
 
-    # Queries added to the bench set after round 2 (r3: q_line_dedup,
-    # q_bm25_terms, q_simhash_pairs; r4: q_decontaminate,
-    # q_anomaly_zscore, q_quality_classifier; r5: q_skewed_join,
-    # q_snapshot_diff): totals including them are NOT comparable to
-    # BENCH_r1/r2 — `comparable_total` restates the cold total over the
-    # round-2 query set for honest cross-round reads.
-    added_r3 = {"q_line_dedup", "q_bm25_terms", "q_simhash_pairs",
-                "q_decontaminate", "q_anomaly_zscore",
-                "q_quality_classifier", "q_skewed_join", "q_snapshot_diff"}
+    # `comparable_total` restates the cold total over EXACTLY the
+    # frozen round-1 query set (the 18 names recorded in BENCH_r01) so
+    # cross-round reads against the 19.87 s r1 baseline stay honest as
+    # the bench set grows. An exclusion set drifted once (r7: the
+    # r6/r7 additions inflated the "comparable" total 2.3×) — hence a
+    # frozen inclusion list, never an exclusion list.
+    r1_set = {
+        "q_agg_rollup", "q_approx_distinct", "q_curation_pipeline",
+        "q_dedup_exact", "q_embedding_ann", "q_embedding_ivf",
+        "q_embedding_knn", "q_join_flagship", "q_join_star",
+        "q_minhash_lsh", "q_neardup_verified", "q_run_summary",
+        "q_session_gap", "q_text_stats", "q_tpch_q1", "q_tpch_q3",
+        "q_tumbling_window", "q_window_rank",
+    }
     out = {
         "metric": "declared_query_set_wall_clock",
         "value": round(sum(cold.values()), 3),
@@ -184,9 +189,13 @@ def main() -> None:
         # round-over-round delta must clear before it means anything
         "steady_spread": spread,
         "comparable_total": round(
-            sum(v for k, v in cold.items() if k not in added_r3), 3
+            sum(v for k, v in cold.items() if k in r1_set), 3
         ),
-        "added_queries": sorted(added_r3 & set(cold)),
+        "comparable_set": sorted(r1_set & set(cold)),
+        # r1 queries that did not report this run (timeout/failure) —
+        # a non-empty list means comparable_total is an UNDERCOUNT
+        "comparable_missing": sorted(r1_set - set(cold)),
+        "added_queries": sorted(set(cold) - r1_set),
         # A wedged child shrinks the totals — record it so cross-round
         # total comparisons can detect the missing query instead of
         # reading the shrunken sum as an improvement.

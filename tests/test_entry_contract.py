@@ -27,32 +27,37 @@ def test_driver_window_covers_llm_pipeline_queries():
     from aws_data_pipeline_ads_spark.queries import DRIVER_WINDOW
 
     window = list(entry_mod.queries())[:DRIVER_WINDOW]
-    # r7 rotation: the window's job is COMPLETING first-exposure
-    # coverage — every query that had never been driver-verified
-    # entering the round (the 40-entry backlog) plus the five new r7
-    # tiers hold slots, with 5 multi-round-verified anchors keeping the
-    # core families hash-covered. After r7, every registry entry has
-    # had >=1 driver exposure; rotated-out siblings carry their own
-    # hash history (CORRECTNESS_r0*.json).
+    # r8 rotation: the 16 late-r7 additions that never saw a driver
+    # window take slots for first exposure, and the two r7 weak marks
+    # (q_embedding_pca canonicalizer fix, q_audio_segments non-empty
+    # fix) stay in-window so their fixes get driver verification.
+    # Rotated-out siblings carry their own hash history
+    # (CORRECTNESS_r0*.json).
     must_cover = {
-        # the never-driver-verified backlog entering r7
-        "q_ngram_jaccard_uncapped", "q_ntile_lpad", "q_pii_redaction",
-        "q_percentile_approx", "q_top_ngrams", "q_length_outliers",
-        "q_attribution_join", "q_profile", "q_quantile_sketch",
-        "q_hll_rollup", "q_token_bpe", "q_sample_weighted",
+        # the 16 late-r7 tiers, first driver exposure
+        "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served",
+        "q_winnow_fingerprint", "q_winnow_pairs", "q_zipf_fit",
+        "q_heaps_fit", "q_hybrid_search", "q_skew_profile",
+        "q_curriculum_order", "q_epoch_mixture", "q_contamination_overlap",
+        "q_neardup_keep_best", "q_lake_hilbert_scan", "q_lake_sum_agg",
+        # the two r7 weak marks whose fixes must re-verify
+        "q_embedding_pca", "q_audio_segments",
+        # LLM text battery + dedup anchors
+        "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
+        "q_filter_attrition", "q_neardup_clusters_lsh", "q_image_neardup",
+        "q_bpe_merges",
+        # embedding serving tiers
+        "q_embedding_pq", "q_embedding_opq", "q_embedding_ivfpq",
+        "q_embedding_ann",
+        # multimodal decode tiers
+        "q_video_frames", "q_video_metadata", "q_audio_features",
+        "q_audio_spectral", "q_audio_mp3", "q_image_exif",
+        # lake data-skipping + metadata-stats anchors
+        "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_stats_agg",
+        # time-series / analytics anchors
         "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
-        "q_neardup_clusters_lsh", "q_chunk_documents", "q_embedding_ivfpq",
-        "q_embedding_pq", "q_embedding_opq", "q_embedding_ann",
-        "q_domain_caps", "q_unigram_lm", "q_bpe_merges",
-        "q_pack_sequences", "q_data_split", "q_lake_zorder_scan",
-        "q_image_exif", "q_lake_time_scan", "q_corpus_shuffle",
-        "q_image_neardup", "q_filter_attrition", "q_video_frames",
-        "q_video_metadata", "q_audio_features", "q_audio_segments",
-        "q_audio_spectral", "q_hard_negatives", "q_embedding_pca",
-        # the five new r7 tiers (first exposure)
-        "q_audio_mp3", "q_lake_delete", "q_lake_restore",
-        "q_lake_update", "q_lake_point_lookup", "q_lake_stats_agg",
-        "q_lake_gdpr_delete",
+        "q_attribution_join", "q_profile", "q_quantile_sketch",
+        "q_percentile_approx", "q_hll_rollup",
         # verified anchors for the core families
         "q_join_flagship", "q_minhash_lsh",
         "q_tumbling_window", "q_lake_pruned_scan",

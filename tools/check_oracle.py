@@ -137,7 +137,17 @@ def main() -> int:
         try:
             sdf = qd.build(spark, sf_dir).toPandas()
             if qd.oracle is None:
-                print(f"  rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+                if len(sdf) == 0:
+                    # A rows-only check over a permanently-empty result
+                    # verifies nothing — it cannot distinguish a broken
+                    # operator from a working one (r7's
+                    # q_audio_segments). Empty rows-only = lint.
+                    n_lint += 1
+                    print(f"  LINT {name}: rows-only query returned 0 "
+                          f"rows — unverifiable  ({time.time()-t0:.1f}s)")
+                else:
+                    print(f"  rows-only {name}: {len(sdf)} rows  "
+                          f"({time.time()-t0:.1f}s)")
                 n_pass += 1
                 continue
             ddf = con.sql(qd.oracle).df()
