@@ -75,10 +75,12 @@ class CommitBackend:
       DynamoDB coordination table Delta-on-S3 uses) implementing the
       same ``put_if_absent`` contract.
 
-    Everything else the log needs is plain GET / LIST / DELETE plus an
-    atomic-overwrite PUT for the checkpoint file. No rename, no
-    directories, no append — deliberately the object-store-safe
-    subset, so a real S3 backend slots in without touching LakeTable.
+    Everything else the log needs is plain GET / LIST / DELETE plus a
+    compare-and-swap PUT for the checkpoint file (S3 ``If-Match`` on
+    the ETag, GCS generation-match, ABFS ETag — all shipped
+    primitives). No rename, no directories, no append — deliberately
+    the object-store-safe subset, so a real S3 backend slots in
+    without touching LakeTable.
     """
 
     def put_if_absent(self, path: str, data: str) -> bool:
@@ -87,9 +89,16 @@ class CommitBackend:
         False. THE commit point — its atomicity is the protocol."""
         raise NotImplementedError
 
-    def put_atomic(self, path: str, data: str) -> None:
-        """Overwrite `path` with `data` such that readers see either
-        the old or the new complete object, never a torn mix."""
+    def put_if_match(self, path: str, data: str,
+                     expected: str | None) -> bool:
+        """Replace `path` with `data` iff its current contents are
+        exactly `expected` (None = iff it does not exist), atomically:
+        of N concurrent callers holding the same `expected`, at most
+        one may win (True). The checkpoint publish point — plain
+        last-writer-wins overwrite here is a lost-update hazard (a
+        stale concurrent checkpoint can clobber a newer one AFTER the
+        newer writer already expired the per-version entries only its
+        own snapshot covered, regressing the log's visible head)."""
         raise NotImplementedError
 
     def get(self, path: str) -> str | None:
@@ -121,15 +130,26 @@ class PosixCommitBackend(CommitBackend):
         except FileExistsError:
             return False
 
-    def put_atomic(self, path: str, data: str) -> None:
-        # unique temp per writer: two concurrent checkpoints must never
-        # interleave writes into the SAME temp file and then atomically
-        # publish the torn result — each writes its own complete temp,
-        # os.replace makes last-complete-writer-wins
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(data)
-        os.replace(tmp, path)
+    def put_if_match(self, path: str, data: str,
+                     expected: str | None) -> bool:
+        # flock serializes the read-compare-replace critical section
+        # (released automatically on process death — no stale locks);
+        # the replace itself is still write-complete-temp + rename so
+        # readers never observe a torn object
+        import fcntl
+
+        with open(f"{path}.lock", "a+") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if self.get(path) != expected:
+                    return False
+                tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+                with open(tmp, "w") as f:
+                    f.write(data)
+                os.replace(tmp, path)
+                return True
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     def get(self, path: str) -> str | None:
         try:
@@ -140,7 +160,10 @@ class PosixCommitBackend(CommitBackend):
 
     def list(self, dir_path: str) -> list[str]:
         try:
-            return os.listdir(dir_path)
+            # .lock (put_if_match critical section) and .tmp (unpublished
+            # partial writes) are backend-internal artifacts, not objects
+            return [f for f in os.listdir(dir_path)
+                    if not f.endswith((".lock", ".tmp"))]
         except FileNotFoundError:
             return []
 
@@ -177,9 +200,13 @@ class ConditionalPutCommitBackend(CommitBackend):
             self._objects[path] = data
             return True
 
-    def put_atomic(self, path: str, data: str) -> None:
-        with self._lock:  # single-key PUT is atomic on object stores
+    def put_if_match(self, path: str, data: str,
+                     expected: str | None) -> bool:
+        with self._lock:  # models S3 If-Match / GCS generation-match
+            if self._objects.get(path) != expected:
+                return False
             self._objects[path] = data
+            return True
 
     def get(self, path: str) -> str | None:
         with self._lock:
@@ -200,6 +227,100 @@ class ConditionalPutCommitBackend(CommitBackend):
 
     def ensure_dir(self, dir_path: str) -> None:
         pass  # object stores have no directories
+
+
+class DataPlane:
+    """The DATA-file side of the store seam: existence / size / delete
+    / recursive-list of immutable parquet objects. CommitBackend owns
+    the tiny `_log/` JSON protocol; maintenance operations (restore's
+    vacuumed-file guard, compact's size binning, vacuum's deletes,
+    orphan discard) need these four primitives on the data files
+    themselves — `os.*` calls there would be always-wrong on a
+    non-POSIX store (exists() constantly False would make restore
+    refuse everything and vacuum delete nothing). Bulk reads/writes
+    still travel through Spark's Hadoop FS (spark.read/df.write), and
+    footer-metadata collection (_collect_stats/_collect_row_counts)
+    through pyarrow, which resolves object-store URIs via fsspec."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        """Delete `path`; deleting a missing object is a no-op."""
+        raise NotImplementedError
+
+    def walk(self, dir_path: str) -> list[str]:
+        """Every data file under `dir_path`, recursively, sorted —
+        excluding _SUCCESS/.crc-style markers."""
+        raise NotImplementedError
+
+
+class LocalDataPlane(DataPlane):
+    """POSIX implementation (the default, matching PosixCommitBackend)."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def walk(self, dir_path: str) -> list[str]:
+        return sorted(
+            os.path.join(dirpath, f)
+            for dirpath, _dirs, files in os.walk(dir_path)
+            for f in files
+            if not f.startswith("_") and not f.startswith(".")
+        )
+
+
+class HadoopFsDataPlane(DataPlane):
+    """Store-agnostic implementation through Spark's own Hadoop
+    FileSystem (the exact FS the executors read/write data files
+    with): file://, hdfs://, s3a://, abfss://, gs:// all resolve via
+    the cluster's Hadoop configuration — no extra Python deps, no
+    second set of credentials."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()), jpath
+
+    def exists(self, path: str) -> bool:
+        fs, p = self._fs(path)
+        return bool(fs.exists(p))
+
+    def size(self, path: str) -> int:
+        fs, p = self._fs(path)
+        return int(fs.getFileStatus(p).getLen())
+
+    def remove(self, path: str) -> None:
+        fs, p = self._fs(path)
+        fs.delete(p, False)  # False on missing: already a no-op
+
+    def walk(self, dir_path: str) -> list[str]:
+        fs, p = self._fs(dir_path)
+        out = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            out.append(st.getPath().toUri().getPath())
+        return sorted(out)
 
 
 class SchemaMismatchError(ValueError):
@@ -223,11 +344,14 @@ class LakeTable:
     """
 
     def __init__(self, spark: SparkSession, path: str,
-                 backend: CommitBackend | None = None):
+                 backend: CommitBackend | None = None,
+                 data_plane: DataPlane | None = None):
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_log")
         self.backend = backend if backend is not None else PosixCommitBackend()
+        self.data_plane = (data_plane if data_plane is not None
+                           else LocalDataPlane())
         self.backend.ensure_dir(self.log_dir)
 
     # -- log primitives ----------------------------------------------------
@@ -268,35 +392,49 @@ class LakeTable:
             f"lake table {self.path}: version {version} does not exist"
         )
 
-    def checkpoint(self, expire: bool = True) -> int:
+    def checkpoint(self, expire: bool = True, retries: int = 3) -> int:
         """Consolidate every log entry through the head into ONE
-        atomically-replaced checkpoint file (and, with expire=True,
-        delete the per-version JSONs it covers). At 100 TB a table
-        accrues millions of commits; without checkpoints every reader
-        pays an O(versions) directory walk and every txn-replay check
-        an O(versions) chain of entry reads — the same reason Delta
-        checkpoints its _delta_log. Publish atomicity is untouched:
-        the NEXT version's exclusive-create file never existed, and
-        version numbering reads max(checkpoint, listed entries)."""
-        head = self.current_version()
-        if head is None:
-            raise ValueError(f"lake table {self.path}: nothing to checkpoint")
-        ck = {"through": head,
-              "entries": {str(v): self._read_entry(v)
-                          for v in self._versions() if v <= head}}
-        self.backend.put_atomic(self._checkpoint_path(), json.dumps(ck))
-        if expire:
-            # expire ONLY entries the published checkpoint actually
-            # covers, decided by reading it BACK: if a concurrent
-            # checkpoint won the put_atomic race, deleting per-version
-            # JSONs our own (lost) snapshot covered could destroy the
-            # only copy of metadata the winner never captured
-            published = self._load_checkpoint()
-            for v in list(ck["entries"]):
-                if (int(v) <= published["through"]
-                        and v in published["entries"]):
-                    self.backend.delete(self._entry_path(int(v)))
-        return head
+        checkpoint file (and, with expire=True, delete the per-version
+        JSONs it covers). At 100 TB a table accrues millions of
+        commits; without checkpoints every reader pays an O(versions)
+        directory walk and every txn-replay check an O(versions) chain
+        of entry reads — the same reason Delta checkpoints its
+        _delta_log. Publish atomicity is untouched: the NEXT version's
+        exclusive-create file never existed, and version numbering
+        reads max(checkpoint, listed entries).
+
+        Publication is a COMPARE-AND-SWAP against the checkpoint we
+        read while building (backend.put_if_match — S3 If-Match / GCS
+        generation-match), which closes the lost-update race a plain
+        overwrite leaves open: a stale concurrent checkpoint landing
+        after our read-back would clobber the newer snapshot while the
+        newer writer has already expired the per-version JSONs only
+        its own checkpoint covered — committed versions would vanish
+        and the visible head would regress. With CAS the stale writer
+        simply loses, re-reads (its next build folds in the winner's
+        entries via _versions/_read_entry), and republishes a
+        superset. Expiry only ever deletes entries our own PUBLISHED
+        (CAS-won) snapshot covers, so no metadata copy is destroyed."""
+        last_err = None
+        for _ in range(max(1, retries)):
+            prev_raw = self.backend.get(self._checkpoint_path())
+            head = self.current_version()
+            if head is None:
+                raise ValueError(
+                    f"lake table {self.path}: nothing to checkpoint")
+            ck = {"through": head,
+                  "entries": {str(v): self._read_entry(v)
+                              for v in self._versions() if v <= head}}
+            if self.backend.put_if_match(
+                    self._checkpoint_path(), json.dumps(ck), prev_raw):
+                if expire:
+                    for v in list(ck["entries"]):
+                        self.backend.delete(self._entry_path(int(v)))
+                return head
+            last_err = "concurrent checkpoint won the compare-and-swap"
+        raise RuntimeError(
+            f"lake table {self.path}: checkpoint contention after "
+            f"{retries} attempts ({last_err})")
 
     def history(self) -> list[dict]:
         """All commit entries, oldest first (file lists elided to counts)."""
@@ -334,12 +472,7 @@ class LakeTable:
                 self.spark.conf.unset(key)
             else:
                 self.spark.conf.set(key, prev)
-        return sorted(
-            os.path.join(dirpath, f)
-            for dirpath, _dirs, files in os.walk(sub)
-            for f in files
-            if not f.startswith("_") and not f.startswith(".")
-        )
+        return self.data_plane.walk(sub)
 
     _STATS_TYPES = (bool, int, float, str)
 
@@ -580,31 +713,114 @@ class LakeTable:
         probes on columns the layout was not sorted by — the
         needle-in-a-haystack lookup (one doc hash out of 100 TB) where
         every file's [min, max] spans the whole domain. A missing
-        bloom means 'might match' (conservative, never wrong)."""
+        bloom means 'might match' (conservative, never wrong).
+
+        Built DISTRIBUTEDLY, like _collect_sums: one Spark job scans
+        the new files, each Arrow batch folds its values into a 4 KiB
+        partial bitset per (file, column) — mapInArrow so the values
+        hash from the SAME pyarrow `to_pylist` python objects the
+        probe-side _bloom_key normalizes — partials OR-merge per file
+        in an applyInPandas reduce, and only the merged 4 KiB bitsets
+        ever reach the driver. (The first cut read every file's full
+        bloom-column contents on the driver, row-by-row in Python — at
+        100 TB a bloom-indexed commit was driver-bound and O(rows).)
+
+        A file appended WITHOUT one of the bloom columns (legal column
+        omission) reads that column as NULL under mergeSchema: nulls
+        contribute no bits, so it records an all-zero bitset — "no
+        value matches", which is exactly right for rows whose column
+        IS NULL (equality never matches NULL)."""
+        from urllib.parse import unquote, urlparse
+
         import pyarrow.parquet as pq
 
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if not files:
+            return {}
+        src = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        present = [c for c in cols if c in src.columns]
+        if not present:
+            return {}
+        n_bytes = self._BLOOM_BITS // 8
+        positions = type(self)._bloom_positions
+
+        def batch_partials(it):
+            import numpy as np
+            import pyarrow as pa
+
+            for rb in it:
+                fnames = rb.column(0).to_pylist()
+                by_file: dict[str, list[int]] = {}
+                for i, fn in enumerate(fnames):
+                    by_file.setdefault(fn, []).append(i)
+                out_f, out_c, out_b = [], [], []
+                for fn, idxs in by_file.items():
+                    take = np.asarray(idxs)
+                    for j, c in enumerate(present):
+                        vals = rb.column(j + 1).take(
+                            pa.array(take)).to_pylist()
+                        bits = bytearray(n_bytes)
+                        for v in vals:
+                            if v is None:
+                                continue
+                            for p in positions(v):
+                                bits[p >> 3] |= 1 << (p & 7)
+                        out_f.append(fn)
+                        out_c.append(c)
+                        out_b.append(bytes(bits))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_f), pa.array(out_c),
+                     pa.array(out_b, type=pa.binary())],
+                    names=["__f", "__c", "__bits"])
+
+        partial_schema = T.StructType([
+            T.StructField("__f", T.StringType()),
+            T.StructField("__c", T.StringType()),
+            T.StructField("__bits", T.BinaryType()),
+        ])
+
+        def or_merge(pdf):
+            import numpy as np
+            import pandas as pd
+
+            acc = np.zeros(n_bytes, dtype=np.uint8)
+            for b in pdf["__bits"]:
+                acc |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame({"__f": [pdf["__f"].iloc[0]],
+                                 "__c": [pdf["__c"].iloc[0]],
+                                 "__bits": [acc.tobytes()]})
+
+        rows = (
+            src.select(F.input_file_name().alias("__f"), *present)
+            .mapInArrow(batch_partials, partial_schema)
+            .groupBy("__f", "__c").applyInPandas(or_merge, partial_schema)
+            .collect()
+        )
+        by_path: dict[str, dict[str, str]] = {}
+        for r in rows:
+            p = unquote(urlparse(r["__f"]).path)
+            by_path.setdefault(p, {})[r["__c"]] = bytes(r["__bits"]).hex()
+
         out: dict[str, dict[str, str]] = {}
+        zero_hex = bytes(n_bytes).hex()
         for f in files:
-            per_col: dict[str, str] = {}
-            # a partial-producer append may omit a bloom column: its
-            # rows read the column as NULL (never equality-matching),
-            # so the file simply carries no bloom for it — scan_point
-            # treats a missing bloom as 'might match' (conservative)
-            names = pq.ParquetFile(f).schema_arrow.names
-            present = [c for c in cols if c in names]
-            if not present:
-                continue
-            tbl = pq.read_table(f, columns=present)
-            for c in present:
-                bits = bytearray(self._BLOOM_BITS // 8)
-                for v in tbl.column(c).to_pylist():
-                    if v is None:
-                        continue
-                    for p in self._bloom_positions(v):
-                        bits[p >> 3] |= 1 << (p & 7)
-                per_col[c] = bytes(bits).hex()
-            if per_col:
-                out[f] = per_col
+            got = by_path.get(os.path.abspath(f))
+            if got is None:
+                # absent from the job output: legitimate ONLY for a
+                # 0-row file (no batches) — its all-zero bloom matches
+                # nothing, correctly. A row-bearing file missing here
+                # is a URI-normalization mismatch: refuse, like
+                # _collect_sums, rather than silently skip-index it.
+                if pq.ParquetFile(f).metadata.num_rows > 0:
+                    raise ValueError(
+                        f"lake table {self.path}: _collect_blooms could "
+                        f"not match {f!r} to a scanned file URI — "
+                        f"path normalization mismatch"
+                    )
+                got = {c: zero_hex for c in present}
+            out[f] = got
         return out
 
     @classmethod
@@ -849,11 +1065,10 @@ class LakeTable:
                     raise
         raise AssertionError("unreachable")
 
-    @staticmethod
-    def _discard_files(files: list[str]) -> None:
+    def _discard_files(self, files: list[str]) -> None:
         for f in files:
             try:
-                os.remove(f)
+                self.data_plane.remove(f)
             except OSError:
                 pass
 
@@ -1341,7 +1556,8 @@ class LakeTable:
         if base is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(version)  # ValueError if absent
-        gone = [f for f in entry["files"] if not os.path.exists(f)]
+        gone = [f for f in entry["files"]
+                if not self.data_plane.exists(f)]
         if gone:
             # restoring past a vacuum would publish a head whose reads
             # fail at scan time — refuse at commit time instead
@@ -1421,7 +1637,7 @@ class LakeTable:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
         if incremental:
-            sizes = {f: os.path.getsize(f) for f in entry["files"]}
+            sizes = {f: self.data_plane.size(f) for f in entry["files"]}
             small = [f for f in entry["files"]
                      if sizes[f] < target_bytes // 2]
             if len(small) < 2:
@@ -1433,7 +1649,7 @@ class LakeTable:
             new_files = self._write_files(merged)
             return self._publish_rewrite(entry, "compact", None, base + 1,
                                          big, new_files)
-        total = sum(os.path.getsize(f) for f in entry["files"])
+        total = sum(self.data_plane.size(f) for f in entry["files"])
         n = max(1, math.ceil(total / target_bytes))
         compacted = self.read(base).repartition(n)
         files = self._write_files(compacted)
@@ -1520,50 +1736,89 @@ class LakeTable:
                 dead.update(self._read_entry(v)["files"])
         dead -= live
         for f in dead:
-            if os.path.exists(f):
-                os.remove(f)
+            self.data_plane.remove(f)
         return len(dead)
+
+
+def _run_scoped_sink(stream_df: DataFrame, checkpoint_dir: str,
+                     commit_fn, app_id: str | None) -> None:
+    """Drain an availableNow foreachBatch stream, scoping every batch's
+    txn_id by a per-query app id. A bare batch number is NOT a safe
+    idempotence token: two producers appending to the same table, or
+    one producer restarted with a deleted checkpoint, both count
+    batches 0,1,2... and _txn_version would treat the second writer's
+    batches as already-committed replays — silently dropping data.
+    Delta scopes by (txnAppId, txnVersion); we scope by the streaming
+    query's persistent id (`q.id`, pinned by Spark inside the
+    checkpoint: stable across restarts of the same checkpoint,
+    regenerated when the checkpoint is fresh/deleted — exactly the
+    replay-vs-new-writer distinction needed), or by an explicit
+    `app_id` when the caller owns naming (multi-query topologies)."""
+    import threading
+
+    ready = threading.Event()
+    ident: dict[str, str] = {}
+    if app_id is not None:
+        ident["id"] = app_id
+        ready.set()
+
+    def fb(batch: DataFrame, bid: int) -> None:
+        # batch 0 can run before .start() returns on the caller thread;
+        # wait for the query id capture below (sub-ms in practice)
+        if not ready.wait(timeout=60):
+            raise RuntimeError("streaming query id not captured")
+        commit_fn(batch, bid, ident["id"])
+
+    q = (
+        stream_df.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if app_id is None:
+        ident["id"] = str(q.id)
+        ready.set()
+    q.awaitTermination()
 
 
 def lake_append_sink(stream_df: DataFrame, table: LakeTable,
                      checkpoint_dir: str,
                      bloom_cols: list[str] | None = None,
-                     sum_cols: list[str] | None = None) -> None:
+                     sum_cols: list[str] | None = None,
+                     app_id: str | None = None) -> None:
     """Streaming APPEND through the commit log: each micro-batch lands
-    as one append commit carrying txn_id=batch_id — a crash replay of a
-    batch is answered from the log (exactly-once), a lost version race
-    against a concurrent writer is absorbed by append-retry (the
-    batch's files are re-merged onto the new head, never rewritten).
-    The ingestion contract a 100 TB landing table needs: many
-    producers, one log, no coordination beyond the commit point."""
-    q = (
-        stream_df.writeStream.foreachBatch(
-            lambda batch, bid: table.commit(
-                batch, "append", txn_id=f"append-batch-{bid}",
-                bloom_cols=bloom_cols, sum_cols=sum_cols, retries=3)
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    as one append commit carrying txn_id="{query_id}:append-batch-{bid}"
+    — a crash replay of a batch is answered from the log
+    (exactly-once), while a SECOND producer (or a restart with a fresh
+    checkpoint) gets its own query id and its batches commit normally
+    (see _run_scoped_sink). A lost version race against a concurrent
+    writer is absorbed by append-retry (the batch's files are re-merged
+    onto the new head, never rewritten). The ingestion contract a
+    100 TB landing table needs: many producers, one log, no
+    coordination beyond the commit point."""
+    _run_scoped_sink(
+        stream_df, checkpoint_dir,
+        lambda batch, bid, aid: table.commit(
+            batch, "append", txn_id=f"{aid}:append-batch-{bid}",
+            bloom_cols=bloom_cols, sum_cols=sum_cols, retries=3),
+        app_id,
     )
-    q.awaitTermination()
 
 
 def lake_upsert_sink(stream_df: DataFrame, table: LakeTable,
-                     checkpoint_dir: str, key: str) -> None:
+                     checkpoint_dir: str, key: str,
+                     app_id: str | None = None) -> None:
     """Streaming MERGE through the commit log: each micro-batch merges
-    into the table as one commit carrying txn_id=batch_id, so a crash
-    replay of a batch is a no-op (the log answers with the original
-    version) — exactly-once without rewriting the whole snapshot dir
-    per batch (contrast upsert.streaming_upsert_sink's swap)."""
-    q = (
-        stream_df.writeStream.foreachBatch(
-            lambda batch, bid: table.merge(
-                batch, key, txn_id=f"stream-batch-{bid}"
-            )
-        )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    into the table as one commit carrying
+    txn_id="{query_id}:stream-batch-{bid}", so a crash replay of a
+    batch is a no-op (the log answers with the original version) while
+    a second producer's identically-numbered batches still commit
+    (per-query scoping, see _run_scoped_sink) — exactly-once without
+    rewriting the whole snapshot dir per batch (contrast
+    upsert.streaming_upsert_sink's swap)."""
+    _run_scoped_sink(
+        stream_df, checkpoint_dir,
+        lambda batch, bid, aid: table.merge(
+            batch, key, txn_id=f"{aid}:stream-batch-{bid}"),
+        app_id,
     )
-    q.awaitTermination()

@@ -217,9 +217,11 @@ def test_streaming_upsert_through_log_exactly_once(spark, sf_dir, tmp_path, mk_t
                                         max_files_per_trigger=1)
     lake_upsert_sink(stream, t, str(tmp_path / "ck"), "doc_id")
     assert t.current_version() == head
-    # crash-replay of batch 0's txn: answered from the log
+    # crash-replay of batch 0's txn: answered from the log (txn ids are
+    # scoped by the query id Spark pins in the checkpoint)
+    qid = json.loads((tmp_path / "ck" / "metadata").read_text())["id"]
     assert t.merge(docs.limit(1), "doc_id",
-                   txn_id="stream-batch-0") <= head
+                   txn_id=f"{qid}:stream-batch-0") <= head
     assert t.current_version() == head
 
 
@@ -482,13 +484,15 @@ def test_scan_naive_datetime_bound_hostile_os_tz(spark, sf_dir, tmp_path,
         _time.tzset()
 
 
-def test_checkpoint_expire_respects_published_winner(spark, sf_dir,
-                                                     tmp_path, mk_table):
-    """If a CONCURRENT checkpoint wins the put_atomic race, expire must
-    not delete per-version entries the published (winning) checkpoint
-    never captured — that would destroy the only copy of their
-    metadata. expire re-reads the checkpoint that actually published
-    and deletes only entries it covers."""
+def test_checkpoint_publish_is_compare_and_swap(spark, sf_dir,
+                                                tmp_path, mk_table):
+    """Checkpoint publication is CAS (put_if_match), closing the
+    lost-update race a plain overwrite leaves open: a STALE concurrent
+    checkpoint landing after the winner must lose outright — with
+    last-writer-wins it would clobber the newer snapshot AFTER the
+    newer writer already expired the per-version JSONs only its own
+    checkpoint covered, making committed versions vanish and the
+    visible head regress."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     t = mk_table(str(tmp_path / "tbl"))
     t.commit(docs.limit(4))
@@ -496,30 +500,64 @@ def test_checkpoint_expire_respects_published_winner(spark, sf_dir,
     t.commit(docs.limit(6))                      # head = v2
     rows_v2 = _rows(t.read(2))
 
-    # simulate losing the race: right after OUR checkpoint (through=2)
-    # publishes, a competitor's older snapshot (through=1, knows
-    # nothing of v2) overwrites it before our expire pass runs
+    # winner checkpoints through v2 and expires the per-version JSONs
+    assert t.checkpoint(expire=True) == 2
+    published = t.backend.get(t._checkpoint_path())
+
+    # a stale competitor (built against the PRE-winner state: expected
+    # = None, snapshot through v1 only) now tries to publish: the CAS
+    # must refuse — under plain overwrite this exact write would have
+    # erased v2 from the log (its JSON is already expired)
     competitor = {"through": 1,
-                  "entries": {str(v): t._read_entry(v) for v in (0, 1)}}
-    orig = t.backend.put_atomic
+                  "entries": {str(v): json.loads(published)["entries"][str(v)]
+                              for v in (0, 1)}}
+    assert t.backend.put_if_match(
+        t._checkpoint_path(), json.dumps(competitor), None) is False
+    assert t.backend.get(t._checkpoint_path()) == published
 
-    def lose_race(path, data):
-        orig(path, data)
-        orig(path, json.dumps(competitor))
-
-    t.backend.put_atomic = lose_race
-    t.checkpoint(expire=True)
-    t.backend.put_atomic = orig
-
-    # v2's entry JSON must SURVIVE (the winner doesn't cover it)...
-    assert t.backend.get(t._entry_path(2)) is not None
-    # ...so a fresh reader over the same log still sees the true head
+    # a fresh reader still sees the true head through the checkpoint
     t2 = mk_table(str(tmp_path / "tbl"))
     assert t2.current_version() == 2
     assert _rows(t2.read(2)) == rows_v2
-    # entries the winner covers (0, 1) were safely expired
-    assert t.backend.get(t._entry_path(0)) is None
     assert _rows(t2.read(0)) == _rows(docs.limit(4))  # via checkpoint
+
+
+def test_checkpoint_cas_loser_retries_with_superset(spark, sf_dir,
+                                                    tmp_path, mk_table):
+    """A checkpoint writer that LOSES the CAS retries from the fresh
+    state: its rebuilt snapshot folds in the winner's entries (via
+    _versions/_read_entry over checkpoint + listed files), so the
+    republished checkpoint is a superset — no committed version's
+    metadata is lost, head never regresses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs.limit(4))
+    t.commit(docs.limit(2), "append")            # head = v1
+
+    orig = t.backend.put_if_match
+    state = {"raced": False}
+
+    def interleave(path, data, expected):
+        # first attempt: a competitor (v0-only snapshot) publishes
+        # between our read and our CAS — we must lose
+        if not state["raced"]:
+            state["raced"] = True
+            competitor = {"through": 0,
+                          "entries": {"0": t._read_entry(0)}}
+            assert orig(path, json.dumps(competitor), expected)
+            return orig(path, data, expected)  # stale expected → False
+        return orig(path, data, expected)
+
+    t.backend.put_if_match = interleave
+    assert t.checkpoint(expire=True) == 1        # retried, won 2nd CAS
+    t.backend.put_if_match = orig
+
+    ck = json.loads(t.backend.get(t._checkpoint_path()))
+    assert ck["through"] == 1
+    assert set(ck["entries"]) == {"0", "1"}      # superset of the winner
+    t2 = mk_table(str(tmp_path / "tbl"))
+    assert t2.current_version() == 1
+    assert _rows(t2.read(1)) == _rows(t.read(1))
 
 
 def test_legacy_entry_append_resolves_footer_schema(spark, sf_dir,
@@ -809,10 +847,19 @@ def test_lake_append_sink_exactly_once(spark, sf_dir, tmp_path, mk_table):
                                         max_files_per_trigger=1)
     lake_append_sink(stream, t, str(tmp_path / "ck"))
     assert t.current_version() == head
-    # crash-replay of batch 0's txn: answered from the log
+    # crash-replay of batch 0's txn: answered from the log. The txn id
+    # is scoped by the streaming query's persistent id (read back from
+    # the checkpoint, where Spark pins it).
+    qid = json.loads((tmp_path / "ck" / "metadata").read_text())["id"]
     assert t.commit(docs.limit(1), "append",
-                    txn_id="append-batch-0") <= head
+                    txn_id=f"{qid}:append-batch-0") <= head
     assert t.current_version() == head
+    # a DIFFERENT producer's batch 0 is NOT a replay: same batch
+    # number, different query id → commits normally (the r7 silent-drop
+    # hazard: unscoped batch ids made producer #2's data vanish)
+    v = t.commit(docs.limit(1), "append",
+                 txn_id="other-producer:append-batch-0")
+    assert v == head + 1
 
 
 def test_deferred_delete_merge_on_read(spark, sf_dir, tmp_path, mk_table):
@@ -1245,3 +1292,31 @@ def test_sum_partial_producer_and_avg_and_hilbert_nulls(spark, tmp_path,
     th.commit(docs.repartition(4))
     th.optimize_zorder(["a", "b"], n_files=4, curve="hilbert")
     assert sorted(r.a for r in th.read().collect()) == list(range(50))
+
+
+def test_hadoop_fs_data_plane_maintenance_cycle(spark, sf_dir, tmp_path):
+    """The maintenance ops that touch data files directly (compact's
+    size binning, vacuum's deletes, restore's vacuumed-file guard,
+    orphan discard) route through the DataPlane seam. Run a full cycle
+    with HadoopFsDataPlane — Spark's own Hadoop FileSystem, the same
+    resolution path s3a://hdfs:// take in production — over file://
+    paths and check it agrees with the LocalDataPlane semantics."""
+    from aws_data_pipeline_ads_spark.lakelog import HadoopFsDataPlane
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = LakeTable(spark, str(tmp_path / "tbl"),
+                  data_plane=HadoopFsDataPlane(spark))
+    t.commit(docs.repartition(6))                # v0: 6 small files
+    rows_v0 = _rows(t.read())
+    assert t.compact(target_bytes=1 << 30) == 1  # v1: size() binned all
+    assert len(t._read_entry(1)["files"]) == 1
+    assert _rows(t.read()) == rows_v0
+    t.commit(docs.limit(3), "overwrite")         # v2
+    assert t.restore(1) == 3                     # exists() guard passes
+    assert _rows(t.read()) == rows_v0
+    # vacuum keeps the head (v3 == v1's files); v0's six originals die
+    assert t.vacuum(keep_last=1) >= 6
+    assert _rows(t.read()) == rows_v0            # head still readable
+    # restoring past the vacuum refuses via data_plane.exists()
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)
