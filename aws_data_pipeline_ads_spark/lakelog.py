@@ -229,6 +229,102 @@ class ConditionalPutCommitBackend(CommitBackend):
         pass  # object stores have no directories
 
 
+class S3CommitBackend(CommitBackend):
+    """CommitBackend over a REAL S3 API via boto3 conditional writes —
+    the production metadata plane for an S3-rooted lake (and the HTTP
+    proof for ConditionalPutCommitBackend's in-memory model; the
+    lakelog protocol suite runs against a live moto S3 server through
+    this class when moto is installed, tests/test_lakelog_s3.py).
+
+    * put_if_absent → ``PutObject`` with ``If-None-Match: *`` (S3
+      conditional writes, GA 2024) — 412 PreconditionFailed = lost.
+    * put_if_match  → ``PutObject`` with ``If-Match: <etag>``. The
+      interface's expected-CONTENT contract maps onto ETags because a
+      single non-multipart unencrypted PUT's ETag IS the quoted MD5 of
+      its bytes — both sides of every log write here. (SSE-KMS or
+      multipart would break that equivalence; log JSONs are small
+      single PUTs, so it holds by construction.)
+    * 409 ConditionalRequestConflict (a concurrent conditional write
+      in flight on real S3) also reports as a loss — every caller's
+      protocol response to False is re-read-and-retry, which is
+      exactly right for 409 too.
+
+    Requires boto3 at construction time only (import is local), so the
+    module stays importable without it."""
+
+    def __init__(self, client, bucket: str):
+        self.client = client
+        self.bucket = bucket
+        import botocore.exceptions  # noqa: F401 — fail fast if absent
+
+        self._client_error = __import__(
+            "botocore.exceptions", fromlist=["ClientError"]).ClientError
+
+    def _key(self, path: str) -> str:
+        return path.lstrip("/")
+
+    def _lost(self, exc) -> bool:
+        code = exc.response.get("Error", {}).get("Code", "")
+        return code in ("PreconditionFailed", "ConditionalRequestConflict")
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        try:
+            self.client.put_object(Bucket=self.bucket, Key=self._key(path),
+                                   Body=data.encode(), IfNoneMatch="*")
+            return True
+        except self._client_error as e:
+            if self._lost(e):
+                return False
+            raise
+
+    def put_if_match(self, path: str, data: str,
+                     expected: str | None) -> bool:
+        import hashlib
+
+        if expected is None:
+            return self.put_if_absent(path, data)
+        etag = f'"{hashlib.md5(expected.encode()).hexdigest()}"'
+        try:
+            self.client.put_object(Bucket=self.bucket, Key=self._key(path),
+                                   Body=data.encode(), IfMatch=etag)
+            return True
+        except self._client_error as e:
+            if self._lost(e):
+                return False
+            raise
+
+    def get(self, path: str) -> str | None:
+        try:
+            r = self.client.get_object(Bucket=self.bucket,
+                                       Key=self._key(path))
+            return r["Body"].read().decode()
+        except self._client_error as e:
+            if e.response.get("Error", {}).get("Code") == "NoSuchKey":
+                return None
+            raise
+
+    def list(self, dir_path: str) -> list[str]:
+        prefix = self._key(dir_path).rstrip("/") + "/"
+        out: list[str] = []
+        token: str | None = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": prefix,
+                  "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            r = self.client.list_objects_v2(**kw)
+            out += [o["Key"][len(prefix):] for o in r.get("Contents", [])]
+            token = r.get("NextContinuationToken")
+            if not token:
+                return sorted(out)
+
+    def delete(self, path: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def ensure_dir(self, dir_path: str) -> None:
+        pass  # object stores have no directories
+
+
 class DataPlane:
     """The DATA-file side of the store seam: existence / size / delete
     / recursive-list of immutable parquet objects. CommitBackend owns
