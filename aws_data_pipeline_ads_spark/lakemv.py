@@ -1,0 +1,207 @@
+"""Incrementally-maintained materialized aggregates over a LakeTable.
+
+The missing downstream half of the lakehouse tier: a GROUP BY
+COUNT/SUM/AVG view over a 100 TB source table that a refresh keeps
+current WITHOUT re-aggregating the world — the job Delta Live Tables /
+incremental view maintenance does, pinned here engine-independently
+with the classic counting algorithm (delta rules): every source row
+that appeared contributes +1, every row that disappeared contributes
+-1, changed rows contribute both, and the per-group running
+(count, decimal sums) state absorbs the signed delta.
+
+Charter scope (SURVEY §2C lakehouse family; the reference — a row-loop
+Lambda ETL, lambda_function.py — has no views at all).
+
+Scale shape:
+
+* The delta between two source versions reduces each side to
+  (key, group, measures, md5) BEFORE its one full-outer join — the
+  exchange carries narrow rows, never document bodies; everything
+  after the changed-key filter is delta-sized, not table-sized.
+* The state table holds one row per group (tiny at any source size)
+  and is itself a LakeTable: versioned, time-travelable, restorable,
+  object-store-safe through the same CommitBackend seam.
+* Refresh bookkeeping rides the commit log: each refresh commit
+  carries txn_id "mv-refresh:<source_version>", so the view knows
+  exactly which source version it reflects, a replayed refresh is
+  answered from the log (exactly-once), and a concurrent refresher
+  loses the exclusive-create like any other writer.
+
+Exact arithmetic: sums are decimal(38,6) end to end (the repo's
+dec-sum convention) — the incremental state is bit-identical to a
+full GROUP BY recompute, which is precisely the invariant
+q_lake_mv_refresh's oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.lakelog import CommitBackend, LakeTable
+
+_DEC = "decimal(38,6)"
+_TXN_PREFIX = "mv-refresh:"
+
+
+class LakeMaterializedView:
+    """A GROUP BY (count + exact sums) view over `source`, materialized
+    as its own LakeTable at `path` and refreshed incrementally.
+
+    State schema: group_cols..., n_rows long, then per measure
+    n_<m> long (non-null count) and sum_<m> decimal(38,6). The
+    non-null count is load-bearing, not a convenience: SQL SUM over a
+    group whose remaining values are all NULL is NULL, and a signed
+    running sum alone cannot distinguish that from a legitimate 0 —
+    sum_<m> is stored as NULL exactly when n_<m> is 0, keeping the
+    state bit-identical to a full recompute. True AVG(m) is
+    sum_<m>/n_<m> (per-column count, not n_rows). AVG itself is
+    deliberately not stored — it would break additivity.
+    """
+
+    def __init__(self, spark: SparkSession, source: LakeTable, path: str,
+                 key: str, group_cols: list[str], measures: list[str],
+                 backend: CommitBackend | None = None):
+        # `key` must be unique per source snapshot (the table's primary
+        # key — the same contract LakeTable.merge holds): the delta is
+        # a key-based full-outer join, and duplicate keys would
+        # multiply rows through it, corrupting the signed counts.
+        if not group_cols:
+            raise ValueError("materialized view needs >=1 group column")
+        overlap = set(group_cols) & set(measures)
+        if overlap:
+            raise ValueError(f"columns cannot be both group and "
+                             f"measure: {sorted(overlap)}")
+        self.spark = spark
+        self.source = source
+        self.key = key
+        self.group_cols = list(group_cols)
+        self.measures = list(measures)
+        self.table = LakeTable(spark, path, backend=backend)
+
+    # -- bookkeeping ---------------------------------------------------------
+
+    def last_refreshed(self) -> int | None:
+        """The source version the current view state reflects (from the
+        newest refresh commit's txn_id), or None if never built."""
+        for h in reversed(self.table.history()):
+            txn = h.get("txn_id") or ""
+            if txn.startswith(_TXN_PREFIX):
+                return int(txn[len(_TXN_PREFIX):])
+        return None
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    # -- aggregation shapes --------------------------------------------------
+
+    def _sum_col(self, m: str) -> str:
+        return f"sum_{m}"
+
+    def _cnt_col(self, m: str) -> str:
+        return f"n_{m}"
+
+    def _full_aggregate(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for m in self.measures:
+            aggs.append(F.count(F.col(m)).alias(self._cnt_col(m)))
+            aggs.append(F.sum(F.col(m).cast(_DEC)).alias(self._sum_col(m)))
+        return df.groupBy(*self.group_cols).agg(*aggs)
+
+    def _delta(self, v_old: int, v_new: int) -> DataFrame:
+        """Signed delta rows between two source versions: group cols +
+        measures + sign (+1 appeared / -1 disappeared). Unchanged keys
+        (same key, same content hash over group+measure cols) cancel
+        out BEFORE any aggregation."""
+        cols = self.group_cols + self.measures
+        content = F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                      for c in cols]))
+        old = self.source.read(v_old).select(
+            F.col(self.key).alias("__k"), *cols, content.alias("__h"))
+        new = self.source.read(v_new).select(
+            F.col(self.key).alias("__k"), *cols, content.alias("__h"))
+        o, n = old.alias("o"), new.alias("n")
+        j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")
+        changed_old = F.col("o.__k").isNotNull() & (
+            F.col("n.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
+        changed_new = F.col("n.__k").isNotNull() & (
+            F.col("o.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
+        minus = j.where(changed_old).select(
+            *[F.col(f"o.{c}").alias(c) for c in cols],
+            F.lit(-1).alias("__sign"))
+        plus = j.where(changed_new).select(
+            *[F.col(f"n.{c}").alias(c) for c in cols],
+            F.lit(1).alias("__sign"))
+        return minus.unionByName(plus)
+
+    # -- refresh -------------------------------------------------------------
+
+    def refresh(self) -> int:
+        """Bring the view up to the source head. First call builds the
+        full aggregate; later calls apply only the signed delta since
+        the last refresh. Returns the source version now reflected.
+        Idempotent per source version (txn-guarded commit)."""
+        head = self.source.current_version()
+        if head is None:
+            raise ValueError("source table has no commits to aggregate")
+        last = self.last_refreshed()
+        txn = f"{_TXN_PREFIX}{head}"
+        if last is None:
+            state = self._full_aggregate(self.source.read(head))
+            self.table.commit(state, "overwrite", txn_id=txn)
+            return head
+        if last == head:
+            return head
+        if last > head:
+            raise ValueError(
+                f"view reflects source version {last}, but the source "
+                f"head is {head} — source was restored/rewound past the "
+                f"view; rebuild it (drop the view table) instead of "
+                f"applying a negative-range delta")
+
+        d = self._full_aggregate_of_delta(self._delta(last, head))
+        state = self.table.read()
+        merged = self._merge_state(state, d)
+        self.table.commit(merged, "overwrite", txn_id=txn)
+        return head
+
+    def _full_aggregate_of_delta(self, delta: DataFrame) -> DataFrame:
+        aggs = [F.sum("__sign").cast("long").alias("n_rows")]
+        for m in self.measures:
+            aggs.append(
+                F.sum(F.when(F.col(m).isNotNull(), F.col("__sign"))
+                      .otherwise(F.lit(0)))
+                .cast("long").alias(self._cnt_col(m)))
+            aggs.append(
+                F.sum(F.col(m).cast(_DEC) * F.col("__sign"))
+                .cast(_DEC).alias(self._sum_col(m)))
+        return delta.groupBy(*self.group_cols).agg(*aggs)
+
+    def _merge_state(self, state: DataFrame, d: DataFrame) -> DataFrame:
+        """state ⊕ delta, null-safe on the group key (a NULL group is a
+        legal group), groups whose count hits zero drop out."""
+        s, dd = state.alias("s"), d.alias("d")
+        cond = None
+        for g in self.group_cols:
+            eq = F.col(f"s.{g}").eqNullSafe(F.col(f"d.{g}"))
+            cond = eq if cond is None else cond & eq
+        j = s.join(dd, cond, "full_outer")
+        # group-col presence can come from either side
+        sel = [F.coalesce(F.col(f"s.{g}"), F.col(f"d.{g}")).alias(g)
+               for g in self.group_cols]
+        n_rows = (F.coalesce(F.col("s.n_rows"), F.lit(0))
+                  + F.coalesce(F.col("d.n_rows"), F.lit(0)))
+        sel.append(n_rows.alias("n_rows"))
+        for m in self.measures:
+            c, k = self._sum_col(m), self._cnt_col(m)
+            n_m = (F.coalesce(F.col(f"s.{k}"), F.lit(0))
+                   + F.coalesce(F.col(f"d.{k}"), F.lit(0)))
+            sel.append(n_m.alias(k))
+            merged = (F.coalesce(F.col(f"s.{c}"), F.lit(0).cast(_DEC))
+                      + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(_DEC)))
+            # SQL SUM over zero non-null values is NULL, not 0 — the
+            # non-null count decides, exactly as a full recompute would
+            sel.append(F.when(n_m == 0, F.lit(None).cast(_DEC))
+                       .otherwise(merged).cast(_DEC).alias(c))
+        return j.select(*sel).where(F.col("n_rows") > 0)

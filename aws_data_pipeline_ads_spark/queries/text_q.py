@@ -2732,6 +2732,70 @@ def q_lake_sum_agg(spark, sf_dir):
         "n_rows long, total_chars double, avg_chars double")
 
 
+# Source revisions + incremental MV refreshes (write-side job): the
+# view is refreshed AFTER EVERY source commit, so the state the query
+# reads was produced purely by signed-delta application — never by a
+# full recompute over the final snapshot — and hash-matching the
+# oracle's flat GROUP BY proves incremental == full.
+def lakemv_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        mv = LakeMaterializedView(
+            spark, t, f"{path}/mv", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"])
+        t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                 .repartitionByRange(8, "doc_id"), txn_id="rev-0")
+        mv.refresh()                                  # full build
+        t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append",
+                 txn_id="rev-1")
+        mv.refresh()                                  # +appended rows
+        t.delete({"doc_id": (10, 19)}, txn_id="rev-2")
+        mv.refresh()                                  # -deleted rows
+
+    return index_path("lakemv", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_refresh",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(n_chars) AS BIGINT) AS n_n_chars, "
+        "CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS sum_n_chars "
+        "FROM documents WHERE doc_id NOT BETWEEN 10 AND 19 "
+        "GROUP BY lang"
+    ),
+    doc="LLM lake versioning: INCREMENTAL MATERIALIZED-VIEW "
+        "maintenance (lakemv.LakeMaterializedView) — a per-lang "
+        "count/sum view over the documents lake kept current through "
+        "full build → append → CoW delete purely by signed-delta "
+        "application (counting algorithm: each side of the version "
+        "diff reduces to key+group+measure+md5 before its one "
+        "full-outer join; everything after the changed-key filter is "
+        "delta-sized, the state is one row per group). Hash-matching "
+        "the flat GROUP BY twin over the final predicate proves the "
+        "incremental state equals a full recompute, decimal sums "
+        "included. The Delta-Live-Tables-shaped refresh a 100 TB "
+        "reporting layer runs instead of re-aggregating the world",
+)
+def q_lake_mv_refresh(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    idx = lakemv_index(spark, sf_dir)
+    mv = LakeMaterializedView(
+        spark, LakeTable(spark, f"{idx}/tbl"), f"{idx}/mv",
+        key="doc_id", group_cols=["lang"], measures=["n_chars"])
+    return mv.read().select(
+        "lang", "n_rows", "n_n_chars",
+        F.col("sum_n_chars").cast("double").alias("sum_n_chars"))
+
+
 @query(
     "q_zipf_fit",
     oracle=(

@@ -1,0 +1,163 @@
+"""LakeMaterializedView: incremental refresh == full recompute.
+
+The single invariant that matters: after ANY sequence of source
+commits (append, CoW delete/update, overwrite), an incrementally
+refreshed view is bit-identical — decimal sums included — to a full
+GROUP BY recompute over the source head.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.lakelog import (
+    ConditionalPutCommitBackend,
+    LakeTable,
+)
+from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def _recompute(src_df):
+    return src_df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_n_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).alias("sum_n_chars"),
+    )
+
+
+@pytest.fixture
+def src(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+             .repartitionByRange(8, "doc_id"))
+    return t, docs
+
+
+def _mk_view(spark, t, tmp_path):
+    return LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"])
+
+
+def test_full_build_matches_recompute(spark, sf_dir, tmp_path, src):
+    t, docs = src
+    mv = _mk_view(spark, t, tmp_path)
+    assert mv.refresh() == 0
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+    assert mv.last_refreshed() == 0
+
+
+def test_incremental_append_delete_update(spark, sf_dir, tmp_path, src):
+    t, docs = src
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+
+    # append the missing third, refresh → matches recompute
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    assert mv.refresh() == 1
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+    # CoW range delete
+    t.delete({"doc_id": (10, 19)})
+    assert mv.refresh() == 2
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+    # CoW update (changed rows contribute -old and +new)
+    t.update({"doc_id": (30, 49)}, {"n_chars": F.lit(7)})
+    assert mv.refresh() == 3
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+    # several commits between refreshes fold into ONE delta
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2)
+             .withColumn("doc_id", F.col("doc_id") + 1_000_000), "append")
+    t.delete({"doc_id": (0, 5)})
+    assert mv.refresh() == 5
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+def test_refresh_is_idempotent_and_txn_guarded(spark, sf_dir, tmp_path, src):
+    t, _ = src
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    head = mv.table.current_version()
+    assert mv.refresh() == 0                 # up to date: no new commit
+    assert mv.table.current_version() == head
+    # a crash-replay of the same refresh txn is answered from the log
+    assert mv.table.commit(
+        mv.read().limit(1), "overwrite", txn_id="mv-refresh:0") == head
+
+
+def test_all_null_group_sum_returns_to_null(spark, tmp_path):
+    """Remove the only non-null measure row of a group: its running
+    sum must come back as NULL (SQL SUM over all-nulls), not 0 — the
+    per-measure non-null count distinguishes the two."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    rows = [Row(doc_id=1, lang="xx", n_chars=10),
+            Row(doc_id=2, lang="xx", n_chars=None),
+            Row(doc_id=3, lang="yy", n_chars=4)]
+    t.commit(spark.createDataFrame(rows, "doc_id long, lang string, "
+                                         "n_chars long"))
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    t.delete({"doc_id": (1, 1)})             # xx keeps only the NULL row
+    mv.refresh()
+    got = {r["lang"]: r for r in mv.read().collect()}
+    assert got["xx"]["n_rows"] == 1
+    assert got["xx"]["n_n_chars"] == 0
+    assert got["xx"]["sum_n_chars"] is None  # NOT 0
+    assert float(got["yy"]["sum_n_chars"]) == 4.0
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+def test_group_dropout_and_reappearance(spark, tmp_path):
+    """A group whose count hits zero drops out of the state entirely,
+    and comes back correct if rows reappear later."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="zz", n_chars=5),
+         Row(doc_id=2, lang="ww", n_chars=6)],
+        "doc_id long, lang string, n_chars long"))
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    t.delete({"doc_id": (1, 1)})
+    mv.refresh()
+    assert [r["lang"] for r in mv.read().collect()] == ["ww"]
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=9, lang="zz", n_chars=11)],
+        "doc_id long, lang string, n_chars long"), "append")
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+def test_restore_is_a_forward_delta(spark, sf_dir, tmp_path, src):
+    t, docs = src
+    mv = _mk_view(spark, t, tmp_path)
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2)       # unique keys
+             .limit(3), "append")                        # v1
+    mv.refresh()
+    t.restore(0)                             # head becomes v2...
+    mv.refresh()                             # ...which is FORWARD: fine
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+def test_object_store_backend(spark, sf_dir, tmp_path, src):
+    """The view state table runs on the conditional-PUT backend like
+    any other LakeTable (the seam composes)."""
+    t, _ = src
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"],
+        backend=ConditionalPutCommitBackend())
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
