@@ -97,10 +97,10 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
-    # -- NEW in r8 (after the window rotation was pinned): oracle-backed,
-    # verified locally via tools/driver_sim + the sf0.1 sweep this
-    # round; rotate into the r9 window for first driver exposure --------
-    "q_lake_mv_refresh",
+    # -- NEW in r8 (after the window rotation was pinned): verified
+    # locally via tools/driver_sim + the sf0.1 sweep this round; rotate
+    # into the r9 window for first driver exposure -----------------------
+    "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
     # -- r8 rotation: hash-verified-r07 window members that yielded
     # their slots to the 16 first-exposure late-r7 tiers ------------------
     "q_pii_redaction", "q_token_bpe", "q_chunk_documents",

@@ -2287,6 +2287,66 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def unigram_vocab(spark, sf_dir: str) -> list[tuple[str, float]]:
+    """Trained unigram vocab per corpus, through the index cache
+    (training is deterministic by decimal-sum construction; reload
+    beats retrain, same pattern as the PCA/PQ models)."""
+    import json
+
+    from aws_data_pipeline_ads_spark.operators import unigram_tok
+
+    def build(p: str) -> None:
+        vocab = unigram_tok.unigram_train(
+            load_table(spark, sf_dir, "documents"),
+            vocab_size=256, max_len=5, max_seed=1500, em_rounds=1)
+        with open(f"{p}/vocab.json", "w") as f:
+            json.dump(vocab, f)
+
+    with open(f"{index_path('unigramtok', sf_dir, build)}/vocab.json") as f:
+        return [(p, lp) for p, lp in json.load(f)]
+
+
+@query(
+    "q_unigram_tok_vocab",
+    oracle=None,  # iterative EM training — not one SQL statement;
+    # distributed-vs-sequential equality, the EM likelihood guarantee,
+    # coverage and cross-partitioning determinism pinned in
+    # tests/test_unigram_tok.py
+    doc="LLM tokenizer training: SentencePiece-style UNIGRAM vocabulary "
+        "learned on the corpus (Kudo 2018) — seed substrings, "
+        "forward-backward EM over the distinct-word table with "
+        "decimal-sum expected counts (bit-deterministic under any "
+        "partitioning), shrink to the target size keeping every single "
+        "char (operators/unigram_tok.py). The other industrial subword "
+        "family next to q_bpe_merges; returns the final (piece, logp) "
+        "table",
+)
+def q_unigram_tok_vocab(spark, sf_dir):
+    vocab = unigram_vocab(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, round(lp, 9)) for p, lp in vocab],
+        "piece string, logp double")
+
+
+@query(
+    "q_unigram_tokenize",
+    oracle=None,  # Viterbi lattice decode — not SQL-expressible;
+    # split preference, unk fallback, losslessness and fertility bounds
+    # pinned in tests/test_unigram_tok.py
+    doc="LLM tokenizer application: Viterbi-segment every document "
+        "with the trained unigram vocab (broadcast once, Arrow-batched, "
+        "pieces never shuffle — only doc_id + counts + a capped "
+        "preview leave the stage). Piece-level fertility vs whitespace "
+        "words is the stat a tokenizer bake-off reads "
+        "(unigram_tok.unigram_segment)",
+)
+def q_unigram_tokenize(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import unigram_tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_tok.unigram_segment(docs, unigram_vocab(spark, sf_dir))
+
+
 @query(
     "q_corpus_shuffle",
     oracle=(
