@@ -2347,6 +2347,50 @@ def q_unigram_tokenize(spark, sf_dir):
     return unigram_tok.unigram_segment(docs, unigram_vocab(spark, sf_dir))
 
 
+_CHAT_TURNS_SQL = (
+    "SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id, "
+    "CAST(doc_id % 4 AS INT) AS turn_no, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, "
+    "substring(text, 1, 80) AS content FROM documents"
+)
+
+
+@query(
+    "q_chat_flatten",
+    oracle=(
+        f"WITH turns AS ({_CHAT_TURNS_SQL}), "
+        "r AS (SELECT *, '<|' || role || '|>' || content AS rendered, "
+        "CASE WHEN role = 'user' THEN 1 ELSE 0 END AS is_user, "
+        "length(content) AS n_content, "
+        "lead(role) OVER (PARTITION BY conv_id ORDER BY turn_no) AS nxt "
+        "FROM turns) "
+        "SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, "
+        "CAST(SUM(is_user) AS BIGINT) AS n_user_turns, "
+        "CAST(COUNT(*) - SUM(is_user) AS BIGINT) AS n_assistant_turns, "
+        "CAST(SUM(CASE WHEN is_user = 1 THEN n_content ELSE 0 END) "
+        "AS BIGINT) AS user_chars, "
+        "CAST(SUM(CASE WHEN is_user = 0 THEN n_content ELSE 0 END) "
+        "AS BIGINT) AS assistant_chars, "
+        "string_agg(rendered, '' ORDER BY turn_no) AS chat_text, "
+        "bool_and(nxt IS NULL OR role != nxt) AS alternates "
+        "FROM r GROUP BY conv_id"
+    ),
+    doc="LLM post-training data prep: chat-template rendering + "
+        "per-role stats over conversations (operators/chat.py) — turns "
+        "order inside sort_array(collect_list(struct)) so the rendered "
+        "string, per-role char budgets and the strict-alternation "
+        "validity flag all come out of ONE groupBy shuffle, no window. "
+        "The SFT flattening stage every instruction corpus runs before "
+        "packing; conversations synthesized deterministically from "
+        "documents (testdata ships none — attach_media posture)",
+)
+def q_chat_flatten(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import chat
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chat.flatten_conversations(chat.synthesize_conversations(docs))
+
+
 @query(
     "q_corpus_shuffle",
     oracle=(
