@@ -2347,6 +2347,52 @@ def q_unigram_tokenize(spark, sf_dir):
     return unigram_tok.unigram_segment(docs, unigram_vocab(spark, sf_dir))
 
 
+@query(
+    "q_preference_pairs",
+    oracle=(
+        "WITH c AS (SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS "
+        "prompt_id, CAST(length(regexp_replace(text, "
+        "'[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS s "
+        "FROM documents WHERE text IS NOT NULL), "
+        "hi AS (SELECT prompt_id, doc_id, s, row_number() OVER "
+        "(PARTITION BY prompt_id ORDER BY s DESC, doc_id ASC) AS rn "
+        "FROM c), "
+        "lo AS (SELECT prompt_id, doc_id, s, row_number() OVER "
+        "(PARTITION BY prompt_id ORDER BY s ASC, doc_id ASC) AS rn "
+        "FROM c), "
+        "g AS (SELECT prompt_id, COUNT(*) AS n FROM c GROUP BY prompt_id) "
+        "SELECT h.prompt_id AS prompt_id, h.doc_id AS chosen_id, "
+        "l.doc_id AS rejected_id, h.s AS chosen_score, "
+        "l.s AS rejected_score, h.s - l.s AS margin "
+        "FROM hi h JOIN lo l ON h.prompt_id = l.prompt_id "
+        "JOIN g ON g.prompt_id = h.prompt_id "
+        "WHERE h.rn = 1 AND l.rn = 1 AND g.n >= 2 "
+        "AND h.doc_id != l.doc_id AND h.s - l.s >= 0"
+    ),
+    doc="LLM post-training data prep: DPO preference-pair construction "
+        "(operators/preference.py) — per prompt group (the q_chat_"
+        "flatten conversations), the highest- and lowest-scored "
+        "candidates become (chosen, rejected) with the score margin. "
+        "Argmax/argmin via struct-ordered MAX/MIN in ONE groupBy "
+        "shuffle (no window, deterministic lowest-id tie-breaks); the "
+        "score here is the clean-chars quality proxy, pluggable for a "
+        "reward model. Hash-matches a two-window SQL twin",
+)
+def q_preference_pairs(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.preference import (
+        preference_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    cands = docs.select(
+        "doc_id", "text",
+        (F.col("doc_id") / 4).cast("long").alias("prompt_id"))
+    score = F.length(
+        F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9\s]", ""))
+    return preference_pairs(cands, "prompt_id", score)
+
+
 _CHAT_TURNS_SQL = (
     "SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id, "
     "CAST(doc_id % 4 AS INT) AS turn_no, "
