@@ -205,3 +205,25 @@ class LakeMaterializedView:
             sel.append(F.when(n_m == 0, F.lit(None).cast(_DEC))
                        .otherwise(merged).cast(_DEC).alias(c))
         return j.select(*sel).where(F.col("n_rows") > 0)
+
+
+def lake_mv_sink(stream_df: DataFrame, view: LakeMaterializedView,
+                 checkpoint_dir: str,
+                 app_id: str | None = None) -> None:
+    """Streaming ingest that keeps a materialized view CURRENT: each
+    micro-batch appends to the view's source table (query-scoped txn —
+    exactly-once, lakelog._run_scoped_sink) and then refreshes the
+    view incrementally. A crash between the append and the refresh
+    self-heals: refresh() is idempotent per source version (its commit
+    txn is keyed by the version it reflects), so the next batch — or
+    the next drain — applies the missing delta and nothing else. The
+    end-to-end contract a 100 TB landing-table + reporting-view pair
+    needs from one checkpointed query."""
+    from aws_data_pipeline_ads_spark.lakelog import _run_scoped_sink
+
+    def commit_and_refresh(batch: DataFrame, bid: int, aid: str) -> None:
+        view.source.commit(batch, "append",
+                           txn_id=f"{aid}:mv-append-{bid}", retries=3)
+        view.refresh()
+
+    _run_scoped_sink(stream_df, checkpoint_dir, commit_and_refresh, app_id)

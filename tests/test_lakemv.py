@@ -161,3 +161,51 @@ def test_object_store_backend(spark, sf_dir, tmp_path, src):
         backend=ConditionalPutCommitBackend())
     mv.refresh()
     assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+def test_lake_mv_sink_streaming_refresh(spark, sf_dir, tmp_path):
+    """Streaming ingest keeps the view current: every micro-batch is
+    one source append + one incremental refresh; a second drain over
+    the same checkpoint adds nothing; a source commit that lands
+    WITHOUT a refresh (simulated crash between append and refresh) is
+    healed by the next refresh."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakemv import lake_mv_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    land = tmp_path / "landing"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land / "s1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land / "s2"))
+    t = LakeTable(spark, str(tmp_path / "src"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"])
+
+    stream = streaming.documents_stream(
+        spark, str(land), max_files_per_trigger=1
+    ).select("doc_id", "lang", "n_chars")
+    lake_mv_sink(stream, mv, str(tmp_path / "ck"))
+    assert mv.last_refreshed() == t.current_version()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+    assert _rows(t.read()) == _rows(docs)
+
+    # second drain, same checkpoint: no input → no commits, no refresh
+    src_head, mv_head = t.current_version(), mv.table.current_version()
+    stream = streaming.documents_stream(
+        spark, str(land), max_files_per_trigger=1
+    ).select("doc_id", "lang", "n_chars")
+    lake_mv_sink(stream, mv, str(tmp_path / "ck"))
+    assert (t.current_version(), mv.table.current_version()) \
+        == (src_head, mv_head)
+
+    # crash between append and refresh: source moves, view lags...
+    t.commit(docs.limit(5).withColumn("doc_id",
+                                      F.col("doc_id") + 10_000_000),
+             "append")
+    assert mv.last_refreshed() < t.current_version()
+    # ...and the next refresh (what the next batch would run) heals it
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
