@@ -2330,6 +2330,7 @@ def q_unigram_tok_vocab(spark, sf_dir):
 
 @query(
     "q_unigram_tokenize",
+    bench=True,  # broadcast-Viterbi Arrow map shape, new in r8
     oracle=None,  # Viterbi lattice decode — not SQL-expressible;
     # split preference, unk fallback, losslessness and fertility bounds
     # pinned in tests/test_unigram_tok.py
@@ -2349,6 +2350,7 @@ def q_unigram_tokenize(spark, sf_dir):
 
 @query(
     "q_preference_pairs",
+    bench=True,  # struct-argmax groupBy shape, new in r8
     oracle=(
         "WITH c AS (SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS "
         "prompt_id, CAST(length(regexp_replace(text, "
@@ -2403,6 +2405,7 @@ _CHAT_TURNS_SQL = (
 
 @query(
     "q_chat_flatten",
+    bench=True,  # collect_list template-render shape, new in r8
     oracle=(
         f"WITH turns AS ({_CHAT_TURNS_SQL}), "
         "r AS (SELECT *, '<|' || role || '|>' || content AS rendered, "
@@ -2912,6 +2915,7 @@ def lakemv_index(spark, sf_dir: str) -> str:
 
 @query(
     "q_lake_mv_refresh",
+    bench=True,  # incremental-MV state read, new in r8
     oracle=(
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
         "CAST(COUNT(n_chars) AS BIGINT) AS n_n_chars, "

@@ -129,6 +129,8 @@ def main() -> None:
     text_q.lakezorder_index(spark, sf_dir)
     text_q.laketime_index(spark, sf_dir)
     text_q.lakedelete_index(spark, sf_dir)
+    text_q.lakemv_index(spark, sf_dir)        # r8: MV source + refreshes
+    text_q.unigram_vocab(spark, sf_dir)       # r8: trained tokenizer
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",
           file=sys.stderr)
