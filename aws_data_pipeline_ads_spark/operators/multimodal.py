@@ -77,8 +77,16 @@ def _decode_image_real(payload: bytes) -> tuple[int, int]:
       (C0-CF except the non-frame C4/C8/CC); its payload is precision,
       big-endian height, width.
 
+    - GIF: GIF87a/89a signature, then little-endian width, height in
+      the logical screen descriptor (bytes 6-10).
+
     Pixel-level decode (IDAT inflate / DCT) would need PIL/libvips and
     is not required for dimension features."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("gif: truncated logical screen descriptor")
+        return (int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if payload[12:16] != b"IHDR":
             raise ValueError("PNG missing IHDR chunk")
@@ -367,7 +375,8 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
     PNG payloads decode via _png_decode_pixels (stdlib-zlib inflate +
     scanline unfilter); JPEG payloads via the pure-numpy baseline codec
     (operators/jpeg.py — Huffman + dequant + IDCT; progressive/
-    arithmetic variants rejected loudly). Either way: nearest-neighbor
+    arithmetic variants rejected loudly); GIF payloads via the LZW
+    codec (operators/gif.py, interlace-aware). Any way: nearest-neighbor
     resample (_nn_resize) → deterministic PNG re-encode
     (_png_encode_pixels; lossless output, so downstream hashes are
     stable regardless of input codec).
@@ -391,6 +400,12 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
             )
 
             px = jpeg_decode_pixels(raw)
+        elif raw[:6] in (b"GIF87a", b"GIF89a"):
+            from aws_data_pipeline_ads_spark.operators.gif import (
+                gif_decode_pixels,
+            )
+
+            px = gif_decode_pixels(raw)
         else:
             px = _png_decode_pixels(raw)
         return _png_encode_pixels(_nn_resize(px, target_w, target_h))

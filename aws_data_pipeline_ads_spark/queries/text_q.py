@@ -1567,6 +1567,46 @@ def q_audio_mp3(spark, sf_dir):
     return multimodal.audio_mp3_metadata(multimodal.synthetic_mp3s(docs))
 
 
+_GIF_W = "(8 + doc_id % 9)"
+_GIF_H = "(6 + doc_id % 7)"
+_GIF_N = "(2 + doc_id % 5)"
+_GIF_P = f"({_GIF_W} * {_GIF_H})"
+
+
+@query(
+    "q_image_gif",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST({_GIF_W} AS INT) AS width, "
+        f"CAST({_GIF_H} AS INT) AS height, "
+        f"CAST({_GIF_N} AS INT) AS n_colors, "
+        "doc_id % 3 = 0 AS interlaced, "
+        # sum over raster positions k of (k % n), in closed form:
+        # full cycles * n(n-1)/2 + remainder r * (r-1)/2
+        f"CAST(({_GIF_P} // {_GIF_N}) * {_GIF_N} * ({_GIF_N} - 1) // 2 "
+        f"+ ({_GIF_P} % {_GIF_N}) * (({_GIF_P} % {_GIF_N}) - 1) // 2 "
+        "AS BIGINT) AS idx_sum "
+        "FROM documents"
+    ),
+    doc="2C multimodal: GIF codec tier over a synthetic single-frame "
+        "corpus — REAL GIFs through the pure-Python LZW encoder "
+        "(geometry a pure function of doc_id, every third doc "
+        "interlaced; operators/gif.py synthetic_gifs), then the decode "
+        "stage walks descriptor + color table + variable-width LZW + "
+        "deinterlace and emits dims / colors-used / interlace flag / "
+        "palette-index sum recovered from pixels (gif_image_stats). "
+        "The arithmetic oracle predicts every field from doc_id, so a "
+        "hash match proves the encode→LZW→decode→deinterlace roundtrip "
+        "lossless corpus-wide — the q_audio_mp3 posture for the third "
+        "classic raster format",
+)
+def q_image_gif(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif.gif_image_stats(gif.synthetic_gifs(docs))
+
+
 @query(
     "q_audio_features",
     oracle=None,  # rms over int16-decoded samples is not SQL-expressible
