@@ -196,3 +196,78 @@ def ewma_smooth(events: DataFrame, key: str = "event_type",
             F.round("ewma", 6).alias("ewma"),
         )
     )
+
+
+def seasonal_decompose(events: DataFrame, key: str = "event_type",
+                       ts_col: str = "ts", period: int = 24,
+                       half: int = 12) -> DataFrame:
+    """Classical additive seasonal decomposition of hourly event counts:
+    x = trend + seasonal + residual (the moving-average method STL
+    refines; period 24 = hour-of-day seasonality).
+
+    * trend: centered moving average over 2·half+1 buckets (full
+      windows only — series edges carry NULL trend, standard for the
+      classical method).
+    * seasonal: mean detrended value per (key, hour-of-day), centered
+      by the series' grand detrended mean so the indices sum to ~0.
+    * residual: x − trend − seasonal.
+
+    Determinism contract (the reason this hash-matches DuckDB): every
+    SUM is decimal — the detrended value is carried as the EXACT
+    decimal (2·half+1)·x − trend_sum, so seasonal means divide one
+    exact decimal by one exact integer — and all double arithmetic
+    after the sums is a fixed scalar expression tree. Buckets are
+    ROWS-based over the sorted bucket sequence (gap hours are absent
+    rows, same on both engines); compose with resample_fill when a
+    sparse series needs a dense spine.
+
+    Scale shape: one map-side-combined groupBy on (key, hour), one
+    window exchange on the key, one vocabulary-scale (key × 24)
+    seasonal-index join — events shuffle once."""
+    span = 2 * half + 1
+    h = F.date_trunc("hour", F.col(ts_col))
+    b = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key), h.alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    cw = W.partitionBy(key).orderBy("h").rowsBetween(-half, half)
+    t = b.select(
+        key, "h", "x",
+        F.sum(F.col("x").cast("decimal(38,6)")).over(cw).alias("tsum"),
+        F.count("x").over(cw).alias("tcnt"),
+    ).withColumn(
+        # exact decimal detrended ×span: span·x − trend_sum (full
+        # windows only)
+        "det_xspan",
+        F.when(F.col("tcnt") == span,
+               (F.col("x") * span).cast("decimal(38,6)") - F.col("tsum")),
+    ).withColumn("hod", F.hour("h"))
+    seas = t.groupBy(key, "hod").agg(
+        (F.sum("det_xspan").cast("double")
+         / (F.lit(span) * F.count("det_xspan"))).alias("seas_raw"),
+    )
+    grand = t.groupBy(key).agg(
+        (F.sum("det_xspan").cast("double")
+         / (F.lit(span) * F.count("det_xspan"))).alias("grand_mean"),
+    )
+    trend = F.col("tsum").cast("double") / span
+    out = (
+        t.join(seas, [key, "hod"], "left")
+        .join(grand, [key], "left")
+        .select(
+            F.col(key),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "x",
+            F.round(F.when(F.col("tcnt") == span, trend), 6).alias("trend"),
+            F.round(F.when(F.col("tcnt") == span,
+                           F.col("seas_raw") - F.col("grand_mean")), 6)
+            .alias("seasonal"),
+            F.round(
+                F.when(F.col("tcnt") == span,
+                       F.col("x") - trend
+                       - (F.col("seas_raw") - F.col("grand_mean"))), 6)
+            .alias("residual"),
+        )
+    )
+    return out

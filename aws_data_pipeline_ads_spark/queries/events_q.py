@@ -666,3 +666,54 @@ def q_skew_profile(spark, sf_dir):
         .alias("hot_uid")
     )
     return skew.key_skew_profile(e, ["hot_uid"], top=10, hot_factor=5)
+
+
+@query(
+    "q_seasonal_decompose",
+    bench=True,  # centered-window + seasonal-index join shape, new in r8
+    oracle=(
+        "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1, 2), "
+        "t AS (SELECT event_type, h, x, "
+        "SUM(CAST(x AS DECIMAL(38,6))) OVER w AS tsum, "
+        "COUNT(x) OVER w AS tcnt FROM b WINDOW w AS "
+        "(PARTITION BY event_type ORDER BY h "
+        "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), "
+        "d AS (SELECT *, CASE WHEN tcnt = 25 THEN "
+        "CAST(x * 25 AS DECIMAL(38,6)) - tsum END AS det, "
+        "hour(h) AS hod FROM t), "
+        "s AS (SELECT event_type, hod, CAST(SUM(det) AS DOUBLE) "
+        "/ (25 * COUNT(det)) AS seas_raw FROM d GROUP BY 1, 2), "
+        "g AS (SELECT event_type, CAST(SUM(det) AS DOUBLE) "
+        "/ (25 * COUNT(det)) AS grand_mean FROM d GROUP BY 1) "
+        "SELECT d.event_type, strftime(d.h, '%Y-%m-%d %H:%M:%S') AS "
+        "bucket, d.x, "
+        "ROUND(CASE WHEN d.tcnt = 25 THEN CAST(d.tsum AS DOUBLE) / 25 "
+        "END, 6) AS trend, "
+        "ROUND(CASE WHEN d.tcnt = 25 THEN s.seas_raw - g.grand_mean "
+        "END, 6) AS seasonal, "
+        "ROUND(CASE WHEN d.tcnt = 25 THEN d.x "
+        "- CAST(d.tsum AS DOUBLE) / 25 - (s.seas_raw - g.grand_mean) "
+        "END, 6) AS residual "
+        "FROM d LEFT JOIN s ON s.event_type = d.event_type "
+        "AND s.hod = d.hod "
+        "LEFT JOIN g ON g.event_type = d.event_type"
+    ),
+    doc="2C time series: classical additive seasonal decomposition of "
+        "hourly event counts — x = trend + seasonal + residual "
+        "(centered 25-bucket moving average, hour-of-day seasonal "
+        "indices centered by the grand detrended mean; "
+        "timeseries.seasonal_decompose). The detrended value is "
+        "carried as the EXACT decimal 25·x − trend_sum so every mean "
+        "is one decimal/integer division — bit-deterministic across "
+        "engines and partitionings. One groupBy + one window exchange "
+        "+ a (key × 24) index join; events shuffle once",
+)
+def q_seasonal_decompose(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    ensure_utc(spark)
+    return seasonal_decompose(load_table(spark, sf_dir, "events"))
