@@ -223,7 +223,13 @@ def seasonal_decompose(events: DataFrame, key: str = "event_type",
 
     Scale shape: one map-side-combined groupBy on (key, hour), one
     window exchange on the key, one vocabulary-scale (key × 24)
-    seasonal-index join — events shuffle once."""
+    seasonal-index join — events shuffle once. The bucketed/windowed
+    table `t` feeds three consumers (output, seasonal index, grand
+    mean), so it is persist_tracked: without the cache Spark re-runs
+    the corpus-scale groupBy+window per consumer (6 exchanges instead
+    of the 2 data-sized ones)."""
+    from aws_data_pipeline_ads_spark.operators.cache import persist_tracked
+
     span = 2 * half + 1
     h = F.date_trunc("hour", F.col(ts_col))
     b = (
@@ -243,6 +249,7 @@ def seasonal_decompose(events: DataFrame, key: str = "event_type",
         F.when(F.col("tcnt") == span,
                (F.col("x") * span).cast("decimal(38,6)") - F.col("tsum")),
     ).withColumn("hod", F.hour("h"))
+    t = persist_tracked(t)
     seas = t.groupBy(key, "hod").agg(
         (F.sum("det_xspan").cast("double")
          / (F.lit(span) * F.count("det_xspan"))).alias("seas_raw"),
