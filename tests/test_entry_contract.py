@@ -105,6 +105,10 @@ def test_oracle_sql_covers_most_queries():
             # full-shortlist==brute + determinism pytest-pinned
             "q_embedding_pca",  # eigendecomposition has no SQL twin;
             # numpy-equality + orthonormality pytest-pinned
+            "q_unigram_tok_vocab",  # iterative EM training — not one
+            # SQL; sequential-reference equality + EM-likelihood pytest
+            "q_unigram_tokenize",  # Viterbi lattice decode — not
+            # SQL-expressible; split/unk/losslessness pytest
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"
