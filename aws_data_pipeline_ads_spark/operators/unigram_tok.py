@@ -283,13 +283,20 @@ def unigram_segment(documents: DataFrame, vocab: list[tuple[str, float]],
         import pandas as pd
 
         lp, ml, ulp = blogp.value
+        # Zipf: most word instances are repeats — memoize the DP per
+        # distinct word across the whole partition (bounded by the
+        # partition's vocabulary, not its token count)
+        memo: dict[str, list[str]] = {}
         for pdf in it:
             ids, nps, nws, prevs = [], [], [], []
             for did, text in zip(pdf[doc_id_col], pdf[text_col]):
                 ws = [w for w in str(text).lower().strip().split() if w]
                 pieces: list[str] = []
                 for w in ws:
-                    pieces += _viterbi(w, lp, ml, ulp)
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = memo[w] = _viterbi(w, lp, ml, ulp)
+                    pieces += seg
                 ids.append(did)
                 nps.append(len(pieces))
                 nws.append(len(ws))
