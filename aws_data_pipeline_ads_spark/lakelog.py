@@ -1170,12 +1170,15 @@ class LakeTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | str | None = None) -> DataFrame:
         """The snapshot at `version` (default: current head) — opens
-        exactly the committed file list, no directory listing."""
+        exactly the committed file list, no directory listing. A string
+        `version` is a TAG name (resolve_tag)."""
         head = self.current_version()
         if head is None:
             raise ValueError(f"lake table {self.path}: no commits yet")
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         entry = self._read_entry(head if version is None else version)
         if not entry["files"]:
             raise ValueError(
@@ -1638,12 +1641,16 @@ class LakeTable:
 
     # -- operators that commit through the log -----------------------------
 
-    def restore(self, version: int, txn_id: str | None = None) -> int:
+    def restore(self, version: int | str,
+                txn_id: str | None = None) -> int:
         """Re-publish an old version's exact snapshot (file list,
         schema, stats) as a NEW head commit — the undo that never loses
         history and never copies data: every file is shared with the
         restored version (vacuum keeps them as long as the new head is
-        retained). The bad commit stays readable for forensics."""
+        retained). The bad commit stays readable for forensics. A
+        string `version` is a tag name (restore("release-v1"))."""
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         if txn_id is not None:
             done = self._txn_version(txn_id)
             if done is not None:
@@ -1815,14 +1822,78 @@ class LakeTable:
                              sum_cols=sum_cols,
                              row_counts=self._collect_row_counts(files))
 
+    # -- tags (named immutable version refs, Iceberg-style) ------------------
+
+    def _tag_path(self, name: str) -> str:
+        if not name or "/" in name or name.startswith("_") or "." in name:
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.log_dir, f"_tag_{name}.json")
+
+    def tag(self, name: str, version: int | None = None,
+            force: bool = False) -> int:
+        """Pin `name` to `version` (default: head). Tags are IMMUTABLE
+        by default — re-pointing a published name silently would break
+        every consumer reading by it; `force=True` moves it explicitly
+        (a CAS replace, never a blind overwrite). Tagged versions are
+        protected from vacuum: a tag is a retention promise, not just
+        an alias."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"lake table {self.path}: no commits to tag")
+        self._read_entry(v)  # ValueError if the version does not exist
+        data = json.dumps({"name": name, "version": v})
+        path = self._tag_path(name)
+        if self.backend.put_if_absent(path, data):
+            return v
+        if not force:
+            cur = json.loads(self.backend.get(path) or "{}")
+            raise ValueError(
+                f"lake table {self.path}: tag {name!r} already points at "
+                f"version {cur.get('version')} — tags are immutable "
+                f"(force=True to move)")
+        while True:
+            prev = self.backend.get(path)
+            if prev is None:
+                if self.backend.put_if_absent(path, data):
+                    return v
+                continue
+            if self.backend.put_if_match(path, data, prev):
+                return v
+
+    def tags(self) -> dict[str, int]:
+        """name → version for every tag."""
+        out: dict[str, int] = {}
+        for f in self.backend.list(self.log_dir):
+            if f.startswith("_tag_") and f.endswith(".json"):
+                t = json.loads(
+                    self.backend.get(os.path.join(self.log_dir, f)))
+                out[t["name"]] = int(t["version"])
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        s = self.backend.get(self._tag_path(name))
+        if s is None:
+            raise ValueError(
+                f"lake table {self.path}: no tag named {name!r}")
+        return int(json.loads(s)["version"])
+
+    def delete_tag(self, name: str) -> None:
+        """Drop the ref (the version and its entry remain; the next
+        vacuum may reclaim its files if nothing else retains them)."""
+        self.backend.delete(self._tag_path(name))
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by versions older than the
         last `keep_last` commits (their log entries remain as history,
-        but read() on them will fail). Returns files deleted."""
+        but read() on them will fail). TAGGED versions are always
+        retained — a tag is a retention promise (Iceberg semantics),
+        so `tag('audit-2024', v)` keeps that snapshot readable through
+        any retention policy until the tag is deleted. Returns files
+        deleted."""
         if keep_last < 1:
             raise ValueError("vacuum must keep at least the head version")
         vs = self._versions()
-        keep = set(vs[-keep_last:])
+        keep = set(vs[-keep_last:]) | set(self.tags().values())
         live: set[str] = set()
         for v in keep:
             live.update(self._read_entry(v)["files"])

@@ -1355,6 +1355,48 @@ def lakegdpr_index(spark, sf_dir: str) -> str:
 
 
 @query(
+    "q_lake_tag_scan",
+    oracle=(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents"
+    ),
+    doc="LLM lake versioning: TAGS — named immutable version refs "
+        "(Iceberg semantics). Write-side: commit the full corpus, "
+        "tag it 'release', overwrite the head down to a ~1% subset, "
+        "then VACUUM(keep_last=1) — which must retain the tagged "
+        "snapshot's files (a tag is a retention promise, not an "
+        "alias). The query reads by tag name while the head still "
+        "holds the subset; hash-matching the FULL corpus proves both "
+        "the name→version resolution and that vacuum honored the tag "
+        "(LakeTable.tag/resolve_tag/vacuum)",
+)
+def q_lake_tag_scan(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = laketag_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    return t.read("release").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars"))
+
+
+# Full commit → tag → shrinking overwrite → vacuum (write-side job)
+def laketag_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(8, "doc_id"), txn_id="rev-0")
+        t.tag("release")
+        t.commit(docs.filter(F.col("doc_id") % 97 == 0), "overwrite",
+                 txn_id="rev-1")
+        t.vacuum(keep_last=1)  # must NOT reclaim the tagged snapshot
+
+    return index_path("laketag", sf_dir, build)
+
+
+@query(
     "q_lake_stats_agg",
     oracle=(
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

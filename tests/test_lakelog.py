@@ -1320,3 +1320,63 @@ def test_hadoop_fs_data_plane_maintenance_cycle(spark, sf_dir, tmp_path):
     # restoring past the vacuum refuses via data_plane.exists()
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(0)
+
+
+def test_tags_pin_read_restore_and_survive_checkpoint(spark, sf_dir,
+                                                      tmp_path, mk_table):
+    """Named immutable version refs: tag at a version, read/restore by
+    name while the head moves on, immutability refusal (force moves via
+    CAS), and tags resolve through a checkpoint that expired the
+    per-version entry files."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs)                                   # v0
+    assert t.tag("release-1") == 0
+    t.commit(docs.limit(3), "overwrite")             # v1
+    assert t.tags() == {"release-1": 0}
+    assert _rows(t.read("release-1")) == _rows(docs)
+    # immutable: re-pointing the published name refuses...
+    with pytest.raises(ValueError, match="immutable"):
+        t.tag("release-1", 1)
+    # ...force moves it, and back
+    assert t.tag("release-1", 1, force=True) == 1
+    assert t.tag("release-1", 0, force=True) == 0
+    # tagging a nonexistent version / bad names refuse
+    with pytest.raises(ValueError, match="does not exist"):
+        t.tag("nope", 99)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("../escape")
+    # restore by tag: head returns to the tagged snapshot
+    assert t.restore("release-1") == 2
+    assert _rows(t.read()) == _rows(docs)
+    # tags survive checkpoint(expire=True)
+    t.checkpoint(expire=True)
+    assert t.resolve_tag("release-1") == 0
+    assert _rows(t.read("release-1")) == _rows(docs)
+    t.delete_tag("release-1")
+    with pytest.raises(ValueError, match="no tag"):
+        t.read("release-1")
+
+
+def test_vacuum_retains_tagged_versions(spark, sf_dir, tmp_path, mk_table):
+    """A tag is a retention promise: vacuum(keep_last=1) must NOT
+    reclaim a tagged old snapshot's files; deleting the tag releases
+    them to the next vacuum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs)                                   # v0 (tagged)
+    t.tag("audit")
+    t.commit(docs.limit(4), "overwrite")             # v1
+    t.commit(docs.limit(2), "overwrite")             # v2 = head
+    assert t.vacuum(keep_last=1) >= 0
+    # the tagged snapshot is still fully readable...
+    assert _rows(t.read("audit")) == _rows(docs)
+    # ...but v1 (untagged, not head) was reclaimed
+    with pytest.raises(Exception):
+        t.read(1).collect()
+    # releasing the tag lets the next vacuum reclaim v0's files
+    t.delete_tag("audit")
+    assert t.vacuum(keep_last=1) > 0
+    gone = [f for f in _entry(t, 0)["files"]
+            if not t.data_plane.exists(f)]
+    assert gone
