@@ -87,6 +87,11 @@ def _decode_image_real(payload: bytes) -> tuple[int, int]:
             raise ValueError("gif: truncated logical screen descriptor")
         return (int.from_bytes(payload[6:8], "little"),
                 int.from_bytes(payload[8:10], "little"))
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("bmp: truncated headers")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return w, abs(h)  # negative height = top-down row order
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if payload[12:16] != b"IHDR":
             raise ValueError("PNG missing IHDR chunk")
@@ -406,6 +411,12 @@ def resize_images(media: DataFrame, target_w: int = 224, target_h: int = 224,
             )
 
             px = gif_decode_pixels(raw)
+        elif raw[:2] == b"BM":
+            from aws_data_pipeline_ads_spark.operators.bmp import (
+                bmp_decode_pixels,
+            )
+
+            px = bmp_decode_pixels(raw)
         else:
             px = _png_decode_pixels(raw)
         return _png_encode_pixels(_nn_resize(px, target_w, target_h))

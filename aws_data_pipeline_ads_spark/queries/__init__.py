@@ -102,7 +102,7 @@ _TAIL: list[str] = [
     # into the r9 window for first driver exposure -----------------------
     "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
     "q_chat_flatten", "q_preference_pairs", "q_image_gif",
-    "q_seasonal_decompose", "q_lake_tag_scan",
+    "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
     # -- r8 rotation: hash-verified-r07 window members that yielded
     # their slots to the 16 first-exposure late-r7 tiers ------------------
     "q_pii_redaction", "q_token_bpe", "q_chunk_documents",

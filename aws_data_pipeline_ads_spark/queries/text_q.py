@@ -1649,6 +1649,42 @@ def q_image_gif(spark, sf_dir):
     return gif.gif_image_stats(gif.synthetic_gifs(docs))
 
 
+_BMP_W = "(5 + doc_id % 9)"
+_BMP_H = "(6 + doc_id % 7)"
+_BMP_SA = "(doc_id % 256 + (3 * doc_id) % 256 + (7 * doc_id) % 256)"
+
+
+@query(
+    "q_image_bmp",
+    oracle=(
+        "SELECT doc_id, "
+        f"CAST({_BMP_W} AS INT) AS width, "
+        f"CAST({_BMP_H} AS INT) AS height, "
+        "CAST(doc_id % 256 AS INT) AS first_r, "
+        "CAST((3 * doc_id) % 256 AS INT) AS first_g, "
+        "CAST((7 * doc_id) % 256 AS INT) AS first_b, "
+        f"CAST({_BMP_W} * (({_BMP_H} // 2) * {_BMP_SA} "
+        f"+ ({_BMP_H} - {_BMP_H} // 2) * (765 - {_BMP_SA})) AS BIGINT) "
+        "AS channel_sum FROM documents"
+    ),
+    doc="2C multimodal: BMP codec tier over a synthetic two-band "
+        "corpus — REAL BI_RGB DIBs through the pure-numpy encoder "
+        "(odd widths exercise 4-byte row padding, every third doc "
+        "written TOP-DOWN / negative height; operators/bmp.py "
+        "synthetic_bmps); the decode stage emits dims, the decoded "
+        "top-left pixel (a bottom-up/top-down flip bug swaps the "
+        "color bands) and the full channel sum (padding bytes leaking "
+        "into pixels would shift it). Arithmetic oracle per doc_id — "
+        "hash match proves the encode→pad→flip→decode roundtrip "
+        "lossless corpus-wide (bmp_image_stats)",
+)
+def q_image_bmp(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import bmp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bmp.bmp_image_stats(bmp.synthetic_bmps(docs))
+
+
 @query(
     "q_audio_features",
     oracle=None,  # rms over int16-decoded samples is not SQL-expressible
