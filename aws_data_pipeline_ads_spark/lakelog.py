@@ -1822,6 +1822,41 @@ class LakeTable:
                              sum_cols=sum_cols,
                              row_counts=self._collect_row_counts(files))
 
+    def commit_audited(self, df: DataFrame, mode: str = "overwrite",
+                       check=None, txn_id: str | None = None,
+                       **kwargs) -> int:
+        """Write-audit-publish: commit `df`, run `check` (a callable
+        receiving the NEW head's DataFrame — count floors, null gates,
+        schema probes, anything) and, if it returns falsy or raises,
+        RESTORE the prior head and re-raise/raise — the bad data never
+        stays current, and the failed version remains in history for
+        forensics (read(v) still works until vacuum).
+
+        Caveat vs true branch isolation: the log is linear, so a
+        concurrent reader can observe the audited version during the
+        check window. For the strict zero-exposure variant, land in a
+        second staging LakeTable and commit_audited the validated read
+        into the serving table. A failed audit on the FIRST commit of
+        an empty table cannot restore (no prior head) — the failure
+        propagates with the table left at the bad v0; callers starting
+        a table should validate before the first commit."""
+        prior = self.current_version()
+        v = self.commit(df, mode, txn_id=txn_id, **kwargs)
+        try:
+            ok = check(self.read(v)) if check is not None else True
+        except Exception:
+            if prior is not None:
+                self.restore(prior)
+            raise
+        if not ok:
+            if prior is not None:
+                self.restore(prior)
+            raise ValueError(
+                f"lake table {self.path}: audit rejected version {v}"
+                + ("" if prior is None else
+                   f" — restored head to version {prior}'s snapshot"))
+        return v
+
     # -- tags (named immutable version refs, Iceberg-style) ------------------
 
     def _tag_path(self, name: str) -> str:

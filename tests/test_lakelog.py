@@ -1380,3 +1380,37 @@ def test_vacuum_retains_tagged_versions(spark, sf_dir, tmp_path, mk_table):
     gone = [f for f in _entry(t, 0)["files"]
             if not t.data_plane.exists(f)]
     assert gone
+
+
+def test_commit_audited_write_audit_publish(spark, sf_dir, tmp_path,
+                                            mk_table):
+    """WAP: a failing audit restores the prior head (the bad version
+    stays readable for forensics); a passing audit keeps the commit; a
+    raising check propagates after the rollback."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    n_full = docs.count()
+    t.commit(docs)                                       # v0 good
+    # audit floor: at least 90% of the current row count must survive
+    floor = int(n_full * 0.9)
+
+    def enough_rows(df):
+        return df.count() >= floor
+
+    # bad overwrite (1% subset) → rejected, head restored to v0's data
+    with pytest.raises(ValueError, match="audit rejected version 1"):
+        t.commit_audited(docs.filter(F.col("doc_id") % 97 == 0),
+                         check=enough_rows)
+    assert _rows(t.read()) == _rows(docs)                # restored
+    assert t.current_version() == 2                      # restore commit
+    assert len(_rows(t.read(1))) < floor                 # forensics
+    # good overwrite passes and stays
+    v = t.commit_audited(docs.filter(F.col("doc_id") % 97 != 0),
+                         check=enough_rows)
+    assert v == 3 and t.current_version() == 3
+    # a RAISING check also rolls back, then propagates
+    with pytest.raises(RuntimeError, match="boom"):
+        t.commit_audited(docs.limit(1),
+                         check=lambda df: (_ for _ in ()).throw(
+                             RuntimeError("boom")))
+    assert _rows(t.read()) == _rows(t.read(3))
