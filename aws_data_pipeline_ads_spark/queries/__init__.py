@@ -31,32 +31,26 @@ DRIVER_WINDOW = 50  # driver checks the first N entries of queries()
 # first (charter centerpiece), then one representative per remaining
 # operator family.
 _WINDOW: list[str] = [
-    # ==== r8 rotation: the 16 late-r7 additions that have never seen a
-    # driver window (KMV sketch tier, winnowing, Zipf/Heaps fits,
-    # Hilbert scan, metadata SUM/AVG, hybrid search, skew profile,
-    # curriculum/epoch mixing, graded contamination overlap,
-    # quality-canonical near-dup collapse) take slots for first
-    # exposure — each already green under tools/driver_sim at sf0.01
-    # (and independently re-run by the r7 judge, 16/16 pass). The two
-    # r7 weak marks (q_embedding_pca: canonicalizable declaration;
-    # q_audio_segments: corpus-scaled sample_rate, now non-empty) stay
-    # in-window so their fixes get driver verification. 16
-    # multi-round-verified r7 window members rotated to the tail
-    # (q_pii_redaction, q_token_bpe, q_chunk_documents,
-    # q_pack_sequences, q_corpus_shuffle, q_domain_caps, q_data_split,
-    # q_sample_weighted, q_ngram_jaccard_uncapped, q_hard_negatives,
-    # q_lake_delete/restore/update/point_lookup/gdpr_delete,
-    # q_ntile_lpad) — every one hash-verified r07; their families keep
-    # in-window hash coverage via the siblings named below. =============
-    # -- KMV bottom-k sketch tier + winnowing fingerprints (first
-    # driver exposure; cross-engine-exact sketch algebra) ---------------
-    "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served",
-    "q_winnow_fingerprint", "q_winnow_pairs",
-    # -- corpus-health fits + hybrid retrieval + skew profiling + data
-    # mixing (first driver exposure) -------------------------------------
-    "q_zipf_fit", "q_heaps_fit", "q_hybrid_search", "q_skew_profile",
-    "q_curriculum_order", "q_epoch_mixture", "q_contamination_overlap",
-    "q_neardup_keep_best",
+    # ==== r9 rotation: the 9 r8 additions that landed after the r8
+    # window was pinned (incremental MV refresh, unigram tokenizer
+    # vocab+tokenize, chat flatten, DPO preference pairs, GIF/BMP
+    # codec roundtrips, lake tags, seasonal decomposition) take slots
+    # for first driver exposure — each green under tools/driver_sim at
+    # sf0.01 and independently re-run by the r8 judge (9/9 pass,
+    # hostile TZ). 9 r08-hash-verified window members rotated to the
+    # tail (q_kmv_jaccard/rollup/served, q_winnow_pairs, q_heaps_fit,
+    # q_epoch_mixture, q_contamination_overlap, q_neardup_keep_best,
+    # q_skew_profile); their families keep in-window hash anchors via
+    # q_kmv_distinct, q_winnow_fingerprint, q_zipf_fit,
+    # q_curriculum_order, q_hybrid_search. ===============================
+    # -- r8 additions, first driver exposure ------------------------------
+    "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
+    "q_chat_flatten", "q_preference_pairs", "q_image_gif",
+    "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
+    # -- family anchors kept from the r8 rotation (KMV sketch algebra,
+    # winnowing, corpus-health fit, hybrid retrieval, data mixing) --------
+    "q_kmv_distinct", "q_winnow_fingerprint",
+    "q_zipf_fit", "q_hybrid_search", "q_curriculum_order",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out) ----------------------------------------------
     "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
@@ -97,12 +91,11 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
-    # -- NEW in r8 (after the window rotation was pinned): verified
-    # locally via tools/driver_sim + the sf0.1 sweep this round; rotate
-    # into the r9 window for first driver exposure -----------------------
-    "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
-    "q_chat_flatten", "q_preference_pairs", "q_image_gif",
-    "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
+    # -- r9 rotation: r08-hash-verified window members that yielded
+    # their slots to the 9 r8-addition first exposures --------------------
+    "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",
+    "q_heaps_fit", "q_epoch_mixture", "q_contamination_overlap",
+    "q_neardup_keep_best", "q_skew_profile",
     # -- r8 rotation: hash-verified-r07 window members that yielded
     # their slots to the 16 first-exposure late-r7 tiers ------------------
     "q_pii_redaction", "q_token_bpe", "q_chunk_documents",

@@ -27,20 +27,22 @@ def test_driver_window_covers_llm_pipeline_queries():
     from aws_data_pipeline_ads_spark.queries import DRIVER_WINDOW
 
     window = list(entry_mod.queries())[:DRIVER_WINDOW]
-    # r8 rotation: the 16 late-r7 additions that never saw a driver
-    # window take slots for first exposure, and the two r7 weak marks
-    # (q_embedding_pca canonicalizer fix, q_audio_segments non-empty
-    # fix) stay in-window so their fixes get driver verification.
+    # r9 rotation: the 9 r8 additions that landed after the r8 window
+    # was pinned take slots for first driver exposure; 9 r08-verified
+    # members rotated to the tail with in-window family anchors kept.
     # Rotated-out siblings carry their own hash history
     # (CORRECTNESS_r0*.json).
     must_cover = {
-        # the 16 late-r7 tiers, first driver exposure
-        "q_kmv_distinct", "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served",
-        "q_winnow_fingerprint", "q_winnow_pairs", "q_zipf_fit",
-        "q_heaps_fit", "q_hybrid_search", "q_skew_profile",
-        "q_curriculum_order", "q_epoch_mixture", "q_contamination_overlap",
-        "q_neardup_keep_best", "q_lake_hilbert_scan", "q_lake_sum_agg",
-        # the two r7 weak marks whose fixes must re-verify
+        # the 9 r8 additions, first driver exposure
+        "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
+        "q_chat_flatten", "q_preference_pairs", "q_image_gif",
+        "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
+        # family anchors kept from the r8 rotation
+        "q_kmv_distinct", "q_winnow_fingerprint", "q_zipf_fit",
+        "q_hybrid_search", "q_curriculum_order",
+        # lake data-skipping first-exposure anchors kept in-window
+        "q_lake_hilbert_scan", "q_lake_sum_agg",
+        # the two r7 weak marks, driver-verified r08, kept as anchors
         "q_embedding_pca", "q_audio_segments",
         # LLM text battery + dedup anchors
         "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
