@@ -238,12 +238,13 @@ class S3CommitBackend(CommitBackend):
 
     * put_if_absent → ``PutObject`` with ``If-None-Match: *`` (S3
       conditional writes, GA 2024) — 412 PreconditionFailed = lost.
-    * put_if_match  → ``PutObject`` with ``If-Match: <etag>``. The
-      interface's expected-CONTENT contract maps onto ETags because a
-      single non-multipart unencrypted PUT's ETag IS the quoted MD5 of
-      its bytes — both sides of every log write here. (SSE-KMS or
-      multipart would break that equivalence; log JSONs are small
-      single PUTs, so it holds by construction.)
+    * put_if_match  → ``PutObject`` with ``If-Match: <etag>`` where
+      the ETag is the one the store REPORTS for the current object
+      (HEAD before PUT), so the CAS works even where ETag is not
+      content-MD5 (SSE-KMS, multipart, S3-compatibles). The
+      expected-CONTENT contract is bridged by comparing the reported
+      ETag to md5(expected) and falling back to a GET when they
+      differ — see put_if_match.
     * 409 ConditionalRequestConflict (a concurrent conditional write
       in flight on real S3) also reports as a loss — every caller's
       protocol response to False is re-read-and-retry, which is
@@ -279,11 +280,33 @@ class S3CommitBackend(CommitBackend):
 
     def put_if_match(self, path: str, data: str,
                      expected: str | None) -> bool:
+        """CAS on the ETag the store ACTUALLY reports for the current
+        object (one HEAD per CAS — checkpoint/tag only, never the
+        append hot path). Recomputing md5(expected) instead would make
+        the CAS lose forever on buckets whose ETag is not content-MD5
+        (SSE-KMS, multipart, some S3-compatibles), misreported as
+        contention. When the reported ETag differs from content-MD5 we
+        disambiguate with one GET: content == expected means a non-MD5
+        ETag store (CAS proceeds on the observed ETag); content drift
+        means a genuinely lost race (False, caller re-reads)."""
         import hashlib
 
         if expected is None:
             return self.put_if_absent(path, data)
-        etag = f'"{hashlib.md5(expected.encode()).hexdigest()}"'
+        try:
+            head = self.client.head_object(Bucket=self.bucket,
+                                           Key=self._key(path))
+        except self._client_error as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            if code in ("404", "NoSuchKey", "NotFound"):
+                return False  # object vanished under us — lost
+            raise
+        etag = head["ETag"]
+        if etag != f'"{hashlib.md5(expected.encode()).hexdigest()}"':
+            if self.get(path) != expected:
+                return False  # real content change — lost race
+            # content matches but ETag isn't its MD5 (SSE-KMS /
+            # multipart store): CAS on the observed ETag below.
         try:
             self.client.put_object(Bucket=self.bucket, Key=self._key(path),
                                    Body=data.encode(), IfMatch=etag)
@@ -407,7 +430,15 @@ class HadoopFsDataPlane(DataPlane):
         fs.delete(p, False)  # False on missing: already a no-op
 
     def walk(self, dir_path: str) -> list[str]:
+        """Returned paths preserve the CALLER'S addressing form. A
+        caller that passed an explicit scheme (s3a://bucket/…,
+        abfss://…) gets full URIs back — stripping to toUri().getPath()
+        would drop scheme AND bucket, so commit entries would record
+        paths that later resolve against the default FS (wrong store,
+        or nothing). A scheme-less caller gets plain paths, which keep
+        resolving through the same default FS that listed them."""
         fs, p = self._fs(dir_path)
+        keep_uri = "://" in dir_path or dir_path.startswith("file:")
         out = []
         it = fs.listFiles(p, True)
         while it.hasNext():
@@ -415,7 +446,8 @@ class HadoopFsDataPlane(DataPlane):
             name = st.getPath().getName()
             if name.startswith("_") or name.startswith("."):
                 continue
-            out.append(st.getPath().toUri().getPath())
+            out.append(st.getPath().toString() if keep_uri
+                       else st.getPath().toUri().getPath())
         return sorted(out)
 
 
@@ -1839,23 +1871,46 @@ class LakeTable:
         into the serving table. A failed audit on the FIRST commit of
         an empty table cannot restore (no prior head) — the failure
         propagates with the table left at the bad v0; callers starting
-        a table should validate before the first commit."""
+        a table should validate before the first commit.
+
+        Concurrent WRITERS: if another commit lands between the audited
+        version and the restore, restoring would silently supersede it
+        (its rows would vanish from the new head). The restore is
+        therefore guarded — it only proceeds while the audited version
+        is still the head; otherwise the failure propagates with the
+        log left as-is for explicit resolution (restore() further back,
+        or re-audit the advanced head)."""
         prior = self.current_version()
         v = self.commit(df, mode, txn_id=txn_id, **kwargs)
         try:
             ok = check(self.read(v)) if check is not None else True
         except Exception:
-            if prior is not None:
-                self.restore(prior)
+            self._audit_restore(v, prior)
             raise
         if not ok:
-            if prior is not None:
-                self.restore(prior)
+            self._audit_restore(v, prior)
             raise ValueError(
                 f"lake table {self.path}: audit rejected version {v}"
                 + ("" if prior is None else
                    f" — restored head to version {prior}'s snapshot"))
         return v
+
+    def _audit_restore(self, audited: int, prior: int | None) -> None:
+        """Restore `prior` after a failed audit — ONLY if `audited` is
+        still the head. A concurrent commit that advanced the head is
+        NOT ours to clobber: raise and leave the log for manual
+        resolution instead of silently superseding the other writer."""
+        if prior is None:
+            return
+        head = self.current_version()
+        if head != audited:
+            raise RuntimeError(
+                f"lake table {self.path}: audit of version {audited} "
+                f"failed, but a concurrent writer advanced the head to "
+                f"{head} — not auto-restoring (it would supersede that "
+                f"commit). Resolve explicitly: re-audit the new head, or "
+                f"restore({prior}) to discard both.")
+        self.restore(prior)
 
     # -- tags (named immutable version refs, Iceberg-style) ------------------
 

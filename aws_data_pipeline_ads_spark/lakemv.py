@@ -114,9 +114,15 @@ class LakeMaterializedView:
         (same key, same content hash over group+measure cols) cancel
         out BEFORE any aggregation."""
         cols = self.group_cols + self.measures
-        content = F.md5(F.concat_ws(
-            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
-                      for c in cols]))
+        # Hash the JSON encoding of a struct, not a separator-joined
+        # concat: concat_ws cannot distinguish NULL from '' (both
+        # coalesce to the same bytes — a NULL→'' group flip would slip
+        # past the delta and silently diverge the view), and values
+        # containing the separator could collide across columns. JSON
+        # escapes control characters and ignoreNullFields=false emits
+        # an explicit null, so the encoding is injective on the row.
+        content = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]),
+                                  {"ignoreNullFields": "false"}))
         old = self.source.read(v_old).select(
             F.col(self.key).alias("__k"), *cols, content.alias("__h"))
         new = self.source.read(v_new).select(

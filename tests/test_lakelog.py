@@ -1414,3 +1414,71 @@ def test_commit_audited_write_audit_publish(spark, sf_dir, tmp_path,
                          check=lambda df: (_ for _ in ()).throw(
                              RuntimeError("boom")))
     assert _rows(t.read()) == _rows(t.read(3))
+
+
+def test_hadoop_walk_preserves_callers_addressing_form(spark, sf_dir,
+                                                       tmp_path):
+    """ADVICE r8: walk() results land verbatim in commit entries, so
+    they must keep resolving against the store the caller addressed.
+    An explicit-scheme caller (s3a://bucket/…, here file://…) gets
+    full URIs back — stripping to toUri().getPath() would drop scheme
+    and authority, re-rooting every committed path onto the default
+    FS. A scheme-less caller keeps getting plain paths."""
+    from aws_data_pipeline_ads_spark.lakelog import HadoopFsDataPlane
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = tmp_path / "walked"
+    docs.repartition(3).write.parquet(str(d))
+    dp = HadoopFsDataPlane(spark)
+
+    plain = dp.walk(str(d))
+    assert plain and all(p.startswith("/") for p in plain)
+    assert not any("/_" in p.rsplit("/", 1)[-1] or
+                   p.rsplit("/", 1)[-1].startswith(("_", "."))
+                   for p in plain)
+
+    uri = dp.walk(f"file://{d}")
+    assert len(uri) == len(plain)
+    assert all(p.startswith("file:/") for p in uri)
+    # same files, same order — only the addressing form differs
+    assert [p.rsplit("/", 1)[-1] for p in uri] \
+        == [p.rsplit("/", 1)[-1] for p in plain]
+    # and the URIs are directly loadable (what a scan of the committed
+    # entry would do)
+    assert spark.read.parquet(*uri).count() == docs.count()
+
+
+def test_commit_audited_concurrent_writer_not_clobbered(spark, sf_dir,
+                                                        tmp_path, mk_table):
+    """ADVICE r8: if another commit lands between the audited version
+    and the restore, auto-restoring would silently supersede it (its
+    rows vanish from the new head). The failed audit must refuse to
+    restore and leave the log for explicit resolution."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(docs)                                       # v0 good
+    t2 = LakeTable(spark, str(tmp_path / "tbl"), backend=t.backend)
+
+    def failing_audit_with_concurrent_writer(df):
+        t2.commit(docs.limit(7), "overwrite")            # v2 lands mid-audit
+        return False
+
+    with pytest.raises(RuntimeError, match="concurrent writer advanced"):
+        t.commit_audited(docs.limit(1),
+                         check=failing_audit_with_concurrent_writer)
+    # the concurrent writer's commit is still the head — not superseded
+    assert t.current_version() == 2
+    assert len(_rows(t.read())) == 7
+    # same guard on the raising-check path
+    def raising_audit_with_concurrent_writer(df):
+        t2.commit(docs.limit(3), "overwrite")
+        raise ArithmeticError("audit crashed")
+
+    with pytest.raises(RuntimeError, match="concurrent writer advanced"):
+        t.commit_audited(docs.limit(1),
+                         check=raising_audit_with_concurrent_writer)
+    assert len(_rows(t.read())) == 3
+    # with no interference the normal restore path still runs
+    with pytest.raises(ValueError, match="audit rejected"):
+        t.commit_audited(docs.limit(1), check=lambda df: False)
+    assert len(_rows(t.read())) == 3

@@ -183,3 +183,63 @@ def test_checkpoint_cas_over_http(spark, sf_dir, tmp_path, mk_table):
     assert _rows(t2.read(2)) == rows_v2
     # and a post-checkpoint commit keeps numbering from the checkpoint
     assert t2.commit(docs.limit(1), "append") == 3
+
+
+def test_put_if_match_cas_on_non_md5_etag_store(tmp_path):
+    """ADVICE r8: on stores whose ETag is NOT content-MD5 (SSE-KMS,
+    multipart, some S3-compatibles), synthesizing If-Match from
+    md5(expected) makes every CAS lose forever — misreported as
+    checkpoint contention. The backend must CAS on the ETag the store
+    actually reports. Proven against a fake S3 client with opaque
+    ETags that enforces real If-Match/If-None-Match semantics."""
+    from botocore.exceptions import ClientError
+
+    from aws_data_pipeline_ads_spark.lakelog import S3CommitBackend
+
+    class OpaqueEtagS3:
+        """Dict-backed S3 with server-side conditional writes whose
+        ETags are opaque tokens, never content-MD5."""
+
+        def __init__(self):
+            self.objects: dict[str, tuple[bytes, str]] = {}
+            self.n = 0
+
+        def _err(self, code, op):
+            return ClientError({"Error": {"Code": code}}, op)
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None,
+                       IfMatch=None):
+            cur = self.objects.get(Key)
+            if IfNoneMatch == "*" and cur is not None:
+                raise self._err("PreconditionFailed", "PutObject")
+            if IfMatch is not None and (cur is None or cur[1] != IfMatch):
+                raise self._err("PreconditionFailed", "PutObject")
+            self.n += 1
+            self.objects[Key] = (Body, f'"opaque-{self.n}"')
+
+        def head_object(self, Bucket, Key):
+            if Key not in self.objects:
+                raise self._err("404", "HeadObject")
+            return {"ETag": self.objects[Key][1]}
+
+        def get_object(self, Bucket, Key):
+            if Key not in self.objects:
+                raise self._err("NoSuchKey", "GetObject")
+            import io
+
+            return {"Body": io.BytesIO(self.objects[Key][0])}
+
+    be = S3CommitBackend(OpaqueEtagS3(), "kms-bucket")
+    path = "/tbl/_log/_checkpoint.json"
+    assert be.put_if_absent(path, "v1") is True
+    # the CAS that md5-synthesis would lose forever: expected matches
+    # the CURRENT CONTENT, but the store's ETag is not its MD5
+    assert be.put_if_match(path, "v2", "v1") is True
+    assert be.get(path) == "v2"
+    # stale expected content still refuses (genuine lost race)
+    assert be.put_if_match(path, "v3", "v1") is False
+    assert be.get(path) == "v2"
+    # expected=None routes to exclusive-create, which must lose here
+    assert be.put_if_match(path, "v3", None) is False
+    # CAS against a vanished object reports a loss, not a crash
+    assert be.put_if_match("/tbl/_log/_gone.json", "x", "y") is False

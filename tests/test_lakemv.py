@@ -209,3 +209,51 @@ def test_lake_mv_sink_streaming_refresh(spark, sf_dir, tmp_path):
     # ...and the next refresh (what the next batch would run) heals it
     mv.refresh()
     assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+def test_delta_distinguishes_null_from_empty_string(spark, tmp_path):
+    """ADVICE r8: the change detector must not hash NULL and '' to the
+    same bytes — a group flip NULL→'' (or a measure-bearing column
+    doing the same) would slip past the delta and silently diverge the
+    view from a full recompute."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang=None, n_chars=10),
+         Row(doc_id=2, lang="", n_chars=3),
+         Row(doc_id=3, lang="aa", n_chars=4)],
+        "doc_id long, lang string, n_chars long"))
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+
+    def _nrows(df):  # None-safe sort (a NULL group is a legal group)
+        return sorted((tuple(r) for r in df.collect()), key=repr)
+
+    # NULL → '' on the group column: same concat_ws bytes, real change
+    t.update({"doc_id": (1, 1)}, {"lang": F.lit("")})
+    mv.refresh()
+    assert _nrows(mv.read()) == _nrows(_recompute(t.read()))
+    got = {r["lang"]: r["n_rows"] for r in mv.read().collect()}
+    assert got == {"": 2, "aa": 1}  # the NULL group is gone
+    # and back: '' → NULL on one of the two '' rows
+    t.update({"doc_id": (2, 2)}, {"lang": F.lit(None).cast("string")})
+    mv.refresh()
+    assert _nrows(mv.read()) == _nrows(_recompute(t.read()))
+    # a separator-collision shape on the measure side: values embedding
+    # the old '\x1f' separator must not cancel across columns
+    t2 = LakeTable(spark, str(tmp_path / "src2"))
+    t2.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="x\x1fy", n_chars=None)],
+        "doc_id long, lang string, n_chars long"))
+    mv2 = LakeMaterializedView(
+        spark, t2, str(tmp_path / "mv2"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"])
+    mv2.refresh()
+    t2.update({"doc_id": (1, 1)},
+              {"lang": F.lit("x"), "n_chars": F.lit(121)})
+    mv2.refresh()
+    assert _rows(mv2.read()) == _rows(
+        t2.read().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_chars").alias("n_n_chars"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .alias("sum_n_chars")))
