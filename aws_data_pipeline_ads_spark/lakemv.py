@@ -49,7 +49,8 @@ class LakeMaterializedView:
     as its own LakeTable at `path` and refreshed incrementally.
 
     State schema: group_cols..., n_rows long, then per measure
-    n_<m> long (non-null count) and sum_<m> decimal(38,6). The
+    n_<m> long (non-null count) and sum_<m> decimal(38,6), then per
+    `minmax` measure min_<m>/max_<m> in the source column's type. The
     non-null count is load-bearing, not a convenience: SQL SUM over a
     group whose remaining values are all NULL is NULL, and a signed
     running sum alone cannot distinguish that from a legitimate 0 —
@@ -57,18 +58,31 @@ class LakeMaterializedView:
     state bit-identical to a full recompute. True AVG(m) is
     sum_<m>/n_<m> (per-column count, not n_rows). AVG itself is
     deliberately not stored — it would break additivity.
+
+    MIN/MAX are NOT invertible — deleting a group's current extremum
+    cannot be answered by any signed running value — so they are
+    maintained by the standard fallback (Delta/DLT do the same):
+    delta-scoped partial recompute. Each refresh recomputes min/max
+    from the new source head for EXACTLY the groups present in the
+    delta (a semi-join on the delta's distinct group set — delta-
+    cardinality, broadcastable); untouched groups keep their stored
+    extrema. Group stats in the commit log still prune the head scan
+    where the group correlates with files; the worst case is one
+    filtered scan of the head per refresh — still never a global
+    re-aggregation, and exact by construction.
     """
 
     def __init__(self, spark: SparkSession, source: LakeTable, path: str,
                  key: str, group_cols: list[str], measures: list[str],
-                 backend: CommitBackend | None = None):
+                 backend: CommitBackend | None = None,
+                 minmax: list[str] | None = None):
         # `key` must be unique per source snapshot (the table's primary
         # key — the same contract LakeTable.merge holds): the delta is
         # a key-based full-outer join, and duplicate keys would
         # multiply rows through it, corrupting the signed counts.
         if not group_cols:
             raise ValueError("materialized view needs >=1 group column")
-        overlap = set(group_cols) & set(measures)
+        overlap = set(group_cols) & (set(measures) | set(minmax or []))
         if overlap:
             raise ValueError(f"columns cannot be both group and "
                              f"measure: {sorted(overlap)}")
@@ -77,6 +91,7 @@ class LakeMaterializedView:
         self.key = key
         self.group_cols = list(group_cols)
         self.measures = list(measures)
+        self.minmax = list(minmax or [])
         self.table = LakeTable(spark, path, backend=backend)
 
     # -- bookkeeping ---------------------------------------------------------
@@ -106,6 +121,9 @@ class LakeMaterializedView:
         for m in self.measures:
             aggs.append(F.count(F.col(m)).alias(self._cnt_col(m)))
             aggs.append(F.sum(F.col(m).cast(_DEC)).alias(self._sum_col(m)))
+        for m in self.minmax:
+            aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
+            aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _delta(self, v_old: int, v_new: int) -> DataFrame:
@@ -113,7 +131,8 @@ class LakeMaterializedView:
         measures + sign (+1 appeared / -1 disappeared). Unchanged keys
         (same key, same content hash over group+measure cols) cancel
         out BEFORE any aggregation."""
-        cols = self.group_cols + self.measures
+        cols = list(dict.fromkeys(self.group_cols + self.measures
+                                  + self.minmax))
         # Hash the JSON encoding of a struct, not a separator-joined
         # concat: concat_ws cannot distinguish NULL from '' (both
         # coalesce to the same bytes — a NULL→'' group flip would slip
@@ -166,9 +185,12 @@ class LakeMaterializedView:
                 f"view; rebuild it (drop the view table) instead of "
                 f"applying a negative-range delta")
 
-        d = self._full_aggregate_of_delta(self._delta(last, head))
+        delta = self._delta(last, head)
+        d = self._full_aggregate_of_delta(delta)
         state = self.table.read()
         merged = self._merge_state(state, d)
+        if self.minmax:
+            merged = self._apply_minmax(merged, state, delta, head)
         self.table.commit(merged, "overwrite", txn_id=txn)
         return head
 
@@ -183,6 +205,53 @@ class LakeMaterializedView:
                 F.sum(F.col(m).cast(_DEC) * F.col("__sign"))
                 .cast(_DEC).alias(self._sum_col(m)))
         return delta.groupBy(*self.group_cols).agg(*aggs)
+
+    def _nullsafe_group_eq(self, left: str, right: str):
+        cond = None
+        for g in self.group_cols:
+            eq = F.col(f"{left}.{g}").eqNullSafe(F.col(f"{right}.{g}"))
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    def _apply_minmax(self, merged: DataFrame, state: DataFrame,
+                      delta: DataFrame, head: int) -> DataFrame:
+        """Attach min_/max_ columns to the merged invertible state.
+
+        Non-invertible extrema: recompute from the source head for
+        exactly the groups the delta touched (delete a group's current
+        MAX and no signed value can answer — only the group's surviving
+        rows can), keep stored extrema everywhere else. `touched` and
+        the recompute output are delta-/group-cardinality-sized, so
+        both joins broadcast; the head scan is semi-join-filtered to
+        touched groups."""
+        touched = delta.select(*self.group_cols).distinct()
+        src = self.source.read(head).alias("x")
+        t = touched.alias("t")
+        scoped = src.join(F.broadcast(t), self._nullsafe_group_eq("x", "t"),
+                          "leftsemi")
+        aggs = []
+        for m in self.minmax:
+            aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
+            aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+        rec = (scoped.groupBy(*self.group_cols).agg(*aggs)
+               .withColumn("__touched", F.lit(1)))
+        mm_cols = [c for m in self.minmax for c in (f"min_{m}", f"max_{m}")]
+        old = state.select(*self.group_cols, *mm_cols)
+        # both broadcast sides are view-state-sized (one row per
+        # group), never source-sized
+        j = (merged.alias("m")
+             .join(F.broadcast(old.alias("s")),
+                   self._nullsafe_group_eq("m", "s"), "left")
+             .join(F.broadcast(rec.alias("r")),
+                   self._nullsafe_group_eq("m", "r"), "left"))
+        sel = [F.col(f"m.{c}") for c in merged.columns]
+        for c in mm_cols:
+            # a surviving touched group always has a recompute row (it
+            # exists in the head); an untouched group keeps its extrema
+            sel.append(F.when(F.col("r.__touched").isNotNull(),
+                              F.col(f"r.{c}"))
+                       .otherwise(F.col(f"s.{c}")).alias(c))
+        return j.select(*sel)
 
     def _merge_state(self, state: DataFrame, d: DataFrame) -> DataFrame:
         """state ⊕ delta, null-safe on the group key (a NULL group is a

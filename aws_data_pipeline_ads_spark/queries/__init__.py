@@ -47,10 +47,13 @@ _WINDOW: list[str] = [
     "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
     "q_chat_flatten", "q_preference_pairs", "q_image_gif",
     "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
+    # -- NEW in r9: MIN/MAX materialized view (delta-scoped partial
+    # recompute for non-invertible aggregates), first driver exposure ----
+    "q_lake_mv_minmax",
     # -- family anchors kept from the r8 rotation (KMV sketch algebra,
-    # winnowing, corpus-health fit, hybrid retrieval, data mixing) --------
+    # winnowing, corpus-health fit, hybrid retrieval) ---------------------
     "q_kmv_distinct", "q_winnow_fingerprint",
-    "q_zipf_fit", "q_hybrid_search", "q_curriculum_order",
+    "q_zipf_fit", "q_hybrid_search",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out) ----------------------------------------------
     "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
@@ -95,7 +98,7 @@ _TAIL: list[str] = [
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",
     "q_heaps_fit", "q_epoch_mixture", "q_contamination_overlap",
-    "q_neardup_keep_best", "q_skew_profile",
+    "q_neardup_keep_best", "q_skew_profile", "q_curriculum_order",
     # -- r8 rotation: hash-verified-r07 window members that yielded
     # their slots to the 16 first-exposure late-r7 tiers ------------------
     "q_pii_redaction", "q_token_bpe", "q_chunk_documents",

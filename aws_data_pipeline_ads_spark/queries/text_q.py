@@ -1356,6 +1356,7 @@ def lakegdpr_index(spark, sf_dir: str) -> str:
 
 @query(
     "q_lake_tag_scan",
+    bench=True,  # pure-metadata tag resolve + scan, r9 bench add
     oracle=(
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
         "FROM documents"
@@ -1617,6 +1618,7 @@ _GIF_P = f"({_GIF_W} * {_GIF_H})"
 
 @query(
     "q_image_gif",
+    bench=True,  # pure-Python LZW decode, r9 bench add
     oracle=(
         "SELECT doc_id, "
         f"CAST({_GIF_W} AS INT) AS width, "
@@ -1656,6 +1658,7 @@ _BMP_SA = "(doc_id % 256 + (3 * doc_id) % 256 + (7 * doc_id) % 256)"
 
 @query(
     "q_image_bmp",
+    bench=True,  # numpy BMP decode, r9 bench add
     oracle=(
         "SELECT doc_id, "
         f"CAST({_BMP_W} AS INT) AS width, "
@@ -2426,6 +2429,7 @@ def unigram_vocab(spark, sf_dir: str) -> list[tuple[str, float]]:
 
 @query(
     "q_unigram_tok_vocab",
+    bench=True,  # EM tokenizer training, r9 bench add
     oracle=None,  # iterative EM training — not one SQL statement;
     # distributed-vs-sequential equality, the EM likelihood guarantee,
     # coverage and cross-partitioning determinism pinned in
@@ -3065,6 +3069,79 @@ def q_lake_mv_refresh(spark, sf_dir):
         key="doc_id", group_cols=["lang"], measures=["n_chars"])
     return mv.read().select(
         "lang", "n_rows", "n_n_chars",
+        F.col("sum_n_chars").cast("double").alias("sum_n_chars"))
+
+
+# MIN/MAX view variant: the revision sequence is engineered so a
+# refresh DESTROYS the current per-group maxima (update a doc_id range
+# to a sentinel max, refresh, then delete exactly that range) — the
+# case signed deltas cannot answer and the delta-scoped partial
+# recompute must.
+def lakemv_minmax_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        mv = LakeMaterializedView(
+            spark, t, f"{path}/mv", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"],
+            minmax=["n_chars"])
+        t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                 .repartitionByRange(8, "doc_id"), txn_id="rev-0")
+        mv.refresh()                                  # full build
+        t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append",
+                 txn_id="rev-1")
+        mv.refresh()                                  # +appended rows
+        t.update({"doc_id": (50, 69)}, {"n_chars": F.lit(999_999)},
+                 txn_id="rev-2")
+        mv.refresh()                                  # sentinel maxima in
+        t.delete({"doc_id": (50, 69)}, txn_id="rev-3")
+        mv.refresh()                                  # extrema destroyed
+        t.delete({"doc_id": (10, 19)}, txn_id="rev-4")
+        mv.refresh()
+
+    return index_path("lakemv_mm", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_minmax",
+    bench=True,  # MIN/MAX MV state read, new in r9
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(MIN(n_chars) AS BIGINT) AS min_n_chars, "
+        "CAST(MAX(n_chars) AS BIGINT) AS max_n_chars, "
+        "CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS sum_n_chars "
+        "FROM documents WHERE doc_id NOT BETWEEN 50 AND 69 "
+        "AND doc_id NOT BETWEEN 10 AND 19 GROUP BY lang"
+    ),
+    doc="LLM lake versioning: NON-INVERTIBLE aggregates in the "
+        "incremental materialized view (lakemv minmax=) — per-lang "
+        "MIN/MAX maintained by delta-scoped partial recompute: each "
+        "refresh recomputes extrema from the source head for exactly "
+        "the delta's touched groups (broadcast semi-join) while "
+        "count/sum stay signed-delta incremental. The revision "
+        "sequence plants a 999999 sentinel max via CoW update, then "
+        "deletes exactly those rows — destroying every touched "
+        "group's stored MAX, the case signed counts cannot answer. "
+        "Hash-matching a flat GROUP BY MIN/MAX over the final "
+        "predicate proves the fallback recomputed from surviving "
+        "rows. The standard Delta/DLT answer for MIN/MAX views",
+)
+def q_lake_mv_minmax(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    idx = lakemv_minmax_index(spark, sf_dir)
+    mv = LakeMaterializedView(
+        spark, LakeTable(spark, f"{idx}/tbl"), f"{idx}/mv",
+        key="doc_id", group_cols=["lang"], measures=["n_chars"],
+        minmax=["n_chars"])
+    return mv.read().select(
+        "lang", "n_rows", "min_n_chars", "max_n_chars",
         F.col("sum_n_chars").cast("double").alias("sum_n_chars"))
 
 

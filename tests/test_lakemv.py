@@ -257,3 +257,82 @@ def test_delta_distinguishes_null_from_empty_string(spark, tmp_path):
             F.count("n_chars").alias("n_n_chars"),
             F.sum(F.col("n_chars").cast("decimal(38,6)"))
             .alias("sum_n_chars")))
+
+
+def _recompute_mm(src_df):
+    return src_df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_n_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).alias("sum_n_chars"),
+        F.min("n_chars").alias("min_n_chars"),
+        F.max("n_chars").alias("max_n_chars"),
+    )
+
+
+def test_minmax_deleting_current_extremum(spark, tmp_path):
+    """The case signed counts cannot answer: delete a group's current
+    MAX row — the new MAX must come from the group's surviving rows
+    (delta-scoped partial recompute), and untouched groups must keep
+    their stored extrema."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="xx", n_chars=100),   # xx's max
+         Row(doc_id=2, lang="xx", n_chars=3),
+         Row(doc_id=3, lang="xx", n_chars=7),
+         Row(doc_id=4, lang="yy", n_chars=50)],   # untouched group
+        "doc_id long, lang string, n_chars long"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"], minmax=["n_chars"])
+    mv.refresh()
+    got = {r["lang"]: r for r in mv.read().collect()}
+    assert (got["xx"]["min_n_chars"], got["xx"]["max_n_chars"]) == (3, 100)
+
+    t.delete({"doc_id": (1, 1)})                  # kill xx's max
+    mv.refresh()
+    got = {r["lang"]: r for r in mv.read().collect()}
+    assert (got["xx"]["min_n_chars"], got["xx"]["max_n_chars"]) == (3, 7)
+    assert (got["yy"]["min_n_chars"], got["yy"]["max_n_chars"]) == (50, 50)
+    assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
+
+    t.delete({"doc_id": (2, 2)})                  # now kill xx's MIN
+    mv.refresh()
+    got = {r["lang"]: r for r in mv.read().collect()}
+    assert (got["xx"]["min_n_chars"], got["xx"]["max_n_chars"]) == (7, 7)
+    assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
+
+
+def test_minmax_incremental_matches_recompute(spark, sf_dir, tmp_path, src):
+    """Full invariant over append/delete/update with extrema riding
+    along: incremental == full recompute, min/max included."""
+    t, docs = src
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"], minmax=["n_chars"])
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
+
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
+
+    # force a new per-group max, then delete exactly those rows — the
+    # extremum the view holds is destroyed and must fall back
+    t.update({"doc_id": (50, 69)}, {"n_chars": F.lit(999_999)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
+    assert mv.read().agg(F.max("max_n_chars")).collect()[0][0] == 999_999
+    t.delete({"doc_id": (50, 69)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
+    assert mv.read().agg(F.max("max_n_chars")).collect()[0][0] < 999_999
+
+    # all-NULL group: extrema must be NULL, like a full recompute
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=10_000_001, lang="nullgrp", n_chars=None)],
+        "doc_id long, lang string, n_chars long"), "append")
+    mv.refresh()
+    got = {r["lang"]: r for r in mv.read().collect()}
+    assert got["nullgrp"]["min_n_chars"] is None
+    assert got["nullgrp"]["max_n_chars"] is None
+    assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
