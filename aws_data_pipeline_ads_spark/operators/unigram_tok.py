@@ -25,12 +25,19 @@ Scale shape — same posture as bpe.py:
   the driver — the same bounded-collect class as BPE's 1-row argmax
   or IVF's centroid table.
 
-Simplifications vs the reference algorithm, both documented where they
-bite: pruning keeps the top pieces by expected count rather than by
-leave-one-out likelihood loss (SentencePiece §3.2's exact criterion),
-and seeding uses frequency-weighted substrings rather than the
-Enhanced Suffix Array. Single-character pieces are never pruned, which
-guarantees every training word stays segmentable (full coverage).
+Pruning uses SentencePiece §3.2's leave-one-out likelihood criterion
+by default (prune_criterion="loo"): each piece's loss is the corpus
+log-likelihood drop when the piece is removed and its expected
+frequency re-routes to its best alternative segmentation — computed
+driver-side on the vocab-scale piece table (one short-string Viterbi
+per candidate), exactly where SentencePiece computes it. The cheaper
+expected-count ranking remains available (prune_criterion="count");
+tests/test_unigram_tok.py measures how far the two criteria's
+vocabularies actually diverge on testdata. One simplification remains,
+documented where it bites: seeding uses frequency-weighted substrings
+rather than the Enhanced Suffix Array. Single-character pieces are
+never pruned, which guarantees every training word stays segmentable
+(full coverage).
 
 Determinism: all ties break lexicographically on the piece string.
 """
@@ -224,17 +231,66 @@ def _e_step(spark, words: DataFrame, logp: dict[str, float],
     return counts, loglik
 
 
+def _loo_losses(logp: dict[str, float], counts: dict[str, float],
+                max_len: int) -> dict[str, float]:
+    """Leave-one-out likelihood loss per multi-char piece
+    (SentencePiece §3.2, unigram_model_trainer PruneSentencePieces):
+    removing piece p re-routes its expected frequency freq(p) onto p's
+    best ALTERNATIVE segmentation under the remaining vocab, and the
+    corpus log-likelihood drops by
+
+        loss(p) = freq(p) · [ (log freq(p) − log S)
+                  − Σ_{a ∈ alt(p)} (log(freq(a)+freq(p)) − log S_alt) ]
+
+    with S = Σ freq and S_alt = S + freq(p)·(|alt(p)|−1). Driver-side
+    and vocab-scale: one Viterbi over the piece STRING per candidate,
+    never a corpus pass. A piece with zero expected count has -inf
+    loss (removing it costs nothing — pruned first)."""
+    total = sum(counts.values())
+    unk = min(logp.values()) - 10.0
+    log_s = math.log(total)
+    lp = dict(logp)
+    losses: dict[str, float] = {}
+    for p in logp:
+        if len(p) == 1:
+            continue
+        freq = counts.get(p, 0.0)
+        if freq <= 0.0:
+            losses[p] = _NEG_INF
+            continue
+        saved = lp.pop(p)
+        alt = _viterbi(p, lp, max_len, unk)
+        lp[p] = saved
+        log_s_alt = math.log(total + freq * (len(alt) - 1))
+        logprob_alt = sum(
+            math.log(counts.get(a, 0.0) + freq) - log_s_alt for a in alt)
+        losses[p] = freq * ((math.log(freq) - log_s) - logprob_alt)
+    return losses
+
+
 def unigram_train(documents: DataFrame, vocab_size: int = 512,
                   text_col: str = "text", max_len: int = 6,
                   max_seed: int = 2000, em_rounds: int = 2,
-                  shrink: float = 0.75) -> list[tuple[str, float]]:
+                  shrink: float = 0.75,
+                  prune_criterion: str = "loo") -> list[tuple[str, float]]:
     """Train a unigram tokenizer on the corpus: seed → (EM ×
     em_rounds → prune to max(vocab_size, |V|·shrink)) until the vocab
     reaches vocab_size. Returns [(piece, logp)] sorted by -logp then
-    piece. Single-char pieces are never pruned (coverage)."""
+    piece. Single-char pieces are never pruned (coverage).
+
+    prune_criterion: "loo" (default) ranks pieces by SentencePiece
+    §3.2's leave-one-out likelihood loss; "count" ranks by expected
+    count. Measured (tests/test_unigram_tok.py::
+    test_loo_vs_count_criteria; sf0.001 documents at the registry
+    config): the two criteria converge to the IDENTICAL vocabulary on
+    testdata — the assertion pins an agreement floor so a corpus where
+    they genuinely diverge still passes while a ranking bug fails."""
+    if prune_criterion not in ("loo", "count"):
+        raise ValueError(f"unknown prune_criterion {prune_criterion!r}")
     spark = documents.sparkSession
     words = word_counts(documents, text_col).localCheckpoint()
     logp = seed_vocab(words, max_len, max_seed)
+    counts: dict[str, float] = {}
     while True:
         for _ in range(em_rounds):
             counts, _ll = _e_step(spark, words, logp, max_len)
@@ -248,9 +304,13 @@ def unigram_train(documents: DataFrame, vocab_size: int = 512,
         if len(logp) <= vocab_size:
             break
         keep = max(vocab_size, int(len(logp) * shrink))
+        if prune_criterion == "loo":
+            losses = _loo_losses(logp, counts, max_len)
+            rank = lambda kv: (-losses[kv[0]], kv[0])  # noqa: E731
+        else:
+            rank = lambda kv: (-kv[1], kv[0])  # noqa: E731
         multi = sorted(
-            ((p, lp) for p, lp in logp.items() if len(p) > 1),
-            key=lambda kv: (-kv[1], kv[0]))
+            ((p, lp) for p, lp in logp.items() if len(p) > 1), key=rank)
         singles = {p: lp for p, lp in logp.items() if len(p) == 1}
         n_multi = max(0, keep - len(singles))
         logp = dict(multi[:n_multi]) | singles
@@ -276,6 +336,8 @@ def unigram_segment(documents: DataFrame, vocab: list[tuple[str, float]],
         T.StructField(doc_id_col, T.LongType()),
         T.StructField("n_pieces", T.LongType()),
         T.StructField("n_words", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("n_unk", T.LongType()),
         T.StructField("pieces_preview", T.StringType()),
     ])
 
@@ -288,7 +350,7 @@ def unigram_segment(documents: DataFrame, vocab: list[tuple[str, float]],
         # partition's vocabulary, not its token count)
         memo: dict[str, list[str]] = {}
         for pdf in it:
-            ids, nps, nws, prevs = [], [], [], []
+            ids, nps, nws, ncs, nus, prevs = [], [], [], [], [], []
             for did, text in zip(pdf[doc_id_col], pdf[text_col]):
                 ws = [w for w in str(text).lower().strip().split() if w]
                 pieces: list[str] = []
@@ -300,8 +362,13 @@ def unigram_segment(documents: DataFrame, vocab: list[tuple[str, float]],
                 ids.append(did)
                 nps.append(len(pieces))
                 nws.append(len(ws))
+                # losslessness witness: Σ|piece| must re-cover every
+                # word char; unk count is the coverage-health metric
+                ncs.append(sum(len(p) for p in pieces))
+                nus.append(sum(1 for p in pieces if p not in lp))
                 prevs.append("▁".join(pieces[:12]))
             yield pd.DataFrame({doc_id_col: ids, "n_pieces": nps,
-                                "n_words": nws, "pieces_preview": prevs})
+                                "n_words": nws, "n_chars": ncs,
+                                "n_unk": nus, "pieces_preview": prevs})
 
     return documents.select(doc_id_col, text_col).mapInPandas(run, schema)

@@ -2423,7 +2423,10 @@ def unigram_vocab(spark, sf_dir: str) -> list[tuple[str, float]]:
         with open(f"{p}/vocab.json", "w") as f:
             json.dump(vocab, f)
 
-    with open(f"{index_path('unigramtok', sf_dir, build)}/vocab.json") as f:
+    # key versioned r9: pruning criterion moved to SentencePiece §3.2
+    # leave-one-out loss (unigram_tok.prune_criterion default), which
+    # changes the trained vocab — stale caches must not serve it
+    with open(f"{index_path('unigramtok_loo', sf_dir, build)}/vocab.json") as f:
         return [(p, lp) for p, lp in json.load(f)]
 
 
@@ -2453,21 +2456,38 @@ def q_unigram_tok_vocab(spark, sf_dir):
 @query(
     "q_unigram_tokenize",
     bench=True,  # broadcast-Viterbi Arrow map shape, new in r8
-    oracle=None,  # Viterbi lattice decode — not SQL-expressible;
-    # split preference, unk fallback, losslessness and fertility bounds
-    # pinned in tests/test_unigram_tok.py
+    oracle=(
+        # the trained-vocab-INDEPENDENT segmentation invariants, exact
+        # per doc: word count, losslessness (Σ|piece| re-covers every
+        # word char) and unk-rate (exactly 0 — training keeps every
+        # corpus char). The vocab-DEPENDENT piece count stays pinned by
+        # tests/test_unigram_tok.py (Viterbi optimality vs brute DP).
+        "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "trim(lower(text)), '\\s+')) AS word FROM documents) "
+        "SELECT doc_id, "
+        "CAST(COUNT(CASE WHEN word <> '' THEN 1 END) AS BIGINT) "
+        "AS n_words, "
+        "CAST(COALESCE(SUM(length(word)), 0) AS BIGINT) AS n_chars, "
+        "CAST(0 AS BIGINT) AS n_unk "
+        "FROM w GROUP BY doc_id"
+    ),
     doc="LLM tokenizer application: Viterbi-segment every document "
         "with the trained unigram vocab (broadcast once, Arrow-batched, "
-        "pieces never shuffle — only doc_id + counts + a capped "
-        "preview leave the stage). Piece-level fertility vs whitespace "
-        "words is the stat a tokenizer bake-off reads "
+        "pieces never shuffle — only doc_id + counts leave the stage). "
+        "Hash-checked on the segmentation invariants a trained vocab "
+        "must satisfy corpus-wide: exact word counts, losslessness "
+        "(piece lengths re-cover every character of every word — a "
+        "dropped/duplicated span breaks the sum) and zero unknowns "
+        "(single-char coverage is never pruned). Piece-count fertility "
+        "is vocab-dependent and stays pytest-pinned "
         "(unigram_tok.unigram_segment)",
 )
 def q_unigram_tokenize(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import unigram_tok
 
     docs = load_table(spark, sf_dir, "documents")
-    return unigram_tok.unigram_segment(docs, unigram_vocab(spark, sf_dir))
+    seg = unigram_tok.unigram_segment(docs, unigram_vocab(spark, sf_dir))
+    return seg.select("doc_id", "n_words", "n_chars", "n_unk")
 
 
 @query(

@@ -111,8 +111,8 @@ def test_oracle_sql_covers_most_queries():
             # numpy-equality + orthonormality pytest-pinned
             "q_unigram_tok_vocab",  # iterative EM training — not one
             # SQL; sequential-reference equality + EM-likelihood pytest
-            "q_unigram_tokenize",  # Viterbi lattice decode — not
-            # SQL-expressible; split/unk/losslessness pytest
+            # (q_unigram_tokenize was PROMOTED to hash-checked in r9:
+            # exact word/char/unk invariants oracle)
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"
