@@ -1329,11 +1329,14 @@ def make_hevc_config(width: int, height: int, level_idc: int = 120) -> bytes:
 
 def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,
                     codec: bytes = b"jpeg",
-                    codec_config: tuple[bytes, bytes] | None = None) -> bytes:
+                    codec_config: tuple[bytes, bytes] | None = None,
+                    stss_samples: list[int] | None = None) -> bytes:
     """Minimal spec-valid MP4 writer (ftyp + moov[mvhd, trak[tkhd,
     mdia[mdhd, hdlr, minf[stbl[stsd/stsz/stts/stsc/stco]]]]] + mdat) —
     the ISO-BMFF twin of mux_mjpeg_avi, so tests can round-trip the box
-    walker without ffmpeg."""
+    walker without ffmpeg. `stss_samples` (1-based sample numbers)
+    writes an explicit sync-sample box; None keeps the box absent
+    (ISO semantics: every sample is sync)."""
     def box(typ: bytes, body: bytes) -> bytes:
         return struct.pack(">I", len(body) + 8) + typ + body
 
@@ -1374,9 +1377,13 @@ def mux_minimal_mp4(frames: list[bytes], w: int, h: int, fps: int = 25,
     stsc = full(b"stsc", 0, struct.pack(">IIII", 1, 1, len(frames), 1))
     stsz = full(b"stsz", 0, struct.pack(">II", 0, len(frames))
                 + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stss = (b"" if stss_samples is None else
+            full(b"stss", 0, struct.pack(">I", len(stss_samples))
+                 + b"".join(struct.pack(">I", s) for s in stss_samples)))
     # one chunk holding all samples; offset filled after sizing moov
     stco_body = struct.pack(">I", 1) + struct.pack(">I", 0)
-    stbl = box(b"stbl", stsd + stts + stsc + stsz + full(b"stco", 0, stco_body))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stss
+               + full(b"stco", 0, stco_body))
     minf = box(b"minf", box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
                + box(b"dinf", full(b"dref", 0, struct.pack(">I", 1)
                                    + full(b"url ", 1, b"")))

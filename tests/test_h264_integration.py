@@ -1,29 +1,149 @@
-"""Integration proof for the frame_decoder seam with a REAL H.264
-decoder.
+"""Integration proof for the frame_decoder seam with REAL H.264
+bitstreams.
 
-The MP4 sample tier computes exact stsc/stco/stsz byte ranges and the
-seam test (test_multimodal.py) proves those bytes arrive at an injected
-decoder verbatim — but only a real codec closes the loop end-to-end on
-a real-world file: ffmpeg encodes an H.264 MP4, OUR box walker demuxes
-its sample table (not a hand-muxed fixture — ffmpeg's own mux layout),
-and a thin ffmpeg-CLI wrapper decodes the AVCC samples through
-`video_frame_features(frame_decoder=...)`. Skips cleanly when no
-ffmpeg binary is installed (none in the CI container; green wherever
-one exists).
+Two tiers:
+
+1. COMMITTED fixture, runs EVERYWHERE (no binary needed): a
+   standard-conformant I_PCM IDR stream (operators/h264_ipcm.py —
+   raw byte-aligned 4:2:0 macroblocks, ITU-T H.264 §7.4.5) muxed as
+   an avc1 MP4 with explicit stss. The tests assert the exact
+   avcC/stsz/stss byte offsets and per-sample (offset, size, sync)
+   ranges against committed goldens, re-derive the bytes from the
+   deterministic generator (staleness guard), and drive the full
+   video_frame_features seam with the pure-Python I_PCM decoder to
+   golden pixel hashes.
+
+2. ffmpeg tier, env-gated: a real encoder's OWN mux layout through
+   our box walker + a real codec decode through the seam; plus a
+   cross-check that ffmpeg decodes the committed I_PCM fixture to the
+   same pixels our decoder produces. Skips cleanly when no ffmpeg
+   binary is installed (none in the CI container; green wherever one
+   exists).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import shutil
 import subprocess
 
+import numpy as np
 import pytest
 
 ffmpeg = shutil.which("ffmpeg")
-pytestmark = pytest.mark.skipif(ffmpeg is None,
-                                reason="no ffmpeg binary on PATH")
+needs_ffmpeg = pytest.mark.skipif(ffmpeg is None,
+                                  reason="no ffmpeg binary on PATH")
 
+from aws_data_pipeline_ads_spark.operators import h264_ipcm  # noqa: E402
 from aws_data_pipeline_ads_spark.operators import multimodal  # noqa: E402
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _fixture():
+    with open(os.path.join(FIXTURE_DIR, "h264_ipcm_32x32.mp4"), "rb") as f:
+        mp4 = f.read()
+    with open(os.path.join(FIXTURE_DIR, "h264_ipcm_32x32.json")) as f:
+        return mp4, json.load(f)
+
+
+def _avcc_of(mp4: bytes) -> bytes:
+    i = mp4.find(b"avcC")
+    size = int.from_bytes(mp4[i - 4:i], "big")
+    return mp4[i + 4:i - 4 + size]
+
+
+def test_fixture_is_reproducible_from_generator():
+    """The committed bytes equal a fresh regeneration — the fixture
+    cannot drift from the encoder it documents (tools/
+    make_h264_fixture.py reruns the same deterministic path)."""
+    mp4, golden = _fixture()
+    regen = h264_ipcm.make_ipcm_mp4(h264_ipcm.fixture_frames(32, 32, 3),
+                                    fps=5)
+    assert hashlib.md5(mp4).hexdigest() == golden["file_md5"]
+    assert regen == mp4
+
+
+def test_fixture_box_walk_matches_golden_byte_ranges():
+    """Our ISO-BMFF walker against the committed goldens: avcC/stsz/
+    stss box offsets, SPS-parsed dims, and the exact per-sample
+    (offset, size, sync) byte ranges the seam will read."""
+    mp4, golden = _fixture()
+    assert mp4.find(b"avcC") - 4 == golden["avcC_off"]
+    assert mp4.find(b"stsz") - 4 == golden["stsz_off"]
+    assert mp4.find(b"stss") - 4 == golden["stss_off"]
+
+    tracks = multimodal._parse_mp4_tracks(mp4)
+    vid = next(t for t in tracks if t.get("handler") == "vide")
+    assert vid["codec"] == "avc1"
+    assert (vid["coded_width"], vid["coded_height"]) == (32, 32)
+    assert vid["n_samples"] == golden["n_frames"]
+    assert vid["n_keyframes"] == golden["n_frames"]  # explicit stss
+
+    codec, samples = multimodal._parse_mp4_samples(mp4)
+    assert codec == "avc1"
+    assert [[o, s, bool(k)] for o, s, k in samples] == golden["samples"]
+    # every sample range holds exactly one AVCC-framed NAL
+    for off, size, _sync in samples:
+        nal_len = int.from_bytes(mp4[off:off + 4], "big")
+        assert nal_len == size - 4
+        assert mp4[off + 4] & 0x1F == 5  # IDR
+
+
+def test_fixture_pixels_through_frame_decoder_seam(spark):
+    """The full seam without any codec binary: demux → per-sample byte
+    ranges → pure-Python I_PCM decode → golden mean lumas, exactly."""
+    from pyspark.sql import Row
+
+    mp4, golden = _fixture()
+    decoder = h264_ipcm.make_ipcm_decoder(_avcc_of(mp4))
+    media = spark.createDataFrame([Row(doc_id=1, content=bytearray(mp4))])
+    rows = sorted(
+        multimodal.video_frame_features(
+            media, n_frames=3, frame_decoder=decoder,
+            sync_only=True).collect(),
+        key=lambda r: r.frame_no)
+    assert [(r.width, r.height) for r in rows] == [(32, 32)] * 3
+    assert [r.mean_luma for r in rows] == golden["mean_luma"]
+    # and the decoded planes hash to the committed pixel goldens
+    _codec, samples = multimodal._parse_mp4_samples(mp4)
+    for k, (off, size, _sync) in enumerate(samples):
+        px = decoder(mp4[off:off + size])
+        assert hashlib.md5(px[:, :, 0].tobytes()).hexdigest() \
+            == golden["y_md5"][k]
+
+
+def test_fixture_exercises_emulation_prevention():
+    """The fixture's PCM payload plants 00-runs, so the EBSP actually
+    contains emulation_prevention_three_byte sequences and the decode
+    path must strip them (a pass-through would corrupt pixels AND the
+    golden hashes above)."""
+    mp4, _ = _fixture()
+    _codec, samples = multimodal._parse_mp4_samples(mp4)
+    off, size, _sync = samples[0]
+    assert b"\x00\x00\x03" in mp4[off:off + size]
+    ebsp = b"\x00\x00\x03\x01\x00\x00\x03\x00ab"
+    assert h264_ipcm.unescape_ebsp(ebsp) == b"\x00\x00\x01\x00\x00\x00ab"
+    assert h264_ipcm.escape_rbsp(
+        h264_ipcm.unescape_ebsp(ebsp)) == ebsp
+
+
+@needs_ffmpeg
+def test_ffmpeg_decodes_committed_fixture_to_same_pixels(tmp_path):
+    """Cross-decoder agreement: a real codec decodes the committed
+    I_PCM stream to the identical luma plane (I_PCM is lossless, so
+    equality is exact, not approximate)."""
+    mp4, golden = _fixture()
+    p = tmp_path / "fixture.mp4"
+    p.write_bytes(mp4)
+    proc = subprocess.run(
+        [ffmpeg, "-loglevel", "error", "-i", str(p), "-frames:v", "1",
+         "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1"],
+        capture_output=True, check=True)
+    y = np.frombuffer(proc.stdout, dtype=np.uint8)[:32 * 32]
+    assert hashlib.md5(y.tobytes()).hexdigest() == golden["y_md5"][0]
 
 
 def _extract_avcc(mp4: bytes) -> bytes:
@@ -86,6 +206,7 @@ def _ffmpeg_frame_decoder(avcc: bytes):
     return decode
 
 
+@needs_ffmpeg
 def test_real_h264_through_frame_decoder_seam(spark, tmp_path):
     """ffmpeg-encoded H.264 MP4 → our sample-table demux → real decode
     through the seam: frame dims and the solid-gray luminance come out
