@@ -1218,6 +1218,21 @@ class LakeTable:
             )
         return self._read_files(entry, entry["files"])
 
+    def read_version_files(self, version: int,
+                           files: list[str]) -> DataFrame:
+        """The subset of `version`'s snapshot held in `files` (must be
+        files the version committed), with the SAME scoped
+        deferred-delete semantics as read(). The primitive incremental
+        consumers (lakemv's file-pruned delta) use to scan only the
+        files two versions do NOT share."""
+        entry = self._read_entry(version)
+        missing = set(files) - set(entry["files"])
+        if missing:
+            raise ValueError(
+                f"lake table {self.path}: version {version} does not "
+                f"contain {sorted(missing)[:3]}")
+        return self._read_files(entry, list(files))
+
     @staticmethod
     def _range_pred(ranges: dict):
         """Conjunction Column for a column→(lo, hi) dict, NULL-safe

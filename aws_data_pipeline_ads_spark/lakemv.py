@@ -14,10 +14,14 @@ Lambda ETL, lambda_function.py — has no views at all).
 
 Scale shape:
 
-* The delta between two source versions reduces each side to
-  (key, group, measures, md5) BEFORE its one full-outer join — the
-  exchange carries narrow rows, never document bodies; everything
-  after the changed-key filter is delta-sized, not table-sized.
+* The delta between two source versions is FILE-PRUNED first: commits
+  are immutable file lists, so files shared by both versions (under
+  identical deferred-delete coverage) are never opened — a fixed-size
+  append's refresh scans the appended files, not the table (measured
+  in SCALE10X.md). What remains reduces to (key, group, measures, md5)
+  BEFORE its one full-outer join — the exchange carries narrow rows,
+  never document bodies; everything after the changed-key filter is
+  delta-sized.
 * The state table holds one row per group (tiny at any source size)
   and is itself a LakeTable: versioned, time-travelable, restorable,
   object-store-safe through the same CommitBackend seam.
@@ -126,11 +130,56 @@ class LakeMaterializedView:
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
+    @staticmethod
+    def _file_pred_signatures(entry: dict) -> dict[str, tuple]:
+        """file → canonical signature of the deferred-delete predicates
+        covering it in this version (same scoping as LakeTable.read)."""
+        import json as _json
+
+        deferred = [d if "ranges" in d
+                    else {"ranges": d, "files": entry["files"]}
+                    for d in entry.get("deferred_deletes", [])]
+        covers = [(set(d["files"]),
+                   _json.dumps(d["ranges"], sort_keys=True))
+                  for d in deferred]
+        return {f: tuple(sorted(sig for fs, sig in covers if f in fs))
+                for f in entry["files"]}
+
+    def _delta_sides(self, v_old: int, v_new: int):
+        """The two version snapshots REDUCED to the files that differ.
+
+        Commits are immutable file lists, so a file present in both
+        versions under identical deferred-delete coverage contributes
+        IDENTICAL rows to both sides — and since `key` is unique per
+        snapshot, none of its keys can also appear in a differing file.
+        Those files cancel out of the key-diff wholesale and are never
+        opened: a fixed-size append's refresh scans the appended files,
+        not the table (measured in SCALE10X.md — the property that
+        makes incremental refresh viable at 100 TB). Files whose
+        predicate coverage CHANGED (a deferred delete landed between
+        the versions) stay in the diff on both sides."""
+        e_old = self.source._read_entry(v_old)
+        e_new = self.source._read_entry(v_new)
+        sig_old = self._file_pred_signatures(e_old)
+        sig_new = self._file_pred_signatures(e_new)
+        prunable = {f for f in set(e_old["files"]) & set(e_new["files"])
+                    if sig_old[f] == sig_new[f]}
+
+        def side(version: int, entry: dict) -> DataFrame:
+            files = [f for f in entry["files"] if f not in prunable]
+            if files:
+                return self.source.read_version_files(version, files)
+            return self.spark.createDataFrame(
+                [], self.source.read(version).schema)
+
+        return side(v_old, e_old), side(v_new, e_new)
+
     def _delta(self, v_old: int, v_new: int) -> DataFrame:
         """Signed delta rows between two source versions: group cols +
-        measures + sign (+1 appeared / -1 disappeared). Unchanged keys
-        (same key, same content hash over group+measure cols) cancel
-        out BEFORE any aggregation."""
+        measures + sign (+1 appeared / -1 disappeared). File-level
+        pruning first (_delta_sides), then unchanged keys (same key,
+        same content hash over group+measure cols) cancel out BEFORE
+        any aggregation."""
         cols = list(dict.fromkeys(self.group_cols + self.measures
                                   + self.minmax))
         # Hash the JSON encoding of a struct, not a separator-joined
@@ -142,9 +191,10 @@ class LakeMaterializedView:
         # an explicit null, so the encoding is injective on the row.
         content = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]),
                                   {"ignoreNullFields": "false"}))
-        old = self.source.read(v_old).select(
+        old_side, new_side = self._delta_sides(v_old, v_new)
+        old = old_side.select(
             F.col(self.key).alias("__k"), *cols, content.alias("__h"))
-        new = self.source.read(v_new).select(
+        new = new_side.select(
             F.col(self.key).alias("__k"), *cols, content.alias("__h"))
         o, n = old.alias("o"), new.alias("n")
         j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")

@@ -336,3 +336,37 @@ def test_minmax_incremental_matches_recompute(spark, sf_dir, tmp_path, src):
     assert got["nullgrp"]["min_n_chars"] is None
     assert got["nullgrp"]["max_n_chars"] is None
     assert _rows(mv.read()) == _rows(_recompute_mm(t.read()))
+
+
+def test_delta_is_file_pruned(spark, sf_dir, tmp_path):
+    """A fixed-size append's refresh must SCAN only the appended files:
+    files shared by both versions never open (the 100 TB viability
+    property, measured at 10x in SCALE10X.md). A deferred delete that
+    lands between the versions changes shared files' effective rows —
+    those files must stay in the diff."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(docs.filter(F.col("doc_id") < 400)
+             .repartitionByRange(8, "doc_id"))             # v0: 8 files
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    t.commit(docs.filter(F.col("doc_id") >= 400).coalesce(1),
+             "append")                                      # v1: +1 file
+    old_side, new_side = mv._delta_sides(0, 1)
+    assert old_side.inputFiles() == []                      # all common
+    new_files = set(new_side.inputFiles())
+    assert len(new_files) == 1                              # only the append
+    v0 = {f.split("/")[-1] for f in t._read_entry(0)["files"]}
+    assert {f.split("/")[-1] for f in new_files}.isdisjoint(v0)
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+    # deferred delete: same file lists, different effective rows — the
+    # covered files must NOT be pruned out of the diff
+    t.delete({"doc_id": (0, 49)}, defer=True)               # v2
+    old_side, new_side = mv._delta_sides(1, 2)
+    assert len(old_side.inputFiles()) > 0
+    assert len(new_side.inputFiles()) > 0
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
