@@ -53,6 +53,14 @@ QUERIES = [
     # sparse half grows, so sub-linear factors here are expected); the
     # MP3 triage is a linear Arrow-batched header walk
     "q_heaps_fit", "q_hybrid_search", "q_audio_mp3",
+    # r8 tiers (r9 verdict task 5): the tokenizer's corpus-scale stage
+    # is per-word-instance memoized Viterbi (training is prebuilt
+    # write-side, like BM25); seasonal decomposition's data-sized work
+    # is the persist_tracked hour-bucket groupBy + key window; chat
+    # flatten / preference pairs are single-shuffle struct-ordered
+    # groupBys — the SFT-prep shapes that must not grow exchanges
+    "q_unigram_tokenize", "q_seasonal_decompose", "q_chat_flatten",
+    "q_preference_pairs",
 ]
 
 # Lake data-skipping queries: besides wall-clock and exchange count
@@ -113,6 +121,7 @@ def prebuild_indexes(spark, sf_dir: str) -> None:
     text_q.minhash_index(spark, sf_dir)
     text_q.simhash_index(spark, sf_dir)
     text_q.bloom_index(spark, sf_dir)
+    text_q.unigram_vocab(spark, sf_dir)  # tokenizer training, write-side
 
 
 def run_once(df) -> float:
@@ -143,6 +152,60 @@ def lake_files(spark, sf_dir: str, name: str, df) -> tuple[int, int]:
               "q_lake_time_scan": text_q.laketime_index}[name]
     t = LakeTable(spark, f"{idx_fn(spark, sf_dir)}/tbl")
     return len(df.inputFiles()), len(t.read().inputFiles())
+
+
+def mv_refresh_experiment(spark, base: str, big: str) -> list[tuple]:
+    """The incremental-MV claim, measured: a FIXED-size append's
+    refresh must cost the same against a 10× source table as against
+    the 1× table (delta-scaled, not table-scaled). For each scale:
+    commit the corpus, full-build the view, then 3× (append the SAME
+    500-row batch with fresh keys → time refresh()); also record how
+    many files each refresh's delta actually scanned (must equal the
+    appended files, not the table's)."""
+    import shutil
+    import tempfile
+
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    out = []
+    for label, sf_dir in (("1×", base), ("10×", big)):
+        root = tempfile.mkdtemp(prefix="scale10x_mv_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars")
+        batch = (spark.read.parquet(f"{base}/documents.parquet")
+                 .select("doc_id", "lang", "n_chars")
+                 .orderBy("doc_id").limit(500))
+        t = LakeTable(spark, f"{root}/tbl")
+        t.commit(docs.repartition(32))
+        mv = LakeMaterializedView(
+            spark, t, f"{root}/mv", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"])
+        t0 = time.time()
+        mv.refresh()                                  # full build
+        full_s = time.time() - t0
+        total_files = len(t.read().inputFiles())
+        times, scanned = [], []
+        for rep in range(3):
+            t.commit(batch.withColumn(
+                "doc_id",
+                F.col("doc_id") + F.lit(900_000_000 + rep * 1_000_000)),
+                "append")
+            old_side, new_side = mv._delta_sides(
+                mv.last_refreshed(), t.current_version())
+            scanned.append(len(old_side.inputFiles())
+                           + len(new_side.inputFiles()))
+            t0 = time.time()
+            mv.refresh()
+            times.append(time.time() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+        med = sorted(times)[1]
+        print(f"# mv_refresh {label}: full {full_s:.2f}s  fixed-append "
+              f"refresh {med:.2f}s (reps {[round(x, 2) for x in times]})  "
+              f"delta scanned {max(scanned)}/{total_files} files",
+              file=sys.stderr)
+        out.append((label, full_s, med, max(scanned), total_files))
+    return out
 
 
 def main() -> None:
@@ -236,6 +299,8 @@ def main() -> None:
         print(f"# {name}: 1x {t1:.2f}s  10x {t10:.2f}s  files "
               f"{o1}/{o10}  shuffles {s1}->{s10}{flag}", file=sys.stderr)
         meta_rows.append((name, t1, t10, o1, o10, s1, s10, ok))
+
+    mv_rows = mv_refresh_experiment(spark, base, big)
     spark.stop()
 
     lines = [
@@ -252,9 +317,13 @@ def main() -> None:
         "A factor near 10 on a 32-thread local box is linear scaling; "
         "factors below 10 mean the base run was dominated by fixed "
         "per-query overhead (scheduling, codegen) that the larger input "
-        "amortizes. `shuffles` must be IDENTICAL at both scales — a plan "
-        "that grows exchanges with data is a scale bug regardless of "
-        "wall-clock.",
+        "amortizes. One construction caveat: the per-copy token PREFIX "
+        "inflates total characters ~15.5× (measured: 1.49M → 23.0M "
+        "chars) while rows grow exactly 10× — so char-linear queries "
+        "(regex scoring, tokenization) may legitimately land between "
+        "10× and 15.5× and are still linear in input bytes. `shuffles` "
+        "must be IDENTICAL at both scales — a plan that grows exchanges "
+        "with data is a scale bug regardless of wall-clock.",
         "",
         "| query | 1× sec | 10× sec | factor | shuffles 1× | shuffles 10× |",
         "|---|---|---|---|---|---|",
@@ -315,7 +384,34 @@ def main() -> None:
         f"{sum(1 for r in meta_rows if not r[7])} metadata-only queries "
         "opened files or shuffled (must be 0).",
         "",
+        "## Incremental materialized view: refresh scales with the "
+        "DELTA, not the table",
+        "",
+        "Each scale commits its corpus, full-builds the view, then "
+        "appends the SAME fixed 500-row batch 3× and times each "
+        "incremental refresh. The full build is table-sized (expected "
+        "~10× apart); the fixed-append refresh must stay ~FLAT across "
+        "scales, and the delta must scan only the appended files "
+        "(lakemv file-pruned deltas).",
+        "",
+        "| scale | full build sec | fixed-append refresh sec (median "
+        "of 3) | delta files scanned / table files |",
+        "|---|---|---|---|",
     ]
+    for label, full_s, med, scanned, total in mv_rows:
+        lines.append(f"| {label} | {full_s:.2f} | {med:.2f} "
+                     f"| {scanned}/{total} |")
+    if len(mv_rows) == 2:
+        ratio = mv_rows[1][2] / mv_rows[0][2] if mv_rows[0][2] else 0
+        lines += [
+            "",
+            f"Fixed-delta refresh cost at 10× table size: "
+            f"**{ratio:.1f}×** the 1× cost (target ≈ 1; a table-scaled "
+            "refresh would read ~10×). The delta scanned "
+            f"{mv_rows[1][3]}/{mv_rows[1][4]} files at 10× — the "
+            "appended files only, never the table.",
+            "",
+        ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"# wrote {out_md}", file=sys.stderr)
