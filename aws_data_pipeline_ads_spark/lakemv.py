@@ -46,6 +46,136 @@ from aws_data_pipeline_ads_spark.lakelog import CommitBackend, LakeTable
 
 _DEC = "decimal(38,6)"
 _TXN_PREFIX = "mv-refresh:"
+_JOIN_TXN_PREFIX = "mvj-refresh:"
+
+
+# -- version-delta primitives (shared by single-table and join views) --------
+
+def _file_pred_signatures(entry: dict) -> dict[str, tuple]:
+    """file → canonical signature of the deferred-delete predicates
+    covering it in this version (same scoping as LakeTable.read)."""
+    import json as _json
+
+    deferred = [d if "ranges" in d
+                else {"ranges": d, "files": entry["files"]}
+                for d in entry.get("deferred_deletes", [])]
+    covers = [(set(d["files"]),
+               _json.dumps(d["ranges"], sort_keys=True))
+              for d in deferred]
+    return {f: tuple(sorted(sig for fs, sig in covers if f in fs))
+            for f in entry["files"]}
+
+
+def _version_delta_sides(source: LakeTable, v_old: int, v_new: int):
+    """The two version snapshots REDUCED to the files that differ.
+
+    Commits are immutable file lists, so a file present in both
+    versions under identical deferred-delete coverage contributes
+    IDENTICAL rows to both sides — and with a per-snapshot-unique key,
+    none of its keys can also appear in a differing file. Those files
+    cancel out of the key-diff wholesale and are never opened: a
+    fixed-size append's refresh scans the appended files, not the
+    table (measured in SCALE10X.md — the property that makes
+    incremental refresh viable at 100 TB). Files whose predicate
+    coverage CHANGED (a deferred delete landed between the versions)
+    stay in the diff on both sides."""
+    e_old = source._read_entry(v_old)
+    e_new = source._read_entry(v_new)
+    sig_old = _file_pred_signatures(e_old)
+    sig_new = _file_pred_signatures(e_new)
+    prunable = {f for f in set(e_old["files"]) & set(e_new["files"])
+                if sig_old[f] == sig_new[f]}
+
+    def side(version: int, entry: dict) -> DataFrame:
+        files = [f for f in entry["files"] if f not in prunable]
+        if files:
+            return source.read_version_files(version, files)
+        return source.spark.createDataFrame(
+            [], source.read(version).schema)
+
+    return side(v_old, e_old), side(v_new, e_new)
+
+
+def signed_version_delta(source: LakeTable, key: str, cols: list[str],
+                         v_old: int, v_new: int) -> DataFrame:
+    """Signed row delta between two versions of `source`: `cols` +
+    __sign (+1 appeared / -1 disappeared). File-level pruning first
+    (_version_delta_sides), then unchanged keys (same key, same
+    content hash over `cols`) cancel out BEFORE any aggregation.
+
+    The content hash is the JSON encoding of a struct, not a
+    separator-joined concat: concat_ws cannot distinguish NULL from ''
+    (both coalesce to the same bytes — a NULL→'' flip would slip past
+    the delta), and values containing the separator could collide
+    across columns. JSON escapes control characters and
+    ignoreNullFields=false emits an explicit null, so the encoding is
+    injective on the row."""
+    content = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]),
+                              {"ignoreNullFields": "false"}))
+    old_side, new_side = _version_delta_sides(source, v_old, v_new)
+    old = old_side.select(
+        F.col(key).alias("__k"), *cols, content.alias("__h"))
+    new = new_side.select(
+        F.col(key).alias("__k"), *cols, content.alias("__h"))
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")
+    changed_old = F.col("o.__k").isNotNull() & (
+        F.col("n.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
+    changed_new = F.col("n.__k").isNotNull() & (
+        F.col("o.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
+    minus = j.where(changed_old).select(
+        *[F.col(f"o.{c}").alias(c) for c in cols],
+        F.lit(-1).alias("__sign"))
+    plus = j.where(changed_new).select(
+        *[F.col(f"n.{c}").alias(c) for c in cols],
+        F.lit(1).alias("__sign"))
+    return minus.unionByName(plus)
+
+
+def _delta_aggregate(delta: DataFrame, group_cols: list[str],
+                     measures: list[str]) -> DataFrame:
+    """Per-group signed aggregate of a delta: n_rows plus per-measure
+    signed non-null count and decimal sum."""
+    aggs = [F.sum("__sign").cast("long").alias("n_rows")]
+    for m in measures:
+        aggs.append(
+            F.sum(F.when(F.col(m).isNotNull(), F.col("__sign"))
+                  .otherwise(F.lit(0)))
+            .cast("long").alias(f"n_{m}"))
+        aggs.append(
+            F.sum(F.col(m).cast(_DEC) * F.col("__sign"))
+            .cast(_DEC).alias(f"sum_{m}"))
+    return delta.groupBy(*group_cols).agg(*aggs)
+
+
+def _merge_group_state(state: DataFrame, d: DataFrame,
+                       group_cols: list[str],
+                       measures: list[str]) -> DataFrame:
+    """state ⊕ delta, null-safe on the group key (a NULL group is a
+    legal group); groups whose count hits zero drop out."""
+    s, dd = state.alias("s"), d.alias("d")
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"s.{g}").eqNullSafe(F.col(f"d.{g}"))
+        cond = eq if cond is None else cond & eq
+    j = s.join(dd, cond, "full_outer")
+    sel = [F.coalesce(F.col(f"s.{g}"), F.col(f"d.{g}")).alias(g)
+           for g in group_cols]
+    n_rows = (F.coalesce(F.col("s.n_rows"), F.lit(0))
+              + F.coalesce(F.col("d.n_rows"), F.lit(0)))
+    sel.append(n_rows.alias("n_rows"))
+    for m in measures:
+        c, k = f"sum_{m}", f"n_{m}"
+        n_m = (F.coalesce(F.col(f"s.{k}"), F.lit(0))
+               + F.coalesce(F.col(f"d.{k}"), F.lit(0)))
+        sel.append(n_m.alias(k))
+        merged = (F.coalesce(F.col(f"s.{c}"), F.lit(0).cast(_DEC))
+                  + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(_DEC)))
+        # SQL SUM over zero non-null values is NULL, not 0 — the
+        # non-null count decides, exactly as a full recompute would
+        sel.append(F.when(n_m == 0, F.lit(None).cast(_DEC))
+                   .otherwise(merged).cast(_DEC).alias(c))
+    return j.select(*sel).where(F.col("n_rows") > 0)
 
 
 class LakeMaterializedView:
@@ -130,85 +260,17 @@ class LakeMaterializedView:
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
-    @staticmethod
-    def _file_pred_signatures(entry: dict) -> dict[str, tuple]:
-        """file → canonical signature of the deferred-delete predicates
-        covering it in this version (same scoping as LakeTable.read)."""
-        import json as _json
-
-        deferred = [d if "ranges" in d
-                    else {"ranges": d, "files": entry["files"]}
-                    for d in entry.get("deferred_deletes", [])]
-        covers = [(set(d["files"]),
-                   _json.dumps(d["ranges"], sort_keys=True))
-                  for d in deferred]
-        return {f: tuple(sorted(sig for fs, sig in covers if f in fs))
-                for f in entry["files"]}
-
     def _delta_sides(self, v_old: int, v_new: int):
-        """The two version snapshots REDUCED to the files that differ.
-
-        Commits are immutable file lists, so a file present in both
-        versions under identical deferred-delete coverage contributes
-        IDENTICAL rows to both sides — and since `key` is unique per
-        snapshot, none of its keys can also appear in a differing file.
-        Those files cancel out of the key-diff wholesale and are never
-        opened: a fixed-size append's refresh scans the appended files,
-        not the table (measured in SCALE10X.md — the property that
-        makes incremental refresh viable at 100 TB). Files whose
-        predicate coverage CHANGED (a deferred delete landed between
-        the versions) stay in the diff on both sides."""
-        e_old = self.source._read_entry(v_old)
-        e_new = self.source._read_entry(v_new)
-        sig_old = self._file_pred_signatures(e_old)
-        sig_new = self._file_pred_signatures(e_new)
-        prunable = {f for f in set(e_old["files"]) & set(e_new["files"])
-                    if sig_old[f] == sig_new[f]}
-
-        def side(version: int, entry: dict) -> DataFrame:
-            files = [f for f in entry["files"] if f not in prunable]
-            if files:
-                return self.source.read_version_files(version, files)
-            return self.spark.createDataFrame(
-                [], self.source.read(version).schema)
-
-        return side(v_old, e_old), side(v_new, e_new)
+        return _version_delta_sides(self.source, v_old, v_new)
 
     def _delta(self, v_old: int, v_new: int) -> DataFrame:
         """Signed delta rows between two source versions: group cols +
-        measures + sign (+1 appeared / -1 disappeared). File-level
-        pruning first (_delta_sides), then unchanged keys (same key,
-        same content hash over group+measure cols) cancel out BEFORE
-        any aggregation."""
+        measures + sign (+1 appeared / -1 disappeared); see
+        signed_version_delta."""
         cols = list(dict.fromkeys(self.group_cols + self.measures
                                   + self.minmax))
-        # Hash the JSON encoding of a struct, not a separator-joined
-        # concat: concat_ws cannot distinguish NULL from '' (both
-        # coalesce to the same bytes — a NULL→'' group flip would slip
-        # past the delta and silently diverge the view), and values
-        # containing the separator could collide across columns. JSON
-        # escapes control characters and ignoreNullFields=false emits
-        # an explicit null, so the encoding is injective on the row.
-        content = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]),
-                                  {"ignoreNullFields": "false"}))
-        old_side, new_side = self._delta_sides(v_old, v_new)
-        old = old_side.select(
-            F.col(self.key).alias("__k"), *cols, content.alias("__h"))
-        new = new_side.select(
-            F.col(self.key).alias("__k"), *cols, content.alias("__h"))
-        o, n = old.alias("o"), new.alias("n")
-        j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")
-        changed_old = F.col("o.__k").isNotNull() & (
-            F.col("n.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
-        changed_new = F.col("n.__k").isNotNull() & (
-            F.col("o.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
-        minus = j.where(changed_old).select(
-            *[F.col(f"o.{c}").alias(c) for c in cols],
-            F.lit(-1).alias("__sign"))
-        plus = j.where(changed_new).select(
-            *[F.col(f"n.{c}").alias(c) for c in cols],
-            F.lit(1).alias("__sign"))
-        return minus.unionByName(plus)
+        return signed_version_delta(self.source, self.key, cols,
+                                    v_old, v_new)
 
     # -- refresh -------------------------------------------------------------
 
@@ -245,16 +307,7 @@ class LakeMaterializedView:
         return head
 
     def _full_aggregate_of_delta(self, delta: DataFrame) -> DataFrame:
-        aggs = [F.sum("__sign").cast("long").alias("n_rows")]
-        for m in self.measures:
-            aggs.append(
-                F.sum(F.when(F.col(m).isNotNull(), F.col("__sign"))
-                      .otherwise(F.lit(0)))
-                .cast("long").alias(self._cnt_col(m)))
-            aggs.append(
-                F.sum(F.col(m).cast(_DEC) * F.col("__sign"))
-                .cast(_DEC).alias(self._sum_col(m)))
-        return delta.groupBy(*self.group_cols).agg(*aggs)
+        return _delta_aggregate(delta, self.group_cols, self.measures)
 
     def _nullsafe_group_eq(self, left: str, right: str):
         cond = None
@@ -304,32 +357,172 @@ class LakeMaterializedView:
         return j.select(*sel)
 
     def _merge_state(self, state: DataFrame, d: DataFrame) -> DataFrame:
-        """state ⊕ delta, null-safe on the group key (a NULL group is a
-        legal group), groups whose count hits zero drop out."""
-        s, dd = state.alias("s"), d.alias("d")
-        cond = None
-        for g in self.group_cols:
-            eq = F.col(f"s.{g}").eqNullSafe(F.col(f"d.{g}"))
-            cond = eq if cond is None else cond & eq
-        j = s.join(dd, cond, "full_outer")
-        # group-col presence can come from either side
-        sel = [F.coalesce(F.col(f"s.{g}"), F.col(f"d.{g}")).alias(g)
-               for g in self.group_cols]
-        n_rows = (F.coalesce(F.col("s.n_rows"), F.lit(0))
-                  + F.coalesce(F.col("d.n_rows"), F.lit(0)))
-        sel.append(n_rows.alias("n_rows"))
+        return _merge_group_state(state, d, self.group_cols,
+                                  self.measures)
+
+
+class LakeJoinMaterializedView:
+    """A GROUP BY (count + exact sums) view over FACT ⋈ DIM — the
+    star-join reporting shape — materialized as its own LakeTable and
+    refreshed incrementally on BOTH sides by the classic join delta
+    rule (signed multisets):
+
+        Δ(F ⋈ D) = ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
+
+    (expand (F_old+ΔF)⋈(D_old+ΔD) and cancel F_old⋈D_old; the ΔF⋈ΔD
+    cross term is absorbed by joining ΔF against D at its NEW version).
+    Each joined delta row carries its side's sign; the per-group state
+    absorbs the signed aggregate exactly like the single-table view.
+
+    Contracts: `fact_key` unique per fact snapshot, `join_key` unique
+    per dim snapshot (many-to-one, INNER join) — the same uniqueness
+    the delta's key-diff needs. Group/measure columns may come from
+    either side (resolved against the schemas; ambiguous names refuse).
+
+    Scale shape:
+    * ΔF and ΔD are file-pruned version deltas (delta-sized for
+      append-shaped revisions).
+    * ΔF ⋈ D_new: the delta broadcasts; the dim side reads at head
+      (dims are the small side of a star by construction).
+    * F_old ⋈ ΔD: the delta broadcasts, so the fact side never
+      shuffles — it scans once, filtered by the broadcast hash join
+      to ΔD's join keys. A dim revision therefore costs one fact scan
+      (no exchange); an unchanged dim costs nothing. This is the
+      standard IVM trade (DBToaster/Materialize make the same one) —
+      avoiding the scan entirely would need a join-key index over the
+      fact files, which the commit log's per-file stats provide only
+      when the fact is clustered by join key.
+    * Refresh bookkeeping rides txn ids "mvj-refresh:<vF>:<vD>" —
+      exactly-once per (fact, dim) version pair, replay answered from
+      the log.
+    """
+
+    def __init__(self, spark: SparkSession, fact: LakeTable,
+                 dim: LakeTable, path: str, fact_key: str, join_key: str,
+                 group_cols: list[str], measures: list[str],
+                 backend: CommitBackend | None = None):
+        if not group_cols:
+            raise ValueError("materialized view needs >=1 group column")
+        overlap = set(group_cols) & set(measures)
+        if overlap:
+            raise ValueError(f"columns cannot be both group and "
+                             f"measure: {sorted(overlap)}")
+        self.spark = spark
+        self.fact = fact
+        self.dim = dim
+        self.fact_key = fact_key
+        self.join_key = join_key
+        self.group_cols = list(group_cols)
+        self.measures = list(measures)
+        self.table = LakeTable(spark, path, backend=backend)
+
+    # -- bookkeeping ---------------------------------------------------------
+
+    def last_refreshed(self) -> tuple[int, int] | None:
+        """(fact_version, dim_version) the current state reflects."""
+        for h in reversed(self.table.history()):
+            txn = h.get("txn_id") or ""
+            if txn.startswith(_JOIN_TXN_PREFIX):
+                vf, vd = txn[len(_JOIN_TXN_PREFIX):].split(":")
+                return int(vf), int(vd)
+        return None
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    # -- column-side resolution ----------------------------------------------
+
+    def _split_sides(self) -> tuple[list[str], list[str]]:
+        """(fact-side, dim-side) partition of group+measure columns,
+        resolved against the head schemas. The join key counts as a
+        fact-side column (it exists on both; the join equates them)."""
+        fact_cols = set(self.fact.read().columns)
+        dim_cols = set(self.dim.read().columns)
+        f_side, d_side = [], []
+        for c in dict.fromkeys(self.group_cols + self.measures):
+            if c == self.join_key:
+                f_side.append(c)
+            elif c in fact_cols and c in dim_cols:
+                raise ValueError(
+                    f"column {c!r} exists in both fact and dim — rename "
+                    f"one side before building the view")
+            elif c in fact_cols:
+                f_side.append(c)
+            elif c in dim_cols:
+                d_side.append(c)
+            else:
+                raise ValueError(f"column {c!r} in neither fact nor dim")
+        return f_side, d_side
+
+    # -- refresh -------------------------------------------------------------
+
+    def _joined(self, f_df: DataFrame, d_df: DataFrame,
+                broadcast_side: str | None = None) -> DataFrame:
+        f_side, d_side = self._split_sides()
+        f = f_df.select(self.join_key, *[c for c in f_side
+                                         if c != self.join_key],
+                        *(["__sign"] if "__sign" in f_df.columns else []))
+        d = d_df.select(self.join_key, *d_side,
+                        *(["__sign"] if "__sign" in d_df.columns else []))
+        if broadcast_side == "fact":
+            f = F.broadcast(f)
+        elif broadcast_side == "dim":
+            d = F.broadcast(d)
+        return f.join(d, self.join_key, "inner")
+
+    def refresh(self) -> tuple[int, int]:
+        """Bring the view up to both source heads. First call builds
+        the full join aggregate; later calls apply the signed join
+        delta. Returns the (fact, dim) versions now reflected."""
+        head_f = self.fact.current_version()
+        head_d = self.dim.current_version()
+        if head_f is None or head_d is None:
+            raise ValueError("both sources need >=1 commit")
+        last = self.last_refreshed()
+        txn = f"{_JOIN_TXN_PREFIX}{head_f}:{head_d}"
+        if last is None:
+            state = self._full_aggregate(
+                self._joined(self.fact.read(head_f),
+                             self.dim.read(head_d), "dim"))
+            self.table.commit(state, "overwrite", txn_id=txn)
+            return head_f, head_d
+        lf, ld = last
+        if (lf, ld) == (head_f, head_d):
+            return last
+        if lf > head_f or ld > head_d:
+            raise ValueError(
+                f"view reflects (fact={lf}, dim={ld}) but heads are "
+                f"(fact={head_f}, dim={head_d}) — a source was rewound "
+                f"past the view; rebuild it (drop the view table)")
+
+        f_side, d_side = self._split_sides()
+        f_cols = list(dict.fromkeys([self.join_key] + f_side))
+        d_cols = list(dict.fromkeys([self.join_key] + d_side))
+        parts = []
+        if head_f > lf:                       # ΔF ⋈ D_new
+            d_f = signed_version_delta(self.fact, self.fact_key,
+                                       f_cols, lf, head_f)
+            parts.append(self._joined(d_f, self.dim.read(head_d),
+                                      "fact"))
+        if head_d > ld:                       # F_old ⋈ ΔD
+            d_d = signed_version_delta(self.dim, self.join_key,
+                                       d_cols, ld, head_d)
+            parts.append(self._joined(self.fact.read(lf), d_d, "dim"))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        d = _delta_aggregate(delta, self.group_cols, self.measures)
+        merged = _merge_group_state(self.table.read(), d,
+                                    self.group_cols, self.measures)
+        self.table.commit(merged, "overwrite", txn_id=txn)
+        return head_f, head_d
+
+    def _full_aggregate(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
         for m in self.measures:
-            c, k = self._sum_col(m), self._cnt_col(m)
-            n_m = (F.coalesce(F.col(f"s.{k}"), F.lit(0))
-                   + F.coalesce(F.col(f"d.{k}"), F.lit(0)))
-            sel.append(n_m.alias(k))
-            merged = (F.coalesce(F.col(f"s.{c}"), F.lit(0).cast(_DEC))
-                      + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(_DEC)))
-            # SQL SUM over zero non-null values is NULL, not 0 — the
-            # non-null count decides, exactly as a full recompute would
-            sel.append(F.when(n_m == 0, F.lit(None).cast(_DEC))
-                       .otherwise(merged).cast(_DEC).alias(c))
-        return j.select(*sel).where(F.col("n_rows") > 0)
+            aggs.append(F.count(F.col(m)).alias(f"n_{m}"))
+            aggs.append(F.sum(F.col(m).cast(_DEC)).alias(f"sum_{m}"))
+        return df.groupBy(*self.group_cols).agg(*aggs)
 
 
 def lake_mv_sink(stream_df: DataFrame, view: LakeMaterializedView,

@@ -34,26 +34,27 @@ _WINDOW: list[str] = [
     # ==== r9 rotation: the 9 r8 additions that landed after the r8
     # window was pinned (incremental MV refresh, unigram tokenizer
     # vocab+tokenize, chat flatten, DPO preference pairs, GIF/BMP
-    # codec roundtrips, lake tags, seasonal decomposition) take slots
-    # for first driver exposure — each green under tools/driver_sim at
-    # sf0.01 and independently re-run by the r8 judge (9/9 pass,
-    # hostile TZ). 9 r08-hash-verified window members rotated to the
-    # tail (q_kmv_jaccard/rollup/served, q_winnow_pairs, q_heaps_fit,
-    # q_epoch_mixture, q_contamination_overlap, q_neardup_keep_best,
-    # q_skew_profile); their families keep in-window hash anchors via
-    # q_kmv_distinct, q_winnow_fingerprint, q_zipf_fit,
-    # q_curriculum_order, q_hybrid_search. ===============================
+    # codec roundtrips, lake tags, seasonal decomposition) plus the
+    # two NEW r9 views (MIN/MAX MV, JOIN MV) take slots for first
+    # driver exposure — each green under tools/driver_sim at sf0.01
+    # (the 9 r8 ones also independently re-run by the r8 judge, 9/9
+    # pass, hostile TZ). 11 r08-hash-verified window members rotated
+    # to the tail (q_kmv_jaccard/rollup/served, q_winnow_pairs,
+    # q_heaps_fit, q_zipf_fit, q_epoch_mixture,
+    # q_contamination_overlap, q_neardup_keep_best, q_skew_profile,
+    # q_curriculum_order); their families keep in-window hash anchors
+    # via q_kmv_distinct, q_winnow_fingerprint, q_hybrid_search. ========
     # -- r8 additions, first driver exposure ------------------------------
     "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
     "q_chat_flatten", "q_preference_pairs", "q_image_gif",
     "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
     # -- NEW in r9: MIN/MAX materialized view (delta-scoped partial
-    # recompute for non-invertible aggregates), first driver exposure ----
-    "q_lake_mv_minmax",
+    # recompute) + incremental JOIN materialized view, first exposure ----
+    "q_lake_mv_minmax", "q_lake_mv_join",
     # -- family anchors kept from the r8 rotation (KMV sketch algebra,
-    # winnowing, corpus-health fit, hybrid retrieval) ---------------------
-    "q_kmv_distinct", "q_winnow_fingerprint",
-    "q_zipf_fit", "q_hybrid_search",
+    # winnowing, hybrid retrieval; both corpus-health fits are
+    # r08-hash-verified and rotate to the tail) ---------------------------
+    "q_kmv_distinct", "q_winnow_fingerprint", "q_hybrid_search",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out) ----------------------------------------------
     "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
@@ -97,8 +98,9 @@ _TAIL: list[str] = [
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",
-    "q_heaps_fit", "q_epoch_mixture", "q_contamination_overlap",
-    "q_neardup_keep_best", "q_skew_profile", "q_curriculum_order",
+    "q_heaps_fit", "q_zipf_fit", "q_epoch_mixture",
+    "q_contamination_overlap", "q_neardup_keep_best", "q_skew_profile",
+    "q_curriculum_order",
     # -- r8 rotation: hash-verified-r07 window members that yielded
     # their slots to the 16 first-exposure late-r7 tiers ------------------
     "q_pii_redaction", "q_token_bpe", "q_chunk_documents",

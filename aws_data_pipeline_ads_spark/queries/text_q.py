@@ -3165,6 +3165,83 @@ def q_lake_mv_minmax(spark, sf_dir):
         F.col("sum_n_chars").cast("double").alias("sum_n_chars"))
 
 
+# Star-join MV: fact (orders) and dim (customer) each revised between
+# refreshes, so the state read was produced by the signed JOIN delta
+# rule Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD — never a full re-join.
+def lakemv_join_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"))
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("seg"))
+        fact = LakeTable(spark, f"{path}/fact")
+        dim = LakeTable(spark, f"{path}/dim")
+        mv = LakeJoinMaterializedView(
+            spark, fact, dim, f"{path}/mv", fact_key="o_orderkey",
+            join_key="custkey", group_cols=["seg"], measures=["price"])
+        fact.commit(orders.filter(F.col("o_orderkey") % 3 < 2)
+                    .repartitionByRange(8, "o_orderkey"), txn_id="f0")
+        dim.commit(cust, txn_id="d0")
+        mv.refresh()                            # full join build
+        fact.commit(orders.filter(F.col("o_orderkey") % 3 == 2),
+                    "append", txn_id="f1")
+        mv.refresh()                            # ΔF ⋈ D_new only
+        dim.update({"custkey": (10, 19)}, {"seg": F.lit("MOVED")},
+                   txn_id="d1")
+        mv.refresh()                            # F_old ⋈ ΔD only
+        fact.delete({"o_orderkey": (100, 399)}, txn_id="f2")
+        mv.refresh()                            # ΔF ⋈ D_new again
+
+    return index_path("lakemv_join", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_join",
+    bench=True,  # join-MV state read, new in r9
+    oracle=(
+        "WITH c AS (SELECT c_custkey AS custkey, "
+        "CASE WHEN c_custkey BETWEEN 10 AND 19 THEN 'MOVED' "
+        "ELSE c_mktsegment END AS seg FROM customer), "
+        "o AS (SELECT o_custkey AS custkey, o_totalprice AS price "
+        "FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 399) "
+        "SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(price) AS BIGINT) AS n_price, "
+        "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price "
+        "FROM o JOIN c USING (custkey) GROUP BY seg"
+    ),
+    doc="LLM lake versioning: INCREMENTAL JOIN materialized view "
+        "(lakemv.LakeJoinMaterializedView) — revenue per market "
+        "segment over orders ⋈ customer kept current while BOTH sides "
+        "revise (fact append + CoW delete, dim segment re-pointing) "
+        "purely by the signed join delta rule Δ(F⋈D) = ΔF⋈D_new ∪ "
+        "F_old⋈ΔD: deltas are file-pruned and broadcast, so a fact "
+        "append never re-joins the table and a dim revision costs one "
+        "broadcast-filtered fact scan with zero exchanges. "
+        "Hash-matching the flat SQL join over the final predicate "
+        "state proves incremental == full re-join, decimal sums "
+        "included — the star-schema reporting view a 100 TB lakehouse "
+        "refreshes continuously",
+)
+def q_lake_mv_join(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    idx = lakemv_join_index(spark, sf_dir)
+    mv = LakeJoinMaterializedView(
+        spark, LakeTable(spark, f"{idx}/fact"),
+        LakeTable(spark, f"{idx}/dim"), f"{idx}/mv",
+        fact_key="o_orderkey", join_key="custkey",
+        group_cols=["seg"], measures=["price"])
+    return mv.read().select(
+        "seg", "n_rows", "n_price",
+        F.col("sum_price").cast("double").alias("sum_price"))
+
+
 @query(
     "q_zipf_fit",
     oracle=(

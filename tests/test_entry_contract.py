@@ -37,11 +37,10 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
         "q_chat_flatten", "q_preference_pairs", "q_image_gif",
         "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
-        # new in r9: MIN/MAX materialized view, first driver exposure
-        "q_lake_mv_minmax",
+        # new in r9: MIN/MAX + JOIN materialized views, first exposure
+        "q_lake_mv_minmax", "q_lake_mv_join",
         # family anchors kept from the r8 rotation
-        "q_kmv_distinct", "q_winnow_fingerprint", "q_zipf_fit",
-        "q_hybrid_search",
+        "q_kmv_distinct", "q_winnow_fingerprint", "q_hybrid_search",
         # lake data-skipping first-exposure anchors kept in-window
         "q_lake_hilbert_scan", "q_lake_sum_agg",
         # the two r7 weak marks, driver-verified r08, kept as anchors

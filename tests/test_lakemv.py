@@ -370,3 +370,115 @@ def test_delta_is_file_pruned(spark, sf_dir, tmp_path):
     assert len(new_side.inputFiles()) > 0
     mv.refresh()
     assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+# -- join materialized view ---------------------------------------------------
+
+def _recompute_join(f_df, d_df):
+    return (f_df.join(d_df, "lang").groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_n_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).alias("sum_n_chars")))
+
+
+@pytest.fixture
+def join_srcs(spark, sf_dir, tmp_path):
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    fact.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                .repartitionByRange(8, "doc_id"))
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim.commit(spark.createDataFrame(
+        [Row(lang=lg, region=("apac" if i % 2 else "emea"),
+             dim_id=i) for i, lg in enumerate(sorted(langs))],
+        "lang string, region string, dim_id long"))
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvj"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"])
+    return fact, dim, mv, docs
+
+
+def test_join_mv_full_build(spark, join_srcs):
+    fact, dim, mv, docs = join_srcs
+    assert mv.refresh() == (0, 0)
+    assert _rows(mv.read()) == _rows(_recompute_join(fact.read(),
+                                                     dim.read()))
+    assert mv.last_refreshed() == (0, 0)
+    assert mv.refresh() == (0, 0)            # up to date: no new commit
+
+
+def test_join_mv_fact_revisions(spark, join_srcs):
+    fact, dim, mv, docs = join_srcs
+    mv.refresh()
+    fact.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    assert mv.refresh() == (1, 0)
+    assert _rows(mv.read()) == _rows(_recompute_join(fact.read(),
+                                                     dim.read()))
+    fact.delete({"doc_id": (10, 39)})
+    fact.update({"doc_id": (50, 69)}, {"n_chars": F.lit(5)})
+    assert mv.refresh() == (3, 0)            # two commits, one delta
+    assert _rows(mv.read()) == _rows(_recompute_join(fact.read(),
+                                                     dim.read()))
+
+
+def test_join_mv_dim_revision_moves_groups(spark, join_srcs):
+    """The F_old ⋈ ΔD path: re-pointing a dim row moves every joined
+    fact row's group — signed counts must drain one group and fill the
+    other exactly."""
+    fact, dim, mv, docs = join_srcs
+    mv.refresh()
+    first_lang = sorted(
+        r["lang"] for r in dim.read().select("lang").collect())[0]
+    dim.update({"dim_id": (0, 0)}, {"region": F.lit("moved")})
+    assert mv.refresh() == (0, 1)
+    assert _rows(mv.read()) == _rows(_recompute_join(fact.read(),
+                                                     dim.read()))
+    got = {r["region"]: r["n_rows"] for r in mv.read().collect()}
+    expect = {r["region"]: r["n_rows"]
+              for r in _recompute_join(fact.read(), dim.read()).collect()}
+    assert got == expect and "moved" in got
+    # a dim DELETE drops the joined rows entirely (inner join)
+    dim.delete({"dim_id": (0, 0)})
+    assert mv.refresh() == (0, 2)
+    assert _rows(mv.read()) == _rows(_recompute_join(fact.read(),
+                                                     dim.read()))
+    assert "moved" not in {r["region"] for r in mv.read().collect()}
+    assert first_lang  # fixture sanity
+
+
+def test_join_mv_both_sides_one_refresh(spark, join_srcs):
+    fact, dim, mv, docs = join_srcs
+    mv.refresh()
+    fact.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    dim.update({"dim_id": (1, 2)}, {"region": F.lit("latam")})
+    fact.delete({"doc_id": (0, 25)})
+    assert mv.refresh() == (2, 1)
+    assert _rows(mv.read()) == _rows(_recompute_join(fact.read(),
+                                                     dim.read()))
+
+
+def test_join_mv_guards(spark, sf_dir, tmp_path):
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    fact = LakeTable(spark, str(tmp_path / "f"))
+    fact.commit(docs)
+    dim = LakeTable(spark, str(tmp_path / "d"))
+    # ambiguous column: n_chars on both sides must refuse
+    dim.commit(spark.createDataFrame(
+        [Row(lang="aa", region="x", n_chars=1)],
+        "lang string, region string, n_chars long"))
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvj"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"])
+    with pytest.raises(ValueError, match="both fact and dim"):
+        mv.refresh()
+    with pytest.raises(ValueError, match="group"):
+        LakeJoinMaterializedView(
+            spark, fact, dim, str(tmp_path / "mvj2"), fact_key="doc_id",
+            join_key="lang", group_cols=[], measures=["n_chars"])
