@@ -132,8 +132,26 @@ def signed_version_delta(source: LakeTable, key: str, cols: list[str],
     return minus.unionByName(plus)
 
 
+def _sq_expr(m: str):
+    """Exact-and-portable square: the double multiply is one IEEE op
+    (bit-identical in any engine; measure magnitudes stay well under
+    2^53), then one decimal(38,6) rounding — so signed sums of squares
+    hash-match a DuckDB twin computing the same two steps."""
+    d = F.col(m).cast("double")
+    return (d * d).cast(_DEC)
+
+
+def _nullsafe_eq(left: str, right: str, cols: list[str]):
+    cond = None
+    for g in cols:
+        eq = F.col(f"{left}.{g}").eqNullSafe(F.col(f"{right}.{g}"))
+        cond = eq if cond is None else cond & eq
+    return cond
+
+
 def _delta_aggregate(delta: DataFrame, group_cols: list[str],
-                     measures: list[str]) -> DataFrame:
+                     measures: list[str],
+                     sumsq: list[str] | None = None) -> DataFrame:
     """Per-group signed aggregate of a delta: n_rows plus per-measure
     signed non-null count and decimal sum."""
     aggs = [F.sum("__sign").cast("long").alias("n_rows")]
@@ -145,12 +163,17 @@ def _delta_aggregate(delta: DataFrame, group_cols: list[str],
         aggs.append(
             F.sum(F.col(m).cast(_DEC) * F.col("__sign"))
             .cast(_DEC).alias(f"sum_{m}"))
+        if m in (sumsq or []):
+            aggs.append(
+                F.sum(_sq_expr(m) * F.col("__sign"))
+                .cast(_DEC).alias(f"sumsq_{m}"))
     return delta.groupBy(*group_cols).agg(*aggs)
 
 
 def _merge_group_state(state: DataFrame, d: DataFrame,
                        group_cols: list[str],
-                       measures: list[str]) -> DataFrame:
+                       measures: list[str],
+                       sumsq: list[str] | None = None) -> DataFrame:
     """state ⊕ delta, null-safe on the group key (a NULL group is a
     legal group); groups whose count hits zero drop out."""
     s, dd = state.alias("s"), d.alias("d")
@@ -175,6 +198,12 @@ def _merge_group_state(state: DataFrame, d: DataFrame,
         # non-null count decides, exactly as a full recompute would
         sel.append(F.when(n_m == 0, F.lit(None).cast(_DEC))
                    .otherwise(merged).cast(_DEC).alias(c))
+        if m in (sumsq or []):
+            q = f"sumsq_{m}"
+            merged_q = (F.coalesce(F.col(f"s.{q}"), F.lit(0).cast(_DEC))
+                        + F.coalesce(F.col(f"d.{q}"), F.lit(0).cast(_DEC)))
+            sel.append(F.when(n_m == 0, F.lit(None).cast(_DEC))
+                       .otherwise(merged_q).cast(_DEC).alias(q))
     return j.select(*sel).where(F.col("n_rows") > 0)
 
 
@@ -209,7 +238,8 @@ class LakeMaterializedView:
     def __init__(self, spark: SparkSession, source: LakeTable, path: str,
                  key: str, group_cols: list[str], measures: list[str],
                  backend: CommitBackend | None = None,
-                 minmax: list[str] | None = None):
+                 minmax: list[str] | None = None,
+                 sumsq: list[str] | None = None):
         # `key` must be unique per source snapshot (the table's primary
         # key — the same contract LakeTable.merge holds): the delta is
         # a key-based full-outer join, and duplicate keys would
@@ -220,12 +250,18 @@ class LakeMaterializedView:
         if overlap:
             raise ValueError(f"columns cannot be both group and "
                              f"measure: {sorted(overlap)}")
+        extra = set(sumsq or []) - set(measures)
+        if extra:
+            raise ValueError(
+                f"sumsq columns must also be measures (variance needs "
+                f"the sum and the non-null count): {sorted(extra)}")
         self.spark = spark
         self.source = source
         self.key = key
         self.group_cols = list(group_cols)
         self.measures = list(measures)
         self.minmax = list(minmax or [])
+        self.sumsq = list(sumsq or [])
         self.table = LakeTable(spark, path, backend=backend)
 
     # -- bookkeeping ---------------------------------------------------------
@@ -255,6 +291,8 @@ class LakeMaterializedView:
         for m in self.measures:
             aggs.append(F.count(F.col(m)).alias(self._cnt_col(m)))
             aggs.append(F.sum(F.col(m).cast(_DEC)).alias(self._sum_col(m)))
+            if m in self.sumsq:
+                aggs.append(F.sum(_sq_expr(m)).alias(f"sumsq_{m}"))
         for m in self.minmax:
             aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
@@ -307,7 +345,8 @@ class LakeMaterializedView:
         return head
 
     def _full_aggregate_of_delta(self, delta: DataFrame) -> DataFrame:
-        return _delta_aggregate(delta, self.group_cols, self.measures)
+        return _delta_aggregate(delta, self.group_cols, self.measures,
+                                self.sumsq)
 
     def _nullsafe_group_eq(self, left: str, right: str):
         cond = None
@@ -358,7 +397,7 @@ class LakeMaterializedView:
 
     def _merge_state(self, state: DataFrame, d: DataFrame) -> DataFrame:
         return _merge_group_state(state, d, self.group_cols,
-                                  self.measures)
+                                  self.measures, self.sumsq)
 
 
 class LakeJoinMaterializedView:
@@ -400,13 +439,19 @@ class LakeJoinMaterializedView:
     def __init__(self, spark: SparkSession, fact: LakeTable,
                  dim: LakeTable, path: str, fact_key: str, join_key: str,
                  group_cols: list[str], measures: list[str],
-                 backend: CommitBackend | None = None):
+                 backend: CommitBackend | None = None,
+                 minmax: list[str] | None = None,
+                 sumsq: list[str] | None = None):
         if not group_cols:
             raise ValueError("materialized view needs >=1 group column")
-        overlap = set(group_cols) & set(measures)
+        overlap = set(group_cols) & (set(measures) | set(minmax or []))
         if overlap:
             raise ValueError(f"columns cannot be both group and "
                              f"measure: {sorted(overlap)}")
+        extra = set(sumsq or []) - set(measures)
+        if extra:
+            raise ValueError(
+                f"sumsq columns must also be measures: {sorted(extra)}")
         self.spark = spark
         self.fact = fact
         self.dim = dim
@@ -414,6 +459,8 @@ class LakeJoinMaterializedView:
         self.join_key = join_key
         self.group_cols = list(group_cols)
         self.measures = list(measures)
+        self.minmax = list(minmax or [])
+        self.sumsq = list(sumsq or [])
         self.table = LakeTable(spark, path, backend=backend)
 
     # -- bookkeeping ---------------------------------------------------------
@@ -439,7 +486,8 @@ class LakeJoinMaterializedView:
         fact_cols = set(self.fact.read().columns)
         dim_cols = set(self.dim.read().columns)
         f_side, d_side = [], []
-        for c in dict.fromkeys(self.group_cols + self.measures):
+        for c in dict.fromkeys(self.group_cols + self.measures
+                               + self.minmax):
             if c == self.join_key:
                 f_side.append(c)
             elif c in fact_cols and c in dim_cols:
@@ -511,9 +559,14 @@ class LakeJoinMaterializedView:
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p)
-        d = _delta_aggregate(delta, self.group_cols, self.measures)
-        merged = _merge_group_state(self.table.read(), d,
-                                    self.group_cols, self.measures)
+        d = _delta_aggregate(delta, self.group_cols, self.measures,
+                             self.sumsq)
+        state = self.table.read()
+        merged = _merge_group_state(state, d, self.group_cols,
+                                    self.measures, self.sumsq)
+        if self.minmax:
+            merged = self._apply_minmax(merged, state, delta,
+                                        head_f, head_d)
         self.table.commit(merged, "overwrite", txn_id=txn)
         return head_f, head_d
 
@@ -522,7 +575,48 @@ class LakeJoinMaterializedView:
         for m in self.measures:
             aggs.append(F.count(F.col(m)).alias(f"n_{m}"))
             aggs.append(F.sum(F.col(m).cast(_DEC)).alias(f"sum_{m}"))
+            if m in self.sumsq:
+                aggs.append(F.sum(_sq_expr(m)).alias(f"sumsq_{m}"))
+        for m in self.minmax:
+            aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
+            aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
+
+    def _apply_minmax(self, merged: DataFrame, state: DataFrame,
+                      delta: DataFrame, head_f: int,
+                      head_d: int) -> DataFrame:
+        """Join-view extrema: delta-scoped partial recompute over the
+        CURRENT join (F_head ⋈ D_head semi-filtered to the delta's
+        touched groups — a dim re-pointing moves whole groups, and the
+        signed delta carries rows for both the drained and the filled
+        group, so `touched` covers both). Untouched groups keep stored
+        extrema; same select logic as the single-table view."""
+        touched = delta.select(*self.group_cols).distinct()
+        joined = self._joined(self.fact.read(head_f),
+                              self.dim.read(head_d), "dim").alias("x")
+        scoped = joined.join(F.broadcast(touched.alias("t")),
+                             _nullsafe_eq("x", "t", self.group_cols),
+                             "leftsemi")
+        aggs = []
+        for m in self.minmax:
+            aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
+            aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+        rec = (scoped.groupBy(*self.group_cols).agg(*aggs)
+               .withColumn("__touched", F.lit(1)))
+        mm_cols = [c for m in self.minmax
+                   for c in (f"min_{m}", f"max_{m}")]
+        old_mm = state.select(*self.group_cols, *mm_cols)
+        j = (merged.alias("m")
+             .join(F.broadcast(old_mm.alias("s")),
+                   _nullsafe_eq("m", "s", self.group_cols), "left")
+             .join(F.broadcast(rec.alias("r")),
+                   _nullsafe_eq("m", "r", self.group_cols), "left"))
+        sel = [F.col(f"m.{c}") for c in merged.columns]
+        for c in mm_cols:
+            sel.append(F.when(F.col("r.__touched").isNotNull(),
+                              F.col(f"r.{c}"))
+                       .otherwise(F.col(f"s.{c}")).alias(c))
+        return j.select(*sel)
 
 
 def lake_mv_sink(stream_df: DataFrame, view: LakeMaterializedView,

@@ -95,6 +95,10 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
+    # -- NEW late-r9 (after the r9 window was pinned): verified locally
+    # via tools/driver_sim + the sf0.1 sweep; rotate into the r10
+    # window for first driver exposure -----------------------------------
+    "q_lake_mv_variance",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

@@ -3165,6 +3165,83 @@ def q_lake_mv_minmax(spark, sf_dir):
         F.col("sum_n_chars").cast("double").alias("sum_n_chars"))
 
 
+# Variance view: sumsq measures through full-build → append → CoW
+# delete → CoW update, so the state the query reads was maintained
+# purely by SIGNED squares (variance is algebraic — exactly
+# incremental, unlike MIN/MAX).
+def lakemv_var_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        mv = LakeMaterializedView(
+            spark, t, f"{path}/mv", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"],
+            sumsq=["n_chars"])
+        t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                 .repartitionByRange(8, "doc_id"), txn_id="rev-0")
+        mv.refresh()
+        t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append",
+                 txn_id="rev-1")
+        mv.refresh()
+        t.delete({"doc_id": (10, 19)}, txn_id="rev-2")
+        mv.refresh()
+        t.update({"doc_id": (30, 49)}, {"n_chars": F.lit(7)},
+                 txn_id="rev-3")
+        mv.refresh()
+
+    return index_path("lakemv_var", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_variance",
+    bench=True,  # algebraic-aggregate MV state read, new in r9
+    oracle=(
+        "WITH d AS (SELECT lang, CASE WHEN doc_id BETWEEN 30 AND 49 "
+        "THEN 7 ELSE n_chars END AS nc FROM documents "
+        "WHERE doc_id NOT BETWEEN 10 AND 19) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(nc) AS BIGINT) AS n_n_chars, "
+        "CAST(SUM(CAST(nc AS DECIMAL(38,6))) AS DOUBLE) AS sum_n_chars, "
+        "CAST(SUM(CAST(CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) "
+        "AS DECIMAL(38,6))) AS DOUBLE) AS sumsq_n_chars, "
+        "ROUND(CAST(SUM(CAST(CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) "
+        "AS DECIMAL(38,6))) AS DOUBLE) / COUNT(nc) "
+        "- POW(CAST(SUM(CAST(nc AS DECIMAL(38,6))) AS DOUBLE) "
+        "/ COUNT(nc), 2), 6) AS var_pop "
+        "FROM d GROUP BY lang"
+    ),
+    doc="LLM lake versioning: ALGEBRAIC aggregates in the incremental "
+        "materialized view (lakemv sumsq=) — per-lang Σm² maintained "
+        "by signed deltas through full build → append → CoW delete → "
+        "CoW update, so VAR_POP/STDDEV stay exactly incremental "
+        "(sumsq/n − (sum/n)², the textbook algebraic decomposition — "
+        "no per-group recompute, unlike MIN/MAX). The square is one "
+        "IEEE double multiply then one decimal(38,6) rounding on both "
+        "engines, so the state hash-matches the flat GROUP BY twin "
+        "bit-for-bit, derived variance included",
+)
+def q_lake_mv_variance(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    idx = lakemv_var_index(spark, sf_dir)
+    mv = LakeMaterializedView(
+        spark, LakeTable(spark, f"{idx}/tbl"), f"{idx}/mv",
+        key="doc_id", group_cols=["lang"], measures=["n_chars"],
+        sumsq=["n_chars"])
+    s = F.col("sum_n_chars").cast("double")
+    q = F.col("sumsq_n_chars").cast("double")
+    n = F.col("n_n_chars")
+    return mv.read().select(
+        "lang", "n_rows", "n_n_chars",
+        s.alias("sum_n_chars"), q.alias("sumsq_n_chars"),
+        F.round(q / n - F.pow(s / n, F.lit(2)), 6).alias("var_pop"))
+
+
 # Star-join MV: fact (orders) and dim (customer) each revised between
 # refreshes, so the state read was produced by the signed JOIN delta
 # rule Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD — never a full re-join.

@@ -133,6 +133,7 @@ def main() -> None:
     text_q.lakemv_index(spark, sf_dir)        # r8: MV source + refreshes
     text_q.lakemv_minmax_index(spark, sf_dir)  # r9: MIN/MAX MV revisions
     text_q.lakemv_join_index(spark, sf_dir)    # r9: join-MV revisions
+    text_q.lakemv_var_index(spark, sf_dir)     # r9: variance-MV revisions
     text_q.unigram_vocab(spark, sf_dir)       # r8: trained tokenizer
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",

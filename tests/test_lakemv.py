@@ -482,3 +482,88 @@ def test_join_mv_guards(spark, sf_dir, tmp_path):
         LakeJoinMaterializedView(
             spark, fact, dim, str(tmp_path / "mvj2"), fact_key="doc_id",
             join_key="lang", group_cols=[], measures=["n_chars"])
+
+
+def test_sumsq_variance_is_exactly_maintained(spark, sf_dir, tmp_path, src):
+    """Variance is ALGEBRAIC: sumsq_<m> = Σm² maintained by signed
+    deltas must stay bit-identical to a full recompute through
+    append/delete/update — and the derived VAR_POP must match
+    var_pop() on the head exactly (the square is one IEEE double
+    multiply then one decimal rounding on both paths)."""
+    t, docs = src
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"], sumsq=["n_chars"])
+
+    def recompute():
+        d = F.col("n_chars").cast("double")
+        return t.read().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_chars").alias("n_n_chars"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .alias("sum_n_chars"),
+            F.sum((d * d).cast("decimal(38,6)")).alias("sumsq_n_chars"))
+
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    t.delete({"doc_id": (10, 39)})
+    t.update({"doc_id": (50, 69)}, {"n_chars": F.lit(7)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    # derived VAR_POP from the maintained state == Spark's var_pop
+    got = {r["lang"]: (float(r["sumsq_n_chars"]) / r["n_n_chars"]
+                       - (float(r["sum_n_chars"]) / r["n_n_chars"]) ** 2)
+           for r in mv.read().collect()}
+    expect = {r["lang"]: r["v"] for r in t.read().groupBy("lang").agg(
+        F.var_pop("n_chars").alias("v")).collect()}
+    for lang, v in expect.items():
+        assert got[lang] == pytest.approx(v, rel=1e-9), lang
+    # sumsq must also be a measure
+    with pytest.raises(ValueError, match="sumsq"):
+        LakeMaterializedView(
+            spark, t, str(tmp_path / "mv2"), key="doc_id",
+            group_cols=["lang"], measures=[], sumsq=["n_chars"])
+
+
+def test_join_mv_minmax_and_sumsq(spark, join_srcs, tmp_path):
+    """Join-view extrema via delta-scoped recompute over the CURRENT
+    join: deleting the fact rows holding a group's max, and re-pointing
+    a dim row (drain+fill), both land on recomputed extrema; sumsq
+    rides along signed."""
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    fact, dim, _mv, docs = join_srcs
+
+    def recompute():
+        d = F.col("n_chars").cast("double")
+        return fact.read().join(dim.read(), "lang").groupBy("region").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_chars").alias("n_n_chars"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .alias("sum_n_chars"),
+            F.sum((d * d).cast("decimal(38,6)")).alias("sumsq_n_chars"),
+            F.min("n_chars").alias("min_n_chars"),
+            F.max("n_chars").alias("max_n_chars"))
+
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvj_mm"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"],
+        minmax=["n_chars"], sumsq=["n_chars"])
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+
+    # plant a sentinel max then delete exactly those fact rows
+    fact.update({"doc_id": (30, 49)}, {"n_chars": F.lit(999_999)})
+    mv.refresh()
+    assert mv.read().agg(F.max("max_n_chars")).collect()[0][0] == 999_999
+    fact.delete({"doc_id": (30, 49)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    assert mv.read().agg(F.max("max_n_chars")).collect()[0][0] < 999_999
+
+    # dim re-pointing drains one region and fills another — extrema on
+    # BOTH sides of the move must recompute
+    dim.update({"dim_id": (0, 1)}, {"region": F.lit("moved")})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
