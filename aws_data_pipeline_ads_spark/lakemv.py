@@ -149,6 +149,38 @@ def _nullsafe_eq(left: str, right: str, cols: list[str]):
     return cond
 
 
+def signed_span_delta(source: LakeTable, key: str, cols: list[str],
+                      v_old: int, v_new: int) -> DataFrame | None:
+    """Signed delta over a multi-commit span, COMPACTION-AWARE.
+
+    A compaction rewrites every file without changing effective rows
+    (it even materializes pending deferred deletes — the parent's read
+    applies the same predicates), so a single endpoint diff across one
+    would find zero shared files and degenerate to a full two-snapshot
+    scan whose rows all cancel: correct, but table-sized. Signed
+    deltas compose additively — delta(a,c) ≡ delta(a,b) ⊎ delta(b,c) —
+    so the span folds into per-segment diffs that SKIP row-preserving
+    compaction commits entirely, keeping file pruning effective on
+    every remaining segment. Returns None when every commit in the
+    span is a compaction (no data change at all)."""
+    segments: list[tuple[int, int]] = []
+    a = v_old
+    for v in range(v_old + 1, v_new + 1):
+        if source._read_entry(v).get("op") == "compact":
+            if v - 1 > a:
+                segments.append((a, v - 1))
+            a = v
+    if v_new > a:
+        segments.append((a, v_new))
+    if not segments:
+        return None
+    out = None
+    for lo, hi in segments:
+        d = signed_version_delta(source, key, cols, lo, hi)
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def _delta_aggregate(delta: DataFrame, group_cols: list[str],
                      measures: list[str],
                      sumsq: list[str] | None = None) -> DataFrame:
@@ -335,9 +367,17 @@ class LakeMaterializedView:
                 f"view; rebuild it (drop the view table) instead of "
                 f"applying a negative-range delta")
 
-        delta = self._delta(last, head)
-        d = self._full_aggregate_of_delta(delta)
+        cols = list(dict.fromkeys(self.group_cols + self.measures
+                                  + self.minmax))
+        delta = signed_span_delta(self.source, self.key, cols,
+                                  last, head)
         state = self.table.read()
+        if delta is None:
+            # the whole span is row-preserving compaction — no data
+            # change; re-commit the state so the txn records head
+            self.table.commit(state, "overwrite", txn_id=txn)
+            return head
+        d = self._full_aggregate_of_delta(delta)
         merged = self._merge_state(state, d)
         if self.minmax:
             merged = self._apply_minmax(merged, state, delta, head)
@@ -548,14 +588,22 @@ class LakeJoinMaterializedView:
         d_cols = list(dict.fromkeys([self.join_key] + d_side))
         parts = []
         if head_f > lf:                       # ΔF ⋈ D_new
-            d_f = signed_version_delta(self.fact, self.fact_key,
-                                       f_cols, lf, head_f)
-            parts.append(self._joined(d_f, self.dim.read(head_d),
-                                      "fact"))
+            d_f = signed_span_delta(self.fact, self.fact_key,
+                                    f_cols, lf, head_f)
+            if d_f is not None:
+                parts.append(self._joined(d_f, self.dim.read(head_d),
+                                          "fact"))
         if head_d > ld:                       # F_old ⋈ ΔD
-            d_d = signed_version_delta(self.dim, self.join_key,
-                                       d_cols, ld, head_d)
-            parts.append(self._joined(self.fact.read(lf), d_d, "dim"))
+            d_d = signed_span_delta(self.dim, self.join_key,
+                                    d_cols, ld, head_d)
+            if d_d is not None:
+                parts.append(self._joined(self.fact.read(lf), d_d,
+                                          "dim"))
+        if not parts:
+            # both spans are row-preserving compaction — no data change
+            self.table.commit(self.table.read(), "overwrite",
+                              txn_id=txn)
+            return head_f, head_d
         delta = parts[0]
         for p in parts[1:]:
             delta = delta.unionByName(p)

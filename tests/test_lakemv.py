@@ -567,3 +567,46 @@ def test_join_mv_minmax_and_sumsq(spark, join_srcs, tmp_path):
     dim.update({"dim_id": (0, 1)}, {"region": F.lit("moved")})
     mv.refresh()
     assert _rows(mv.read()) == _rows(recompute())
+
+
+def test_refresh_is_compaction_aware(spark, sf_dir, tmp_path):
+    """A compaction between refreshes rewrites every file without
+    changing rows — the span delta must SKIP it (signed deltas compose
+    additively across segments), scanning only the genuinely appended
+    files instead of degenerating to a full two-snapshot diff."""
+    from aws_data_pipeline_ads_spark.lakemv import signed_span_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(docs.filter(F.col("doc_id") < 300)
+             .repartitionByRange(8, "doc_id"))             # v0
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    t.commit(docs.filter((F.col("doc_id") >= 300)
+                         & (F.col("doc_id") < 400)).coalesce(1),
+             "append")                                      # v1
+    assert t.compact(target_bytes=1 << 30) == 2            # v2: rewrite all
+    t.commit(docs.filter(F.col("doc_id") >= 400).coalesce(1),
+             "append")                                      # v3
+
+    # the span delta reads ONLY the two appended files — the 8 v0
+    # files (segment 0→1) and the compacted file (segment 2→3) prune
+    d = signed_span_delta(t, "doc_id", ["lang", "n_chars"], 0, 3)
+    assert len(d.inputFiles()) == 2
+    assert mv.refresh() == 3
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+    # an all-compaction span is a pure bookkeeping refresh
+    assert t.compact(target_bytes=1 << 30) == 4
+    assert signed_span_delta(t, "doc_id", ["lang", "n_chars"], 3, 4) is None
+    assert mv.refresh() == 4
+    assert mv.last_refreshed() == 4
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+    # deferred delete then compact (which MATERIALIZES it): the delete
+    # segment carries the change, the compact still skips
+    t.delete({"doc_id": (0, 49)}, defer=True)               # v5
+    assert t.compact(target_bytes=1 << 30) == 6             # v6
+    assert mv.refresh() == 6
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
