@@ -610,3 +610,24 @@ def test_refresh_is_compaction_aware(spark, sf_dir, tmp_path):
     assert t.compact(target_bytes=1 << 30) == 6             # v6
     assert mv.refresh() == 6
     assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+def test_refresh_across_schema_evolution(spark, tmp_path):
+    """An evolve-append that widens the source schema must not break
+    the view: each version's read resolves columns from the LOG, old
+    files read the new column as NULL, and the view's own columns keep
+    matching a full recompute."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="aa", n_chars=10),
+         Row(doc_id=2, lang="bb", n_chars=4)],
+        "doc_id long, lang string, n_chars long"))
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=3, lang="aa", n_chars=7, source="crawl")],
+        "doc_id long, lang string, n_chars long, source string"),
+        "append", evolve=True)
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(
+        t.read().select("doc_id", "lang", "n_chars")))

@@ -204,7 +204,52 @@ def mv_refresh_experiment(spark, base: str, big: str) -> list[tuple]:
               f"refresh {med:.2f}s (reps {[round(x, 2) for x in times]})  "
               f"delta scanned {max(scanned)}/{total_files} files",
               file=sys.stderr)
-        out.append((label, full_s, med, max(scanned), total_files))
+        out.append((f"{label} single-table", full_s, med, max(scanned),
+                    total_files))
+
+    # join view: fixed-size FACT append against a 1×/10× fact table —
+    # ΔF broadcasts and joins the (unscaled) dim at head; refresh must
+    # stay flat like the single-table case
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    for label, sf_dir in (("1×", base), ("10×", big)):
+        root = tempfile.mkdtemp(prefix="scale10x_mvj_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars")
+        langs = [r[0] for r in docs.select("lang").distinct().collect()]
+        batch = (spark.read.parquet(f"{base}/documents.parquet")
+                 .select("doc_id", "lang", "n_chars")
+                 .orderBy("doc_id").limit(500))
+        fact = LakeTable(spark, f"{root}/fact")
+        fact.commit(docs.repartition(32))
+        dim = LakeTable(spark, f"{root}/dim")
+        dim.commit(spark.createDataFrame(
+            [(lg, f"r{i % 3}") for i, lg in enumerate(sorted(langs))],
+            "lang string, region string"))
+        mv = LakeJoinMaterializedView(
+            spark, fact, dim, f"{root}/mv", fact_key="doc_id",
+            join_key="lang", group_cols=["region"],
+            measures=["n_chars"])
+        t0 = time.time()
+        mv.refresh()
+        full_s = time.time() - t0
+        total_files = len(fact.read().inputFiles())
+        times = []
+        for rep in range(3):
+            fact.commit(batch.withColumn(
+                "doc_id",
+                F.col("doc_id") + F.lit(900_000_000 + rep * 1_000_000)),
+                "append")
+            t0 = time.time()
+            mv.refresh()
+            times.append(time.time() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+        med = sorted(times)[1]
+        print(f"# mvj_refresh {label}: full {full_s:.2f}s  fixed-append "
+              f"refresh {med:.2f}s (reps {[round(x, 2) for x in times]})",
+              file=sys.stderr)
+        out.append((f"{label} join (fact append)", full_s, med, 1,
+                    total_files))
     return out
 
 
@@ -401,17 +446,19 @@ def main() -> None:
     for label, full_s, med, scanned, total in mv_rows:
         lines.append(f"| {label} | {full_s:.2f} | {med:.2f} "
                      f"| {scanned}/{total} |")
-    if len(mv_rows) == 2:
-        ratio = mv_rows[1][2] / mv_rows[0][2] if mv_rows[0][2] else 0
+    for i in range(0, len(mv_rows) - 1, 2):
+        one, ten = mv_rows[i], mv_rows[i + 1]
+        ratio = ten[2] / one[2] if one[2] else 0
+        kind = one[0].split(" ", 1)[1]
         lines += [
             "",
-            f"Fixed-delta refresh cost at 10× table size: "
+            f"Fixed-delta {kind} refresh cost at 10× table size: "
             f"**{ratio:.1f}×** the 1× cost (target ≈ 1; a table-scaled "
-            "refresh would read ~10×). The delta scanned "
-            f"{mv_rows[1][3]}/{mv_rows[1][4]} files at 10× — the "
-            "appended files only, never the table.",
-            "",
+            f"refresh would read ~10×); the delta scanned "
+            f"{ten[3]}/{ten[4]} files at 10× — the appended files "
+            "only, never the table.",
         ]
+    lines.append("")
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print(f"# wrote {out_md}", file=sys.stderr)
