@@ -1,13 +1,22 @@
-"""Incrementally-maintained materialized aggregates over a LakeTable.
+"""Incrementally-maintained materialized aggregates over LakeTables.
 
-The missing downstream half of the lakehouse tier: a GROUP BY
-COUNT/SUM/AVG view over a 100 TB source table that a refresh keeps
-current WITHOUT re-aggregating the world — the job Delta Live Tables /
-incremental view maintenance does, pinned here engine-independently
-with the classic counting algorithm (delta rules): every source row
-that appeared contributes +1, every row that disappeared contributes
--1, changed rows contribute both, and the per-group running
-(count, decimal sums) state absorbs the signed delta.
+The missing downstream half of the lakehouse tier: GROUP BY reporting
+views over 100 TB source tables that a refresh keeps current WITHOUT
+re-aggregating the world — the job Delta Live Tables / incremental
+view maintenance does, pinned here engine-independently with the
+classic counting algorithm (delta rules): every source row that
+appeared contributes +1, every row that disappeared contributes -1,
+changed rows contribute both, and the per-group running state absorbs
+the signed delta. Aggregate classes, each with the maintenance that
+class admits:
+
+* COUNT / SUM / AVG (sum/count) — signed-delta incremental.
+* VAR / STDDEV (`sumsq=`) — algebraic: signed Σm² rides the same
+  deltas; VAR_POP = sumsq/n − (sum/n)².
+* MIN / MAX (`minmax=`) — NOT invertible: delta-scoped partial
+  recompute (only the delta's touched groups rescan).
+* Star joins (`LakeJoinMaterializedView`) — fact ⋈ dim maintained on
+  BOTH sides by Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD with broadcast deltas.
 
 Charter scope (SURVEY §2C lakehouse family; the reference — a row-loop
 Lambda ETL, lambda_function.py — has no views at all).
@@ -22,6 +31,10 @@ Scale shape:
   BEFORE its one full-outer join — the exchange carries narrow rows,
   never document bodies; everything after the changed-key filter is
   delta-sized.
+* Refresh spans are COMPACTION-AWARE (signed_span_delta): signed
+  deltas compose additively, so the span folds into per-segment diffs
+  that skip row-preserving compaction commits entirely — an OPTIMIZE
+  landing between refreshes no longer destroys file pruning.
 * The state table holds one row per group (tiny at any source size)
   and is itself a LakeTable: versioned, time-travelable, restorable,
   object-store-safe through the same CommitBackend seam.
@@ -389,11 +402,7 @@ class LakeMaterializedView:
                                 self.sumsq)
 
     def _nullsafe_group_eq(self, left: str, right: str):
-        cond = None
-        for g in self.group_cols:
-            eq = F.col(f"{left}.{g}").eqNullSafe(F.col(f"{right}.{g}"))
-            cond = eq if cond is None else cond & eq
-        return cond
+        return _nullsafe_eq(left, right, self.group_cols)
 
     def _apply_minmax(self, merged: DataFrame, state: DataFrame,
                       delta: DataFrame, head: int) -> DataFrame:
