@@ -495,7 +495,14 @@ def test_jpeg_roundtrip_property(shape_seed):
     dec = jpeg.jpeg_decode_pixels(jpeg.jpeg_encode_pixels(
         arr if ch == 3 else arr[:, :, 0]))
     assert dec.shape == (h, w, ch)
-    tol = 1 if ch == 1 else 2  # color transform adds one rounding step
+    # Error budget per channel: DCT coefficient rounding (all-ones
+    # quant still rounds each coefficient to an integer → up to ~1
+    # spatial level), plus for color the YCbCr roundings amplified by
+    # the 1.402/1.772 inverse-transform factors and one final rounding.
+    # Grayscale stays within 1; RGB is analytically bounded by ~3.4 and
+    # a hypothesis sweep (seed 13905, 16×2 RGB) realized 3 — the old ±2
+    # was empirical, not a bound.
+    tol = 1 if ch == 1 else 3
     assert np.abs(dec.astype(int) - arr.astype(int)).max() <= tol
 
 
