@@ -631,3 +631,25 @@ def test_refresh_across_schema_evolution(spark, tmp_path):
     mv.refresh()
     assert _rows(mv.read()) == _rows(_recompute(
         t.read().select("doc_id", "lang", "n_chars")))
+
+
+def test_refresh_across_checkpoint_expiry(spark, tmp_path):
+    """checkpoint(expire=True) folds per-version entry files into the
+    checkpoint — the span walker's _read_entry calls must keep
+    resolving through it, or any long-lived view would break the first
+    time its source log is checkpointed."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="aa", n_chars=5)],
+        "doc_id long, lang string, n_chars long"))
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=2, lang="bb", n_chars=7)],
+        "doc_id long, lang string, n_chars long"), "append")
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=3, lang="aa", n_chars=2)],
+        "doc_id long, lang string, n_chars long"), "append")
+    t.checkpoint(expire=True)
+    assert mv.refresh() == 2
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
