@@ -14,9 +14,27 @@ class admits:
 * VAR / STDDEV (`sumsq=`) — algebraic: signed Σm² rides the same
   deltas; VAR_POP = sumsq/n − (sum/n)².
 * MIN / MAX (`minmax=`) — NOT invertible: delta-scoped partial
-  recompute (only the delta's touched groups rescan).
-* Star joins (`LakeJoinMaterializedView`) — fact ⋈ dim maintained on
-  BOTH sides by Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD with broadcast deltas.
+  recompute (only the delta's touched groups rescan, and the rescan
+  itself is FILE-PRUNED through the commit log's per-file min/max
+  stats on the group columns when the source is clustered by group).
+* COUNT(DISTINCT x) (`distinct=`) — NOT invertible either (deleting
+  one occurrence of a value cannot tell whether another survives):
+  same delta-scoped, file-pruned partial recompute, exact by
+  construction. The mergeable-sketch alternative (a KMV state column)
+  is deliberately NOT offered — `distinct_mode` other than "exact"
+  refuses loudly (UnsupportedAggregateError) rather than silently
+  degrading an exact view to an approximation.
+* Two-table join (`LakeJoinMaterializedView`) — fact ⋈ dim maintained
+  on BOTH sides by Δ(F⋈D) = ΔF⋈D_new ∪ F_old⋈ΔD with broadcast deltas.
+* k-dim star/snowflake (`LakeStarMaterializedView`) — fact ⋈ a TREE
+  of many-to-one dims (each joining the fact or another dim), the
+  reporting shape of the repo's own flagship query
+  (lineitem⋈orders⋈customer⋈nation⋈region). Each fact-attached
+  subtree composes dim-side into one mapping M_j; the refresh applies
+  Δ(F⋈M₁⋈…⋈Mₘ) = ΔF⋈M_new ∪ F_old⋈Δ(M) where Δ(M) is computed
+  entirely over dims — the fact is scanned AT MOST ONCE per refresh
+  no matter how many dims revised. Unsupported join shapes (non-inner,
+  many-to-many) refuse loudly with UnsupportedJoinShapeError.
 
 Charter scope (SURVEY §2C lakehouse family; the reference — a row-loop
 Lambda ETL, lambda_function.py — has no views at all).
@@ -60,6 +78,29 @@ from aws_data_pipeline_ads_spark.lakelog import CommitBackend, LakeTable
 _DEC = "decimal(38,6)"
 _TXN_PREFIX = "mv-refresh:"
 _JOIN_TXN_PREFIX = "mvj-refresh:"
+_STAR_TXN_PREFIX = "mvs-refresh:"
+
+# Driver-side cap on the touched-group set collected for recompute
+# file pruning: past this many distinct touched groups the collect is
+# skipped and the recompute conservatively opens every head file (the
+# pre-r10 behavior). Group-key state is "tiny at any source size" by
+# the view contract, so real views sit far below this.
+_PRUNE_MAX_GROUPS = 10_000
+
+
+class UnsupportedAggregateError(ValueError):
+    """An aggregate mode this view class deliberately refuses (for
+    example a sketch-approximate COUNT(DISTINCT) state) — named so the
+    refusal is loud and greppable, never a silent downgrade."""
+
+
+class UnsupportedJoinShapeError(ValueError):
+    """A join shape incremental maintenance does not support: anything
+    non-inner (a left join's NULL-extended rows do not follow the
+    signed delta rule used here) or many-to-many (a duplicate dim join
+    key multiplies fact rows through the key-diff, corrupting the
+    signed counts). Refused loudly at construction / refresh instead of
+    drifting from a full recompute."""
 
 
 # -- version-delta primitives (shared by single-table and join views) --------
@@ -109,12 +150,12 @@ def _version_delta_sides(source: LakeTable, v_old: int, v_new: int):
     return side(v_old, e_old), side(v_new, e_new)
 
 
-def signed_version_delta(source: LakeTable, key: str, cols: list[str],
-                         v_old: int, v_new: int) -> DataFrame:
-    """Signed row delta between two versions of `source`: `cols` +
-    __sign (+1 appeared / -1 disappeared). File-level pruning first
-    (_version_delta_sides), then unchanged keys (same key, same
-    content hash over `cols`) cancel out BEFORE any aggregation.
+def signed_frame_delta(old_side: DataFrame, new_side: DataFrame,
+                       key: str, cols: list[str]) -> DataFrame:
+    """Signed row delta between two arbitrary snapshots sharing a
+    per-snapshot-unique key: `cols` + __sign (+1 appeared / -1
+    disappeared). Unchanged keys (same key, same content hash over
+    `cols`) cancel out BEFORE any aggregation.
 
     The content hash is the JSON encoding of a struct, not a
     separator-joined concat: concat_ws cannot distinguish NULL from ''
@@ -122,15 +163,28 @@ def signed_version_delta(source: LakeTable, key: str, cols: list[str],
     the delta), and values containing the separator could collide
     across columns. JSON escapes control characters and
     ignoreNullFields=false emits an explicit null, so the encoding is
-    injective on the row."""
+    injective on the row.
+
+    NULL keys: a NULL-keyed row has no cross-snapshot identity (a key
+    equality join would silently drop it from BOTH changed sides — the
+    row would be invisible to every refresh while the first full build
+    counts it). Such rows are routed AROUND the key-diff instead: the
+    old side emits -1 and the new side +1 unconditionally, so an
+    unchanged NULL-keyed row contributes a cancelling ± pair to the
+    group aggregate and a changed/appeared/disappeared one contributes
+    exactly its net effect. No uniqueness is required of NULL keys."""
     content = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]),
                               {"ignoreNullFields": "false"}))
-    old_side, new_side = _version_delta_sides(source, v_old, v_new)
     old = old_side.select(
         F.col(key).alias("__k"), *cols, content.alias("__h"))
     new = new_side.select(
         F.col(key).alias("__k"), *cols, content.alias("__h"))
-    o, n = old.alias("o"), new.alias("n")
+    null_minus = old.where(F.col("__k").isNull()).select(
+        *cols, F.lit(-1).alias("__sign"))
+    null_plus = new.where(F.col("__k").isNull()).select(
+        *cols, F.lit(1).alias("__sign"))
+    o = old.where(F.col("__k").isNotNull()).alias("o")
+    n = new.where(F.col("__k").isNotNull()).alias("n")
     j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")
     changed_old = F.col("o.__k").isNotNull() & (
         F.col("n.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
@@ -142,7 +196,21 @@ def signed_version_delta(source: LakeTable, key: str, cols: list[str],
     plus = j.where(changed_new).select(
         *[F.col(f"n.{c}").alias(c) for c in cols],
         F.lit(1).alias("__sign"))
-    return minus.unionByName(plus)
+    return (minus.unionByName(plus)
+            .unionByName(null_minus).unionByName(null_plus))
+
+
+def signed_version_delta(source: LakeTable, key: str, cols: list[str],
+                         v_old: int, v_new: int) -> DataFrame:
+    """Signed row delta between two versions of `source`: `cols` +
+    __sign (+1 appeared / -1 disappeared). File-level pruning first
+    (_version_delta_sides), then the key-diff (signed_frame_delta —
+    unchanged keys cancel, NULL keys routed around the join). File
+    pruning stays sound for NULL-keyed rows because a row never leaves
+    its file without a rewrite: a NULL row held only in files both
+    versions share is identical on both sides and prunes with them."""
+    old_side, new_side = _version_delta_sides(source, v_old, v_new)
+    return signed_frame_delta(old_side, new_side, key, cols)
 
 
 def _sq_expr(m: str):
@@ -252,6 +320,46 @@ def _merge_group_state(state: DataFrame, d: DataFrame,
     return j.select(*sel).where(F.col("n_rows") > 0)
 
 
+def _recompute_stitch(merged: DataFrame, state: DataFrame,
+                      scoped: DataFrame, touched: DataFrame,
+                      group_cols: list[str], minmax: list[str],
+                      distinct: list[str]) -> DataFrame:
+    """Attach the non-invertible columns (min_/max_/nd_) to the merged
+    invertible state: recompute them over `scoped` (the source — or
+    current join — already narrowed to the head) for exactly the
+    `touched` groups, keep the stored values everywhere else. Shared by
+    all three view classes; `touched`, the recompute output, and the
+    old-state side are delta-/group-cardinality-sized, so every join
+    broadcasts."""
+    scoped = scoped.alias("x").join(
+        F.broadcast(touched.alias("t")),
+        _nullsafe_eq("x", "t", group_cols), "leftsemi")
+    aggs = []
+    for m in minmax:
+        aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
+        aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+    for m in distinct:
+        aggs.append(F.countDistinct(F.col(m)).alias(f"nd_{m}"))
+    rec = (scoped.groupBy(*group_cols).agg(*aggs)
+           .withColumn("__touched", F.lit(1)))
+    rc_cols = ([c for m in minmax for c in (f"min_{m}", f"max_{m}")]
+               + [f"nd_{m}" for m in distinct])
+    old = state.select(*group_cols, *rc_cols)
+    j = (merged.alias("m")
+         .join(F.broadcast(old.alias("s")),
+               _nullsafe_eq("m", "s", group_cols), "left")
+         .join(F.broadcast(rec.alias("r")),
+               _nullsafe_eq("m", "r", group_cols), "left"))
+    sel = [F.col(f"m.{c}") for c in merged.columns]
+    for c in rc_cols:
+        # a surviving touched group always has a recompute row (it
+        # exists in the head); an untouched group keeps its values
+        sel.append(F.when(F.col("r.__touched").isNotNull(),
+                          F.col(f"r.{c}"))
+                   .otherwise(F.col(f"s.{c}")).alias(c))
+    return j.select(*sel)
+
+
 class LakeMaterializedView:
     """A GROUP BY (count + exact sums) view over `source`, materialized
     as its own LakeTable at `path` and refreshed incrementally.
@@ -267,31 +375,50 @@ class LakeMaterializedView:
     sum_<m>/n_<m> (per-column count, not n_rows). AVG itself is
     deliberately not stored — it would break additivity.
 
-    MIN/MAX are NOT invertible — deleting a group's current extremum
-    cannot be answered by any signed running value — so they are
-    maintained by the standard fallback (Delta/DLT do the same):
-    delta-scoped partial recompute. Each refresh recomputes min/max
-    from the new source head for EXACTLY the groups present in the
-    delta (a semi-join on the delta's distinct group set — delta-
-    cardinality, broadcastable); untouched groups keep their stored
-    extrema. Group stats in the commit log still prune the head scan
-    where the group correlates with files; the worst case is one
-    filtered scan of the head per refresh — still never a global
-    re-aggregation, and exact by construction.
+    MIN/MAX (`minmax=`) and COUNT(DISTINCT) (`distinct=`, `nd_<m>`
+    columns) are NOT invertible — deleting a group's current extremum,
+    or one occurrence of a value, cannot be answered by any signed
+    running state — so they are maintained by the standard fallback
+    (Delta/DLT do the same): delta-scoped partial recompute. Each
+    refresh recomputes them from the new source head for EXACTLY the
+    groups present in the delta (a semi-join on the delta's distinct
+    group set — delta-cardinality, broadcastable); untouched groups
+    keep their stored values. The head scan is FILE-PRUNED through the
+    commit log's per-file min/max stats on the group columns: when the
+    source is clustered by group (optimize_zorder / range layout on
+    the group columns), only files whose stat box can hold a touched
+    group are opened — the opened-file count is recorded on
+    `last_recompute_files` so tests and SCALE10X can assert the
+    bound. Unclustered sources fall back to the full head file list
+    (row-pruned by the semi-join, the pre-r10 worst case) — still
+    never a global re-aggregation, and exact by construction.
+
+    distinct_mode: only "exact" is implemented. A KMV-sketch state
+    column (approximate, mergeable) is a legitimate alternative at
+    much higher group cardinality but is deliberately refused here
+    (UnsupportedAggregateError) — an MV that silently answers
+    approximately is worse than one that names the trade.
     """
 
     def __init__(self, spark: SparkSession, source: LakeTable, path: str,
                  key: str, group_cols: list[str], measures: list[str],
                  backend: CommitBackend | None = None,
                  minmax: list[str] | None = None,
-                 sumsq: list[str] | None = None):
+                 sumsq: list[str] | None = None,
+                 distinct: list[str] | None = None,
+                 distinct_mode: str = "exact"):
         # `key` must be unique per source snapshot (the table's primary
         # key — the same contract LakeTable.merge holds): the delta is
         # a key-based full-outer join, and duplicate keys would
         # multiply rows through it, corrupting the signed counts.
+        # NULL keys are the one sanctioned exception: they carry no
+        # cross-version identity, so the delta routes them around the
+        # join as unconditional ± rows (signed_frame_delta) — any
+        # number of NULL-keyed rows is maintained correctly.
         if not group_cols:
             raise ValueError("materialized view needs >=1 group column")
-        overlap = set(group_cols) & (set(measures) | set(minmax or []))
+        overlap = set(group_cols) & (set(measures) | set(minmax or [])
+                                     | set(distinct or []))
         if overlap:
             raise ValueError(f"columns cannot be both group and "
                              f"measure: {sorted(overlap)}")
@@ -300,6 +427,14 @@ class LakeMaterializedView:
             raise ValueError(
                 f"sumsq columns must also be measures (variance needs "
                 f"the sum and the non-null count): {sorted(extra)}")
+        if distinct_mode != "exact":
+            raise UnsupportedAggregateError(
+                f"distinct_mode={distinct_mode!r} is not implemented: "
+                f"only 'exact' (delta-scoped partial recompute) is. A "
+                f"KMV-sketch state column would make the view "
+                f"approximate — refused rather than silently degraded; "
+                f"use operators.sketches for approximate distinct "
+                f"counts outside the view")
         self.spark = spark
         self.source = source
         self.key = key
@@ -307,7 +442,12 @@ class LakeMaterializedView:
         self.measures = list(measures)
         self.minmax = list(minmax or [])
         self.sumsq = list(sumsq or [])
+        self.distinct = list(distinct or [])
         self.table = LakeTable(spark, path, backend=backend)
+        # file list the most recent partial recompute actually opened
+        # (None until a refresh needed one) — observability for the
+        # pruning bound, asserted by tests and SCALE10X
+        self.last_recompute_files: list[str] | None = None
 
     # -- bookkeeping ---------------------------------------------------------
 
@@ -341,19 +481,23 @@ class LakeMaterializedView:
         for m in self.minmax:
             aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+        for m in self.distinct:
+            aggs.append(F.countDistinct(F.col(m)).alias(f"nd_{m}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     def _delta_sides(self, v_old: int, v_new: int):
         return _version_delta_sides(self.source, v_old, v_new)
 
+    def _delta_cols(self) -> list[str]:
+        return list(dict.fromkeys(self.group_cols + self.measures
+                                  + self.minmax + self.distinct))
+
     def _delta(self, v_old: int, v_new: int) -> DataFrame:
         """Signed delta rows between two source versions: group cols +
         measures + sign (+1 appeared / -1 disappeared); see
         signed_version_delta."""
-        cols = list(dict.fromkeys(self.group_cols + self.measures
-                                  + self.minmax))
-        return signed_version_delta(self.source, self.key, cols,
-                                    v_old, v_new)
+        return signed_version_delta(self.source, self.key,
+                                    self._delta_cols(), v_old, v_new)
 
     # -- refresh -------------------------------------------------------------
 
@@ -380,10 +524,8 @@ class LakeMaterializedView:
                 f"view; rebuild it (drop the view table) instead of "
                 f"applying a negative-range delta")
 
-        cols = list(dict.fromkeys(self.group_cols + self.measures
-                                  + self.minmax))
-        delta = signed_span_delta(self.source, self.key, cols,
-                                  last, head)
+        delta = signed_span_delta(self.source, self.key,
+                                  self._delta_cols(), last, head)
         state = self.table.read()
         if delta is None:
             # the whole span is row-preserving compaction — no data
@@ -392,8 +534,8 @@ class LakeMaterializedView:
             return head
         d = self._full_aggregate_of_delta(delta)
         merged = self._merge_state(state, d)
-        if self.minmax:
-            merged = self._apply_minmax(merged, state, delta, head)
+        if self.minmax or self.distinct:
+            merged = self._apply_recompute(merged, state, delta, head)
         self.table.commit(merged, "overwrite", txn_id=txn)
         return head
 
@@ -404,45 +546,84 @@ class LakeMaterializedView:
     def _nullsafe_group_eq(self, left: str, right: str):
         return _nullsafe_eq(left, right, self.group_cols)
 
-    def _apply_minmax(self, merged: DataFrame, state: DataFrame,
-                      delta: DataFrame, head: int) -> DataFrame:
-        """Attach min_/max_ columns to the merged invertible state.
+    def _recompute_cols(self) -> list[str]:
+        return ([c for m in self.minmax for c in (f"min_{m}", f"max_{m}")]
+                + [f"nd_{m}" for m in self.distinct])
 
-        Non-invertible extrema: recompute from the source head for
-        exactly the groups the delta touched (delete a group's current
-        MAX and no signed value can answer — only the group's surviving
-        rows can), keep stored extrema everywhere else. `touched` and
-        the recompute output are delta-/group-cardinality-sized, so
-        both joins broadcast; the head scan is semi-join-filtered to
-        touched groups."""
+    def _scoped_head_scan(self, touched: DataFrame, head: int) -> DataFrame:
+        """The source head narrowed to the delta's touched groups —
+        FILE-pruned first, then ROW-pruned.
+
+        File pruning: the commit log records per-file min/max stats
+        per column (lakelog._collect_stats). A file whose stat box on
+        the group columns cannot hold ANY touched group value provably
+        contributes no touched-group row and is never opened. The
+        touched set is collected driver-side (group-cardinality-sized
+        by the view contract; past _PRUNE_MAX_GROUPS the collect is
+        skipped and every head file is kept — conservative, never
+        wrong). A touched tuple with a NULL group value keeps every
+        file: parquet min/max stats say nothing about NULLs.
+
+        Row pruning: whatever files open still pass through the
+        broadcast semi-join, so the scan is exact regardless of how
+        well the stats pruned."""
+        entry = self.source._read_entry(head)
+        all_files = entry["files"]
+        stats = entry.get("stats", {})
+        rows = touched.limit(_PRUNE_MAX_GROUPS + 1).collect()
+        files = all_files
+        if len(rows) <= _PRUNE_MAX_GROUPS:
+            import bisect
+
+            sk = self.source._stat_key
+            # per group column: sorted distinct touched values, or None
+            # when that column cannot prune (a NULL value — stats say
+            # nothing about NULLs — or incomparable mixed types)
+            vals: dict[str, list | None] = {}
+            for g in self.group_cols:
+                vs = {sk(r[g]) for r in rows}
+                try:
+                    vals[g] = sorted(vs) if None not in vs else None
+                except TypeError:
+                    vals[g] = None
+
+            def may_hold(per_col: dict) -> bool:
+                for g in self.group_cols:
+                    vs = vals[g]
+                    if vs is None or g not in per_col:
+                        continue  # unprunable column / no stat
+                    lo, hi = per_col[g]
+                    try:
+                        i = bisect.bisect_left(vs, lo)
+                        if i >= len(vs) or vs[i] > hi:
+                            return False  # no touched value in box
+                    except TypeError:
+                        continue  # stat incomparable → might match
+                return True
+
+            files = [f for f in all_files if may_hold(stats.get(f, {}))]
+        self.last_recompute_files = list(files)
+        if not files:
+            return self.spark.createDataFrame(
+                [], self.source.read(head).schema)
+        return self.source.read_version_files(head, files)
+
+    def _apply_recompute(self, merged: DataFrame, state: DataFrame,
+                         delta: DataFrame, head: int) -> DataFrame:
+        """Attach the non-invertible columns (min_/max_/nd_) to the
+        merged invertible state.
+
+        Delete a group's current MAX — or one occurrence of a distinct
+        value — and no signed running value can answer; only the
+        group's surviving rows can. So: recompute from the source head
+        for exactly the groups the delta touched (file-pruned then
+        semi-join-scoped — _scoped_head_scan), keep stored values
+        everywhere else (_recompute_stitch)."""
         touched = delta.select(*self.group_cols).distinct()
-        src = self.source.read(head).alias("x")
-        t = touched.alias("t")
-        scoped = src.join(F.broadcast(t), self._nullsafe_group_eq("x", "t"),
-                          "leftsemi")
-        aggs = []
-        for m in self.minmax:
-            aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
-            aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
-        rec = (scoped.groupBy(*self.group_cols).agg(*aggs)
-               .withColumn("__touched", F.lit(1)))
-        mm_cols = [c for m in self.minmax for c in (f"min_{m}", f"max_{m}")]
-        old = state.select(*self.group_cols, *mm_cols)
-        # both broadcast sides are view-state-sized (one row per
-        # group), never source-sized
-        j = (merged.alias("m")
-             .join(F.broadcast(old.alias("s")),
-                   self._nullsafe_group_eq("m", "s"), "left")
-             .join(F.broadcast(rec.alias("r")),
-                   self._nullsafe_group_eq("m", "r"), "left"))
-        sel = [F.col(f"m.{c}") for c in merged.columns]
-        for c in mm_cols:
-            # a surviving touched group always has a recompute row (it
-            # exists in the head); an untouched group keeps its extrema
-            sel.append(F.when(F.col("r.__touched").isNotNull(),
-                              F.col(f"r.{c}"))
-                       .otherwise(F.col(f"s.{c}")).alias(c))
-        return j.select(*sel)
+        scoped = self._scoped_head_scan(touched, head)
+        return _recompute_stitch(merged, state, scoped, touched,
+                                 self.group_cols, self.minmax,
+                                 self.distinct)
 
     def _merge_state(self, state: DataFrame, d: DataFrame) -> DataFrame:
         return _merge_group_state(state, d, self.group_cols,
@@ -647,33 +828,402 @@ class LakeJoinMaterializedView:
         touched groups — a dim re-pointing moves whole groups, and the
         signed delta carries rows for both the drained and the filled
         group, so `touched` covers both). Untouched groups keep stored
-        extrema; same select logic as the single-table view."""
+        extrema (_recompute_stitch, shared with the other views)."""
         touched = delta.select(*self.group_cols).distinct()
         joined = self._joined(self.fact.read(head_f),
-                              self.dim.read(head_d), "dim").alias("x")
-        scoped = joined.join(F.broadcast(touched.alias("t")),
-                             _nullsafe_eq("x", "t", self.group_cols),
-                             "leftsemi")
-        aggs = []
+                              self.dim.read(head_d), "dim")
+        return _recompute_stitch(merged, state, joined, touched,
+                                 self.group_cols, self.minmax, [])
+
+
+class LakeStarMaterializedView:
+    """A GROUP BY (count + exact sums) view over FACT ⋈ D₁ ⋈ … ⋈ Dₖ —
+    the k-dim star/snowflake reporting shape (the repo's own flagship
+    query, lineitem⋈orders⋈customer⋈nation⋈region, is exactly this) —
+    materialized as its own LakeTable and refreshed incrementally on
+    EVERY side.
+
+    `dims` is a list of (table, left_key, right_key[, parent]) edges:
+    dim i joins its parent (the fact when parent == -1, an EARLIER dim
+    index otherwise — so the join graph is a tree rooted at the fact)
+    on parent.left_key == dim.right_key, INNER and many-to-one. That
+    tree factors into fact-attached SUBTREES; each subtree composes
+    dim-side into one mapping M_j keyed by its root dim's key
+    (many-to-one composes, so M_j has at most one row per key), and
+    the view is F ⋈ M₁ ⋈ … ⋈ Mₘ. The refresh applies the two-table
+    delta rule once per side:
+
+        Δ(F ⋈ M) = ΔF ⋈ M_new  ∪  F_old ⋈ Δ(M)
+
+    where Δ(M) — the signed diff of each subtree's composed mapping —
+    is computed ENTIRELY over dims (signed_frame_delta of M_old vs
+    M_new, dim-sized work), and F_old ⋈ Δ(M) is realized as: filter
+    F_old to the rows whose root keys hit any Δ(M_j) key set
+    (broadcast markers), then emit those survivor rows joined against
+    ALL M_old with sign -1 and against ALL M_new with sign +1 —
+    unchanged-mapping survivors produce cancelling ± pairs, changed
+    ones exactly their net effect. Consequences at 100 TB:
+
+    * The fact is scanned AT MOST ONCE per refresh no matter how many
+      dims revised (ΔF is a file-pruned version delta, not a scan; the
+      survivor pass is one scan filtered by broadcast key sets, and
+      the survivor set — delta fan-out sized — is persisted for its
+      two M joins). A refresh where only dims revised and Δ(M) proves
+      empty (revisions didn't touch view-relevant columns) skips the
+      fact entirely.
+    * Per-refresh dim-side cost is O(|composed mappings|) — the
+      standard IVM trade (DBToaster / Materialize make the same one):
+      dims are the small side of a star by construction, and the
+      composed M_j never touches the fact.
+    * MIN/MAX (`minmax=`) adds the delta-scoped head recompute join
+      (one more fact scan, touched groups only) — the same
+      non-invertible-aggregate trade as the other view classes.
+
+    Refused loudly (UnsupportedJoinShapeError): any `how` other than
+    "inner" (a left join's NULL-extended rows do not follow this
+    signed delta rule), and many-to-many joins — every dim's join key
+    is uniqueness-checked at full build and re-checked at each refresh
+    for the dims that advanced (dim-sized work; a duplicate key would
+    silently multiply fact rows through the delta). NULL join keys are
+    legal and never match, exactly like the inner join itself.
+
+    Contracts: `fact_key` unique per fact snapshot (NULL-keyed fact
+    rows are maintained via the unconditional ± route,
+    signed_frame_delta). Group/measure columns may come from the fact
+    or any dim; ambiguous names refuse at resolution, as does any
+    projected-name collision between tables (the composed joins select
+    by name). Refresh bookkeeping rides txn ids
+    "mvs-refresh:<vF>:<vD1>:…:<vDk>" — exactly-once per version
+    vector, replay answered from the log.
+    """
+
+    def __init__(self, spark: SparkSession, fact: LakeTable,
+                 dims: list[tuple], path: str, fact_key: str,
+                 group_cols: list[str], measures: list[str],
+                 backend: CommitBackend | None = None,
+                 minmax: list[str] | None = None,
+                 sumsq: list[str] | None = None,
+                 how: str = "inner"):
+        if how != "inner":
+            raise UnsupportedJoinShapeError(
+                f"how={how!r}: incremental star maintenance supports "
+                f"INNER many-to-one joins only — a {how} join's "
+                f"NULL-extended rows do not follow the signed delta "
+                f"rule Δ(F⋈M)=ΔF⋈M_new ∪ F_old⋈ΔM; maintain an inner "
+                f"view and derive the outer result at read time, or "
+                f"recompute")
+        if not dims:
+            raise ValueError("star view needs >=1 dim (use "
+                             "LakeMaterializedView for a single table)")
+        if not group_cols:
+            raise ValueError("materialized view needs >=1 group column")
+        overlap = set(group_cols) & (set(measures) | set(minmax or []))
+        if overlap:
+            raise ValueError(f"columns cannot be both group and "
+                             f"measure: {sorted(overlap)}")
+        extra = set(sumsq or []) - set(measures)
+        if extra:
+            raise ValueError(
+                f"sumsq columns must also be measures: {sorted(extra)}")
+        norm: list[tuple] = []
+        for i, spec in enumerate(dims):
+            if len(spec) == 3:
+                tbl, lk, rk = spec
+                parent = -1
+            elif len(spec) == 4:
+                tbl, lk, rk, parent = spec
+            else:
+                raise ValueError(
+                    f"dim {i}: expected (table, left_key, right_key"
+                    f"[, parent]), got {len(spec)} elements")
+            if not (parent == -1 or 0 <= parent < i):
+                raise ValueError(
+                    f"dim {i}: parent must be -1 (the fact) or an "
+                    f"EARLIER dim index, got {parent}")
+            norm.append((tbl, lk, rk, parent))
+        self.spark = spark
+        self.fact = fact
+        self._dims = norm
+        self.fact_key = fact_key
+        self.group_cols = list(group_cols)
+        self.measures = list(measures)
+        self.minmax = list(minmax or [])
+        self.sumsq = list(sumsq or [])
+        self.table = LakeTable(spark, path, backend=backend)
+
+    # -- bookkeeping ---------------------------------------------------------
+
+    def last_refreshed(self) -> tuple[int, ...] | None:
+        """(fact_version, dim_1_version, …) the state reflects."""
+        for h in reversed(self.table.history()):
+            txn = h.get("txn_id") or ""
+            if txn.startswith(_STAR_TXN_PREFIX):
+                return tuple(int(x) for x in
+                             txn[len(_STAR_TXN_PREFIX):].split(":"))
+        return None
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    # -- resolution (lazy: sources may be committed after construction) -------
+
+    def _resolve(self) -> dict:
+        """Column-side resolution + join-tree layout against the head
+        schemas. Recomputed per refresh so schema evolution on any
+        source is picked up; refuses ambiguity and name collisions
+        (the composed joins select by name)."""
+        fact_cols = set(self.fact.read().columns)
+        dim_cols = [set(t.read().columns) for t, _, _, _ in self._dims]
+        wanted = list(dict.fromkeys(self.group_cols + self.measures
+                                    + self.minmax))
+        for c in wanted:
+            if c.startswith("__"):
+                raise ValueError(f"column names starting with '__' are "
+                                 f"reserved by the view: {c!r}")
+        n = len(self._dims)
+        relevant: dict[int, list[str]] = {i: [] for i in range(n)}
+        fact_relevant: list[str] = []
+        for c in wanted:
+            owners = ([-1] if c in fact_cols else []) + [
+                i for i in range(n) if c in dim_cols[i]]
+            if len(owners) > 1:
+                raise ValueError(
+                    f"column {c!r} exists in more than one source "
+                    f"(fact=-1/dim indexes {owners}) — rename before "
+                    f"building the view")
+            if not owners:
+                raise ValueError(f"column {c!r} in neither fact nor "
+                                 f"any dim")
+            if owners[0] == -1:
+                fact_relevant.append(c)
+            else:
+                relevant[owners[0]].append(c)
+        children: dict[int, list[int]] = {i: [] for i in range(n)}
+        roots: list[int] = []
+        child_lks: dict[int, list[str]] = {i: [] for i in range(n)}
+        for i, (tbl, lk, rk, parent) in enumerate(self._dims):
+            if rk not in dim_cols[i]:
+                raise ValueError(
+                    f"dim {i}: join key {rk!r} is not a column of the "
+                    f"dim ({sorted(dim_cols[i])[:8]}…)")
+            pcols = fact_cols if parent == -1 else dim_cols[parent]
+            if lk not in pcols:
+                raise ValueError(
+                    f"dim {i}: left key {lk!r} is not a column of its "
+                    f"parent ({'fact' if parent == -1 else parent})")
+            if parent == -1:
+                roots.append(i)
+            else:
+                children[parent].append(i)
+                child_lks[parent].append(lk)
+
+        def dfs(i: int, acc: list[int]) -> list[int]:
+            acc.append(i)
+            for c in children[i]:
+                dfs(c, acc)
+            return acc
+
+        subtrees = {r: dfs(r, []) for r in roots}
+        fact_proj = list(dict.fromkeys(
+            fact_relevant + [self._dims[r][1] for r in roots]))
+        per_table = [("fact", fact_proj)] + [
+            (f"dim {i}", list(dict.fromkeys(relevant[i] + child_lks[i])))
+            for i in range(n)]
+        seen: dict[str, str] = {}
+        for tname, cols in per_table:
+            for c in cols:
+                if c in seen and seen[c] != tname:
+                    raise ValueError(
+                        f"projected column name {c!r} appears in both "
+                        f"{seen[c]} and {tname} — rename one side")
+                seen[c] = tname
+        return {"roots": roots, "subtrees": subtrees,
+                "relevant": relevant, "child_lks": child_lks,
+                "fact_proj": fact_proj}
+
+    # -- composed dim mappings -------------------------------------------------
+
+    def _compose(self, root: int, versions: list[int],
+                 res: dict) -> DataFrame:
+        """The subtree's dims folded into ONE mapping keyed by the
+        root dim's join key (aliased __sk<root>): at most one row per
+        key (many-to-one composes), columns = the subtree's
+        view-relevant columns. Entirely dim-sided — never touches the
+        fact."""
+        m = None
+        for i in res["subtrees"][root]:
+            tbl, lk, rk, parent = self._dims[i]
+            keep = list(dict.fromkeys(res["relevant"][i]
+                                      + res["child_lks"][i]))
+            d = tbl.read(versions[i]).select(
+                F.col(rk).alias(f"__rk{i}"), *[F.col(c) for c in keep])
+            if i == root:
+                m = d
+            else:
+                m = m.join(d, F.col(lk) == F.col(f"__rk{i}"),
+                           "inner").drop(f"__rk{i}")
+        out = [F.col(f"__rk{root}").alias(f"__sk{root}")]
+        out += [F.col(c) for i in res["subtrees"][root]
+                for c in res["relevant"][i]]
+        return m.select(*out)
+
+    def _fold_fact(self, x: DataFrame, mappings: dict[int, DataFrame],
+                   res: dict) -> DataFrame:
+        for root in res["roots"]:
+            lk = self._dims[root][1]
+            x = x.join(mappings[root],
+                       F.col(lk) == F.col(f"__sk{root}"),
+                       "inner").drop(f"__sk{root}")
+        return x
+
+    def _check_many_to_one(self, i: int, version: int) -> None:
+        tbl, lk, rk, parent = self._dims[i]
+        dup = (tbl.read(version).where(F.col(rk).isNotNull())
+               .groupBy(rk).agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") > 1).limit(1).collect())
+        if dup:
+            raise UnsupportedJoinShapeError(
+                f"dim {i} ({tbl.path}) is MANY-TO-MANY at version "
+                f"{version}: join key {rk}={dup[0][rk]!r} occurs "
+                f"{dup[0]['__c']} times — incremental star maintenance "
+                f"requires each dim key unique per snapshot (duplicate "
+                f"keys would multiply fact rows through the signed "
+                f"delta); dedup the dim or recompute the view")
+
+    # -- aggregation ------------------------------------------------------------
+
+    def _full_aggregate(self, df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for m in self.measures:
+            aggs.append(F.count(F.col(m)).alias(f"n_{m}"))
+            aggs.append(F.sum(F.col(m).cast(_DEC)).alias(f"sum_{m}"))
+            if m in self.sumsq:
+                aggs.append(F.sum(_sq_expr(m)).alias(f"sumsq_{m}"))
         for m in self.minmax:
             aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
-        rec = (scoped.groupBy(*self.group_cols).agg(*aggs)
-               .withColumn("__touched", F.lit(1)))
-        mm_cols = [c for m in self.minmax
-                   for c in (f"min_{m}", f"max_{m}")]
-        old_mm = state.select(*self.group_cols, *mm_cols)
-        j = (merged.alias("m")
-             .join(F.broadcast(old_mm.alias("s")),
-                   _nullsafe_eq("m", "s", self.group_cols), "left")
-             .join(F.broadcast(rec.alias("r")),
-                   _nullsafe_eq("m", "r", self.group_cols), "left"))
-        sel = [F.col(f"m.{c}") for c in merged.columns]
-        for c in mm_cols:
-            sel.append(F.when(F.col("r.__touched").isNotNull(),
-                              F.col(f"r.{c}"))
-                       .otherwise(F.col(f"s.{c}")).alias(c))
-        return j.select(*sel)
+        return df.groupBy(*self.group_cols).agg(*aggs)
+
+    # -- refresh -----------------------------------------------------------------
+
+    def refresh(self) -> tuple[int, ...]:
+        """Bring the view up to every source head. First call builds
+        the full star aggregate (after many-to-one checks on every
+        dim); later calls apply the signed star delta. Returns the
+        (fact, dim…) version vector now reflected. Idempotent per
+        version vector (txn-guarded commit)."""
+        head_f = self.fact.current_version()
+        head_d = [t.current_version() for t, _, _, _ in self._dims]
+        if head_f is None or any(v is None for v in head_d):
+            raise ValueError("every source needs >=1 commit")
+        heads = (head_f, *head_d)
+        txn = _STAR_TXN_PREFIX + ":".join(str(v) for v in heads)
+        res = self._resolve()
+        last = self.last_refreshed()
+        if last is None:
+            for i in range(len(self._dims)):
+                self._check_many_to_one(i, head_d[i])
+            m_new = {r: self._compose(r, head_d, res)
+                     for r in res["roots"]}
+            joined = self._fold_fact(
+                self.fact.read(head_f).select(*res["fact_proj"]),
+                m_new, res)
+            self.table.commit(self._full_aggregate(joined),
+                              "overwrite", txn_id=txn)
+            return heads
+        if last == heads:
+            return heads
+        lf, *ld = last
+        if lf > head_f or any(a > b for a, b in zip(ld, head_d)):
+            raise ValueError(
+                f"view reflects versions {last} but heads are {heads} "
+                f"— a source was rewound past the view; rebuild it "
+                f"(drop the view table)")
+        for i in range(len(self._dims)):
+            if head_d[i] > ld[i]:
+                self._check_many_to_one(i, head_d[i])
+
+        persisted: list[DataFrame] = []
+        try:
+            m_new = {r: self._compose(r, head_d, res).persist()
+                     for r in res["roots"]}
+            persisted.extend(m_new.values())
+            parts: list[DataFrame] = []
+            if head_f > lf:                          # ΔF ⋈ M_new
+                d_f = signed_span_delta(self.fact, self.fact_key,
+                                        res["fact_proj"], lf, head_f)
+                if d_f is not None:
+                    parts.append(self._fold_fact(F.broadcast(d_f),
+                                                 m_new, res))
+            changed = [r for r in res["roots"]
+                       if any(head_d[i] > ld[i]
+                              for i in res["subtrees"][r])]
+            d_ms: dict[int, DataFrame] = {}
+            m_old: dict[int, DataFrame] = {}
+            for r in changed:
+                m_o = self._compose(r, ld, res)
+                rel = [c for i in res["subtrees"][r]
+                       for c in res["relevant"][i]]
+                dm = signed_frame_delta(
+                    m_o, m_new[r], f"__sk{r}",
+                    [f"__sk{r}"] + rel).persist()
+                persisted.append(dm)
+                if not dm.isEmpty():
+                    d_ms[r] = dm
+            if d_ms:                                  # F_old ⋈ Δ(M)
+                for r in res["roots"]:
+                    m_old[r] = (self._compose(r, ld, res)
+                                if r in d_ms or r in changed
+                                else m_new[r])
+                f_old = self.fact.read(lf).select(*res["fact_proj"])
+                hits = []
+                for r, dm in d_ms.items():
+                    sk = f"__sk{r}"
+                    kf = (dm.select(sk).where(F.col(sk).isNotNull())
+                          .distinct()
+                          .withColumn(f"__hit{r}", F.lit(1)))
+                    f_old = f_old.join(
+                        F.broadcast(kf),
+                        F.col(self._dims[r][1]) == F.col(sk),
+                        "left").drop(sk)
+                    hits.append(f"__hit{r}")
+                cond = None
+                for h in hits:
+                    c = F.col(h).isNotNull()
+                    cond = c if cond is None else cond | c
+                surv = f_old.where(cond).drop(*hits).persist()
+                persisted.append(surv)
+                parts.append(self._fold_fact(surv, m_old, res)
+                             .withColumn("__sign", F.lit(-1)))
+                parts.append(self._fold_fact(surv, m_new, res)
+                             .withColumn("__sign", F.lit(1)))
+            if not parts:
+                # nothing but compaction / irrelevant-column revisions
+                # — no data change for this view; record the heads
+                self.table.commit(self.table.read(), "overwrite",
+                                  txn_id=txn)
+                return heads
+            delta = parts[0]
+            for p in parts[1:]:
+                delta = delta.unionByName(p)
+            d = _delta_aggregate(delta, self.group_cols, self.measures,
+                                 self.sumsq)
+            state = self.table.read()
+            merged = _merge_group_state(state, d, self.group_cols,
+                                        self.measures, self.sumsq)
+            if self.minmax:
+                touched = delta.select(*self.group_cols).distinct()
+                joined_head = self._fold_fact(
+                    self.fact.read(head_f).select(*res["fact_proj"]),
+                    m_new, res)
+                merged = _recompute_stitch(merged, state, joined_head,
+                                           touched, self.group_cols,
+                                           self.minmax, [])
+            self.table.commit(merged, "overwrite", txn_id=txn)
+            return heads
+        finally:
+            for df in persisted:
+                df.unpersist()
 
 
 def lake_mv_sink(stream_df: DataFrame, view: LakeMaterializedView,

@@ -653,3 +653,386 @@ def test_refresh_across_checkpoint_expiry(spark, tmp_path):
     t.checkpoint(expire=True)
     assert mv.refresh() == 2
     assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+
+# -- COUNT(DISTINCT) views (r10) ---------------------------------------------
+
+def _recompute_distinct(src_df):
+    return src_df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_n_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).alias("sum_n_chars"),
+        F.countDistinct("n_chars").alias("nd_n_chars"),
+    )
+
+
+def test_distinct_count_incremental(spark, sf_dir, tmp_path, src):
+    """COUNT(DISTINCT x) is non-invertible — maintained by the same
+    delta-scoped partial recompute as MIN/MAX. The decisive case: a
+    DELETE that removes one occurrence of a value must reduce the
+    distinct count only when no other occurrence survives — something
+    no signed running value can answer."""
+    t, docs = src
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mvd"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"],
+        distinct=["n_chars"])
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_distinct(t.read()))
+
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_distinct(t.read()))
+
+    # collapse a range to one value: distinct count must DROP
+    before = {r["lang"]: r["nd_n_chars"] for r in mv.read().collect()}
+    t.update({"doc_id": (30, 79)}, {"n_chars": F.lit(7)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_distinct(t.read()))
+    after = {r["lang"]: r["nd_n_chars"] for r in mv.read().collect()}
+    assert sum(after.values()) < sum(before.values())
+
+    # delete-reduces-distinct: remove rows carrying unique values
+    t.delete({"doc_id": (100, 199)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute_distinct(t.read()))
+
+
+def test_distinct_sketch_mode_refused(spark, tmp_path):
+    from aws_data_pipeline_ads_spark.lakemv import (
+        UnsupportedAggregateError,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "s"))
+    with pytest.raises(UnsupportedAggregateError, match="exact"):
+        LakeMaterializedView(
+            spark, t, str(tmp_path / "mv"), key="doc_id",
+            group_cols=["lang"], measures=[], distinct=["n_chars"],
+            distinct_mode="kmv")
+
+
+# -- file-pruned partial recompute (r10) --------------------------------------
+
+def test_recompute_scan_is_file_pruned_on_clustered_source(
+        spark, sf_dir, tmp_path):
+    """When the source is CLUSTERED by the group columns, the MIN/MAX
+    (and nd_) head recompute opens only the files whose commit-log
+    stat box can hold a touched group — the bounded-refresh property
+    at 100 TB. `last_recompute_files` records exactly what was opened;
+    exactness is re-asserted after deleting the planted extremum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    # group-clustered layout: each file holds 1-2 langs
+    t.commit(docs.repartitionByRange(8, "lang", "doc_id"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"],
+        minmax=["n_chars"], distinct=["n_chars"])
+    mv.refresh()
+    n_files = len(t._read_entry(t.current_version())["files"])
+    assert n_files >= 4  # layout sanity: pruning has something to skip
+
+    # touch rows of ONE lang (plant a sentinel max, then remove it)
+    one_id = docs.where(F.col("lang") == "de").agg(
+        F.min("doc_id")).collect()[0][0]
+    t.update({"doc_id": (one_id, one_id)}, {"n_chars": F.lit(999_999)})
+    mv.refresh()
+    assert mv.last_recompute_files is not None
+    assert 0 < len(mv.last_recompute_files) < n_files
+    t.delete({"doc_id": (one_id, one_id)})
+    mv.refresh()
+    assert len(mv.last_recompute_files) < n_files
+    got = {r["lang"]: (r["min_n_chars"], r["max_n_chars"],
+                       r["nd_n_chars"])
+           for r in mv.read().collect()}
+    exp = {r["lang"]: (r["mn"], r["mx"], r["nd"]) for r in
+           t.read().groupBy("lang").agg(
+               F.min("n_chars").alias("mn"),
+               F.max("n_chars").alias("mx"),
+               F.countDistinct("n_chars").alias("nd")).collect()}
+    assert got == exp
+    assert 999_999 not in {v[1] for v in got.values()}
+
+
+def test_recompute_unclustered_source_keeps_all_files(
+        spark, sf_dir, tmp_path):
+    """An UNCLUSTERED source (every file spans every group) must fall
+    back to the full head file list — pruning is an optimization,
+    never a correctness bet."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(docs.repartitionByRange(8, "doc_id"))  # all langs per file
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"], minmax=["n_chars"])
+    mv.refresh()
+    t.update({"doc_id": (50, 59)}, {"n_chars": F.lit(999_999)})
+    mv.refresh()
+    t.delete({"doc_id": (50, 59)})
+    mv.refresh()
+    got = {r["lang"]: r["max_n_chars"] for r in mv.read().collect()}
+    exp = {r["lang"]: r["mx"] for r in t.read().groupBy("lang").agg(
+        F.max("n_chars").alias("mx")).collect()}
+    assert got == exp
+
+
+# -- NULL-keyed source rows (r10, ADVICE item) ---------------------------------
+
+def test_null_keyed_rows_are_maintained(spark, tmp_path):
+    """A NULL-keyed source row has no cross-version identity; the
+    delta routes it AROUND the key-diff as unconditional ± rows
+    (signed_frame_delta) instead of silently dropping it from both
+    changed sides. Appear / disappear / unchanged must all reconcile
+    with a full recompute."""
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="aa", n_chars=5),
+         Row(doc_id=None, lang="aa", n_chars=100)],
+        "doc_id long, lang string, n_chars long"))
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+    # NULL row counted by the full build
+    assert {r["lang"]: r["n_rows"] for r in mv.read().collect()} == {
+        "aa": 2}
+
+    # append another NULL-keyed row → must be visible to the refresh
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=None, lang="bb", n_chars=7)],
+        "doc_id long, lang string, n_chars long"), "append")
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+
+    # overwrite that drops one NULL row and keeps the other
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="aa", n_chars=5),
+         Row(doc_id=None, lang="aa", n_chars=100)],
+        "doc_id long, lang string, n_chars long"), "overwrite")
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(_recompute(t.read()))
+    assert {r["lang"] for r in mv.read().collect()} == {"aa"}
+
+
+# -- k-dim star / snowflake views (r10) ----------------------------------------
+
+def _recompute_star(f_df, o_df, c_df, n_df, r_df):
+    return (f_df
+            .join(o_df, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c_df, F.col("o_custkey") == F.col("c_custkey"))
+            .join(n_df, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(r_df, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("l_extendedprice").alias("n_l_extendedprice"),
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                .alias("sum_l_extendedprice")))
+
+
+@pytest.fixture
+def star_srcs(spark, sf_dir, tmp_path):
+    """The flagship 5-way shape: lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region as a CHAIN of many-to-one dims."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("l_key"),
+        "l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name")
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    t_o = LakeTable(spark, str(tmp_path / "o"))
+    t_c = LakeTable(spark, str(tmp_path / "c"))
+    t_n = LakeTable(spark, str(tmp_path / "n"))
+    t_r = LakeTable(spark, str(tmp_path / "r"))
+    fact.commit(li.filter(F.col("l_orderkey") % 3 < 2)
+                .repartitionByRange(8, "l_key"))
+    t_o.commit(orders)
+    t_c.commit(cust)
+    t_n.commit(nation)
+    t_r.commit(region)
+    mv = LakeStarMaterializedView(
+        spark, fact,
+        [(t_o, "l_orderkey", "o_orderkey"),
+         (t_c, "o_custkey", "c_custkey", 0),
+         (t_n, "c_nationkey", "n_nationkey", 1),
+         (t_r, "n_regionkey", "r_regionkey", 2)],
+        str(tmp_path / "mvs"), fact_key="l_key",
+        group_cols=["r_name", "c_mktsegment"],
+        measures=["l_extendedprice"])
+    return fact, (t_o, t_c, t_n, t_r), mv, li
+
+
+def _star_recompute_now(fact, dims):
+    t_o, t_c, t_n, t_r = dims
+    return _recompute_star(fact.read(), t_o.read(), t_c.read(),
+                           t_n.read(), t_r.read())
+
+
+def test_star_mv_full_build(spark, star_srcs):
+    fact, dims, mv, li = star_srcs
+    assert mv.refresh() == (0, 0, 0, 0, 0)
+    assert _rows(mv.read()) == _rows(_star_recompute_now(fact, dims))
+    assert mv.last_refreshed() == (0, 0, 0, 0, 0)
+    assert mv.refresh() == (0, 0, 0, 0, 0)   # up to date: replay no-op
+
+
+def test_star_mv_two_dims_and_fact_one_refresh(spark, star_srcs):
+    """The r9-verdict-demanded case: ONE refresh absorbing a fact
+    append + revisions of TWO different dims — the telescoped delta
+    ΔF⋈M_new ∪ F_old⋈Δ(M) must land bit-identical to a full re-join,
+    with the fact scanned at most once for the dim side."""
+    fact, dims, mv, li = star_srcs
+    t_o, t_c, t_n, t_r = dims
+    mv.refresh()
+    fact.commit(li.filter(F.col("l_orderkey") % 3 == 2), "append")
+    t_o.update({"o_orderkey": (100, 199)}, {"o_custkey": F.lit(1)})
+    t_c.update({"c_custkey": (10, 19)}, {"c_mktsegment": F.lit("MOVED")})
+    assert mv.refresh() == (1, 1, 1, 0, 0)
+    assert _rows(mv.read()) == _rows(_star_recompute_now(fact, dims))
+    assert "MOVED" in {r["c_mktsegment"] for r in mv.read().collect()}
+
+
+def test_star_mv_deep_chain_revision(spark, star_srcs):
+    """Revising a dim DEEP in the chain (nation re-pointing to a new
+    region) changes the composed mapping of every customer above it —
+    Δ(M) is computed dim-side and the group moves follow."""
+    fact, dims, mv, li = star_srcs
+    t_o, t_c, t_n, t_r = dims
+    mv.refresh()
+    t_n.update({"n_nationkey": (0, 5)}, {"n_regionkey": F.lit(0)})
+    assert mv.refresh() == (0, 0, 0, 1, 0)
+    assert _rows(mv.read()) == _rows(_star_recompute_now(fact, dims))
+    # fact delete + deep-dim delete in one refresh
+    fact.delete({"l_orderkey": (200, 499)})
+    t_r.delete({"r_regionkey": (4, 4)})
+    assert mv.refresh() == (1, 0, 0, 1, 1)
+    assert _rows(mv.read()) == _rows(_star_recompute_now(fact, dims))
+
+
+def test_star_mv_irrelevant_dim_revision_skips_fact(spark, star_srcs,
+                                                    tmp_path):
+    """A dim revision that does not touch any view-relevant column
+    yields an EMPTY Δ(M) — the refresh must record the new heads
+    without re-scanning the fact (state unchanged, version advanced)."""
+    fact, dims, mv, li = star_srcs
+    t_o, t_c, t_n, t_r = dims
+    mv.refresh()
+    before = _rows(mv.read())
+    # c_nationkey/c_mktsegment untouched: add rows to CUSTOMER that no
+    # fact row references (new custkeys) — composed mapping rows appear
+    # but no fact row joins them, still a real Δ(M) case; then a pure
+    # no-op revision: rewriting orders with identical content
+    t_o.commit(t_o.read(), "overwrite")
+    assert mv.refresh() == (0, 1, 0, 0, 0)
+    assert _rows(mv.read()) == before
+
+
+def test_star_mv_guards(spark, sf_dir, tmp_path):
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+        UnsupportedJoinShapeError,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    fact = LakeTable(spark, str(tmp_path / "f"))
+    fact.commit(docs)
+    dim = LakeTable(spark, str(tmp_path / "d"))
+    dim.commit(spark.createDataFrame(
+        [Row(lang="aa", region="x"), Row(lang="aa", region="y")],
+        "lang string, region string"))
+
+    # non-inner joins refuse at construction
+    with pytest.raises(UnsupportedJoinShapeError, match="inner"):
+        LakeStarMaterializedView(
+            spark, fact, [(dim, "lang", "lang")], str(tmp_path / "m1"),
+            "doc_id", ["region"], ["n_chars"], how="left")
+    # forward / self parent refs refuse at construction
+    with pytest.raises(ValueError, match="EARLIER"):
+        LakeStarMaterializedView(
+            spark, fact, [(dim, "lang", "lang", 0)],
+            str(tmp_path / "m2"), "doc_id", ["region"], ["n_chars"])
+    # many-to-many dim refuses LOUDLY at build time
+    mv = LakeStarMaterializedView(
+        spark, fact, [(dim, "lang", "lang")], str(tmp_path / "m3"),
+        "doc_id", ["region"], ["n_chars"])
+    with pytest.raises(UnsupportedJoinShapeError, match="MANY-TO-MANY"):
+        mv.refresh()
+    # ...and at refresh time when a previously-unique dim goes bad
+    dim2 = LakeTable(spark, str(tmp_path / "d2"))
+    dim2.commit(spark.createDataFrame(
+        [Row(lang="aa", region="x")], "lang string, region string"))
+    mv2 = LakeStarMaterializedView(
+        spark, fact, [(dim2, "lang", "lang")], str(tmp_path / "m4"),
+        "doc_id", ["region"], ["n_chars"])
+    mv2.refresh()
+    dim2.commit(spark.createDataFrame(
+        [Row(lang="aa", region="y")], "lang string, region string"),
+        "append")
+    with pytest.raises(UnsupportedJoinShapeError, match="MANY-TO-MANY"):
+        mv2.refresh()
+    # ambiguous relevant column refuses at resolution
+    dim3 = LakeTable(spark, str(tmp_path / "d3"))
+    dim3.commit(spark.createDataFrame(
+        [Row(lang="aa", n_chars=1)], "lang string, n_chars long"))
+    mv3 = LakeStarMaterializedView(
+        spark, fact, [(dim3, "lang", "lang")], str(tmp_path / "m5"),
+        "doc_id", ["lang"], ["n_chars"])
+    with pytest.raises(ValueError, match="more than one source"):
+        mv3.refresh()
+
+
+def test_star_mv_minmax(spark, star_srcs):
+    """Star extrema: delta-scoped recompute over the CURRENT join —
+    destroy a group's max through the fact side, the recompute must
+    answer from surviving joined rows."""
+    fact, dims, mv, li = star_srcs
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+    )
+
+    t_o, t_c, t_n, t_r = dims
+    mm = LakeStarMaterializedView(
+        spark, fact,
+        [(t_o, "l_orderkey", "o_orderkey"),
+         (t_c, "o_custkey", "c_custkey", 0),
+         (t_n, "c_nationkey", "n_nationkey", 1),
+         (t_r, "n_regionkey", "r_regionkey", 2)],
+        str(mv.table.path) + "_mm", fact_key="l_key",
+        group_cols=["r_name", "c_mktsegment"],
+        measures=["l_extendedprice"], minmax=["l_extendedprice"])
+    mm.refresh()
+    fact.update({"l_orderkey": (50, 69)},
+                {"l_extendedprice": F.lit(9_999_999.0)})
+    mm.refresh()
+    fact.delete({"l_orderkey": (50, 69)})
+    mm.refresh()
+    exp = (_star_recompute_now(fact, dims)
+           .collect())
+    exp_max = {(r["r_name"], r["c_mktsegment"]) for r in exp}
+    got = mm.read().collect()
+    assert {(r["r_name"], r["c_mktsegment"]) for r in got} == exp_max
+    mx = {(r["r_name"], r["c_mktsegment"]): r["max_l_extendedprice"]
+          for r in got}
+    full = {(r["r_name"], r["c_mktsegment"]): r["mx"] for r in
+            fact.read()
+            .join(t_o.read(), F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t_c.read(), F.col("o_custkey") == F.col("c_custkey"))
+            .join(t_n.read(),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(t_r.read(),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "c_mktsegment")
+            .agg(F.max("l_extendedprice").alias("mx")).collect()}
+    assert mx == full
+    assert all(v < 9_999_999.0 for v in mx.values())
