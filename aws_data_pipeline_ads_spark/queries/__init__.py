@@ -31,25 +31,22 @@ DRIVER_WINDOW = 50  # driver checks the first N entries of queries()
 # first (charter centerpiece), then one representative per remaining
 # operator family.
 _WINDOW: list[str] = [
-    # ==== r9 rotation: the 9 r8 additions that landed after the r8
-    # window was pinned (incremental MV refresh, unigram tokenizer
-    # vocab+tokenize, chat flatten, DPO preference pairs, GIF/BMP
-    # codec roundtrips, lake tags, seasonal decomposition) plus the
-    # two NEW r9 views (MIN/MAX MV, JOIN MV) take slots for first
-    # driver exposure — each green under tools/driver_sim at sf0.01
-    # (the 9 r8 ones also independently re-run by the r8 judge, 9/9
-    # pass, hostile TZ). 11 r08-hash-verified window members rotated
-    # to the tail (q_kmv_jaccard/rollup/served, q_winnow_pairs,
-    # q_heaps_fit, q_zipf_fit, q_epoch_mixture,
-    # q_contamination_overlap, q_neardup_keep_best, q_skew_profile,
-    # q_curriculum_order); their families keep in-window hash anchors
-    # via q_kmv_distinct, q_winnow_fingerprint, q_hybrid_search. ========
-    # -- r8 additions, first driver exposure ------------------------------
+    # ==== r10 rotation: the late-r9 variance MV (tail-staged last
+    # round, judge-verified hash-pass at sf0.01 hostile TZ) plus the
+    # two NEW r10 views (k-dim STAR MV, COUNT(DISTINCT) MV) take slots
+    # for first driver exposure. Three r09-hash-verified members
+    # rotated to the tail (q_image_gif, q_image_bmp, q_lake_tag_scan);
+    # their families keep in-window anchors (q_image_neardup +
+    # q_image_exif for image codecs; the zorder/time/hilbert/stats/sum
+    # lake tier for commit-log scans). =====================================
+    # -- r8/r9 MV additions, driver-verified r9, kept as anchors ----------
     "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
-    "q_chat_flatten", "q_preference_pairs", "q_image_gif",
-    "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
-    # -- NEW in r9: MIN/MAX materialized view (delta-scoped partial
-    # recompute) + incremental JOIN materialized view, first exposure ----
+    "q_chat_flatten", "q_preference_pairs",
+    "q_seasonal_decompose",
+    # -- NEW in r10: k-dim star MV + exact COUNT(DISTINCT) MV, first
+    # exposure; variance MV rotated in from the tail stage ----------------
+    "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_variance",
+    # -- r9 additions, driver-verified r9, kept as anchors ----------------
     "q_lake_mv_minmax", "q_lake_mv_join",
     # -- family anchors kept from the r8 rotation (KMV sketch algebra,
     # winnowing, hybrid retrieval; both corpus-health fits are
@@ -95,10 +92,11 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
-    # -- NEW late-r9 (after the r9 window was pinned): verified locally
-    # via tools/driver_sim + the sf0.1 sweep; rotate into the r10
-    # window for first driver exposure -----------------------------------
-    "q_lake_mv_variance",
+    # -- r10 rotation: r09-hash-verified window members that yielded
+    # their slots to the three MV first exposures (image-codec family
+    # anchored in-window by q_image_neardup/q_image_exif; lake tags by
+    # the zorder/time/hilbert/stats/sum tier) -----------------------------
+    "q_image_gif", "q_image_bmp", "q_lake_tag_scan",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

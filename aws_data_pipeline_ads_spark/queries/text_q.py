@@ -3319,6 +3319,189 @@ def q_lake_mv_join(spark, sf_dir):
         F.col("sum_price").cast("double").alias("sum_price"))
 
 
+# k-dim star MV: the flagship 5-way chain (lineitem ⋈ orders ⋈
+# customer ⋈ nation ⋈ region) with the fact AND TWO dims revised
+# between refreshes — one refresh absorbs all three via the telescoped
+# delta ΔF⋈M_new ∪ F_old⋈Δ(M), never a full re-join.
+def lakemv_star_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeStarMaterializedView
+
+    def build(path: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+            .alias("l_key"),
+            "l_orderkey", F.col("l_extendedprice").alias("price"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey",
+            F.col("c_mktsegment").alias("seg"))
+        nation = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey")
+        region = load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name")
+        fact = LakeTable(spark, f"{path}/fact")
+        t_o = LakeTable(spark, f"{path}/o")
+        t_c = LakeTable(spark, f"{path}/c")
+        t_n = LakeTable(spark, f"{path}/n")
+        t_r = LakeTable(spark, f"{path}/r")
+        mv = LakeStarMaterializedView(
+            spark, fact,
+            [(t_o, "l_orderkey", "o_orderkey"),
+             (t_c, "o_custkey", "c_custkey", 0),
+             (t_n, "c_nationkey", "n_nationkey", 1),
+             (t_r, "n_regionkey", "r_regionkey", 2)],
+            f"{path}/mv", fact_key="l_key",
+            group_cols=["r_name", "seg"], measures=["price"])
+        fact.commit(li.filter(F.col("l_orderkey") % 3 < 2)
+                    .repartitionByRange(8, "l_key"), txn_id="f0")
+        t_o.commit(orders, txn_id="o0")
+        t_c.commit(cust, txn_id="c0")
+        t_n.commit(nation, txn_id="n0")
+        t_r.commit(region, txn_id="r0")
+        mv.refresh()                  # full star build
+        fact.commit(li.filter(F.col("l_orderkey") % 3 == 2), "append",
+                    txn_id="f1")
+        t_o.update({"o_orderkey": (100, 199)}, {"o_custkey": F.lit(1)},
+                   txn_id="o1")
+        t_c.update({"c_custkey": (10, 19)}, {"seg": F.lit("MOVED")},
+                   txn_id="c1")
+        mv.refresh()                  # ΔF + TWO dim revisions, one pass
+        fact.delete({"l_orderkey": (200, 399)}, txn_id="f2")
+        mv.refresh()                  # ΔF ⋈ M_new again
+
+    return index_path("lakemv_star", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_star",
+    bench=True,  # k-dim star-MV state read, new in r10
+    oracle=(
+        "WITH f AS (SELECT l_orderkey, l_extendedprice AS price "
+        "FROM lineitem WHERE l_orderkey NOT BETWEEN 200 AND 399), "
+        "o AS (SELECT o_orderkey, CASE WHEN o_orderkey BETWEEN 100 "
+        "AND 199 THEN 1 ELSE o_custkey END AS cust FROM orders), "
+        "c AS (SELECT c_custkey, c_nationkey, "
+        "CASE WHEN c_custkey BETWEEN 10 AND 19 THEN 'MOVED' "
+        "ELSE c_mktsegment END AS seg FROM customer) "
+        "SELECT r_name, seg, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(price) AS BIGINT) AS n_price, "
+        "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price "
+        "FROM f JOIN o ON l_orderkey = o_orderkey "
+        "JOIN c ON cust = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, seg"
+    ),
+    doc="LLM lake versioning: K-DIM STAR materialized view "
+        "(lakemv.LakeStarMaterializedView) — revenue per (region, "
+        "market segment) over the flagship 5-way chain lineitem ⋈ "
+        "orders ⋈ customer ⋈ nation ⋈ region, kept current while the "
+        "fact appends/deletes AND two dims revise (orders re-pointed "
+        "to another customer, customer segment moved) — one refresh "
+        "absorbs all three. The dims compose into one mapping M "
+        "dim-side; the refresh applies ΔF⋈M_new ∪ F_old⋈Δ(M) with "
+        "Δ(M) computed entirely over dims, so the fact is scanned at "
+        "most once per refresh no matter how many dims revised. "
+        "Hash-matching the flat 5-way SQL join over the final "
+        "predicate state proves incremental == full re-join, decimal "
+        "sums included. Non-inner / many-to-many shapes refuse loudly "
+        "(UnsupportedJoinShapeError)",
+)
+def q_lake_mv_star(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeStarMaterializedView
+
+    idx = lakemv_star_index(spark, sf_dir)
+    mv = LakeStarMaterializedView(
+        spark, LakeTable(spark, f"{idx}/fact"),
+        [(LakeTable(spark, f"{idx}/o"), "l_orderkey", "o_orderkey"),
+         (LakeTable(spark, f"{idx}/c"), "o_custkey", "c_custkey", 0),
+         (LakeTable(spark, f"{idx}/n"), "c_nationkey", "n_nationkey", 1),
+         (LakeTable(spark, f"{idx}/r"), "n_regionkey", "r_regionkey", 2)],
+        f"{idx}/mv", fact_key="l_key",
+        group_cols=["r_name", "seg"], measures=["price"])
+    return mv.read().select(
+        "r_name", "seg", "n_rows", "n_price",
+        F.col("sum_price").cast("double").alias("sum_price"))
+
+
+# COUNT(DISTINCT) MV: the source is GROUP-CLUSTERED (range layout on
+# lang) so the delta-scoped recompute that maintains nd_ also
+# FILE-PRUNES through the commit log's per-file lang stats — the
+# bounded-refresh shape at 100 TB.
+def lakemv_distinct_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        mv = LakeMaterializedView(
+            spark, t, f"{path}/mv", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"],
+            distinct=["n_chars"])
+        t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                 .repartitionByRange(8, "lang", "doc_id"), txn_id="rev-0")
+        mv.refresh()                                  # full build
+        t.commit(docs.filter(F.col("doc_id") % 3 == 2)
+                 .repartitionByRange(4, "lang", "doc_id"), "append",
+                 txn_id="rev-1")
+        mv.refresh()                                  # +appended rows
+        t.update({"doc_id": (30, 49)}, {"n_chars": F.lit(7)},
+                 txn_id="rev-2")
+        mv.refresh()                                  # values collapse
+        t.delete({"doc_id": (10, 19)}, txn_id="rev-3")
+        mv.refresh()                                  # distinct reduced
+
+    return index_path("lakemv_nd", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_distinct",
+    bench=True,  # COUNT(DISTINCT) MV state read, new in r10
+    oracle=(
+        "WITH d AS (SELECT lang, CASE WHEN doc_id BETWEEN 30 AND 49 "
+        "THEN 7 ELSE n_chars END AS nc FROM documents "
+        "WHERE doc_id NOT BETWEEN 10 AND 19) "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(nc) AS BIGINT) AS n_n_chars, "
+        "CAST(SUM(CAST(nc AS DECIMAL(38,6))) AS DOUBLE) AS sum_n_chars, "
+        "CAST(COUNT(DISTINCT nc) AS BIGINT) AS nd_n_chars "
+        "FROM d GROUP BY lang"
+    ),
+    doc="LLM lake versioning: per-group COUNT(DISTINCT) in the "
+        "incremental materialized view (lakemv distinct=) — "
+        "non-invertible like MIN/MAX (deleting one occurrence cannot "
+        "tell whether another survives), maintained EXACTLY by the "
+        "same delta-scoped partial recompute, and the recompute scan "
+        "is FILE-PRUNED: the source is range-clustered by lang, so "
+        "the head rescan opens only files whose commit-log stat box "
+        "can hold a touched group (last_recompute_files records the "
+        "bound; SCALE10X measures it flat at 10×). The revision "
+        "sequence collapses a doc_id range to one value then deletes "
+        "another range — both must REDUCE distinct counts, which no "
+        "signed running state can answer. The sketch alternative "
+        "(KMV state) refuses loudly rather than degrading exactness "
+        "(UnsupportedAggregateError)",
+)
+def q_lake_mv_distinct(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    idx = lakemv_distinct_index(spark, sf_dir)
+    mv = LakeMaterializedView(
+        spark, LakeTable(spark, f"{idx}/tbl"), f"{idx}/mv",
+        key="doc_id", group_cols=["lang"], measures=["n_chars"],
+        distinct=["n_chars"])
+    return mv.read().select(
+        "lang", "n_rows", "n_n_chars",
+        F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
+        "nd_n_chars")
+
+
 @query(
     "q_zipf_fit",
     oracle=(

@@ -134,6 +134,8 @@ def main() -> None:
     text_q.lakemv_minmax_index(spark, sf_dir)  # r9: MIN/MAX MV revisions
     text_q.lakemv_join_index(spark, sf_dir)    # r9: join-MV revisions
     text_q.lakemv_var_index(spark, sf_dir)     # r9: variance-MV revisions
+    text_q.lakemv_star_index(spark, sf_dir)    # r10: k-dim star-MV revisions
+    text_q.lakemv_distinct_index(spark, sf_dir)  # r10: COUNT(DISTINCT) MV
     text_q.unigram_vocab(spark, sf_dir)       # r8: trained tokenizer
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",

@@ -27,17 +27,20 @@ def test_driver_window_covers_llm_pipeline_queries():
     from aws_data_pipeline_ads_spark.queries import DRIVER_WINDOW
 
     window = list(entry_mod.queries())[:DRIVER_WINDOW]
-    # r9 rotation: the 9 r8 additions that landed after the r8 window
-    # was pinned take slots for first driver exposure; 9 r08-verified
-    # members rotated to the tail with in-window family anchors kept.
-    # Rotated-out siblings carry their own hash history
-    # (CORRECTNESS_r0*.json).
+    # r10 rotation: the two new r10 MV queries (star, distinct) and
+    # the tail-staged variance MV take slots for first driver
+    # exposure; three r09-hash-verified members rotated to the tail
+    # with in-window family anchors kept. Rotated-out siblings carry
+    # their own hash history (CORRECTNESS_r0*.json).
     must_cover = {
-        # the 9 r8 additions, first driver exposure
+        # r8/r9 additions kept as anchors (driver-verified r9)
         "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
-        "q_chat_flatten", "q_preference_pairs", "q_image_gif",
-        "q_seasonal_decompose", "q_lake_tag_scan", "q_image_bmp",
-        # new in r9: MIN/MAX + JOIN materialized views, first exposure
+        "q_chat_flatten", "q_preference_pairs",
+        "q_seasonal_decompose",
+        # new in r10: star MV + COUNT(DISTINCT) MV + the staged
+        # variance MV, first driver exposure
+        "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_variance",
+        # r9 MV additions, driver-verified r9
         "q_lake_mv_minmax", "q_lake_mv_join",
         # family anchors kept from the r8 rotation
         "q_kmv_distinct", "q_winnow_fingerprint", "q_hybrid_search",
