@@ -2433,24 +2433,69 @@ def unigram_vocab(spark, sf_dir: str) -> list[tuple[str, float]]:
 @query(
     "q_unigram_tok_vocab",
     bench=True,  # EM tokenizer training, r9 bench add
-    oracle=None,  # iterative EM training — not one SQL statement;
-    # distributed-vs-sequential equality, the EM likelihood guarantee,
-    # coverage and cross-partitioning determinism pinned in
-    # tests/test_unigram_tok.py
+    oracle=(
+        # the trained-vocab-INDEPENDENT invariants, exact integers
+        # (same promotion move as q_unigram_tokenize in r9): the
+        # single-char coverage floor equals the corpus's distinct
+        # character count (training seeds every corpus char and never
+        # prunes one — a missing or extraneous single-char piece
+        # breaks the equality), the shrink loop never overshoots the
+        # target size, every piece spells only corpus characters, no
+        # piece exceeds max_len, and every logp is a finite negative
+        # log-probability. The vocab-DEPENDENT piece strings/probs
+        # stay pinned by tests/test_unigram_tok.py (distributed ==
+        # sequential EM, bit-deterministic decimal sums).
+        "WITH w AS (SELECT unnest(regexp_split_to_array("
+        "trim(lower(text)), '\\s+')) AS word FROM documents), "
+        "c AS (SELECT DISTINCT ch FROM (SELECT unnest("
+        "regexp_split_to_array(word, '')) AS ch FROM w "
+        "WHERE word <> '') WHERE ch <> '') "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_single, "
+        "CAST(0 AS BIGINT) AS n_over_target, "
+        "CAST(0 AS BIGINT) AS n_oov_pieces, "
+        "CAST(0 AS BIGINT) AS n_over_max_len, "
+        "CAST(0 AS BIGINT) AS n_nonfinite FROM c"
+    ),
     doc="LLM tokenizer training: SentencePiece-style UNIGRAM vocabulary "
         "learned on the corpus (Kudo 2018) — seed substrings, "
         "forward-backward EM over the distinct-word table with "
         "decimal-sum expected counts (bit-deterministic under any "
-        "partitioning), shrink to the target size keeping every single "
-        "char (operators/unigram_tok.py). The other industrial subword "
-        "family next to q_bpe_merges; returns the final (piece, logp) "
-        "table",
+        "partitioning), LOO-loss shrink to the target size keeping "
+        "every single char (operators/unigram_tok.py). Hash-checked "
+        "on the invariants a trained vocab must satisfy corpus-wide: "
+        "single-char coverage == distinct corpus characters, size "
+        "never above target, zero out-of-corpus pieces, zero "
+        "over-length pieces, all log-probs finite negative. The "
+        "piece/logp table itself is vocab-dependent and stays "
+        "pytest-pinned (distributed == sequential EM equality)",
 )
 def q_unigram_tok_vocab(spark, sf_dir):
+    import math
+
     vocab = unigram_vocab(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # corpus character set through the SAME normalization as training
+    # (bpe.word_counts: trim/lower/whitespace-split) — bounded collect,
+    # alphabet-sized
+    chars = {
+        r["ch"]
+        for r in docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .alias("word"))
+        .filter(F.col("word") != "")
+        .select(F.explode(F.split("word", "")).alias("ch"))
+        .filter(F.col("ch") != "").distinct().collect()
+    }
+    n_single = sum(1 for p, _ in vocab if len(p) == 1)
+    n_over_target = max(0, len(vocab) - 256)
+    n_oov = sum(1 for p, _ in vocab if any(c not in chars for c in p))
+    n_over_len = sum(1 for p, _ in vocab if len(p) > 5)
+    n_nonfinite = sum(1 for _, lp in vocab
+                      if not (math.isfinite(lp) and lp < 0))
     return spark.createDataFrame(
-        [(p, round(lp, 9)) for p, lp in vocab],
-        "piece string, logp double")
+        [(n_single, n_over_target, n_oov, n_over_len, n_nonfinite)],
+        "n_single long, n_over_target long, n_oov_pieces long, "
+        "n_over_max_len long, n_nonfinite long")
 
 
 @query(

@@ -111,10 +111,9 @@ def test_oracle_sql_covers_most_queries():
             # full-shortlist==brute + determinism pytest-pinned
             "q_embedding_pca",  # eigendecomposition has no SQL twin;
             # numpy-equality + orthonormality pytest-pinned
-            "q_unigram_tok_vocab",  # iterative EM training — not one
-            # SQL; sequential-reference equality + EM-likelihood pytest
-            # (q_unigram_tokenize was PROMOTED to hash-checked in r9:
-            # exact word/char/unk invariants oracle)
+            # (q_unigram_tokenize was PROMOTED to hash-checked in r9,
+            # q_unigram_tok_vocab in r10: exact invariants oracles —
+            # word/char/unk counts resp. coverage/size/oov/len/logp)
         }
         for n in rows_only
     ), f"unexpected rows-only queries: {rows_only}"
