@@ -436,9 +436,15 @@ class HadoopFsDataPlane(DataPlane):
         would drop scheme AND bucket, so commit entries would record
         paths that later resolve against the default FS (wrong store,
         or nothing). A scheme-less caller gets plain paths, which keep
-        resolving through the same default FS that listed them."""
+        resolving through the same default FS that listed them.
+
+        The scheme decision comes from the PARSED path, not a
+        substring: Hadoop accepts single-slash URIs (hdfs:/tbl/data,
+        s3a:/bucket/x) that contain no "://", and a substring check
+        would strip exactly the committed paths the docstring above
+        warns about."""
         fs, p = self._fs(dir_path)
-        keep_uri = "://" in dir_path or dir_path.startswith("file:")
+        keep_uri = p.toUri().getScheme() is not None
         out = []
         it = fs.listFiles(p, True)
         while it.hasNext():

@@ -252,6 +252,98 @@ def make_ipcm_mp4(frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
 
 # -- decode -------------------------------------------------------------------
 
+_HIGH_PROFILES = frozenset(
+    {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135})
+
+
+def _parse_sps_fields(sps_nal: bytes) -> dict:
+    """The SPS fields that size IDR slice-header reads (§7.3.2.1.1),
+    parsed from the actual stream instead of assumed from our own
+    encoder — a spec-valid I_PCM stream from any other encoder carries
+    its own log2_max_frame_num / pic_order_cnt_type. Shapes the I_PCM
+    sample walk genuinely cannot handle (non-4:2:0, >8-bit, scaling
+    matrices, interlace) refuse loudly here instead of desynchronizing
+    the Exp-Golomb reads."""
+    r = _Reader(unescape_ebsp(sps_nal[1:]))
+    profile = r.u(8)
+    r.u(8)                               # constraint flags + reserved
+    r.u(8)                               # level_idc
+    r.ue()                               # seq_parameter_set_id
+    chroma_format, bd_luma, bd_chroma = 1, 8, 8
+    if profile in _HIGH_PROFILES:
+        chroma_format = r.ue()
+        if chroma_format == 3:
+            r.u(1)                       # separate_colour_plane_flag
+        bd_luma = r.ue() + 8
+        bd_chroma = r.ue() + 8
+        r.u(1)                           # qpprime_y_zero_transform_bypass
+        if r.u(1):                       # seq_scaling_matrix_present
+            raise ValueError(
+                "SPS carries scaling matrices — outside the I_PCM "
+                "fixture decoder's scope (use a real codec binary)")
+    if (chroma_format, bd_luma, bd_chroma) != (1, 8, 8):
+        raise ValueError(
+            f"I_PCM decoder supports 4:2:0 8-bit only, SPS says "
+            f"chroma_format_idc={chroma_format} "
+            f"bit_depth={bd_luma}/{bd_chroma}")
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    log2_max_poc_lsb = 0
+    delta_poc_always_zero = 0
+    if poc_type == 0:
+        log2_max_poc_lsb = r.ue() + 4
+    elif poc_type == 1:
+        delta_poc_always_zero = r.u(1)
+        r.se()                           # offset_for_non_ref_pic
+        r.se()                           # offset_for_top_to_bottom
+        for _ in range(r.ue()):          # num_ref_frames_in_poc_cycle
+            r.se()
+    r.ue()                               # max_num_ref_frames
+    r.u(1)                               # gaps_in_frame_num_allowed
+    r.ue()                               # pic_width_in_mbs_minus1
+    r.ue()                               # pic_height_in_map_units_minus1
+    if r.u(1) == 0:                      # frame_mbs_only_flag
+        raise ValueError(
+            "interlaced SPS (frame_mbs_only_flag=0) — outside the "
+            "I_PCM fixture decoder's scope")
+    return {"log2_max_frame_num": log2_max_frame_num,
+            "poc_type": poc_type,
+            "log2_max_poc_lsb": log2_max_poc_lsb,
+            "delta_poc_always_zero": delta_poc_always_zero}
+
+
+def _parse_pps_fields(pps_nal: bytes) -> dict:
+    """The PPS flags that add IDR slice-header fields (§7.3.2.2):
+    bottom-field POC presence, deblocking control, redundant counts.
+    CABAC and slice groups change macroblock-layer parsing entirely —
+    refused loudly."""
+    r = _Reader(unescape_ebsp(pps_nal[1:]))
+    r.ue()                               # pic_parameter_set_id
+    r.ue()                               # seq_parameter_set_id
+    if r.u(1):                           # entropy_coding_mode_flag
+        raise ValueError(
+            "CABAC PPS — the I_PCM fixture decoder parses CAVLC "
+            "macroblock layers only (use a real codec binary)")
+    bottom_field = r.u(1)
+    if r.ue() != 0:                      # num_slice_groups_minus1
+        raise ValueError(
+            "slice groups (FMO) — outside the I_PCM fixture decoder's "
+            "scope")
+    r.ue()                               # num_ref_idx_l0_default
+    r.ue()                               # num_ref_idx_l1_default
+    r.u(1)                               # weighted_pred_flag
+    r.u(2)                               # weighted_bipred_idc
+    r.se()                               # pic_init_qp_minus26
+    r.se()                               # pic_init_qs_minus26
+    r.se()                               # chroma_qp_index_offset
+    deblock = r.u(1)                     # deblocking_filter_control
+    r.u(1)                               # constrained_intra_pred_flag
+    redundant = r.u(1)                   # redundant_pic_cnt_present
+    return {"bottom_field_poc": bottom_field,
+            "deblocking_control": deblock,
+            "redundant_pic_cnt": redundant}
+
+
 def make_ipcm_decoder(avcc: bytes):
     """bytes -> HxWx3 uint8 for the video_frame_features frame_decoder
     seam: walks the AVCC length prefixes, bit-parses the IDR slice
@@ -259,15 +351,29 @@ def make_ipcm_decoder(avcc: bytes):
     planes. Returns luma replicated into 3 channels (the fixture's
     chroma is neutral; 0.299+0.587+0.114 = 1 keeps mean_luma == mean Y
     exactly). The same closure shape as an ffmpeg/PyAV wrapper — THIS
-    decoder just needs no binary."""
+    decoder just needs no binary.
+
+    Slice-header field widths come from the SUPPLIED avcC's SPS/PPS
+    (_parse_sps_fields/_parse_pps_fields) — frame_num is read with the
+    stream's own log2_max_frame_num, POC slice fields follow the
+    stream's pic_order_cnt_type, and PPS-conditional fields
+    (deblocking control, redundant counts) are consumed — so a
+    spec-valid I_PCM stream from any conformant encoder parses, and
+    genuinely unsupported shapes (CABAC, FMO, interlace, non-4:2:0)
+    refuse loudly instead of desynchronizing."""
     sps_len = struct.unpack(">H", avcc[6:8])[0]
     sps = avcc[8:8 + sps_len]
+    q0 = 8 + sps_len + 1                 # skip numOfPictureParameterSets
+    pps_len = struct.unpack(">H", avcc[q0:q0 + 2])[0]
+    pps = avcc[q0 + 2:q0 + 2 + pps_len]
     nal_len = (avcc[4] & 0x03) + 1
     from aws_data_pipeline_ads_spark.operators.multimodal import (
         _parse_avc_sps,
     )
     dims = _parse_avc_sps(sps)
     wd, h = dims["width"], dims["height"]
+    sf = _parse_sps_fields(sps)
+    pf = _parse_pps_fields(pps)
 
     def decode(sample: bytes) -> np.ndarray:
         q = 0
@@ -282,10 +388,25 @@ def make_ipcm_decoder(avcc: bytes):
             assert r.ue() == 0, "first_mb_in_slice"
             assert r.ue() in (2, 7), "slice_type must be I"
             r.ue()                       # pic_parameter_set_id
-            r.u(4)                       # frame_num
+            r.u(sf["log2_max_frame_num"])      # frame_num
             r.ue()                       # idr_pic_id
+            if sf["poc_type"] == 0:
+                r.u(sf["log2_max_poc_lsb"])    # pic_order_cnt_lsb
+                if pf["bottom_field_poc"]:
+                    r.se()               # delta_pic_order_cnt_bottom
+            elif sf["poc_type"] == 1 and \
+                    not sf["delta_poc_always_zero"]:
+                r.se()                   # delta_pic_order_cnt[0]
+                if pf["bottom_field_poc"]:
+                    r.se()               # delta_pic_order_cnt[1]
+            if pf["redundant_pic_cnt"]:
+                r.ue()                   # redundant_pic_cnt
             r.u(2)                       # dec_ref_pic_marking (IDR)
             r.se()                       # slice_qp_delta
+            if pf["deblocking_control"]:
+                if r.ue() != 1:          # disable_deblocking_filter_idc
+                    r.se()               # slice_alpha_c0_offset_div2
+                    r.se()               # slice_beta_offset_div2
             y = np.zeros((h, wd), np.uint8)
             cb = np.zeros((h // 2, wd // 2), np.uint8)
             cr = np.zeros_like(cb)

@@ -242,3 +242,88 @@ def test_real_h264_through_frame_decoder_seam(spark, tmp_path):
     for r in rows:
         # 0x80 gray in BT.601 luma ≈ 128 (codec round-trip tolerance)
         assert abs(r.mean_luma - 128.0) < 3.0, r.mean_luma
+
+
+def test_decoder_follows_foreign_sps_pps_field_widths():
+    """ADVICE r9: the I_PCM decoder must size its slice-header reads
+    from the SUPPLIED avcC, not from what our own encoder happens to
+    emit. Build a spec-valid stream a DIFFERENT encoder could produce
+    — log2_max_frame_num 6 (not 4), pic_order_cnt_type 0 with a POC
+    lsb field, deblocking control present in the PPS — and check the
+    pixels still round-trip bit-exactly."""
+    from aws_data_pipeline_ads_spark.operators.h264_ipcm import (
+        MB, _Writer, escape_rbsp, avcc_sample, make_avcc,
+        make_ipcm_decoder,
+    )
+
+    wd, h = 32, 32
+    # SPS: baseline but log2_max_frame_num_minus4=2, poc_type=0 with
+    # log2_max_pic_order_cnt_lsb_minus4=1
+    w = _Writer()
+    w.u(66, 8); w.u(0, 8); w.u(10, 8)            # noqa: E702
+    w.ue(0)                                      # sps_id
+    w.ue(2)                                      # log2_max_frame_num=6
+    w.ue(0)                                      # poc_type 0
+    w.ue(1)                                      # log2_max_poc_lsb=5
+    w.ue(0)                                      # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(wd // MB - 1)
+    w.ue(h // MB - 1)
+    w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)   # noqa: E702
+    sps = b"\x67" + escape_rbsp(w.rbsp())
+    # PPS: CAVLC, deblocking_filter_control_present_flag=1
+    w = _Writer()
+    w.ue(0); w.ue(0)                             # noqa: E702
+    w.u(0, 1)                                    # CAVLC
+    w.u(0, 1)                                    # bottom_field POC
+    w.ue(0); w.ue(0); w.ue(0)                    # noqa: E702
+    w.u(0, 1); w.u(0, 2)                         # noqa: E702
+    w.se(0); w.se(0); w.se(0)                    # noqa: E702
+    w.u(1, 1)                                    # deblocking control ON
+    w.u(0, 1); w.u(0, 1)                         # noqa: E702
+    pps = b"\x68" + escape_rbsp(w.rbsp())
+    # IDR slice with the matching header shape
+    y = ((np.arange(h)[:, None] * 5 + np.arange(wd)[None, :] * 11) % 256
+         ).astype(np.uint8)
+    cb = np.full((h // 2, wd // 2), 90, np.uint8)
+    cr = np.full((h // 2, wd // 2), 200, np.uint8)
+    w = _Writer()
+    w.ue(0)                                      # first_mb_in_slice
+    w.ue(7)                                      # slice_type I
+    w.ue(0)                                      # pps_id
+    w.u(3, 6)                                    # frame_num u(6)!
+    w.ue(9)                                      # idr_pic_id
+    w.u(17, 5)                                   # pic_order_cnt_lsb u(5)!
+    w.u(0, 1); w.u(0, 1)                         # noqa: E702 dec_ref(IDR)
+    w.se(0)                                      # slice_qp_delta
+    w.ue(0)                                      # disable_deblocking=0
+    w.se(1); w.se(-1)                            # noqa: E702 alpha/beta
+    for mby in range(h // MB):
+        for mbx in range(wd // MB):
+            w.ue(25)
+            w.align_zero()
+            w.raw(y[mby * MB:(mby + 1) * MB,
+                    mbx * MB:(mbx + 1) * MB].tobytes())
+            w.raw(cb[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8]
+                  .tobytes())
+            w.raw(cr[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8]
+                  .tobytes())
+    idr = b"\x65" + escape_rbsp(w.rbsp())
+
+    decode = make_ipcm_decoder(make_avcc(sps, pps))
+    rgb = decode(avcc_sample(idr))
+    assert rgb.shape == (h, wd, 3)
+    assert np.array_equal(rgb[:, :, 0], y)
+
+    # and genuinely unsupported shapes refuse LOUDLY: CABAC PPS
+    w = _Writer()
+    w.ue(0); w.ue(0)                             # noqa: E702
+    w.u(1, 1)                                    # CABAC!
+    w.u(0, 1)
+    w.ue(0); w.ue(0); w.ue(0)                    # noqa: E702
+    w.u(0, 1); w.u(0, 2)                         # noqa: E702
+    w.se(0); w.se(0); w.se(0)                    # noqa: E702
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)              # noqa: E702
+    cabac_pps = b"\x68" + escape_rbsp(w.rbsp())
+    with pytest.raises(ValueError, match="CABAC"):
+        make_ipcm_decoder(make_avcc(sps, cabac_pps))

@@ -1447,6 +1447,15 @@ def test_hadoop_walk_preserves_callers_addressing_form(spark, sf_dir,
     # entry would do)
     assert spark.read.parquet(*uri).count() == docs.count()
 
+    # ADVICE r9: Hadoop accepts SINGLE-SLASH URIs (file:/x, hdfs:/x,
+    # s3a:/bucket/x) that contain no "://" — the decision must come
+    # from the parsed scheme, not a substring, or these get stripped
+    # and re-rooted onto the default FS
+    single = dp.walk(f"file:{d}")
+    assert len(single) == len(plain)
+    assert all(p.startswith("file:/") for p in single)
+    assert spark.read.parquet(*single).count() == docs.count()
+
 
 def test_commit_audited_concurrent_writer_not_clobbered(spark, sf_dir,
                                                         tmp_path, mk_table):
