@@ -269,3 +269,29 @@ def test_segment_losslessness_and_unk_columns(spark):
     assert (out["n_pieces"], out["n_words"]) == (4, 3)  # th | x | y+th
     assert out["n_chars"] == 6
     assert out["n_unk"] == 2                            # 'x' and 'y'
+
+
+def test_seed_score_criteria(spark):
+    """Seeding vs SentencePiece's ESA, measured (r9 verdict task 7):
+    the ESA is an enumeration device — with the max_len cap our
+    explicit enumeration yields the identical candidate universe, so
+    the only live difference is the top-k ranking score (freq vs
+    SentencePiece's freq×len). MEASURED: on this corpus AND on sf0.001
+    documents at the registry config (vocab_size=256, max_len=5,
+    max_seed=1500, em_rounds=1) the two seedings train to the
+    IDENTICAL (piece, logp) vocabulary — EM + LOO pruning decide the
+    survivors, not the seed ranking. The assertion pins an agreement
+    floor rather than equality so a corpus where the rankings
+    genuinely admit different borderline seeds still passes while a
+    scoring bug (wrong rank column, inverted sort) fails."""
+    docs = _docs(spark, TEXTS)
+    kw = dict(vocab_size=24, max_len=4, max_seed=60, em_rounds=1)
+    v_f = U.unigram_train(docs, seed_score="freq", **kw)
+    v_l = U.unigram_train(docs, seed_score="freq_len", **kw)
+    p_f, p_l = {p for p, _ in v_f}, {p for p, _ in v_l}
+    chars = {c for t in TEXTS for c in t.lower() if not c.isspace()}
+    assert chars <= p_f and chars <= p_l
+    jacc = len(p_f & p_l) / len(p_f | p_l)
+    assert jacc >= 0.5, (sorted(p_f - p_l), sorted(p_l - p_f))
+    with pytest.raises(ValueError, match="seed_score"):
+        U.unigram_train(docs, seed_score="nope")
