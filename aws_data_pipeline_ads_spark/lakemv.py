@@ -94,6 +94,16 @@ class UnsupportedAggregateError(ValueError):
     refusal is loud and greppable, never a silent downgrade."""
 
 
+class DuplicateKeyError(ValueError):
+    """A snapshot side of a signed delta carries a duplicate non-NULL
+    key. The delta is a key-based full-outer join: duplicate keys
+    multiply rows through it and the ± pairs no longer cancel —
+    SILENT state corruption (counts can even stay right while sums
+    drift, the worst failure mode). Detected on the delta-sized pruned
+    sides at every refresh and refused loudly; fix the source's key
+    (or pre-deduplicate) and rebuild the view."""
+
+
 class UnsupportedJoinShapeError(ValueError):
     """A join shape incremental maintenance does not support: anything
     non-inner (a left join's NULL-extended rows do not follow the
@@ -185,6 +195,22 @@ def signed_frame_delta(old_side: DataFrame, new_side: DataFrame,
         *cols, F.lit(1).alias("__sign"))
     o = old.where(F.col("__k").isNotNull()).alias("o")
     n = new.where(F.col("__k").isNotNull()).alias("n")
+    # LOUD duplicate-key guard (one narrow key-column action over the
+    # already-pruned sides — delta-sized work): a duplicate key would
+    # multiply rows through the full-outer join below and corrupt the
+    # signed state SILENTLY (sums drift while counts can still cancel).
+    dup = (o.select("__k", F.lit("old").alias("__side"))
+           .unionByName(n.select("__k", F.lit("new").alias("__side")))
+           .groupBy("__k", "__side").agg(F.count(F.lit(1)).alias("__c"))
+           .where(F.col("__c") > 1).limit(1).collect())
+    if dup:
+        raise DuplicateKeyError(
+            f"delta key {key!r} is not unique on the {dup[0]['__side']} "
+            f"side: value {dup[0]['__k']!r} occurs {dup[0]['__c']} "
+            f"times — the signed delta would multiply rows through its "
+            f"key join and corrupt the view state; use a key that is "
+            f"unique per snapshot (NULL keys are exempt) or "
+            f"pre-deduplicate the source")
     j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")
     changed_old = F.col("o.__k").isNotNull() & (
         F.col("n.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
@@ -647,6 +673,10 @@ class LakeJoinMaterializedView:
     per dim snapshot (many-to-one, INNER join) — the same uniqueness
     the delta's key-diff needs. Group/measure columns may come from
     either side (resolved against the schemas; ambiguous names refuse).
+    MIN/MAX (`minmax=`) and exact COUNT(DISTINCT) (`distinct=`) are
+    maintained by delta-scoped partial recompute over the CURRENT join
+    (non-invertible, same trade as the single-table view); sketch
+    distinct modes refuse loudly.
 
     Scale shape:
     * ΔF and ΔD are file-pruned version deltas (delta-sized for
@@ -671,10 +701,13 @@ class LakeJoinMaterializedView:
                  group_cols: list[str], measures: list[str],
                  backend: CommitBackend | None = None,
                  minmax: list[str] | None = None,
-                 sumsq: list[str] | None = None):
+                 sumsq: list[str] | None = None,
+                 distinct: list[str] | None = None,
+                 distinct_mode: str = "exact"):
         if not group_cols:
             raise ValueError("materialized view needs >=1 group column")
-        overlap = set(group_cols) & (set(measures) | set(minmax or []))
+        overlap = set(group_cols) & (set(measures) | set(minmax or [])
+                                     | set(distinct or []))
         if overlap:
             raise ValueError(f"columns cannot be both group and "
                              f"measure: {sorted(overlap)}")
@@ -682,6 +715,11 @@ class LakeJoinMaterializedView:
         if extra:
             raise ValueError(
                 f"sumsq columns must also be measures: {sorted(extra)}")
+        if distinct_mode != "exact":
+            raise UnsupportedAggregateError(
+                f"distinct_mode={distinct_mode!r} is not implemented: "
+                f"only 'exact' is (same refusal as the single-table "
+                f"view — a sketch state silently degrades exactness)")
         self.spark = spark
         self.fact = fact
         self.dim = dim
@@ -691,6 +729,7 @@ class LakeJoinMaterializedView:
         self.measures = list(measures)
         self.minmax = list(minmax or [])
         self.sumsq = list(sumsq or [])
+        self.distinct = list(distinct or [])
         self.table = LakeTable(spark, path, backend=backend)
 
     # -- bookkeeping ---------------------------------------------------------
@@ -717,7 +756,7 @@ class LakeJoinMaterializedView:
         dim_cols = set(self.dim.read().columns)
         f_side, d_side = [], []
         for c in dict.fromkeys(self.group_cols + self.measures
-                               + self.minmax):
+                               + self.minmax + self.distinct):
             if c == self.join_key:
                 f_side.append(c)
             elif c in fact_cols and c in dim_cols:
@@ -802,9 +841,9 @@ class LakeJoinMaterializedView:
         state = self.table.read()
         merged = _merge_group_state(state, d, self.group_cols,
                                     self.measures, self.sumsq)
-        if self.minmax:
-            merged = self._apply_minmax(merged, state, delta,
-                                        head_f, head_d)
+        if self.minmax or self.distinct:
+            merged = self._apply_recompute(merged, state, delta,
+                                           head_f, head_d)
         self.table.commit(merged, "overwrite", txn_id=txn)
         return head_f, head_d
 
@@ -818,22 +857,26 @@ class LakeJoinMaterializedView:
         for m in self.minmax:
             aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+        for m in self.distinct:
+            aggs.append(F.countDistinct(F.col(m)).alias(f"nd_{m}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
-    def _apply_minmax(self, merged: DataFrame, state: DataFrame,
-                      delta: DataFrame, head_f: int,
-                      head_d: int) -> DataFrame:
-        """Join-view extrema: delta-scoped partial recompute over the
-        CURRENT join (F_head ⋈ D_head semi-filtered to the delta's
-        touched groups — a dim re-pointing moves whole groups, and the
-        signed delta carries rows for both the drained and the filled
-        group, so `touched` covers both). Untouched groups keep stored
-        extrema (_recompute_stitch, shared with the other views)."""
+    def _apply_recompute(self, merged: DataFrame, state: DataFrame,
+                         delta: DataFrame, head_f: int,
+                         head_d: int) -> DataFrame:
+        """Join-view extrema / distinct counts: delta-scoped partial
+        recompute over the CURRENT join (F_head ⋈ D_head semi-filtered
+        to the delta's touched groups — a dim re-pointing moves whole
+        groups, and the signed delta carries rows for both the drained
+        and the filled group, so `touched` covers both). Untouched
+        groups keep stored values (_recompute_stitch, shared with the
+        other views)."""
         touched = delta.select(*self.group_cols).distinct()
         joined = self._joined(self.fact.read(head_f),
                               self.dim.read(head_d), "dim")
         return _recompute_stitch(merged, state, joined, touched,
-                                 self.group_cols, self.minmax, [])
+                                 self.group_cols, self.minmax,
+                                 self.distinct)
 
 
 class LakeStarMaterializedView:
@@ -875,9 +918,10 @@ class LakeStarMaterializedView:
       standard IVM trade (DBToaster / Materialize make the same one):
       dims are the small side of a star by construction, and the
       composed M_j never touches the fact.
-    * MIN/MAX (`minmax=`) adds the delta-scoped head recompute join
-      (one more fact scan, touched groups only) — the same
-      non-invertible-aggregate trade as the other view classes.
+    * MIN/MAX (`minmax=`) and exact COUNT(DISTINCT) (`distinct=`) add
+      the delta-scoped head recompute join (one more fact scan,
+      touched groups only) — the same non-invertible-aggregate trade
+      as the other view classes; sketch distinct modes refuse loudly.
 
     Refused loudly (UnsupportedJoinShapeError): any `how` other than
     "inner" (a left join's NULL-extended rows do not follow this
@@ -903,6 +947,8 @@ class LakeStarMaterializedView:
                  backend: CommitBackend | None = None,
                  minmax: list[str] | None = None,
                  sumsq: list[str] | None = None,
+                 distinct: list[str] | None = None,
+                 distinct_mode: str = "exact",
                  how: str = "inner"):
         if how != "inner":
             raise UnsupportedJoinShapeError(
@@ -917,7 +963,8 @@ class LakeStarMaterializedView:
                              "LakeMaterializedView for a single table)")
         if not group_cols:
             raise ValueError("materialized view needs >=1 group column")
-        overlap = set(group_cols) & (set(measures) | set(minmax or []))
+        overlap = set(group_cols) & (set(measures) | set(minmax or [])
+                                     | set(distinct or []))
         if overlap:
             raise ValueError(f"columns cannot be both group and "
                              f"measure: {sorted(overlap)}")
@@ -925,6 +972,11 @@ class LakeStarMaterializedView:
         if extra:
             raise ValueError(
                 f"sumsq columns must also be measures: {sorted(extra)}")
+        if distinct_mode != "exact":
+            raise UnsupportedAggregateError(
+                f"distinct_mode={distinct_mode!r} is not implemented: "
+                f"only 'exact' is (same refusal as the single-table "
+                f"view — a sketch state silently degrades exactness)")
         norm: list[tuple] = []
         for i, spec in enumerate(dims):
             if len(spec) == 3:
@@ -949,6 +1001,7 @@ class LakeStarMaterializedView:
         self.measures = list(measures)
         self.minmax = list(minmax or [])
         self.sumsq = list(sumsq or [])
+        self.distinct = list(distinct or [])
         self.table = LakeTable(spark, path, backend=backend)
 
     # -- bookkeeping ---------------------------------------------------------
@@ -975,7 +1028,7 @@ class LakeStarMaterializedView:
         fact_cols = set(self.fact.read().columns)
         dim_cols = [set(t.read().columns) for t, _, _, _ in self._dims]
         wanted = list(dict.fromkeys(self.group_cols + self.measures
-                                    + self.minmax))
+                                    + self.minmax + self.distinct))
         for c in wanted:
             if c.startswith("__"):
                 raise ValueError(f"column names starting with '__' are "
@@ -1102,6 +1155,8 @@ class LakeStarMaterializedView:
         for m in self.minmax:
             aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+        for m in self.distinct:
+            aggs.append(F.countDistinct(F.col(m)).alias(f"nd_{m}"))
         return df.groupBy(*self.group_cols).agg(*aggs)
 
     # -- refresh -----------------------------------------------------------------
@@ -1211,14 +1266,14 @@ class LakeStarMaterializedView:
             state = self.table.read()
             merged = _merge_group_state(state, d, self.group_cols,
                                         self.measures, self.sumsq)
-            if self.minmax:
+            if self.minmax or self.distinct:
                 touched = delta.select(*self.group_cols).distinct()
                 joined_head = self._fold_fact(
                     self.fact.read(head_f).select(*res["fact_proj"]),
                     m_new, res)
                 merged = _recompute_stitch(merged, state, joined_head,
                                            touched, self.group_cols,
-                                           self.minmax, [])
+                                           self.minmax, self.distinct)
             self.table.commit(merged, "overwrite", txn_id=txn)
             return heads
         finally:
@@ -1226,23 +1281,32 @@ class LakeStarMaterializedView:
                 df.unpersist()
 
 
-def lake_mv_sink(stream_df: DataFrame, view: LakeMaterializedView,
+def lake_mv_sink(stream_df: DataFrame, view,
                  checkpoint_dir: str,
-                 app_id: str | None = None) -> None:
+                 app_id: str | None = None,
+                 ingest: LakeTable | None = None) -> None:
     """Streaming ingest that keeps a materialized view CURRENT: each
-    micro-batch appends to the view's source table (query-scoped txn —
+    micro-batch appends to the view's ingest table (query-scoped txn —
     exactly-once, lakelog._run_scoped_sink) and then refreshes the
     view incrementally. A crash between the append and the refresh
-    self-heals: refresh() is idempotent per source version (its commit
-    txn is keyed by the version it reflects), so the next batch — or
-    the next drain — applies the missing delta and nothing else. The
-    end-to-end contract a 100 TB landing-table + reporting-view pair
-    needs from one checkpointed query."""
+    self-heals: refresh() is idempotent per source version vector (its
+    commit txn is keyed by the version(s) it reflects), so the next
+    batch — or the next drain — applies the missing delta and nothing
+    else. The end-to-end contract a 100 TB landing-table +
+    reporting-view pair needs from one checkpointed query.
+
+    Works for every view class: a LakeMaterializedView ingests into
+    its `source` by default; for a join/star view pass the streamed
+    table explicitly (`ingest=view.fact` for the usual
+    fact-is-the-stream shape — dims keep revising out-of-band and the
+    next refresh absorbs both sides)."""
     from aws_data_pipeline_ads_spark.lakelog import _run_scoped_sink
 
+    tbl = ingest if ingest is not None else view.source
+
     def commit_and_refresh(batch: DataFrame, bid: int, aid: str) -> None:
-        view.source.commit(batch, "append",
-                           txn_id=f"{aid}:mv-append-{bid}", retries=3)
+        tbl.commit(batch, "append",
+                   txn_id=f"{aid}:mv-append-{bid}", retries=3)
         view.refresh()
 
     _run_scoped_sink(stream_df, checkpoint_dir, commit_and_refresh, app_id)

@@ -3373,9 +3373,21 @@ def lakemv_star_index(spark, sf_dir: str) -> str:
     from aws_data_pipeline_ads_spark.lakemv import LakeStarMaterializedView
 
     def build(path: str) -> None:
+        from pyspark.sql import Window
+
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        # corpus (multiplicity up to 6) — the fact key contract demands
+        # per-snapshot uniqueness (the delta's key join refuses
+        # duplicates loudly, lakemv.DuplicateKeyError), so disambiguate
+        # with a deterministic per-duplicate ordinal. Ties on the full
+        # projected row are content-identical, so the keyed multiset is
+        # stable regardless of which twin gets which ordinal.
+        rn = F.row_number().over(
+            Window.partitionBy("l_orderkey", "l_linenumber")
+            .orderBy("l_extendedprice")) - 1
         li = load_table(spark, sf_dir, "lineitem").select(
-            (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
-            .alias("l_key"),
+            ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 8
+             + rn).alias("l_key"),
             "l_orderkey", F.col("l_extendedprice").alias("price"))
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey")

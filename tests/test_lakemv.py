@@ -838,8 +838,17 @@ def star_srcs(spark, sf_dir, tmp_path):
         LakeStarMaterializedView,
     )
 
+    from pyspark.sql import Window
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus
+    # — disambiguate with a deterministic ordinal (the delta's key join
+    # refuses duplicate keys loudly; see test_duplicate_fact_key_refused)
+    rn = F.row_number().over(
+        Window.partitionBy("l_orderkey", "l_linenumber")
+        .orderBy("l_extendedprice")) - 1
     li = load_table(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("l_key"),
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 8
+         + rn).alias("l_key"),
         "l_orderkey", "l_extendedprice")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey")
@@ -1036,3 +1045,175 @@ def test_star_mv_minmax(spark, star_srcs):
             .agg(F.max("l_extendedprice").alias("mx")).collect()}
     assert mx == full
     assert all(v < 9_999_999.0 for v in mx.values())
+
+
+# -- distinct= parity on join and star views (r10) ------------------------------
+
+def test_join_mv_distinct_count(spark, join_srcs, tmp_path):
+    """Exact COUNT(DISTINCT) on the two-table join view: a dim
+    re-pointing moves whole groups (drain + fill), and a fact update
+    collapsing values must REDUCE a group's distinct count — both via
+    the delta-scoped recompute over the CURRENT join."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeJoinMaterializedView,
+        UnsupportedAggregateError,
+    )
+
+    fact, dim, _mv, docs = join_srcs
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvjd"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"],
+        distinct=["n_chars"])
+    mv.refresh()
+
+    def recompute():
+        return (fact.read().join(dim.read(), "lang").groupBy("region")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count("n_chars").alias("n_n_chars"),
+                     F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                     .alias("sum_n_chars"),
+                     F.countDistinct("n_chars").alias("nd_n_chars")))
+
+    assert _rows(mv.read()) == _rows(recompute())
+    before = {r["region"]: r["nd_n_chars"] for r in mv.read().collect()}
+    fact.update({"doc_id": (0, 120)}, {"n_chars": F.lit(7)})
+    dim.update({"dim_id": (0, 0)}, {"region": F.lit("moved")})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    after = {r["region"]: r["nd_n_chars"] for r in mv.read().collect()}
+    assert sum(after.values()) < sum(before.values())
+    with pytest.raises(UnsupportedAggregateError, match="exact"):
+        LakeJoinMaterializedView(
+            spark, fact, dim, str(tmp_path / "x"), fact_key="doc_id",
+            join_key="lang", group_cols=["region"], measures=[],
+            distinct=["n_chars"], distinct_mode="kmv")
+
+
+def test_star_mv_distinct_count(spark, star_srcs):
+    """Exact COUNT(DISTINCT) on the k-dim star view through a fact
+    value-collapse and a deep-dim revision in one refresh."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+    )
+
+    fact, dims, mv, li = star_srcs
+    t_o, t_c, t_n, t_r = dims
+    nd = LakeStarMaterializedView(
+        spark, fact,
+        [(t_o, "l_orderkey", "o_orderkey"),
+         (t_c, "o_custkey", "c_custkey", 0),
+         (t_n, "c_nationkey", "n_nationkey", 1),
+         (t_r, "n_regionkey", "r_regionkey", 2)],
+        str(mv.table.path) + "_nd", fact_key="l_key",
+        group_cols=["r_name"], measures=["l_extendedprice"],
+        distinct=["l_extendedprice"])
+    nd.refresh()
+
+    def recompute():
+        return (fact.read()
+                .join(t_o.read(), F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(t_c.read(), F.col("o_custkey") == F.col("c_custkey"))
+                .join(t_n.read(),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+                .join(t_r.read(),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .groupBy("r_name")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count("l_extendedprice").alias("n_l_extendedprice"),
+                     F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                     .alias("sum_l_extendedprice"),
+                     F.countDistinct("l_extendedprice")
+                     .alias("nd_l_extendedprice")))
+
+    assert _rows(nd.read()) == _rows(recompute())
+    before = {r["r_name"]: r["nd_l_extendedprice"]
+              for r in nd.read().collect()}
+    fact.update({"l_orderkey": (0, 299)},
+                {"l_extendedprice": F.lit(1.0)})
+    t_n.update({"n_nationkey": (0, 3)}, {"n_regionkey": F.lit(0)})
+    nd.refresh()
+    assert _rows(nd.read()) == _rows(recompute())
+    after = {r["r_name"]: r["nd_l_extendedprice"]
+             for r in nd.read().collect()}
+    assert sum(after.values()) < sum(before.values())
+
+
+def test_lake_mv_sink_star_fact_stream(spark, sf_dir, tmp_path):
+    """Streaming ingest into a STAR view's fact: each micro-batch is
+    one fact append + one incremental star refresh (dims revise
+    out-of-band; the next batch's refresh absorbs both sides)."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+        lake_mv_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    land = tmp_path / "landing"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land / "s1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land / "s2"))
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim.commit(spark.createDataFrame(
+        [Row(lang=lg, region=("apac" if i % 2 else "emea"))
+         for i, lg in enumerate(sorted(langs))],
+        "lang string, region string"))
+    mv = LakeStarMaterializedView(
+        spark, fact, [(dim, "lang", "lang")], str(tmp_path / "mv"),
+        fact_key="doc_id", group_cols=["region"], measures=["n_chars"])
+
+    stream = streaming.documents_stream(
+        spark, str(land), max_files_per_trigger=1
+    ).select("doc_id", "lang", "n_chars")
+    lake_mv_sink(stream, mv, str(tmp_path / "ck"), ingest=mv.fact)
+    assert mv.last_refreshed() == (fact.current_version(),
+                                   dim.current_version())
+    expect = (fact.read().join(dim.read(), "lang").groupBy("region")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.count("n_chars").alias("n_n_chars"),
+                   F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                   .alias("sum_n_chars")))
+    assert _rows(mv.read()) == _rows(expect)
+    # a dim revision between drains is absorbed by the next refresh
+    dim.update({"lang": (sorted(langs)[0], sorted(langs)[0])},
+               {"region": F.lit("moved")})
+    mv.refresh()
+    expect = (fact.read().join(dim.read(), "lang").groupBy("region")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.count("n_chars").alias("n_n_chars"),
+                   F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                   .alias("sum_n_chars")))
+    assert _rows(mv.read()) == _rows(expect)
+    assert "moved" in {r["region"] for r in mv.read().collect()}
+
+
+def test_duplicate_fact_key_refused(spark, tmp_path):
+    """The key contract is GUARDED, not just documented: a duplicate
+    non-NULL key on either delta side would multiply rows through the
+    key join and corrupt sums while counts still cancel — the worst
+    silent failure. The refresh must refuse loudly instead. (Found the
+    hard way: (l_orderkey, l_linenumber) is not unique in the
+    synthetic lineitem; an update-delta over that key silently lost
+    sum mass before the guard existed.)"""
+    from aws_data_pipeline_ads_spark.lakemv import DuplicateKeyError
+
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, lang="aa", n_chars=5),
+         Row(doc_id=1, lang="aa", n_chars=9),   # duplicate key!
+         Row(doc_id=2, lang="bb", n_chars=7)],
+        "doc_id long, lang string, n_chars long"))
+    mv = _mk_view(spark, t, tmp_path)
+    mv.refresh()                       # full build: no delta, no guard
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=3, lang="aa", n_chars=2)],
+        "doc_id long, lang string, n_chars long"), "append")
+    # the old side of the (unpruned) delta never opens the duplicate's
+    # file on an append... engineer a rewrite so it does
+    t.update({"doc_id": (1, 2)}, {"n_chars": F.lit(4)})
+    with pytest.raises(DuplicateKeyError, match="not unique"):
+        mv.refresh()
