@@ -981,3 +981,97 @@ def test_winnow_fingerprints_partitioning_invariant(spark, texts, parts):
         n_toks = len(texts[r.doc_id].split())
         n_grams = max(n_toks - 2, 1)
         assert 1 <= r.pos <= n_grams and r.n_grams == n_grams
+
+
+# -- incremental materialized views: random revision sequences ----------------
+
+_mv_vals = st.one_of(st.none(), st.integers(-5, 5))
+_mv_init = st.dictionaries(st.integers(0, 29), st.tuples(
+    st.integers(0, 2), _mv_vals), min_size=1, max_size=12)
+_mv_op = st.one_of(
+    st.tuples(st.just("append"),
+              st.lists(st.tuples(st.integers(0, 2), _mv_vals),
+                       min_size=1, max_size=6),
+              st.integers(0, 2)),                 # n NULL-key rows
+    st.tuples(st.just("delete"), st.integers(0, 50), st.integers(0, 20)),
+    st.tuples(st.just("update"), st.integers(0, 50), st.integers(0, 20),
+              _mv_vals),
+    st.tuples(st.just("overwrite"),
+              st.dictionaries(st.integers(0, 29),
+                              st.tuples(st.integers(0, 2), _mv_vals),
+                              min_size=0, max_size=8),
+              st.integers(0, 2)),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(init=_mv_init, nulls=st.integers(0, 2),
+       ops=st.lists(_mv_op, min_size=1, max_size=3))
+def test_mv_refresh_equals_recompute_under_random_revisions(
+        spark, init, nulls, ops):
+    """THE materialized-view invariant, randomized: after ANY sequence
+    of append / CoW delete / CoW update / overwrite — including
+    NULL-keyed rows, NULL measures, value collapses and group dropouts
+    — a view refreshed incrementally after every commit is bit-equal
+    to a full recompute over the head, across every aggregate class at
+    once (count, non-null count, decimal sum, Σm², MIN/MAX, exact
+    COUNT(DISTINCT))."""
+    import shutil
+    import tempfile
+
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def df_of(d, n_null, base=0):
+        rows = [Row(doc_id=k + base, grp=f"g{g}", val=v)
+                for k, (g, v) in sorted(d.items())]
+        rows += [Row(doc_id=None, grp=f"g{i}", val=i) for i in range(n_null)]
+        rows += [Row(doc_id=-1, grp="g0", val=0)]   # never-deleted sentinel
+        return spark.createDataFrame(
+            rows, "doc_id long, grp string, val long")
+
+    root = tempfile.mkdtemp(prefix="mv_prop_")
+    try:
+        t = LakeTable(spark, f"{root}/tbl")
+        mv = LakeMaterializedView(
+            spark, t, f"{root}/mv", key="doc_id", group_cols=["grp"],
+            measures=["val"], sumsq=["val"], minmax=["val"],
+            distinct=["val"])
+        t.commit(df_of(init, nulls))
+        mv.refresh()
+        fresh = 100
+        for op in ops:
+            if op[0] == "append":
+                _, vals, n_null = op
+                d = {fresh + i: gv for i, gv in enumerate(vals)}
+                fresh += len(vals)
+                t.commit(df_of(d, n_null, base=0).where(
+                    F.col("doc_id") != -1), "append")
+            elif op[0] == "delete":
+                _, lo, width = op
+                t.delete({"doc_id": (lo, lo + width)})
+            elif op[0] == "update":
+                _, lo, width, v = op
+                t.update({"doc_id": (lo, lo + width)},
+                         {"val": F.lit(v).cast("long")})
+            else:
+                _, d, n_null = op
+                t.commit(df_of(d, n_null), "overwrite")
+            mv.refresh()
+            got = sorted(tuple(r) for r in mv.read().collect())
+            exp = sorted(tuple(r) for r in t.read().groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("val").alias("n_val"),
+                F.sum(F.col("val").cast("decimal(38,6)")).alias("sum_val"),
+                F.sum((F.col("val").cast("double")
+                       * F.col("val").cast("double"))
+                      .cast("decimal(38,6)")).alias("sumsq_val"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+                F.countDistinct("val").alias("nd_val"),
+            ).collect())
+            assert got == exp, (op, got, exp)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
