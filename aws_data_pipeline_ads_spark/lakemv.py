@@ -227,15 +227,23 @@ def signed_frame_delta(old_side: DataFrame, new_side: DataFrame,
 
 
 def signed_version_delta(source: LakeTable, key: str, cols: list[str],
-                         v_old: int, v_new: int) -> DataFrame:
+                         v_old: int, v_new: int,
+                         prep=None) -> DataFrame:
     """Signed row delta between two versions of `source`: `cols` +
     __sign (+1 appeared / -1 disappeared). File-level pruning first
     (_version_delta_sides), then the key-diff (signed_frame_delta —
     unchanged keys cancel, NULL keys routed around the join). File
     pruning stays sound for NULL-keyed rows because a row never leaves
     its file without a rewrite: a NULL row held only in files both
-    versions share is identical on both sides and prunes with them."""
+    versions share is identical on both sides and prunes with them.
+
+    `prep`, when given, maps each (pruned) side DataFrame before the
+    key diff — the hook derived-column views use to bucket raw columns
+    (it must be DETERMINISTIC and preserve the key column, or
+    unchanged rows stop cancelling)."""
     old_side, new_side = _version_delta_sides(source, v_old, v_new)
+    if prep is not None:
+        old_side, new_side = prep(old_side), prep(new_side)
     return signed_frame_delta(old_side, new_side, key, cols)
 
 
@@ -257,7 +265,8 @@ def _nullsafe_eq(left: str, right: str, cols: list[str]):
 
 
 def signed_span_delta(source: LakeTable, key: str, cols: list[str],
-                      v_old: int, v_new: int) -> DataFrame | None:
+                      v_old: int, v_new: int,
+                      prep=None) -> DataFrame | None:
     """Signed delta over a multi-commit span, COMPACTION-AWARE.
 
     A compaction rewrites every file without changing effective rows
@@ -283,7 +292,7 @@ def signed_span_delta(source: LakeTable, key: str, cols: list[str],
         return None
     out = None
     for lo, hi in segments:
-        d = signed_version_delta(source, key, cols, lo, hi)
+        d = signed_version_delta(source, key, cols, lo, hi, prep=prep)
         out = d if out is None else out.unionByName(d)
     return out
 
@@ -424,6 +433,18 @@ class LakeMaterializedView:
     much higher group cardinality but is deliberately refused here
     (UnsupportedAggregateError) — an MV that silently answers
     approximately is worse than one that names the trade.
+
+    `derive` (name → deterministic SQL expression over source columns)
+    makes the view a CONTINUOUS AGGREGATE in the TimescaleDB sense:
+    group by a time bucket / band / normalization the source doesn't
+    materialize (e.g. {"day": "date_format(date_trunc('day', ts),
+    'yyyy-MM-dd')"}). Derivation applies before hashing on every path
+    (full build, both delta sides, recompute scans), so a revision
+    that leaves every derived/measure value unchanged cancels out of
+    the delta entirely — bucketing shrinks deltas, never grows them.
+    Derived group columns have no commit-log stats, so the partial-
+    recompute file pruning simply skips them (conservative; raw group
+    columns still prune).
     """
 
     def __init__(self, spark: SparkSession, source: LakeTable, path: str,
@@ -432,7 +453,8 @@ class LakeMaterializedView:
                  minmax: list[str] | None = None,
                  sumsq: list[str] | None = None,
                  distinct: list[str] | None = None,
-                 distinct_mode: str = "exact"):
+                 distinct_mode: str = "exact",
+                 derive: dict[str, str] | None = None):
         # `key` must be unique per source snapshot (the table's primary
         # key — the same contract LakeTable.merge holds): the delta is
         # a key-based full-outer join, and duplicate keys would
@@ -461,6 +483,14 @@ class LakeMaterializedView:
                 f"approximate — refused rather than silently degraded; "
                 f"use operators.sketches for approximate distinct "
                 f"counts outside the view")
+        for name in (derive or {}):
+            if name.startswith("__"):
+                raise ValueError(f"derived column names starting with "
+                                 f"'__' are reserved: {name!r}")
+            if name == key:
+                raise ValueError(
+                    f"derived column {name!r} would shadow the key — "
+                    f"the delta joins on the SOURCE key column")
         self.spark = spark
         self.source = source
         self.key = key
@@ -469,6 +499,7 @@ class LakeMaterializedView:
         self.minmax = list(minmax or [])
         self.sumsq = list(sumsq or [])
         self.distinct = list(distinct or [])
+        self.derive = dict(derive or {})
         self.table = LakeTable(spark, path, backend=backend)
         # file list the most recent partial recompute actually opened
         # (None until a refresh needed one) — observability for the
@@ -497,6 +528,20 @@ class LakeMaterializedView:
     def _cnt_col(self, m: str) -> str:
         return f"n_{m}"
 
+    def _derived(self, df: DataFrame) -> DataFrame:
+        """Apply the view's derived-column expressions (`derive`:
+        name → SQL expression over source columns — time buckets,
+        bands, normalizations). The expressions must be DETERMINISTIC:
+        they run independently on each delta side, and a value that
+        differs between runs would stop unchanged rows from
+        cancelling. Hashing happens AFTER derivation, so a source
+        revision that leaves every derived/measure value unchanged
+        contributes nothing to the delta — bucketing can only shrink
+        the delta, never grow it."""
+        for name, expr in self.derive.items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
     def _full_aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for m in self.measures:
@@ -523,7 +568,8 @@ class LakeMaterializedView:
         measures + sign (+1 appeared / -1 disappeared); see
         signed_version_delta."""
         return signed_version_delta(self.source, self.key,
-                                    self._delta_cols(), v_old, v_new)
+                                    self._delta_cols(), v_old, v_new,
+                                    prep=self._derived)
 
     # -- refresh -------------------------------------------------------------
 
@@ -538,7 +584,8 @@ class LakeMaterializedView:
         last = self.last_refreshed()
         txn = f"{_TXN_PREFIX}{head}"
         if last is None:
-            state = self._full_aggregate(self.source.read(head))
+            state = self._full_aggregate(
+                self._derived(self.source.read(head)))
             self.table.commit(state, "overwrite", txn_id=txn)
             return head
         if last == head:
@@ -551,7 +598,8 @@ class LakeMaterializedView:
                 f"applying a negative-range delta")
 
         delta = signed_span_delta(self.source, self.key,
-                                  self._delta_cols(), last, head)
+                                  self._delta_cols(), last, head,
+                                  prep=self._derived)
         state = self.table.read()
         if delta is None:
             # the whole span is row-preserving compaction — no data
@@ -630,9 +678,10 @@ class LakeMaterializedView:
             files = [f for f in all_files if may_hold(stats.get(f, {}))]
         self.last_recompute_files = list(files)
         if not files:
-            return self.spark.createDataFrame(
-                [], self.source.read(head).schema)
-        return self.source.read_version_files(head, files)
+            return self._derived(self.spark.createDataFrame(
+                [], self.source.read(head).schema))
+        return self._derived(
+            self.source.read_version_files(head, files))
 
     def _apply_recompute(self, merged: DataFrame, state: DataFrame,
                          delta: DataFrame, head: int) -> DataFrame:

@@ -42,10 +42,12 @@ _WINDOW: list[str] = [
     # -- r8/r9 MV additions, driver-verified r9, kept as anchors ----------
     "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
     "q_chat_flatten", "q_preference_pairs",
-    "q_seasonal_decompose",
-    # -- NEW in r10: k-dim star MV + exact COUNT(DISTINCT) MV, first
-    # exposure; variance MV rotated in from the tail stage ----------------
-    "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_variance",
+    # -- NEW in r10: k-dim star MV + exact COUNT(DISTINCT) MV +
+    # derived-bucket continuous aggregate, first exposure; variance MV
+    # rotated in from the tail stage (q_seasonal_decompose, hash-
+    # verified r9, yields its slot) ---------------------------------------
+    "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_daily",
+    "q_lake_mv_variance",
     # -- r9 additions, driver-verified r9, kept as anchors ----------------
     "q_lake_mv_minmax", "q_lake_mv_join",
     # -- family anchors kept from the r8 rotation (KMV sketch algebra,
@@ -97,6 +99,7 @@ _TAIL: list[str] = [
     # anchored in-window by q_image_neardup/q_image_exif; lake tags by
     # the zorder/time/hilbert/stats/sum tier) -----------------------------
     "q_image_gif", "q_image_bmp", "q_lake_tag_scan",
+    "q_seasonal_decompose",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

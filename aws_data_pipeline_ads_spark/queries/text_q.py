@@ -14,6 +14,7 @@ from aws_data_pipeline_ads_spark.operators.sampling import (
 from aws_data_pipeline_ads_spark.operators.simhash import simhash_pairs_sql, simhash_sql
 from aws_data_pipeline_ads_spark.queries.indexcache import index_path
 from aws_data_pipeline_ads_spark.queries.registry import query
+from aws_data_pipeline_ads_spark.session import ensure_utc
 
 _WS = r"\s+"
 
@@ -3557,6 +3558,82 @@ def q_lake_mv_distinct(spark, sf_dir):
         "lang", "n_rows", "n_n_chars",
         F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
         "nd_n_chars")
+
+
+# Continuous aggregate: the view groups by a DERIVED day bucket the
+# source never materializes (derive= on the MV) — the TimescaleDB
+# continuous-aggregate shape over the events hypertable.
+def lakemv_daily_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def build(path: str) -> None:
+        ensure_utc(spark)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value")
+        t = LakeTable(spark, f"{path}/tbl")
+        mv = LakeMaterializedView(
+            spark, t, f"{path}/mv", key="event_id",
+            group_cols=["day", "event_type"], measures=["value"],
+            derive={"day": "date_format(date_trunc('day', ts), "
+                           "'yyyy-MM-dd')"})
+        t.commit(ev.filter(F.col("event_id") % 3 < 2)
+                 .repartitionByRange(8, "event_id"), txn_id="rev-0")
+        mv.refresh()                                  # full build
+        t.commit(ev.filter(F.col("event_id") % 3 == 2), "append",
+                 txn_id="rev-1")
+        mv.refresh()                                  # +appended rows
+        t.update({"event_id": (100, 199)}, {"value": F.lit(0.5)},
+                 txn_id="rev-2")
+        mv.refresh()                                  # bucket sums move
+        t.delete({"event_id": (300, 399)}, txn_id="rev-3")
+        mv.refresh()                                  # buckets drain
+
+    return index_path("lakemv_daily", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_daily",
+    bench=True,  # continuous-aggregate state read, new in r10
+    oracle=(
+        "WITH e AS (SELECT ts, event_type, "
+        "CASE WHEN event_id BETWEEN 100 AND 199 THEN 0.5 ELSE value "
+        "END AS value FROM events "
+        "WHERE event_id NOT BETWEEN 300 AND 399) "
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(value) AS BIGINT) AS n_value, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value "
+        "FROM e GROUP BY 1, 2"
+    ),
+    doc="LLM lake versioning: CONTINUOUS AGGREGATE — a materialized "
+        "view grouped by a DERIVED day bucket the source never "
+        "materializes (lakemv derive=: deterministic SQL expressions "
+        "applied before hashing on every path, so a revision leaving "
+        "every bucket/measure value unchanged cancels out of the "
+        "delta). Per-(day, event_type) counts and exact decimal sums "
+        "over the events hypertable kept current through full build → "
+        "append → CoW value update → range delete purely by signed "
+        "deltas; UTC bucketing (ensure_utc + date_trunc) hash-matches "
+        "the DuckDB strftime twin under hostile session timezones. "
+        "The TimescaleDB continuous-aggregate shape at lakehouse "
+        "scale",
+)
+def q_lake_mv_daily(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    ensure_utc(spark)
+    idx = lakemv_daily_index(spark, sf_dir)
+    mv = LakeMaterializedView(
+        spark, LakeTable(spark, f"{idx}/tbl"), f"{idx}/mv",
+        key="event_id", group_cols=["day", "event_type"],
+        measures=["value"],
+        derive={"day": "date_format(date_trunc('day', ts), "
+                       "'yyyy-MM-dd')"})
+    return mv.read().select(
+        "day", "event_type", "n_rows", "n_value",
+        F.col("sum_value").cast("double").alias("sum_value"))
 
 
 @query(

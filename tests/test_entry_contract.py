@@ -36,10 +36,10 @@ def test_driver_window_covers_llm_pipeline_queries():
         # r8/r9 additions kept as anchors (driver-verified r9)
         "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
         "q_chat_flatten", "q_preference_pairs",
-        "q_seasonal_decompose",
-        # new in r10: star MV + COUNT(DISTINCT) MV + the staged
-        # variance MV, first driver exposure
-        "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_variance",
+        # new in r10: star MV + COUNT(DISTINCT) MV + derived-bucket
+        # continuous aggregate + the staged variance MV, first exposure
+        "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_daily",
+        "q_lake_mv_variance",
         # r9 MV additions, driver-verified r9
         "q_lake_mv_minmax", "q_lake_mv_join",
         # family anchors kept from the r8 rotation

@@ -1217,3 +1217,60 @@ def test_duplicate_fact_key_refused(spark, tmp_path):
     t.update({"doc_id": (1, 2)}, {"n_chars": F.lit(4)})
     with pytest.raises(DuplicateKeyError, match="not unique"):
         mv.refresh()
+
+
+# -- derived group columns: continuous aggregates (r10) --------------------------
+
+def test_derived_bucket_continuous_aggregate(spark, sf_dir, tmp_path):
+    """derive=: the view groups by a bucket the source never
+    materializes (n_chars // 100 length band). Every aggregate class
+    rides the derived group through append / update / delete,
+    including the non-invertible recompute (whose semi-join is on the
+    DERIVED column); an update that moves rows BETWEEN buckets drains
+    one and fills the other."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+             .repartitionByRange(8, "doc_id"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["band"], measures=["n_chars"],
+        minmax=["n_chars"], distinct=["lang"],
+        derive={"band": "CAST(n_chars DIV 100 AS BIGINT)"})
+
+    def recompute():
+        return (t.read()
+                .withColumn("band", F.expr("CAST(n_chars DIV 100 AS BIGINT)"))
+                .groupBy("band").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("n_chars").alias("n_n_chars"),
+                    F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                    .alias("sum_n_chars"),
+                    F.min("n_chars").alias("min_n_chars"),
+                    F.max("n_chars").alias("max_n_chars"),
+                    F.countDistinct("lang").alias("nd_lang")))
+
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    # move rows BETWEEN derived buckets (band drain + fill)
+    t.update({"doc_id": (40, 99)}, {"n_chars": F.lit(950)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    assert 9 in {r["band"] for r in mv.read().collect()}
+    t.delete({"doc_id": (40, 99)})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+
+    # reserved / shadowing names refuse at construction
+    with pytest.raises(ValueError, match="reserved"):
+        LakeMaterializedView(
+            spark, t, str(tmp_path / "x1"), key="doc_id",
+            group_cols=["lang"], measures=[], derive={"__b": "1"})
+    with pytest.raises(ValueError, match="shadow"):
+        LakeMaterializedView(
+            spark, t, str(tmp_path / "x2"), key="doc_id",
+            group_cols=["lang"], measures=[], derive={"doc_id": "1"})
