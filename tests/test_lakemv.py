@@ -1274,3 +1274,63 @@ def test_derived_bucket_continuous_aggregate(spark, sf_dir, tmp_path):
         LakeMaterializedView(
             spark, t, str(tmp_path / "x2"), key="doc_id",
             group_cols=["lang"], measures=[], derive={"doc_id": "1"})
+
+
+def test_star_mv_two_subtrees_both_revised(spark, sf_dir, tmp_path):
+    """A TRUE star (two dims joining the fact directly on different
+    keys = two fact-attached subtrees), both revised in ONE refresh:
+    the survivor pass must OR the two broadcast key-set markers and
+    scan the fact once; groups drain/fill across BOTH dimensions."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    users = (ev.select("user_id").distinct()
+             .withColumn("cohort", F.concat(
+                 F.lit("c"), (F.col("user_id") % 3).cast("string"))))
+    types = (ev.select(F.col("event_type").alias("etype")).distinct()
+             .withColumn("channel", F.concat(
+                 F.lit("ch"), (F.length("etype") % 2).cast("string"))))
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    t_u = LakeTable(spark, str(tmp_path / "users"))
+    t_t = LakeTable(spark, str(tmp_path / "types"))
+    fact.commit(ev.filter(F.col("event_id") % 3 < 2)
+                .repartitionByRange(8, "event_id"))
+    t_u.commit(users)
+    t_t.commit(types)
+    mv = LakeStarMaterializedView(
+        spark, fact,
+        [(t_u, "user_id", "user_id"),       # subtree 1 (shared name ok:
+                                            # right key renames to __rk0)
+         (t_t, "event_type", "etype")],     # subtree 2
+        str(tmp_path / "mv"), fact_key="event_id",
+        group_cols=["cohort", "channel"], measures=["value"])
+    mv.refresh()
+
+    def recompute():
+        return (fact.read()
+                .join(t_u.read(), "user_id")
+                .join(t_t.read(),
+                      F.col("event_type") == F.col("etype"))
+                .groupBy("cohort", "channel").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("value").alias("n_value"),
+                    F.sum(F.col("value").cast("decimal(38,6)"))
+                    .alias("sum_value")))
+
+    assert _rows(mv.read()) == _rows(recompute())
+    # revise BOTH subtrees + the fact between refreshes
+    fact.commit(ev.filter(F.col("event_id") % 3 == 2), "append")
+    t_u.update({"user_id": (0, 20)}, {"cohort": F.lit("moved")})
+    t_t.update({"etype": ("a", "m")}, {"channel": F.lit("chX")})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
+    got = {(r["cohort"], r["channel"]) for r in mv.read().collect()}
+    assert any(c == "moved" for c, _ in got)
+    assert any(ch == "chX" for _, ch in got)
+    # delete a dim row entirely: inner join drops its fact rows
+    t_t.delete({"etype": ("a", "m")})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(recompute())
