@@ -395,6 +395,49 @@ def _recompute_stitch(merged: DataFrame, state: DataFrame,
     return j.select(*sel)
 
 
+def _prune_files_by_stats(table: LakeTable, version: int,
+                          col_values: dict[str, list | None]
+                          ) -> list[str]:
+    """The subset of `version`'s files whose commit-log stat box can
+    hold ANY candidate value for EVERY constrained column — the shared
+    driver-side core of recompute file pruning. `col_values` maps a
+    column to its candidate values, or None when that column cannot
+    prune (over-cap set, NULL among the values — parquet min/max stats
+    say nothing about NULLs — or incomparable types). Conservative in
+    every direction: missing stats keep the file, incomparable stats
+    keep the file, an unconstrained column keeps everything."""
+    import bisect
+
+    entry = table._read_entry(version)
+    stats = entry.get("stats", {})
+    sk = table._stat_key
+    vals: dict[str, list | None] = {}
+    for c, vs in col_values.items():
+        if vs is None:
+            vals[c] = None
+            continue
+        keyed = {sk(v) for v in vs}
+        try:
+            vals[c] = sorted(keyed) if None not in keyed else None
+        except TypeError:
+            vals[c] = None
+
+    def may_hold(per_col: dict) -> bool:
+        for c, cv in vals.items():
+            if cv is None or c not in per_col:
+                continue  # unprunable column / no stat
+            lo, hi = per_col[c]
+            try:
+                i = bisect.bisect_left(cv, lo)
+                if i >= len(cv) or cv[i] > hi:
+                    return False  # no candidate value in the box
+            except TypeError:
+                continue  # stat incomparable → might match
+        return True
+
+    return [f for f in entry["files"] if may_hold(stats.get(f, {}))]
+
+
 class LakeMaterializedView:
     """A GROUP BY (count + exact sums) view over `source`, materialized
     as its own LakeTable at `path` and refreshed incrementally.
@@ -641,41 +684,13 @@ class LakeMaterializedView:
         Row pruning: whatever files open still pass through the
         broadcast semi-join, so the scan is exact regardless of how
         well the stats pruned."""
-        entry = self.source._read_entry(head)
-        all_files = entry["files"]
-        stats = entry.get("stats", {})
         rows = touched.limit(_PRUNE_MAX_GROUPS + 1).collect()
-        files = all_files
         if len(rows) <= _PRUNE_MAX_GROUPS:
-            import bisect
-
-            sk = self.source._stat_key
-            # per group column: sorted distinct touched values, or None
-            # when that column cannot prune (a NULL value — stats say
-            # nothing about NULLs — or incomparable mixed types)
-            vals: dict[str, list | None] = {}
-            for g in self.group_cols:
-                vs = {sk(r[g]) for r in rows}
-                try:
-                    vals[g] = sorted(vs) if None not in vs else None
-                except TypeError:
-                    vals[g] = None
-
-            def may_hold(per_col: dict) -> bool:
-                for g in self.group_cols:
-                    vs = vals[g]
-                    if vs is None or g not in per_col:
-                        continue  # unprunable column / no stat
-                    lo, hi = per_col[g]
-                    try:
-                        i = bisect.bisect_left(vs, lo)
-                        if i >= len(vs) or vs[i] > hi:
-                            return False  # no touched value in box
-                    except TypeError:
-                        continue  # stat incomparable → might match
-                return True
-
-            files = [f for f in all_files if may_hold(stats.get(f, {}))]
+            col_values = {g: [r[g] for r in rows]
+                          for g in self.group_cols}
+            files = _prune_files_by_stats(self.source, head, col_values)
+        else:
+            files = self.source._read_entry(head)["files"]
         self.last_recompute_files = list(files)
         if not files:
             return self._derived(self.spark.createDataFrame(
@@ -1052,6 +1067,10 @@ class LakeStarMaterializedView:
         self.sumsq = list(sumsq or [])
         self.distinct = list(distinct or [])
         self.table = LakeTable(spark, path, backend=backend)
+        # files the most recent non-invertible recompute opened (None
+        # until a refresh needed one) — observability for the pruning
+        # bound, like the single-table view
+        self.last_recompute_files: list[str] | None = None
 
     # -- bookkeeping ---------------------------------------------------------
 
@@ -1177,6 +1196,62 @@ class LakeStarMaterializedView:
                        F.col(lk) == F.col(f"__sk{root}"),
                        "inner").drop(f"__sk{root}")
         return x
+
+    def _scoped_fact_head(self, touched: DataFrame, head_f: int,
+                          m_new: dict[int, DataFrame],
+                          res: dict) -> DataFrame:
+        """The fact head narrowed for the non-invertible recompute —
+        FILE-pruned by ROOT-KEY PROPAGATION, then (in the caller) the
+        fold's inner joins and the stitch's semi-join row-prune it to
+        exactly the touched groups.
+
+        A needed fact row belongs to a touched group, so for every
+        subtree that carries group columns its root key must lie in
+        K_j = { keys of M_j_new rows whose group columns match a
+        touched group } — computed DIM-side (mapping-sized), collected
+        with the same cap as the single-table pruner, and turned into
+        per-file stats pruning on the fact's root LEFT-KEY columns
+        (plus direct pruning on fact-side group columns). On a fact
+        clustered by join key this bounds the recompute scan the same
+        way group clustering bounds the single-table one; unclustered
+        or over-cap cases conservatively keep every file. Exactness
+        never depends on the pruning (column-wise relaxation of the
+        tuple constraint — may keep extra files, never drops needed
+        ones; NULL-keyed fact rows are never needed, inner join)."""
+        fact_cols = set(self.fact.read().columns)
+        col_values: dict[str, list | None] = {}
+        fact_groups = [c for c in self.group_cols if c in fact_cols]
+        if fact_groups:
+            rows = (touched.select(*fact_groups).distinct()
+                    .limit(_PRUNE_MAX_GROUPS + 1).collect())
+            for g in fact_groups:
+                col_values[g] = (None if len(rows) > _PRUNE_MAX_GROUPS
+                                 else [r[g] for r in rows])
+        for r in res["roots"]:
+            g_r = [c for i in res["subtrees"][r]
+                   for c in res["relevant"][i] if c in self.group_cols]
+            if not g_r:
+                continue  # subtree carries no group column: no constraint
+            t_r = touched.select(*g_r).distinct()
+            keys = (m_new[r].alias("m")
+                    .join(F.broadcast(t_r.alias("t")),
+                          _nullsafe_eq("m", "t", g_r), "leftsemi")
+                    .select(f"__sk{r}")
+                    .limit(_PRUNE_MAX_GROUPS + 1).collect())
+            lk = self._dims[r][1]
+            col_values[lk] = (None if len(keys) > _PRUNE_MAX_GROUPS
+                              else [k[0] for k in keys])
+        if col_values:
+            files = _prune_files_by_stats(self.fact, head_f, col_values)
+        else:
+            files = self.fact._read_entry(head_f)["files"]
+        self.last_recompute_files = list(files)
+        if not files:
+            return (self.spark.createDataFrame(
+                [], self.fact.read(head_f).schema)
+                .select(*res["fact_proj"]))
+        return (self.fact.read_version_files(head_f, files)
+                .select(*res["fact_proj"]))
 
     def _check_many_to_one(self, i: int, version: int) -> None:
         tbl, lk, rk, parent = self._dims[i]
@@ -1318,7 +1393,7 @@ class LakeStarMaterializedView:
             if self.minmax or self.distinct:
                 touched = delta.select(*self.group_cols).distinct()
                 joined_head = self._fold_fact(
-                    self.fact.read(head_f).select(*res["fact_proj"]),
+                    self._scoped_fact_head(touched, head_f, m_new, res),
                     m_new, res)
                 merged = _recompute_stitch(merged, state, joined_head,
                                            touched, self.group_cols,

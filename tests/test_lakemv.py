@@ -1334,3 +1334,52 @@ def test_star_mv_two_subtrees_both_revised(spark, sf_dir, tmp_path):
     t_t.delete({"etype": ("a", "m")})
     mv.refresh()
     assert _rows(mv.read()) == _rows(recompute())
+
+
+def test_star_mv_recompute_prunes_fact_by_root_keys(spark, sf_dir,
+                                                    tmp_path):
+    """Star non-invertible recompute, FILE-pruned by root-key
+    propagation: touched groups map dim-side to the key set K of the
+    subtree's composed mapping, and the fact head scan opens only
+    files whose root-left-key stat box intersects K. Fact clustered by
+    join key + cohorts aligned to key ranges → a one-cohort revision
+    opens a bounded file fraction; exactness re-asserted after the
+    planted extremum is destroyed."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    users = (ev.select("user_id").distinct()
+             .withColumn("cohort", F.concat(
+                 F.lit("c"), F.floor(F.col("user_id") / 2).cast("string"))))
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    # fact CLUSTERED BY JOIN KEY: cohort ranges align with files
+    fact.commit(ev.repartitionByRange(8, "user_id", "event_id"))
+    dim.commit(users)
+    mv = LakeStarMaterializedView(
+        spark, fact, [(dim, "user_id", "user_id")],
+        str(tmp_path / "mv"), fact_key="event_id",
+        group_cols=["cohort"], measures=["value"], minmax=["value"])
+    mv.refresh()
+    n_files = len(fact._read_entry(fact.current_version())["files"])
+    assert n_files >= 4
+
+    # plant a sentinel max inside ONE cohort's key range, then delete it
+    one = ev.where(F.col("user_id") < 2).agg(
+        F.min("event_id")).collect()[0][0]
+    fact.update({"event_id": (one, one)}, {"value": F.lit(9e9)})
+    mv.refresh()
+    assert mv.last_recompute_files is not None
+    assert 0 < len(mv.last_recompute_files) < n_files
+    fact.delete({"event_id": (one, one)})
+    mv.refresh()
+    assert len(mv.last_recompute_files) < n_files
+    got = {r["cohort"]: r["max_value"] for r in mv.read().collect()}
+    exp = {r["cohort"]: r["mx"] for r in
+           fact.read().join(dim.read(), "user_id").groupBy("cohort")
+           .agg(F.max("value").alias("mx")).collect()}
+    assert got == exp
+    assert all(v < 9e9 for v in got.values())
