@@ -106,11 +106,14 @@ class DuplicateKeyError(ValueError):
 
 class UnsupportedJoinShapeError(ValueError):
     """A join shape incremental maintenance does not support: anything
-    non-inner (a left join's NULL-extended rows do not follow the
-    signed delta rule used here) or many-to-many (a duplicate dim join
-    key multiplies fact rows through the key-diff, corrupting the
-    signed counts). Refused loudly at construction / refresh instead of
-    drifting from a full recompute."""
+    many-to-many (a duplicate dim join key multiplies fact rows through
+    the key-diff, corrupting the signed counts), RIGHT/FULL outer
+    joins (the dim side is not key-unique-per-row in the output, so
+    the fact-delta rule breaks), and non-inner joins on the k-dim star
+    view (NULL extension mid-chain does not compose through the folded
+    mapping). INNER and LEFT are supported on the two-table view
+    (LakeJoinMaterializedView how=); everything else refuses loudly at
+    construction / refresh instead of drifting from a full recompute."""
 
 
 # -- version-delta primitives (shared by single-table and join views) --------
@@ -734,13 +737,25 @@ class LakeJoinMaterializedView:
     absorbs the signed aggregate exactly like the single-table view.
 
     Contracts: `fact_key` unique per fact snapshot, `join_key` unique
-    per dim snapshot (many-to-one, INNER join) — the same uniqueness
-    the delta's key-diff needs. Group/measure columns may come from
-    either side (resolved against the schemas; ambiguous names refuse).
+    per dim snapshot (many-to-one) — the same uniqueness the delta's
+    key-diff needs. Group/measure columns may come from either side
+    (resolved against the schemas; ambiguous names refuse).
     MIN/MAX (`minmax=`) and exact COUNT(DISTINCT) (`distinct=`) are
     maintained by delta-scoped partial recompute over the CURRENT join
     (non-invertible, same trade as the single-table view); sketch
     distinct modes refuse loudly.
+
+    `how` selects the join: "inner" (default) or "left" (LEFT OUTER —
+    unmatched fact rows NULL-extend the dim columns, so dim-side group
+    columns may legally be NULL groups). The left-join dim-revision
+    delta generalizes the inner rule uniformly: per changed dim key,
+    emit the fact rows' NEW contribution (+, joined against the new
+    image — or NULL-extended when the key disappeared) and retract the
+    OLD one (−, old image — or the NULL extension the key replaced
+    when it appeared); see _left_flip_delta. RIGHT/FULL refuse loudly
+    (UnsupportedJoinShapeError): the preserved dim side has no
+    fact_key identity for its NULL-extended rows, so the signed fact
+    delta cannot retract them.
 
     Scale shape:
     * ΔF and ΔD are file-pruned version deltas (delta-sized for
@@ -767,7 +782,15 @@ class LakeJoinMaterializedView:
                  minmax: list[str] | None = None,
                  sumsq: list[str] | None = None,
                  distinct: list[str] | None = None,
-                 distinct_mode: str = "exact"):
+                 distinct_mode: str = "exact",
+                 how: str = "inner"):
+        if how not in ("inner", "left"):
+            raise UnsupportedJoinShapeError(
+                f"how={how!r} is not maintainable incrementally: only "
+                f"'inner' and 'left' are — a RIGHT/FULL join's "
+                f"NULL-extended dim rows carry no fact_key identity, "
+                f"so a signed fact delta cannot retract them; "
+                f"recompute such views fully instead")
         if not group_cols:
             raise ValueError("materialized view needs >=1 group column")
         overlap = set(group_cols) & (set(measures) | set(minmax or [])
@@ -794,6 +817,7 @@ class LakeJoinMaterializedView:
         self.minmax = list(minmax or [])
         self.sumsq = list(sumsq or [])
         self.distinct = list(distinct or [])
+        self.how = how
         self.table = LakeTable(spark, path, backend=backend)
 
     # -- bookkeeping ---------------------------------------------------------
@@ -845,11 +869,53 @@ class LakeJoinMaterializedView:
                         *(["__sign"] if "__sign" in f_df.columns else []))
         d = d_df.select(self.join_key, *d_side,
                         *(["__sign"] if "__sign" in d_df.columns else []))
-        if broadcast_side == "fact":
+        if broadcast_side == "fact" and self.how == "inner":
             f = F.broadcast(f)
-        elif broadcast_side == "dim":
+        elif broadcast_side is not None:
+            # a LEFT join cannot build its hash table on the preserved
+            # fact side — broadcast the dim regardless of the hint
             d = F.broadcast(d)
-        return f.join(d, self.join_key, "inner")
+        return f.join(d, self.join_key, self.how)
+
+    def _left_flip_delta(self, f_old: DataFrame, d_d: DataFrame,
+                         f_side: list[str],
+                         d_side: list[str]) -> DataFrame:
+        """F_old ⟕ D_new − F_old ⟕ D_old restricted to the dim keys ΔD
+        touched — the LEFT-join dim-revision delta.
+
+        Per changed key the signed dim delta carries a + row (new
+        image) and/or a − row (old image); fold them into one
+        (new_img, old_img) pair per key, where a MISSING image IS the
+        NULL extension. Every fact row holding a touched key then
+        emits exactly two signed rows — (+, new image) and (−, old
+        image), NULL struct fields projecting to NULL dim columns —
+        which covers all three cases uniformly: an appeared key
+        retracts the NULL-extended rows and adds joined ones, a
+        disappeared key does the reverse, a changed key swaps images.
+        One broadcast of the (delta-sized) image table, one
+        hash-filtered fact scan, zero exchanges — the same cost as the
+        inner dim-revision path. NULL dim keys never equality-match a
+        fact row, so they are invisible to the view in both versions
+        and their image row joins nothing."""
+        jk = self.join_key
+        images = d_d.groupBy(jk).agg(
+            F.max(F.when(F.col("__sign") == 1,
+                         F.struct(*d_side))).alias("__new"),
+            F.max(F.when(F.col("__sign") == -1,
+                         F.struct(*d_side))).alias("__old"))
+        f_keep = [c for c in f_side if c != jk]
+        both = (f_old.select(jk, *f_keep)
+                .join(F.broadcast(images), jk, "inner"))
+        e = F.explode(F.array(
+            F.struct(F.lit(1).alias("__sign"),
+                     F.col("__new").alias("__img")),
+            F.struct(F.lit(-1).alias("__sign"),
+                     F.col("__old").alias("__img")))).alias("__e")
+        return (both.select(jk, *f_keep, e)
+                .select(jk, *f_keep,
+                        *[F.col(f"__e.__img.{c}").alias(c)
+                          for c in d_side],
+                        F.col("__e.__sign").alias("__sign")))
 
     def refresh(self) -> tuple[int, int]:
         """Bring the view up to both source heads. First call builds
@@ -889,7 +955,11 @@ class LakeJoinMaterializedView:
         if head_d > ld:                       # F_old ⋈ ΔD
             d_d = signed_span_delta(self.dim, self.join_key,
                                     d_cols, ld, head_d)
-            if d_d is not None:
+            if d_d is not None and self.how == "left":
+                if d_side:  # no dim column observed → ΔD cannot move
+                    parts.append(self._left_flip_delta(
+                        self.fact.read(lf), d_d, f_side, d_side))
+            elif d_d is not None:
                 parts.append(self._joined(self.fact.read(lf), d_d,
                                           "dim"))
         if not parts:

@@ -39,8 +39,11 @@ _WINDOW: list[str] = [
     # their families keep in-window anchors (q_image_neardup +
     # q_image_exif for image codecs; the zorder/time/hilbert/stats/sum
     # lake tier for commit-log scans). =====================================
-    # -- r8/r9 MV additions, driver-verified r9, kept as anchors ----------
-    "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
+    # -- r8/r9 MV additions, driver-verified r9, kept as anchors
+    # (q_lake_mv_refresh, hash-verified r8 AND r9, yields its slot to
+    # the NEW r10 LEFT-join MV first exposure; the single-table MV
+    # family stays anchored by q_lake_mv_variance/minmax/daily) -----------
+    "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_unigram_tokenize",
     "q_chat_flatten", "q_preference_pairs",
     # -- NEW in r10: k-dim star MV + exact COUNT(DISTINCT) MV +
     # derived-bucket continuous aggregate, first exposure; variance MV
@@ -99,7 +102,7 @@ _TAIL: list[str] = [
     # anchored in-window by q_image_neardup/q_image_exif; lake tags by
     # the zorder/time/hilbert/stats/sum tier) -----------------------------
     "q_image_gif", "q_image_bmp", "q_lake_tag_scan",
-    "q_seasonal_decompose",
+    "q_seasonal_decompose", "q_lake_mv_refresh",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

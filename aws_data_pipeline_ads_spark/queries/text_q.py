@@ -3485,6 +3485,96 @@ def q_lake_mv_star(spark, sf_dir):
         F.col("sum_price").cast("double").alias("sum_price"))
 
 
+# LEFT OUTER join MV: the dim covers only PART of the fact's keys, so
+# NULL extension is real state the view must maintain — dim keys
+# appearing flip facts out of the NULL group, disappearing flips them
+# back (an inner view would drop them).
+def lakemv_leftjoin_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"))
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("seg"))
+        fact = LakeTable(spark, f"{path}/fact")
+        dim = LakeTable(spark, f"{path}/dim")
+        mv = LakeJoinMaterializedView(
+            spark, fact, dim, f"{path}/mv", fact_key="o_orderkey",
+            join_key="custkey", group_cols=["seg"], measures=["price"],
+            how="left")
+        fact.commit(orders.filter(F.col("o_orderkey") % 3 < 2)
+                    .repartitionByRange(8, "o_orderkey"), txn_id="f0")
+        dim.commit(cust.filter(F.col("custkey") % 2 == 0), txn_id="d0")
+        mv.refresh()               # full left build: odd custkeys NULL
+        fact.commit(orders.filter(F.col("o_orderkey") % 3 == 2),
+                    "append", txn_id="f1")
+        mv.refresh()               # ΔF ⟕ D_new (new orphans too)
+        dim.update({"custkey": (10, 19)}, {"seg": F.lit("MOVED")},
+                   txn_id="d1")    # image change
+        dim.commit(cust.filter((F.col("custkey") % 2 == 1)
+                               & F.col("custkey").between(30, 59)),
+                   "append", txn_id="d2")   # keys APPEAR: un-NULL facts
+        mv.refresh()               # one span delta, both flip kinds
+        dim.delete({"custkey": (20, 29)}, txn_id="d3")  # keys DISAPPEAR
+        fact.delete({"o_orderkey": (100, 399)}, txn_id="f2")
+        mv.refresh()               # facts flip BACK to the NULL group
+
+    return index_path("lakemv_leftjoin", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_leftjoin",
+    bench=True,  # LEFT-join MV state read, new in r10
+    oracle=(
+        "WITH c AS (SELECT c_custkey AS custkey, "
+        "CASE WHEN c_custkey BETWEEN 10 AND 19 THEN 'MOVED' "
+        "ELSE c_mktsegment END AS seg FROM customer "
+        "WHERE (c_custkey % 2 = 0 AND c_custkey NOT BETWEEN 20 AND 29) "
+        "OR (c_custkey % 2 = 1 AND c_custkey BETWEEN 30 AND 59)), "
+        "o AS (SELECT o_custkey AS custkey, o_totalprice AS price "
+        "FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 399) "
+        "SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(price) AS BIGINT) AS n_price, "
+        "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price "
+        "FROM o LEFT JOIN c USING (custkey) GROUP BY seg"
+    ),
+    doc="LLM lake versioning: LEFT OUTER JOIN materialized view "
+        "(lakemv how='left') — revenue per market segment over "
+        "orders ⟕ customer where the dim covers only part of the "
+        "custkeys, so unmatched orders NULL-extend into a real NULL "
+        "group the view must maintain. The dim-revision delta "
+        "generalizes the inner rule uniformly: per changed dim key "
+        "emit (+, new image) and (−, old image) with a MISSING image "
+        "being the NULL extension — an appeared key retracts "
+        "NULL-extended rows and adds joined ones, a disappeared key "
+        "the reverse, an image change swaps — one broadcast image "
+        "table, one hash-filtered fact scan, zero exchanges "
+        "(lakemv._left_flip_delta). The sequence exercises orphan "
+        "fact appends, an image change + key appearance in ONE span "
+        "delta, then key disappearance + fact delete. Hash-matching "
+        "the flat SQL LEFT JOIN over the final predicate state proves "
+        "incremental == full re-join including the NULL group. "
+        "RIGHT/FULL refuse loudly (UnsupportedJoinShapeError)",
+)
+def q_lake_mv_leftjoin(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    idx = lakemv_leftjoin_index(spark, sf_dir)
+    mv = LakeJoinMaterializedView(
+        spark, LakeTable(spark, f"{idx}/fact"),
+        LakeTable(spark, f"{idx}/dim"), f"{idx}/mv",
+        fact_key="o_orderkey", join_key="custkey",
+        group_cols=["seg"], measures=["price"], how="left")
+    return mv.read().select(
+        "seg", "n_rows", "n_price",
+        F.col("sum_price").cast("double").alias("sum_price"))
+
+
 # COUNT(DISTINCT) MV: the source is GROUP-CLUSTERED (range layout on
 # lang) so the delta-scoped recompute that maintains nd_ also
 # FILE-PRUNES through the commit log's per-file lang stats — the

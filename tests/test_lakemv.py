@@ -1383,3 +1383,159 @@ def test_star_mv_recompute_prunes_fact_by_root_keys(spark, sf_dir,
            .agg(F.max("value").alias("mx")).collect()}
     assert got == exp
     assert all(v < 9e9 for v in got.values())
+
+
+# -- LEFT OUTER join view: NULL extension maintained incrementally -----------
+
+def _rows_ns(df):
+    # None-safe sort: a NULL group is a legal left-join group
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
+
+
+def _recompute_left(f_df, d_df):
+    return (f_df.join(d_df, "lang", "left").groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_n_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).alias("sum_n_chars")))
+
+
+@pytest.fixture
+def left_srcs(spark, sf_dir, tmp_path):
+    """Fact over ALL langs, dim over only the even-indexed half — so
+    the left join NULL-extends a real slice from the first build."""
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    langs = sorted(r["lang"]
+                   for r in docs.select("lang").distinct().collect())
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    fact.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                .repartitionByRange(8, "doc_id"))
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim.commit(spark.createDataFrame(
+        [Row(lang=lg, region=("apac" if i % 4 else "emea"), dim_id=i)
+         for i, lg in enumerate(langs) if i % 2 == 0],
+        "lang string, region string, dim_id long"))
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvl"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"],
+        how="left")
+    return fact, dim, mv, docs, langs
+
+
+def test_left_join_mv_full_build_null_extends(spark, left_srcs):
+    fact, dim, mv, docs, langs = left_srcs
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(_recompute_left(fact.read(),
+                                                     dim.read()))
+    # the odd-indexed langs really NULL-extend
+    assert any(r["region"] is None for r in mv.read().collect())
+
+
+def test_left_join_mv_dim_appear_flips_null_group(spark, left_srcs):
+    """A dim key APPEARING must retract its facts' NULL-extended rows
+    and add joined ones — the flip no inner-join delta rule covers."""
+    fact, dim, mv, docs, langs = left_srcs
+    mv.refresh()
+    null_before = {r["region"]: r["n_rows"]
+                   for r in mv.read().collect()}.get(None, 0)
+    missing = langs[1]                       # odd index: not in dim
+    dim.commit(spark.createDataFrame(
+        [Row(lang=missing, region="newly", dim_id=999)],
+        "lang string, region string, dim_id long"), "append")
+    assert mv.refresh() == (0, 1)
+    assert _rows_ns(mv.read()) == _rows_ns(_recompute_left(fact.read(),
+                                                     dim.read()))
+    got = {r["region"]: r["n_rows"] for r in mv.read().collect()}
+    assert got.get("newly", 0) > 0
+    assert got.get(None, 0) == null_before - got["newly"]
+
+
+def test_left_join_mv_dim_delete_flips_back(spark, left_srcs):
+    """A dim key DISAPPEARING must move its joined facts BACK to the
+    NULL extension (an inner view would drop them entirely)."""
+    fact, dim, mv, docs, langs = left_srcs
+    mv.refresh()
+    total_before = sum(r["n_rows"] for r in mv.read().collect())
+    dim.delete({"dim_id": (0, 0)})
+    assert mv.refresh() == (0, 1)
+    assert _rows_ns(mv.read()) == _rows_ns(_recompute_left(fact.read(),
+                                                     dim.read()))
+    # left join preserves every fact row: total row count unchanged
+    assert sum(r["n_rows"] for r in mv.read().collect()) == total_before
+
+
+def test_left_join_mv_both_sides_one_refresh(spark, left_srcs):
+    """Fact append (with orphan keys) + dim re-point + dim insert +
+    fact delete absorbed in one refresh."""
+    fact, dim, mv, docs, langs = left_srcs
+    mv.refresh()
+    fact.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    dim.update({"dim_id": (2, 4)}, {"region": F.lit("moved")})
+    dim.commit(spark.createDataFrame(
+        [Row(lang=langs[3], region="late", dim_id=998)],
+        "lang string, region string, dim_id long"), "append")
+    fact.delete({"doc_id": (0, 25)})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(_recompute_left(fact.read(),
+                                                     dim.read()))
+
+
+def test_left_join_mv_minmax_distinct_across_flips(spark, left_srcs,
+                                                   tmp_path):
+    """Non-invertible columns recompute over the CURRENT left join —
+    extrema and distinct counts must be right for the NULL group too,
+    across appear/disappear flips."""
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    fact, dim, _, docs, langs = left_srcs
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvl2"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"],
+        minmax=["n_chars"], distinct=["n_chars"], how="left")
+    mv.refresh()
+
+    def recompute():
+        return (fact.read().join(dim.read(), "lang", "left")
+                .groupBy("region").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("n_chars").alias("n_n_chars"),
+                    F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                    .alias("sum_n_chars"),
+                    F.min("n_chars").alias("min_n_chars"),
+                    F.max("n_chars").alias("max_n_chars"),
+                    F.countDistinct("n_chars").alias("nd_n_chars")))
+
+    assert _rows_ns(mv.read()) == _rows_ns(recompute())
+    dim.commit(spark.createDataFrame(
+        [Row(lang=langs[1], region="newly", dim_id=999)],
+        "lang string, region string, dim_id long"), "append")
+    fact.update({"doc_id": (30, 49)}, {"n_chars": F.lit(1)})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(recompute())
+    dim.delete({"dim_id": (0, 2)})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(recompute())
+
+
+def test_join_mv_refuses_right_and_full(spark, sf_dir, tmp_path):
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeJoinMaterializedView,
+        UnsupportedJoinShapeError,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    fact = LakeTable(spark, str(tmp_path / "f"))
+    fact.commit(docs)
+    dim = LakeTable(spark, str(tmp_path / "d"))
+    dim.commit(spark.createDataFrame(
+        [Row(lang="aa", region="x")], "lang string, region string"))
+    for how in ("right", "full", "left_anti", "cross"):
+        with pytest.raises(UnsupportedJoinShapeError, match="how="):
+            LakeJoinMaterializedView(
+                spark, fact, dim, str(tmp_path / "mvx"),
+                fact_key="doc_id", join_key="lang",
+                group_cols=["region"], measures=["n_chars"], how=how)
