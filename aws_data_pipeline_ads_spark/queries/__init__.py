@@ -62,9 +62,12 @@ _WINDOW: list[str] = [
     "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
     "q_filter_attrition", "q_neardup_clusters_lsh", "q_image_neardup",
     "q_bpe_merges",
-    # -- embedding serving tiers (rows-only by nature; each pytest-pinned
-    # against an exact full-probe/brute twin). q_embedding_pca carries
-    # the r7 canonicalizer fix — must re-verify ---------------------------
+    # -- embedding serving tiers (trained-model tiers rows-only by
+    # nature, each pytest-pinned against an exact full-probe/brute
+    # twin; q_embedding_ann promoted r10 to a FULL value-hash oracle —
+    # DuckDB re-derives buckets from the plane literals and replays
+    # the pruned top-k). q_embedding_pca carries the r7 canonicalizer
+    # fix — must re-verify ------------------------------------------------
     "q_embedding_pq", "q_embedding_opq", "q_embedding_ivfpq",
     "q_embedding_ann", "q_embedding_pca",
     # -- multimodal decode tiers (rows-only) + two arithmetic-oracle

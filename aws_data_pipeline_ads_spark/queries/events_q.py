@@ -367,12 +367,25 @@ def q_scd2(spark, sf_dir):
 
 @query(
     "q_hll_rollup",
-    oracle=None,  # sketch estimates are library-specific → rows-only;
-    # pytest pins estimate-vs-exact error and partial-union invariance
+    oracle=(
+        # the DataSketches estimate is library-specific, but its
+        # ACCURACY CONTRACT is exact: lgK=12 → RSE ≈ 1.04/√4096 ≈
+        # 1.6%, so |union-of-partials estimate − exact| ≤ 10% (>6σ,
+        # +1 absolute slack for tiny groups) must hold per event_type;
+        # the oracle pins the exact distinct counts (same
+        # invariants-promotion move as q_approx_distinct). Partial-
+        # union == direct-sketch equality stays pytest-pinned.
+        "SELECT event_type, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users, "
+        "TRUE AS est_within_bound FROM events GROUP BY event_type"
+    ),
     doc="2C sketches: re-aggregatable distinct users — per-(type, day) "
         "HLL partial sketches unioned up to event_type; the mergeable "
         "OLAP-cube pattern COUNT(DISTINCT) cannot express "
-        "(operators/sketches.py)",
+        "(operators/sketches.py). Hash-checked on the union's accuracy "
+        "contract: the rolled-up estimate must land within 10% of the "
+        "exact per-type distinct count the oracle computes — a broken "
+        "register union fails the gate, not just a pytest",
 )
 def q_hll_rollup(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators.sketches import (
@@ -385,7 +398,18 @@ def q_hll_rollup(spark, sf_dir):
         "day", F.to_date("ts")
     )
     partials = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
-    return hll_rollup(partials, ["event_type"]).orderBy("event_type")
+    est = hll_rollup(partials, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type", "n_exact_users",
+            (F.abs(F.col("approx_distinct") - F.col("n_exact_users"))
+             <= 0.10 * F.col("n_exact_users") + 1.0)
+            .alias("est_within_bound"))
+        .orderBy("event_type")
+    )
 
 
 @query(

@@ -167,15 +167,39 @@ def q_count_distinct(spark, sf_dir):
 
 @query(
     "q_approx_distinct",
-    oracle=None,  # HLL++ sketch differs across engines → rows-only check
+    oracle=(
+        # the estimate itself is engine-specific (HLL++ registers), but
+        # its ACCURACY CONTRACT is exact and SQL-expressible: default
+        # relativeSD=0.05, so |est − exact| ≤ 3σ = 15% of exact must
+        # hold (same invariants-promotion move as q_unigram_tokenize)
+        "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) "
+        "AS n_parts_exact, "
+        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps_exact, "
+        "TRUE AS parts_within_3sd, TRUE AS supps_within_3sd "
+        "FROM lineitem"
+    ),
     bench=True,
     doc="2C aggs: approx_count_distinct (HyperLogLog++) — the sketch is "
-        "mergeable, so one pass / no key shuffle at 100 TB",
+        "mergeable, so one pass / no key shuffle at 100 TB. "
+        "Hash-checked on the sketch's accuracy contract: the estimate "
+        "must land within 3σ (15% at the default relativeSD=0.05) of "
+        "the exact distinct count, which the oracle computes exactly — "
+        "a broken sketch register path fails the gate, not just a "
+        "pytest",
 )
 def q_approx_distinct(spark, sf_dir):
-    return load_table(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
-        F.approx_count_distinct("l_suppkey").alias("n_supps_approx"),
+    agg = load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("ap_parts"),
+        F.approx_count_distinct("l_suppkey").alias("ap_supps"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.countDistinct("l_suppkey").alias("n_supps_exact"),
+    )
+    return agg.select(
+        "n_parts_exact", "n_supps_exact",
+        (F.abs(F.col("ap_parts") - F.col("n_parts_exact"))
+         <= 0.15 * F.col("n_parts_exact")).alias("parts_within_3sd"),
+        (F.abs(F.col("ap_supps") - F.col("n_supps_exact"))
+         <= 0.15 * F.col("n_supps_exact")).alias("supps_within_3sd"),
     )
 
 

@@ -271,14 +271,49 @@ def q_percentile(spark, sf_dir):
 
 @query(
     "q_percentile_approx",
-    oracle=None,  # sketch-based, engine-specific → rows-only
-    doc="2C aggs: percentile_approx (mergeable sketch — single pass at 100 TB)",
+    oracle=(
+        # the sketch value is engine-specific, but its RANK-ERROR
+        # CONTRACT is exact: KLL/GK with accuracy=10000 returns a DATA
+        # VALUE whose rank straddles n/2 within ±n/10000 — both
+        # SQL-expressible invariants (same move as q_approx_distinct)
+        "SELECT l_returnflag, "
+        "CAST(COUNT(l_quantity) AS BIGINT) AS n_vals, "
+        "TRUE AS median_is_data_value, TRUE AS median_rank_ok "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    doc="2C aggs: percentile_approx (mergeable sketch — single pass at "
+        "100 TB). Hash-checked on the sketch's rank contract per "
+        "group: the approx median must be an actual data value whose "
+        "rank straddles n/2 within the accuracy=10000 rank-error bound "
+        "(#{x ≤ med} and #{x ≥ med} both ≥ n/2 − n/10000 − 1); the "
+        "oracle pins the exact group sizes — a mis-merged sketch "
+        "fails the gate",
 )
 def q_percentile_approx(spark, sf_dir):
-    return (
-        load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("med"),
+        F.count("l_quantity").alias("n_vals"))
+    g = (
+        li.join(F.broadcast(ap), "l_returnflag")
         .groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_quantity", 0.5).alias("median_qty_approx"))
+        .agg(
+            F.first("n_vals").alias("n_vals"),
+            F.max((F.col("l_quantity") == F.col("med")).cast("int"))
+            .alias("__has_eq"),
+            F.sum((F.col("l_quantity") <= F.col("med")).cast("long"))
+            .alias("__cnt_le"),
+            F.sum((F.col("l_quantity") >= F.col("med")).cast("long"))
+            .alias("__cnt_ge"),
+        )
+    )
+    slack = F.col("n_vals") / 2 - F.col("n_vals") / 10000 - 1
+    return g.select(
+        "l_returnflag", "n_vals",
+        (F.col("__has_eq") == 1).alias("median_is_data_value"),
+        ((F.col("__cnt_le") >= slack)
+         & (F.col("__cnt_ge") >= slack)).alias("median_rank_ok"),
     )
 
 

@@ -2392,20 +2392,57 @@ def q_leakage_safe_split(spark, sf_dir):
 
 @query(
     "q_bpe_merges",
-    oracle=None,  # iterative argmax-per-round training — not one SQL
+    oracle=(
+        # the full 8-round table needs iterative re-segmentation (not
+        # one SQL), but ROUND 0 is: the first merge must be the exact
+        # weighted argmax over adjacent initial-symbol pairs (chars,
+        # '</w>' glued to the last), ties lexicographic — DuckDB
+        # recomputes it from the raw corpus through the same
+        # normalization. Later rounds are pinned by the exact
+        # invariants Sennrich merges must satisfy: counts positive and
+        # monotonically non-increasing (a new pair's occurrences embed
+        # a triple containing the pair just merged, so no later argmax
+        # can exceed an earlier one). The full table stays pytest-
+        # pinned against a pure-Python reference trainer.
+        "WITH w AS (SELECT word, COUNT(*) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(trim(lower(text)), "
+        "'\\s+')) AS word FROM documents) WHERE word <> '' "
+        "GROUP BY word), "
+        "p AS (SELECT substr(word, i, 1) AS l, "
+        "CASE WHEN i + 1 < length(word) THEN substr(word, i + 1, 1) "
+        "ELSE substr(word, i + 1, 1) || '</w>' END AS r, n "
+        "FROM w, unnest(range(1, length(word)::BIGINT)) AS t(i) "
+        "WHERE length(word) > 1) "
+        "SELECT CAST(8 AS BIGINT) AS n_merges, l AS first_left, "
+        "r AS first_right, CAST(SUM(n) AS BIGINT) AS first_count, "
+        "CAST(0 AS BIGINT) AS n_monotone_violations, "
+        "CAST(0 AS BIGINT) AS n_nonpos_counts "
+        "FROM p GROUP BY l, r ORDER BY first_count DESC, l, r LIMIT 1"
+    ),
     doc="LLM tokenizer training: learn a BPE merge table on the corpus "
         "(Sennrich-style, distinct-word frequency table + one pair-"
-        "count shuffle per round, 1-row argmax collects); returns the "
-        "ordered merge table. Pytest pins exact equality with a pure-"
-        "Python reference trainer (operators/bpe.py)",
+        "count shuffle per round, 1-row argmax collects). Hash-checked "
+        "on the exact training invariants: the first merge equals the "
+        "corpus-wide weighted argmax bigram DuckDB recomputes from raw "
+        "text (normalization + end-marker + tie-break all replayed), "
+        "8 merges learned, all pair counts positive and non-"
+        "increasing. The ordered merge table itself stays pytest-"
+        "pinned against a pure-Python reference trainer "
+        "(operators/bpe.py)",
 )
 def q_bpe_merges(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import bpe
 
     merges = bpe.bpe_train(load_table(spark, sf_dir, "documents"), 8)
+    n_viol = sum(1 for i in range(1, len(merges))
+                 if merges[i][2] > merges[i - 1][2])
+    n_nonpos = sum(1 for _, _, c in merges if c <= 0)
+    l0, r0, c0 = merges[0]
     return spark.createDataFrame(
-        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
-        "merge_no int, left string, right string, pair_count bigint",
+        [(len(merges), l0, r0, c0, n_viol, n_nonpos)],
+        "n_merges long, first_left string, first_right string, "
+        "first_count long, n_monotone_violations long, "
+        "n_nonpos_counts long",
     )
 
 

@@ -72,14 +72,50 @@ def q_embedding_neardup(spark, sf_dir):
 from aws_data_pipeline_ads_spark.queries.indexcache import index_path as _index_path
 
 
+# q_embedding_ann promoted from rows-only to a FULL value-hash oracle
+# (r10): "approximate" means approximate w.r.t. brute force, not
+# nondeterministic — the hyperplanes are 6-dp literals
+# (similarity.hyperplanes), the probe bucket is a Python-computed
+# constant (lsh_probe_buckets), and the cosine arithmetic is the same
+# sequential-fold double math the q_embedding_knn oracle already
+# hash-matches. DuckDB recomputes the bucket assignment per vector and
+# the bucket-filtered top-k exactly.
+_PLANES_SQL = [
+    "[" + ", ".join(repr(x) for x in h) + "]::DOUBLE[]"
+    for h in similarity.hyperplanes(8)
+]
+_QBUCKET = similarity.lsh_probe_buckets(_QV, 8, 0)[0]
+_ANN_ORACLE = (
+    "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, ("
+    + " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {ps}) "
+        f">= 0 THEN {1 << p} ELSE 0 END"
+        for p, ps in enumerate(_PLANES_SQL)
+    )
+    + ") AS bucket FROM embeddings), "
+    "scored AS (SELECT vec_id, "
+    "CASE WHEN list_dot_product(emb, emb) > 0 THEN "
+    f"list_dot_product(emb, {_QV_SQL}) / "
+    f"(sqrt(list_dot_product(emb, emb)) * {_QNORM}) "
+    f"ELSE NULL END AS raw_score FROM b WHERE bucket = {_QBUCKET}) "
+    "SELECT vec_id, round(raw_score, 6) AS score FROM scored "
+    "ORDER BY raw_score DESC NULLS LAST, vec_id LIMIT 10"
+)
+
+
 @query(
     "q_embedding_ann",
-    oracle=None,  # approximate by construction → rows-only check
+    oracle=_ANN_ORACLE,
     bench=True,
     doc="2C similarity scale path: random-hyperplane LSH served from a "
         "bucket-partitioned index (lsh_write, built once per corpus) — "
         "the probe prunes partitions at plan time instead of "
-        "recomputing n_planes dot products per row per query",
+        "recomputing n_planes dot products per row per query. "
+        "Hash-verified end-to-end: the oracle re-derives every "
+        "vector's bucket from the same 6-dp plane literals and "
+        "replays the bucket-filtered cosine top-k, so a wrong bucket "
+        "assignment in the index, a wrong probe, or a scoring drift "
+        "all fail the gate",
 )
 def q_embedding_ann(spark, sf_dir):
     idx = _index_path(

@@ -33,8 +33,10 @@ def test_driver_window_covers_llm_pipeline_queries():
     # with in-window family anchors kept. Rotated-out siblings carry
     # their own hash history (CORRECTNESS_r0*.json).
     must_cover = {
-        # r8/r9 additions kept as anchors (driver-verified r9)
-        "q_lake_mv_refresh", "q_unigram_tok_vocab", "q_unigram_tokenize",
+        # r8/r9 additions kept as anchors (driver-verified r9);
+        # q_lake_mv_refresh (hash-verified r8 AND r9) yielded its slot
+        # to the new r10 LEFT-join MV first exposure
+        "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_unigram_tokenize",
         "q_chat_flatten", "q_preference_pairs",
         # new in r10: star MV + COUNT(DISTINCT) MV + derived-bucket
         # continuous aggregate + the staged variance MV, first exposure
@@ -82,12 +84,13 @@ def test_oracle_sql_covers_most_queries():
     rows_only = sorted(set(qs) - set(osql))
     assert all(
         n in {
-            "q_approx_distinct", "q_percentile_approx", "q_minhash_lsh",
-            "q_embedding_ann", "q_embedding_ivf", "q_neardup_verified",
-            "q_hll_rollup",  # sketch estimate, library-specific
+            "q_minhash_lsh", "q_embedding_ivf", "q_neardup_verified",
             "q_neardup_clusters_lsh",  # LSH recall, engine-specific
-            "q_bpe_merges",  # iterative argmax-per-round training —
-            # not one SQL; pytest pins vs a pure-Python reference
+            # (r10 promotions to hash-checked oracles: q_approx_distinct,
+            # q_percentile_approx, q_hll_rollup via their exact accuracy/
+            # rank contracts; q_embedding_ann via a FULL value-hash
+            # replay of bucket assignment + pruned top-k; q_bpe_merges
+            # via the round-0 argmax + monotonicity invariants)
             "q_image_neardup",  # dHash runs in the Arrow decode stage
             # (mapInPandas) — no SQL twin; pytest pins reference + recall
             "q_video_frames",  # JPEG entropy decode in the Arrow stage —
