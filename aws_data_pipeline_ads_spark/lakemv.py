@@ -474,11 +474,29 @@ class LakeMaterializedView:
     (row-pruned by the semi-join, the pre-r10 worst case) — still
     never a global re-aggregation, and exact by construction.
 
-    distinct_mode: only "exact" is implemented. A KMV-sketch state
-    column (approximate, mergeable) is a legitimate alternative at
-    much higher group cardinality but is deliberately refused here
-    (UnsupportedAggregateError) — an MV that silently answers
-    approximately is worse than one that names the trade.
+    distinct_mode selects how `distinct=` columns are maintained:
+
+    * "exact" (default): nd_<m> long via delta-scoped partial
+      recompute (above) — exact under ANY revision, worst case one
+      filtered head scan per refresh.
+    * "kmv": a BOTTOM-K SKETCH state column kmv_<m> (array of the
+      KMV_K smallest md5 digests of the distinct values, Bar-Yossef et
+      al.) plus nd_<m>_est double — the estimate is exact while the
+      group holds < KMV_K distinct values (the sketch IS the set) and
+      (k−1)/U_(k) beyond. Refresh MERGES delta sketches into the state
+      (bottom-k of the union — set algebra, bit-deterministic), so an
+      append NEVER rescans the head: this is the 100 TB fast path the
+      exact mode's recompute scan cannot offer. The trade is named
+      loudly: sketches are not invertible, so a refresh whose delta
+      carries ANY disappeared row (delete/update/overwrite — or a
+      NULL-keyed row, which the delta re-emits as a ± pair every
+      refresh) raises UnsupportedAggregateError instead of silently
+      over-counting; use "exact" for revision-bearing sources. The
+      digest/estimator arithmetic is engine-portable (md5 + one IEEE
+      division, operators/sketches.py), so a DuckDB oracle reproduces
+      the estimates bit-exactly. Other modes (e.g. "hll": registers
+      are library-specific, no portable oracle) refuse at
+      construction.
 
     `derive` (name → deterministic SQL expression over source columns)
     makes the view a CONTINUOUS AGGREGATE in the TimescaleDB sense:
@@ -521,14 +539,15 @@ class LakeMaterializedView:
             raise ValueError(
                 f"sumsq columns must also be measures (variance needs "
                 f"the sum and the non-null count): {sorted(extra)}")
-        if distinct_mode != "exact":
+        if distinct_mode not in ("exact", "kmv"):
             raise UnsupportedAggregateError(
                 f"distinct_mode={distinct_mode!r} is not implemented: "
-                f"only 'exact' (delta-scoped partial recompute) is. A "
-                f"KMV-sketch state column would make the view "
-                f"approximate — refused rather than silently degraded; "
-                f"use operators.sketches for approximate distinct "
-                f"counts outside the view")
+                f"'exact' (delta-scoped partial recompute, any "
+                f"revision) and 'kmv' (mergeable bottom-k sketch, "
+                f"append-only, engine-portable estimator) are. An HLL "
+                f"state would have no portable oracle (registers are "
+                f"library-specific) — refused rather than silently "
+                f"unverifiable")
         for name in (derive or {}):
             if name.startswith("__"):
                 raise ValueError(f"derived column names starting with "
@@ -545,6 +564,7 @@ class LakeMaterializedView:
         self.minmax = list(minmax or [])
         self.sumsq = list(sumsq or [])
         self.distinct = list(distinct or [])
+        self.distinct_mode = distinct_mode
         self.derive = dict(derive or {})
         self.table = LakeTable(spark, path, backend=backend)
         # file list the most recent partial recompute actually opened
@@ -598,9 +618,87 @@ class LakeMaterializedView:
         for m in self.minmax:
             aggs.append(F.min(F.col(m)).alias(f"min_{m}"))
             aggs.append(F.max(F.col(m)).alias(f"max_{m}"))
+        if self.distinct_mode == "exact":
+            for m in self.distinct:
+                aggs.append(F.countDistinct(F.col(m)).alias(f"nd_{m}"))
+        base = df.groupBy(*self.group_cols).agg(*aggs)
+        if self.distinct and self.distinct_mode == "kmv":
+            for m in self.distinct:
+                base = self._attach_kmv(base, self._kmv_arrays(df, m), m)
+        return base
+
+    # -- KMV sketch state (distinct_mode="kmv") --------------------------------
+
+    def _kmv_arrays(self, df: DataFrame, m: str) -> DataFrame:
+        """Per-group bottom-k digest array of df's distinct `m` values:
+        (group_cols..., kmv_<m> array<string> ascending, <= KMV_K).
+        Built by the bounded two-pass rank in operators/sketches.py —
+        never a whole-group sort on one reducer."""
+        from aws_data_pipeline_ads_spark.operators.sketches import (
+            KMV_K,
+            kmv_sketch,
+        )
+
+        sk = kmv_sketch(df.select(*self.group_cols, m),
+                        self.group_cols, m, KMV_K)
+        return sk.groupBy(*self.group_cols).agg(
+            F.sort_array(F.collect_list("h")).alias(f"kmv_{m}"))
+
+    def _kmv_est(self, m: str):
+        """Estimator column over kmv_<m>: exact size while the sketch
+        is not full (it IS the distinct set then), (k−1)/U_(k)
+        otherwise — md5 + one IEEE division, engine-portable
+        (operators/sketches.kmv_distinct computes the same)."""
+        from aws_data_pipeline_ads_spark.operators.sampling import (
+            hex_u32_sql,
+        )
+        from aws_data_pipeline_ads_spark.operators.sketches import KMV_K
+
+        a = F.col(f"kmv_{m}")
+        u = (F.expr(hex_u32_sql(f"element_at(kmv_{m}, {KMV_K})"))
+             .cast("double") / F.lit(4294967296.0))
+        return (F.when(F.size(a) < KMV_K, F.size(a).cast("double"))
+                .otherwise(F.round(F.lit(float(KMV_K - 1)) / u, 6))
+                .alias(f"nd_{m}_est"))
+
+    def _attach_kmv(self, frame: DataFrame, sketch: DataFrame,
+                    m: str, old: DataFrame | None = None) -> DataFrame:
+        """Attach kmv_<m> + nd_<m>_est to `frame` (null-safe on the
+        group key). With `old` given, the new state is the bottom-k of
+        the UNION of the stored and delta sketches (set algebra —
+        bit-deterministic); groups absent from both get the empty
+        sketch (estimate 0, matching COUNT(DISTINCT) of no values)."""
+        from aws_data_pipeline_ads_spark.operators.sketches import KMV_K
+
+        empty = F.array().cast("array<string>")
+        j = frame.alias("m").join(
+            F.broadcast(sketch.alias("d")),
+            _nullsafe_eq("m", "d", self.group_cols), "left")
+        sel = [F.col(f"m.{c}") for c in frame.columns]
+        if old is not None:
+            j = j.join(
+                F.broadcast(old.select(*self.group_cols,
+                                       f"kmv_{m}").alias("s")),
+                _nullsafe_eq("m", "s", self.group_cols), "left")
+            merged = F.slice(
+                F.array_sort(F.array_distinct(F.concat(
+                    F.coalesce(F.col(f"s.kmv_{m}"), empty),
+                    F.coalesce(F.col(f"d.kmv_{m}"), empty)))),
+                1, KMV_K)
+        else:
+            merged = F.coalesce(F.col(f"d.kmv_{m}"), empty)
+        return (j.select(*sel, merged.alias(f"kmv_{m}"))
+                .withColumn(f"nd_{m}_est", self._kmv_est(m)))
+
+    def _apply_kmv(self, merged: DataFrame, state: DataFrame,
+                   delta: DataFrame) -> DataFrame:
+        """Merge the (all-+) delta's sketches into the stored ones —
+        the append fast path: no head rescan, ever."""
+        plus = delta.where(F.col("__sign") == 1)
         for m in self.distinct:
-            aggs.append(F.countDistinct(F.col(m)).alias(f"nd_{m}"))
-        return df.groupBy(*self.group_cols).agg(*aggs)
+            merged = self._attach_kmv(merged, self._kmv_arrays(plus, m),
+                                      m, old=state)
+        return merged
 
     def _delta_sides(self, v_old: int, v_new: int):
         return _version_delta_sides(self.source, v_old, v_new)
@@ -652,10 +750,26 @@ class LakeMaterializedView:
             # change; re-commit the state so the txn records head
             self.table.commit(state, "overwrite", txn_id=txn)
             return head
+        if self.distinct and self.distinct_mode == "kmv":
+            # sketches are not invertible: a disappeared row cannot be
+            # subtracted from a bottom-k state. Refuse loudly (the
+            # delta-sized check is one narrow action), never over-count.
+            neg = delta.where(F.col("__sign") == -1).limit(1).collect()
+            if neg:
+                raise UnsupportedAggregateError(
+                    f"distinct_mode='kmv' view saw a disappeared row in "
+                    f"the refresh delta (source revised between versions "
+                    f"{last} and {head}) — a bottom-k sketch cannot "
+                    f"retract values; rebuild the view (drop its table) "
+                    f"or use distinct_mode='exact' for revision-bearing "
+                    f"sources")
         d = self._full_aggregate_of_delta(delta)
         merged = self._merge_state(state, d)
-        if self.minmax or self.distinct:
+        if self.minmax or (self.distinct
+                           and self.distinct_mode == "exact"):
             merged = self._apply_recompute(merged, state, delta, head)
+        if self.distinct and self.distinct_mode == "kmv":
+            merged = self._apply_kmv(merged, state, delta)
         self.table.commit(merged, "overwrite", txn_id=txn)
         return head
 
@@ -665,10 +779,6 @@ class LakeMaterializedView:
 
     def _nullsafe_group_eq(self, left: str, right: str):
         return _nullsafe_eq(left, right, self.group_cols)
-
-    def _recompute_cols(self) -> list[str]:
-        return ([c for m in self.minmax for c in (f"min_{m}", f"max_{m}")]
-                + [f"nd_{m}" for m in self.distinct])
 
     def _scoped_head_scan(self, touched: DataFrame, head: int) -> DataFrame:
         """The source head narrowed to the delta's touched groups —
@@ -714,9 +824,11 @@ class LakeMaterializedView:
         everywhere else (_recompute_stitch)."""
         touched = delta.select(*self.group_cols).distinct()
         scoped = self._scoped_head_scan(touched, head)
+        exact_nd = (self.distinct if self.distinct_mode == "exact"
+                    else [])
         return _recompute_stitch(merged, state, scoped, touched,
                                  self.group_cols, self.minmax,
-                                 self.distinct)
+                                 exact_nd)
 
     def _merge_state(self, state: DataFrame, d: DataFrame) -> DataFrame:
         return _merge_group_state(state, d, self.group_cols,
@@ -804,9 +916,12 @@ class LakeJoinMaterializedView:
                 f"sumsq columns must also be measures: {sorted(extra)}")
         if distinct_mode != "exact":
             raise UnsupportedAggregateError(
-                f"distinct_mode={distinct_mode!r} is not implemented: "
-                f"only 'exact' is (same refusal as the single-table "
-                f"view — a sketch state silently degrades exactness)")
+                f"distinct_mode={distinct_mode!r} is not implemented on "
+                f"join/star views: only 'exact' is. The single-table "
+                f"view's 'kmv' sketch state is append-only, but a dim "
+                f"revision re-emits joined fact rows as ± pairs — every "
+                f"dim change would trip the sketch's disappeared-row "
+                f"refusal, so the mode is refused here outright")
         self.spark = spark
         self.fact = fact
         self.dim = dim
@@ -1108,9 +1223,12 @@ class LakeStarMaterializedView:
                 f"sumsq columns must also be measures: {sorted(extra)}")
         if distinct_mode != "exact":
             raise UnsupportedAggregateError(
-                f"distinct_mode={distinct_mode!r} is not implemented: "
-                f"only 'exact' is (same refusal as the single-table "
-                f"view — a sketch state silently degrades exactness)")
+                f"distinct_mode={distinct_mode!r} is not implemented on "
+                f"join/star views: only 'exact' is. The single-table "
+                f"view's 'kmv' sketch state is append-only, but a dim "
+                f"revision re-emits joined fact rows as ± pairs — every "
+                f"dim change would trip the sketch's disappeared-row "
+                f"refusal, so the mode is refused here outright")
         norm: list[tuple] = []
         for i, spec in enumerate(dims):
             if len(spec) == 3:

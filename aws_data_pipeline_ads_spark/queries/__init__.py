@@ -53,10 +53,12 @@ _WINDOW: list[str] = [
     "q_lake_mv_variance",
     # -- r9 additions, driver-verified r9, kept as anchors ----------------
     "q_lake_mv_minmax", "q_lake_mv_join",
-    # -- family anchors kept from the r8 rotation (KMV sketch algebra,
-    # winnowing, hybrid retrieval; both corpus-health fits are
-    # r08-hash-verified and rotate to the tail) ---------------------------
-    "q_kmv_distinct", "q_winnow_fingerprint", "q_hybrid_search",
+    # -- family anchors kept from the r8 rotation (winnowing, hybrid
+    # retrieval; both corpus-health fits are r08-hash-verified and
+    # rotate to the tail). q_kmv_distinct (hash-verified r9) yields
+    # its slot to the NEW r10 KMV-sketch MV first exposure — the same
+    # portable estimator, now as incremental view state -------------------
+    "q_lake_mv_distinct_kmv", "q_winnow_fingerprint", "q_hybrid_search",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out) ----------------------------------------------
     "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
@@ -105,7 +107,7 @@ _TAIL: list[str] = [
     # anchored in-window by q_image_neardup/q_image_exif; lake tags by
     # the zorder/time/hilbert/stats/sum tier) -----------------------------
     "q_image_gif", "q_image_bmp", "q_lake_tag_scan",
-    "q_seasonal_decompose", "q_lake_mv_refresh",
+    "q_seasonal_decompose", "q_lake_mv_refresh", "q_kmv_distinct",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

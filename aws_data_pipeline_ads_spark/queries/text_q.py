@@ -3687,6 +3687,86 @@ def q_lake_mv_distinct(spark, sf_dir):
         "nd_n_chars")
 
 
+# KMV-sketch COUNT(DISTINCT) MV: append-only source, so the refresh
+# MERGES bottom-k sketches instead of rescanning the head — the
+# 100 TB fast path exact mode cannot offer. The estimator is portable
+# md5 arithmetic, so DuckDB reproduces the estimates bit-exactly.
+def lakemv_kmv_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        mv = LakeMaterializedView(
+            spark, t, f"{path}/mv", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"],
+            distinct=["n_chars"], distinct_mode="kmv")
+        t.commit(docs.filter(F.col("doc_id") % 3 == 0)
+                 .repartitionByRange(8, "doc_id"), txn_id="rev-0")
+        mv.refresh()                              # full build
+        t.commit(docs.filter(F.col("doc_id") % 3 == 1), "append",
+                 txn_id="rev-1")
+        mv.refresh()                              # sketch union merge
+        t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append",
+                 txn_id="rev-2")
+        mv.refresh()                              # sketch union merge
+
+    return index_path("lakemv_kmv", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_distinct_kmv",
+    bench=True,  # KMV-sketch MV state read, new in r10
+    oracle=(
+        "WITH dv AS (SELECT DISTINCT lang, "
+        "md5(CAST(n_chars AS VARCHAR)) AS h FROM documents "
+        "WHERE n_chars IS NOT NULL), "
+        "r AS (SELECT lang, h, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS nd FROM dv), "
+        "kth AS (SELECT * FROM r WHERE rn = LEAST(nd, 256)), "
+        "base AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(n_chars) AS BIGINT) AS n_n_chars, "
+        "CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS sum_n_chars FROM documents GROUP BY lang) "
+        "SELECT base.lang, n_rows, n_n_chars, sum_n_chars, "
+        "COALESCE(CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE) "
+        "ELSE ROUND(255.0 / (CAST(" + hex_u32_sql("h")
+        + " AS DOUBLE) / 4294967296.0), 6) END, 0.0) "
+        "AS nd_n_chars_est "
+        "FROM base LEFT JOIN kth ON base.lang = kth.lang"
+    ),
+    doc="LLM lake versioning: KMV-SKETCH COUNT(DISTINCT) materialized "
+        "view (lakemv distinct_mode='kmv') — the append-only fast "
+        "path: each refresh merges the delta's bottom-k digest sketch "
+        "into the stored one (set algebra, bit-deterministic), NEVER "
+        "rescanning the head — unlike exact mode's delta-scoped "
+        "recompute, refresh cost is delta-sized even for distinct "
+        "counts. Estimates are exact below k=256 and (k−1)/U_(k) "
+        "beyond; the digest/estimator arithmetic is portable md5 + "
+        "one IEEE division, so the oracle recomputes the estimates "
+        "bit-exactly from the final state — incremental sketch "
+        "merging == full bottom-k, hash-verified. Any disappeared "
+        "row refuses loudly (UnsupportedAggregateError) instead of "
+        "over-counting",
+)
+def q_lake_mv_distinct_kmv(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    idx = lakemv_kmv_index(spark, sf_dir)
+    mv = LakeMaterializedView(
+        spark, LakeTable(spark, f"{idx}/tbl"), f"{idx}/mv",
+        key="doc_id", group_cols=["lang"], measures=["n_chars"],
+        distinct=["n_chars"], distinct_mode="kmv")
+    return mv.read().select(
+        "lang", "n_rows", "n_n_chars",
+        F.col("sum_n_chars").cast("double").alias("sum_n_chars"),
+        "nd_n_chars_est")
+
+
 # Continuous aggregate: the view groups by a DERIVED day bucket the
 # source never materializes (derive= on the MV) — the TimescaleDB
 # continuous-aggregate shape over the events hypertable.

@@ -44,8 +44,10 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_lake_mv_variance",
         # r9 MV additions, driver-verified r9
         "q_lake_mv_minmax", "q_lake_mv_join",
-        # family anchors kept from the r8 rotation
-        "q_kmv_distinct", "q_winnow_fingerprint", "q_hybrid_search",
+        # family anchors kept from the r8 rotation; q_kmv_distinct
+        # (hash-verified r9) yielded its slot to the r10 KMV-sketch MV
+        "q_lake_mv_distinct_kmv", "q_winnow_fingerprint",
+        "q_hybrid_search",
         # lake data-skipping first-exposure anchors kept in-window
         "q_lake_hilbert_scan", "q_lake_sum_agg",
         # the two r7 weak marks, driver-verified r08, kept as anchors

@@ -699,16 +699,27 @@ def test_distinct_count_incremental(spark, sf_dir, tmp_path, src):
 
 
 def test_distinct_sketch_mode_refused(spark, tmp_path):
+    """Modes with no portable oracle (HLL registers) refuse at
+    construction on the single-table view; the join/star views refuse
+    every non-exact mode including 'kmv' (a dim revision re-emits
+    joined rows as ± pairs, tripping the sketch refusal every time)."""
     from aws_data_pipeline_ads_spark.lakemv import (
+        LakeJoinMaterializedView,
         UnsupportedAggregateError,
     )
 
     t = LakeTable(spark, str(tmp_path / "s"))
-    with pytest.raises(UnsupportedAggregateError, match="exact"):
+    with pytest.raises(UnsupportedAggregateError, match="hll"):
         LakeMaterializedView(
             spark, t, str(tmp_path / "mv"), key="doc_id",
             group_cols=["lang"], measures=[], distinct=["n_chars"],
-            distinct_mode="kmv")
+            distinct_mode="hll")
+    d = LakeTable(spark, str(tmp_path / "d"))
+    with pytest.raises(UnsupportedAggregateError, match="kmv"):
+        LakeJoinMaterializedView(
+            spark, t, d, str(tmp_path / "mvj"), fact_key="doc_id",
+            join_key="lang", group_cols=["region"], measures=[],
+            distinct=["n_chars"], distinct_mode="kmv")
 
 
 # -- file-pruned partial recompute (r10) --------------------------------------
@@ -1539,3 +1550,114 @@ def test_join_mv_refuses_right_and_full(spark, sf_dir, tmp_path):
                 spark, fact, dim, str(tmp_path / "mvx"),
                 fact_key="doc_id", join_key="lang",
                 group_cols=["region"], measures=["n_chars"], how=how)
+
+
+# -- KMV-sketch distinct state (distinct_mode="kmv", append-only) -------------
+
+def _kmv_py(values, k=256):
+    """Independent bottom-k + estimator twin (pure Python/hashlib)."""
+    import hashlib
+
+    hs = sorted({hashlib.md5(str(v).encode()).hexdigest()
+                 for v in values if v is not None})[:k]
+    if len(hs) < k:
+        return hs, float(len(hs))
+    u = int(hs[k - 1][:8], 16) / 2 ** 32
+    return hs, round((k - 1) / u, 6)
+
+
+def test_kmv_distinct_appends_match_recompute(spark, tmp_path):
+    """Append-only refreshes: the merged sketch state must equal the
+    bottom-k of the FULL data (set algebra, bit-exact), the estimator
+    must match an independent Python twin — including the (k-1)/U_(k)
+    branch (group g0 holds 1200 distinct values > KMV_K=256) — and no
+    head rescan happens (the kmv path never calls _scoped_head_scan)."""
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    rows = [Row(doc_id=i, lang=("g0" if i % 3 else "g1"),
+                n_chars=(i * 7 if i % 3 else i % 40)) for i in range(1800)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"],
+        distinct=["n_chars"], distinct_mode="kmv")
+    t.commit(df.filter(F.col("doc_id") < 600).repartition(4))
+    mv.refresh()                                   # full build
+    t.commit(df.filter((F.col("doc_id") >= 600)
+                       & (F.col("doc_id") < 1200)), "append")
+    mv.refresh()                                   # sketch merge 1
+    t.commit(df.filter(F.col("doc_id") >= 1200), "append")
+    mv.refresh()                                   # sketch merge 2
+    assert mv.last_recompute_files is None         # never rescanned
+
+    got = {r["lang"]: r for r in mv.read().collect()}
+    data = {}
+    for r in df.collect():
+        data.setdefault(r["lang"], []).append(r["n_chars"])
+    assert set(got) == set(data)
+    for g, vals in data.items():
+        hs, est = _kmv_py(vals)
+        assert list(got[g][f"kmv_n_chars"]) == hs, g
+        assert got[g]["nd_n_chars_est"] == est, g
+        assert got[g]["n_rows"] == len(vals)
+    # the big group really exercised the estimator branch
+    assert len(set(data["g0"])) > 256
+    assert got["g0"]["nd_n_chars_est"] != float(len(set(data["g0"])))
+    # ...and the estimate is within 3 standard errors (~1/sqrt(k-1))
+    exact = len(set(data["g0"]))
+    assert abs(got["g0"]["nd_n_chars_est"] - exact) <= 3 * exact / 15.97
+
+
+def test_kmv_estimate_exact_below_k(spark, tmp_path):
+    """While a group holds < KMV_K distinct values the sketch IS the
+    set: the estimate equals the exact distinct count."""
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    rows = [Row(doc_id=i, lang="aa", n_chars=i % 17) for i in range(100)]
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=[], distinct=["n_chars"],
+        distinct_mode="kmv")
+    mv.refresh()
+    r = mv.read().collect()[0]
+    assert r["nd_n_chars_est"] == 17.0
+    assert len(r["kmv_n_chars"]) == 17
+
+
+def test_kmv_refuses_revisions(spark, tmp_path):
+    """Sketches cannot retract: a delta with ANY disappeared row
+    (delete / update) refuses loudly instead of over-counting."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeMaterializedView,
+        UnsupportedAggregateError,
+    )
+
+    rows = [Row(doc_id=i, lang="aa", n_chars=i) for i in range(50)]
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=[], distinct=["n_chars"],
+        distinct_mode="kmv")
+    mv.refresh()
+    t.delete({"doc_id": (10, 19)})
+    with pytest.raises(UnsupportedAggregateError, match="disappeared"):
+        mv.refresh()
+    # the view state is untouched by the refused refresh
+    assert mv.last_refreshed() == 0
+    t2 = LakeTable(spark, str(tmp_path / "src2"))
+    t2.commit(spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"))
+    mv2 = LakeMaterializedView(
+        spark, t2, str(tmp_path / "mv2"), key="doc_id",
+        group_cols=["lang"], measures=[], distinct=["n_chars"],
+        distinct_mode="kmv")
+    mv2.refresh()
+    t2.update({"doc_id": (5, 5)}, {"n_chars": F.lit(999)})
+    with pytest.raises(UnsupportedAggregateError, match="disappeared"):
+        mv2.refresh()
