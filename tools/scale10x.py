@@ -209,47 +209,115 @@ def mv_refresh_experiment(spark, base: str, big: str) -> list[tuple]:
 
     # join view: fixed-size FACT append against a 1×/10× fact table —
     # ΔF broadcasts and joins the (unscaled) dim at head; refresh must
-    # stay flat like the single-table case
+    # stay flat like the single-table case. The LEFT variant's dim
+    # covers only half the langs (real NULL extension) — ΔF ⟕ D_new is
+    # the same broadcast shape, so it must stay flat too.
     from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
 
+    for how in ("inner", "left"):
+        for label, sf_dir in (("1×", base), ("10×", big)):
+            root = tempfile.mkdtemp(prefix="scale10x_mvj_")
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "lang", "n_chars")
+            langs = sorted(r[0] for r in
+                           docs.select("lang").distinct().collect())
+            if how == "left":
+                langs = langs[::2]
+            batch = (spark.read.parquet(f"{base}/documents.parquet")
+                     .select("doc_id", "lang", "n_chars")
+                     .orderBy("doc_id").limit(500))
+            fact = LakeTable(spark, f"{root}/fact")
+            fact.commit(docs.repartition(32))
+            dim = LakeTable(spark, f"{root}/dim")
+            dim.commit(spark.createDataFrame(
+                [(lg, f"r{i % 3}") for i, lg in enumerate(langs)],
+                "lang string, region string"))
+            mv = LakeJoinMaterializedView(
+                spark, fact, dim, f"{root}/mv", fact_key="doc_id",
+                join_key="lang", group_cols=["region"],
+                measures=["n_chars"], how=how)
+            t0 = time.time()
+            mv.refresh()
+            full_s = time.time() - t0
+            total_files = len(fact.read().inputFiles())
+            times = []
+            for rep in range(3):
+                fact.commit(batch.withColumn(
+                    "doc_id",
+                    F.col("doc_id") + F.lit(900_000_000 + rep * 1_000_000)),
+                    "append")
+                t0 = time.time()
+                mv.refresh()
+                times.append(time.time() - t0)
+            shutil.rmtree(root, ignore_errors=True)
+            med = sorted(times)[1]
+            kind = "join" if how == "inner" else "LEFT join"
+            print(f"# mvj_refresh {how} {label}: full {full_s:.2f}s  "
+                  f"fixed-append refresh {med:.2f}s "
+                  f"(reps {[round(x, 2) for x in times]})", file=sys.stderr)
+            out.append((f"{label} {kind} (fact append)", full_s, med, 1,
+                        total_files))
+    return out
+
+
+def mv_kmv_experiment(spark, base: str, big: str) -> list[tuple]:
+    """The KMV-sketch MV claim, measured: on an UNCLUSTERED source,
+    exact COUNT(DISTINCT) maintenance must rescan the head on every
+    refresh (no stats to prune by — the pre-r10 worst case), while the
+    kmv sketch state merges the delta's sketch and opens ZERO head
+    files — so the kmv refresh stays flat at 10× table size while the
+    exact refresh grows with the table. For each scale: commit the
+    corpus unclustered, build BOTH views, then 3× (append the same
+    500-row batch → time both refreshes, record the exact view's
+    last_recompute_files and assert the kmv view never rescans)."""
+    import shutil
+    import tempfile
+
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    out = []
     for label, sf_dir in (("1×", base), ("10×", big)):
-        root = tempfile.mkdtemp(prefix="scale10x_mvj_")
+        root = tempfile.mkdtemp(prefix="scale10x_mvkmv_")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "lang", "n_chars")
-        langs = [r[0] for r in docs.select("lang").distinct().collect()]
         batch = (spark.read.parquet(f"{base}/documents.parquet")
                  .select("doc_id", "lang", "n_chars")
                  .orderBy("doc_id").limit(500))
-        fact = LakeTable(spark, f"{root}/fact")
-        fact.commit(docs.repartition(32))
-        dim = LakeTable(spark, f"{root}/dim")
-        dim.commit(spark.createDataFrame(
-            [(lg, f"r{i % 3}") for i, lg in enumerate(sorted(langs))],
-            "lang string, region string"))
-        mv = LakeJoinMaterializedView(
-            spark, fact, dim, f"{root}/mv", fact_key="doc_id",
-            join_key="lang", group_cols=["region"],
-            measures=["n_chars"])
-        t0 = time.time()
-        mv.refresh()
-        full_s = time.time() - t0
-        total_files = len(fact.read().inputFiles())
-        times = []
+        t = LakeTable(spark, f"{root}/tbl")
+        t.commit(docs.repartition(32))
+        mv_ex = LakeMaterializedView(
+            spark, t, f"{root}/mv_exact", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"],
+            distinct=["n_chars"])
+        mv_kmv = LakeMaterializedView(
+            spark, t, f"{root}/mv_kmv", key="doc_id",
+            group_cols=["lang"], measures=["n_chars"],
+            distinct=["n_chars"], distinct_mode="kmv")
+        mv_ex.refresh()
+        mv_kmv.refresh()
+        total_files = len(t.read().inputFiles())
+        t_ex, t_kmv, rescanned = [], [], []
         for rep in range(3):
-            fact.commit(batch.withColumn(
+            t.commit(batch.withColumn(
                 "doc_id",
                 F.col("doc_id") + F.lit(900_000_000 + rep * 1_000_000)),
                 "append")
             t0 = time.time()
-            mv.refresh()
-            times.append(time.time() - t0)
+            mv_ex.refresh()
+            t_ex.append(time.time() - t0)
+            rescanned.append(len(mv_ex.last_recompute_files))
+            t0 = time.time()
+            mv_kmv.refresh()
+            t_kmv.append(time.time() - t0)
+        assert mv_kmv.last_recompute_files is None  # never rescanned
         shutil.rmtree(root, ignore_errors=True)
-        med = sorted(times)[1]
-        print(f"# mvj_refresh {label}: full {full_s:.2f}s  fixed-append "
-              f"refresh {med:.2f}s (reps {[round(x, 2) for x in times]})",
+        med_ex, med_kmv = sorted(t_ex)[1], sorted(t_kmv)[1]
+        print(f"# mv_kmv {label}: exact refresh {med_ex:.2f}s "
+              f"(head rescan {max(rescanned)}/{total_files} files)  "
+              f"kmv refresh {med_kmv:.2f}s (0 head files)",
               file=sys.stderr)
-        out.append((f"{label} join (fact append)", full_s, med, 1,
-                    total_files))
+        out.append((label, med_ex, max(rescanned), med_kmv, total_files))
     return out
 
 
@@ -399,6 +467,7 @@ def main() -> None:
 
     mv_rows = mv_refresh_experiment(spark, base, big)
     mm_rows = mv_minmax_prune_experiment(spark, base, big)
+    kmv_rows = mv_kmv_experiment(spark, base, big)
     spark.stop()
 
     lines = [
@@ -538,6 +607,32 @@ def main() -> None:
         f"table (an unpruned recompute would open "
         f"{ten[4]}/{ten[4]}). Refresh cost at 10×: "
         f"**{(ten[2] / one[2] if one[2] else 0):.1f}×** the 1× cost.",
+    ]
+    k1, k10 = kmv_rows
+    lines += [
+        "",
+        "## KMV-sketch distinct state vs exact recompute on an "
+        "UNCLUSTERED source (r10)",
+        "",
+        "Exact COUNT(DISTINCT) maintenance must rescan the head each "
+        "refresh — and with no group clustering the stats cannot prune, "
+        "so the rescan is the WHOLE table (the documented worst case). "
+        "The kmv sketch state (distinct_mode='kmv') merges the delta's "
+        "bottom-k sketch instead and opens ZERO head files, so a fixed "
+        "500-row append's refresh stays flat at 10× table size.",
+        "",
+        "| scale | exact refresh sec (head files rescanned) | kmv "
+        "refresh sec (head files) |",
+        "|---|---|---|",
+        f"| 1× | {k1[1]:.2f} ({k1[2]}/{k1[4]}) | {k1[3]:.2f} (0) |",
+        f"| 10× | {k10[1]:.2f} ({k10[2]}/{k10[4]}) | {k10[3]:.2f} (0) |",
+        "",
+        f"Exact-mode refresh grows "
+        f"**{(k10[1] / k1[1] if k1[1] else 0):.1f}×** at 10× (it "
+        f"rescans {k10[2]}/{k10[4]} files); the kmv refresh is "
+        f"**{(k10[3] / k1[3] if k1[3] else 0):.1f}×** (target ≈ 1, "
+        "zero head files at both scales) — the append-only fast path "
+        "for distinct counts at 100 TB.",
     ]
     lines.append("")
     with open(out_md, "w") as f:
