@@ -509,6 +509,21 @@ class LakeMaterializedView:
     Derived group columns have no commit-log stats, so the partial-
     recompute file pruning simply skips them (conservative; raw group
     columns still prune).
+
+    `state_key=True` stamps every committed state with `mv_key` — the
+    injective JSON hash of the group tuple (same NULL-safe encoding as
+    the delta hash), unique per snapshot by the GROUP BY contract.
+    That makes the view's state table a legal SOURCE for another view:
+    HIERARCHICAL continuous aggregates (day cagg → month cagg, the
+    TimescaleDB 2.9 shape) stack by pointing the downstream view at
+    `upstream.table` with `key="mv_key"` and summing the upstream
+    n_/sum_ columns as measures. The cascade's refresh delta is
+    CHANGED-GROUPS-sized, never data-sized: the upstream state is
+    group-cardinality-sized to begin with, and unchanged group rows
+    hash-cancel out of the downstream key-diff even though each
+    upstream refresh rewrites its files (overwrite commits share no
+    files — the diff reads both state snapshots, which are aggregate-
+    not data-sized).
     """
 
     def __init__(self, spark: SparkSession, source: LakeTable, path: str,
@@ -518,7 +533,8 @@ class LakeMaterializedView:
                  sumsq: list[str] | None = None,
                  distinct: list[str] | None = None,
                  distinct_mode: str = "exact",
-                 derive: dict[str, str] | None = None):
+                 derive: dict[str, str] | None = None,
+                 state_key: bool = False):
         # `key` must be unique per source snapshot (the table's primary
         # key — the same contract LakeTable.merge holds): the delta is
         # a key-based full-outer join, and duplicate keys would
@@ -556,6 +572,11 @@ class LakeMaterializedView:
                 raise ValueError(
                     f"derived column {name!r} would shadow the key — "
                     f"the delta joins on the SOURCE key column")
+        if state_key and "mv_key" in set(group_cols) | set(measures) | \
+                set(minmax or []) | set(distinct or []) | set(derive or {}):
+            raise ValueError(
+                "state_key=True stamps a column named 'mv_key' — it "
+                "cannot also be a group/measure/derived column")
         self.spark = spark
         self.source = source
         self.key = key
@@ -566,6 +587,7 @@ class LakeMaterializedView:
         self.distinct = list(distinct or [])
         self.distinct_mode = distinct_mode
         self.derive = dict(derive or {})
+        self.state_key = state_key
         self.table = LakeTable(spark, path, backend=backend)
         # file list the most recent partial recompute actually opened
         # (None until a refresh needed one) — observability for the
@@ -607,6 +629,21 @@ class LakeMaterializedView:
         for name, expr in self.derive.items():
             df = df.withColumn(name, F.expr(expr))
         return df
+
+    def _stamp_key(self, state: DataFrame) -> DataFrame:
+        """With state_key=True, stamp `mv_key` — the injective JSON
+        hash of the group tuple (NULL-safe, same encoding as the delta
+        hash), unique per snapshot by the GROUP BY contract.
+        Deterministic from the group columns alone, so re-stamping is
+        idempotent and a downstream view's unchanged-row cancellation
+        keys on stable identities."""
+        if not self.state_key:
+            return state
+        return state.withColumn(
+            "mv_key",
+            F.md5(F.to_json(
+                F.struct(*[F.col(g) for g in self.group_cols]),
+                {"ignoreNullFields": "false"})))
 
     def _full_aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -728,8 +765,8 @@ class LakeMaterializedView:
         last = self.last_refreshed()
         txn = f"{_TXN_PREFIX}{head}"
         if last is None:
-            state = self._full_aggregate(
-                self._derived(self.source.read(head)))
+            state = self._stamp_key(self._full_aggregate(
+                self._derived(self.source.read(head))))
             self.table.commit(state, "overwrite", txn_id=txn)
             return head
         if last == head:
@@ -770,7 +807,8 @@ class LakeMaterializedView:
             merged = self._apply_recompute(merged, state, delta, head)
         if self.distinct and self.distinct_mode == "kmv":
             merged = self._apply_kmv(merged, state, delta)
-        self.table.commit(merged, "overwrite", txn_id=txn)
+        self.table.commit(self._stamp_key(merged), "overwrite",
+                          txn_id=txn)
         return head
 
     def _full_aggregate_of_delta(self, delta: DataFrame) -> DataFrame:

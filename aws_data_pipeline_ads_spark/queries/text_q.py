@@ -3843,6 +3843,95 @@ def q_lake_mv_daily(spark, sf_dir):
         F.col("sum_value").cast("double").alias("sum_value"))
 
 
+# Hierarchical continuous aggregates: a DOWNSTREAM view over an
+# UPSTREAM view's state table (day cagg → per-type rollup), stacked
+# via state_key=True — the TimescaleDB 2.9 shape. The cascade's
+# refresh delta is changed-groups-sized, never data-sized.
+def lakemv_hier_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    def build(path: str) -> None:
+        ensure_utc(spark)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value")
+        t = LakeTable(spark, f"{path}/tbl")
+        up = LakeMaterializedView(
+            spark, t, f"{path}/up", key="event_id",
+            group_cols=["day", "event_type"], measures=["value"],
+            derive={"day": "date_format(date_trunc('day', ts), "
+                           "'yyyy-MM-dd')"},
+            state_key=True)
+        down = LakeMaterializedView(
+            spark, up.table, f"{path}/down", key="mv_key",
+            group_cols=["event_type"],
+            measures=["n_rows", "sum_value"])
+        t.commit(ev.filter(F.col("event_id") % 3 < 2)
+                 .repartitionByRange(8, "event_id"), txn_id="rev-0")
+        up.refresh()
+        down.refresh()                       # full cascade build
+        t.commit(ev.filter(F.col("event_id") % 3 == 2), "append",
+                 txn_id="rev-1")
+        up.refresh()
+        down.refresh()                       # append ripples through
+        t.update({"event_id": (100, 199)}, {"value": F.lit(0.5)},
+                 txn_id="rev-2")
+        t.delete({"event_id": (300, 399)}, txn_id="rev-3")
+        up.refresh()
+        down.refresh()                       # two source commits, one
+        #                                      delta per view level
+
+    return index_path("lakemv_hier", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_hierarchical",
+    bench=True,  # stacked-cagg state read, new in r10
+    oracle=(
+        "WITH e AS (SELECT strftime(date_trunc('day', ts), "
+        "'%Y-%m-%d') AS day, event_type, "
+        "CASE WHEN event_id BETWEEN 100 AND 199 THEN 0.5 ELSE value "
+        "END AS value FROM events "
+        "WHERE event_id NOT BETWEEN 300 AND 399) "
+        "SELECT event_type, "
+        "CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days, "
+        "CAST(COUNT(*) AS BIGINT) AS total_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS sum_value FROM e GROUP BY event_type"
+    ),
+    doc="LLM lake versioning: HIERARCHICAL continuous aggregates — a "
+        "downstream materialized view over an UPSTREAM view's state "
+        "table (per-(day, event_type) cagg → per-type rollup), "
+        "stacked via lakemv state_key=True: the upstream state is "
+        "stamped with mv_key (injective group-tuple hash), making it "
+        "a legal delta source for the next level (the TimescaleDB "
+        "2.9 hierarchical-cagg shape). Each source revision ripples "
+        "through BOTH refreshes incrementally; the cascade's delta is "
+        "changed-groups-sized, never data-sized (unchanged upstream "
+        "rows hash-cancel even though overwrite commits share no "
+        "files). Hash-matching the flat one-level SQL aggregate over "
+        "the final predicate state proves the two-level cascade == "
+        "direct recompute: per-type day counts, exact event totals, "
+        "decimal value sums",
+)
+def q_lake_mv_hierarchical(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeMaterializedView
+
+    ensure_utc(spark)
+    idx = lakemv_hier_index(spark, sf_dir)
+    down = LakeMaterializedView(
+        spark,
+        LakeTable(spark, f"{idx}/up"), f"{idx}/down",
+        key="mv_key", group_cols=["event_type"],
+        measures=["n_rows", "sum_value"])
+    return down.read().select(
+        "event_type",
+        F.col("n_rows").alias("n_days"),
+        F.col("sum_n_rows").cast("bigint").alias("total_events"),
+        F.col("sum_sum_value").cast("double").alias("sum_value"))
+
+
 @query(
     "q_zipf_fit",
     oracle=(

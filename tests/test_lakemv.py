@@ -1661,3 +1661,64 @@ def test_kmv_refuses_revisions(spark, tmp_path):
     t2.update({"doc_id": (5, 5)}, {"n_chars": F.lit(999)})
     with pytest.raises(UnsupportedAggregateError, match="disappeared"):
         mv2.refresh()
+
+
+# -- hierarchical continuous aggregates (state_key= MV stacking) --------------
+
+def test_hierarchical_cagg_stacks_exactly(spark, sf_dir, tmp_path):
+    """A downstream view over an UPSTREAM VIEW'S state table (day cagg
+    → band rollup, the TimescaleDB hierarchical shape): state_key=True
+    stamps mv_key (injective group-tuple hash) so the upstream state
+    is a legal delta source; after every source revision, refreshing
+    the cascade must equal a flat one-level recompute — counts, exact
+    decimal sums, and the summed upstream counts all bit-identical."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+             .repartitionByRange(8, "doc_id"))
+    up = LakeMaterializedView(
+        spark, t, str(tmp_path / "up"), key="doc_id",
+        group_cols=["lang", "band"], measures=["n_chars"],
+        derive={"band": "CAST(n_chars DIV 100 AS BIGINT)"},
+        state_key=True)
+    down = LakeMaterializedView(
+        spark, up.table, str(tmp_path / "down"), key="mv_key",
+        group_cols=["lang"], measures=["n_rows", "sum_n_chars"])
+
+    def flat():
+        # one-level recompute of what the CASCADE should express
+        return (t.read().groupBy("lang").agg(
+            F.count(F.lit(1)).cast("decimal(38,6)").alias("total_rows"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .alias("total_chars")))
+
+    def cascade():
+        return down.read().select(
+            "lang", F.col("sum_n_rows").alias("total_rows"),
+            F.col("sum_sum_n_chars").cast("decimal(38,6)")
+            .alias("total_chars"))
+
+    up.refresh()
+    down.refresh()
+    assert _rows(cascade()) == _rows(flat())
+    # source revisions ripple through BOTH refreshes incrementally
+    t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    up.refresh()
+    down.refresh()
+    assert _rows(cascade()) == _rows(flat())
+    t.update({"doc_id": (40, 99)}, {"n_chars": F.lit(950)})
+    t.delete({"doc_id": (200, 299)})
+    up.refresh()
+    down.refresh()
+    assert _rows(cascade()) == _rows(flat())
+    # mv_key is unique per upstream snapshot (the downstream delta's
+    # duplicate guard would refuse otherwise) and stable across
+    # refreshes for unchanged groups
+    keys = [r["mv_key"] for r in up.read().select("mv_key").collect()]
+    assert len(keys) == len(set(keys))
+    # name collision refuses at construction
+    with pytest.raises(ValueError, match="mv_key"):
+        LakeMaterializedView(
+            spark, t, str(tmp_path / "x3"), key="doc_id",
+            group_cols=["mv_key"], measures=[], state_key=True)
