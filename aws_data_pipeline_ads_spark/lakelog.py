@@ -457,6 +457,13 @@ class HadoopFsDataPlane(DataPlane):
         return sorted(out)
 
 
+class ExpectationViolationError(ValueError):
+    """A commit_expect batch violated an expectation under
+    on_violation="fail" — nothing was committed. The message names each
+    failed rule with its violation count so the producer can decide
+    whether to fix upstream, relax the rule, or quarantine instead."""
+
+
 class SchemaMismatchError(ValueError):
     """An append's schema drifted from the table's committed schema.
 
@@ -1205,6 +1212,111 @@ class LakeTable:
                 self.data_plane.remove(f)
             except OSError:
                 pass
+
+    def commit_expect(self, df: DataFrame, rules: dict[str, str],
+                      mode: str = "overwrite",
+                      on_violation: str = "quarantine",
+                      txn_id: str | None = None,
+                      quarantine_path: str | None = None,
+                      evolve: bool = False) -> dict:
+        """Commit `df` under row-level EXPECTATIONS (the Delta Live
+        Tables shape): `rules` maps a rule name to a SQL boolean
+        predicate over the batch's columns; a row is valid iff EVERY
+        predicate is TRUE (a NULL predicate result is a violation, DLT
+        semantics — an unknown is not a pass).
+
+        on_violation:
+        * "quarantine" (default): valid rows commit; violating rows
+          land in a sibling LakeTable at `<path>_quarantine` (own
+          versioned log, same backend) carrying `_violations`
+          (the array of failed rule names) and `_src_version` (the
+          version their valid siblings became) — quarantine is a TABLE
+          you can query/replay/vacuum, not a log line.
+        * "drop": valid rows commit, violating rows are discarded.
+        * "fail": any violation refuses the WHOLE batch loudly
+          (ExpectationViolationError names per-rule counts); nothing
+          commits.
+
+        Returns metrics: rows_in / rows_committed / rows_quarantined,
+        per-rule violation counts, the new version, and the quarantine
+        version (None unless quarantined). Scale shape: rule flags are
+        one codegen'd projection; the batch is persisted once and read
+        three ways (one bounded count aggregate + the two writes) —
+        never re-derived from the upstream plan. Exactly-once: `txn_id`
+        guards the valid commit and `<txn_id>:quarantine` the
+        quarantine append, so a replay returns the original versions.
+        """
+        from pyspark.sql import functions as F
+
+        if not rules:
+            raise ValueError("commit_expect needs >=1 rule")
+        for name in rules:
+            if not name or name.startswith("_"):
+                raise ValueError(
+                    f"rule names starting with '_' are reserved: {name!r}")
+        if on_violation not in ("fail", "drop", "quarantine"):
+            raise ValueError(f"unknown on_violation={on_violation!r}: "
+                             f"use 'fail', 'drop' or 'quarantine'")
+        reserved = {"_violations", "_src_version"} & set(df.columns)
+        if reserved:
+            raise ValueError(f"batch columns collide with expectation "
+                             f"bookkeeping columns: {sorted(reserved)}")
+        names = sorted(rules)
+        fails = [
+            F.when(F.coalesce(F.expr(rules[n]), F.lit(False)),
+                   F.lit(None).cast("string")).otherwise(F.lit(n))
+            for n in names
+        ]
+        flagged = df.withColumn(
+            "_violations",
+            F.filter(F.array(*fails), lambda x: x.isNotNull()))
+        flagged.persist()
+        try:
+            row = flagged.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum((F.size("_violations") > 0).cast("long"))
+                .alias("_bad"),
+                *[F.sum(F.array_contains("_violations", n).cast("long"))
+                  .alias(f"_r{i}") for i, n in enumerate(names)],
+            ).collect()[0]
+            n_in = row["_n"]
+            n_bad = row["_bad"] or 0
+            per_rule = {n: (row[f"_r{i}"] or 0)
+                        for i, n in enumerate(names)}
+            if on_violation == "fail" and n_bad:
+                raise ExpectationViolationError(
+                    f"lake table {self.path}: {n_bad} of {n_in} rows "
+                    f"violate expectations "
+                    f"{ {n: c for n, c in per_rule.items() if c} } — "
+                    f"nothing committed (on_violation='fail')")
+            valid = flagged.where(F.size("_violations") == 0).drop(
+                "_violations")
+            version = self.commit(valid, mode, txn_id=txn_id,
+                                  evolve=evolve)
+            q_version = None
+            if on_violation == "quarantine" and n_bad:
+                q = LakeTable(
+                    self.spark,
+                    quarantine_path or self.path.rstrip("/")
+                    + "_quarantine",
+                    backend=self.backend)
+                bad_rows = flagged.where(
+                    F.size("_violations") > 0).withColumn(
+                    "_src_version", F.lit(version).cast("long"))
+                q_version = q.commit(
+                    bad_rows, "append",
+                    txn_id=(f"{txn_id}:quarantine" if txn_id else None))
+            return {
+                "rows_in": n_in,
+                "rows_committed": n_in - n_bad,
+                "rows_quarantined": (n_bad if on_violation
+                                     == "quarantine" else 0),
+                "violations": per_rule,
+                "version": version,
+                "quarantine_version": q_version,
+            }
+        finally:
+            flagged.unpersist()
 
     # -- read path ---------------------------------------------------------
 

@@ -398,6 +398,30 @@ def _recompute_stitch(merged: DataFrame, state: DataFrame,
     return j.select(*sel)
 
 
+def _stamp_group_key(state: DataFrame, group_cols: list[str],
+                     enabled: bool) -> DataFrame:
+    """With state_key=True, stamp `mv_key` — the injective JSON hash of
+    the group tuple (NULL-safe, same encoding as the delta hash),
+    unique per snapshot by the GROUP BY contract. Makes the view's
+    state table a legal delta SOURCE for a downstream view
+    (hierarchical continuous aggregates); deterministic from the group
+    columns alone, so re-stamping is idempotent and unchanged groups
+    keep stable identities across refreshes."""
+    if not enabled:
+        return state
+    return state.withColumn(
+        "mv_key",
+        F.md5(F.to_json(F.struct(*[F.col(g) for g in group_cols]),
+                        {"ignoreNullFields": "false"})))
+
+
+def _guard_state_key(state_key: bool, *col_sets) -> None:
+    if state_key and any("mv_key" in s for s in col_sets):
+        raise ValueError(
+            "state_key=True stamps a column named 'mv_key' — it "
+            "cannot also be a group/measure/derived column")
+
+
 def _prune_files_by_stats(table: LakeTable, version: int,
                           col_values: dict[str, list | None]
                           ) -> list[str]:
@@ -572,11 +596,8 @@ class LakeMaterializedView:
                 raise ValueError(
                     f"derived column {name!r} would shadow the key — "
                     f"the delta joins on the SOURCE key column")
-        if state_key and "mv_key" in set(group_cols) | set(measures) | \
-                set(minmax or []) | set(distinct or []) | set(derive or {}):
-            raise ValueError(
-                "state_key=True stamps a column named 'mv_key' — it "
-                "cannot also be a group/measure/derived column")
+        _guard_state_key(state_key, group_cols, measures,
+                         minmax or [], distinct or [], derive or {})
         self.spark = spark
         self.source = source
         self.key = key
@@ -631,19 +652,7 @@ class LakeMaterializedView:
         return df
 
     def _stamp_key(self, state: DataFrame) -> DataFrame:
-        """With state_key=True, stamp `mv_key` — the injective JSON
-        hash of the group tuple (NULL-safe, same encoding as the delta
-        hash), unique per snapshot by the GROUP BY contract.
-        Deterministic from the group columns alone, so re-stamping is
-        idempotent and a downstream view's unchanged-row cancellation
-        keys on stable identities."""
-        if not self.state_key:
-            return state
-        return state.withColumn(
-            "mv_key",
-            F.md5(F.to_json(
-                F.struct(*[F.col(g) for g in self.group_cols]),
-                {"ignoreNullFields": "false"})))
+        return _stamp_group_key(state, self.group_cols, self.state_key)
 
     def _full_aggregate(self, df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -923,6 +932,10 @@ class LakeJoinMaterializedView:
     * Refresh bookkeeping rides txn ids "mvj-refresh:<vF>:<vD>" —
       exactly-once per (fact, dim) version pair, replay answered from
       the log.
+
+    `state_key=True` stamps mv_key on every committed state (see
+    LakeMaterializedView): a join view can feed a downstream
+    single-table rollup view — hierarchical aggregates over a star.
     """
 
     def __init__(self, spark: SparkSession, fact: LakeTable,
@@ -933,7 +946,8 @@ class LakeJoinMaterializedView:
                  sumsq: list[str] | None = None,
                  distinct: list[str] | None = None,
                  distinct_mode: str = "exact",
-                 how: str = "inner"):
+                 how: str = "inner",
+                 state_key: bool = False):
         if how not in ("inner", "left"):
             raise UnsupportedJoinShapeError(
                 f"how={how!r} is not maintainable incrementally: only "
@@ -971,6 +985,9 @@ class LakeJoinMaterializedView:
         self.sumsq = list(sumsq or [])
         self.distinct = list(distinct or [])
         self.how = how
+        _guard_state_key(state_key, group_cols, measures,
+                         minmax or [], distinct or [])
+        self.state_key = state_key
         self.table = LakeTable(spark, path, backend=backend)
 
     # -- bookkeeping ---------------------------------------------------------
@@ -1081,9 +1098,11 @@ class LakeJoinMaterializedView:
         last = self.last_refreshed()
         txn = f"{_JOIN_TXN_PREFIX}{head_f}:{head_d}"
         if last is None:
-            state = self._full_aggregate(
-                self._joined(self.fact.read(head_f),
-                             self.dim.read(head_d), "dim"))
+            state = _stamp_group_key(
+                self._full_aggregate(
+                    self._joined(self.fact.read(head_f),
+                                 self.dim.read(head_d), "dim")),
+                self.group_cols, self.state_key)
             self.table.commit(state, "overwrite", txn_id=txn)
             return head_f, head_d
         lf, ld = last
@@ -1131,7 +1150,9 @@ class LakeJoinMaterializedView:
         if self.minmax or self.distinct:
             merged = self._apply_recompute(merged, state, delta,
                                            head_f, head_d)
-        self.table.commit(merged, "overwrite", txn_id=txn)
+        self.table.commit(
+            _stamp_group_key(merged, self.group_cols, self.state_key),
+            "overwrite", txn_id=txn)
         return head_f, head_d
 
     def _full_aggregate(self, df: DataFrame) -> DataFrame:
@@ -1236,7 +1257,8 @@ class LakeStarMaterializedView:
                  sumsq: list[str] | None = None,
                  distinct: list[str] | None = None,
                  distinct_mode: str = "exact",
-                 how: str = "inner"):
+                 how: str = "inner",
+                 state_key: bool = False):
         if how != "inner":
             raise UnsupportedJoinShapeError(
                 f"how={how!r}: incremental star maintenance supports "
@@ -1292,6 +1314,9 @@ class LakeStarMaterializedView:
         self.minmax = list(minmax or [])
         self.sumsq = list(sumsq or [])
         self.distinct = list(distinct or [])
+        _guard_state_key(state_key, group_cols, measures,
+                         minmax or [], distinct or [])
+        self.state_key = state_key
         self.table = LakeTable(spark, path, backend=backend)
         # files the most recent non-invertible recompute opened (None
         # until a refresh needed one) — observability for the pruning
@@ -1533,8 +1558,10 @@ class LakeStarMaterializedView:
             joined = self._fold_fact(
                 self.fact.read(head_f).select(*res["fact_proj"]),
                 m_new, res)
-            self.table.commit(self._full_aggregate(joined),
-                              "overwrite", txn_id=txn)
+            self.table.commit(
+                _stamp_group_key(self._full_aggregate(joined),
+                                 self.group_cols, self.state_key),
+                "overwrite", txn_id=txn)
             return heads
         if last == heads:
             return heads
@@ -1624,7 +1651,10 @@ class LakeStarMaterializedView:
                 merged = _recompute_stitch(merged, state, joined_head,
                                            touched, self.group_cols,
                                            self.minmax, self.distinct)
-            self.table.commit(merged, "overwrite", txn_id=txn)
+            self.table.commit(
+                _stamp_group_key(merged, self.group_cols,
+                                 self.state_key),
+                "overwrite", txn_id=txn)
             return heads
         finally:
             for df in persisted:

@@ -60,12 +60,13 @@ _WINDOW: list[str] = [
     # portable estimator, now as incremental view state -------------------
     "q_lake_mv_distinct_kmv", "q_winnow_fingerprint", "q_hybrid_search",
     # -- NEW in r10 session 2: hierarchical (stacked) continuous
-    # aggregates, first exposure; q_unigram_lm (hash-verified r9)
-    # yields its slot, text family anchored by q_top_ngrams et al. -------
-    "q_lake_mv_hierarchical",
+    # aggregates + write-time expectations with quarantine, first
+    # exposure; q_unigram_lm and q_top_ngrams (both hash-verified r9)
+    # yield their slots, text family anchored by q_length_outliers+ -----
+    "q_lake_mv_hierarchical", "q_lake_expectations",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out) ----------------------------------------------
-    "q_top_ngrams", "q_length_outliers",
+    "q_length_outliers",
     "q_filter_attrition", "q_neardup_clusters_lsh", "q_image_neardup",
     "q_bpe_merges",
     # -- embedding serving tiers (trained-model tiers rows-only by
@@ -112,7 +113,7 @@ _TAIL: list[str] = [
     # the zorder/time/hilbert/stats/sum tier) -----------------------------
     "q_image_gif", "q_image_bmp", "q_lake_tag_scan",
     "q_seasonal_decompose", "q_lake_mv_refresh", "q_kmv_distinct",
-    "q_unigram_lm",
+    "q_unigram_lm", "q_top_ngrams",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

@@ -3687,6 +3687,89 @@ def q_lake_mv_distinct(spark, sf_dir):
         "nd_n_chars")
 
 
+# DLT-style expectations at lake write: rules split a dirty batch into
+# a committed table + a versioned quarantine table carrying the failed
+# rule names — the split and the per-rule counts are exact.
+def lake_expect_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        dirty = (docs
+                 .withColumn("n_chars",
+                             F.when(F.col("doc_id") % 97 == 0, F.lit(-1))
+                             .otherwise(F.col("n_chars")))
+                 .withColumn("lang",
+                             F.when(F.col("doc_id") % 89 == 0,
+                                    F.lit(None).cast("string"))
+                             .otherwise(F.col("lang"))))
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit_expect(
+            dirty.repartitionByRange(8, "doc_id"),
+            {"chars_positive": "n_chars > 0",
+             "lang_known": "lang IS NOT NULL",
+             "chars_cap": "n_chars < 500"},
+            txn_id="batch-0")
+
+    return index_path("lake_expect", sf_dir, build)
+
+
+@query(
+    "q_lake_expectations",
+    bench=True,  # expectation-split state read, new in r10
+    oracle=(
+        "WITH d AS (SELECT "
+        "CASE WHEN doc_id % 89 = 0 THEN NULL ELSE lang END AS lang, "
+        "CASE WHEN doc_id % 97 = 0 THEN -1 ELSE n_chars END AS n_chars "
+        "FROM documents), "
+        "f AS (SELECT "
+        "CASE WHEN COALESCE(n_chars > 0, FALSE) THEN 0 ELSE 1 END AS v1, "
+        "CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END AS v2, "
+        "CASE WHEN COALESCE(n_chars < 500, FALSE) THEN 0 ELSE 1 END "
+        "AS v3 FROM d) "
+        "SELECT 'rows_committed' AS metric, CAST(SUM(CASE WHEN "
+        "v1 + v2 + v3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS value FROM f "
+        "UNION ALL SELECT 'rows_quarantined', CAST(SUM(CASE WHEN "
+        "v1 + v2 + v3 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM f "
+        "UNION ALL SELECT 'viol:chars_cap', CAST(SUM(v3) AS BIGINT) "
+        "FROM f "
+        "UNION ALL SELECT 'viol:chars_positive', CAST(SUM(v1) AS "
+        "BIGINT) FROM f "
+        "UNION ALL SELECT 'viol:lang_known', CAST(SUM(v2) AS BIGINT) "
+        "FROM f"
+    ),
+    doc="LLM lake versioning: ROW-LEVEL EXPECTATIONS at write "
+        "(lakelog.commit_expect, the Delta Live Tables shape) — a "
+        "dirty batch (planted negative char counts, NULL langs, plus "
+        "the natural over-cap tail) splits EXACTLY into a committed "
+        "table satisfying every rule and a sibling versioned "
+        "QUARANTINE LakeTable whose rows carry the failed rule names "
+        "and source version; a NULL predicate result is a violation "
+        "(an unknown is not a pass). The query re-derives the split "
+        "metrics from the two committed tables — counts + per-rule "
+        "violation totals from exploding _violations — and "
+        "hash-matches the flat SQL recount over the raw corpus, "
+        "proving no row was lost or double-counted. on_violation = "
+        "fail refuses the whole batch loudly; drop discards; "
+        "exactly-once via txn ids on both tables",
+)
+def q_lake_expectations(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_expect_index(spark, sf_dir)
+    committed = LakeTable(spark, f"{idx}/tbl").read()
+    quar = LakeTable(spark, f"{idx}/tbl_quarantine").read()
+    n_ok = committed.count()
+    n_bad = quar.count()
+    per_rule = dict(
+        quar.select(F.explode("_violations").alias("r"))
+        .groupBy("r").count().collect())
+    rows = ([("rows_committed", n_ok), ("rows_quarantined", n_bad)]
+            + [(f"viol:{r}", int(c)) for r, c in sorted(per_rule.items())])
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 # KMV-sketch COUNT(DISTINCT) MV: append-only source, so the refresh
 # MERGES bottom-k sketches instead of rescanning the head — the
 # 100 TB fast path exact mode cannot offer. The estimator is portable

@@ -1722,3 +1722,46 @@ def test_hierarchical_cagg_stacks_exactly(spark, sf_dir, tmp_path):
         LakeMaterializedView(
             spark, t, str(tmp_path / "x3"), key="doc_id",
             group_cols=["mv_key"], measures=[], state_key=True)
+
+
+def test_hierarchical_over_join_view(spark, join_srcs, tmp_path):
+    """state_key= on the JOIN view: a star reporting view feeds a
+    downstream single-table rollup (region cagg → global totals) —
+    the cascade must equal the flat one-level recompute after both
+    sides revise."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeJoinMaterializedView,
+        LakeMaterializedView,
+    )
+
+    fact, dim, _, docs = join_srcs
+    up = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "upj"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"],
+        state_key=True)
+    down = LakeMaterializedView(
+        spark, up.table, str(tmp_path / "downj"), key="mv_key",
+        group_cols=["region"], measures=["n_rows", "sum_n_chars"])
+    up.refresh()
+    down.refresh()
+
+    def flat():
+        return (fact.read().join(dim.read(), "lang")
+                .groupBy("region").agg(
+                    F.count(F.lit(1)).cast("decimal(38,6)")
+                    .alias("total_rows"),
+                    F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                    .alias("total_chars")))
+
+    def cascade():
+        return down.read().select(
+            "region", F.col("sum_n_rows").alias("total_rows"),
+            F.col("sum_sum_n_chars").cast("decimal(38,6)")
+            .alias("total_chars"))
+
+    assert _rows(cascade()) == _rows(flat())
+    fact.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    dim.update({"dim_id": (0, 1)}, {"region": F.lit("moved")})
+    up.refresh()
+    down.refresh()
+    assert _rows(cascade()) == _rows(flat())
