@@ -137,6 +137,10 @@ def main() -> None:
     text_q.lakemv_star_index(spark, sf_dir)    # r10: k-dim star-MV revisions
     text_q.lakemv_distinct_index(spark, sf_dir)  # r10: COUNT(DISTINCT) MV
     text_q.lakemv_daily_index(spark, sf_dir)   # r10: continuous aggregate
+    text_q.lakemv_leftjoin_index(spark, sf_dir)  # r10: LEFT-join MV
+    text_q.lakemv_kmv_index(spark, sf_dir)     # r10: KMV-sketch MV
+    text_q.lakemv_hier_index(spark, sf_dir)    # r10: stacked caggs
+    text_q.lake_expect_index(spark, sf_dir)    # r10: expectations split
     text_q.unigram_vocab(spark, sf_dir)       # r8: trained tokenizer
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",
