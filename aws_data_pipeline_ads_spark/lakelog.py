@@ -2105,6 +2105,67 @@ class LakeTable:
         vacuum may reclaim its files if nothing else retains them)."""
         self.backend.delete(self._tag_path(name))
 
+    def clone(self, dest_path: str,
+              version: int | str | None = None,
+              backend: CommitBackend | None = None,
+              pin_tag: bool = True) -> "LakeTable":
+        """SHALLOW, ZERO-COPY clone (Delta CLONE semantics): publish a
+        new table at `dest_path` whose v0 references this table's data
+        files for `version` (int, tag name, or head) — no byte is
+        copied, and the per-file stats / bloom indexes / decimal sums
+        ride along, so data skipping works on the clone immediately.
+        The clone's log is independent from v0 on: appends, deletes,
+        compaction, restore all diverge freely; its own new files land
+        under its own data/ dir.
+
+        Ownership: the clone never deletes borrowed files — vacuum()
+        only reclaims files under a table's OWN data/ dir (see the
+        ownership guard there). The SOURCE's vacuum is the real
+        hazard (Delta documents the same caveat and offers nothing);
+        here `pin_tag=True` (default) tags the source version
+        `clone-<dest basename>`, and tags are retention promises the
+        source's vacuum honors — delete the tag to release the pin
+        (the clone's pre-divergence versions then become unreadable
+        once the source vacuums, exactly like any expired snapshot).
+
+        Lineage rides the v0 txn id (`clone:<source path>@<version>`,
+        visible in history()). Raises if `dest_path` already holds a
+        committed table."""
+        from pyspark.sql import types as T
+
+        if isinstance(version, str):
+            v = self.resolve_tag(version)
+        elif version is not None:
+            v = version
+        else:
+            v = self.current_version()
+        if v is None:
+            raise ValueError(f"lake table {self.path} has no commits "
+                             f"to clone")
+        entry = self._read_entry(v)
+        dest = LakeTable(self.spark, dest_path,
+                         backend=backend or self.backend)
+        if dest.current_version() is not None:
+            raise ValueError(f"clone destination {dest_path} already "
+                             f"holds a committed table")
+        schema = (T.StructType.fromJson(json.loads(entry["schema"]))
+                  if "schema" in entry else None)
+        dest._publish(
+            list(entry["files"]), "clone",
+            txn_id=f"clone:{self.path}@{v}", version=0,
+            schema=schema,
+            stats=entry.get("stats"),
+            blooms=entry.get("blooms"),
+            bloom_cols=entry.get("bloom_cols"),
+            row_counts=entry.get("row_counts"),
+            sums=entry.get("sums"),
+            sum_cols=entry.get("sum_cols"),
+            deferred_deletes=entry.get("deferred_deletes"))
+        if pin_tag:
+            base = os.path.basename(dest_path.rstrip("/"))
+            self.tag(f"clone-{base}", v)
+        return dest
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Delete data files referenced ONLY by versions older than the
         last `keep_last` commits (their log entries remain as history,
@@ -2125,6 +2186,13 @@ class LakeTable:
             if v not in keep:
                 dead.update(self._read_entry(v)["files"])
         dead -= live
+        # OWNERSHIP GUARD: a table only ever deletes files under its
+        # own data/ dir. A shallow clone's early versions reference the
+        # SOURCE table's files (zero-copy); without this line the
+        # clone's vacuum would reach into the source's data dir and
+        # corrupt a table it does not own.
+        own = os.path.join(self.path, "data")
+        dead = {f for f in dead if f.startswith(own)}
         for f in dead:
             self.data_plane.remove(f)
         return len(dead)

@@ -3687,6 +3687,87 @@ def q_lake_mv_distinct(spark, sf_dir):
         "nd_n_chars")
 
 
+# Shallow CLONE: fork a table at a tagged version with ZERO bytes
+# copied, then let both sides diverge — the dev/test workflow every
+# 100 TB lakehouse needs (a deep copy would be a day of I/O).
+def lake_clone_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/src")
+        t.commit(docs.repartitionByRange(8, "doc_id"), txn_id="s0")
+        t.tag("base")
+        dev = t.clone(f"{path}/dev", version="base")
+        # source diverges AFTER the clone point
+        t.update({"doc_id": (100, 199)}, {"n_chars": F.lit(7)},
+                 txn_id="s1")
+        # clone diverges independently
+        dev.delete({"doc_id": (0, 49)}, txn_id="d0")
+        dev.commit(docs.filter(F.col("doc_id") < 25)
+                   .withColumn("doc_id",
+                               F.col("doc_id") + F.lit(10_000_000)),
+                   "append", txn_id="d1")
+
+    return index_path("lake_clone", sf_dir, build)
+
+
+@query(
+    "q_lake_clone",
+    bench=True,  # zero-copy clone divergence read, new in r10
+    oracle=(
+        "WITH clone_state AS (SELECT doc_id, lang, n_chars "
+        "FROM documents WHERE doc_id NOT BETWEEN 0 AND 49 "
+        "UNION ALL SELECT doc_id + 10000000, lang, n_chars "
+        "FROM documents WHERE doc_id < 25), "
+        "src_state AS (SELECT doc_id, lang, "
+        "CASE WHEN doc_id BETWEEN 100 AND 199 THEN 7 ELSE n_chars END "
+        "AS n_chars FROM documents) "
+        "SELECT 'clone' AS side, lang, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS sum_chars, "
+        "CAST(MIN(doc_id) AS BIGINT) AS min_id, "
+        "CAST(MAX(doc_id) AS BIGINT) AS max_id "
+        "FROM clone_state GROUP BY lang "
+        "UNION ALL SELECT 'source', lang, "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE), "
+        "CAST(MIN(doc_id) AS BIGINT), CAST(MAX(doc_id) AS BIGINT) "
+        "FROM src_state GROUP BY lang"
+    ),
+    doc="LLM lake versioning: SHALLOW CLONE (lakelog.clone, Delta "
+        "CLONE semantics) — fork the table at a tagged version with "
+        "ZERO bytes copied (the clone's v0 references the source's "
+        "files; per-file stats/blooms/sums ride along so data "
+        "skipping works immediately), then diverge BOTH sides: the "
+        "source CoW-updates a range, the clone deletes a range and "
+        "appends new rows. Hash-matching per-lang aggregates of both "
+        "final states proves full isolation in both directions. "
+        "Deletion safety is structural: vacuum only reclaims files "
+        "under a table's own data/ dir (a clone can never corrupt "
+        "its source), and clone() pins the source version with a "
+        "retention tag the source's vacuum honors until released",
+)
+def q_lake_clone(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_clone_index(spark, sf_dir)
+
+    def agg(df, side):
+        return df.groupBy(F.lit(side).alias("side"), "lang").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .cast("double").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"))
+
+    clone_df = LakeTable(spark, f"{idx}/dev").read()
+    src_df = LakeTable(spark, f"{idx}/src").read()
+    return agg(clone_df, "clone").unionByName(agg(src_df, "source"))
+
+
 # DLT-style expectations at lake write: rules split a dirty batch into
 # a committed table + a versioned quarantine table carrying the failed
 # rule names — the split and the per-rule counts are exact.

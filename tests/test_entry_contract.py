@@ -52,11 +52,11 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_lake_hilbert_scan", "q_lake_sum_agg",
         # the two r7 weak marks, driver-verified r08, kept as anchors
         "q_embedding_pca", "q_audio_segments",
-        # stacked caggs + write-time expectations, first exposure r10
-        "q_lake_mv_hierarchical", "q_lake_expectations",
-        # LLM text battery + dedup anchors (q_unigram_lm and
-        # q_top_ngrams, hash-verified r9, yielded their slots)
-        "q_length_outliers",
+        # stacked caggs + write-time expectations + shallow clone,
+        # first exposure r10
+        "q_lake_mv_hierarchical", "q_lake_expectations", "q_lake_clone",
+        # (q_unigram_lm / q_top_ngrams / q_length_outliers, all
+        # hash-verified r9, yielded their slots to r10 first exposures)
         "q_filter_attrition", "q_neardup_clusters_lsh", "q_image_neardup",
         "q_bpe_merges",
         # embedding serving tiers
