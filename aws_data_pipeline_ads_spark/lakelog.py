@@ -2263,6 +2263,30 @@ def lake_append_sink(stream_df: DataFrame, table: LakeTable,
     )
 
 
+def lake_expect_sink(stream_df: DataFrame, table: LakeTable,
+                     checkpoint_dir: str, rules: dict[str, str],
+                     on_violation: str = "quarantine",
+                     app_id: str | None = None) -> None:
+    """Streaming EXPECTATIONS through the commit log — the Delta Live
+    Tables ingest shape: each micro-batch passes through commit_expect,
+    so valid rows APPEND to the table while violating rows accumulate
+    in the sibling quarantine LakeTable, batch by batch, each side
+    txn-guarded ("{query_id}:expect-batch-{bid}" resp. its
+    ":quarantine" twin — a crash between the two commits self-heals on
+    replay: the valid append is answered from the log and the
+    quarantine append re-runs idempotently). on_violation="fail" makes
+    a dirty batch POISON the stream loudly (the foreachBatch raises,
+    the query errors) rather than ever committing bad rows — pick it
+    for contracts where quarantining is not acceptable."""
+    _run_scoped_sink(
+        stream_df, checkpoint_dir,
+        lambda batch, bid, aid: table.commit_expect(
+            batch, rules, mode="append", on_violation=on_violation,
+            txn_id=f"{aid}:expect-batch-{bid}"),
+        app_id,
+    )
+
+
 def lake_upsert_sink(stream_df: DataFrame, table: LakeTable,
                      checkpoint_dir: str, key: str,
                      app_id: str | None = None) -> None:

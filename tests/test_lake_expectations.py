@@ -118,3 +118,65 @@ def test_expect_guards(spark, dirty, tmp_path):
     with pytest.raises(ValueError, match="collide"):
         t.commit_expect(dirty.withColumn("_violations", F.lit(1)),
                         RULES)
+
+
+def test_streaming_expectations_sink(spark, sf_dir, tmp_path):
+    """lake_expect_sink: per micro-batch, valid rows append to the
+    table while violators accumulate in the quarantine table — both
+    txn-guarded, so a second drain over the same checkpoint commits
+    nothing new on EITHER side."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakelog import lake_expect_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    dirty = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("text")))
+    land = tmp_path / "landing"
+    dirty.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land / "s1"))
+    dirty.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land / "s2"))
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    rules = {"text_nonempty": "length(text) > 0"}
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_expect_sink(stream, t, str(tmp_path / "ck"), rules)
+    q = LakeTable(spark, str(tmp_path / "tbl_quarantine"))
+    n_bad = dirty.where(F.length("text") == 0).count()
+    assert n_bad > 0
+    assert t.read().count() == dirty.count() - n_bad
+    assert t.read().where(F.length("text") == 0).count() == 0
+    assert q.read().count() == n_bad
+    assert q.read().where(
+        ~F.array_contains("_violations", "text_nonempty")).count() == 0
+    head_t, head_q = t.current_version(), q.current_version()
+    # second drain, same checkpoint: nothing new on either table
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_expect_sink(stream, t, str(tmp_path / "ck"), rules)
+    assert (t.current_version(), q.current_version()) == (head_t, head_q)
+
+
+def test_streaming_expectations_fail_poisons_stream(spark, sf_dir,
+                                                    tmp_path):
+    """on_violation='fail': a dirty batch errors the query loudly —
+    bad rows never commit."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakelog import lake_expect_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").limit(20)
+    dirty = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .otherwise(F.col("text")))
+    land = tmp_path / "landing"
+    dirty.coalesce(1).write.parquet(str(land / "s1"))
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    stream = streaming.documents_stream(spark, str(land))
+    with pytest.raises(Exception, match="violate expectations"):
+        lake_expect_sink(stream, t, str(tmp_path / "ck"),
+                         {"text_nonempty": "length(text) > 0"},
+                         on_violation="fail")
+    assert t.current_version() is None
