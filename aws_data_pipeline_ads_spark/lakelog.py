@@ -457,6 +457,15 @@ class HadoopFsDataPlane(DataPlane):
         return sorted(out)
 
 
+class ConstraintViolationError(ValueError):
+    """A standing table CHECK constraint rejected a write (or ADD
+    CONSTRAINT found existing rows violating it). SQL CHECK semantics:
+    a row violates only when the predicate evaluates to FALSE — NULL
+    (unknown) passes, unlike commit_expect's DLT expectations where
+    unknown is not a pass. Named per constraint with violation counts
+    so the producer knows which contract broke."""
+
+
 class ExpectationViolationError(ValueError):
     """A commit_expect batch violated an expectation under
     on_violation="fail" — nothing was committed. The message names each
@@ -982,7 +991,8 @@ class LakeTable:
                  row_counts: dict | None = None,
                  deferred_deletes: list | None = None,
                  sums: dict | None = None,
-                 sum_cols: list[str] | None = None) -> int:
+                 sum_cols: list[str] | None = None,
+                 constraints: dict | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -1016,6 +1026,19 @@ class LakeTable:
             entry["sums"] = sums
         if sum_cols:
             entry["sum_cols"] = sum_cols
+        if constraints is None and version > 0:
+            # constraints are a TABLE PROPERTY: carried forward by
+            # every commit unless a caller sets them explicitly
+            # (set_constraint) or clears them ({} from drop_constraint
+            # emptying the set). The prior head is always readable
+            # here — the caller just resolved it to pick `version`.
+            try:
+                constraints = self._read_entry(version - 1).get(
+                    "constraints")
+            except Exception:
+                constraints = None
+        if constraints:
+            entry["constraints"] = constraints
         # the commit point: exactly one writer creates this entry
         # (O_EXCL locally, conditional PUT on object stores — the
         # CommitBackend seam is exactly this primitive)
@@ -1160,6 +1183,9 @@ class LakeTable:
                 # same property semantics as bloom_cols
                 sc = head_entry.get("sum_cols")
             if new_files is None:
+                # standing CHECK constraints gate the rows BEFORE any
+                # file lands (one bounded aggregate over the batch)
+                self._enforce_constraints(df, head_entry, mode)
                 # data files land ONCE; retries only re-publish metadata
                 new_files = self._write_files(df)
                 new_stats = self._collect_stats(new_files)
@@ -1599,6 +1625,9 @@ class LakeTable:
         if base is None:
             return self.commit(source, "overwrite", txn_id, op="merge")
         base_entry = self._read_entry(base)
+        # every row merge introduces comes from `source` (matched rows
+        # are replaced wholesale) — gate those, never rescan the table
+        self._enforce_constraints(source, base_entry, "merge")
         merged = merge_upsert(self.read(base), source, key)
         files = self._write_files(merged)
         bloom_cols = base_entry.get("bloom_cols")
@@ -1800,7 +1829,12 @@ class LakeTable:
                         F.when(pred, val).otherwise(F.col(c)).alias(c))
                 else:
                     proj.append(F.col(c))
-            new_files = self._write_files(df.select(*proj))
+            updated = df.select(*proj)
+            # gate the POST-image of the rows the predicate touches —
+            # an UPDATE must not be a constraint bypass
+            self._enforce_constraints(updated.where(pred), entry,
+                                      "update")
+            new_files = self._write_files(updated)
         return self._publish_rewrite(entry, "update", txn_id, base + 1,
                                      untouched, new_files)
 
@@ -2105,6 +2139,105 @@ class LakeTable:
         vacuum may reclaim its files if nothing else retains them)."""
         self.backend.delete(self._tag_path(name))
 
+    def _enforce_constraints(self, df: DataFrame, entry: dict | None,
+                             op: str) -> None:
+        """Refuse `op` if any incoming row violates a standing CHECK
+        constraint (predicate evaluates to FALSE; NULL passes — SQL
+        CHECK semantics). One bounded aggregate over the rows being
+        written, never over the table."""
+        from pyspark.sql import functions as F
+
+        cons = (entry or {}).get("constraints")
+        if not cons:
+            return
+        names = sorted(cons)
+        row = df.agg(*[
+            F.sum((~F.coalesce(F.expr(cons[n]), F.lit(True)))
+                  .cast("long")).alias(f"_c{i}")
+            for i, n in enumerate(names)]).collect()[0]
+        bad = {n: (row[f"_c{i}"] or 0) for i, n in enumerate(names)
+               if (row[f"_c{i}"] or 0)}
+        if bad:
+            raise ConstraintViolationError(
+                f"lake table {self.path}: {op} violates CHECK "
+                f"constraint(s) {bad} — fix the producer, quarantine "
+                f"via commit_expect, or drop_constraint first")
+
+    def set_constraint(self, name: str, predicate: str,
+                       txn_id: str | None = None) -> int:
+        """ADD a standing CHECK constraint (Delta semantics): validate
+        the CURRENT head satisfies `predicate` (one filtered scan —
+        refuse with ConstraintViolationError if any row fails), then
+        publish a metadata-only commit recording it. From then on
+        EVERY row-introducing write (commit / merge / update / the
+        streaming sinks riding them) enforces it on the rows being
+        written; constraints carry forward as a table property and
+        survive compaction, restore and clone."""
+        from pyspark.sql import functions as F
+
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        entry = self._read_entry(head)
+        offenders = (self.read(head)
+                     .where(~F.coalesce(F.expr(predicate), F.lit(True)))
+                     .limit(1).collect())
+        if offenders:
+            raise ConstraintViolationError(
+                f"lake table {self.path}: existing rows violate "
+                f"{name!r} ({predicate}) — e.g. {offenders[0]}; clean "
+                f"the table before adding the constraint")
+        cons = {**entry.get("constraints", {}), name: predicate}
+        return self._publish(
+            entry["files"], "set_constraint", txn_id, head + 1,
+            schema=self._entry_schema(entry),
+            stats=entry.get("stats"), blooms=entry.get("blooms"),
+            bloom_cols=entry.get("bloom_cols"),
+            row_counts=entry.get("row_counts"),
+            sums=entry.get("sums"), sum_cols=entry.get("sum_cols"),
+            deferred_deletes=entry.get("deferred_deletes"),
+            constraints=cons)
+
+    def drop_constraint(self, name: str,
+                        txn_id: str | None = None) -> int:
+        """Remove a standing CHECK constraint by name (refuses unknown
+        names loudly — dropping a constraint that never existed is a
+        deploy-script bug, not a no-op)."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        entry = self._read_entry(head)
+        cons = dict(entry.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"lake table {self.path}: no constraint "
+                             f"named {name!r} "
+                             f"(have {sorted(cons) or 'none'})")
+        del cons[name]
+        return self._publish(
+            entry["files"], "drop_constraint", txn_id, head + 1,
+            schema=self._entry_schema(entry),
+            stats=entry.get("stats"), blooms=entry.get("blooms"),
+            bloom_cols=entry.get("bloom_cols"),
+            row_counts=entry.get("row_counts"),
+            sums=entry.get("sums"), sum_cols=entry.get("sum_cols"),
+            deferred_deletes=entry.get("deferred_deletes"),
+            constraints=cons)
+
+    def constraints(self) -> dict[str, str]:
+        """The standing CHECK constraints at head (name → predicate)."""
+        head = self.current_version()
+        if head is None:
+            return {}
+        return dict(self._read_entry(head).get("constraints", {}))
+
     def clone(self, dest_path: str,
               version: int | str | None = None,
               backend: CommitBackend | None = None,
@@ -2160,7 +2293,8 @@ class LakeTable:
             row_counts=entry.get("row_counts"),
             sums=entry.get("sums"),
             sum_cols=entry.get("sum_cols"),
-            deferred_deletes=entry.get("deferred_deletes"))
+            deferred_deletes=entry.get("deferred_deletes"),
+            constraints=entry.get("constraints"))
         if pin_tag:
             base = os.path.basename(dest_path.rstrip("/"))
             self.tag(f"clone-{base}", v)

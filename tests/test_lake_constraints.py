@@ -1,0 +1,117 @@
+"""Standing CHECK constraints: a table property every write enforces.
+
+SQL CHECK semantics (NULL passes — contrast commit_expect's DLT
+expectations where unknown fails); enforced on the rows being written
+by commit / merge / update, never by rescanning the table; carried
+forward by every commit and by compact / restore / clone.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.lakelog import (
+    ConstraintViolationError,
+    LakeTable,
+)
+
+
+@pytest.fixture
+def tbl(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.commit(docs.repartitionByRange(4, "doc_id"))
+    return t, docs
+
+
+def test_add_validates_existing_and_gates_writes(spark, tbl, tmp_path):
+    t, docs = tbl
+    t.set_constraint("chars_positive", "n_chars > 0")
+    assert t.constraints() == {"chars_positive": "n_chars > 0"}
+    # a violating append refuses BEFORE any file lands
+    head = t.current_version()
+    bad = spark.createDataFrame(
+        [Row(doc_id=900001, lang="aa", n_chars=0)],
+        "doc_id long, lang string, n_chars long")
+    with pytest.raises(ConstraintViolationError, match="chars_positive"):
+        t.commit(bad, "append")
+    assert t.current_version() == head
+    # a clean append passes, and the property carries forward
+    t.commit(bad.withColumn("n_chars", F.lit(5).cast("long")), "append")
+    assert t.constraints() == {"chars_positive": "n_chars > 0"}
+    # adding a constraint the EXISTING data violates refuses
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        t.set_constraint("impossible", "n_chars > 1000000")
+
+
+def test_null_passes_check_semantics(spark, tmp_path):
+    """SQL CHECK: NULL predicate result is not a violation — the
+    opposite of commit_expect's expectations (documented contrast)."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, n_chars=10)], "doc_id long, n_chars long"))
+    t.set_constraint("cap", "n_chars < 100")
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=2, n_chars=None)], "doc_id long, n_chars long"),
+        "append")                              # NULL passes
+    assert t.read().count() == 2
+    with pytest.raises(ConstraintViolationError):
+        t.commit(spark.createDataFrame(
+            [Row(doc_id=3, n_chars=500)], "doc_id long, n_chars long"),
+            "append")
+
+
+def test_update_and_merge_cannot_bypass(spark, tbl):
+    t, docs = tbl
+    t.set_constraint("chars_positive", "n_chars > 0")
+    head = t.current_version()
+    with pytest.raises(ConstraintViolationError, match="update"):
+        t.update({"doc_id": (0, 10)}, {"n_chars": F.lit(-1)})
+    assert t.current_version() == head
+    bad = spark.createDataFrame(
+        [Row(doc_id=0, lang="aa", n_chars=-9)],
+        "doc_id long, lang string, n_chars long")
+    with pytest.raises(ConstraintViolationError, match="merge"):
+        t.merge(bad, "doc_id")
+    assert t.current_version() == head
+    # clean update/merge pass
+    t.update({"doc_id": (0, 10)}, {"n_chars": F.lit(3)})
+    t.merge(bad.withColumn("n_chars", F.lit(4)), "doc_id")
+    assert t.read().where(F.col("n_chars") <= 0).count() == 0
+
+
+def test_drop_and_unknown_name(spark, tbl):
+    t, docs = tbl
+    t.set_constraint("cap", "n_chars < 1000000")
+    t.drop_constraint("cap")
+    assert t.constraints() == {}
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=900009, lang="aa", n_chars=2000000)],
+        "doc_id long, lang string, n_chars long"), "append")
+    with pytest.raises(ValueError, match="no constraint named"):
+        t.drop_constraint("never_was")
+
+
+def test_property_survives_compact_restore_clone(spark, tbl, tmp_path):
+    t, docs = tbl
+    t.set_constraint("chars_positive", "n_chars > 0")
+    t.commit(docs.limit(100), "append")
+    t.compact(target_bytes=1 << 30)
+    assert t.constraints() == {"chars_positive": "n_chars > 0"}
+    t.restore(t.current_version() - 1)
+    assert t.constraints() == {"chars_positive": "n_chars > 0"}
+    c = t.clone(str(tmp_path / "dev"), pin_tag=False)
+    assert c.constraints() == {"chars_positive": "n_chars > 0"}
+    bad = spark.createDataFrame(
+        [Row(doc_id=1, lang="aa", n_chars=-1)],
+        "doc_id long, lang string, n_chars long")
+    with pytest.raises(ConstraintViolationError):
+        c.commit(bad, "append")
+    # exactly-once: replaying a set_constraint txn is a no-op
+    v = t.set_constraint("cap", "n_chars < 10000000", txn_id="sc-1")
+    assert t.set_constraint("cap", "n_chars < 10000000",
+                            txn_id="sc-1") == v
