@@ -1075,3 +1075,108 @@ def test_mv_refresh_equals_recompute_under_random_revisions(
             assert got == exp, (op, got, exp)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# -- LEFT-join MV: random two-sided revision sequences -------------------------
+
+_lj_fact_init = st.dictionaries(st.integers(0, 29), st.tuples(
+    st.integers(0, 5), _mv_vals), min_size=1, max_size=10)
+_lj_dim_init = st.dictionaries(st.integers(0, 5), st.integers(0, 2),
+                               min_size=0, max_size=4)
+_lj_op = st.one_of(
+    st.tuples(st.just("fact_append"),
+              st.lists(st.tuples(st.integers(0, 5), _mv_vals),
+                       min_size=1, max_size=5)),
+    st.tuples(st.just("fact_delete"), st.integers(0, 40),
+              st.integers(0, 15)),
+    st.tuples(st.just("dim_add"), st.integers(0, 5), st.integers(0, 2)),
+    st.tuples(st.just("dim_del"), st.integers(0, 5)),
+    st.tuples(st.just("dim_move"), st.integers(0, 5), st.integers(0, 2)),
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(fact_init=_lj_fact_init, dim_init=_lj_dim_init,
+       ops=st.lists(_lj_op, min_size=1, max_size=3))
+def test_left_join_mv_random_revisions(spark, fact_init, dim_init, ops):
+    """The LEFT-join view invariant, randomized: after ANY interleaving
+    of fact appends/deletes with dim key additions, deletions and image
+    moves — orphan fact keys flipping in and out of the NULL group —
+    an incrementally refreshed how='left' view is bit-equal to the
+    flat LEFT JOIN recompute, across count/sum/MIN/MAX/COUNT(DISTINCT)
+    at once."""
+    import shutil
+    import tempfile
+
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    def fact_df(d, base=0):
+        rows = [Row(doc_id=k + base, jk=j, val=v)
+                for k, (j, v) in sorted(d.items())]
+        rows += [Row(doc_id=-1, jk=0, val=0)]   # never-deleted sentinel
+        return spark.createDataFrame(
+            rows, "doc_id long, jk long, val long")
+
+    def dim_df(d):
+        return spark.createDataFrame(
+            [Row(jk=k, region=f"r{g}") for k, g in sorted(d.items())],
+            "jk long, region string")
+
+    root = tempfile.mkdtemp(prefix="ljmv_prop_")
+    try:
+        fact = LakeTable(spark, f"{root}/fact")
+        dim = LakeTable(spark, f"{root}/dim")
+        mv = LakeJoinMaterializedView(
+            spark, fact, dim, f"{root}/mv", fact_key="doc_id",
+            join_key="jk", group_cols=["region"], measures=["val"],
+            minmax=["val"], distinct=["val"], how="left")
+        fact.commit(fact_df(fact_init))
+        cur = dict(dim_init)
+        dim.commit(dim_df(cur))
+        mv.refresh()
+        fresh = 100
+        for op in ops:
+            if op[0] == "fact_append":
+                d = {fresh + i: jv for i, jv in enumerate(op[1])}
+                fresh += len(op[1])
+                fact.commit(fact_df(d).where(F.col("doc_id") != -1),
+                            "append")
+            elif op[0] == "fact_delete":
+                fact.delete({"doc_id": (op[1], op[1] + op[2])})
+            elif op[0] == "dim_add":
+                if op[1] in cur:
+                    continue
+                cur[op[1]] = op[2]
+                dim.commit(dim_df({op[1]: op[2]}), "append")
+            elif op[0] == "dim_del":
+                if op[1] not in cur:
+                    continue
+                del cur[op[1]]
+                dim.delete({"jk": (op[1], op[1])})
+            else:
+                if op[1] not in cur:
+                    continue
+                cur[op[1]] = op[2]
+                dim.update({"jk": (op[1], op[1])},
+                           {"region": F.lit(f"r{op[2]}")})
+            mv.refresh()
+            key = lambda t: tuple((v is None, v) for v in t)
+            got = sorted((tuple(r) for r in mv.read().collect()), key=key)
+            exp = sorted(
+                (tuple(r) for r in
+                 fact.read().join(dim.read(), "jk", "left")
+                 .groupBy("region").agg(
+                     F.count(F.lit(1)).alias("n_rows"),
+                     F.count("val").alias("n_val"),
+                     F.sum(F.col("val").cast("decimal(38,6)"))
+                     .alias("sum_val"),
+                     F.min("val").alias("min_val"),
+                     F.max("val").alias("max_val"),
+                     F.countDistinct("val").alias("nd_val"),
+                 ).collect()), key=key)
+            assert got == exp, (op, got, exp)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
