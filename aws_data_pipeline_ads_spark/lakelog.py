@@ -2139,6 +2139,61 @@ class LakeTable:
         vacuum may reclaim its files if nothing else retains them)."""
         self.backend.delete(self._tag_path(name))
 
+    def feed_changes(self, consumer: str, key: str,
+                     cols: list[str] | None = None):
+        """Incremental CHANGE FEED with per-consumer offsets — the
+        generic "what changed since I last looked" primitive downstream
+        incremental jobs need (the same signed-delta machinery the
+        materialized views consume, exposed as an API).
+
+        Returns (delta, head): `delta` is the signed row delta
+        (`cols` + __sign, +1 appeared / −1 disappeared; file-pruned
+        and compaction-aware — lakemv.signed_span_delta) between the
+        consumer's last ACKNOWLEDGED version and the current head — or
+        the FULL head as +1 rows on first call (initial load), or None
+        when there is nothing new. `key` must be unique per snapshot
+        (NULL keys are routed around the diff, same contract as the
+        views).
+
+        Offsets are stored as retention TAGS (`feed-<consumer>`), which
+        buys the critical property for free: the files a consumer still
+        needs for its NEXT delta are vacuum-protected until it acks
+        forward. Delivery is at-least-once: re-calling before
+        ack_feed() returns the same delta; crash after processing but
+        before ack → the delta is re-delivered (consumers must be
+        idempotent, the standard CDC contract)."""
+        from aws_data_pipeline_ads_spark.lakemv import signed_span_delta
+
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        if cols is None:
+            cols = [c for c in self.read(head).columns if c != key]
+        cols = [key] + [c for c in cols if c != key]
+        name = f"feed-{consumer}"
+        last = self.tags().get(name)
+        if last is None:
+            from pyspark.sql import functions as F
+
+            return (self.read(head).select(*cols)
+                    .withColumn("__sign", F.lit(1)), head)
+        if last == head:
+            return None, head
+        if last > head:
+            raise ValueError(
+                f"lake table {self.path}: consumer {consumer!r} acked "
+                f"version {last} but head is {head} — the table was "
+                f"rewound past the feed; reset the consumer (delete "
+                f"tag {name!r}) for a fresh initial load")
+        return signed_span_delta(self, key, cols, last, head), head
+
+    def ack_feed(self, consumer: str, version: int) -> None:
+        """Advance `consumer`'s offset to `version` (from the tuple
+        feed_changes returned) — the commit point of at-least-once
+        delivery. Moves the retention tag, releasing vacuum protection
+        for files only older deltas needed."""
+        self.tag(f"feed-{consumer}", version, force=True)
+
     def _enforce_constraints(self, df: DataFrame, entry: dict | None,
                              op: str) -> None:
         """Refuse `op` if any incoming row violates a standing CHECK

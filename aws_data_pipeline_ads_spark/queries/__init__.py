@@ -64,10 +64,11 @@ _WINDOW: list[str] = [
     # exposure; q_unigram_lm and q_top_ngrams (both hash-verified r9)
     # yield their slots, text family anchored by q_length_outliers+ -----
     "q_lake_mv_hierarchical", "q_lake_expectations", "q_lake_clone",
+    "q_lake_changes_feed",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out; q_length_outliers, hash-verified r9, yields
     # its slot to the r10 clone first exposure) ---------------------------
-    "q_filter_attrition", "q_neardup_clusters_lsh", "q_image_neardup",
+    "q_neardup_clusters_lsh", "q_image_neardup",
     "q_bpe_merges",
     # -- embedding serving tiers (trained-model tiers rows-only by
     # nature, each pytest-pinned against an exact full-probe/brute
@@ -114,6 +115,7 @@ _TAIL: list[str] = [
     "q_image_gif", "q_image_bmp", "q_lake_tag_scan",
     "q_seasonal_decompose", "q_lake_mv_refresh", "q_kmv_distinct",
     "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
+    "q_filter_attrition",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

@@ -3687,6 +3687,73 @@ def q_lake_mv_distinct(spark, sf_dir):
         "nd_n_chars")
 
 
+# Per-consumer CHANGE FEED: the generic "what changed since I last
+# looked" primitive (feed_changes/ack_feed) — offsets are retention
+# tags, deltas are the views' signed/file-pruned machinery as an API.
+def lake_feed_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                 .repartitionByRange(8, "doc_id"), txn_id="rev-0")
+        _, head = t.feed_changes("reporting", "doc_id")
+        t.ack_feed("reporting", head)     # consumer caught up at v0
+        t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append",
+                 txn_id="rev-1")
+        t.update({"doc_id": (10, 29)}, {"n_chars": F.lit(7)},
+                 txn_id="rev-2")
+        t.delete({"doc_id": (40, 59)}, txn_id="rev-3")
+        # deliberately NOT acked: the query consumes the pending delta
+
+    return index_path("lake_feed", sf_dir, build)
+
+
+@query(
+    "q_lake_changes_feed",
+    bench=True,  # consolidated CDC delta read, new in r10
+    oracle=(
+        # a correct signed change feed aggregates to EXACTLY
+        # final-minus-initial, per group — the CDC identity
+        "WITH init AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c, "
+        "SUM(CAST(n_chars AS DECIMAL(38,6))) AS s FROM documents "
+        "WHERE doc_id % 3 < 2 GROUP BY lang), "
+        "fin AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c, "
+        "SUM(CAST(CASE WHEN doc_id BETWEEN 10 AND 29 THEN 7 "
+        "ELSE n_chars END AS DECIMAL(38,6))) AS s FROM documents "
+        "WHERE doc_id NOT BETWEEN 40 AND 59 GROUP BY lang) "
+        "SELECT f.lang, f.c - COALESCE(i.c, 0) AS n_delta, "
+        "CAST(f.s - COALESCE(i.s, 0) AS DOUBLE) AS sum_delta "
+        "FROM fin f LEFT JOIN init i USING (lang)"
+    ),
+    doc="LLM lake versioning: per-consumer CHANGE FEED "
+        "(lakelog.feed_changes/ack_feed) — a consumer acks the initial "
+        "version, the table then appends + CoW-updates + deletes, and "
+        "the feed hands back ONE consolidated signed delta "
+        "(file-pruned, compaction-aware — the views' delta machinery "
+        "as an API); offsets are retention tags, so the files a slow "
+        "consumer still needs survive vacuum, and delivery is "
+        "at-least-once (re-read until ack — which also makes this "
+        "query idempotent across processes). Hash-matching the "
+        "per-lang signed aggregate against final-minus-initial "
+        "computed flat in SQL proves the CDC identity: the delta is "
+        "exactly the difference of the two snapshots, nothing lost, "
+        "nothing double-counted",
+)
+def q_lake_changes_feed(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_feed_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    delta, _head = t.feed_changes("reporting", "doc_id")
+    return delta.groupBy("lang").agg(
+        F.sum("__sign").cast("bigint").alias("n_delta"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)") * F.col("__sign"))
+        .cast("double").alias("sum_delta"))
+
+
 # Shallow CLONE: fork a table at a tagged version with ZERO bytes
 # copied, then let both sides diverge — the dev/test workflow every
 # 100 TB lakehouse needs (a deep copy would be a day of I/O).

@@ -55,9 +55,11 @@ def test_driver_window_covers_llm_pipeline_queries():
         # stacked caggs + write-time expectations + shallow clone,
         # first exposure r10
         "q_lake_mv_hierarchical", "q_lake_expectations", "q_lake_clone",
-        # (q_unigram_lm / q_top_ngrams / q_length_outliers, all
-        # hash-verified r9, yielded their slots to r10 first exposures)
-        "q_filter_attrition", "q_neardup_clusters_lsh", "q_image_neardup",
+        "q_lake_changes_feed",
+        # (q_unigram_lm / q_top_ngrams / q_length_outliers /
+        # q_filter_attrition, all hash-verified r9, yielded their
+        # slots to r10 first exposures)
+        "q_neardup_clusters_lsh", "q_image_neardup",
         "q_bpe_merges",
         # embedding serving tiers
         "q_embedding_pq", "q_embedding_opq", "q_embedding_ivfpq",
