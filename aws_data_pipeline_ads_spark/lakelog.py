@@ -1408,7 +1408,7 @@ class LakeTable:
             return self._read_files_raw(entry, files)
         # legacy entries (pre-scoping) stored a bare ranges dict with no
         # file list: treat as covering the whole snapshot (old behavior)
-        deferred = [d if "ranges" in d
+        deferred = [d if ("ranges" in d or "keys" in d)
                     else {"ranges": d, "files": entry["files"]}
                     for d in deferred]
         covered = [set(d["files"]) for d in deferred]
@@ -1420,11 +1420,23 @@ class LakeTable:
         for sig, fs in groups.items():
             df = self._read_files_raw(entry, fs)
             for i in sig:
-                df = df.filter(~self._range_pred(
-                    {c: tuple(b)
-                     for c, b in deferred[i]["ranges"].items()}))
+                df = df.filter(~self._deferred_pred(deferred[i]))
             out = df if out is None else out.unionByName(df)
         return out
+
+    def _deferred_pred(self, d: dict):
+        """The positive match predicate of one deferred-delete entry —
+        range-shaped ({"ranges": col → [lo, hi]}) or key-set-shaped
+        ({"keys": col → [v, ...]}, delete_keys). NULL never matches
+        either (SQL semantics: isin and range comparisons are NULL on
+        NULL input, and the read filter coalesces to keep the row)."""
+        from pyspark.sql import functions as F
+
+        if "ranges" in d:
+            return self._range_pred(
+                {c: tuple(b) for c, b in d["ranges"].items()})
+        (col, vals), = d["keys"].items()
+        return F.coalesce(F.col(col).isin(vals), F.lit(False))
 
     def _read_files_raw(self, entry: dict, files: list[str]) -> DataFrame:
         if "schema" in entry:
@@ -1716,6 +1728,107 @@ class LakeTable:
             new_files = self._write_files(kept)
         return self._publish_rewrite(entry, "delete", txn_id, base + 1,
                                      untouched, new_files)
+
+    def delete_keys(self, col: str, values: list,
+                    txn_id: str | None = None,
+                    defer: bool = False) -> int:
+        """Row-level DELETE by KEY SET — the takedown / right-to-be-
+        erased shape: "remove exactly these ids". Rows where `col` is
+        IN `values` are deleted (NULL never matches, SQL semantics).
+
+        The covering file set is tightened driver-side through the
+        commit log's per-file min/max stats AND the Bloom index when
+        `col` is bloom-indexed (commit(bloom_cols=[...])) — point
+        lookups are exactly what the blooms exist for, so a 37-id
+        takedown touches the handful of files that can hold those ids,
+        not the table.
+
+        Default (copy-on-write): only possibly-matching files are
+        rewritten with the negated IN filter; everything else is
+        SHARED. `defer=True` (merge-on-read): the key set is recorded
+        as a predicate in the log — an O(1) commit at any table size;
+        rows vanish from every read path instantly, compact()
+        materializes pending sets away, stats() refuses while pending.
+        Deferred values must be JSON-native. Returns the new version."""
+        if not values:
+            raise ValueError("delete_keys: at least one value required")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        base = self.current_version()
+        if base is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(base)
+        cover = self._keyset_cover(entry, col, values)
+        if defer:
+            for v in values:
+                if not isinstance(v, (int, float, str, bool)):
+                    raise ValueError(
+                        f"delete_keys(defer=True): value {v!r} is not "
+                        f"JSON-native — use the copy-on-write path")
+            return self._publish(
+                entry["files"], "delete-defer", txn_id, base + 1,
+                schema=self._entry_schema(entry),
+                stats=entry.get("stats"),
+                blooms=entry.get("blooms"),
+                bloom_cols=entry.get("bloom_cols"),
+                sums=entry.get("sums"),
+                sum_cols=entry.get("sum_cols"),
+                row_counts=entry.get("row_counts"),
+                deferred_deletes=(entry.get("deferred_deletes", [])
+                                  + [{"keys": {col: list(values)},
+                                      # predicate scope: only the files
+                                      # that can HOLD any of the keys —
+                                      # tighter than the snapshot, so
+                                      # downstream version diffs (MVs,
+                                      # feeds) stay file-pruned
+                                      "files": cover}]))
+        from pyspark.sql import functions as F
+
+        untouched = [f for f in entry["files"] if f not in set(cover)]
+        new_files: list[str] = []
+        if cover:
+            kept = self._read_files(entry, cover).filter(
+                ~F.coalesce(F.col(col).isin(values), F.lit(False)))
+            new_files = self._write_files(kept)
+        return self._publish_rewrite(entry, "delete", txn_id, base + 1,
+                                     untouched, new_files)
+
+    def _keyset_cover(self, entry: dict, col: str,
+                      values: list) -> list[str]:
+        """Files that might hold ANY of `values` in `col`: stat-box
+        check first, then the per-file Bloom filter when indexed —
+        conservative in every direction (missing stat / missing bloom
+        keeps the file)."""
+        import bisect
+
+        stats = entry.get("stats", {})
+        blooms = entry.get("blooms", {})
+        bloomed = col in (entry.get("bloom_cols") or [])
+        try:
+            keyed = sorted({self._stat_key(v) for v in values})
+            if any(k is None for k in keyed):
+                keyed = None
+        except TypeError:
+            keyed = None
+        out = []
+        for f in entry["files"]:
+            per_col = stats.get(f, {})
+            if keyed is not None and col in per_col:
+                lo, hi = per_col[col]
+                try:
+                    i = bisect.bisect_left(keyed, lo)
+                    if i >= len(keyed) or keyed[i] > hi:
+                        continue          # no value in the stat box
+                except TypeError:
+                    pass                  # incomparable → keep
+            if bloomed and col in blooms.get(f, {}):
+                if not any(self._bloom_may_contain(
+                        blooms[f][col], v) for v in values):
+                    continue              # bloom excludes every value
+            out.append(f)
+        return out
 
     def _entry_schema(self, entry: dict):
         if "schema" not in entry:

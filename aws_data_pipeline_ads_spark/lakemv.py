@@ -123,11 +123,12 @@ def _file_pred_signatures(entry: dict) -> dict[str, tuple]:
     covering it in this version (same scoping as LakeTable.read)."""
     import json as _json
 
-    deferred = [d if "ranges" in d
+    deferred = [d if ("ranges" in d or "keys" in d)
                 else {"ranges": d, "files": entry["files"]}
                 for d in entry.get("deferred_deletes", [])]
     covers = [(set(d["files"]),
-               _json.dumps(d["ranges"], sort_keys=True))
+               _json.dumps({k: d[k] for k in ("ranges", "keys")
+                            if k in d}, sort_keys=True))
               for d in deferred]
     return {f: tuple(sorted(sig for fs, sig in covers if f in fs))
             for f in entry["files"]}

@@ -58,13 +58,13 @@ _WINDOW: list[str] = [
     # rotate to the tail). q_kmv_distinct (hash-verified r9) yields
     # its slot to the NEW r10 KMV-sketch MV first exposure — the same
     # portable estimator, now as incremental view state -------------------
-    "q_lake_mv_distinct_kmv", "q_winnow_fingerprint", "q_hybrid_search",
+    "q_lake_mv_distinct_kmv", "q_hybrid_search",
     # -- NEW in r10 session 2: hierarchical (stacked) continuous
     # aggregates + write-time expectations with quarantine, first
     # exposure; q_unigram_lm and q_top_ngrams (both hash-verified r9)
     # yield their slots, text family anchored by q_length_outliers+ -----
     "q_lake_mv_hierarchical", "q_lake_expectations", "q_lake_clone",
-    "q_lake_changes_feed",
+    "q_lake_changes_feed", "q_lake_gdpr_defer",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out; q_length_outliers, hash-verified r9, yields
     # its slot to the r10 clone first exposure) ---------------------------
@@ -115,7 +115,7 @@ _TAIL: list[str] = [
     "q_image_gif", "q_image_bmp", "q_lake_tag_scan",
     "q_seasonal_decompose", "q_lake_mv_refresh", "q_kmv_distinct",
     "q_unigram_lm", "q_top_ngrams", "q_length_outliers",
-    "q_filter_attrition",
+    "q_filter_attrition", "q_winnow_fingerprint",
     # -- r9 rotation: r08-hash-verified window members that yielded
     # their slots to the 9 r8-addition first exposures --------------------
     "q_kmv_jaccard", "q_kmv_rollup", "q_kmv_served", "q_winnow_pairs",

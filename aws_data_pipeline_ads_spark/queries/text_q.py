@@ -3687,6 +3687,58 @@ def q_lake_mv_distinct(spark, sf_dir):
         "nd_n_chars")
 
 
+# Deferred (merge-on-read) KEY-SET delete: the O(1) takedown — the
+# key set lands as a log predicate scoped to the stats+bloom-covered
+# files, rows vanish instantly, compaction materializes later.
+def lake_gdpr_defer_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(8, "doc_id"),
+                 bloom_cols=["doc_id"], txn_id="rev-0")
+        t.delete_keys("doc_id", [7, 23, 101, 333, 555], defer=True,
+                      txn_id="takedown-1")      # O(1) commit
+        t.compact(target_bytes=1 << 30)          # materialize away
+
+    return index_path("lake_gdpr_defer", sf_dir, build)
+
+
+@query(
+    "q_lake_gdpr_defer",
+    bench=True,  # deferred key-set delete + compaction, new in r10
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) "
+        "AS sum_chars FROM documents "
+        "WHERE doc_id IS NULL OR doc_id NOT IN (7, 23, 101, 333, 555) "
+        "GROUP BY lang"
+    ),
+    doc="LLM lake versioning: DEFERRED KEY-SET DELETE "
+        "(lakelog.delete_keys defer=True) — the right-to-be-erased "
+        "queue at 100 TB: the id set lands as an O(1) log predicate "
+        "(no data file touched) scoped to exactly the files whose "
+        "stats box / Bloom index can hold any of the ids, rows vanish "
+        "from every read path the instant the entry publishes, and "
+        "compaction later materializes the predicate away (the "
+        "pre-delete version stays time-travelable until vacuum). "
+        "Hash-matching per-lang aggregates after defer + compact "
+        "against the flat NOT IN recount proves the predicate "
+        "semantics end-to-end; NULL ids never match (SQL semantics)",
+)
+def q_lake_gdpr_defer(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_gdpr_defer_index(spark, sf_dir)
+    return (LakeTable(spark, f"{idx}/tbl").read()
+            .groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                .cast("double").alias("sum_chars")))
+
+
 # Per-consumer CHANGE FEED: the generic "what changed since I last
 # looked" primitive (feed_changes/ack_feed) — offsets are retention
 # tags, deltas are the views' signed/file-pruned machinery as an API.

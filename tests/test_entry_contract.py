@@ -46,8 +46,10 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_lake_mv_minmax", "q_lake_mv_join",
         # family anchors kept from the r8 rotation; q_kmv_distinct
         # (hash-verified r9) yielded its slot to the r10 KMV-sketch MV
-        "q_lake_mv_distinct_kmv", "q_winnow_fingerprint",
-        "q_hybrid_search",
+        "q_lake_mv_distinct_kmv", "q_hybrid_search",
+        # (q_winnow_fingerprint, hash-verified r8+r9, yielded its slot
+        # to the r10 deferred key-set delete)
+        "q_lake_gdpr_defer",
         # lake data-skipping first-exposure anchors kept in-window
         "q_lake_hilbert_scan", "q_lake_sum_agg",
         # the two r7 weak marks, driver-verified r08, kept as anchors
