@@ -141,6 +141,9 @@ def main() -> None:
     text_q.lakemv_kmv_index(spark, sf_dir)     # r10: KMV-sketch MV
     text_q.lakemv_hier_index(spark, sf_dir)    # r10: stacked caggs
     text_q.lake_expect_index(spark, sf_dir)    # r10: expectations split
+    text_q.lake_clone_index(spark, sf_dir)     # r10: zero-copy clone fork
+    text_q.lake_feed_index(spark, sf_dir)      # r10: change-feed offsets
+    text_q.lake_gdpr_defer_index(spark, sf_dir)  # r10: deferred key delete
     text_q.unigram_vocab(spark, sf_dir)       # r8: trained tokenizer
     spark.stop()
     print(f"# indexes ready in {time.time()-t0:.1f}s at {idx_root}",
