@@ -115,3 +115,24 @@ def test_property_survives_compact_restore_clone(spark, tbl, tmp_path):
     v = t.set_constraint("cap", "n_chars < 10000000", txn_id="sc-1")
     assert t.set_constraint("cap", "n_chars < 10000000",
                             txn_id="sc-1") == v
+
+
+def test_streaming_append_respects_constraints(spark, sf_dir, tmp_path):
+    """The streaming append sink rides commit(), so a standing CHECK
+    constraint poisons a violating micro-batch loudly — bad rows never
+    land through the streaming path either."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakelog import lake_append_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text").limit(30)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([Row(doc_id=-1, text="ok")],
+                                   "doc_id long, text string"))
+    t.set_constraint("text_short", "length(text) < 5")
+    land = tmp_path / "landing"
+    docs.coalesce(1).write.parquet(str(land / "s1"))
+    stream = streaming.documents_stream(spark, str(land))
+    with pytest.raises(Exception, match="text_short"):
+        lake_append_sink(stream, t, str(tmp_path / "ck"))
+    assert t.read().count() == 1               # nothing bad landed

@@ -1765,3 +1765,57 @@ def test_hierarchical_over_join_view(spark, join_srcs, tmp_path):
     up.refresh()
     down.refresh()
     assert _rows(cascade()) == _rows(flat())
+
+
+def test_hierarchical_over_star_view(spark, star_srcs, tmp_path):
+    """state_key= on the STAR view: the flagship 5-way star MV feeds a
+    downstream rollup (per-(region, segment) -> per-region totals);
+    the cascade must equal the flat recompute after the fact and a
+    dim revise."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeMaterializedView,
+        LakeStarMaterializedView,
+    )
+
+    fact, (t_o, t_c, t_n, t_r), _, li = star_srcs
+    up = LakeStarMaterializedView(
+        spark, fact,
+        [(t_o, "l_orderkey", "o_orderkey"),
+         (t_c, "o_custkey", "c_custkey", 0),
+         (t_n, "c_nationkey", "n_nationkey", 1),
+         (t_r, "n_regionkey", "r_regionkey", 2)],
+        str(tmp_path / "upstar"), fact_key="l_key",
+        group_cols=["r_name", "c_mktsegment"],
+        measures=["l_extendedprice"], state_key=True)
+    down = LakeMaterializedView(
+        spark, up.table, str(tmp_path / "downstar"), key="mv_key",
+        group_cols=["r_name"],
+        measures=["n_rows", "sum_l_extendedprice"])
+
+    def flat():
+        return (fact.read()
+                .join(t_o.read(), F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(t_c.read(), F.col("o_custkey") == F.col("c_custkey"))
+                .join(t_n.read(), F.col("c_nationkey") == F.col("n_nationkey"))
+                .join(t_r.read(), F.col("n_regionkey") == F.col("r_regionkey"))
+                .groupBy("r_name").agg(
+                    F.count(F.lit(1)).cast("decimal(38,6)")
+                    .alias("rows_total"),
+                    F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                    .alias("m_total")))
+
+    def cascade():
+        return down.read().select(
+            "r_name", F.col("sum_n_rows").alias("rows_total"),
+            F.col("sum_sum_l_extendedprice").cast("decimal(38,6)")
+            .alias("m_total"))
+
+    up.refresh()
+    down.refresh()
+    assert _rows(cascade()) == _rows(flat())
+    # fact delete + customer segment move ripple through both levels
+    fact.delete({"l_orderkey": (100, 399)})
+    t_c.update({"c_custkey": (10, 19)}, {"c_mktsegment": F.lit("MOVED")})
+    up.refresh()
+    down.refresh()
+    assert _rows(cascade()) == _rows(flat())
