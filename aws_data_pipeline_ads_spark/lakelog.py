@@ -1032,10 +1032,15 @@ class LakeTable:
             # (set_constraint) or clears them ({} from drop_constraint
             # emptying the set). The prior head is always readable
             # here — the caller just resolved it to pick `version`.
+            # A missing prior entry (clone bases, expired log prefix)
+            # legitimately means "no constraints to carry"; any OTHER
+            # read failure must propagate — swallowing a transient
+            # backend error here would silently drop every standing
+            # CHECK constraint from this and all future versions.
             try:
                 constraints = self._read_entry(version - 1).get(
                     "constraints")
-            except Exception:
+            except ValueError:
                 constraints = None
         if constraints:
             entry["constraints"] = constraints
@@ -1138,6 +1143,7 @@ class LakeTable:
         new_files: list[str] | None = None
         new_stats: dict = {}
         new_rows: dict = {}
+        validated_cons: dict = {}  # constraints this batch was gated on
         bloom_cache: dict = {}  # bloom-cols tuple → blooms for new_files
         sum_cache: dict = {}    # sum-cols tuple → sums for new_files
         for attempt in range(retries + 1):
@@ -1182,14 +1188,30 @@ class LakeTable:
             if sc is None and head_entry is not None:
                 # same property semantics as bloom_cols
                 sc = head_entry.get("sum_cols")
+            head_cons = (head_entry or {}).get("constraints") or {}
             if new_files is None:
                 # standing CHECK constraints gate the rows BEFORE any
                 # file lands (one bounded aggregate over the batch)
                 self._enforce_constraints(df, head_entry, mode)
+                validated_cons = head_cons
                 # data files land ONCE; retries only re-publish metadata
                 new_files = self._write_files(df)
                 new_stats = self._collect_stats(new_files)
                 new_rows = self._collect_row_counts(new_files)
+            elif head_cons != validated_cons:
+                # a competitor published between attempts and the head
+                # now carries constraints this batch was never checked
+                # against — re-gate, or the new version would record a
+                # constraint its own rows violate
+                try:
+                    self._enforce_constraints(df, head_entry, mode)
+                except ConstraintViolationError:
+                    # attempt-0 files were written but will never be
+                    # published — reclaim them (vacuum can't: no entry
+                    # ever references them)
+                    self._discard_files(new_files)
+                    raise
+                validated_cons = head_cons
             blooms = None
             if bc:
                 key = tuple(bc)
@@ -1806,8 +1828,15 @@ class LakeTable:
         stats = entry.get("stats", {})
         blooms = entry.get("blooms", {})
         bloomed = col in (entry.get("bloom_cols") or [])
+        # Keys and bloom probes go through the SAME localization the
+        # F.isin filter applies (naive datetime = OS-local wall time →
+        # UTC instant) — _bound_key/_probe_value, mirroring scan_point.
+        # Using raw _stat_key here would, under a non-UTC process zone,
+        # exclude files the IN filter matches: silent undeleted rows in
+        # the takedown/erasure primitive.
+        probes = [self._probe_value(v) for v in values]
         try:
-            keyed = sorted({self._stat_key(v) for v in values})
+            keyed = sorted({self._bound_key(v) for v in values})
             if any(k is None for k in keyed):
                 keyed = None
         except TypeError:
@@ -1825,7 +1854,7 @@ class LakeTable:
                     pass                  # incomparable → keep
             if bloomed and col in blooms.get(f, {}):
                 if not any(self._bloom_may_contain(
-                        blooms[f][col], v) for v in values):
+                        blooms[f][col], v) for v in probes):
                     continue              # bloom excludes every value
             out.append(f)
         return out
@@ -2493,8 +2522,12 @@ class LakeTable:
         # SOURCE table's files (zero-copy); without this line the
         # clone's vacuum would reach into the source's data dir and
         # corrupt a table it does not own.
-        own = os.path.join(self.path, "data")
-        dead = {f for f in dead if f.startswith(own)}
+        # Directory-EXACT prefix: compare against "<path>/data/" so a
+        # sibling like "<path>data-x/…" or "<path>/datasets/…" can
+        # never be mistaken for owned (startswith on the bare prefix
+        # would match both).
+        own = os.path.join(os.path.normpath(self.path), "data") + os.sep
+        dead = {f for f in dead if os.path.normpath(f).startswith(own)}
         for f in dead:
             self.data_plane.remove(f)
         return len(dead)

@@ -801,7 +801,17 @@ class LakeMaterializedView:
             # sketches are not invertible: a disappeared row cannot be
             # subtracted from a bottom-k state. Refuse loudly (the
             # delta-sized check is one narrow action), never over-count.
-            neg = delta.where(F.col("__sign") == -1).limit(1).collect()
+            # The check is NET per identical row content, not raw-sign
+            # existence: NULL-keyed rows are routed around the key diff
+            # as unconditional ± pairs every span (signed_frame_delta),
+            # so an UNCHANGED NULL-keyed row carries a cancelling pair —
+            # net 0, harmless (± cancels in every signed aggregate and
+            # re-inserting a value already in a bottom-k sketch is a
+            # no-op). Only a net-negative content group is a true
+            # disappearance a sketch cannot retract.
+            neg = (delta.groupBy(*self._delta_cols())
+                   .agg(F.sum("__sign").alias("__net"))
+                   .where(F.col("__net") < 0).limit(1).collect())
             if neg:
                 raise UnsupportedAggregateError(
                     f"distinct_mode='kmv' view saw a disappeared row in "

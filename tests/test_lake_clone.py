@@ -80,6 +80,33 @@ def test_clone_vacuum_never_touches_source_files(spark, src_table,
     assert c.read().count() == 20
 
 
+def test_vacuum_ownership_is_directory_exact(spark, src_table, tmp_path):
+    """The ownership guard must be a DIRECTORY prefix, not a string
+    prefix: a borrowed file under a sibling path sharing the '<path>data'
+    spelling ('<path>data-x/…', '<path>/datasets/…') used to pass the
+    bare startswith and get deleted by a vacuum of a table that does
+    not own it (the r10 advice find)."""
+    t, docs = src_table
+    base = str(tmp_path / "tbl")
+    t2 = LakeTable(spark, base)
+    t2.commit(docs.limit(10))
+    # two files a table at `base` does NOT own, but whose paths share
+    # the '<base>/data' string prefix
+    sib1 = tmp_path / "tbl" / "datasets" / "borrowed.parquet"
+    sib2 = tmp_path / "tbl" / "data-x" / "borrowed.parquet"
+    for s in (sib1, sib2):
+        s.parent.mkdir(parents=True)
+        docs.limit(1).toPandas().to_parquet(str(s))
+    # an old version references the borrowed files; the head does not
+    head = t2.current_version()
+    entry = t2._read_entry(head)
+    t2._publish(entry["files"] + [str(sib1), str(sib2)], "append",
+                None, head + 1, schema=t2._entry_schema(entry))
+    t2.commit(docs.limit(5), "overwrite")
+    t2.vacuum(keep_last=1)
+    assert sib1.exists() and sib2.exists()     # never owned, never deleted
+
+
 def test_source_vacuum_honors_clone_pin(spark, src_table, tmp_path):
     t, docs = src_table
     c = t.clone(str(tmp_path / "dev"))         # pin_tag=True default

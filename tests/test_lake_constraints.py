@@ -117,6 +117,72 @@ def test_property_survives_compact_restore_clone(spark, tbl, tmp_path):
                             txn_id="sc-1") == v
 
 
+def test_transient_carry_forward_read_error_fails_loudly(spark, tbl,
+                                                         monkeypatch):
+    """_publish carries standing constraints forward by re-reading the
+    prior entry; a TRANSIENT backend error on that read used to be
+    swallowed (bare except → constraints=None), silently disabling
+    enforcement for this and every future version. It must propagate —
+    a commit that cannot see the table's constraints must not publish."""
+    t, docs = tbl
+    t.set_constraint("cap", "n_chars < 1000000000")
+    head = t.current_version()
+
+    def boom(path):
+        raise ConnectionError("transient backend read failure")
+
+    monkeypatch.setattr(t.backend, "get", boom)
+    with pytest.raises(ConnectionError):
+        t._publish([], "append", None, head + 1)
+    monkeypatch.undo()
+    # nothing published, the constraint still stands and still gates
+    assert t.current_version() == head
+    assert t.constraints() == {"cap": "n_chars < 1000000000"}
+    with pytest.raises(ConstraintViolationError):
+        t.commit(spark.createDataFrame(
+            [Row(doc_id=1, lang="aa", n_chars=2000000000)],
+            "doc_id long, lang string, n_chars long"), "append")
+
+
+def test_append_retry_revalidates_competitor_constraint(spark, tmp_path,
+                                                        monkeypatch):
+    """An append that loses the version race re-publishes against the
+    NEW head. If the competitor's commit added a CHECK constraint, the
+    retried batch was never gated on it — it must be re-validated, or
+    the new version records a constraint its own rows violate (the r10
+    advice find). The loser's already-written data files are reclaimed
+    when the re-gate refuses."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=1, n_chars=10), Row(doc_id=2, n_chars=20)],
+        "doc_id long, n_chars long"))
+    t2 = LakeTable(spark, str(tmp_path / "t"))   # competitor handle
+    real_put = t.backend.put_if_absent
+    state = {"raced": False}
+
+    def racing_put(path, body):
+        if not state["raced"]:
+            state["raced"] = True
+            # competitor wins the version race AND adds a constraint
+            # the loser's batch violates
+            t2.set_constraint("pos", "n_chars > 0")
+        return real_put(path, body)
+
+    monkeypatch.setattr(t.backend, "put_if_absent", racing_put)
+    bad = spark.createDataFrame([Row(doc_id=3, n_chars=0)],
+                                "doc_id long, n_chars long")
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        t.commit(bad, "append", retries=3)
+    monkeypatch.undo()
+    # competitor's constraint commit is the head; the bad row never landed
+    assert t2.constraints() == {"pos": "n_chars > 0"}
+    assert t.read().where(F.col("n_chars") <= 0).count() == 0
+    # the loser's orphan data files were reclaimed
+    live = set(t._read_entry(t.current_version())["files"])
+    on_disk = set(t.data_plane.walk(str(tmp_path / "t" / "data")))
+    assert on_disk == live
+
+
 def test_streaming_append_respects_constraints(spark, sf_dir, tmp_path):
     """The streaming append sink rides commit(), so a standing CHECK
     constraint poisons a violating micro-batch loudly — bad rows never

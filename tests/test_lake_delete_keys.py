@@ -99,6 +99,53 @@ def test_defer_guards(spark, tbl):
         t.delete_keys("doc_id", [datetime.datetime.now()], defer=True)
 
 
+def test_cow_delete_keys_naive_datetime_hostile_os_tz(spark, sf_dir,
+                                                      tmp_path):
+    """A NAIVE datetime key must mean the same instant to the cover
+    pruner and to the exact isin filter. PySpark converts naive
+    datetimes through time.mktime (the OS TZ env var), while file
+    stats and bloom keys are UTC instants — a cover probing stats with
+    the raw naive value (or blooms with the unlocalized one) would,
+    under a non-UTC process zone, EXCLUDE the file holding the key:
+    the rewrite never opens it and the row silently survives its own
+    takedown (the r10 advice find — _keyset_cover now goes through
+    _bound_key/_probe_value exactly like scan_point)."""
+    import os
+    import time as _time
+
+    from aws_data_pipeline_ads_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.commit(ev.repartitionByRange(8, "ts"), bloom_cols=["ts"])
+    prev_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        # collect() hands back naive OS-local wall times — exactly the
+        # key a user would pass into delete_keys
+        victims = [r["ts"] for r in
+                   ev.orderBy("ts").limit(500).collect()][::170][:3]
+        assert all(v.tzinfo is None for v in victims)
+        n_before = t.read().count()
+        n_victim_rows = t.read().filter(F.col("ts").isin(victims)).count()
+        assert n_victim_rows >= len(victims)
+        old_files = set(t._read_entry(t.current_version())["files"])
+        t.delete_keys("ts", victims)
+        # every victim row is really gone...
+        assert t.read().filter(F.col("ts").isin(victims)).count() == 0
+        assert t.read().count() == n_before - n_victim_rows
+        # ...and the cover still PRUNED (bounded rewrite, not full)
+        new_files = set(t._read_entry(t.current_version())["files"])
+        assert len(old_files & new_files) > 0
+    finally:
+        if prev_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev_tz
+        _time.tzset()
+
+
 def test_mv_refresh_across_deferred_key_delete(spark, tbl, tmp_path):
     """The MV delta must see a deferred KEY delete exactly: covered
     files change signature, the delta emits the vanished rows as −1,

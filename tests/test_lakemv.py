@@ -1663,6 +1663,50 @@ def test_kmv_refuses_revisions(spark, tmp_path):
         mv2.refresh()
 
 
+def test_kmv_null_key_rows_do_not_wedge_growing_source(spark, tmp_path):
+    """NULL-keyed source rows are routed around the key diff as
+    unconditional ± pairs (signed_frame_delta) — so whenever their file
+    is on both diff sides (snapshot-style overwrite producers, CoW
+    rewrites of neighboring rows), an UNCHANGED NULL-keyed row used to
+    trip the kmv no-retraction gate and wedge every refresh (the r10
+    advice find; the error's own 'rebuild the view' suggestion did not
+    help — the rebuilt view failed the next refresh identically). The
+    gate is now NET per row content: cancelling ± pairs pass, true
+    disappearances still refuse."""
+    rows = [Row(doc_id=(None if i % 7 == 0 else i), lang="aa",
+                n_chars=i % 23) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long")
+    t = LakeTable(spark, str(tmp_path / "src"))
+    mv = LakeMaterializedView(
+        spark, t, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"],
+        distinct=["n_chars"], distinct_mode="kmv")
+    t.commit(df.filter(F.coalesce(F.col("doc_id"), F.lit(1)) < 30))
+    mv.refresh()
+    # snapshot producer: OVERWRITE with old rows (NULL keys included,
+    # byte-identical) + 30 new — logically append-only, but no file is
+    # shared so every NULL row re-emits as a ± pair in the delta
+    t.commit(df)
+    mv.refresh()                    # used to raise UnsupportedAggregate
+    t.commit(spark.createDataFrame(
+        [Row(doc_id=None, lang="aa", n_chars=999)],
+        "doc_id long, lang string, n_chars long"), "append")
+    mv.refresh()                    # NULL-keyed append itself also lands
+    got = mv.read().collect()[0]
+    all_vals = [r.n_chars for r in rows] + [999]
+    hs, est = _kmv_py(all_vals)
+    assert got["n_rows"] == 61
+    assert list(got["kmv_n_chars"]) == hs
+    assert got["nd_n_chars_est"] == est
+    # a TRUE disappearance (net-negative content) still refuses loudly
+    from aws_data_pipeline_ads_spark.lakemv import UnsupportedAggregateError
+
+    t.delete({"n_chars": (999, 999)})
+    with pytest.raises(UnsupportedAggregateError, match="disappeared"):
+        mv.refresh()
+
+
 # -- hierarchical continuous aggregates (state_key= MV stacking) --------------
 
 def test_hierarchical_cagg_stacks_exactly(spark, sf_dir, tmp_path):
