@@ -51,8 +51,15 @@ _WINDOW: list[str] = [
     # verified r9, yields its slot) ---------------------------------------
     "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_daily",
     "q_lake_mv_variance",
-    # -- r9 additions, driver-verified r9, kept as anchors ----------------
-    "q_lake_mv_minmax", "q_lake_mv_join",
+    # -- r11 rotation: the two r10-flagged WEAK bench queries enter the
+    # window so CORRECTNESS_r11 re-verifies them alongside their bench
+    # fix — q_approx_distinct_check (NEW: the 3σ contract split out of
+    # the benched sketch-only q_approx_distinct) and q_embedding_knn
+    # (bench-methodology note in bench.py; exact-fold oracle). The
+    # doubly-verified (r9+r10) q_lake_mv_minmax / q_lake_mv_join yield
+    # their slots; the MV family stays anchored by
+    # star/distinct/daily/variance/leftjoin/kmv/hierarchical ---------------
+    "q_approx_distinct_check", "q_embedding_knn",
     # -- family anchors kept from the r8 rotation (winnowing, hybrid
     # retrieval; both corpus-health fits are r08-hash-verified and
     # rotate to the tail). q_kmv_distinct (hash-verified r9) yields
@@ -108,6 +115,9 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
+    # -- r11 rotation: r9+r10 doubly-hash-verified MV anchors that
+    # yielded their slots to the weak-bench re-verification pair ----------
+    "q_lake_mv_minmax", "q_lake_mv_join",
     # -- r10 rotation: r09-hash-verified window members that yielded
     # their slots to the three MV first exposures (image-codec family
     # anchored in-window by q_image_neardup/q_image_exif; lake tags by
@@ -133,7 +143,7 @@ _TAIL: list[str] = [
     # -- r7 rotation: multi-round-verified queries yielded their
     # window slots to the first-exposure backlog ------------------------
     "q_dedup_exact", "q_asof_join", "q_tpch_q5", "q_gopher_rules",
-    "q_decontaminate", "q_embedding_knn",
+    "q_decontaminate",
     "q_snapshot_diff", "q_heavy_hitters_cms", "q_skewed_join",
     "q_tpch_q3_bucketed", "q_incremental_dedup", "q_resolve_entities",
     "q_scd2", "q_merge_upsert", "q_tpch_q2", "q_tpch_q4", "q_tpch_q6",

@@ -167,6 +167,29 @@ def q_count_distinct(spark, sf_dir):
 
 @query(
     "q_approx_distinct",
+    # The estimate itself is engine-specific (HLL++ register layout),
+    # so the BENCHED entry is rows-only by nature — exactly the r1
+    # shape, keeping BENCH comparable_total apples-to-apples. Its
+    # accuracy contract is hash-gated by q_approx_distinct_check below
+    # (same approx_count_distinct path, exact 3σ oracle): benching the
+    # verification harness is not benching the operator — at 100 TB
+    # the exact countDistinct pair costs the expand + double shuffle
+    # the sketch exists to avoid (the r10 regression).
+    oracle=None,
+    bench=True,
+    doc="2C aggs: approx_count_distinct (HyperLogLog++) — the sketch is "
+        "mergeable, so one pass / no key shuffle at 100 TB; accuracy "
+        "contract hash-gated by q_approx_distinct_check",
+)
+def q_approx_distinct(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey").alias("n_supps_approx"),
+    )
+
+
+@query(
+    "q_approx_distinct_check",
     oracle=(
         # the estimate itself is engine-specific (HLL++ registers), but
         # its ACCURACY CONTRACT is exact and SQL-expressible: default
@@ -178,16 +201,15 @@ def q_count_distinct(spark, sf_dir):
         "TRUE AS parts_within_3sd, TRUE AS supps_within_3sd "
         "FROM lineitem"
     ),
-    bench=True,
-    doc="2C aggs: approx_count_distinct (HyperLogLog++) — the sketch is "
-        "mergeable, so one pass / no key shuffle at 100 TB. "
-        "Hash-checked on the sketch's accuracy contract: the estimate "
-        "must land within 3σ (15% at the default relativeSD=0.05) of "
-        "the exact distinct count, which the oracle computes exactly — "
-        "a broken sketch register path fails the gate, not just a "
-        "pytest",
+    doc="2C aggs: the q_approx_distinct accuracy gate — the HLL++ "
+        "estimate must land within 3σ (15% at the default "
+        "relativeSD=0.05) of the exact distinct count, which the "
+        "oracle computes exactly; a broken sketch register path fails "
+        "the hash gate, not just a pytest. Unbenched on purpose: the "
+        "exact countDistinct pair is the verification harness, not "
+        "the 100 TB operator",
 )
-def q_approx_distinct(spark, sf_dir):
+def q_approx_distinct_check(spark, sf_dir):
     agg = load_table(spark, sf_dir, "lineitem").agg(
         F.approx_count_distinct("l_partkey").alias("ap_parts"),
         F.approx_count_distinct("l_suppkey").alias("ap_supps"),

@@ -30,6 +30,16 @@ cluster would run all day. Prints ONE JSON line:
 BENCH_r{N}.json files stay comparable; cold is fresh-JVM cold from r5
 on, slightly heavier but far more reproducible than shared-session
 "cold after 20 other queries".)
+
+Methodology caveat for per-query ratios against BENCH_r01: r1 timed all
+queries inside ONE warm shared session, so r1 "cold" carries no
+fresh-JVM first-run cost. For sub-second queries the r5+ cold therefore
+includes a ~0.15-0.4 s codegen/first-scan floor that r1 numbers lack —
+compare `steady` to r1 cold for those (e.g. q_embedding_knn: r1 cold
+0.228 s vs r10 steady 0.258 s is parity; its r10 cold 0.67 s is
+JVM-first-run overhead on a 64-element higher-order-fold expression,
+not a plan regression). Totals (`comparable_total`) aggregate enough
+work that the floor washes out.
 """
 
 from __future__ import annotations
