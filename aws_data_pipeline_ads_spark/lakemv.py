@@ -915,17 +915,31 @@ class LakeJoinMaterializedView:
     (non-invertible, same trade as the single-table view); sketch
     distinct modes refuse loudly.
 
-    `how` selects the join: "inner" (default) or "left" (LEFT OUTER —
+    `how` selects the join: "inner" (default), "left" (LEFT OUTER —
     unmatched fact rows NULL-extend the dim columns, so dim-side group
-    columns may legally be NULL groups). The left-join dim-revision
-    delta generalizes the inner rule uniformly: per changed dim key,
-    emit the fact rows' NEW contribution (+, joined against the new
-    image — or NULL-extended when the key disappeared) and retract the
-    OLD one (−, old image — or the NULL extension the key replaced
-    when it appeared); see _left_flip_delta. RIGHT/FULL refuse loudly
-    (UnsupportedJoinShapeError): the preserved dim side has no
-    fact_key identity for its NULL-extended rows, so the signed fact
-    delta cannot retract them.
+    columns may legally be NULL groups), "right" (RIGHT OUTER —
+    unmatched dim rows NULL-extend the fact columns) or "full" (FULL
+    OUTER — both). The left-join dim-revision delta generalizes the
+    inner rule uniformly: per changed dim key, emit the fact rows' NEW
+    contribution (+, joined against the new image — or NULL-extended
+    when the key disappeared) and retract the OLD one (−, old image —
+    or the NULL extension the key replaced when it appeared); see
+    _left_flip_delta.
+
+    RIGHT/FULL add the dual rule: the preserved dim side's
+    NULL-extended rows carry no fact_key identity, so their presence
+    is maintained from the join-key MATCH COUNT instead — a dim key's
+    NULL extension exists iff its fact match count is zero, and a fact
+    delta flips it exactly when the count crosses 0 (one extra
+    broadcast-filtered count scan of the old fact per fact-delta
+    refresh; see _fact_cnt_cross). The dim-revision delta for RIGHT is
+    the exact mirror of the fact-delta rule (_right_dim_delta: each
+    signed dim row multiplies into its old-fact matches, or
+    NULL-extends when unmatched); FULL composes the LEFT flip delta
+    (fact-preserved rows swap images) with the zero-match dim rows'
+    signed NULL extensions (_full_dim_null_ext). The telescoping order
+    is fixed — dim step against F_old, fact step against D_new — so
+    interleaved revisions on both sides compose exactly.
 
     Scale shape:
     * ΔF and ΔD are file-pruned version deltas (delta-sized for
@@ -959,13 +973,10 @@ class LakeJoinMaterializedView:
                  distinct_mode: str = "exact",
                  how: str = "inner",
                  state_key: bool = False):
-        if how not in ("inner", "left"):
+        if how not in ("inner", "left", "right", "full"):
             raise UnsupportedJoinShapeError(
-                f"how={how!r} is not maintainable incrementally: only "
-                f"'inner' and 'left' are — a RIGHT/FULL join's "
-                f"NULL-extended dim rows carry no fact_key identity, "
-                f"so a signed fact delta cannot retract them; "
-                f"recompute such views fully instead")
+                f"how={how!r} is not maintainable incrementally: "
+                f"'inner', 'left', 'right' and 'full' are")
         if not group_cols:
             raise ValueError("materialized view needs >=1 group column")
         overlap = set(group_cols) & (set(measures) | set(minmax or [])
@@ -1043,20 +1054,28 @@ class LakeJoinMaterializedView:
     # -- refresh -------------------------------------------------------------
 
     def _joined(self, f_df: DataFrame, d_df: DataFrame,
-                broadcast_side: str | None = None) -> DataFrame:
+                broadcast_side: str | None = None,
+                how: str | None = None) -> DataFrame:
+        how = how or self.how
         f_side, d_side = self._split_sides()
         f = f_df.select(self.join_key, *[c for c in f_side
                                          if c != self.join_key],
                         *(["__sign"] if "__sign" in f_df.columns else []))
         d = d_df.select(self.join_key, *d_side,
                         *(["__sign"] if "__sign" in d_df.columns else []))
-        if broadcast_side == "fact" and self.how == "inner":
+        if broadcast_side == "fact" and how == "inner":
             f = F.broadcast(f)
-        elif broadcast_side is not None:
+        elif broadcast_side is not None and how in ("inner", "left"):
             # a LEFT join cannot build its hash table on the preserved
-            # fact side — broadcast the dim regardless of the hint
+            # fact side — broadcast the dim regardless of the hint.
+            # RIGHT/FULL get no hint at all: a broadcast-hash join
+            # cannot build on a preserved side (Spark would have to
+            # broadcast the FACT), so the one place they run a full
+            # two-sided join — the first build — is left to Catalyst
+            # (SMJ/shuffled-hash); every incremental path below joins
+            # delta-scoped frames instead
             d = F.broadcast(d)
-        return f.join(d, self.join_key, self.how)
+        return f.join(d, self.join_key, how)
 
     def _left_flip_delta(self, f_old: DataFrame, d_d: DataFrame,
                          f_side: list[str],
@@ -1098,6 +1117,101 @@ class LakeJoinMaterializedView:
                           for c in d_side],
                         F.col("__e.__sign").alias("__sign")))
 
+    def _null_fact_lits(self, f_old: DataFrame,
+                        f_keep: list[str]) -> list:
+        """Typed NULL literals for the fact-side observed columns — the
+        fact half of a dim-preserved NULL extension."""
+        return [F.lit(None).cast(f_old.schema[c].dataType).alias(c)
+                for c in f_keep]
+
+    def _fact_cnt_cross(self, f_old: DataFrame, d_f: DataFrame,
+                        head_d: int) -> DataFrame:
+        """Dim-side NULL-extension corrections for a FACT delta
+        (right/full only): a dim key's NULL-extended row exists iff its
+        fact match count is zero, so it flips exactly when ΔF moves the
+        count across 0 — retracted (−) on 0→>0, added (+) on >0→0.
+
+        Cost shape: the signed per-key count comes from ΔF
+        (delta-sized); the old count is ONE broadcast-semi-filtered
+        scan of F_old aggregated per key (no exchange — the map-side
+        partial aggregate collapses to ≤|ΔF keys| rows); the crossing
+        set is delta-sized and broadcasts into D_new. This count scan
+        is the irreducible price of outer-join IVM without a
+        key-indexed fact (DBToaster's mc relation, Materialize's
+        reduction state — we recompute it delta-scoped instead of
+        storing it)."""
+        jk = self.join_key
+        f_side, d_side = self._split_sides()
+        f_keep = [c for c in f_side if c != jk]
+        dn = (d_f.where(F.col(jk).isNotNull())
+              .groupBy(jk).agg(F.sum("__sign").alias("__dn")))
+        c0 = (f_old.select(jk).where(F.col(jk).isNotNull())
+              .join(F.broadcast(dn.select(jk)), jk, "semi")
+              .groupBy(jk).agg(F.count(F.lit(1)).alias("__c0")))
+        old_n = F.coalesce(F.col("__c0"), F.lit(0))
+        cross = (dn.join(c0, jk, "left")
+                 .select(F.col(jk), old_n.alias("__c0"),
+                         (old_n + F.col("__dn")).alias("__c1"))
+                 .where(((F.col("__c0") == 0) & (F.col("__c1") > 0))
+                        | ((F.col("__c0") > 0) & (F.col("__c1") == 0)))
+                 .select(F.col(jk),
+                         F.when(F.col("__c0") == 0, F.lit(-1))
+                         .otherwise(F.lit(1)).alias("__sign")))
+        # a crossing key NULL-extends only while the dim actually holds
+        # it — keys absent from D_new never had an extension to flip
+        return (self.dim.read(head_d).select(jk, *d_side)
+                .join(F.broadcast(cross), jk, "inner")
+                .select(F.col(jk), *self._null_fact_lits(f_old, f_keep),
+                        *d_side, F.col("__sign")))
+
+    def _right_dim_delta(self, f_old: DataFrame, d_d: DataFrame,
+                         f_side: list[str],
+                         d_side: list[str]) -> DataFrame:
+        """Δ_dim for RIGHT OUTER — the mirror of the fact-delta rule:
+        each signed dim row multiplies into its F_old matches (the
+        joined rows it creates or retracts), or NULL-extends the fact
+        side when unmatched. Two broadcast-filtered F_old scans (rows +
+        matched-key set), both pruned to ΔD's keys; the matched-key
+        set is ≤|ΔD| rows, so the anti probe broadcasts."""
+        jk = self.join_key
+        f_keep = [c for c in f_side if c != jk]
+        keys = d_d.select(jk).where(F.col(jk).isNotNull()).distinct()
+        f_hit = (f_old.select(jk, *f_keep)
+                 .join(F.broadcast(keys), jk, "semi"))
+        dd = d_d.select(jk, *d_side, "__sign")
+        inner = (f_hit.join(F.broadcast(dd), jk, "inner")
+                 .select(F.col(jk), *f_keep, *d_side, F.col("__sign")))
+        matched = f_hit.select(jk).distinct()
+        unmatched = (dd.join(F.broadcast(matched), jk, "left_anti")
+                     .select(F.col(jk),
+                             *self._null_fact_lits(f_old, f_keep),
+                             *d_side, F.col("__sign")))
+        return inner.unionByName(unmatched)
+
+    def _full_dim_null_ext(self, f_old: DataFrame, d_d: DataFrame,
+                           f_side: list[str],
+                           d_side: list[str]) -> DataFrame:
+        """FULL OUTER's dim-side extension delta: signed ΔD rows whose
+        key matches NOTHING in F_old (NULL dim keys included — they
+        never equality-match) are themselves view rows, NULL-extended
+        on the fact side. Keys WITH F_old matches ride
+        _left_flip_delta — their content lives in the joined rows."""
+        jk = self.join_key
+        f_keep = [c for c in f_side if c != jk]
+        keys = d_d.select(jk).where(F.col(jk).isNotNull()).distinct()
+        matched = (f_old.select(jk)
+                   .join(F.broadcast(keys), jk, "semi").distinct())
+        return (d_d.select(jk, *d_side, "__sign")
+                .join(F.broadcast(matched), jk, "left_anti")
+                .select(F.col(jk), *self._null_fact_lits(f_old, f_keep),
+                        *d_side, F.col("__sign")))
+
+    # fact-delta join shape per view `how`: the non-matching ΔF rows of
+    # a RIGHT view contribute nothing (inner), a FULL view's are
+    # fact-preserved (left); corrections handle the dim-side extensions
+    _FACT_DELTA_HOW = {"inner": "inner", "left": "left",
+                       "right": "inner", "full": "left"}
+
     def refresh(self) -> tuple[int, int]:
         """Bring the view up to both source heads. First call builds
         the full join aggregate; later calls apply the signed join
@@ -1129,19 +1243,32 @@ class LakeJoinMaterializedView:
         f_cols = list(dict.fromkeys([self.join_key] + f_side))
         d_cols = list(dict.fromkeys([self.join_key] + d_side))
         parts = []
-        if head_f > lf:                       # ΔF ⋈ D_new
+        if head_f > lf:                       # ΔF against D_new
             d_f = signed_span_delta(self.fact, self.fact_key,
                                     f_cols, lf, head_f)
             if d_f is not None:
-                parts.append(self._joined(d_f, self.dim.read(head_d),
-                                          "fact"))
-        if head_d > ld:                       # F_old ⋈ ΔD
+                parts.append(self._joined(
+                    d_f, self.dim.read(head_d), "fact",
+                    how=self._FACT_DELTA_HOW[self.how]))
+                if self.how in ("right", "full"):
+                    parts.append(self._fact_cnt_cross(
+                        self.fact.read(lf), d_f, head_d))
+        if head_d > ld:                       # ΔD against F_old
             d_d = signed_span_delta(self.dim, self.join_key,
                                     d_cols, ld, head_d)
             if d_d is not None and self.how == "left":
                 if d_side:  # no dim column observed → ΔD cannot move
                     parts.append(self._left_flip_delta(
                         self.fact.read(lf), d_d, f_side, d_side))
+            elif d_d is not None and self.how == "right":
+                parts.append(self._right_dim_delta(
+                    self.fact.read(lf), d_d, f_side, d_side))
+            elif d_d is not None and self.how == "full":
+                if d_side:  # fact-preserved rows swap dim images
+                    parts.append(self._left_flip_delta(
+                        self.fact.read(lf), d_d, f_side, d_side))
+                parts.append(self._full_dim_null_ext(
+                    self.fact.read(lf), d_d, f_side, d_side))
             elif d_d is not None:
                 parts.append(self._joined(self.fact.read(lf), d_d,
                                           "dim"))

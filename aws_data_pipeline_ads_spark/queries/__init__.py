@@ -49,8 +49,12 @@ _WINDOW: list[str] = [
     # derived-bucket continuous aggregate, first exposure; variance MV
     # rotated in from the tail stage (q_seasonal_decompose, hash-
     # verified r9, yields its slot) ---------------------------------------
-    "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_daily",
+    "q_lake_mv_star", "q_lake_mv_distinct",
     "q_lake_mv_variance",
+    # -- NEW in r11: FULL OUTER join MV (both-side NULL extensions via
+    # match-count crossings), first exposure; q_lake_mv_daily (hash-
+    # verified r9 AND r10) yields its slot ---------------------------------
+    "q_lake_mv_fulljoin",
     # -- r11 rotation: the two r10-flagged WEAK bench queries enter the
     # window so CORRECTNESS_r11 re-verifies them alongside their bench
     # fix — q_approx_distinct_check (NEW: the 3σ contract split out of
@@ -116,8 +120,9 @@ _WINDOW: list[str] = [
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
     # -- r11 rotation: r9+r10 doubly-hash-verified MV anchors that
-    # yielded their slots to the weak-bench re-verification pair ----------
-    "q_lake_mv_minmax", "q_lake_mv_join",
+    # yielded their slots to the weak-bench re-verification pair and
+    # the FULL-join MV first exposure -------------------------------------
+    "q_lake_mv_minmax", "q_lake_mv_join", "q_lake_mv_daily",
     # -- r10 rotation: r09-hash-verified window members that yielded
     # their slots to the three MV first exposures (image-codec family
     # anchored in-window by q_image_neardup/q_image_exif; lake tags by

@@ -3595,7 +3595,7 @@ def lakemv_leftjoin_index(spark, sf_dir: str) -> str:
         "delta, then key disappearance + fact delete. Hash-matching "
         "the flat SQL LEFT JOIN over the final predicate state proves "
         "incremental == full re-join including the NULL group. "
-        "RIGHT/FULL refuse loudly (UnsupportedJoinShapeError)",
+        "RIGHT/FULL are maintained too since r11 (q_lake_mv_fulljoin)",
 )
 def q_lake_mv_leftjoin(spark, sf_dir):
     from aws_data_pipeline_ads_spark.lakelog import LakeTable
@@ -3607,6 +3607,100 @@ def q_lake_mv_leftjoin(spark, sf_dir):
         LakeTable(spark, f"{idx}/dim"), f"{idx}/mv",
         fact_key="o_orderkey", join_key="custkey",
         group_cols=["seg"], measures=["price"], how="left")
+    return mv.read().select(
+        "seg", "n_rows", "n_price",
+        F.col("sum_price").cast("double").alias("sum_price"))
+
+
+# FULL OUTER join MV: BOTH sides' NULL extensions are maintained state
+# — unmatched fact rows form the NULL group (LEFT's rule) and unmatched
+# dim rows NULL-extend the fact columns, their presence tracked by the
+# join-key match count crossing 0 (lakemv._fact_cnt_cross).
+def lakemv_fulljoin_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"))
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("seg"))
+        fact = LakeTable(spark, f"{path}/fact")
+        dim = LakeTable(spark, f"{path}/dim")
+        mv = LakeJoinMaterializedView(
+            spark, fact, dim, f"{path}/mv", fact_key="o_orderkey",
+            join_key="custkey", group_cols=["seg"], measures=["price"],
+            how="full")
+        fact.commit(orders.filter((F.col("custkey") <= 60)
+                                  & (F.col("o_orderkey") % 3 < 2))
+                    .repartitionByRange(8, "o_orderkey"), txn_id="f0")
+        dim.commit(cust.filter(F.col("custkey") % 2 == 0), txn_id="d0")
+        mv.refresh()    # full build: odd-custkey facts → NULL group;
+        #                 even custkeys > 60 → dim-side extensions
+        fact.commit(orders.filter(
+            ((F.col("custkey") <= 60) & (F.col("o_orderkey") % 3 == 2))
+            | F.col("custkey").between(61, 70)), "append", txn_id="f1")
+        mv.refresh()    # fact delta: first matches for evens 62..70 —
+        #                 count crossings RETRACT their extensions
+        dim.update({"custkey": (10, 19)}, {"seg": F.lit("MOVED")},
+                   txn_id="d1")    # image change
+        dim.commit(cust.filter((F.col("custkey") % 2 == 1)
+                               & F.col("custkey").between(31, 69)),
+                   "append", txn_id="d2")  # keys APPEAR: un-NULL facts
+        mv.refresh()    # one span delta, image swap + appearance
+        dim.delete({"custkey": (20, 29)}, txn_id="d3")  # keys DISAPPEAR
+        fact.delete({"custkey": (61, 70)}, txn_id="f2")
+        mv.refresh()    # facts flip back to the NULL group; the 61..70
+        #                 dim keys lose their LAST match — crossings
+        #                 restore their NULL extensions
+
+    return index_path("lakemv_fulljoin", sf_dir, build)
+
+
+@query(
+    "q_lake_mv_fulljoin",
+    bench=True,  # FULL-join MV state read, new in r11
+    oracle=(
+        "WITH c AS (SELECT c_custkey AS custkey, "
+        "CASE WHEN c_custkey BETWEEN 10 AND 19 THEN 'MOVED' "
+        "ELSE c_mktsegment END AS seg FROM customer "
+        "WHERE ((c_custkey % 2 = 0) OR (c_custkey % 2 = 1 "
+        "AND c_custkey BETWEEN 31 AND 69)) "
+        "AND c_custkey NOT BETWEEN 20 AND 29), "
+        "o AS (SELECT o_custkey AS custkey, o_totalprice AS price "
+        "FROM orders WHERE o_custkey <= 60) "
+        "SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(price) AS BIGINT) AS n_price, "
+        "CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS sum_price "
+        "FROM o FULL JOIN c USING (custkey) GROUP BY seg"
+    ),
+    doc="LLM lake versioning: FULL OUTER JOIN materialized view "
+        "(lakemv how='full') — revenue per market segment over "
+        "orders ⟗ customer where each side covers only part of the "
+        "other's keys, so BOTH NULL extensions are maintained state: "
+        "unmatched orders form the NULL group (the LEFT flip rule) "
+        "and unmatched customers NULL-extend the fact side, their "
+        "presence tracked by the join-key match count — a fact delta "
+        "flips a dim key's extension exactly when its count crosses "
+        "0 (lakemv._fact_cnt_cross, one broadcast-filtered count "
+        "scan; the DBToaster outer-join IVM trade). The sequence "
+        "exercises key appearance AND disappearance on both sides "
+        "plus 0→>0 and >0→0 crossings; hash-matching the flat SQL "
+        "FULL JOIN over the final predicate state proves incremental "
+        "== full re-join including both extension kinds",
+)
+def q_lake_mv_fulljoin(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    idx = lakemv_fulljoin_index(spark, sf_dir)
+    mv = LakeJoinMaterializedView(
+        spark, LakeTable(spark, f"{idx}/fact"),
+        LakeTable(spark, f"{idx}/dim"), f"{idx}/mv",
+        fact_key="o_orderkey", join_key="custkey",
+        group_cols=["seg"], measures=["price"], how="full")
     return mv.read().select(
         "seg", "n_rows", "n_price",
         F.col("sum_price").cast("double").alias("sum_price"))

@@ -148,6 +148,7 @@ def main() -> None:
     text_q.lakemv_distinct_index(spark, sf_dir)  # r10: COUNT(DISTINCT) MV
     text_q.lakemv_daily_index(spark, sf_dir)   # r10: continuous aggregate
     text_q.lakemv_leftjoin_index(spark, sf_dir)  # r10: LEFT-join MV
+    text_q.lakemv_fulljoin_index(spark, sf_dir)  # r11: FULL-join MV
     text_q.lakemv_kmv_index(spark, sf_dir)     # r10: KMV-sketch MV
     text_q.lakemv_hier_index(spark, sf_dir)    # r10: stacked caggs
     text_q.lake_expect_index(spark, sf_dir)    # r10: expectations split

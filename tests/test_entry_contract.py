@@ -38,9 +38,10 @@ def test_driver_window_covers_llm_pipeline_queries():
         # to the new r10 LEFT-join MV first exposure
         "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_unigram_tokenize",
         "q_chat_flatten", "q_preference_pairs",
-        # new in r10: star MV + COUNT(DISTINCT) MV + derived-bucket
-        # continuous aggregate + the staged variance MV, first exposure
-        "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_daily",
+        # new in r10: star MV + COUNT(DISTINCT) MV + the staged
+        # variance MV; new in r11: the FULL OUTER join MV
+        # (q_lake_mv_daily, hash-verified r9+r10, yielded its slot)
+        "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_fulljoin",
         "q_lake_mv_variance",
         # r11 rotation: the r10-flagged weak bench pair re-enters the
         # window for post-fix re-verification (q_lake_mv_minmax /

@@ -1531,7 +1531,7 @@ def test_left_join_mv_minmax_distinct_across_flips(spark, left_srcs,
     assert _rows_ns(mv.read()) == _rows_ns(recompute())
 
 
-def test_join_mv_refuses_right_and_full(spark, sf_dir, tmp_path):
+def test_join_mv_refuses_unmaintainable_shapes(spark, sf_dir, tmp_path):
     from aws_data_pipeline_ads_spark.lakemv import (
         LakeJoinMaterializedView,
         UnsupportedJoinShapeError,
@@ -1544,12 +1544,173 @@ def test_join_mv_refuses_right_and_full(spark, sf_dir, tmp_path):
     dim = LakeTable(spark, str(tmp_path / "d"))
     dim.commit(spark.createDataFrame(
         [Row(lang="aa", region="x")], "lang string, region string"))
-    for how in ("right", "full", "left_anti", "cross"):
+    for how in ("left_anti", "semi", "cross"):
         with pytest.raises(UnsupportedJoinShapeError, match="how="):
             LakeJoinMaterializedView(
                 spark, fact, dim, str(tmp_path / "mvx"),
                 fact_key="doc_id", join_key="lang",
                 group_cols=["region"], measures=["n_chars"], how=how)
+
+
+# -- RIGHT / FULL OUTER join views: dim-preserved NULL extensions -------------
+
+def _recompute_outer(f_df, d_df, how):
+    return (f_df.join(d_df, "lang", how).groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").alias("n_n_chars"),
+        F.sum(F.col("n_chars").cast("decimal(38,6)")).alias("sum_n_chars")))
+
+
+@pytest.fixture(params=["right", "full"])
+def outer_srcs(spark, sf_dir, tmp_path, request):
+    """Fact over 2/3 of the docs; dim over the even-indexed half of the
+    real langs PLUS two never-matching synthetic langs and one
+    NULL-keyed row — so the dim-preserved side NULL-extends a real
+    slice from the first build, and the fact side (full only) has
+    unmatched rows too."""
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    how = request.param
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    langs = sorted(r["lang"]
+                   for r in docs.select("lang").distinct().collect())
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    fact.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                .repartitionByRange(8, "doc_id"))
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim_rows = [Row(lang=lg, region=("apac" if i % 4 else "emea"),
+                    dim_id=i)
+                for i, lg in enumerate(langs) if i % 2 == 0]
+    dim_rows += [Row(lang="zz-never1", region="ghost", dim_id=95),
+                 Row(lang="zz-never2", region="ghost", dim_id=96),
+                 Row(lang=None, region="nullkey", dim_id=97)]
+    dim.commit(spark.createDataFrame(
+        dim_rows, "lang string, region string, dim_id long"))
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvo"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"],
+        how=how)
+    return fact, dim, mv, docs, langs, how
+
+
+def test_outer_join_mv_full_build(spark, outer_srcs):
+    fact, dim, mv, docs, langs, how = outer_srcs
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(
+        _recompute_outer(fact.read(), dim.read(), how))
+    got = {r["region"]: r["n_rows"] for r in mv.read().collect()}
+    # unmatched dim rows (synthetic langs + NULL key) really extend
+    assert got.get("ghost") == 2 and got.get("nullkey") == 1
+    # full additionally preserves the odd-lang fact rows as NULL groups
+    assert (None in got) == (how == "full")
+
+
+def test_outer_join_mv_fact_crossings(spark, outer_srcs):
+    """A fact append creating the FIRST match for a dim key must
+    retract its NULL extension; deleting the LAST match restores it —
+    the 0↔>0 count crossings (_fact_cnt_cross)."""
+    fact, dim, mv, docs, langs, how = outer_srcs
+    mv.refresh()
+    fact.commit(spark.createDataFrame(
+        [Row(doc_id=9000001, lang="zz-never1", n_chars=7),
+         Row(doc_id=9000002, lang="zz-never1", n_chars=11)],
+        "doc_id long, lang string, n_chars long"), "append")
+    assert mv.refresh() == (1, 0)
+    assert _rows_ns(mv.read()) == _rows_ns(
+        _recompute_outer(fact.read(), dim.read(), how))
+    got = {r["region"]: r for r in mv.read().collect()}
+    # zz-never1 now matched (2 joined rows), zz-never2 still extended
+    assert got["ghost"]["n_rows"] == 3
+    assert got["ghost"]["n_n_chars"] == 2
+    # deleting the last matching rows flips the extension back
+    fact.delete({"doc_id": (9000001, 9000002)})
+    assert mv.refresh() == (2, 0)
+    assert _rows_ns(mv.read()) == _rows_ns(
+        _recompute_outer(fact.read(), dim.read(), how))
+    got = {r["region"]: r for r in mv.read().collect()}
+    assert got["ghost"]["n_rows"] == 2
+    assert got["ghost"]["n_n_chars"] == 0
+
+
+def test_outer_join_mv_dim_revisions(spark, outer_srcs):
+    """Dim appear (matched and unmatched keys), disappear, and
+    re-point absorbed incrementally."""
+    fact, dim, mv, docs, langs, how = outer_srcs
+    mv.refresh()
+    # appear: one key with fact matches, one without
+    dim.commit(spark.createDataFrame(
+        [Row(lang=langs[1], region="newly", dim_id=998),
+         Row(lang="zz-never3", region="ghost", dim_id=999)],
+        "lang string, region string, dim_id long"), "append")
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(
+        _recompute_outer(fact.read(), dim.read(), how))
+    got = {r["region"]: r for r in mv.read().collect()}
+    assert got["newly"]["n_rows"] > 0
+    assert got["ghost"]["n_rows"] == 3
+    # re-point: move some matched dim keys to another region
+    dim.update({"dim_id": (0, 4)}, {"region": F.lit("moved")})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(
+        _recompute_outer(fact.read(), dim.read(), how))
+    # disappear: drop an unmatched AND a matched dim key
+    dim.delete({"dim_id": (95, 95)})
+    dim.delete({"dim_id": (998, 998)})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(
+        _recompute_outer(fact.read(), dim.read(), how))
+    got = {r["region"]: r for r in mv.read().collect()}
+    assert got["ghost"]["n_rows"] == 2          # zz-never1 gone
+    assert "newly" not in got
+
+
+def test_outer_join_mv_both_sides_one_refresh(spark, outer_srcs):
+    fact, dim, mv, docs, langs, how = outer_srcs
+    mv.refresh()
+    fact.commit(docs.filter(F.col("doc_id") % 3 == 2), "append")
+    dim.update({"dim_id": (2, 4)}, {"region": F.lit("moved")})
+    dim.commit(spark.createDataFrame(
+        [Row(lang=langs[3], region="late", dim_id=998)],
+        "lang string, region string, dim_id long"), "append")
+    fact.delete({"doc_id": (0, 25)})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(
+        _recompute_outer(fact.read(), dim.read(), how))
+
+
+def test_outer_join_mv_minmax_distinct_across_flips(spark, outer_srcs,
+                                                    tmp_path):
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    fact, dim, _, docs, langs, how = outer_srcs
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / "mvo2"), fact_key="doc_id",
+        join_key="lang", group_cols=["region"], measures=["n_chars"],
+        minmax=["n_chars"], distinct=["n_chars"], how=how)
+    mv.refresh()
+
+    def recompute():
+        return (fact.read().join(dim.read(), "lang", how)
+                .groupBy("region").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("n_chars").alias("n_n_chars"),
+                    F.sum(F.col("n_chars").cast("decimal(38,6)"))
+                    .alias("sum_n_chars"),
+                    F.min("n_chars").alias("min_n_chars"),
+                    F.max("n_chars").alias("max_n_chars"),
+                    F.countDistinct("n_chars").alias("nd_n_chars")))
+
+    assert _rows_ns(mv.read()) == _rows_ns(recompute())
+    fact.commit(spark.createDataFrame(
+        [Row(doc_id=9000001, lang="zz-never2", n_chars=3)],
+        "doc_id long, lang string, n_chars long"), "append")
+    fact.update({"doc_id": (30, 49)}, {"n_chars": F.lit(1)})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(recompute())
+    dim.delete({"dim_id": (0, 2)})
+    mv.refresh()
+    assert _rows_ns(mv.read()) == _rows_ns(recompute())
 
 
 # -- KMV-sketch distinct state (distinct_mode="kmv", append-only) -------------
