@@ -827,23 +827,119 @@ def pq_topk_served(spark, path: str, embeddings: DataFrame,
     return cosine_topk(probed, qv, k)
 
 
+def _assign_np(unit, centroids: list[list[float]]):
+    """Numpy twin of _nearest_centroid_expr over ROW-NORMALIZED
+    vectors: max-cosine assignment, ties to the LARGEST index, zero
+    norms to the largest index (the -2 guard's destination)."""
+    import numpy as np
+
+    c = np.array(centroids)
+    cn = np.maximum(np.linalg.norm(c, axis=1), 1e-30)
+    scores = (unit @ c.T) / cn[None, :]
+    k = len(centroids)
+    return (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+
+
+def ivfpq_train_residual(embeddings: DataFrame,
+                         centroids: list[list[float]], m: int = 8,
+                         n_codes: int = 16, vec_col: str = "embedding",
+                         sample_per_code: int = 64
+                         ) -> list[list[list[float]]]:
+    """Train PQ codebooks on IVF RESIDUALS û − c[assign(û)] — the
+    FAISS IVFADC shape (Jégou et al. 2011 §IV-B). Residuals of a
+    clustered corpus are far tighter per subspace than raw vectors
+    (the coarse quantizer has already absorbed the between-list
+    variance), so at equal m/n_codes the codes reconstruct better and
+    recall strictly improves over raw-vector codes.
+
+    One codebook set POOLED across lists (the FAISS default —
+    per-list books would be K× the training and table-building cost
+    for marginal gain). Same bounded deterministic sample rule and
+    driver-side Lloyd's as pq_train; assignment mirrors
+    _nearest_centroid_expr via _assign_np."""
+    import numpy as np
+
+    n = embeddings.count()
+    step = max(1, n // (n_codes * sample_per_code))
+    rows = (
+        embeddings.filter(F.col("vec_id") % step == 0)
+        .select("vec_id", F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivfpq_train_residual: empty training sample")
+    sample = np.array([r.v for r in rows])
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                         1e-30)
+    assign = _assign_np(sample, centroids)
+    resid = sample - np.array(centroids)[assign]
+    return _train_books_np(resid, m, n_codes)
+
+
+def _centroid_mat_lit(centroids: list[list[float]]):
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _ivfpq_residual_codes(embeddings: DataFrame,
+                          centroids: list[list[float]],
+                          books: list[list[list[float]]],
+                          vec_col: str) -> DataFrame:
+    """(vec_id, list_id, codes): PQ codes of û − c[list_id]. Pure
+    codegen — unit-normalize, one K-way centroid argmax, one literal
+    matrix lookup, m × n_codes L2 folds; zero Python in the data
+    path."""
+    ds = len(books[0][0])
+    emb = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(
+        "vec_id", _unit_expr(emb).alias("__u"),
+        _nearest_centroid_expr(emb, centroids).alias("list_id"))
+    cvec = F.element_at(_centroid_mat_lit(centroids),
+                        F.col("list_id") + 1)
+    base = base.select(
+        "vec_id", "list_id",
+        F.zip_with("__u", cvec, lambda x, y: x - y).alias("__r"))
+    codes = [
+        _pq_assign_expr(F.slice(F.col("__r"), i * ds + 1, ds), book)
+        for i, book in enumerate(books)
+    ]
+    return base.select("vec_id", "list_id", F.array(*codes).alias("codes"))
+
+
 def ivfpq_write(embeddings: DataFrame, centroids: list[list[float]],
                 books: list[list[list[float]]], path: str,
-                vec_col: str = "embedding") -> None:
+                vec_col: str = "embedding",
+                residual: bool = False) -> None:
     """The FAISS-style composite index: PQ codes partitioned by IVF
     list. Storage per vector is m bytes of codes; a query touching
     n_probe lists reads n_probe/K of the codes table AT THE FILE LEVEL
     (partition pruning) and does zero vector math in the scan (ADC).
     The two training artifacts (coarse centroids, subspace codebooks)
     are the same bounded driver-side products used by the standalone
-    IVF and PQ tiers."""
-    assigned = ivf_assign(embeddings, centroids, vec_col).select(
-        "vec_id", "list_id"
-    )
-    codes = pq_encode(embeddings, books, vec_col)
+    IVF and PQ tiers.
+
+    residual=True is the IVFADC layout: codes encode û − c[list]
+    (books from ivfpq_train_residual), recorded in the index's meta
+    table so serving picks the matching ADC decomposition. The raw
+    layout remains for the degenerate flat-PQ-equivalence anchor."""
+    if residual:
+        lst = _ivfpq_residual_codes(embeddings, centroids, books,
+                                    vec_col)
+    else:
+        assigned = ivf_assign(embeddings, centroids, vec_col).select(
+            "vec_id", "list_id"
+        )
+        lst = pq_encode(embeddings, books, vec_col).join(assigned,
+                                                         "vec_id")
     (
-        codes.join(assigned, "vec_id")
-        .repartition("list_id")
+        lst.repartition("list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(f"{path}/codes")
@@ -853,6 +949,18 @@ def ivfpq_write(embeddings: DataFrame, centroids: list[list[float]],
         [(i, j, c) for i, book in enumerate(books) for j, c in enumerate(book)],
         schema="sub int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    spark.createDataFrame(
+        [(bool(residual),)], schema="residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _ivfpq_is_residual(spark, path: str) -> bool:
+    """Pre-meta indexes (raw codes) have no meta table."""
+    try:
+        return bool(spark.read.parquet(f"{path}/meta")
+                    .collect()[0]["residual"])
+    except Exception:
+        return False
 
 
 def ivfpq_topk(spark, path: str, embeddings: DataFrame, qv: list[float],
@@ -861,8 +969,15 @@ def ivfpq_topk(spark, path: str, embeddings: DataFrame, qv: list[float],
     """ANN top-k over an ivfpq_write index: probe the n_probe nearest
     lists (file-level pruning on list_id), rank candidates by ADC over
     their 8-byte codes, exact-cosine rerank on the broadcast shortlist.
-    n_probe == K degenerates to pq_topk_served over the whole corpus
-    (the test anchor)."""
+    Raw layout: n_probe == K degenerates to pq_topk_served over the
+    whole corpus (the test anchor).
+
+    Residual layout (IVFADC): dot(q̂, û) = dot(q̂, c[list]) +
+    dot(q̂, û − c[list]) — the first term is a K-entry literal lookup
+    on the partition column, the second the usual m subspace table
+    lookups with tables built from the RESIDUAL codebooks. Still zero
+    vector math in the scan; the per-list constant keeps ADC ranks
+    comparable ACROSS probed lists."""
     books = pq_read_books(spark, f"{path}")
     qnorm = math.sqrt(sum(x * x for x in qv))
     order = sorted(
@@ -877,12 +992,32 @@ def ivfpq_topk(spark, path: str, embeddings: DataFrame, qv: list[float],
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("list_id").isin(probe)
     )
-    shortlist = (
-        pq_scores(codes, books, qv)
-        .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(shortlist_mult * k)
-        .select("vec_id")
-    )
+    if _ivfpq_is_residual(spark, path):
+        qn = qnorm or 1e-30
+        qhat = [x / qn for x in qv]
+        consts = [sum(a * b for a, b in zip(qhat, c)) for c in centroids]
+        ds = len(books[0][0])
+        adc = F.element_at(_qv_col(consts),
+                           F.col("list_id").cast("int") + 1)
+        for i, book in enumerate(books):
+            qsub = qhat[i * ds:(i + 1) * ds]
+            table = [sum(a * b for a, b in zip(qsub, c)) for c in book]
+            adc = adc + F.element_at(
+                _qv_col(table), F.element_at("codes", i + 1).cast("int") + 1
+            )
+        shortlist = (
+            codes.select("vec_id", adc.alias("adc"))
+            .orderBy(F.desc("adc"), F.asc("vec_id"))
+            .limit(shortlist_mult * k)
+            .select("vec_id")
+        )
+    else:
+        shortlist = (
+            pq_scores(codes, books, qv)
+            .orderBy(F.desc("adc"), F.asc("vec_id"))
+            .limit(shortlist_mult * k)
+            .select("vec_id")
+        )
     probed = embeddings.join(F.broadcast(shortlist), "vec_id", "left_semi")
     return cosine_topk(probed, qv, k)
 

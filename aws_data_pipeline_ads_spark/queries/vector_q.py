@@ -399,24 +399,52 @@ def q_embedding_pca(spark, sf_dir):
     )
 
 
+_IVFPQ_RES_BOOKS: dict = {}
+
+
+def _ivfpq_res_books(spark, sf_dir: str) -> list:
+    """RESIDUAL codebooks per sf_dir (trained on û − c[list], the
+    FAISS IVFADC shape) — same cache posture as _pq_books."""
+    if sf_dir not in _IVFPQ_RES_BOOKS:
+        import json
+
+        def build(p: str) -> None:
+            books = similarity.ivfpq_train_residual(
+                load_table(spark, sf_dir, "embeddings"),
+                _trained_centroids(spark, sf_dir))
+            with open(f"{p}/books.json", "w") as f:
+                json.dump(books, f)
+
+        with open(f"{_index_path('ivfpqresbooks', sf_dir, build)}"
+                  f"/books.json") as f:
+            _IVFPQ_RES_BOOKS[sf_dir] = json.load(f)
+    return _IVFPQ_RES_BOOKS[sf_dir]
+
+
 @query(
     "q_embedding_ivfpq",
     oracle=None,  # approximate by construction → rows-only check;
-    # full-probe==flat-PQ + PartitionFilters + recall pytest-pinned
-    doc="2C similarity scale path: the FAISS-style composite — PQ codes "
-        "partitioned by IVF list (ivfpq_write, built once per corpus); "
-        "a 3-probe query reads 3/8 of the 8-byte-per-vector codes table "
-        "at the file level, ranks by ADC lookups (zero vector math in "
-        "the scan), exact-cosine reranks the broadcast shortlist "
-        "(similarity.ivfpq_topk)",
+    # residual-MSE<raw-MSE + covering-shortlist==brute +
+    # PartitionFilters + recall pytest-pinned
+    doc="2C similarity scale path: the FAISS IVFADC composite — PQ "
+        "codes of the RESIDUAL û − c[list] partitioned by IVF list "
+        "(ivfpq_write residual=True, built once per corpus; residual "
+        "codebooks from ivfpq_train_residual reconstruct strictly "
+        "better than raw-vector codes at equal m/n_codes). A 3-probe "
+        "query reads 3/8 of the 8-byte-per-vector codes table at the "
+        "file level and ranks by dot(q̂,c[list]) — a K-entry literal "
+        "lookup on the partition column — plus m residual-table ADC "
+        "lookups (zero vector math in the scan); exact-cosine reranks "
+        "the broadcast shortlist (similarity.ivfpq_topk)",
 )
 def q_embedding_ivfpq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _trained_centroids(spark, sf_dir)
     idx = _index_path(
-        "ivfpq", sf_dir,
+        "ivfpq_res", sf_dir,
         lambda p: similarity.ivfpq_write(
-            emb, centroids, _pq_books(spark, sf_dir), p
+            emb, centroids, _ivfpq_res_books(spark, sf_dir), p,
+            residual=True
         ),
     )
     return similarity.ivfpq_topk(spark, idx, emb, _QV, centroids, 10, n_probe=3)

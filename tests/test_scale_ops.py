@@ -643,6 +643,62 @@ def test_ivfpq_index_prunes_and_degenerates_to_pq(spark, sf_dir, tmp_path):
     assert recall >= 0.5
 
 
+def test_ivfpq_residual_encoding(spark, sf_dir, tmp_path):
+    """The IVFADC residual layout (codes of û − c[list], r11):
+
+    1. Quantization quality: residual codebooks reconstruct strictly
+       better than raw-vector codebooks at EQUAL m/n_codes — the
+       recall driver at scale, measured noise-free as reconstruction
+       MSE over the whole corpus (top-10 recall on a 500-vector
+       synthetic corpus is too granular to order two ~0.55-MSE codecs).
+    2. Exactness anchor: a shortlist covering the corpus makes the
+       exact rerank equal brute force bit-for-bit.
+    3. The pruned probe still carries the list_id PartitionFilter and
+       holds the recall floor of the raw layout.
+    """
+    import numpy as np
+
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = similarity.fixed_query_vector()
+    centroids = similarity.train_centroids(emb, 8)
+    raw_books = similarity.pq_train(emb)
+    res_books = similarity.ivfpq_train_residual(emb, centroids)
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = np.array([list(r.embedding) for r in rows], dtype=float)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    raw_rec = similarity._pq_reconstruct_np(x, raw_books)
+    assign = similarity._assign_np(x, centroids)
+    cents = np.array(centroids)
+    resid = x - cents[assign]
+    res_rec = cents[assign] + similarity._pq_reconstruct_np(resid,
+                                                            res_books)
+    raw_mse = float(((x - raw_rec) ** 2).sum(1).mean())
+    res_mse = float(((x - res_rec) ** 2).sum(1).mean())
+    assert res_mse < raw_mse, (res_mse, raw_mse)
+
+    idx = str(tmp_path / "ivfpq_res")
+    similarity.ivfpq_write(emb, centroids, res_books, idx, residual=True)
+    assert similarity._ivfpq_is_residual(spark, idx)
+    n = emb.count()
+    covering = similarity.ivfpq_topk(
+        spark, idx, emb, qv, centroids, 10, n_probe=8,
+        shortlist_mult=(n // 10) + 1).collect()
+    exact = similarity.cosine_topk(emb, qv, 10).collect()
+    assert [tuple(r) for r in covering] == [tuple(r) for r in exact]
+
+    pruned = similarity.ivfpq_topk(spark, idx, emb, qv, centroids, 10,
+                                   n_probe=3)
+    fplan = plans.formatted_plan(pruned)
+    assert "PartitionFilters" in fplan and "list_id" in fplan
+    got = pruned.collect()
+    recall = len({r.vec_id for r in got}
+                 & {r.vec_id for r in exact}) / 10
+    assert recall >= 0.5
+
+
 def test_bloom_served_equals_inline(spark, sf_dir, tmp_path):
     """bloom_write → decontaminate_served is bit-identical to the
     self-contained decontaminate_bloom (same hash geometry rehydrated
