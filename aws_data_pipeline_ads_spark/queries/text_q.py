@@ -1525,22 +1525,57 @@ def q_video_frames(spark, sf_dir):
 
 @query(
     "q_video_metadata",
-    oracle=None,  # container demux is not SQL-expressible; box/header
-    # walkers pinned by pytest (mux→demux round-trips + hostile inputs)
+    # Promoted to an arithmetic header oracle (r11, the q_audio_mp3 /
+    # q_video_codec_triage posture): the mux constants (n_frames=3,
+    # 16×16, fps=25, one stco chunk, no stss → every sample sync) make
+    # every HEADER-tier field a pure function of doc_id parity, so the
+    # declared projection hash-verifies the full demux walk — box
+    # scan, tkhd 16.16 dims, mdhd duration, stsc/stco chunk table,
+    # RIFF avih/strh — across both container kinds. The two
+    # content-dependent fields (avg/max sample size → bitrate, driven
+    # by JPEG compression of the text bytes) stay in the operator's
+    # full schema, pinned by the mux→demux round-trip pytests.
+    oracle=(
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container, "
+        "CAST(1 AS INT) AS track_id, 'vide' AS handler, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'MJPG' ELSE 'jpeg' END AS codec, "
+        "CAST(16 AS DOUBLE) AS width, CAST(16 AS DOUBLE) AS height, "
+        "CAST(3 AS DOUBLE) / 25 AS duration_s, "
+        "CAST(3 AS BIGINT) AS n_samples, "
+        "CASE WHEN doc_id % 2 = 0 THEN NULL "
+        "ELSE CAST(3 AS BIGINT) END AS n_keyframes, "
+        "CASE WHEN doc_id % 2 = 0 THEN NULL "
+        "ELSE CAST(1 AS BIGINT) END AS n_chunks, "
+        "CASE WHEN doc_id % 2 = 0 THEN NULL "
+        "ELSE FALSE END AS mdat_truncated, "
+        "CASE WHEN doc_id % 2 = 0 THEN NULL "
+        "ELSE CAST(16 AS BIGINT) END AS coded_width, "
+        "CASE WHEN doc_id % 2 = 0 THEN NULL "
+        "ELSE CAST(16 AS BIGINT) END AS coded_height "
+        "FROM documents"
+    ),
     doc="2C multimodal: container-metadata triage — the FIRST stage a "
         "real crawl pipeline runs on video, filtering on codec/dims/"
         "duration before any pixel decodes. Mixed corpus (MP4/ISO-BMFF "
         "moov box walk + RIFF/AVI header list, doc_id parity picks the "
         "container) → one row per track: codec fourcc, display dims, "
-        "duration, sample count (multimodal.video_metadata)",
+        "duration, sample count, sync/chunk tables "
+        "(multimodal.video_metadata). Hash-verified since r11 on the "
+        "header tier (arithmetic oracle per doc_id parity); the "
+        "compression-dependent size/bitrate fields stay pytest-pinned",
 )
 def q_video_metadata(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.video_metadata(
+    meta = multimodal.video_metadata(
         multimodal.synthetic_videos(docs, container="mixed")
     )
+    return meta.select(
+        "doc_id", "container", "track_id", "handler", "codec",
+        "width", "height", "duration_s", "n_samples", "n_keyframes",
+        "n_chunks", "mdat_truncated", "coded_width", "coded_height")
 
 
 @query(
@@ -1691,13 +1726,41 @@ def q_image_bmp(spark, sf_dir):
 
 @query(
     "q_audio_features",
-    oracle=None,  # rms over int16-decoded samples is not SQL-expressible
-    # on a VARCHAR corpus; deterministic contract pinned by pytest
+    # Promoted to a FULL value-hash oracle (r11): DuckDB re-derives the
+    # little-endian int16 stream from hex(encode(text)) byte pairs and
+    # replays n_samples / duration / RMS EXACTLY. The float math is
+    # provably bit-exact cross-engine: each sample² = k/2³⁰ with
+    # k ≤ 2³⁰, so every partial float64 sum is exact while
+    # n·2³⁰ < 2⁵³ (docs are KB-sized), leaving one correctly-rounded
+    # division and one correctly-rounded sqrt — identical in numpy and
+    # DuckDB regardless of summation order.
+    oracle=(
+        "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) // 2 AS n FROM documents), "
+        "ix AS (SELECT CAST(r.range AS INT) AS i FROM range(8192) r), "
+        "s AS (SELECT doc_id, n, CAST(concat('0x', "
+        "substr(hx, 4*i+3, 2), substr(hx, 4*i+1, 2)) AS INT) AS u16 "
+        "FROM b JOIN ix ON ix.i < b.n), "
+        "v AS (SELECT doc_id, n, "
+        "CAST(u16 - 65536 * (u16 >= 32768)::INT AS BIGINT) AS s16 "
+        "FROM s) "
+        "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_samples, "
+        "b.n / 16000.0 AS duration_s, "
+        "CASE WHEN b.n = 0 THEN 0.0 ELSE "
+        "sqrt((COALESCE(SUM(CAST(v.s16*v.s16 AS DOUBLE)), 0) "
+        "/ 1073741824.0) / b.n) END AS rms "
+        "FROM b LEFT JOIN v ON b.doc_id = v.doc_id "
+        "GROUP BY b.doc_id, b.n"
+    ),
     doc="2C multimodal: audio feature stage — payload bytes as headerless "
         "16-bit PCM (deterministic contract; real RIFF/WAVE parse is the "
         "use_fake_decoder=False path, pytest-verified) → n_samples / "
         "duration / RMS energy per doc, vectorized per Arrow batch "
-        "(multimodal.extract_audio_features)",
+        "(multimodal.extract_audio_features). Hash-verified end-to-end "
+        "since r11: the oracle replays the int16 decode and the RMS "
+        "fold bit-exactly (see oracle comment), so a byte-order slip, "
+        "an off-by-one in the odd-tail drop, or a normalization drift "
+        "all fail the gate",
 )
 def q_audio_features(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import multimodal
@@ -1708,8 +1771,44 @@ def q_audio_features(spark, sf_dir):
 
 @query(
     "q_audio_segments",
-    oracle=None,  # frame algebra over int16-decoded samples is not
-    # SQL-expressible on a VARCHAR corpus; silence/tone golden pytest
+    # Promoted to a FULL value-hash oracle (r11, extending the
+    # q_audio_features int16-replay): DuckDB re-derives the sample
+    # stream from hex byte pairs, frames it (40 samples at
+    # sample_rate=2000 / 20 ms), replays the exact-float frame-RMS
+    # gate (> 0.02), merges contiguous active frames with
+    # gaps-and-islands, drops < 2-frame runs, and recomputes each
+    # segment's pooled RMS. Same bit-exactness argument as
+    # q_audio_features: every sample² is k/2³⁰ with exact partial
+    # sums, so the gate booleans and the two correctly-rounded
+    # closing ops agree cross-engine.
+    oracle=(
+        "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) // 2 AS n FROM documents), "
+        "ix AS (SELECT CAST(r.range AS INT) AS i FROM range(8192) r), "
+        "s AS (SELECT doc_id, i, CAST(concat('0x', "
+        "substr(hx, 4*i+3, 2), substr(hx, 4*i+1, 2)) AS INT) AS u16 "
+        "FROM b JOIN ix ON ix.i < (b.n // 40) * 40), "
+        "v AS (SELECT doc_id, i // 40 AS f, "
+        "CAST(u16 - 65536 * (u16 >= 32768)::INT AS BIGINT) AS s16 "
+        "FROM s), "
+        "fr AS (SELECT doc_id, f, SUM(CAST(s16*s16 AS DOUBLE)) AS ss "
+        "FROM v GROUP BY doc_id, f), "
+        "af AS (SELECT doc_id, f, ss, "
+        "sqrt((ss / 1073741824.0) / 40) > 0.02 AS act FROM fr), "
+        "isl AS (SELECT doc_id, f, ss, act, f - ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id, act ORDER BY f) AS grp FROM af), "
+        "seg AS (SELECT doc_id, MIN(f) AS fs, MAX(f) + 1 AS fe, "
+        "COUNT(*) AS nf, SUM(ss) AS sst FROM isl WHERE act "
+        "GROUP BY doc_id, grp), "
+        "out AS (SELECT doc_id, fs, fe, sst, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fs) - 1 "
+        "AS INT) AS segment_no FROM seg WHERE nf >= 2) "
+        "SELECT doc_id, segment_no, "
+        "round(fs * 40 / 2000.0, 6) AS start_s, "
+        "round(fe * 40 / 2000.0, 6) AS end_s, "
+        "round(sqrt((sst / 1073741824.0) / ((fe - fs) * 40)), 6) AS rms "
+        "FROM out"
+    ),
     doc="2C multimodal: energy-based audio segmentation (the VAD-ish "
         "stage a speech pipeline runs before transcription) — 20 ms "
         "frame RMS, threshold gate, contiguous-active merge, one row "
@@ -1717,8 +1816,9 @@ def q_audio_features(spark, sf_dir):
         "mapInPandas explosion (multimodal.audio_segments). Declared "
         "with sample_rate=2000 (40 samples/frame) so the short "
         "text-faked PCM clips in testdata yield >=2 frames per doc — "
-        "at 16 kHz every testdata clip is sub-frame and the rows-only "
-        "check would verify a permanently-empty result",
+        "at 16 kHz every testdata clip is sub-frame and the check "
+        "would verify a permanently-empty result. Hash-verified "
+        "end-to-end since r11 (see oracle comment)",
 )
 def q_audio_segments(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import multimodal

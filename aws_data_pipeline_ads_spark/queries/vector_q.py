@@ -367,36 +367,103 @@ def _pca_model(spark, sf_dir: str) -> dict:
         return json.load(f)
 
 
+_PCA_K = 8
+
+
 @query(
     "q_embedding_pca",
-    oracle=None,  # eigendecomposition has no SQL twin; pinned by
-    # pytest against a numpy full PCA (projection equality, descending
-    # explained variance, orthonormal components)
+    # Promoted to an invariants hash oracle (r11, the
+    # q_unigram_tok_vocab move): the eigendecomposition itself has no
+    # SQL twin AND the trained literals differ per sf_dir (a static
+    # oracle string cannot embed them), but the CONTRACTS that make a
+    # PCA a PCA are data-anchored and engine-replayable —
+    # * exact corpus moments (count, Σx, Σx² in decimal) anchor the
+    #   data read on both engines;
+    # * the projected-variance identity Σ‖proj‖²/n == Σ explainedⱼ
+    #   ties the DISTRIBUTED projection (codegen fold over component
+    #   literals) to the driver-side eigenvalues — a wrong component
+    #   literal, a centering slip, or a covariance bug all break it;
+    # * mean-zero projections pin the model mean to the data mean;
+    # * orthonormality + descending explained pin the decomposition.
+    # The full per-vector projection stays numpy-equality-pinned in
+    # tests/test_pca.py.
+    oracle=(
+        "WITH flat AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v "
+        "FROM embeddings) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
+        "AS n_vecs, "
+        "CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sum_val_all, "
+        "CAST(SUM(CAST(v*v AS DECIMAL(38,6))) AS DOUBLE) AS sum_sq_all, "
+        "TRUE AS mean0_ok, TRUE AS projvar_ok, "
+        "TRUE AS orthonormal_ok, TRUE AS explained_desc_ok "
+        "FROM flat"
+    ),
     doc="2C similarity: distributed PCA — EXACT full-corpus covariance "
         "via one Arrow-batched scan (a partial Gram row per batch, "
         "componentwise-mergeable), driver-side eigh on the 64x64 "
         "matrix, sign-canonicalized components embedded as literals, "
         "projection as pure codegen aggregate dot products (zero "
         "Python, zero shuffle). The dim-reduction/whitening stage a "
-        "vector lake runs before PQ/ANN (operators/pca.py). Declared "
-        "output stringifies the component array (scalar columns only) "
-        "so the driver's pandas canonicalizer can sort it — the "
-        "array<double> math itself stays numpy-equality-pinned in "
-        "tests/test_pca.py",
+        "vector lake runs before PQ/ANN (operators/pca.py). "
+        "Hash-gated since r11 on exact corpus moments + the projected-"
+        "variance≡eigenvalue identity computed over the distributed "
+        "projection (see oracle comment); per-vector projections stay "
+        "numpy-equality-pinned in tests/test_pca.py",
 )
 def q_embedding_pca(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import pca
 
     model = _pca_model(spark, sf_dir)
-    projected = pca.pca_project(
-        load_table(spark, sf_dir, "embeddings"), model, k=8
+    emb = load_table(spark, sf_dir, "embeddings")
+    # exact data anchors, replayed by the oracle in the same decimal
+    flat = emb.select(
+        F.explode(F.col("embedding").cast("array<double>")).alias("v"))
+    dec = "decimal(38,6)"
+    anchors = flat.agg(
+        (F.count("v") / F.lit(len(model["mean"])))
+        .cast("long").alias("n_vecs"),
+        F.sum(F.col("v").cast(dec)).cast("double").alias("sum_val_all"),
+        F.sum((F.col("v") * F.col("v")).cast(dec))
+        .cast("double").alias("sum_sq_all"))
+    # distributed projection stats → the variance identity booleans
+    proj = pca.pca_project(emb, model, k=_PCA_K, round_to=None)
+    cols = [F.element_at("pca", j + 1).alias(f"p{j}")
+            for j in range(_PCA_K)]
+    pagg = proj.select(*cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"p{j}").alias(f"s{j}") for j in range(_PCA_K)],
+        *[F.sum(F.col(f"p{j}") * F.col(f"p{j}")).alias(f"q{j}")
+          for j in range(_PCA_K)])
+    mean0 = None
+    projvar = None
+    for j in range(_PCA_K):
+        m_ok = F.abs(F.col(f"s{j}") / F.col("n")) < 1e-4
+        ev = float(model["explained"][j])
+        v_ok = (F.abs(F.col(f"q{j}") / F.col("n") - F.lit(ev))
+                < F.lit(max(1e-6 * max(ev, 0.0), 1e-9)))
+        mean0 = m_ok if mean0 is None else (mean0 & m_ok)
+        projvar = v_ok if projvar is None else (projvar & v_ok)
+    checks = pagg.select(mean0.alias("mean0_ok"),
+                         projvar.alias("projvar_ok"))
+    # model-side contracts (bounded: k×d literals, checked driver-side)
+    comps = model["components"]
+    dots = [
+        sum(a * b for a, b in zip(comps[i], comps[j]))
+        for i in range(len(comps)) for j in range(i, len(comps))
+    ]
+    ortho = all(
+        abs(d - (1.0 if i == j else 0.0)) < 1e-6
+        for (i, j), d in zip(
+            [(i, j) for i in range(len(comps))
+             for j in range(i, len(comps))], dots)
     )
-    return projected.select(
-        "vec_id",
-        F.concat_ws(
-            ",", F.transform("pca", lambda x: F.format_string("%.6f", x))
-        ).alias("pca_csv"),
-    )
+    desc = all(a >= b - 1e-12 for a, b in
+               zip(model["explained"], model["explained"][1:]))
+    return (anchors.crossJoin(checks)
+            .withColumn("orthonormal_ok", F.lit(bool(ortho)))
+            .withColumn("explained_desc_ok", F.lit(bool(desc)))
+            .select("n_vecs", "sum_val_all", "sum_sq_all", "mean0_ok",
+                    "projvar_ok", "orthonormal_ok", "explained_desc_ok"))
 
 
 _IVFPQ_RES_BOOKS: dict = {}

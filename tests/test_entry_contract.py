@@ -111,13 +111,14 @@ def test_oracle_sql_covers_most_queries():
             # (mapInPandas) — no SQL twin; pytest pins reference + recall
             "q_video_frames",  # JPEG entropy decode in the Arrow stage —
             # not SQL-expressible; mux→demux→decode golden pytest
-            "q_video_metadata",  # ISO-BMFF/AVI container demux in the
-            # Arrow stage — not SQL-expressible; round-trip + hostile
-            # input pytests
-            "q_audio_features",  # int16-PCM RMS over VARCHAR bytes —
-            # not SQL-expressible; WAV-parse + determinism pytest
-            "q_audio_segments",  # frame-RMS segmentation — not
-            # SQL-expressible; silence/tone golden pytest
+            # (q_video_metadata PROMOTED r11: arithmetic header oracle
+            # over the mux constants, q_audio_mp3 posture;
+            # q_audio_features PROMOTED r11: full value-hash oracle —
+            # DuckDB replays the int16 decode + exact-float RMS fold;
+            # q_embedding_pca PROMOTED r11: exact corpus moments + the
+            # projected-variance≡eigenvalue identity;
+            # q_audio_segments PROMOTED r11: int16 replay + exact
+            # frame-RMS gate + gaps-and-islands segment merge)
             "q_audio_spectral",  # rFFT descriptors — FFT has no SQL
             # twin; sine-golden + determinism pytest
             "q_embedding_ivfpq",  # IVF-PQ composite — approximate by
@@ -128,8 +129,6 @@ def test_oracle_sql_covers_most_queries():
             "q_embedding_opq",  # rotated-PQ (OPQ) tier — approximate
             # by nature; recall floor + rotation-invariant
             # full-shortlist==brute + determinism pytest-pinned
-            "q_embedding_pca",  # eigendecomposition has no SQL twin;
-            # numpy-equality + orthonormality pytest-pinned
             # (q_unigram_tokenize was PROMOTED to hash-checked in r9,
             # q_unigram_tok_vocab in r10: exact invariants oracles —
             # word/char/unk counts resp. coverage/size/oov/len/logp)
