@@ -211,6 +211,126 @@ def test_lake_mv_sink_streaming_refresh(spark, sf_dir, tmp_path):
     assert _rows(mv.read()) == _rows(_recompute(t.read()))
 
 
+@pytest.mark.parametrize("backend_kind", ["posix", "condput"])
+def test_mv_refresh_exactly_once_under_concurrent_writers(
+        spark, tmp_path, backend_kind, monkeypatch):
+    """Two producers appending the SAME source (append auto-retry on
+    ConcurrentWriteError) interleaved with refreshes, plus a RACING
+    second refresher that beats the first one's state commit — the
+    writer-vs-refresh interleaving the lakelog suite alone never
+    exercises. Exactly-once must hold on both commit backends: every
+    batch lands once (no lost updates), the lost refresh's replay is
+    answered from the txn log without re-applying the delta, and the
+    final view equals a full recompute."""
+    import random
+
+    from aws_data_pipeline_ads_spark.lakelog import ConcurrentWriteError
+
+    rng = random.Random(1107)
+    if backend_kind == "condput":
+        shared = ConditionalPutCommitBackend()
+        mk = lambda: shared                    # noqa: E731 (one store)
+        mv_backend = ConditionalPutCommitBackend()
+        mk_mv = lambda: mv_backend             # noqa: E731
+    else:
+        mk = lambda: None                      # noqa: E731 (posix dflt)
+        mk_mv = lambda: None                   # noqa: E731
+
+    src = str(tmp_path / "src")
+    t1 = LakeTable(spark, src, backend=mk())
+    t2 = LakeTable(spark, src, backend=mk())
+    mv = LakeMaterializedView(
+        spark, t1, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"], backend=mk_mv())
+    mv_racer = LakeMaterializedView(
+        spark, t2, str(tmp_path / "mv"), key="doc_id",
+        group_cols=["lang"], measures=["n_chars"], backend=mk_mv())
+
+    next_id = [0]
+
+    def batch(n):
+        rows = [Row(doc_id=next_id[0] + i,
+                    lang=("aa", "bb", "cc")[(next_id[0] + i) % 3],
+                    n_chars=(next_id[0] + i) % 37) for i in range(n)]
+        next_id[0] += n
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long")
+
+    t1.commit(batch(5))
+    mv.refresh()
+
+    # writer-race injection: some of t1's publish attempts lose to a
+    # competitor batch t2 sneaks in first (reentrancy-guarded — the
+    # condput backend instance is SHARED, as one object store would be)
+    state = {"busy": False, "race_next": False, "lost": 0}
+    real_put = t1.backend.put_if_absent
+
+    def racing_put(path, data):
+        if state["race_next"] and not state["busy"]:
+            state["race_next"] = False
+            state["busy"] = True
+            try:
+                t2.commit(batch(rng.randint(1, 3)), "append", retries=0)
+            finally:
+                state["busy"] = False
+        ok = real_put(path, data)
+        if not ok:
+            state["lost"] += 1
+        return ok
+
+    monkeypatch.setattr(t1.backend, "put_if_absent", racing_put)
+    for step in range(10):
+        op = rng.choice(["a1", "a1", "a2", "r"])
+        if op == "a1":
+            state["race_next"] = rng.random() < 0.6
+            t1.commit(batch(rng.randint(1, 4)), "append", retries=3)
+            state["race_next"] = False
+        elif op == "a2":
+            state["busy"] = True   # plain competitor append, no race
+            t2.commit(batch(rng.randint(1, 4)), "append", retries=3)
+            state["busy"] = False
+        else:
+            mv.refresh()
+            assert _rows(mv.read()) == _rows(_recompute(t1.read()))
+    monkeypatch.undo()
+    # the race really fired: t1 lost ≥1 version race and retried
+    assert state["lost"] >= 1
+
+    # no lost updates: every committed row is present exactly once
+    assert t1.read().count() == next_id[0]
+    assert t1.read().select("doc_id").distinct().count() == next_id[0]
+
+    # refresher-vs-refresher race: mv computes its state, mv_racer
+    # publishes the SAME head first; mv's overwrite loses and the
+    # retry must be answered from the txn log (no double-apply)
+    t1.commit(batch(3), "append")
+    real_mv_put = mv.table.backend.put_if_absent
+    raced = {"done": False}
+
+    def racing_state_put(path, data):
+        if not raced["done"]:
+            raced["done"] = True
+            mv_racer.refresh()
+        return real_mv_put(path, data)
+
+    monkeypatch.setattr(mv.table.backend, "put_if_absent",
+                        racing_state_put)
+    head = t1.current_version()
+    try:
+        got = mv.refresh()
+    except ConcurrentWriteError:
+        got = mv.refresh()          # replay: answered from the txn log
+    monkeypatch.undo()
+    assert got == head
+    assert mv.last_refreshed() == head
+    # exactly-once: the state advanced ONE version for this head, and
+    # the view equals a recompute (a double-applied delta would not)
+    assert _rows(mv.read()) == _rows(_recompute(t1.read()))
+    replay_v = mv.table.current_version()
+    assert mv.refresh() == head                 # idempotent
+    assert mv.table.current_version() == replay_v
+
+
 def test_delta_distinguishes_null_from_empty_string(spark, tmp_path):
     """ADVICE r8: the change detector must not hash NULL and '' to the
     same bytes — a group flip NULL→'' (or a measure-bearing column
