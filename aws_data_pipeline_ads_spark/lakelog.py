@@ -591,8 +591,11 @@ class LakeTable:
         out = []
         for v in self._versions():
             e = self._read_entry(v)
-            out.append({k: e[k] for k in
-                        ("version", "op", "txn_id", "n_files", "timestamp_ms")})
+            row = {k: e[k] for k in
+                   ("version", "op", "txn_id", "n_files", "timestamp_ms")}
+            if "meta" in e:  # per-commit user metadata (see _publish)
+                row["meta"] = e["meta"]
+            out.append(row)
         return out
 
     def _txn_version(self, txn_id: str) -> int | None:
@@ -992,7 +995,9 @@ class LakeTable:
                  deferred_deletes: list | None = None,
                  sums: dict | None = None,
                  sum_cols: list[str] | None = None,
-                 constraints: dict | None = None) -> int:
+                 constraints: dict | None = None,
+                 properties: dict | None = None,
+                 meta: dict | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
         top of a competitor's N+1: that is a lost update, and the
@@ -1044,6 +1049,26 @@ class LakeTable:
                 constraints = None
         if constraints:
             entry["constraints"] = constraints
+        if properties is None and version > 0:
+            # same TABLE-PROPERTY carry-forward semantics as
+            # constraints (Delta TBLPROPERTIES): every commit inherits
+            # unless set_property/drop_property replace the dict; the
+            # missing-entry ValueError is the only benign read failure
+            try:
+                properties = self._read_entry(version - 1).get(
+                    "properties")
+            except ValueError:
+                properties = None
+        if properties:
+            entry["properties"] = properties
+        if meta:
+            # per-COMMIT user metadata (Delta commitInfo userMetadata):
+            # the reference attaches record_count/source/extracted_date
+            # as S3 user metadata on every written object
+            # (/root/reference/lambda/lambda_function.py:332-337); here
+            # each commit's entry carries the same dict for its files,
+            # readable through history()
+            entry["meta"] = meta
         # the commit point: exactly one writer creates this entry
         # (O_EXCL locally, conditional PUT on object stores — the
         # CommitBackend seam is exactly this primitive)
@@ -1100,7 +1125,8 @@ class LakeTable:
                evolve: bool = False,
                bloom_cols: list[str] | None = None,
                sum_cols: list[str] | None = None,
-               retries: int = 0) -> int:
+               retries: int = 0,
+               meta: dict | None = None) -> int:
         """Commit `df` as the next version. mode='overwrite' replaces
         the snapshot; mode='append' adds files to the current file list
         (unchanged files are SHARED with prior versions — no copy).
@@ -1239,6 +1265,12 @@ class LakeTable:
                     schema=schema, stats=stats,
                     blooms=blooms, bloom_cols=bc, row_counts=rows,
                     sums=sums, sum_cols=sc,
+                    # per-commit user metadata; record_count defaults
+                    # to THIS batch's row count (from the write-time
+                    # footers — no extra scan), the reference's
+                    # per-object record_count semantics
+                    meta=(None if meta is None else {
+                        "record_count": sum(new_rows.values()), **meta}),
                     # pending merge-on-read deletes still cover the
                     # base files this append shares (scoped per-file,
                     # so the appended rows stay visible)
@@ -2435,6 +2467,73 @@ class LakeTable:
             return {}
         return dict(self._read_entry(head).get("constraints", {}))
 
+    # -- table properties (Delta TBLPROPERTIES semantics) -------------------
+
+    def set_property(self, name: str, value,
+                     txn_id: str | None = None) -> int:
+        """Set a TABLE PROPERTY (JSON-native value) as a metadata-only
+        commit. Properties carry forward through every commit — data
+        writes, compact, restore — exactly like constraints, and
+        clone copies them; the reference's per-object sink metadata
+        (record_count/source/extracted_date,
+        /root/reference/lambda/lambda_function.py:332-337) maps to
+        per-commit `meta` plus these table-level properties."""
+        if not isinstance(value, (str, int, float, bool, type(None))):
+            raise ValueError(f"property value must be JSON-native: "
+                             f"{value!r}")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(head)
+        props = dict(entry.get("properties", {}))
+        props[name] = value
+        return self._publish(
+            entry["files"], "set_property", txn_id, head + 1,
+            schema=self._entry_schema(entry),
+            stats=entry.get("stats"), blooms=entry.get("blooms"),
+            bloom_cols=entry.get("bloom_cols"),
+            row_counts=entry.get("row_counts"),
+            sums=entry.get("sums"), sum_cols=entry.get("sum_cols"),
+            deferred_deletes=entry.get("deferred_deletes"),
+            properties=props)
+
+    def drop_property(self, name: str, txn_id: str | None = None) -> int:
+        """Remove a table property (metadata-only commit)."""
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(head)
+        props = dict(entry.get("properties", {}))
+        if name not in props:
+            raise ValueError(f"lake table {self.path}: no property "
+                             f"named {name!r} "
+                             f"(have {sorted(props) or 'none'})")
+        del props[name]
+        return self._publish(
+            entry["files"], "drop_property", txn_id, head + 1,
+            schema=self._entry_schema(entry),
+            stats=entry.get("stats"), blooms=entry.get("blooms"),
+            bloom_cols=entry.get("bloom_cols"),
+            row_counts=entry.get("row_counts"),
+            sums=entry.get("sums"), sum_cols=entry.get("sum_cols"),
+            deferred_deletes=entry.get("deferred_deletes"),
+            properties=props)
+
+    def table_properties(self) -> dict:
+        """The table properties at head (name → value)."""
+        head = self.current_version()
+        if head is None:
+            return {}
+        return dict(self._read_entry(head).get("properties", {}))
+
     def clone(self, dest_path: str,
               version: int | str | None = None,
               backend: CommitBackend | None = None,
@@ -2491,7 +2590,8 @@ class LakeTable:
             sums=entry.get("sums"),
             sum_cols=entry.get("sum_cols"),
             deferred_deletes=entry.get("deferred_deletes"),
-            constraints=entry.get("constraints"))
+            constraints=entry.get("constraints"),
+            properties=entry.get("properties"))
         if pin_tag:
             base = os.path.basename(dest_path.rstrip("/"))
             self.tag(f"clone-{base}", v)

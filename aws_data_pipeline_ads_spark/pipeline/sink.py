@@ -50,6 +50,32 @@ def write_partitioned(df: DataFrame, path: str,
     return path
 
 
+def lake_sink(df: DataFrame, table, source: str,
+              extracted_date: dt.date | str,
+              txn_id: str | None = None) -> int:
+    """op 19 closed as first-class metadata (ref
+    /root/reference/lambda/lambda_function.py:332-337 attaches
+    record_count / source / extracted_date as S3 user metadata on
+    every written object): commit the batch into a versioned LakeTable
+    whose entry carries the same dict as per-commit `meta`
+    (record_count auto-derived from the write-time parquet footers —
+    no extra scan), and keep `pipeline.source` / `pipeline.last_date`
+    as TABLE PROPERTIES that survive compact / restore / clone.
+    Returns the committed version."""
+    v = table.commit(df, "append", txn_id=txn_id,
+                     meta={"source": source,
+                           "extracted_date": str(extracted_date)})
+    props = table.table_properties()
+    want = {"pipeline.source": source,
+            "pipeline.last_date": str(extracted_date)}
+    for k, val in want.items():
+        if props.get(k) != val:
+            v = table.set_property(
+                k, val, txn_id=None if txn_id is None
+                else f"{txn_id}:prop:{k}")
+    return v
+
+
 def write_run_summary(spark: SparkSession, summary: dict, path: str) -> str:
     """ops 22-23: append one summary row to the date-partitioned metadata
     table."""

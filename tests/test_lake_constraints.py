@@ -183,6 +183,60 @@ def test_append_retry_revalidates_competitor_constraint(spark, tmp_path,
     assert on_disk == live
 
 
+def test_table_properties_and_commit_meta(spark, tbl, tmp_path):
+    """op 19 parity surface: TABLE PROPERTIES carry forward through
+    data writes / compact / restore and copy into clones (Delta
+    TBLPROPERTIES), per-commit `meta` records the reference's
+    record_count/source/extracted_date per object batch
+    (ref lambda_function.py:332-337), and lake_sink wires both."""
+    from aws_data_pipeline_ads_spark.pipeline.sink import lake_sink
+
+    t, docs = tbl
+    t.set_property("pipeline.source", "marketing")
+    t.set_property("pipeline.retention_days", 30)
+    assert t.table_properties() == {"pipeline.source": "marketing",
+                                    "pipeline.retention_days": 30}
+    # carried by data commits, survives compact and restore
+    t.commit(docs.limit(20), "append",
+             meta={"source": "marketing", "extracted_date": "2026-08-16"})
+    t.compact(target_bytes=1 << 30)
+    assert t.table_properties()["pipeline.source"] == "marketing"
+    t.restore(t.current_version() - 1)
+    assert t.table_properties()["pipeline.retention_days"] == 30
+    # clone copies them
+    c = t.clone(str(tmp_path / "dev"), pin_tag=False)
+    assert c.table_properties() == t.table_properties()
+    # the data commit's meta is in history with the auto record_count
+    metas = [h["meta"] for h in t.history() if "meta" in h]
+    assert {"source": "marketing", "extracted_date": "2026-08-16",
+            "record_count": 20} in metas
+    # drop removes; unknown name refuses; replay is exactly-once
+    t.drop_property("pipeline.retention_days")
+    assert t.table_properties() == {"pipeline.source": "marketing"}
+    with pytest.raises(ValueError, match="no property"):
+        t.drop_property("never_was")
+    v = t.set_property("pipeline.owner", "ads", txn_id="sp-1")
+    assert t.set_property("pipeline.owner", "ads", txn_id="sp-1") == v
+    with pytest.raises(ValueError, match="JSON-native"):
+        t.set_property("bad", object())
+
+    # lake_sink: one call lands the batch + meta + both properties
+    t2 = LakeTable(spark, str(tmp_path / "sinktbl"))
+    t2.commit(docs.limit(0))
+    lake_sink(docs.limit(7), t2, "sales", "2026-08-16", txn_id="run-1")
+    assert t2.table_properties() == {"pipeline.source": "sales",
+                                     "pipeline.last_date": "2026-08-16"}
+    m = [h["meta"] for h in t2.history() if "meta" in h][-1]
+    assert m == {"source": "sales", "extracted_date": "2026-08-16",
+                 "record_count": 7}
+    # a second run same-date run is meta-only on the property side
+    # (no redundant property commits) and lands its own batch meta
+    head = t2.current_version()
+    lake_sink(docs.limit(3), t2, "sales", "2026-08-16", txn_id="run-2")
+    assert t2.current_version() == head + 1   # just the data commit
+    assert t2.read().count() == 10
+
+
 def test_streaming_append_respects_constraints(spark, sf_dir, tmp_path):
     """The streaming append sink rides commit(), so a standing CHECK
     constraint poisons a violating micro-batch loudly — bad rows never
