@@ -398,6 +398,137 @@ def mv_minmax_prune_experiment(spark, base: str, big: str) -> list[tuple]:
     return out
 
 
+def lake_api_experiment(spark, base: str, big: str) -> dict:
+    """The r10 lake APIs measured at 1× vs 10× (r10 verdict item 6):
+
+    * feed_changes: a consumer LAGGING by 3 fixed 500-row appends must
+      pay for the LAG's files, never the table — the delta is
+      file-pruned through shared-file cancellation.
+    * delete_keys: copy-on-write rewrites only the stats/bloom-covered
+      files (bounded fraction on a key-clustered table); defer=True is
+      an O(1) metadata commit at any size.
+    * commit_expect: splitting a fixed batch (valid commit +
+      quarantine append) costs batch-sized work, not table-sized.
+    * star MV: a fixed fact append refreshes delta-scaled (flat); a
+      revised DEEP dim (dim-of-dim) costs ONE broadcast-filtered fact
+      scan — table-sized wall at worst linear, dim-sized everything
+      else.
+    """
+    import shutil
+    import tempfile
+
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeStarMaterializedView
+
+    out: dict[str, list] = {"feed": [], "delk": [], "expect": [],
+                            "star": []}
+    for label, sf_dir in (("1×", base), ("10×", big)):
+        root = tempfile.mkdtemp(prefix="scale10x_api_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars")
+        batch = (spark.read.parquet(f"{base}/documents.parquet")
+                 .select("doc_id", "lang", "n_chars")
+                 .orderBy("doc_id").limit(500))
+        t = LakeTable(spark, f"{root}/tbl")
+        t.commit(docs.repartitionByRange(32, "doc_id"),
+                 bloom_cols=["doc_id"])
+        total_files = len(t.read().inputFiles())
+
+        # -- feed_changes consumer lag ---------------------------------
+        _, h0 = t.feed_changes("c1", "doc_id")   # initial load offset
+        t.ack_feed("c1", h0)
+        for rep in range(3):
+            t.commit(batch.withColumn(
+                "doc_id",
+                F.col("doc_id") + F.lit(900_000_000 + rep * 1_000_000)),
+                "append")
+        t0 = time.time()
+        delta, head = t.feed_changes("c1", "doc_id")
+        feed_files = len(delta.inputFiles())
+        run_once(delta)
+        feed_s = time.time() - t0
+        t.ack_feed("c1", head)
+        print(f"# feed_changes {label}: lag-3 delta {feed_s:.2f}s, "
+              f"{feed_files}/{total_files + 3} files", file=sys.stderr)
+        out["feed"].append((label, feed_s, feed_files, total_files + 3))
+
+        # -- delete_keys: CoW bounded rewrite vs O(1) defer -------------
+        ids = [r[0] for r in docs.select("doc_id")
+               .orderBy("doc_id").limit(40).collect()][::13][:3]
+        before = set(t._read_entry(t.current_version())["files"])
+        t0 = time.time()
+        t.delete_keys("doc_id", ids)
+        cow_s = time.time() - t0
+        after = set(t._read_entry(t.current_version())["files"])
+        rewritten = len(before - after)
+        t0 = time.time()
+        t.delete_keys("doc_id", [x + 1 for x in ids], defer=True)
+        defer_s = time.time() - t0
+        print(f"# delete_keys {label}: CoW {cow_s:.2f}s rewrote "
+              f"{rewritten}/{len(before)} files; defer {defer_s:.3f}s "
+              f"(0 files)", file=sys.stderr)
+        out["delk"].append((label, cow_s, rewritten, len(before),
+                            defer_s))
+
+        # -- commit_expect: fixed-batch split ----------------------------
+        eb = batch.withColumn("doc_id",
+                              F.col("doc_id") + F.lit(990_000_000))
+        t0 = time.time()
+        m = t.commit_expect(eb, {"not_tenth": "doc_id % 10 > 0"},
+                            mode="append")
+        exp_s = time.time() - t0
+        print(f"# commit_expect {label}: {exp_s:.2f}s "
+              f"(committed {m['rows_committed']}, quarantined "
+              f"{m['rows_quarantined']})", file=sys.stderr)
+        out["expect"].append((label, exp_s, m["rows_committed"],
+                              m["rows_quarantined"]))
+
+        # -- star MV: fact append (flat) + deep-dim revision (one scan) --
+        langs = sorted(r[0] for r in
+                       docs.select("lang").distinct().collect())
+        fact = LakeTable(spark, f"{root}/fact")
+        fact.commit(docs.repartition(32))
+        d1 = LakeTable(spark, f"{root}/d1")
+        d1.commit(spark.createDataFrame(
+            [(lg, f"r{i % 4}", i) for i, lg in enumerate(langs)],
+            "lang string, region string, d1_id long"))
+        d2 = LakeTable(spark, f"{root}/d2")   # DEEP: joins d1
+        d2.commit(spark.createDataFrame(
+            [(f"r{i}", f"zone{i % 2}", i) for i in range(4)],
+            "region string, zone string, d2_id long"))
+        smv = LakeStarMaterializedView(
+            spark, fact, [(d1, "lang", "lang", -1),
+                          (d2, "region", "region", 0)],
+            f"{root}/smv", fact_key="doc_id",
+            group_cols=["zone"], measures=["n_chars"])
+        t0 = time.time()
+        smv.refresh()
+        full_s = time.time() - t0
+        fa = []
+        for rep in range(3):
+            fact.commit(batch.withColumn(
+                "doc_id",
+                F.col("doc_id") + F.lit(970_000_000 + rep * 1_000_000)),
+                "append")
+            t0 = time.time()
+            smv.refresh()
+            fa.append(time.time() - t0)
+        dd = []
+        for rep in range(3):
+            d2.update({"d2_id": (rep % 4, rep % 4)},
+                      {"zone": F.lit(f"moved{rep}")})
+            t0 = time.time()
+            smv.refresh()
+            dd.append(time.time() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+        fa_med, dd_med = sorted(fa)[1], sorted(dd)[1]
+        print(f"# star_mv {label}: full {full_s:.2f}s  fact-append "
+              f"refresh {fa_med:.2f}s  deep-dim-revision refresh "
+              f"{dd_med:.2f}s", file=sys.stderr)
+        out["star"].append((label, full_s, fa_med, dd_med))
+    return out
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALE10X.md"
@@ -493,6 +624,7 @@ def main() -> None:
     mv_rows = mv_refresh_experiment(spark, base, big)
     mm_rows = mv_minmax_prune_experiment(spark, base, big)
     kmv_rows = mv_kmv_experiment(spark, base, big)
+    api_rows = lake_api_experiment(spark, base, big)
     spark.stop()
 
     lines = [
@@ -658,6 +790,86 @@ def main() -> None:
         f"**{(k10[3] / k1[3] if k1[3] else 0):.1f}×** (target ≈ 1, "
         "zero head files at both scales) — the append-only fast path "
         "for distinct counts at 100 TB.",
+    ]
+    f1, f10 = api_rows["feed"]
+    k1d, k10d = api_rows["delk"]
+    e1, e10 = api_rows["expect"]
+    s1r, s10r = api_rows["star"]
+    lines += [
+        "",
+        "## r10 lake APIs at 10× (change feed, key-set delete, "
+        "expectations, star MV)",
+        "",
+        "### feed_changes: delivery cost scales with the consumer's "
+        "LAG, not the table",
+        "",
+        "A consumer acked at the post-build head, then 3 fixed 500-row "
+        "appends land; its next delta must read the LAG's files only "
+        "(shared files cancel out of the span diff wholesale).",
+        "",
+        "| scale | lag-3 delta sec | files read / table files |",
+        "|---|---|---|",
+        f"| 1× | {f1[1]:.2f} | {f1[2]}/{f1[3]} |",
+        f"| 10× | {f10[1]:.2f} | {f10[2]}/{f10[3]} |",
+        "",
+        f"Delta read {f10[2]} files at 10× (the appended files), "
+        f"factor **{(f10[1] / f1[1] if f1[1] else 0):.1f}×** wall "
+        "(target ≈ 1 — lag-sized, table-size-independent).",
+        "",
+        "### delete_keys: CoW rewrites the covered files; defer is "
+        "O(1) metadata",
+        "",
+        "3-id takedown on a doc_id-range-clustered, bloom-indexed "
+        "table: stats+bloom tighten the cover driver-side, so the "
+        "rewrite touches the handful of covering files at any size; "
+        "defer=True publishes one metadata commit, zero files.",
+        "",
+        "| scale | CoW sec | files rewritten / table | defer sec |",
+        "|---|---|---|---|",
+        f"| 1× | {k1d[1]:.2f} | {k1d[2]}/{k1d[3]} | {k1d[4]:.3f} |",
+        f"| 10× | {k10d[1]:.2f} | {k10d[2]}/{k10d[3]} | "
+        f"{k10d[4]:.3f} |",
+        "",
+        f"Rewritten-file count {k1d[2]} → {k10d[2]} at 10× (the "
+        f"covering files, never the table); defer stays "
+        f"**{(k10d[4] / k1d[4] if k1d[4] else 0):.1f}×** "
+        "(metadata-only at both scales).",
+        "",
+        "### commit_expect: the expectations split is batch-sized",
+        "",
+        "A fixed 500-row batch with one rule (10% violations → "
+        "quarantine sibling append + valid commit):",
+        "",
+        "| scale | split-commit sec | committed | quarantined |",
+        "|---|---|---|---|",
+        f"| 1× | {e1[1]:.2f} | {e1[2]} | {e1[3]} |",
+        f"| 10× | {e10[1]:.2f} | {e10[2]} | {e10[3]} |",
+        "",
+        f"Factor **{(e10[1] / e1[1] if e1[1] else 0):.1f}×** (target "
+        "≈ 1: the batch is persisted once and read three ways — "
+        "table size never enters).",
+        "",
+        "### star MV: fact appends stay delta-scaled; a revised DEEP "
+        "dim costs one filtered fact scan",
+        "",
+        "fact ⋈ d1 ⋈ d2 with d2 a dim-of-dim; fixed 500-row fact "
+        "appends, then single-row d2 zone re-points (the mapping "
+        "change that drains/fills whole groups):",
+        "",
+        "| scale | full build sec | fact-append refresh sec | "
+        "deep-dim-revision refresh sec |",
+        "|---|---|---|---|",
+        f"| 1× | {s1r[1]:.2f} | {s1r[2]:.2f} | {s1r[3]:.2f} |",
+        f"| 10× | {s10r[1]:.2f} | {s10r[2]:.2f} | {s10r[3]:.2f} |",
+        "",
+        f"Fact-append refresh factor "
+        f"**{(s10r[2] / s1r[2] if s1r[2] else 0):.1f}×** (target ≈ 1 "
+        "— ΔF broadcasts against the composed dim mappings); deep-dim "
+        f"revision factor "
+        f"**{(s10r[3] / s1r[3] if s1r[3] else 0):.1f}×** against a "
+        "10× fact — Δ(M) is computed entirely over dims and F_old is "
+        "read ONCE through the broadcast root-key filter, so at worst "
+        "linear (one scan), with every exchange dim-sized.",
     ]
     lines.append("")
     with open(out_md, "w") as f:
