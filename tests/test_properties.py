@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -1095,18 +1096,22 @@ _lj_op = st.one_of(
 )
 
 
+@pytest.mark.parametrize("how", ["left", "right", "full"])
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(fact_init=_lj_fact_init, dim_init=_lj_dim_init,
        ops=st.lists(_lj_op, min_size=1, max_size=3))
-def test_left_join_mv_random_revisions(spark, fact_init, dim_init, ops):
-    """The LEFT-join view invariant, randomized: after ANY interleaving
-    of fact appends/deletes with dim key additions, deletions and image
-    moves — orphan fact keys flipping in and out of the NULL group —
-    an incrementally refreshed how='left' view is bit-equal to the
-    flat LEFT JOIN recompute, across count/sum/MIN/MAX/COUNT(DISTINCT)
-    at once."""
+def test_outer_join_mv_random_revisions(spark, how, fact_init, dim_init,
+                                        ops):
+    """The outer-join view invariant, randomized, for ALL THREE outer
+    shapes: after ANY interleaving of fact appends/deletes with dim
+    key additions, deletions and image moves — orphan fact keys
+    flipping in and out of the NULL group (left/full) and dim NULL
+    extensions flipping on fact match-count 0-crossings (right/full)
+    — an incrementally refreshed view is bit-equal to the flat outer
+    JOIN recompute, across count/sum/MIN/MAX/COUNT(DISTINCT) at
+    once."""
     import shutil
     import tempfile
 
@@ -1132,7 +1137,7 @@ def test_left_join_mv_random_revisions(spark, fact_init, dim_init, ops):
         mv = LakeJoinMaterializedView(
             spark, fact, dim, f"{root}/mv", fact_key="doc_id",
             join_key="jk", group_cols=["region"], measures=["val"],
-            minmax=["val"], distinct=["val"], how="left")
+            minmax=["val"], distinct=["val"], how=how)
         fact.commit(fact_df(fact_init))
         cur = dict(dim_init)
         dim.commit(dim_df(cur))
@@ -1167,7 +1172,7 @@ def test_left_join_mv_random_revisions(spark, fact_init, dim_init, ops):
             got = sorted((tuple(r) for r in mv.read().collect()), key=key)
             exp = sorted(
                 (tuple(r) for r in
-                 fact.read().join(dim.read(), "jk", "left")
+                 fact.read().join(dim.read(), "jk", how)
                  .groupBy("region").agg(
                      F.count(F.lit(1)).alias("n_rows"),
                      F.count("val").alias("n_val"),
