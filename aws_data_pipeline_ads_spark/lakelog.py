@@ -1709,6 +1709,132 @@ class LakeTable:
                              sum_cols=sum_cols,
                              row_counts=self._collect_row_counts(files))
 
+    _MERGE_COVER_MAX_KEYS = 100_000  # driver-side source-key cap
+
+    def merge_clauses(self, source: DataFrame, key: str,
+                      matched_update: dict | None = None,
+                      matched_delete: str | None = None,
+                      insert: bool = True,
+                      txn_id: str | None = None) -> int:
+        """Full Delta-style MERGE in one commit: WHEN MATCHED [AND
+        cond] THEN UPDATE SET … / DELETE, WHEN NOT MATCHED THEN
+        INSERT — the update/takedown/backfill trifecta `merge()`'s
+        update-else-insert cannot express.
+
+        `matched_update` maps target column → Column / SQL expression;
+        `matched_delete` is a SQL boolean. Both evaluate against the
+        ORIGINAL target row (simultaneous projection, SQL UPDATE
+        semantics) with the matching source row's columns visible as
+        `src_<col>`; a matched row hitting `matched_delete` is dropped
+        (delete wins over update, Delta's clause order). `insert=True`
+        appends source rows whose key has no target match. `source`
+        must be unique on `key` (checked, one bounded aggregate) and
+        carry the target's columns for the insert path.
+
+        Scale shape — the rewrite is COVER-SCOPED like delete_keys:
+        the source's keys (collected driver-side up to
+        _MERGE_COVER_MAX_KEYS; beyond that the scope falls back to the
+        whole table) tighten through the commit-log stats + Bloom
+        index to the files that can hold ANY source key. Untouched
+        files are shared byte-for-byte; only covering files are read,
+        left-joined against the broadcast source, and rewritten —
+        bounded rewrite on a key-clustered table at any size, where
+        merge()'s whole-snapshot rewrite is the unclustered fallback.
+        Standing CHECK constraints gate every row the merge introduces
+        (updated projections + inserts, both delta/cover-scoped).
+        Returns the new version."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        if matched_update is None and matched_delete is None \
+                and not insert:
+            raise ValueError("merge_clauses: at least one clause "
+                             "(matched_update / matched_delete / "
+                             "insert) is required")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        base = self.current_version()
+        if base is None:
+            if insert:
+                return self.commit(source, "overwrite", txn_id,
+                                   op="merge")
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        entry = self._read_entry(base)
+        pinned = self._entry_schema(entry)
+        tcols = ([f.name for f in pinned.fields] if pinned is not None
+                 else self.read(base).columns)
+        unknown = [c for c in (matched_update or {}) if c not in tcols]
+        if unknown:
+            raise ValueError(f"merge_clauses: unknown target column "
+                             f"{unknown[0]!r}")
+        dup = (source.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge_clauses: source holds duplicate key "
+                f"{dup[0][key]!r} — MERGE requires a unique source key "
+                f"(Delta raises the same multiple-matches error)")
+        skeys = [r[0] for r in source.select(key).where(
+            F.col(key).isNotNull())
+            .limit(self._MERGE_COVER_MAX_KEYS + 1).collect()]
+        if len(skeys) > self._MERGE_COVER_MAX_KEYS:
+            cover = list(entry["files"])     # over cap: conservative
+        else:
+            cover = self._keyset_cover(entry, key, skeys)
+        untouched = [f for f in entry["files"] if f not in set(cover)]
+
+        src = source.select(
+            F.col(key),
+            *[F.col(c).alias(f"src_{c}") for c in source.columns
+              if c != key],
+            F.lit(1).alias("__m"))
+        matched = F.col("__m").isNotNull()
+        del_cond = (matched & F.coalesce(F.expr(matched_delete),
+                                         F.lit(False))
+                    if matched_delete is not None else F.lit(False))
+        kept = None
+        gate_parts: list[DataFrame] = []
+        if cover:
+            aff = (self._read_files(entry, cover)
+                   .join(F.broadcast(src), key, "left"))
+            sel = []
+            for c in tcols:
+                if matched_update and c in matched_update:
+                    e = matched_update[c]
+                    e = e if isinstance(e, Column) else F.expr(e)
+                    sel.append(F.when(matched, e)
+                               .otherwise(F.col(c)).alias(c))
+                else:
+                    sel.append(F.col(c))
+            kept = aff.where(~del_cond).select(*sel)
+            if matched_update:
+                gate_parts.append(
+                    aff.where(matched & ~del_cond).select(*sel))
+        inserts = None
+        if insert:
+            cov_keys = (self._read_files(entry, cover).select(key)
+                        if cover else None)
+            inserts = (source.join(cov_keys, key, "left_anti")
+                       if cov_keys is not None else source)
+            inserts = inserts.select(*tcols)
+            gate_parts.append(inserts)
+        if gate_parts:
+            # gate BEFORE any file lands (commit()'s posture) — a
+            # refused merge must leave zero orphans
+            gated = gate_parts[0]
+            for p in gate_parts[1:]:
+                gated = gated.unionByName(p)
+            self._enforce_constraints(gated, entry, "merge")
+        new_files: list[str] = []
+        if kept is not None:
+            new_files += self._write_files(kept)
+        if inserts is not None:
+            new_files += self._write_files(inserts)
+        return self._publish_rewrite(entry, "merge", txn_id, base + 1,
+                                     untouched, new_files)
+
     def delete(self, ranges: dict, txn_id: str | None = None,
                defer: bool = False) -> int:
         """Row-level DELETE; `ranges` is the same column → (lo, hi)
@@ -2367,6 +2493,53 @@ class LakeTable:
         delivery. Moves the retention tag, releasing vacuum protection
         for files only older deltas needed."""
         self.tag(f"feed-{consumer}", version, force=True)
+
+    def feed_changes_cdc(self, consumer: str, key: str,
+                         cols: list[str] | None = None):
+        """feed_changes with Delta-CDF-style row classification: the
+        signed delta's ± rows pair up per key into `_change_type` ∈
+        insert / delete / update_preimage / update_postimage (a key
+        appearing with BOTH signs in one delta is an update — its −
+        row is the pre-image, its + row the post-image). Offsets/ack
+        semantics are feed_changes' verbatim; returns (df, head) with
+        `_change_type` replacing `__sign`, or (None, head).
+
+        NULL-keyed rows have no cross-version identity (the feed's
+        documented contract), so they can never classify as updates:
+        their spurious ± re-emission pairs are first cancelled by NET
+        row content (the kmv-gate rule — a cancelled pair touched
+        nothing), and genuine net appearances/disappearances classify
+        as insert/delete with multiplicity |net|."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        delta, head = self.feed_changes(consumer, key, cols)
+        if delta is None:
+            return None, head
+        out_cols = [c for c in delta.columns if c != "__sign"]
+        keyed = delta.where(F.col(key).isNotNull())
+        w = W.partitionBy(key)
+        signs = F.collect_set("__sign").over(w)
+        classified = keyed.select(
+            *out_cols,
+            F.when(F.array_contains(signs, 1)
+                   & F.array_contains(signs, -1),
+                   F.when(F.col("__sign") == 1,
+                          F.lit("update_postimage"))
+                   .otherwise(F.lit("update_preimage")))
+            .when(F.col("__sign") == 1, F.lit("insert"))
+            .otherwise(F.lit("delete")).alias("_change_type"))
+        nulls = (delta.where(F.col(key).isNull())
+                 .groupBy(*out_cols)
+                 .agg(F.sum("__sign").alias("__net"))
+                 .where(F.col("__net") != 0))
+        null_rows = (nulls.select(
+            *out_cols,
+            F.when(F.col("__net") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete")).alias("_change_type"),
+            F.expr("explode(sequence(1, abs(__net)))").alias("__i"))
+            .drop("__i"))
+        return classified.unionByName(null_rows), head
 
     def _enforce_constraints(self, df: DataFrame, entry: dict | None,
                              op: str) -> None:

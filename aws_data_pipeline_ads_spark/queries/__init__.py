@@ -100,8 +100,13 @@ _WINDOW: list[str] = [
     # hash-verified r07, rotated to tail ----------------------------------
     "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_hilbert_scan",
     "q_lake_stats_agg", "q_lake_sum_agg",
+    # -- NEW in r11: three-clause MERGE (cover-scoped rewrite) + CDC
+    # row classification, first exposure; q_rolling_window and
+    # q_resample_fill (hash-verified r9 AND r10) yield their slots,
+    # time-series family anchored by q_hypertable_rollup -------------------
+    "q_lake_merge_clauses", "q_lake_cdc_types",
     # -- time-series / analytics anchors ----------------------------------
-    "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
+    "q_hypertable_rollup",
     "q_attribution_join", "q_profile", "q_quantile_sketch",
     "q_percentile_approx", "q_hll_rollup",
     # -- verified anchors: joins, LSH dedup, streaming window, lake
@@ -119,10 +124,11 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
-    # -- r11 rotation: r9+r10 doubly-hash-verified MV anchors that
+    # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
-    # the FULL-join MV first exposure -------------------------------------
+    # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----
     "q_lake_mv_minmax", "q_lake_mv_join", "q_lake_mv_daily",
+    "q_rolling_window", "q_resample_fill",
     # -- r10 rotation: r09-hash-verified window members that yielded
     # their slots to the three MV first exposures (image-codec family
     # anchored in-window by q_image_neardup/q_image_exif; lake tags by

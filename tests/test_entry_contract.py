@@ -74,8 +74,12 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_audio_spectral", "q_audio_mp3", "q_image_exif",
         # lake data-skipping + metadata-stats anchors
         "q_lake_zorder_scan", "q_lake_time_scan", "q_lake_stats_agg",
+        # new in r11: three-clause MERGE + CDC row classification
+        # (q_rolling_window / q_resample_fill, hash-verified r9+r10,
+        # yielded their slots; q_hypertable_rollup anchors the family)
+        "q_lake_merge_clauses", "q_lake_cdc_types",
         # time-series / analytics anchors
-        "q_rolling_window", "q_resample_fill", "q_hypertable_rollup",
+        "q_hypertable_rollup",
         "q_attribution_join", "q_profile", "q_quantile_sketch",
         "q_percentile_approx", "q_hll_rollup",
         # verified anchors for the core families

@@ -1,0 +1,184 @@
+"""merge_clauses: full Delta-style MERGE (WHEN MATCHED [AND cond]
+UPDATE/DELETE, WHEN NOT MATCHED INSERT) in one cover-scoped commit, and
+feed_changes_cdc: Delta-CDF-style _change_type classification over the
+per-consumer change feed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_data_pipeline_ads_spark.catalog import load_table
+from aws_data_pipeline_ads_spark.lakelog import (
+    ConstraintViolationError,
+    LakeTable,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture
+def tbl(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") <= 2000)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.commit(base.repartitionByRange(8, "o_orderkey"),
+             bloom_cols=["o_orderkey"])
+    return t, base
+
+
+def test_merge_clauses_three_way(spark, tbl):
+    """UPDATE + DELETE + INSERT in one commit equals the flat
+    recompute; delete wins over update; SET sees src_ columns; the
+    rewrite is cover-scoped (most files shared)."""
+    t, base = tbl
+    upd = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 20 == 3, F.lit("del"))
+        .otherwise(F.lit("upd")).alias("action"))
+    ins = base.filter(F.col("o_orderkey") % 10 == 7).select(
+        (F.col("o_orderkey") + 3_000_000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", F.lit("ins").alias("action"))
+    before = set(t._read_entry(t.current_version())["files"])
+    v = t.merge_clauses(
+        upd.unionByName(ins), "o_orderkey",
+        matched_update={"o_totalprice": "src_o_totalprice"},
+        matched_delete="src_action = 'del'", txn_id="mc-1")
+    exp = base.where(F.col("o_orderkey") % 20 != 3).select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("o_orderkey") % 10 == 3,
+               F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice")
+    ).unionByName(ins.drop("action"))
+    assert _rows(t.read()) == _rows(exp)
+    # replay is exactly-once
+    assert t.merge_clauses(upd.unionByName(ins), "o_orderkey",
+                           matched_update={"o_totalprice":
+                                           "src_o_totalprice"},
+                           matched_delete="src_action = 'del'",
+                           txn_id="mc-1") == v
+
+
+def test_merge_clauses_cover_scoped_rewrite(spark, tbl):
+    """A narrow-key merge on a key-clustered, bloom-indexed table must
+    share most files byte-for-byte — delete_keys' bounded-rewrite
+    shape generalized to MERGE."""
+    t, base = tbl
+    keys = [r[0] for r in base.select("o_orderkey")
+            .orderBy("o_orderkey").limit(3).collect()]
+    src = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=1, o_totalprice=9.5)
+         for k in keys]
+        + [Row(o_orderkey=7_000_001, o_custkey=2, o_totalprice=1.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    before = set(t._read_entry(t.current_version())["files"])
+    t.merge_clauses(src, "o_orderkey",
+                    matched_update={"o_totalprice": "src_o_totalprice"})
+    after = set(t._read_entry(t.current_version())["files"])
+    assert len(before & after) >= len(before) - 2   # bounded rewrite
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in
+           t.read().where(F.col("o_orderkey").isin(
+               keys + [7_000_001])).collect()}
+    assert all(got[k] == 9.5 for k in keys)
+    assert got[7_000_001] == 1.0
+
+
+def test_merge_clauses_guards(spark, tbl):
+    t, base = tbl
+    dup = spark.createDataFrame(
+        [Row(o_orderkey=1, o_custkey=1, o_totalprice=1.0)] * 2,
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge_clauses(dup, "o_orderkey",
+                        matched_update={"o_totalprice": "1.0"})
+    with pytest.raises(ValueError, match="unknown target column"):
+        t.merge_clauses(dup.limit(1), "o_orderkey",
+                        matched_update={"nope": "1.0"})
+    with pytest.raises(ValueError, match="at least one clause"):
+        t.merge_clauses(dup.limit(1), "o_orderkey", insert=False)
+
+
+def test_merge_clauses_respects_constraints(spark, tbl):
+    """Updated projections AND inserts are gated BEFORE any file
+    lands; a refused merge leaves the head untouched and no orphans."""
+    t, base = tbl
+    t.set_constraint("pos", "o_totalprice > 0")
+    head = t.current_version()
+    files_before = set(t.data_plane.walk(f"{t.path}/data"))
+    bad_ins = spark.createDataFrame(
+        [Row(o_orderkey=8_000_001, o_custkey=1, o_totalprice=-5.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        t.merge_clauses(bad_ins, "o_orderkey")
+    k = base.select("o_orderkey").orderBy("o_orderkey").first()[0]
+    bad_upd = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=1, o_totalprice=-1.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    with pytest.raises(ConstraintViolationError, match="pos"):
+        t.merge_clauses(bad_upd, "o_orderkey",
+                        matched_update={"o_totalprice":
+                                        "src_o_totalprice"},
+                        insert=False)
+    assert t.current_version() == head
+    assert set(t.data_plane.walk(f"{t.path}/data")) == files_before
+
+
+def test_merge_clauses_first_commit_and_delete_only(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"))
+    src = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=20)], "k long, v long")
+    t.merge_clauses(src, "k")                   # empty table: insert all
+    assert t.read().count() == 2
+    # delete-only merge: matched rows vanish, nothing inserted
+    t.merge_clauses(
+        spark.createDataFrame([Row(k=1, v=0)], "k long, v long"),
+        "k", matched_delete="true", insert=False)
+    assert [r["k"] for r in t.read().collect()] == [2]
+
+
+def test_feed_changes_cdc_classification(spark, tmp_path):
+    """insert / delete / update pre+post pairs, no-op-update and
+    intra-span appear+disappear cancellation, NULL-key handling."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    rows = [Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=7),
+            Row(k=None, v=99)]
+    t.commit(spark.createDataFrame(rows, "k long, v long"))
+    first, h0 = t.feed_changes_cdc("c", "k")
+    assert {r["_change_type"] for r in first.collect()} == {"insert"}
+    assert first.count() == 4                   # initial load, NULL too
+    t.ack_feed("c", h0)
+    # revisions: update k=1 (real), "update" k=3 to its own value
+    # (no-op), delete k=2, append k=4 and a NULL-keyed row, and an
+    # intra-span appear+disappear (k=5)
+    t.update({"k": (1, 1)}, {"v": F.lit(11)})
+    t.update({"k": (3, 3)}, {"v": F.lit(7)})
+    t.delete({"k": (2, 2)})
+    t.commit(spark.createDataFrame(
+        [Row(k=4, v=40), Row(k=None, v=77), Row(k=5, v=50)],
+        "k long, v long"), "append")
+    t.delete({"k": (5, 5)})
+    cdc, head = t.feed_changes_cdc("c", "k")
+    skey = lambda t: ((t[0] is None, t[0]) if t[0] is not None
+                      else (True, -1), t[1], t[2])
+    got = sorted(((r["k"], r["v"], r["_change_type"])
+                  for r in cdc.collect()), key=skey)
+    assert got == [
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+        (2, 20, "delete"),
+        (4, 40, "insert"),
+        (None, 77, "insert"),                  # NULL key: net appear
+    ]
+    # at-least-once: same delta until ack; nothing after ack
+    again, _ = t.feed_changes_cdc("c", "k")
+    assert sorted(((r["k"], r["v"], r["_change_type"])
+                   for r in again.collect()), key=skey) == got
+    t.ack_feed("c", head)
+    none, _ = t.feed_changes_cdc("c", "k")
+    assert none is None
