@@ -447,6 +447,57 @@ def lsh_write(embeddings: DataFrame, path: str, n_planes: int = 8,
     ).partitionBy("bucket").parquet(path)
 
 
+def lsh_append(new_embeddings: DataFrame, path: str, n_planes: int = 8,
+               vec_col: str = "embedding") -> None:
+    """INCREMENTAL index maintenance: assign only the NEW vectors and
+    append them into the existing bucket-partitioned layout (dynamic
+    partition append — untouched buckets' files are never rewritten).
+    The hyperplanes are a deterministic function of n_planes, so
+    append-then-serve is BIT-IDENTICAL to a full rebuild
+    (pytest-pinned) — the property that lets a 100 TB vector lake
+    ingest continuously without rebuilding its index. Small-file
+    accretion across many appends is the standard OPTIMIZE problem:
+    compact per-bucket on the same cadence as any streaming table."""
+    lsh_bucket_ids(new_embeddings, n_planes, vec_col).repartition(
+        "bucket").write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def ivf_append(new_embeddings: DataFrame, centroids: list[list[float]],
+               path: str, vec_col: str = "embedding") -> None:
+    """INCREMENTAL IVF maintenance: assign new vectors against the
+    index's ORIGINAL trained centroids (the FAISS posture — the coarse
+    quantizer is frozen at train time; appended vectors land in the
+    nearest existing list) and append into the list_id-partitioned
+    layout. Identical serving results to a rebuild WITH THE SAME
+    centroids (pytest-pinned). Distribution drift degrades recall
+    gracefully, not correctness — retraining cadence is the policy
+    knob, exactly as in production FAISS/Milvus deployments."""
+    ivf_assign(new_embeddings, centroids, vec_col).repartition(
+        "list_id").write.mode("append").partitionBy("list_id").parquet(path)
+
+
+def ivfpq_append(new_embeddings: DataFrame,
+                 centroids: list[list[float]],
+                 books: list[list[list[float]]], path: str,
+                 vec_col: str = "embedding") -> None:
+    """INCREMENTAL IVF-PQ maintenance: encode only the new vectors
+    with the index's frozen centroids + codebooks — residual or raw
+    per the index's own meta table — and append their codes into the
+    partitioned codes layout. Serving equals a same-artifact rebuild
+    (pytest-pinned)."""
+    spark = new_embeddings.sparkSession
+    if _ivfpq_is_residual(spark, path):
+        lst = _ivfpq_residual_codes(new_embeddings, centroids, books,
+                                    vec_col)
+    else:
+        assigned = ivf_assign(new_embeddings, centroids,
+                              vec_col).select("vec_id", "list_id")
+        lst = pq_encode(new_embeddings, books, vec_col).join(assigned,
+                                                             "vec_id")
+    (lst.repartition("list_id").write.mode("append")
+     .partitionBy("list_id").parquet(f"{path}/codes"))
+
+
 def lsh_probe_buckets(qv: list[float], n_planes: int = 8,
                       multi_probe: int = 0) -> list[int]:
     """The query's bucket plus the `multi_probe` smallest-margin

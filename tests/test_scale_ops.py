@@ -699,6 +699,59 @@ def test_ivfpq_residual_encoding(spark, sf_dir, tmp_path):
     assert recall >= 0.5
 
 
+def test_incremental_index_append_equals_rebuild(spark, sf_dir,
+                                                 tmp_path):
+    """Index maintenance without rebuilds (r11): build each serving
+    index on HALF the corpus, append the other half, and assert the
+    served top-k is bit-identical to a full rebuild with the same
+    artifacts — for LSH, IVF, and residual IVF-PQ. Also: the pruned
+    probe still carries its partition filter after the append (the
+    appended files landed inside the partition dirs, not beside
+    them)."""
+    from aws_data_pipeline_ads_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    qv = similarity.fixed_query_vector()
+
+    # LSH
+    inc, full = str(tmp_path / "lsh_inc"), str(tmp_path / "lsh_full")
+    similarity.lsh_write(half_a, inc)
+    similarity.lsh_append(half_b, inc)
+    similarity.lsh_write(emb, full)
+    got = similarity.lsh_topk_pruned(spark, inc, qv, 10).collect()
+    exp = similarity.lsh_topk_pruned(spark, full, qv, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+    # IVF (frozen centroids trained on the FULL corpus for both)
+    cents = similarity.train_centroids(emb, 8)
+    inc, full = str(tmp_path / "ivf_inc"), str(tmp_path / "ivf_full")
+    similarity.ivf_write(half_a, cents, inc)
+    similarity.ivf_append(half_b, cents, inc)
+    similarity.ivf_write(emb, cents, full)
+    got = similarity.ivf_topk_pruned(spark, inc, qv, cents, 10,
+                                     n_probe=3)
+    fplan = plans.formatted_plan(got)
+    assert "PartitionFilters" in fplan and "list_id" in fplan
+    exp = similarity.ivf_topk_pruned(spark, full, qv, cents, 10,
+                                     n_probe=3).collect()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp]
+
+    # residual IVF-PQ (frozen centroids + books)
+    books = similarity.ivfpq_train_residual(emb, cents)
+    inc = str(tmp_path / "ivfpq_inc")
+    full = str(tmp_path / "ivfpq_full")
+    similarity.ivfpq_write(half_a, cents, books, inc, residual=True)
+    similarity.ivfpq_append(half_b, cents, books, inc)
+    similarity.ivfpq_write(emb, cents, books, full, residual=True)
+    got = similarity.ivfpq_topk(spark, inc, emb, qv, cents, 10,
+                                n_probe=3).collect()
+    exp = similarity.ivfpq_topk(spark, full, emb, qv, cents, 10,
+                                n_probe=3).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
 def test_bloom_served_equals_inline(spark, sf_dir, tmp_path):
     """bloom_write → decontaminate_served is bit-identical to the
     self-contained decontaminate_bloom (same hash geometry rehydrated
