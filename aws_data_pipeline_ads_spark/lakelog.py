@@ -1715,6 +1715,7 @@ class LakeTable:
                       matched_update: dict | None = None,
                       matched_delete: str | None = None,
                       insert: bool = True,
+                      insert_condition: str | None = None,
                       txn_id: str | None = None) -> int:
         """Full Delta-style MERGE in one commit: WHEN MATCHED [AND
         cond] THEN UPDATE SET … / DELETE, WHEN NOT MATCHED THEN
@@ -1727,9 +1728,12 @@ class LakeTable:
         semantics) with the matching source row's columns visible as
         `src_<col>`; a matched row hitting `matched_delete` is dropped
         (delete wins over update, Delta's clause order). `insert=True`
-        appends source rows whose key has no target match. `source`
-        must be unique on `key` (checked, one bounded aggregate) and
-        carry the target's columns for the insert path.
+        appends source rows whose key has no target match —
+        `insert_condition` (a SQL boolean over the SOURCE row's raw
+        column names) narrows that to WHEN NOT MATCHED AND cond THEN
+        INSERT, Delta's conditional-insert clause. `source` must be
+        unique on `key` (checked, one bounded aggregate) and carry
+        the target's columns for the insert path.
 
         Scale shape — the rewrite is COVER-SCOPED like delete_keys:
         the source's keys (collected driver-side up to
@@ -1758,7 +1762,9 @@ class LakeTable:
         base = self.current_version()
         if base is None:
             if insert:
-                return self.commit(source, "overwrite", txn_id,
+                first = (source if insert_condition is None
+                         else source.where(F.expr(insert_condition)))
+                return self.commit(first, "overwrite", txn_id,
                                    op="merge")
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
@@ -1769,7 +1775,10 @@ class LakeTable:
         if unknown:
             raise ValueError(f"merge_clauses: unknown target column "
                              f"{unknown[0]!r}")
-        dup = (source.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+        # NULL keys are exempt: they never equality-match a target row,
+        # so every NULL-keyed source row is an independent insert
+        dup = (source.where(F.col(key).isNotNull())
+               .groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
                .where(F.col("__n") > 1).limit(1).collect())
         if dup:
             raise ValueError(
@@ -1818,6 +1827,8 @@ class LakeTable:
                         if cover else None)
             inserts = (source.join(cov_keys, key, "left_anti")
                        if cov_keys is not None else source)
+            if insert_condition is not None:
+                inserts = inserts.where(F.expr(insert_condition))
             inserts = inserts.select(*tcols)
             gate_parts.append(inserts)
         if gate_parts:
@@ -2540,6 +2551,66 @@ class LakeTable:
             F.expr("explode(sequence(1, abs(__net)))").alias("__i"))
             .drop("__i"))
         return classified.unionByName(null_rows), head
+
+    def replicate_to(self, target: "LakeTable", consumer: str,
+                     key: str) -> int | None:
+        """CDC REPLICATION: apply this table's pending change feed to
+        `target` so that after every call `target` equals this
+        table's state as of the consumed head — the downstream-copy /
+        disaster-recovery loop, composed entirely from the existing
+        primitives (feed_changes_cdc classifies, merge_clauses
+        applies, the feed offset is the replication cursor).
+
+        One target commit per call: post-images and inserts UPSERT
+        (WHEN MATCHED UPDATE all columns / WHEN NOT MATCHED AND
+        action='u' INSERT), deletes drop (WHEN MATCHED AND action='d'
+        DELETE); a delete for a key the replica never had is a no-op
+        (the conditional insert excludes it). Exactly-once end to
+        end: the target commit rides txn id
+        `cdc-apply:<consumer>:<head>` and the feed is acked only
+        AFTER it publishes — a crash between the two re-delivers the
+        delta and the target answers the replay from its log.
+
+        NULL-keyed DELETES refuse loudly: a NULL key has no
+        cross-table identity to apply a deletion by (the feed's
+        documented contract); replicate NULL-keyed data with a
+        surrogate key instead. Returns the applied head version, or
+        None when the replica was already current."""
+        from pyspark.sql import functions as F
+
+        cdc, head = self.feed_changes_cdc(consumer, key)
+        if cdc is None:
+            return None
+        txn = f"cdc-apply:{consumer}:{head}"
+        cols = [c for c in cdc.columns if c != "_change_type"]
+        if cdc.where(F.col(key).isNull()
+                     & (F.col("_change_type") == "delete"))\
+                .limit(1).collect():
+            raise ValueError(
+                "replicate_to: the delta carries a NULL-keyed DELETE, "
+                "which has no key identity to apply — replicate "
+                "NULL-keyed data under a surrogate key")
+        src = (cdc.where(F.col("_change_type") != "update_preimage")
+               .select(*cols,
+                       F.when(F.col("_change_type") == "delete",
+                              F.lit("d")).otherwise(F.lit("u"))
+                       .alias("__action")))
+        if target.current_version() is None:
+            # first sync: the initial load (or first delta) is
+            # insert-shaped; commit the upsert rows directly
+            v = target.commit(
+                src.where(F.col("__action") == "u").select(*cols),
+                "overwrite", txn_id=txn)
+        else:
+            v = target.merge_clauses(
+                src, key,
+                matched_update={c: f"src_{c}" for c in cols
+                                if c != key},
+                matched_delete="src___action = 'd'",
+                insert=True, insert_condition="__action = 'u'",
+                txn_id=txn)
+        self.ack_feed(consumer, head)
+        return v
 
     def _enforce_constraints(self, df: DataFrame, entry: dict | None,
                              op: str) -> None:

@@ -105,9 +105,13 @@ _WINDOW: list[str] = [
     # q_resample_fill (hash-verified r9 AND r10) yield their slots,
     # time-series family anchored by q_hypertable_rollup -------------------
     "q_lake_merge_clauses", "q_lake_cdc_types",
+    # -- NEW in r11: CDC replication loop (feed → merge-apply), first
+    # exposure; q_profile (hash-verified r7..r10) yields its slot,
+    # profiling family anchored by q_quantile_sketch/q_histogram ----------
+    "q_lake_replica",
     # -- time-series / analytics anchors ----------------------------------
     "q_hypertable_rollup",
-    "q_attribution_join", "q_profile", "q_quantile_sketch",
+    "q_attribution_join", "q_quantile_sketch",
     "q_percentile_approx", "q_hll_rollup",
     # -- verified anchors: joins, LSH dedup, streaming window, lake
     # pruned scan ----------------------------------------------------------
@@ -128,7 +132,7 @@ _TAIL: list[str] = [
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----
     "q_lake_mv_minmax", "q_lake_mv_join", "q_lake_mv_daily",
-    "q_rolling_window", "q_resample_fill",
+    "q_rolling_window", "q_resample_fill", "q_profile",
     # -- r10 rotation: r09-hash-verified window members that yielded
     # their slots to the three MV first exposures (image-codec family
     # anchored in-window by q_image_neardup/q_image_exif; lake tags by

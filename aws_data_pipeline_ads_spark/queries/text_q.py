@@ -4053,6 +4053,57 @@ def q_lake_cdc_types(spark, sf_dir):
     return cdc
 
 
+# CDC replication: source → change feed → merge-apply into a replica,
+# the downstream-copy / DR loop composed from the existing primitives.
+def lake_replica_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/src")
+        rep = LakeTable(spark, f"{path}/replica")
+        t.commit(docs.filter(F.col("doc_id") % 3 < 2)
+                 .repartitionByRange(8, "doc_id"), txn_id="rv-0")
+        t.replicate_to(rep, "dr", "doc_id")   # initial full sync
+        t.commit(docs.filter(F.col("doc_id") % 3 == 2), "append",
+                 txn_id="rv-1")
+        t.update({"doc_id": (10, 29)}, {"n_chars": F.lit(7)},
+                 txn_id="rv-2")
+        t.delete({"doc_id": (40, 59)}, txn_id="rv-3")
+        t.replicate_to(rep, "dr", "doc_id")   # one consolidated apply
+
+    return index_path("lake_replica", sf_dir, build)
+
+
+@query(
+    "q_lake_replica",
+    oracle=(
+        "SELECT doc_id, lang, "
+        "CAST(CASE WHEN doc_id BETWEEN 10 AND 29 THEN 7 "
+        "ELSE n_chars END AS BIGINT) AS n_chars "
+        "FROM documents WHERE doc_id NOT BETWEEN 40 AND 59"
+    ),
+    doc="LLM lake versioning: CDC REPLICATION "
+        "(lakelog.replicate_to — feed_changes_cdc classifies, "
+        "merge_clauses applies: post-images/inserts upsert, deletes "
+        "drop via WHEN MATCHED AND action='d', the conditional "
+        "insert excludes unmatched deletes; the feed offset is the "
+        "replication cursor, acked only after the target commit, so "
+        "the loop is exactly-once end to end). The replica absorbs "
+        "an initial full sync plus ONE consolidated apply spanning "
+        "append + CoW update + delete; hash-matching the replica "
+        "against the source's final state computed flat in SQL "
+        "proves convergence — the downstream-copy/DR shape at 100 TB "
+        "costs O(changed rows) per sync, never a table copy",
+)
+def q_lake_replica(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_replica_index(spark, sf_dir)
+    return LakeTable(spark, f"{idx}/replica").read()
+
+
 # Delta-style MERGE with explicit WHEN clauses, cover-scoped: the
 # update/takedown/backfill trifecta in ONE commit, rewriting only the
 # stats+bloom-covered files of a key-clustered table.

@@ -77,10 +77,10 @@ def test_driver_window_covers_llm_pipeline_queries():
         # new in r11: three-clause MERGE + CDC row classification
         # (q_rolling_window / q_resample_fill, hash-verified r9+r10,
         # yielded their slots; q_hypertable_rollup anchors the family)
-        "q_lake_merge_clauses", "q_lake_cdc_types",
+        "q_lake_merge_clauses", "q_lake_cdc_types", "q_lake_replica",
         # time-series / analytics anchors
         "q_hypertable_rollup",
-        "q_attribution_join", "q_profile", "q_quantile_sketch",
+        "q_attribution_join", "q_quantile_sketch",
         "q_percentile_approx", "q_hll_rollup",
         # verified anchors for the core families
         "q_join_flagship", "q_minhash_lsh",

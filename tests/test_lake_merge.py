@@ -18,7 +18,9 @@ from aws_data_pipeline_ads_spark.lakelog import (
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None-safe sort (replication rows may carry NULL keys)
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
 
 
 @pytest.fixture
@@ -140,6 +142,57 @@ def test_merge_clauses_first_commit_and_delete_only(spark, tmp_path):
         spark.createDataFrame([Row(k=1, v=0)], "k long, v long"),
         "k", matched_delete="true", insert=False)
     assert [r["k"] for r in t.read().collect()] == [2]
+
+
+def test_replicate_to_converges_under_revisions(spark, sf_dir,
+                                                tmp_path):
+    """The CDC replication loop (feed_changes_cdc → merge_clauses):
+    after EVERY replicate_to call the replica equals the source head,
+    through appends, CoW updates, deletes, NULL-keyed inserts,
+    no-op revisions, and a crash between apply and ack (replay must
+    not double-apply)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    src = LakeTable(spark, str(tmp_path / "src"))
+    rep = LakeTable(spark, str(tmp_path / "rep"))
+    src.commit(docs.filter(F.col("doc_id") % 3 == 0)
+               .repartitionByRange(4, "doc_id"))
+    assert src.replicate_to(rep, "dr", "doc_id") == 0
+    assert _rows(rep.read()) == _rows(src.read())
+    assert src.replicate_to(rep, "dr", "doc_id") is None  # current
+
+    src.commit(docs.filter(F.col("doc_id") % 3 == 1), "append")
+    src.update({"doc_id": (10, 49)}, {"n_chars": F.lit(5)})
+    src.delete({"doc_id": (100, 199)})
+    src.commit(spark.createDataFrame(
+        [Row(doc_id=None, lang="zz", n_chars=1)],
+        "doc_id long, lang string, n_chars long"), "append")
+    src.replicate_to(rep, "dr", "doc_id")
+    assert _rows(rep.read()) == _rows(src.read())
+
+    # crash between apply and ack: simulate by re-winding the offset
+    head = src.current_version()
+    src.commit(docs.filter(F.col("doc_id") % 3 == 2).limit(50),
+               "append")
+    rep_v = None
+    real_ack = src.ack_feed
+
+    def no_ack(consumer, version):  # crash before ack
+        pass
+
+    src.ack_feed = no_ack
+    try:
+        rep_v = src.replicate_to(rep, "dr", "doc_id")
+    finally:
+        src.ack_feed = real_ack
+    # redelivery: the target answers the replay from its txn log
+    assert src.replicate_to(rep, "dr", "doc_id") == rep_v
+    assert rep.table_properties() == src.table_properties()
+    assert _rows(rep.read()) == _rows(src.read())
+    # a NULL-keyed DELETE refuses loudly
+    src.delete({"n_chars": (1, 1)})        # removes the NULL-key row
+    with pytest.raises(ValueError, match="NULL-keyed DELETE"):
+        src.replicate_to(rep, "dr", "doc_id")
 
 
 def test_feed_changes_cdc_classification(spark, tmp_path):
