@@ -214,7 +214,11 @@ def normalize_schedule(expression: str) -> str:
     bounds = [(0, 59), (0, 23), (1, 31), (1, 12), (0, 7)]
     for f, (lo, hi) in zip(fields, bounds):
         for part in f.split(","):
-            body = part.split("/")[0]
+            body, sep, step_s = part.partition("/")
+            if sep and (not step_s.isdigit() or int(step_s) < 1):
+                raise ValueError(
+                    f"cron step {step_s!r} must be a positive integer "
+                    f"in {expression!r}")
             if body in ("*", ""):
                 continue
             for edge in body.split("-"):
@@ -232,13 +236,17 @@ def next_fire_after(schedule: str, after) -> "dt.datetime":
     the reference's 'daily at 2 AM UTC' as arithmetic."""
     import datetime as dt
 
-    def match(field: str, value: int, alt: int | None = None) -> bool:
+    def match(field: str, value: int, fld_lo: int = 0,
+              alt: int | None = None) -> bool:
         vals = [v for v in (value, alt) if v is not None]
         for part in field.split(","):
             body, _, step_s = part.partition("/")
             step = int(step_s) if step_s else 1
             if body in ("*", ""):
-                if any(v % step == 0 for v in vals):
+                # cron anchors a bare */N step at the field's lower
+                # bound: */5 in day-of-month fires 1,6,11,... not
+                # 5,10,15,...
+                if any((v - fld_lo) % step == 0 for v in vals):
                     return True
                 continue
             lo_s, _, hi_s = body.partition("-")
@@ -254,8 +262,8 @@ def next_fire_after(schedule: str, after) -> "dt.datetime":
     for _ in range(366 * 24 * 60):
         wd = (t.weekday() + 1) % 7  # cron: 0=Sunday, 7 also Sunday
         if (match(m, t.minute) and match(h, t.hour)
-                and match(dom, t.day) and match(mon, t.month)
-                and match(dow, wd, 7 if wd == 0 else None)):
+                and match(dom, t.day, 1) and match(mon, t.month, 1)
+                and match(dow, wd, 0, 7 if wd == 0 else None)):
             return t
         t += dt.timedelta(minutes=1)
     raise ValueError(f"schedule {schedule!r} never fires")

@@ -1775,6 +1775,19 @@ class LakeTable:
         if unknown:
             raise ValueError(f"merge_clauses: unknown target column "
                              f"{unknown[0]!r}")
+        # the join frame exposes source columns as src_<col> plus a
+        # __m marker — a target column occupying either name would
+        # duplicate in the joined frame and surface later as an
+        # opaque ambiguous-reference AnalysisException; refuse with
+        # the column named instead
+        clash = [c for c in tcols
+                 if c == "__m" or (c.startswith("src_")
+                                   and c[4:] in source.columns)]
+        if clash:
+            raise ValueError(
+                f"merge_clauses: target column {clash[0]!r} collides "
+                f"with the internal src_<col>/__m join names — rename "
+                f"it before merging")
         # NULL keys are exempt: they never equality-match a target row,
         # so every NULL-keyed source row is an independent insert
         dup = (source.where(F.col(key).isNotNull())
@@ -2041,7 +2054,23 @@ class LakeTable:
         """Publish a partial rewrite: `untouched` files carry their
         stats/blooms forward verbatim, `new_files` get fresh stats (and
         a fresh bloom when the table carries a bloom index); schema is
-        the entry's pinned schema."""
+        the entry's pinned schema.
+
+        A publish that loses the head race (or any post-write failure)
+        discards `new_files`: no entry will ever reference them, so
+        vacuum could never reclaim the orphans — commit()'s retry path
+        makes the same guarantee."""
+        try:
+            return self._publish_rewrite_inner(
+                entry, op, txn_id, version, untouched, new_files)
+        except BaseException:
+            self._discard_files(new_files)
+            raise
+
+    def _publish_rewrite_inner(self, entry: dict, op: str,
+                               txn_id: str | None, version: int,
+                               untouched: list[str],
+                               new_files: list[str]) -> int:
         files = untouched + new_files
         untouched_set = set(untouched)
         stats = {f: s for f, s in entry.get("stats", {}).items()
@@ -2571,6 +2600,13 @@ class LakeTable:
         AFTER it publishes — a crash between the two re-delivers the
         delta and the target answers the replay from its log.
 
+        The target is OWNED by the replication loop: the feed only
+        ever touches source-keyed rows, so rows that were never in the
+        source could otherwise survive every sync and the
+        target-equals-source promise would be false. The initial full
+        sync therefore refuses a pre-populated target (checked here;
+        exempting the exactly-once replay of our own first commit).
+
         NULL-keyed DELETES refuse loudly: a NULL key has no
         cross-table identity to apply a deletion by (the feed's
         documented contract); replicate NULL-keyed data with a
@@ -2578,6 +2614,7 @@ class LakeTable:
         None when the replica was already current."""
         from pyspark.sql import functions as F
 
+        initial = self.tags().get(f"feed-{consumer}") is None
         cdc, head = self.feed_changes_cdc(consumer, key)
         if cdc is None:
             return None
@@ -2602,6 +2639,15 @@ class LakeTable:
                 src.where(F.col("__action") == "u").select(*cols),
                 "overwrite", txn_id=txn)
         else:
+            if initial and target._txn_version(txn) is None \
+                    and target.read().limit(1).collect():
+                raise ValueError(
+                    f"replicate_to: target {target.path} is "
+                    f"pre-populated but consumer {consumer!r} has no "
+                    f"offset — the replica must start empty (it is "
+                    f"owned by the replication loop; foreign rows "
+                    f"would survive every sync). Point at an empty "
+                    f"table or reset it first")
             v = target.merge_clauses(
                 src, key,
                 matched_update={c: f"src_{c}" for c in cols
@@ -2715,35 +2761,68 @@ class LakeTable:
 
     def set_property(self, name: str, value,
                      txn_id: str | None = None) -> int:
-        """Set a TABLE PROPERTY (JSON-native value) as a metadata-only
-        commit. Properties carry forward through every commit — data
-        writes, compact, restore — exactly like constraints, and
-        clone copies them; the reference's per-object sink metadata
-        (record_count/source/extracted_date,
+        """Set one TABLE PROPERTY — sugar over set_properties()."""
+        return self.set_properties({name: value}, txn_id=txn_id)
+
+    def set_properties(self, updates: dict, txn_id: str | None = None,
+                       retries: int = 3) -> int:
+        """Set TABLE PROPERTIES (JSON-native values) as ONE
+        metadata-only commit. Properties carry forward through every
+        commit — data writes, compact, restore — exactly like
+        constraints, and clone copies them; the reference's per-object
+        sink metadata (record_count/source/extracted_date,
         /root/reference/lambda/lambda_function.py:332-337) maps to
-        per-commit `meta` plus these table-level properties."""
-        if not isinstance(value, (str, int, float, bool, type(None))):
-            raise ValueError(f"property value must be JSON-native: "
-                             f"{value!r}")
+        per-commit `meta` plus these table-level properties.
+
+        Batching several properties into one commit keeps multi-source
+        writers from inflating the version count, and a lost head race
+        is retried (`retries`, default 3) by re-reading the head and
+        re-merging — always safe for a pure property update, the
+        competitor's data files and properties both survive. No-op
+        updates (every key already at its value) publish nothing and
+        return the current head."""
+        if not updates:
+            raise ValueError("set_properties: empty update dict")
+        for name, value in updates.items():
+            if not isinstance(value,
+                              (str, int, float, bool, type(None))):
+                raise ValueError(f"property value must be JSON-native:"
+                                 f" {name}={value!r}")
         if txn_id is not None:
             done = self._txn_version(txn_id)
             if done is not None:
                 return done
-        head = self.current_version()
-        if head is None:
-            raise ValueError(f"lake table {self.path}: no commits yet")
-        entry = self._read_entry(head)
-        props = dict(entry.get("properties", {}))
-        props[name] = value
-        return self._publish(
-            entry["files"], "set_property", txn_id, head + 1,
-            schema=self._entry_schema(entry),
-            stats=entry.get("stats"), blooms=entry.get("blooms"),
-            bloom_cols=entry.get("bloom_cols"),
-            row_counts=entry.get("row_counts"),
-            sums=entry.get("sums"), sum_cols=entry.get("sum_cols"),
-            deferred_deletes=entry.get("deferred_deletes"),
-            properties=props)
+        for attempt in range(retries + 1):
+            head = self.current_version()
+            if head is None:
+                raise ValueError(
+                    f"lake table {self.path}: no commits yet")
+            entry = self._read_entry(head)
+            props = dict(entry.get("properties", {}))
+            if all(k in props and props[k] == v
+                   for k, v in updates.items()):
+                return head
+            props.update(updates)
+            try:
+                return self._publish(
+                    entry["files"], "set_property", txn_id, head + 1,
+                    schema=self._entry_schema(entry),
+                    stats=entry.get("stats"),
+                    blooms=entry.get("blooms"),
+                    bloom_cols=entry.get("bloom_cols"),
+                    row_counts=entry.get("row_counts"),
+                    sums=entry.get("sums"),
+                    sum_cols=entry.get("sum_cols"),
+                    deferred_deletes=entry.get("deferred_deletes"),
+                    properties=props)
+            except ConcurrentWriteError:
+                if attempt == retries:
+                    raise
+                if txn_id is not None:
+                    done = self._txn_version(txn_id)
+                    if done is not None:
+                        return done
+        raise AssertionError("unreachable")
 
     def drop_property(self, name: str, txn_id: str | None = None) -> int:
         """Remove a table property (metadata-only commit)."""

@@ -65,15 +65,17 @@ def lake_sink(df: DataFrame, table, source: str,
     v = table.commit(df, "append", txn_id=txn_id,
                      meta={"source": source,
                            "extracted_date": str(extracted_date)})
-    props = table.table_properties()
+    # ONE combined property commit (none at all when already current),
+    # retried on a lost head race — concurrent multi-source writers
+    # to one table neither thrash versions nor drop an update. The
+    # pipeline.* properties are last-writer-wins by design and only
+    # meaningful on single-source tables; per-commit `meta` above is
+    # the per-batch record.
     want = {"pipeline.source": source,
             "pipeline.last_date": str(extracted_date)}
-    for k, val in want.items():
-        if props.get(k) != val:
-            v = table.set_property(
-                k, val, txn_id=None if txn_id is None
-                else f"{txn_id}:prop:{k}")
-    return v
+    pv = table.set_properties(
+        want, txn_id=None if txn_id is None else f"{txn_id}:props")
+    return max(v, pv)
 
 
 def write_run_summary(spark: SparkSession, summary: dict, path: str) -> str:

@@ -124,3 +124,31 @@ def test_invoke_job_smoke(spark, tmp_path):
     assert body["errors"] == []
     with pytest.raises(ValueError, match="not deployed"):
         deploy.invoke_job(spark, d, "ghost", str(tmp_path / "x"))
+
+
+def test_cron_step_anchoring_and_step_validation():
+    """Bare */N steps anchor at the field's LOWER BOUND, matching
+    cron: */5 in day-of-month fires 1,6,11,... (1-based field), not
+    5,10,15; minute/hour are 0-based so */15 keeps firing :00/:15/...
+    Non-numeric or zero steps refuse at normalize time, not first
+    fire."""
+    # day-of-month is 1-based: next */5 dom fire after Jun 1 is Jun 6
+    t = deploy.next_fire_after(
+        "0 0 */5 * *", dt.datetime(2024, 6, 1, 0, 0))
+    assert t == dt.datetime(2024, 6, 6, 0, 0)
+    # and Jun 1 itself matches (1-1) % 5 == 0
+    t = deploy.next_fire_after(
+        "0 0 */5 * *", dt.datetime(2024, 5, 31, 23, 59))
+    assert t == dt.datetime(2024, 6, 1, 0, 0)
+    # month is 1-based: */2 months = Jan,Mar,May,... (odd months)
+    t = deploy.next_fire_after(
+        "0 0 1 */2 *", dt.datetime(2024, 1, 15, 0, 0))
+    assert t == dt.datetime(2024, 3, 1, 0, 0)
+    # minute field is 0-based: unchanged behavior
+    t = deploy.next_fire_after(
+        "*/15 * * * *", dt.datetime(2024, 6, 1, 10, 16))
+    assert t == dt.datetime(2024, 6, 1, 10, 30)
+    for bad in ("*/x * * * *", "*/ * * * *", "*/0 * * * *",
+                "cron(*/1.5 2 * * ? *)"):
+        with pytest.raises(ValueError, match="step"):
+            deploy.normalize_schedule(bad)

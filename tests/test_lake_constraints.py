@@ -256,3 +256,51 @@ def test_streaming_append_respects_constraints(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="text_short"):
         lake_append_sink(stream, t, str(tmp_path / "ck"))
     assert t.read().count() == 1               # nothing bad landed
+
+
+def test_set_properties_combined_commit_noop_and_retry(spark, tbl):
+    """set_properties lands N properties in ONE metadata commit,
+    no-ops (zero commits) when every key is already current, and
+    retries a lost head race by re-reading the head — a concurrent
+    multi-source lake_sink neither thrashes versions nor drops an
+    update."""
+    from aws_data_pipeline_ads_spark.lakelog import ConcurrentWriteError
+
+    t, docs = tbl
+    v0 = t.current_version()
+    v1 = t.set_properties({"pipeline.source": "m",
+                           "pipeline.last_date": "2026-08-16"})
+    assert v1 == v0 + 1                       # ONE commit for both
+    assert t.table_properties() == {"pipeline.source": "m",
+                                    "pipeline.last_date": "2026-08-16"}
+    # no-op: already current → no new version published
+    assert t.set_properties({"pipeline.source": "m"}) == v1
+    assert t.current_version() == v1
+    # lost race retried: first publish attempt is beaten by a
+    # competitor commit that lands mid-flight
+    real_put = t.backend.put_if_absent
+    state = {"raced": False}
+
+    def racy_put(path, s):
+        if not state["raced"]:
+            state["raced"] = True
+            t.commit(docs.limit(1), "append")  # competitor wins v+1
+            return False
+        return real_put(path, s)
+
+    t.backend.put_if_absent = racy_put
+    try:
+        v2 = t.set_properties({"pipeline.last_date": "2026-08-17"})
+    finally:
+        t.backend.put_if_absent = real_put
+    assert t.table_properties()["pipeline.last_date"] == "2026-08-17"
+    # the competitor's data row survived alongside the property update
+    assert t.current_version() == v2
+    with pytest.raises(ConcurrentWriteError):
+        t.backend.put_if_absent = lambda p, s: False
+        try:
+            t.set_properties({"x": "y"}, retries=1)
+        finally:
+            t.backend.put_if_absent = real_put
+    with pytest.raises(ValueError, match="empty"):
+        t.set_properties({})

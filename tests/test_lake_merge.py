@@ -235,3 +235,69 @@ def test_feed_changes_cdc_classification(spark, tmp_path):
     t.ack_feed("c", head)
     none, _ = t.feed_changes_cdc("c", "k")
     assert none is None
+
+
+def test_merge_clauses_lost_race_discards_files(spark, tbl):
+    """A concurrent commit landing between head-resolve and publish
+    raises ConcurrentWriteError — and the freshly written kept+insert
+    files are DISCARDED (no entry will ever reference them, so vacuum
+    could never reclaim the orphans)."""
+    from aws_data_pipeline_ads_spark.lakelog import ConcurrentWriteError
+
+    t, base = tbl
+    files_before = set(t.data_plane.walk(f"{t.path}/data"))
+    head = t.current_version()
+    real_put = t.backend.put_if_absent
+    t.backend.put_if_absent = lambda p, s: False  # lose every race
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.merge_clauses(
+                spark.createDataFrame(
+                    [Row(o_orderkey=1, o_custkey=1, o_totalprice=9.9)],
+                    "o_orderkey long, o_custkey long, "
+                    "o_totalprice double"),
+                "o_orderkey",
+                matched_update={"o_totalprice": "src_o_totalprice"})
+    finally:
+        t.backend.put_if_absent = real_put
+    assert t.current_version() == head
+    assert set(t.data_plane.walk(f"{t.path}/data")) == files_before
+
+
+def test_merge_clauses_internal_name_collision_refuses(spark, tmp_path):
+    """A target column occupying the join frame's src_<col>/__m
+    internal names refuses with the column named, instead of an
+    opaque ambiguous-reference AnalysisException downstream."""
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [Row(k=1, src_v=10, v=1)], "k long, src_v long, v long"))
+    src = spark.createDataFrame([Row(k=1, v=2)], "k long, v long")
+    with pytest.raises(ValueError, match="src_v"):
+        t.merge_clauses(src, "k", matched_update={"v": "src_v"})
+    t2 = LakeTable(spark, str(tmp_path / "t2"))
+    t2.commit(spark.createDataFrame(
+        [Row(k=1, __m=0)], "k long, __m long"))
+    with pytest.raises(ValueError, match="__m"):
+        t2.merge_clauses(
+            spark.createDataFrame([Row(k=1, __m=1)], "k long, __m long"),
+            "k", matched_update={"__m": "src___m"})
+
+
+def test_replicate_to_refuses_prepopulated_target(spark, tmp_path):
+    """The replica is OWNED by the replication loop: an initial sync
+    into a table that already holds foreign rows refuses loudly
+    (those rows would silently survive every sync); an empty-but-
+    committed target is fine."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.commit(spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b")], "k long, v string"))
+    rep = LakeTable(spark, str(tmp_path / "rep"))
+    rep.commit(spark.createDataFrame(
+        [Row(k=99, v="foreign")], "k long, v string"))
+    with pytest.raises(ValueError, match="pre-populated"):
+        src.replicate_to(rep, "dr", "k")
+    # an empty committed target is legal (the loop owns it)
+    rep2 = LakeTable(spark, str(tmp_path / "rep2"))
+    rep2.commit(spark.createDataFrame([], "k long, v string"))
+    assert src.replicate_to(rep2, "dr2", "k") is not None
+    assert _rows(rep2.read()) == _rows(src.read())
