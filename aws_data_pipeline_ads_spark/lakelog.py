@@ -1716,7 +1716,8 @@ class LakeTable:
                       matched_delete: str | None = None,
                       insert: bool = True,
                       insert_condition: str | None = None,
-                      txn_id: str | None = None) -> int:
+                      txn_id: str | None = None,
+                      evolve: bool = False) -> int:
         """Full Delta-style MERGE in one commit: WHEN MATCHED [AND
         cond] THEN UPDATE SET … / DELETE, WHEN NOT MATCHED THEN
         INSERT — the update/takedown/backfill trifecta `merge()`'s
@@ -1746,7 +1747,15 @@ class LakeTable:
         merge()'s whole-snapshot rewrite is the unclustered fallback.
         Standing CHECK constraints gate every row the merge introduces
         (updated projections + inserts, both delta/cover-scoped).
-        Returns the new version."""
+
+        `evolve=True` is Delta's withSchemaEvolution(): NEW source
+        columns widen the target schema as nullable fields — updated
+        rows take them from `matched_update` when listed (else NULL),
+        inserts carry them from the source, untouched files and
+        non-matched kept rows read them as NULL under the pinned
+        schema, and prior versions time-travel with their own
+        schemas. Type changes on shared columns still refuse (same
+        rule as commit(evolve=True)). Returns the new version."""
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
@@ -1769,12 +1778,32 @@ class LakeTable:
             raise ValueError(f"lake table {self.path}: no commits yet")
         entry = self._read_entry(base)
         pinned = self._entry_schema(entry)
-        tcols = ([f.name for f in pinned.fields] if pinned is not None
-                 else self.read(base).columns)
-        unknown = [c for c in (matched_update or {}) if c not in tcols]
+        if pinned is None:
+            pinned = self.read(base).schema
+        tcols = [f.name for f in pinned.fields]
+        added: list[str] = []
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        if evolve:
+            pin_types = {f.name: f.dataType for f in pinned.fields}
+            drifted = sorted(n for n in pin_types.keys()
+                             & src_types.keys()
+                             if pin_types[n] != src_types[n])
+            if drifted:
+                raise SchemaMismatchError(
+                    f"lake table {self.path}: merge changes column "
+                    f"types {drifted} (committed vs source) — evolve "
+                    f"only adds columns, never retypes them")
+            added = [c for c in source.columns if c not in tcols]
+        out_cols = tcols + added
+        unknown = [c for c in (matched_update or {})
+                   if c not in out_cols]
         if unknown:
             raise ValueError(f"merge_clauses: unknown target column "
-                             f"{unknown[0]!r}")
+                             f"{unknown[0]!r}"
+                             + (" — pass evolve=True to add source "
+                                "columns" if not evolve
+                                and unknown[0] in source.columns
+                                else ""))
         # the join frame exposes source columns as src_<col> plus a
         # __m marker — a target column occupying either name would
         # duplicate in the joined frame and surface later as an
@@ -1822,14 +1851,20 @@ class LakeTable:
             aff = (self._read_files(entry, cover)
                    .join(F.broadcast(src), key, "left"))
             sel = []
-            for c in tcols:
+            for c in out_cols:
+                # an evolved (added) column does not exist in the
+                # target files: non-matched kept rows take NULL,
+                # matched rows take the SET expression when listed
+                base_col = (F.lit(None).cast(src_types[c])
+                            if c in added else F.col(c))
                 if matched_update and c in matched_update:
                     e = matched_update[c]
                     e = e if isinstance(e, Column) else F.expr(e)
                     sel.append(F.when(matched, e)
-                               .otherwise(F.col(c)).alias(c))
+                               .otherwise(base_col).alias(c))
                 else:
-                    sel.append(F.col(c))
+                    sel.append(base_col.alias(c) if c in added
+                               else F.col(c))
             kept = aff.where(~del_cond).select(*sel)
             if matched_update:
                 gate_parts.append(
@@ -1842,7 +1877,7 @@ class LakeTable:
                        if cov_keys is not None else source)
             if insert_condition is not None:
                 inserts = inserts.where(F.expr(insert_condition))
-            inserts = inserts.select(*tcols)
+            inserts = inserts.select(*out_cols)
             gate_parts.append(inserts)
         if gate_parts:
             # gate BEFORE any file lands (commit()'s posture) — a
@@ -1856,8 +1891,17 @@ class LakeTable:
             new_files += self._write_files(kept)
         if inserts is not None:
             new_files += self._write_files(inserts)
+        widened = None
+        if added:
+            from pyspark.sql import types as T
+
+            widened = T.StructType(
+                list(pinned.fields)
+                + [T.StructField(c, src_types[c], True)
+                   for c in added])
         return self._publish_rewrite(entry, "merge", txn_id, base + 1,
-                                     untouched, new_files)
+                                     untouched, new_files,
+                                     schema=widened)
 
     def delete(self, ranges: dict, txn_id: str | None = None,
                defer: bool = False) -> int:
@@ -2050,11 +2094,12 @@ class LakeTable:
 
     def _publish_rewrite(self, entry: dict, op: str, txn_id: str | None,
                          version: int, untouched: list[str],
-                         new_files: list[str]) -> int:
+                         new_files: list[str], schema=None) -> int:
         """Publish a partial rewrite: `untouched` files carry their
         stats/blooms forward verbatim, `new_files` get fresh stats (and
         a fresh bloom when the table carries a bloom index); schema is
-        the entry's pinned schema.
+        the entry's pinned schema unless `schema` overrides it (merge
+        schema evolution).
 
         A publish that loses the head race (or any post-write failure)
         discards `new_files`: no entry will ever reference them, so
@@ -2062,7 +2107,8 @@ class LakeTable:
         makes the same guarantee."""
         try:
             return self._publish_rewrite_inner(
-                entry, op, txn_id, version, untouched, new_files)
+                entry, op, txn_id, version, untouched, new_files,
+                schema)
         except BaseException:
             self._discard_files(new_files)
             raise
@@ -2070,7 +2116,8 @@ class LakeTable:
     def _publish_rewrite_inner(self, entry: dict, op: str,
                                txn_id: str | None, version: int,
                                untouched: list[str],
-                               new_files: list[str]) -> int:
+                               new_files: list[str],
+                               schema=None) -> int:
         files = untouched + new_files
         untouched_set = set(untouched)
         stats = {f: s for f, s in entry.get("stats", {}).items()
@@ -2079,7 +2126,8 @@ class LakeTable:
         rows = {f: n for f, n in entry.get("row_counts", {}).items()
                 if f in untouched_set}
         rows.update(self._collect_row_counts(new_files))
-        schema = self._entry_schema(entry)
+        if schema is None:
+            schema = self._entry_schema(entry)
         bloom_cols = entry.get("bloom_cols")
         blooms = None
         if bloom_cols:

@@ -43,7 +43,11 @@ _WINDOW: list[str] = [
     # (q_lake_mv_refresh, hash-verified r8 AND r9, yields its slot to
     # the NEW r10 LEFT-join MV first exposure; the single-table MV
     # family stays anchored by q_lake_mv_variance/minmax/daily) -----------
-    "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_unigram_tokenize",
+    # -- NEW in r12: MERGE schema evolution, first exposure;
+    # q_lake_mv_leftjoin (hash-verified r10 AND r11) yields its slot —
+    # the outer-join MV family stays anchored by q_lake_mv_fulljoin ------
+    "q_lake_merge_evolve",
+    "q_unigram_tok_vocab", "q_unigram_tokenize",
     "q_chat_flatten", "q_preference_pairs",
     # -- NEW in r10: k-dim star MV + exact COUNT(DISTINCT) MV +
     # derived-bucket continuous aggregate, first exposure; variance MV
@@ -128,6 +132,9 @@ _WINDOW: list[str] = [
 # committed as ORACLE_SF01_r*.txt); in-window anchors keep each operator
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
+    # -- r12 rotation: r10+r11 doubly-hash-verified LEFT-join MV
+    # yields its slot to the MERGE-evolution first exposure ---------------
+    "q_lake_mv_leftjoin",
     # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----

@@ -4164,6 +4164,63 @@ def q_lake_merge_clauses(spark, sf_dir):
     return LakeTable(spark, f"{idx}/tbl").read()
 
 
+# MERGE with schema evolution (Delta withSchemaEvolution()): an
+# UPDATE+INSERT merge whose source carries a NEW column widens the
+# target schema in the same commit — matched rows take the SET value,
+# inserts carry it from the source, untouched files read it as NULL
+# under the pinned schema, prior versions time-travel unwidened.
+def lake_merge_evolve_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        base = docs.filter(F.col("doc_id") % 3 == 0)
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(base.repartitionByRange(8, "doc_id"),
+                 bloom_cols=["doc_id"], txn_id="e0")
+        src = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "quality",
+            (F.col("doc_id") % 100).cast("double") / F.lit(10.0))
+        t.merge_clauses(src, "doc_id",
+                        matched_update={"quality": "src_quality"},
+                        insert=True, evolve=True, txn_id="e1")
+
+    return index_path("lake_merge_evolve", sf_dir, build)
+
+
+@query(
+    "q_lake_merge_evolve",
+    oracle=(
+        "SELECT doc_id, lang, n_chars, "
+        "CASE WHEN doc_id % 7 = 0 THEN "
+        "CAST(doc_id % 100 AS DOUBLE) / 10.0 ELSE NULL END AS quality "
+        "FROM documents WHERE doc_id % 3 = 0 "
+        "UNION ALL "
+        "SELECT doc_id, lang, n_chars, "
+        "CAST(doc_id % 100 AS DOUBLE) / 10.0 "
+        "FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0"
+    ),
+    doc="LLM lake versioning: MERGE SCHEMA EVOLUTION "
+        "(lakelog.merge_clauses(evolve=True), Delta "
+        "withSchemaEvolution() parity) — one UPDATE+INSERT merge "
+        "whose source carries a NEW `quality` column widens the "
+        "target schema in the SAME commit: matched rows take the SET "
+        "expression, WHEN NOT MATCHED inserts carry the column from "
+        "the source, non-matched kept rows and untouched shared files "
+        "read it as NULL under the pinned schema (no backfill "
+        "rewrite), and the prior version time-travels with its own "
+        "unwidened schema. The rewrite stays cover-scoped through "
+        "stats+Bloom; the hash gate replays the widened final state "
+        "flat in SQL",
+)
+def q_lake_merge_evolve(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_merge_evolve_index(spark, sf_dir)
+    return LakeTable(spark, f"{idx}/tbl").read()
+
+
 # Shallow CLONE: fork a table at a tagged version with ZERO bytes
 # copied, then let both sides diverge — the dev/test workflow every
 # 100 TB lakehouse needs (a deep copy would be a day of I/O).

@@ -301,3 +301,59 @@ def test_replicate_to_refuses_prepopulated_target(spark, tmp_path):
     rep2.commit(spark.createDataFrame([], "k long, v string"))
     assert src.replicate_to(rep2, "dr2", "k") is not None
     assert _rows(rep2.read()) == _rows(src.read())
+
+
+def test_merge_clauses_schema_evolution(spark, tmp_path):
+    """merge_clauses(evolve=True) — Delta withSchemaEvolution()
+    parity: an INSERT/UPDATE-bearing merge adds NEW source columns as
+    nullable fields; untouched files and non-matched kept rows read
+    them as NULL; prior versions time-travel with their own schemas;
+    without evolve the unknown column refuses with a pointer; shared-
+    column type drift always refuses."""
+    from aws_data_pipeline_ads_spark.lakelog import SchemaMismatchError
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")],
+        "k long, v string").repartition(2))
+    v0 = t.current_version()
+    src = spark.createDataFrame(
+        [Row(k=2, v="B", score=0.5), Row(k=9, v="i", score=0.9)],
+        "k long, v string, score double")
+    # without evolve: refuse, naming the fix
+    with pytest.raises(ValueError, match="evolve=True"):
+        t.merge_clauses(src, "k",
+                        matched_update={"v": "src_v",
+                                        "score": "src_score"})
+    v1 = t.merge_clauses(src, "k",
+                         matched_update={"v": "src_v",
+                                         "score": "src_score"},
+                         evolve=True)
+    got = _rows(t.read().select("k", "v", "score"))
+    assert got == [(1, "a", None), (2, "B", 0.5),
+                   (3, "c", None), (9, "i", 0.9)]
+    # prior version time-travels with ITS schema (no score column)
+    assert t.read(v0).columns == ["k", "v"]
+    assert "score" in t.read(v1).columns
+    # a second evolve merge into the widened table works plainly
+    t.merge_clauses(spark.createDataFrame(
+        [Row(k=1, v="A", score=1.0)],
+        "k long, v string, score double"), "k",
+        matched_update={"score": "src_score"}, evolve=True)
+    assert _rows(t.read().where("k = 1")) == [(1, "a", 1.0)]
+    # matched_update listing the new column but source NOT matched →
+    # inserts carry it from source (covered above by k=9); type drift
+    # on a shared column refuses even with evolve
+    bad = spark.createDataFrame([Row(k=1, v=5)], "k long, v long")
+    with pytest.raises(SchemaMismatchError, match="types"):
+        t.merge_clauses(bad, "k", matched_update={"v": "src_v"},
+                        evolve=True)
+    # evolve INSERT-only path: unmatched rows land with the new col,
+    # kept rows get NULL
+    t2 = LakeTable(spark, str(tmp_path / "t2"))
+    t2.commit(spark.createDataFrame([Row(k=1, v="x")],
+                                    "k long, v string"))
+    t2.merge_clauses(spark.createDataFrame(
+        [Row(k=7, v="y", extra=3)], "k long, v string, extra long"),
+        "k", evolve=True)
+    assert _rows(t2.read()) == [(1, "x", None), (7, "y", 3)]
