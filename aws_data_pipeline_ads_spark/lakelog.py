@@ -2658,8 +2658,10 @@ class LakeTable:
         NULL-keyed DELETES refuse loudly: a NULL key has no
         cross-table identity to apply a deletion by (the feed's
         documented contract); replicate NULL-keyed data with a
-        surrogate key instead. Returns the applied head version, or
-        None when the replica was already current."""
+        surrogate key instead. Returns the TARGET's committed
+        version, or None when the replica was already current; the
+        consumed source head is readable as the feed offset tag
+        (tags()['feed-<consumer>'])."""
         from pyspark.sql import functions as F
 
         initial = self.tags().get(f"feed-{consumer}") is None
@@ -3091,6 +3093,40 @@ def lake_expect_sink(stream_df: DataFrame, table: LakeTable,
             txn_id=f"{aid}:expect-batch-{bid}"),
         app_id,
     )
+
+
+def lake_cdc_sink(stream_df: DataFrame, source: LakeTable,
+                  replica: LakeTable, checkpoint_dir: str,
+                  consumer: str, key: str,
+                  app_id: str | None = None) -> None:
+    """Streaming CDC REPLICATION: each micro-batch appends to the
+    SOURCE table (query-scoped txn — exactly-once,
+    _run_scoped_sink) and then drives one replicate_to sync, so a
+    drained stream leaves the replica equal to the source's final
+    state — the reference's daily-trigger shape
+    (streaming.run_available_now) composed with the r11 replication
+    loop.
+
+    Every crash point self-heals on the next drain:
+    - between the source commit and the sync → the feed simply spans
+      one more version; the next sync (or next batch's) absorbs it —
+      the feed offset, not the batch id, is the replication cursor;
+    - between the replica's merge commit and the feed ack → the
+      redelivered delta replays against the replica's txn log
+      (cdc-apply:<consumer>:<head>) and only the ack re-runs;
+    - a checkpoint replay of a committed batch → the source answers
+      from its txn log and the sync finds nothing new.
+
+    Out-of-band source commits (a second writer, CoW updates,
+    deletes) ride along for free: replicate_to consumes the feed, not
+    this stream's batches."""
+    def commit_and_sync(batch: DataFrame, bid: int, aid: str) -> None:
+        source.commit(batch, "append",
+                      txn_id=f"{aid}:cdc-ingest-{bid}", retries=3)
+        source.replicate_to(replica, consumer, key)
+
+    _run_scoped_sink(stream_df, checkpoint_dir, commit_and_sync,
+                     app_id)
 
 
 def lake_upsert_sink(stream_df: DataFrame, table: LakeTable,

@@ -47,7 +47,11 @@ _WINDOW: list[str] = [
     # q_lake_mv_leftjoin (hash-verified r10 AND r11) yields its slot —
     # the outer-join MV family stays anchored by q_lake_mv_fulljoin ------
     "q_lake_merge_evolve",
-    "q_unigram_tok_vocab", "q_unigram_tokenize",
+    # -- NEW in r12: streaming CDC replication (lake_cdc_sink), first
+    # exposure; q_unigram_tok_vocab (hash-verified r10 AND r11) yields
+    # its slot — the unigram family stays anchored by q_unigram_tokenize
+    "q_lake_cdc_stream",
+    "q_unigram_tokenize",
     "q_chat_flatten", "q_preference_pairs",
     # -- NEW in r10: k-dim star MV + exact COUNT(DISTINCT) MV +
     # derived-bucket continuous aggregate, first exposure; variance MV
@@ -134,7 +138,7 @@ _WINDOW: list[str] = [
 _TAIL: list[str] = [
     # -- r12 rotation: r10+r11 doubly-hash-verified LEFT-join MV
     # yields its slot to the MERGE-evolution first exposure ---------------
-    "q_lake_mv_leftjoin",
+    "q_lake_mv_leftjoin", "q_unigram_tok_vocab",
     # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----

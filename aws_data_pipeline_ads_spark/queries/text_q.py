@@ -4104,6 +4104,73 @@ def q_lake_replica(spark, sf_dir):
     return LakeTable(spark, f"{idx}/replica").read()
 
 
+# Streaming CDC replication: the reference's daily-trigger shape
+# (availableNow foreachBatch) composed with the replication loop —
+# each micro-batch appends to the SOURCE and drives one feed→merge
+# sync, out-of-band source revisions ride the feed into the next
+# drain.
+def lake_cdc_stream_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakelog import (
+        LakeTable,
+        lake_cdc_sink,
+    )
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        docs.where(F.col("doc_id") % 2 == 0).coalesce(2)\
+            .write.parquet(f"{path}/landing/s1")
+        src = LakeTable(spark, f"{path}/src")
+        rep = LakeTable(spark, f"{path}/replica")
+        stream = streaming.documents_stream(spark, f"{path}/landing")
+        lake_cdc_sink(stream, src, rep, f"{path}/ck", "dr", "doc_id")
+        # out-of-band source revisions BETWEEN drains: the next sync
+        # absorbs them through the feed, not through this stream
+        src.update({"doc_id": (10, 49)}, {"n_chars": F.lit(9)})
+        src.delete({"doc_id": (100, 199)})
+        docs.where(F.col("doc_id") % 2 == 1).coalesce(2)\
+            .write.parquet(f"{path}/landing/s2")
+        stream = streaming.documents_stream(spark, f"{path}/landing")
+        lake_cdc_sink(stream, src, rep, f"{path}/ck", "dr", "doc_id")
+
+    return index_path("lake_cdc_stream", sf_dir, build)
+
+
+@query(
+    "q_lake_cdc_stream",
+    oracle=(
+        "SELECT doc_id, lang, "
+        "CAST(CASE WHEN doc_id BETWEEN 10 AND 49 THEN 9 "
+        "ELSE n_chars END AS BIGINT) AS n_chars "
+        "FROM documents "
+        "WHERE doc_id % 2 = 0 AND doc_id NOT BETWEEN 100 AND 199 "
+        "UNION ALL "
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id % 2 = 1"
+    ),
+    doc="LLM lake versioning: STREAMING CDC REPLICATION "
+        "(lakelog.lake_cdc_sink — availableNow foreachBatch, the "
+        "reference's daily-trigger shape composed with the "
+        "replication loop): each micro-batch appends to the SOURCE "
+        "table under a query-scoped txn and drives one "
+        "feed_changes_cdc→merge_clauses sync. Out-of-band source "
+        "revisions between drains (a CoW update + a range delete "
+        "landed by another writer) ride the FEED into the next "
+        "drain's sync — the feed offset, not the batch id, is the "
+        "replication cursor, so every crash point self-heals "
+        "(commit-vs-sync: the span grows; apply-vs-ack: txn-log "
+        "replay; checkpoint replay: the source answers from its "
+        "log). Hash-matching the drained replica against the flat "
+        "SQL final state proves stream==batch for the whole loop",
+)
+def q_lake_cdc_stream(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_cdc_stream_index(spark, sf_dir)
+    return LakeTable(spark, f"{idx}/replica").read()
+
+
 # Delta-style MERGE with explicit WHEN clauses, cover-scoped: the
 # update/takedown/backfill trifecta in ONE commit, rewriting only the
 # stats+bloom-covered files of a key-clustered table.

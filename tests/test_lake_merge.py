@@ -357,3 +357,188 @@ def test_merge_clauses_schema_evolution(spark, tmp_path):
         [Row(k=7, v="y", extra=3)], "k long, v string, extra long"),
         "k", evolve=True)
     assert _rows(t2.read()) == [(1, "x", None), (7, "y", 3)]
+
+
+def test_lake_cdc_sink_streaming_replication(spark, sf_dir, tmp_path):
+    """lake_cdc_sink: a drained availableNow stream leaves the replica
+    equal to the source's final state; out-of-band source commits
+    (CoW update + delete between drains) ride the feed into the next
+    sync; a checkpoint replay commits nothing new on either table."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakelog import lake_cdc_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars").where(F.col("doc_id") < 400)
+    land = tmp_path / "landing"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land / "s1"))
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land / "s2"))
+    src = LakeTable(spark, str(tmp_path / "src"))
+    rep = LakeTable(spark, str(tmp_path / "rep"))
+    ck = str(tmp_path / "ck")
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_cdc_sink(stream, src, rep, ck, "dr", "doc_id")
+    assert _rows(rep.read()) == _rows(src.read())
+    assert rep.read().count() == docs.count()
+
+    # out-of-band source revisions between drains + one more shard
+    src.update({"doc_id": (10, 49)}, {"n_chars": F.lit(9)})
+    src.delete({"doc_id": (100, 149)})
+    docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "lang",
+        "n_chars").coalesce(1).write.parquet(str(land / "s3"))
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_cdc_sink(stream, src, rep, ck, "dr", "doc_id")
+    assert _rows(rep.read()) == _rows(src.read())
+
+    # replay over the same checkpoint: nothing new anywhere
+    vs, vr = src.current_version(), rep.current_version()
+    stream = streaming.documents_stream(spark, str(land),
+                                        max_files_per_trigger=1)
+    lake_cdc_sink(stream, src, rep, ck, "dr", "doc_id")
+    assert (src.current_version(), rep.current_version()) == (vs, vr)
+
+
+def test_lake_cdc_sink_crash_between_apply_and_ack(spark, sf_dir,
+                                                   tmp_path):
+    """A crash after the replica's merge commit but before the feed
+    ack redelivers the delta; the next drain converges without
+    double-applying (same-head replay answers from the replica's txn
+    log, a grown delta re-applies idempotently)."""
+    from aws_data_pipeline_ads_spark import streaming
+    from aws_data_pipeline_ads_spark.lakelog import lake_cdc_sink
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars").where(F.col("doc_id") < 200)
+    land = tmp_path / "landing"
+    docs.coalesce(1).write.parquet(str(land / "s1"))
+    src = LakeTable(spark, str(tmp_path / "src"))
+    rep = LakeTable(spark, str(tmp_path / "rep"))
+    ck = str(tmp_path / "ck")
+
+    real_ack = src.ack_feed
+    src.ack_feed = lambda consumer, version: None  # crash before ack
+    try:
+        stream = streaming.documents_stream(spark, str(land))
+        lake_cdc_sink(stream, src, rep, ck, "dr", "doc_id")
+    finally:
+        src.ack_feed = real_ack
+    assert _rows(rep.read()) == _rows(src.read())
+    rep_v = rep.current_version()
+
+    # same-head redelivery: replicate answers from the txn log (no
+    # new replica version), then acks
+    assert src.replicate_to(rep, "dr", "doc_id") == rep_v
+    assert rep.current_version() == rep_v
+    assert src.replicate_to(rep, "dr", "doc_id") is None  # acked now
+
+    # grown-delta redelivery: crash again, then more changes land
+    src.ack_feed = lambda consumer, version: None
+    try:
+        src.update({"doc_id": (0, 20)}, {"n_chars": F.lit(3)})
+        src.replicate_to(rep, "dr", "doc_id")   # applies, no ack
+    finally:
+        src.ack_feed = real_ack
+    src.delete({"doc_id": (50, 80)})
+    docs.select((F.col("doc_id") + 5_000).alias("doc_id"), "lang",
+                "n_chars").limit(10).coalesce(1).write.parquet(
+        str(land / "s2"))
+    stream = streaming.documents_stream(spark, str(land))
+    lake_cdc_sink(stream, src, rep, ck, "dr", "doc_id")
+    assert _rows(rep.read()) == _rows(src.read())
+
+
+@pytest.mark.parametrize("backend_kind", ["posix", "condput"])
+def test_replicate_to_under_concurrent_source_commits(
+        spark, tmp_path, backend_kind, monkeypatch):
+    """Randomized interleaving of source writers with replication
+    syncs, on both commit backends, including the critical race: a
+    competitor commit landing on the SOURCE while replicate_to is
+    mid-sync (after the feed head resolved, before the target commit
+    publishes). Invariant: after every sync that consumed head H the
+    replica equals source-AT-H — never a torn state mixing H and the
+    mid-sync commit — and the final drain converges to the source's
+    final state."""
+    import random
+
+    from aws_data_pipeline_ads_spark.lakelog import (
+        ConditionalPutCommitBackend,
+    )
+
+    rng = random.Random(1207)
+    if backend_kind == "condput":
+        shared = ConditionalPutCommitBackend()
+        mk = lambda: shared                    # noqa: E731
+        rep_backend = ConditionalPutCommitBackend()
+        mk_rep = lambda: rep_backend           # noqa: E731
+    else:
+        mk = lambda: None                      # noqa: E731
+        mk_rep = lambda: None                  # noqa: E731
+
+    src_path = str(tmp_path / "src")
+    t1 = LakeTable(spark, src_path, backend=mk())
+    t2 = LakeTable(spark, src_path, backend=mk())
+    rep = LakeTable(spark, str(tmp_path / "rep"), backend=mk_rep())
+
+    next_id = [0]
+
+    def batch(n):
+        rows = [Row(doc_id=next_id[0] + i,
+                    lang=("aa", "bb", "cc")[(next_id[0] + i) % 3],
+                    n_chars=(next_id[0] + i) % 37) for i in range(n)]
+        next_id[0] += n
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long")
+
+    t1.commit(batch(8))
+
+    # mid-sync competitor: while replicate_to publishes to the
+    # TARGET, a source commit sneaks in (the feed span advances
+    # under the sync's feet); reentrancy-guarded like the MV stress
+    state = {"sneak": False, "busy": False, "fired": 0}
+    real_put = rep.backend.put_if_absent
+
+    def mid_sync_put(path, data):
+        if state["sneak"] and not state["busy"]:
+            state["sneak"] = False
+            state["busy"] = True
+            try:
+                t2.commit(batch(rng.randint(1, 3)), "append",
+                          retries=3)
+                state["fired"] += 1
+            finally:
+                state["busy"] = False
+        return real_put(path, data)
+
+    monkeypatch.setattr(rep.backend, "put_if_absent", mid_sync_put)
+    for step in range(12):
+        op = rng.choice(["a", "u", "d", "r", "r"])
+        if op == "a":
+            t1.commit(batch(rng.randint(1, 4)), "append", retries=3)
+        elif op == "u":
+            lo = rng.randrange(max(next_id[0], 1))
+            t1.update({"doc_id": (lo, lo + 5)},
+                      {"n_chars": F.lit(step)})
+        elif op == "d":
+            lo = rng.randrange(max(next_id[0], 1))
+            t1.delete({"doc_id": (lo, lo + 2)})
+        else:
+            state["sneak"] = rng.random() < 0.7
+            applied = t1.replicate_to(rep, "dr", "doc_id")
+            state["sneak"] = False
+            if applied is not None:
+                # replica == source AT the acked head (the feed
+                # offset tag), never torn — a mid-sync source commit
+                # must NOT leak into this sync
+                acked_head = t1.tags()["feed-dr"]
+                assert _rows(rep.read()) == _rows(t1.read(acked_head))
+    monkeypatch.undo()
+    assert state["fired"] >= 1      # the mid-sync race really fired
+    # final drain converges on the source's final state
+    for _ in range(10):
+        if t1.replicate_to(rep, "dr", "doc_id") is None:
+            break
+    assert _rows(rep.read()) == _rows(t1.read())
