@@ -311,6 +311,138 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Invariants oracles for the trained-quantizer tiers (r12 promotion,
+# the q_embedding_pca / q_unigram_tok_vocab move): the codebooks are
+# TRAINED per corpus, so a static SQL string cannot embed them — but
+# the contracts that make a product quantizer a product quantizer are
+# data-anchored and engine-replayable. Each tier returns ONE row:
+#  * exact anchors DuckDB replays bit-for-bit (corpus size + the
+#    decimal-exact sum of the brute-force top-10 scores — the same
+#    sequential-fold cosine arithmetic q_embedding_knn already
+#    hash-matches), anchoring the data read and scoring math;
+#  * contract booleans computed over the DISTRIBUTED serving path:
+#    recall@10 floor vs brute force (end-to-end quality — a broken
+#    codebook, encoder or ADC table craters it), corpus-covering
+#    shortlist == brute force row-for-row (the degenerate-exact
+#    identity, rerank + join plumbing), the distributed encoder's
+#    codes == an independent pure-Python argmin mirror on a bounded
+#    deterministic sample, and ADC arithmetic cross-checks.
+# The full recall/MSE battery stays pytest-pinned (test_scale_ops).
+_ANN_ANCHOR_SQL = (
+    "WITH scored AS (SELECT vec_id, "
+    "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0 THEN "
+    f"list_dot_product(CAST(embedding AS DOUBLE[]), {_QV_SQL}) / "
+    f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+    f"CAST(embedding AS DOUBLE[]))) * {_QNORM}) "
+    "ELSE NULL END AS raw_score FROM embeddings), "
+    "top AS (SELECT round(raw_score, 6) AS score FROM scored "
+    "ORDER BY raw_score DESC NULLS LAST, vec_id LIMIT 10) "
+)
+
+
+def _ann_invariants_oracle(bools: list[str]) -> str:
+    """n_vecs + brute_top_sum replayed exactly; booleans must all be
+    TRUE on the Spark side for the hash to match."""
+    return (
+        _ANN_ANCHOR_SQL
+        + "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
+        "AS n_vecs, "
+        "(SELECT CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) "
+        "FROM top) AS brute_top_sum, "
+        + ", ".join(f"TRUE AS {b}" for b in bools)
+    )
+
+
+def _fold_dot(a, b) -> float:
+    """Pure-Python mirror of functions.vec_dot's sequential left fold
+    (same addend order → bitwise-equal doubles)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _unit_py(v) -> list[float]:
+    """Mirror of similarity._unit_expr: greatest(sqrt(Σx²), 1e-30)."""
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    n = max(math.sqrt(acc), 1e-30)
+    return [x / n for x in v]
+
+
+def _pq_code_py(u: list[float], books) -> list[int]:
+    """Mirror of similarity._pq_assign_expr: per subspace, the min-L2
+    codeword with ties to the LARGEST index, distances as the same
+    sequential fold."""
+    ds = len(books[0][0])
+    out = []
+    for i, book in enumerate(books):
+        sub = u[i * ds:(i + 1) * ds]
+        best = None
+        for idx, c in enumerate(book):
+            d2 = 0.0
+            for x, y in zip(sub, c):
+                d2 = d2 + (x - y) * (x - y)
+            key = (-d2, idx)
+            if best is None or key > best:
+                best = key
+        out.append(best[1])
+    return out
+
+
+def _adc_py(codes: list[int], books, qv: list[float]) -> float:
+    """Mirror of similarity.pq_scores: normalize q, per-subspace
+    driver-side tables, sequential lookup sum."""
+    qn = math.sqrt(sum(x * x for x in qv)) or 1e-30
+    q = [x / qn for x in qv]
+    ds = len(books[0][0])
+    adc = 0.0
+    for i, book in enumerate(books):
+        qsub = q[i * ds:(i + 1) * ds]
+        table = [sum(a * b for a, b in zip(qsub, c)) for c in book]
+        adc = adc + table[codes[i]]
+    return adc
+
+
+_ANN_SAMPLE = 48  # bounded deterministic sample for the code mirrors
+
+
+def _sample_vecs(emb) -> list:
+    """First _ANN_SAMPLE vectors by vec_id — deterministic, bounded."""
+    return (emb.select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("v"))
+            .orderBy("vec_id").limit(_ANN_SAMPLE).collect())
+
+
+def _recall_and_covering(served, brute, covering, floor: int):
+    """served/brute/covering are collected top-k rows (vec_id, score).
+    recall_ok: |served ∩ brute| ≥ floor. covering_exact_ok: the
+    corpus-covering shortlist run equals brute force row-for-row."""
+    recall_ok = len({r.vec_id for r in served}
+                    & {r.vec_id for r in brute}) >= floor
+    key = lambda r: r.vec_id                      # noqa: E731
+    cov_ok = ([(r.vec_id, r.score) for r in sorted(covering, key=key)]
+              == [(r.vec_id, r.score) for r in sorted(brute, key=key)])
+    return recall_ok, cov_ok
+
+
+def _ann_row(emb, n_vecs: int, bools: dict):
+    """Assemble the one-row invariants result: distributed decimal-
+    exact brute-top-sum anchor + the contract booleans as literals
+    (collected checks, same bounded-driver posture as q_embedding_pca)."""
+    brute_sum = similarity.cosine_topk(emb, _QV, 10).agg(
+        F.sum(F.col("score").cast("decimal(38,12)"))
+        .cast("double").alias("brute_top_sum"))
+    return brute_sum.select(
+        F.lit(int(n_vecs)).cast("long").alias("n_vecs"),
+        "brute_top_sum",
+        *[F.lit(bool(v)).alias(k) for k, v in bools.items()])
+
+
 _PQ_BOOKS: dict[str, list] = {}
 
 
@@ -334,20 +466,59 @@ def _pq_books(spark, sf_dir: str) -> list:
 
 @query(
     "q_embedding_pq",
-    oracle=None,  # approximate by construction → rows-only check;
-    # recall + full-shortlist==brute pinned in test_scale_ops
+    # Promoted to an invariants hash oracle (r12, the q_embedding_pca
+    # move — trained literals differ per sf_dir, so a static SQL
+    # cannot replay the codes themselves; the CONTRACTS are replayed
+    # instead, see _ann_invariants_oracle).
+    oracle=_ann_invariants_oracle(
+        ["recall_floor_ok", "covering_exact_ok", "codes_argmin_ok",
+         "adc_tables_ok"]),
     doc="2C similarity scale path: product quantization (Jégou et al. "
         "2011) — m=8 subspace codebooks trained driver-side on a "
         "bounded deterministic sample, corpus encoded to 8-byte codes "
         "by pure codegen L2-argmin folds, queries scored via ADC "
         "table lookups (no vector math in the scan), exact-cosine "
-        "rerank on the broadcast shortlist (similarity.pq_topk)",
+        "rerank on the broadcast shortlist (similarity.pq_topk). "
+        "Hash-gated since r12 on exact corpus anchors (n + decimal "
+        "brute-top-10 score sum) plus the PQ contracts computed over "
+        "the distributed path: recall@10 ≥ 0.6 vs brute force at a "
+        "10%-of-corpus ADC shortlist (scale-normalized), "
+        "corpus-covering shortlist == brute row-for-row, the codegen "
+        "encoder's codes == a pure-Python argmin mirror on a bounded "
+        "sample, and the ADC lookup sum == its mirror; full battery "
+        "in tests/test_scale_ops.py",
 )
 def q_embedding_pq(spark, sf_dir):
-    return similarity.pq_topk(
-        load_table(spark, sf_dir, "embeddings"), _QV, 10,
-        books=_pq_books(spark, sf_dir),
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    n = emb.count()
+    # scale-normalized recall: a 10%-of-corpus ADC shortlist (a fixed
+    # 4×k one is corpus-size-dependent — 40 candidates of 2000 at
+    # sf0.1 legitimately recalls less than 40 of 500)
+    served = similarity.pq_topk(
+        emb, _QV, 10, books=books,
+        shortlist_mult=max(4, -(-n // 100))).collect()
+    brute = similarity.cosine_topk(emb, _QV, 10).collect()
+    covering = similarity.pq_topk(
+        emb, _QV, 10, books=books,
+        shortlist_mult=n // 10 + 1).collect()
+    recall_ok, cov_ok = _recall_and_covering(served, brute, covering, 6)
+    sample = _sample_vecs(emb)
+    ids = [r.vec_id for r in sample]
+    exp = {r.vec_id: _pq_code_py(_unit_py(r.v), books) for r in sample}
+    codes_df = similarity.pq_encode(emb, books)
+    got = {r.vec_id: list(r.codes) for r in
+           codes_df.where(F.col("vec_id").isin(ids)).collect()}
+    codes_ok = all(got.get(i) == exp[i] for i in ids)
+    got_adc = {r.vec_id: r.adc for r in
+               similarity.pq_scores(codes_df, books, _QV)
+               .where(F.col("vec_id").isin(ids)).collect()}
+    adc_ok = all(
+        abs(got_adc.get(i, float("inf")) - _adc_py(exp[i], books, _QV))
+        < 1e-12 for i in ids)
+    return _ann_row(emb, n, {
+        "recall_floor_ok": recall_ok, "covering_exact_ok": cov_ok,
+        "codes_argmin_ok": codes_ok, "adc_tables_ok": adc_ok})
 
 
 def _pca_model(spark, sf_dir: str) -> dict:
@@ -493,11 +664,36 @@ def _ivfpq_res_books(spark, sf_dir: str) -> list:
     return _IVFPQ_RES_BOOKS[sf_dir]
 
 
+def _ivf_list_py(v: list[float], centroids) -> int:
+    """Mirror of similarity._nearest_centroid_expr: max-cosine list,
+    ties to the LARGEST index, zero norms scored -2."""
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    vn = math.sqrt(acc)
+    best = None
+    for i, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c))
+        s = _fold_dot(v, c) / (vn * cn) if vn * cn != 0 else -2.0
+        key = (s, i)
+        if best is None or key > best:
+            best = key
+    return best[1]
+
+
 @query(
     "q_embedding_ivfpq",
-    oracle=None,  # approximate by construction → rows-only check;
-    # residual-MSE<raw-MSE + covering-shortlist==brute +
-    # PartitionFilters + recall pytest-pinned
+    # Promoted to an invariants hash oracle (r12) — see q_embedding_pq.
+    # Global recall is NOT pinned here: with 3/16 probed lists the
+    # coarse quantizer legitimately misses global top-10 members on
+    # this corpus (2-5/10 measured, scale-varying) — the honest IVF
+    # contract is that pruning is the ONLY approximation: within the
+    # probed lists, serving is exact (probe_exact_ok) and the ADC
+    # shortlist finds the within-probe winners (probe_recall_ok,
+    # measured 7-9/10 across scales, floor 6).
+    oracle=_ann_invariants_oracle(
+        ["probe_recall_ok", "probe_exact_ok", "covering_exact_ok",
+         "codes_index_ok", "adc_decomp_ok"]),
     doc="2C similarity scale path: the FAISS IVFADC composite — PQ "
         "codes of the RESIDUAL û − c[list] partitioned by IVF list "
         "(ivfpq_write residual=True, built once per corpus; residual "
@@ -507,19 +703,103 @@ def _ivfpq_res_books(spark, sf_dir: str) -> list:
         "file level and ranks by dot(q̂,c[list]) — a K-entry literal "
         "lookup on the partition column — plus m residual-table ADC "
         "lookups (zero vector math in the scan); exact-cosine reranks "
-        "the broadcast shortlist (similarity.ivfpq_topk)",
+        "the broadcast shortlist (similarity.ivfpq_topk). Hash-gated "
+        "since r12 on exact corpus anchors plus: within-probe "
+        "recall@10 ≥ 0.6 (the ADC shortlist finds the probed lists' "
+        "true winners), probe-covering == probe-restricted brute "
+        "row-for-row (pruning is the ONLY approximation), full-probe "
+        "corpus-covering == global brute, the WRITTEN index's "
+        "(list_id, codes) == a pure-Python assignment+argmin mirror "
+        "on a bounded sample, and — distributed over every code row — "
+        "the serving ADC decomposition dot(q̂,c[list]) + Σ "
+        "table[code] equals an independent explicit-reconstruction "
+        "dot product; residual-MSE < raw-MSE stays pytest-pinned",
 )
 def q_embedding_ivfpq(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.functions import vec_dot
+    from aws_data_pipeline_ads_spark.operators.similarity import (
+        _centroid_mat_lit,
+        _qv_col,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _trained_centroids(spark, sf_dir)
+    books = _ivfpq_res_books(spark, sf_dir)
     idx = _index_path(
         "ivfpq_res", sf_dir,
         lambda p: similarity.ivfpq_write(
-            emb, centroids, _ivfpq_res_books(spark, sf_dir), p,
-            residual=True
+            emb, centroids, books, p, residual=True
         ),
     )
-    return similarity.ivfpq_topk(spark, idx, emb, _QV, centroids, 10, n_probe=3)
+    n = emb.count()
+    served = similarity.ivfpq_topk(
+        spark, idx, emb, _QV, centroids, 10, n_probe=3).collect()
+    brute = similarity.cosine_topk(emb, _QV, 10).collect()
+    covering = similarity.ivfpq_topk(
+        spark, idx, emb, _QV, centroids, 10,
+        n_probe=len(centroids), shortlist_mult=n // 10 + 1).collect()
+    _, cov_ok = _recall_and_covering(served, brute, covering, 0)
+    # within-probe contracts: replicate the probe order (the serving
+    # path's own rule), restrict brute force to the probed lists
+    qnorm0 = math.sqrt(sum(x * x for x in _QV))
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(_QV, centroids[i]))
+            / (qnorm0 * math.sqrt(sum(x * x for x in centroids[i]))),
+            i))
+    probe = order[:3]
+    probed_ids = spark.read.parquet(f"{idx}/codes").where(
+        F.col("list_id").isin(probe)).select("vec_id")
+    probe_brute = similarity.cosine_topk(
+        emb.join(F.broadcast(probed_ids), "vec_id", "left_semi"),
+        _QV, 10).collect()
+    probe_covering = similarity.ivfpq_topk(
+        spark, idx, emb, _QV, centroids, 10, n_probe=3,
+        shortlist_mult=n // 10 + 1).collect()
+    probe_recall_ok, probe_exact_ok = _recall_and_covering(
+        served, probe_brute, probe_covering, 6)
+    # the WRITTEN index vs the pure-Python mirror (bounded sample)
+    sample = _sample_vecs(emb)
+    ids = [r.vec_id for r in sample]
+    exp = {}
+    for r in sample:
+        lst = _ivf_list_py(r.v, centroids)
+        u = _unit_py(r.v)
+        resid = [a - b for a, b in zip(u, centroids[lst])]
+        exp[r.vec_id] = (lst, _pq_code_py(resid, books))
+    codes_df = spark.read.parquet(f"{idx}/codes")
+    got = {r.vec_id: (int(r.list_id), list(r.codes)) for r in
+           codes_df.where(F.col("vec_id").isin(ids)).collect()}
+    codes_ok = all(got.get(i) == exp[i] for i in ids)
+    # distributed ADC decomposition cross-check over EVERY code row:
+    # the serving path's literal-table arithmetic vs an independent
+    # explicit reconstruction c[list] + decode(codes) — one agg
+    qn = math.sqrt(sum(x * x for x in _QV)) or 1e-30
+    qhat = [x / qn for x in _QV]
+    consts = [sum(a * b for a, b in zip(qhat, c)) for c in centroids]
+    ds = len(books[0][0])
+    adc_tab = F.element_at(_qv_col(consts),
+                           F.col("list_id").cast("int") + 1)
+    adc_rec = vec_dot(_qv_col(qhat),
+                      F.element_at(_centroid_mat_lit(centroids),
+                                   F.col("list_id").cast("int") + 1))
+    for i, book in enumerate(books):
+        qsub = qhat[i * ds:(i + 1) * ds]
+        table = [sum(a * b for a, b in zip(qsub, c)) for c in book]
+        code_i = F.element_at("codes", i + 1).cast("int") + 1
+        adc_tab = adc_tab + F.element_at(_qv_col(table), code_i)
+        adc_rec = adc_rec + vec_dot(
+            _qv_col(qsub), F.element_at(_centroid_mat_lit(book),
+                                        code_i))
+    drow = codes_df.agg(
+        F.max(F.abs(adc_tab - adc_rec)).alias("mx")).collect()[0]
+    adc_ok = (drow["mx"] or 0.0) < 1e-9
+    return _ann_row(emb, n, {
+        "probe_recall_ok": probe_recall_ok,
+        "probe_exact_ok": probe_exact_ok,
+        "covering_exact_ok": cov_ok,
+        "codes_index_ok": codes_ok, "adc_decomp_ok": adc_ok})
 
 
 def _opq_model(spark, sf_dir: str) -> dict:
@@ -538,20 +818,72 @@ def _opq_model(spark, sf_dir: str) -> dict:
 
 @query(
     "q_embedding_opq",
-    oracle=None,  # approximate by construction → rows-only check;
-    # recall floor + full-shortlist==brute + training determinism
-    # pinned in test_scale_ops (the rotation is orthonormal and
-    # uncentered, so the exact rerank is bit-identical to brute force)
+    # Promoted to an invariants hash oracle (r12) — see q_embedding_pq
+    oracle=_ann_invariants_oracle(
+        ["recall_floor_ok", "covering_exact_ok",
+         "rotation_orthonormal_ok", "codes_argmin_ok",
+         "adc_tables_ok"]),
     doc="2C similarity scale path: OPQ (Ge et al. 2013) — PCA-"
         "initialized rotation with eigenvalue allocation balancing "
         "variance across the m subspaces, refined by alternating "
         "Gauss-Seidel rounds (train books → Procrustes re-estimate) "
         "driver-side on the same bounded sample pq_train uses; corpus "
         "rotated by pure codegen dot products, ADC shortlist, exact "
-        "rerank on ORIGINAL vectors (similarity.opq_topk)",
+        "rerank on ORIGINAL vectors (similarity.opq_topk). Hash-gated "
+        "since r12 on exact corpus anchors plus: recall@10 ≥ 0.6 vs "
+        "brute at a 10%-of-corpus ADC shortlist (scale-normalized), corpus-covering shortlist == brute row-for-row (the "
+        "rotation-invariance identity — an orthonormal uncentered "
+        "rotation preserves the exact rerank bit-for-bit), R·Rᵀ == I "
+        "on the trained literals, rotated-space codes == a "
+        "pure-Python rotate+argmin mirror on a bounded sample, and "
+        "the rotated-query ADC sum == its mirror",
 )
 def q_embedding_opq(spark, sf_dir):
-    return similarity.opq_topk(
-        load_table(spark, sf_dir, "embeddings"), _QV, 10,
-        opq=_opq_model(spark, sf_dir),
-    )
+    from aws_data_pipeline_ads_spark.operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    opq = _opq_model(spark, sf_dir)
+    model, books = opq["rotation"], opq["books"]
+    n = emb.count()
+    # scale-normalized 10%-of-corpus shortlist (floor at OPQ's native
+    # 8×k — see q_embedding_pq's recall note)
+    served = similarity.opq_topk(
+        emb, _QV, 10, opq=opq,
+        shortlist_mult=max(8, -(-n // 100))).collect()
+    brute = similarity.cosine_topk(emb, _QV, 10).collect()
+    covering = similarity.opq_topk(
+        emb, _QV, 10, opq=opq, shortlist_mult=n // 10 + 1).collect()
+    recall_ok, cov_ok = _recall_and_covering(served, brute, covering, 6)
+    comps = model["components"]
+    ortho = all(
+        abs(_fold_dot(comps[i], comps[j]) - (1.0 if i == j else 0.0))
+        < 1e-6
+        for i in range(len(comps)) for j in range(i, len(comps)))
+    # rotated-space encoder vs the pure-Python mirror: rotation is
+    # one sequential-fold dot per output dim (pca_project
+    # center=False round_to=None), then unit-normalize + argmin
+    sample = _sample_vecs(emb)
+    ids = [r.vec_id for r in sample]
+    rotq = similarity._rotate_vec(_QV, model)
+    exp = {}
+    for r in sample:
+        rot = [_fold_dot(r.v, c) for c in comps]
+        exp[r.vec_id] = _pq_code_py(_unit_py(rot), books)
+    rotated = pca.pca_project(
+        emb, model, k=len(comps), center=False, round_to=None,
+        out_col="__rot").select(
+        "vec_id", F.col("__rot").alias("embedding"))
+    codes_df = similarity.pq_encode(rotated, books)
+    got = {r.vec_id: list(r.codes) for r in
+           codes_df.where(F.col("vec_id").isin(ids)).collect()}
+    codes_ok = all(got.get(i) == exp[i] for i in ids)
+    got_adc = {r.vec_id: r.adc for r in
+               similarity.pq_scores(codes_df, books, rotq)
+               .where(F.col("vec_id").isin(ids)).collect()}
+    adc_ok = all(
+        abs(got_adc.get(i, float("inf")) - _adc_py(exp[i], books, rotq))
+        < 1e-12 for i in ids)
+    return _ann_row(emb, n, {
+        "recall_floor_ok": recall_ok, "covering_exact_ok": cov_ok,
+        "rotation_orthonormal_ok": ortho, "codes_argmin_ok": codes_ok,
+        "adc_tables_ok": adc_ok})
