@@ -1077,6 +1077,35 @@ class LakeJoinMaterializedView:
             d = F.broadcast(d)
         return f.join(d, self.join_key, how)
 
+    def _pruned_f_old(self, lf: int, keys_df: DataFrame) -> DataFrame:
+        """F_old for a delta-scoped step, FILE-pruned on the JOIN KEY:
+        every dim-revision/count-scan step below only consumes fact
+        rows whose join key appears in the (delta-sized) key set, so
+        when the fact is clustered by join key the commit log's
+        per-file min/max (+ Bloom when indexed) excludes most files
+        before a byte is read — closing the one documented linear cost
+        of the outer-join/star dim-revision path (SCALE.md r11). The
+        key set collects driver-side under the shared cap; over-cap or
+        unclustered stats conservatively read every file (pruning can
+        keep extra files, never drop needed ones). `last_fold_files`
+        records the opened list for the SCALE10X experiments."""
+        jk = self.join_key
+        rows = (keys_df.select(jk).where(F.col(jk).isNotNull())
+                .distinct().limit(_PRUNE_MAX_GROUPS + 1).collect())
+        entry = self.fact._read_entry(lf)
+        if len(rows) <= _PRUNE_MAX_GROUPS:
+            # Bloom-aware when the fact carries a join-key bloom index
+            # (_keyset_cover subsumes the stat-box check)
+            files = self.fact._keyset_cover(entry, jk,
+                                            [r[0] for r in rows])
+        else:
+            files = list(entry["files"])
+        self.last_fold_files = list(files)
+        if not files:
+            return self.spark.createDataFrame(
+                [], self.fact.read(lf).schema)
+        return self.fact.read_version_files(lf, files)
+
     def _left_flip_delta(self, f_old: DataFrame, d_d: DataFrame,
                          f_side: list[str],
                          d_side: list[str]) -> DataFrame:
@@ -1252,26 +1281,29 @@ class LakeJoinMaterializedView:
                     how=self._FACT_DELTA_HOW[self.how]))
                 if self.how in ("right", "full"):
                     parts.append(self._fact_cnt_cross(
-                        self.fact.read(lf), d_f, head_d))
+                        self._pruned_f_old(lf, d_f), d_f, head_d))
         if head_d > ld:                       # ΔD against F_old
             d_d = signed_span_delta(self.dim, self.join_key,
                                     d_cols, ld, head_d)
+            # every ΔD step consumes only F_old rows whose join key is
+            # in ΔD — one file-pruned read shared by the parts
+            f_old = (self._pruned_f_old(lf, d_d)
+                     if d_d is not None else None)
             if d_d is not None and self.how == "left":
                 if d_side:  # no dim column observed → ΔD cannot move
                     parts.append(self._left_flip_delta(
-                        self.fact.read(lf), d_d, f_side, d_side))
+                        f_old, d_d, f_side, d_side))
             elif d_d is not None and self.how == "right":
                 parts.append(self._right_dim_delta(
-                    self.fact.read(lf), d_d, f_side, d_side))
+                    f_old, d_d, f_side, d_side))
             elif d_d is not None and self.how == "full":
                 if d_side:  # fact-preserved rows swap dim images
                     parts.append(self._left_flip_delta(
-                        self.fact.read(lf), d_d, f_side, d_side))
+                        f_old, d_d, f_side, d_side))
                 parts.append(self._full_dim_null_ext(
-                    self.fact.read(lf), d_d, f_side, d_side))
+                    f_old, d_d, f_side, d_side))
             elif d_d is not None:
-                parts.append(self._joined(self.fact.read(lf), d_d,
-                                          "dim"))
+                parts.append(self._joined(f_old, d_d, "dim"))
         if not parts:
             # both spans are row-preserving compaction — no data change
             self.table.commit(self.table.read(), "overwrite",
@@ -1586,6 +1618,38 @@ class LakeStarMaterializedView:
                        "inner").drop(f"__sk{root}")
         return x
 
+    def _pruned_survivor_base(self, lf: int,
+                              d_ms: dict[int, "DataFrame"],
+                              res: dict) -> DataFrame:
+        """F_old for the survivor pass, FILE-pruned on the roots' LEFT
+        KEYS: a survivor row's root key must hit SOME changed root's
+        Δ(M_r) key set, so a file is skippable only when EVERY changed
+        root's key set misses its stat box / Bloom (union-of-covers —
+        the OR dual of _prune_files_by_stats' AND). On a fact
+        clustered by a revised root's join key this bounds the
+        dim-revision scan the same way _scoped_fact_head bounds the
+        recompute one; over-cap key sets or unclustered stats keep
+        every file. `last_fold_files` records the opened list for the
+        SCALE10X experiments."""
+        entry = self.fact._read_entry(lf)
+        keep: set | None = set()
+        for r, dm in d_ms.items():
+            sk = f"__sk{r}"
+            keys = (dm.select(sk).where(F.col(sk).isNotNull())
+                    .distinct().limit(_PRUNE_MAX_GROUPS + 1).collect())
+            if len(keys) > _PRUNE_MAX_GROUPS:
+                keep = None                   # unbounded → no pruning
+                break
+            keep |= set(self.fact._keyset_cover(
+                entry, self._dims[r][1], [k[0] for k in keys]))
+        files = (list(entry["files"]) if keep is None
+                 else [f for f in entry["files"] if f in keep])
+        self.last_fold_files = list(files)
+        if not files:
+            return self.spark.createDataFrame(
+                [], self.fact.read(lf).schema)
+        return self.fact.read_version_files(lf, files)
+
     def _scoped_fact_head(self, touched: DataFrame, head_f: int,
                           m_new: dict[int, DataFrame],
                           res: dict) -> DataFrame:
@@ -1745,7 +1809,8 @@ class LakeStarMaterializedView:
                     m_old[r] = (self._compose(r, ld, res)
                                 if r in d_ms or r in changed
                                 else m_new[r])
-                f_old = self.fact.read(lf).select(*res["fact_proj"])
+                f_old = (self._pruned_survivor_base(lf, d_ms, res)
+                         .select(*res["fact_proj"]))
                 hits = []
                 for r, dm in d_ms.items():
                     sk = f"__sk{r}"

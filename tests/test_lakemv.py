@@ -2144,3 +2144,101 @@ def test_hierarchical_over_star_view(spark, star_srcs, tmp_path):
     up.refresh()
     down.refresh()
     assert _rows(cascade()) == _rows(flat())
+
+
+# -- join-key file pruning of the dim-revision fact scan (r12) ----------------
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_dim_revision_fact_scan_file_pruned_on_clustered_fact(
+        spark, tmp_path, how):
+    """On a fact CLUSTERED BY JOIN KEY, a dim revision's F_old step
+    opens only the files whose stat box can hold the revised keys —
+    the one documented linear cost of the dim-revision path, closed
+    when the clustering makes the commit-log stats selective. The
+    refreshed view stays bit-identical to a flat recompute."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeJoinMaterializedView,
+    )
+
+    n = 4000
+    fact_df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / 10).cast("long").alias("cat_id"),
+        (F.col("id") % 37).cast("long").alias("val"))
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    fact.commit(fact_df.repartitionByRange(8, "cat_id"))
+    n_files = len(fact._read_entry(0)["files"])
+    assert n_files >= 8
+    dim_df = spark.range(n // 10).select(
+        F.col("id").alias("cat_id"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string"))
+        .alias("grp"))
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim.commit(dim_df)
+    mv = LakeJoinMaterializedView(
+        spark, fact, dim, str(tmp_path / f"mv_{how}"),
+        fact_key="doc_id", join_key="cat_id", group_cols=["grp"],
+        measures=["val"], how=how)
+    mv.refresh()
+
+    def flat():
+        return (fact.read().join(dim.read(), "cat_id", how)
+                .groupBy("grp").agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.count("val").alias("n_val"),
+                    F.sum(F.col("val").cast("decimal(38,6)"))
+                    .alias("sum_val")))
+
+    # dim revision touching ONE join key → the F_old step must open a
+    # FRACTION of the clustered fact's files
+    dim.update({"cat_id": (7, 7)}, {"grp": F.lit("g9")})
+    mv.refresh()
+    assert _rows(mv.read()) == _rows(flat())
+    assert 0 < len(mv.last_fold_files) < n_files
+    # right/full: a fact append's count-scan step is pruned the same
+    if how in ("right", "full"):
+        fact.commit(spark.range(3).select(
+            (F.col("id") + 100_000).alias("doc_id"),
+            (F.col("id") + 13).alias("cat_id"),
+            F.lit(1).cast("long").alias("val")), "append")
+        mv.refresh()
+        assert _rows(mv.read()) == _rows(flat())
+        assert 0 < len(mv.last_fold_files) < n_files
+
+
+def test_star_dim_revision_survivor_scan_file_pruned(spark, tmp_path):
+    """The star view's survivor pass (F_old ⋈ Δ(M)) is file-pruned by
+    the revised roots' key sets on a join-key-clustered fact."""
+    from aws_data_pipeline_ads_spark.lakemv import (
+        LakeStarMaterializedView,
+    )
+
+    n = 4000
+    fact_df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / 10).cast("long").alias("cat_id"),
+        (F.col("id") % 37).cast("long").alias("val"))
+    fact = LakeTable(spark, str(tmp_path / "fact"))
+    fact.commit(fact_df.repartitionByRange(8, "cat_id"))
+    n_files = len(fact._read_entry(0)["files"])
+    dim_df = spark.range(n // 10).select(
+        F.col("id").alias("cat_id"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string"))
+        .alias("grp"))
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim.commit(dim_df)
+    mv = LakeStarMaterializedView(
+        spark, fact, [(dim, "cat_id", "cat_id")],
+        str(tmp_path / "mvs"), fact_key="doc_id",
+        group_cols=["grp"], measures=["val"])
+    mv.refresh()
+    dim.update({"cat_id": (7, 7)}, {"grp": F.lit("g9")})
+    mv.refresh()
+    flat = (fact.read().join(dim.read(), "cat_id")
+            .groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("val").alias("n_val"),
+                F.sum(F.col("val").cast("decimal(38,6)"))
+                .alias("sum_val")))
+    assert _rows(mv.read()) == _rows(flat)
+    assert 0 < len(mv.last_fold_files) < n_files
