@@ -550,6 +550,111 @@ def lake_api_experiment(spark, base: str, big: str) -> dict:
     return out
 
 
+def cdc_experiment(spark, base: str, big: str) -> dict:
+    """The r11/r12 CDC + replication surface at 1× vs 10× (r11 verdict
+    task 9) plus the r12 dim-revision fact-scan pruning (task 7):
+
+    * feed_changes_cdc: after a FIXED revision set (500-row append +
+      bounded update + bounded delete) lands on a table of either
+      size, the classified delta must be delta-sized — files read =
+      the revision's files, wall flat, exchange count identical.
+    * replicate_to: the initial full sync is data-sized BY DESIGN
+      (reported, not flatness-gated); the incremental sync after the
+      fixed revisions must be flat, its target-side merge rewrite
+      cover-scoped.
+    * join-MV dim revision on a join-key-clustered fact: one revised
+      dim key opens a FRACTION of the fact's files (_pruned_f_old) —
+      the r11-documented linear cost, closed.
+    """
+    import shutil
+    import tempfile
+
+    from aws_data_pipeline_ads_spark import plans
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+    from aws_data_pipeline_ads_spark.lakemv import LakeJoinMaterializedView
+
+    out: dict[str, list] = {"cdc": [], "repl": [], "dimprune": []}
+    for label, sf_dir in (("1×", base), ("10×", big)):
+        root = tempfile.mkdtemp(prefix="scale10x_cdc_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars")
+        batch = (spark.read.parquet(f"{base}/documents.parquet")
+                 .select("doc_id", "lang", "n_chars")
+                 .orderBy("doc_id").limit(500))
+        src = LakeTable(spark, f"{root}/src")
+        src.commit(docs.repartitionByRange(32, "doc_id"),
+                   bloom_cols=["doc_id"])
+        total_files = len(src.read().inputFiles())
+        rep = LakeTable(spark, f"{root}/rep")
+        t0 = time.time()
+        src.replicate_to(rep, "dr", "doc_id")      # data-sized by design
+        init_s = time.time() - t0
+        _, h0 = src.feed_changes("cls", "doc_id")  # classifier consumer
+        src.ack_feed("cls", h0)
+
+        # fixed-size revision set, independent of table size
+        src.commit(batch.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(930_000_000)), "append")
+        src.update({"doc_id": (10, 200)}, {"n_chars": F.lit(1)})
+        src.delete({"doc_id": (300, 400)})
+
+        cdc, head = src.feed_changes_cdc("cls", "doc_id")
+        cdc_files = len(cdc.inputFiles())
+        cdc_sh = plans.count_shuffle_exchanges(cdc)
+        t0 = time.time()
+        run_once(cdc)
+        cdc_s = time.time() - t0
+        src.ack_feed("cls", head)
+        head_files = len(src.read().inputFiles())
+        print(f"# feed_changes_cdc {label}: {cdc_s:.2f}s, "
+              f"{cdc_files}/{head_files} files, {cdc_sh} shuffles",
+              file=sys.stderr)
+        out["cdc"].append((label, cdc_s, cdc_files, head_files, cdc_sh))
+
+        rb = set(rep._read_entry(rep.current_version())["files"])
+        t0 = time.time()
+        src.replicate_to(rep, "dr", "doc_id")      # incremental sync
+        sync_s = time.time() - t0
+        ra = set(rep._read_entry(rep.current_version())["files"])
+        print(f"# replicate_to {label}: initial {init_s:.2f}s, "
+              f"incremental {sync_s:.2f}s rewrote {len(rb - ra)}/"
+              f"{len(rb)} replica files", file=sys.stderr)
+        out["repl"].append((label, init_s, sync_s, len(rb - ra),
+                            len(rb)))
+
+        # join-MV dim revision on a cat-clustered fact: one revised
+        # key must open a fraction of the fact's files
+        fact = LakeTable(spark, f"{root}/fact")
+        fact.commit(docs.withColumn(
+            "cat_id", (F.col("doc_id") / 10).cast("long"))
+            .repartitionByRange(32, "cat_id"))
+        fact_files = len(fact.read().inputFiles())
+        dim = LakeTable(spark, f"{root}/dim")
+        dim.commit(fact.read().select("cat_id").distinct().select(
+            "cat_id", F.concat(F.lit("g"), (F.col("cat_id") % 5)
+                               .cast("string")).alias("grp")))
+        jmv = LakeJoinMaterializedView(
+            spark, fact, dim, f"{root}/jmv", fact_key="doc_id",
+            join_key="cat_id", group_cols=["grp"],
+            measures=["n_chars"])
+        jmv.refresh()
+        dd = []
+        for rep_i in range(3):
+            dim.update({"cat_id": (rep_i, rep_i)},
+                       {"grp": F.lit(f"moved{rep_i}")})
+            t0 = time.time()
+            jmv.refresh()
+            dd.append(time.time() - t0)
+        opened = len(jmv.last_fold_files)
+        dd_med = sorted(dd)[1]
+        print(f"# jmv_dim_prune {label}: dim-revision refresh "
+              f"{dd_med:.2f}s opened {opened}/{fact_files} fact files",
+              file=sys.stderr)
+        out["dimprune"].append((label, dd_med, opened, fact_files))
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALE10X.md"
@@ -646,6 +751,7 @@ def main() -> None:
     mm_rows = mv_minmax_prune_experiment(spark, base, big)
     kmv_rows = mv_kmv_experiment(spark, base, big)
     api_rows = lake_api_experiment(spark, base, big)
+    cdc_rows = cdc_experiment(spark, base, big)
     spark.stop()
 
     lines = [
@@ -910,6 +1016,78 @@ def main() -> None:
         "10× fact — Δ(M) is computed entirely over dims and F_old is "
         "read ONCE through the broadcast root-key filter, so at worst "
         "linear (one scan), with every exchange dim-sized.",
+        "",
+        "## r11/r12 CDC + replication surface at 10×",
+        "",
+        "### feed_changes_cdc: row classification is DELTA-sized",
+        "",
+        "After a fixed revision set (500-row append + bounded CoW "
+        "update + bounded delete) on a table of either size, the "
+        "classified change feed reads the revision's files — never "
+        "the table — and its plan's exchange count is pinned "
+        "identical (the classification window partitions by key over "
+        "delta-sized input):",
+        "",
+        "| scale | classify+drain sec | files read / head files | "
+        "shuffles |",
+        "|---|---|---|---|",
+        f"| 1× | {cdc_rows['cdc'][0][1]:.2f} | "
+        f"{cdc_rows['cdc'][0][2]}/{cdc_rows['cdc'][0][3]} | "
+        f"{cdc_rows['cdc'][0][4]} |",
+        f"| 10× | {cdc_rows['cdc'][1][1]:.2f} | "
+        f"{cdc_rows['cdc'][1][2]}/{cdc_rows['cdc'][1][3]} | "
+        f"{cdc_rows['cdc'][1][4]} |",
+        "",
+        f"Factor **{(cdc_rows['cdc'][1][1] / cdc_rows['cdc'][0][1] if cdc_rows['cdc'][0][1] else 0):.1f}×** wall; "
+        "exchange count "
+        + ("IDENTICAL"
+           if cdc_rows['cdc'][0][4] == cdc_rows['cdc'][1][4]
+           else "**CHANGED ⚠**")
+        + " at both scales.",
+        "",
+        "### replicate_to: the initial sync is data-sized BY DESIGN; "
+        "every later sync is delta-sized",
+        "",
+        "| scale | initial full sync sec | incremental sync sec | "
+        "replica files rewritten / total |",
+        "|---|---|---|---|",
+        f"| 1× | {cdc_rows['repl'][0][1]:.2f} | "
+        f"{cdc_rows['repl'][0][2]:.2f} | "
+        f"{cdc_rows['repl'][0][3]}/{cdc_rows['repl'][0][4]} |",
+        f"| 10× | {cdc_rows['repl'][1][1]:.2f} | "
+        f"{cdc_rows['repl'][1][2]:.2f} | "
+        f"{cdc_rows['repl'][1][3]}/{cdc_rows['repl'][1][4]} |",
+        "",
+        f"Incremental-sync factor "
+        f"**{(cdc_rows['repl'][1][2] / cdc_rows['repl'][0][2] if cdc_rows['repl'][0][2] else 0):.1f}×** "
+        "(target ≈ 1: the feed delta is revision-sized and the "
+        "target-side merge_clauses rewrite is cover-scoped through "
+        "the replica's stats).",
+        "",
+        "### join-MV dim revision: the F_old scan is FILE-PRUNED on a "
+        "join-key-clustered fact (r12)",
+        "",
+        "The r11-documented linear cost — F_old scanned once per dim "
+        "revision — closed when the fact is clustered by join key: "
+        "_pruned_f_old bounds the read through the commit log's "
+        "per-file min/max before a byte moves. One revised dim key "
+        "on a 32-file cat-clustered fact:",
+        "",
+        "| scale | dim-revision refresh sec | fact files opened / "
+        "total |",
+        "|---|---|---|",
+        f"| 1× | {cdc_rows['dimprune'][0][1]:.2f} | "
+        f"{cdc_rows['dimprune'][0][2]}/{cdc_rows['dimprune'][0][3]} |",
+        f"| 10× | {cdc_rows['dimprune'][1][1]:.2f} | "
+        f"{cdc_rows['dimprune'][1][2]}/{cdc_rows['dimprune'][1][3]} |",
+        "",
+        f"Opened-file fraction "
+        f"{cdc_rows['dimprune'][0][2]}/{cdc_rows['dimprune'][0][3]} → "
+        f"{cdc_rows['dimprune'][1][2]}/{cdc_rows['dimprune'][1][3]} "
+        f"at 10×; refresh factor "
+        f"**{(cdc_rows['dimprune'][1][1] / cdc_rows['dimprune'][0][1] if cdc_rows['dimprune'][0][1] else 0):.1f}×** "
+        "(target ≈ 1 — the opened set is key-cover-sized, not "
+        "table-sized).",
     ]
     lines.append("")
     with open(out_md, "w") as f:
