@@ -51,8 +51,11 @@ _WINDOW: list[str] = [
     # exposure; q_unigram_tok_vocab (hash-verified r10 AND r11) yields
     # its slot — the unigram family stays anchored by q_unigram_tokenize
     "q_lake_cdc_stream",
-    "q_unigram_tokenize",
-    "q_chat_flatten", "q_preference_pairs",
+    # -- NEW in r12: IVF contract twin (probe-restricted exactness),
+    # first exposure; q_chat_flatten (hash-verified r10 AND r11) yields
+    # its slot — SFT-prep family anchored by q_preference_pairs --------
+    "q_embedding_ivf_check",
+    "q_unigram_tokenize", "q_preference_pairs",
     # -- NEW in r10: k-dim star MV + exact COUNT(DISTINCT) MV +
     # derived-bucket continuous aggregate, first exposure; variance MV
     # rotated in from the tail stage (q_seasonal_decompose, hash-
@@ -138,7 +141,7 @@ _WINDOW: list[str] = [
 _TAIL: list[str] = [
     # -- r12 rotation: r10+r11 doubly-hash-verified LEFT-join MV
     # yields its slot to the MERGE-evolution first exposure ---------------
-    "q_lake_mv_leftjoin", "q_unigram_tok_vocab",
+    "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_chat_flatten",
     # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----

@@ -125,6 +125,139 @@ def q_embedding_ann(spark, sf_dir):
     return similarity.lsh_topk_pruned(spark, idx, _QV, 10)
 
 
+# ---------------------------------------------------------------------------
+# Invariants oracles for the trained-quantizer tiers (r12 promotion,
+# the q_embedding_pca / q_unigram_tok_vocab move): the codebooks are
+# TRAINED per corpus, so a static SQL string cannot embed them — but
+# the contracts that make a product quantizer a product quantizer are
+# data-anchored and engine-replayable. Each tier returns ONE row:
+#  * exact anchors DuckDB replays bit-for-bit (corpus size + the
+#    decimal-exact sum of the brute-force top-10 scores — the same
+#    sequential-fold cosine arithmetic q_embedding_knn already
+#    hash-matches), anchoring the data read and scoring math;
+#  * contract booleans computed over the DISTRIBUTED serving path:
+#    recall@10 floor vs brute force (end-to-end quality — a broken
+#    codebook, encoder or ADC table craters it), corpus-covering
+#    shortlist == brute force row-for-row (the degenerate-exact
+#    identity, rerank + join plumbing), the distributed encoder's
+#    codes == an independent pure-Python argmin mirror on a bounded
+#    deterministic sample, and ADC arithmetic cross-checks.
+# The full recall/MSE battery stays pytest-pinned (test_scale_ops).
+_ANN_ANCHOR_SQL = (
+    "WITH scored AS (SELECT vec_id, "
+    "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[])) > 0 THEN "
+    f"list_dot_product(CAST(embedding AS DOUBLE[]), {_QV_SQL}) / "
+    f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+    f"CAST(embedding AS DOUBLE[]))) * {_QNORM}) "
+    "ELSE NULL END AS raw_score FROM embeddings), "
+    "top AS (SELECT round(raw_score, 6) AS score FROM scored "
+    "ORDER BY raw_score DESC NULLS LAST, vec_id LIMIT 10) "
+)
+
+
+def _ann_invariants_oracle(bools: list[str]) -> str:
+    """n_vecs + brute_top_sum replayed exactly; booleans must all be
+    TRUE on the Spark side for the hash to match."""
+    return (
+        _ANN_ANCHOR_SQL
+        + "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
+        "AS n_vecs, "
+        "(SELECT CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) "
+        "FROM top) AS brute_top_sum, "
+        + ", ".join(f"TRUE AS {b}" for b in bools)
+    )
+
+
+def _fold_dot(a, b) -> float:
+    """Pure-Python mirror of functions.vec_dot's sequential left fold
+    (same addend order → bitwise-equal doubles)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _unit_py(v) -> list[float]:
+    """Mirror of similarity._unit_expr: greatest(sqrt(Σx²), 1e-30)."""
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    n = max(math.sqrt(acc), 1e-30)
+    return [x / n for x in v]
+
+
+def _pq_code_py(u: list[float], books) -> list[int]:
+    """Mirror of similarity._pq_assign_expr: per subspace, the min-L2
+    codeword with ties to the LARGEST index, distances as the same
+    sequential fold."""
+    ds = len(books[0][0])
+    out = []
+    for i, book in enumerate(books):
+        sub = u[i * ds:(i + 1) * ds]
+        best = None
+        for idx, c in enumerate(book):
+            d2 = 0.0
+            for x, y in zip(sub, c):
+                d2 = d2 + (x - y) * (x - y)
+            key = (-d2, idx)
+            if best is None or key > best:
+                best = key
+        out.append(best[1])
+    return out
+
+
+def _adc_py(codes: list[int], books, qv: list[float]) -> float:
+    """Mirror of similarity.pq_scores: normalize q, per-subspace
+    driver-side tables, sequential lookup sum."""
+    qn = math.sqrt(sum(x * x for x in qv)) or 1e-30
+    q = [x / qn for x in qv]
+    ds = len(books[0][0])
+    adc = 0.0
+    for i, book in enumerate(books):
+        qsub = q[i * ds:(i + 1) * ds]
+        table = [sum(a * b for a, b in zip(qsub, c)) for c in book]
+        adc = adc + table[codes[i]]
+    return adc
+
+
+_ANN_SAMPLE = 48  # bounded deterministic sample for the code mirrors
+
+
+def _sample_vecs(emb) -> list:
+    """First _ANN_SAMPLE vectors by vec_id — deterministic, bounded."""
+    return (emb.select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("v"))
+            .orderBy("vec_id").limit(_ANN_SAMPLE).collect())
+
+
+def _recall_and_covering(served, brute, covering, floor: int):
+    """served/brute/covering are collected top-k rows (vec_id, score).
+    recall_ok: |served ∩ brute| ≥ floor. covering_exact_ok: the
+    corpus-covering shortlist run equals brute force row-for-row."""
+    recall_ok = len({r.vec_id for r in served}
+                    & {r.vec_id for r in brute}) >= floor
+    key = lambda r: r.vec_id                      # noqa: E731
+    cov_ok = ([(r.vec_id, r.score) for r in sorted(covering, key=key)]
+              == [(r.vec_id, r.score) for r in sorted(brute, key=key)])
+    return recall_ok, cov_ok
+
+
+def _ann_row(emb, n_vecs: int, bools: dict):
+    """Assemble the one-row invariants result: distributed decimal-
+    exact brute-top-sum anchor + the contract booleans as literals
+    (collected checks, same bounded-driver posture as q_embedding_pca)."""
+    brute_sum = similarity.cosine_topk(emb, _QV, 10).agg(
+        F.sum(F.col("score").cast("decimal(38,12)"))
+        .cast("double").alias("brute_top_sum"))
+    return brute_sum.select(
+        F.lit(int(n_vecs)).cast("long").alias("n_vecs"),
+        "brute_top_sum",
+        *[F.lit(bool(v)).alias(k) for k, v in bools.items()])
+
+
+
 # Trained centroids per sf_dir: IVF trains ONCE offline and serves many
 # queries; training is deterministic (decimal sums, fixed iterations) so
 # memoizing is purely an amortization, not a semantic change. The
@@ -170,6 +303,63 @@ def q_embedding_ivf(spark, sf_dir):
     idx = _ivf_index(spark, sf_dir)
     cents = _trained_centroids(spark, sf_dir)
     return similarity.ivf_topk_pruned(spark, idx, _QV, cents, 10, n_probe=4)
+
+
+@query(
+    "q_embedding_ivf_check",
+    # r12: the benched q_embedding_ivf serving plan stays rows-only
+    # (its top-k depends on per-corpus trained centroids no static SQL
+    # can embed) — this unbenched twin hash-gates its CONTRACTS at
+    # driver time, the q_approx_distinct/_check split pattern. IVF
+    # serves EXACT vectors from the probed lists, so unlike PQ the
+    # within-probe identity is strict equality with no shortlist
+    # caveat: served(4-probe) == cosine top-k restricted to the probed
+    # lists, row for row.
+    oracle=_ann_invariants_oracle(
+        ["probe_exact_ok", "full_probe_exact_ok"]),
+    doc="2C similarity: contract gate for the benched IVF serving "
+        "tier — (1) the 4-probe served top-k equals the exact cosine "
+        "top-k RESTRICTED to the probed lists row-for-row (list "
+        "pruning is the ONLY approximation: assignment, partitioned "
+        "read, probe order and scoring are all exact), and (2) the "
+        "full-probe run equals global brute force (the "
+        "q_embedding_ivf_full identity, re-pinned here beside the "
+        "pruned contract); exact corpus anchors (n + decimal brute-"
+        "top-10 sum) ride the same hash",
+)
+def q_embedding_ivf_check(spark, sf_dir):
+    idx = _ivf_index(spark, sf_dir)
+    cents = _trained_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    served = similarity.ivf_topk_pruned(
+        spark, idx, _QV, cents, 10, n_probe=4).collect()
+    brute = similarity.cosine_topk(emb, _QV, 10).collect()
+    qnorm0 = math.sqrt(sum(x * x for x in _QV))
+    order = sorted(
+        range(len(cents)),
+        key=lambda i: (
+            -sum(a * b for a, b in zip(_QV, cents[i]))
+            / (qnorm0 * math.sqrt(sum(x * x for x in cents[i]))),
+            i))
+    probed_ids = (spark.read.parquet(idx)
+                  .where(F.col("list_id").isin(order[:4]))
+                  .select("vec_id"))
+    probe_brute = similarity.cosine_topk(
+        emb.join(F.broadcast(probed_ids), "vec_id", "left_semi"),
+        _QV, 10).collect()
+    key = lambda r: r.vec_id                      # noqa: E731
+    probe_exact = (
+        [(r.vec_id, r.score) for r in sorted(served, key=key)]
+        == [(r.vec_id, r.score) for r in sorted(probe_brute, key=key)])
+    full = similarity.ivf_topk_pruned(
+        spark, idx, _QV, cents, 10, n_probe=len(cents)).collect()
+    full_exact = (
+        [(r.vec_id, r.score) for r in sorted(full, key=key)]
+        == [(r.vec_id, r.score) for r in sorted(brute, key=key)])
+    return _ann_row(emb, n, {
+        "probe_exact_ok": probe_exact,
+        "full_probe_exact_ok": full_exact})
 
 
 @query(
@@ -309,138 +499,6 @@ def q_hard_negatives(spark, sf_dir):
     return similarity.hard_negative_pairs(
         load_table(spark, sf_dir, "embeddings"), 3
     )
-
-
-# ---------------------------------------------------------------------------
-# Invariants oracles for the trained-quantizer tiers (r12 promotion,
-# the q_embedding_pca / q_unigram_tok_vocab move): the codebooks are
-# TRAINED per corpus, so a static SQL string cannot embed them — but
-# the contracts that make a product quantizer a product quantizer are
-# data-anchored and engine-replayable. Each tier returns ONE row:
-#  * exact anchors DuckDB replays bit-for-bit (corpus size + the
-#    decimal-exact sum of the brute-force top-10 scores — the same
-#    sequential-fold cosine arithmetic q_embedding_knn already
-#    hash-matches), anchoring the data read and scoring math;
-#  * contract booleans computed over the DISTRIBUTED serving path:
-#    recall@10 floor vs brute force (end-to-end quality — a broken
-#    codebook, encoder or ADC table craters it), corpus-covering
-#    shortlist == brute force row-for-row (the degenerate-exact
-#    identity, rerank + join plumbing), the distributed encoder's
-#    codes == an independent pure-Python argmin mirror on a bounded
-#    deterministic sample, and ADC arithmetic cross-checks.
-# The full recall/MSE battery stays pytest-pinned (test_scale_ops).
-_ANN_ANCHOR_SQL = (
-    "WITH scored AS (SELECT vec_id, "
-    "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-    "CAST(embedding AS DOUBLE[])) > 0 THEN "
-    f"list_dot_product(CAST(embedding AS DOUBLE[]), {_QV_SQL}) / "
-    f"(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
-    f"CAST(embedding AS DOUBLE[]))) * {_QNORM}) "
-    "ELSE NULL END AS raw_score FROM embeddings), "
-    "top AS (SELECT round(raw_score, 6) AS score FROM scored "
-    "ORDER BY raw_score DESC NULLS LAST, vec_id LIMIT 10) "
-)
-
-
-def _ann_invariants_oracle(bools: list[str]) -> str:
-    """n_vecs + brute_top_sum replayed exactly; booleans must all be
-    TRUE on the Spark side for the hash to match."""
-    return (
-        _ANN_ANCHOR_SQL
-        + "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) "
-        "AS n_vecs, "
-        "(SELECT CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) "
-        "FROM top) AS brute_top_sum, "
-        + ", ".join(f"TRUE AS {b}" for b in bools)
-    )
-
-
-def _fold_dot(a, b) -> float:
-    """Pure-Python mirror of functions.vec_dot's sequential left fold
-    (same addend order → bitwise-equal doubles)."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc = acc + x * y
-    return acc
-
-
-def _unit_py(v) -> list[float]:
-    """Mirror of similarity._unit_expr: greatest(sqrt(Σx²), 1e-30)."""
-    acc = 0.0
-    for x in v:
-        acc = acc + x * x
-    n = max(math.sqrt(acc), 1e-30)
-    return [x / n for x in v]
-
-
-def _pq_code_py(u: list[float], books) -> list[int]:
-    """Mirror of similarity._pq_assign_expr: per subspace, the min-L2
-    codeword with ties to the LARGEST index, distances as the same
-    sequential fold."""
-    ds = len(books[0][0])
-    out = []
-    for i, book in enumerate(books):
-        sub = u[i * ds:(i + 1) * ds]
-        best = None
-        for idx, c in enumerate(book):
-            d2 = 0.0
-            for x, y in zip(sub, c):
-                d2 = d2 + (x - y) * (x - y)
-            key = (-d2, idx)
-            if best is None or key > best:
-                best = key
-        out.append(best[1])
-    return out
-
-
-def _adc_py(codes: list[int], books, qv: list[float]) -> float:
-    """Mirror of similarity.pq_scores: normalize q, per-subspace
-    driver-side tables, sequential lookup sum."""
-    qn = math.sqrt(sum(x * x for x in qv)) or 1e-30
-    q = [x / qn for x in qv]
-    ds = len(books[0][0])
-    adc = 0.0
-    for i, book in enumerate(books):
-        qsub = q[i * ds:(i + 1) * ds]
-        table = [sum(a * b for a, b in zip(qsub, c)) for c in book]
-        adc = adc + table[codes[i]]
-    return adc
-
-
-_ANN_SAMPLE = 48  # bounded deterministic sample for the code mirrors
-
-
-def _sample_vecs(emb) -> list:
-    """First _ANN_SAMPLE vectors by vec_id — deterministic, bounded."""
-    return (emb.select("vec_id",
-                       F.col("embedding").cast("array<double>")
-                       .alias("v"))
-            .orderBy("vec_id").limit(_ANN_SAMPLE).collect())
-
-
-def _recall_and_covering(served, brute, covering, floor: int):
-    """served/brute/covering are collected top-k rows (vec_id, score).
-    recall_ok: |served ∩ brute| ≥ floor. covering_exact_ok: the
-    corpus-covering shortlist run equals brute force row-for-row."""
-    recall_ok = len({r.vec_id for r in served}
-                    & {r.vec_id for r in brute}) >= floor
-    key = lambda r: r.vec_id                      # noqa: E731
-    cov_ok = ([(r.vec_id, r.score) for r in sorted(covering, key=key)]
-              == [(r.vec_id, r.score) for r in sorted(brute, key=key)])
-    return recall_ok, cov_ok
-
-
-def _ann_row(emb, n_vecs: int, bools: dict):
-    """Assemble the one-row invariants result: distributed decimal-
-    exact brute-top-sum anchor + the contract booleans as literals
-    (collected checks, same bounded-driver posture as q_embedding_pca)."""
-    brute_sum = similarity.cosine_topk(emb, _QV, 10).agg(
-        F.sum(F.col("score").cast("decimal(38,12)"))
-        .cast("double").alias("brute_top_sum"))
-    return brute_sum.select(
-        F.lit(int(n_vecs)).cast("long").alias("n_vecs"),
-        "brute_top_sum",
-        *[F.lit(bool(v)).alias(k) for k, v in bools.items()])
 
 
 _PQ_BOOKS: dict[str, list] = {}
