@@ -33,11 +33,16 @@ def test_driver_window_covers_llm_pipeline_queries():
     # with in-window family anchors kept. Rotated-out siblings carry
     # their own hash history (CORRECTNESS_r0*.json).
     must_cover = {
-        # r8/r9 additions kept as anchors (driver-verified r9);
-        # q_lake_mv_refresh (hash-verified r8 AND r9) yielded its slot
-        # to the new r10 LEFT-join MV first exposure
-        "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_unigram_tokenize",
-        "q_chat_flatten", "q_preference_pairs",
+        # r12 rotation: the three new r12 queries (MERGE evolution,
+        # streaming CDC replication, IVF contract twin) take slots for
+        # first driver exposure; q_lake_mv_leftjoin /
+        # q_unigram_tok_vocab / q_chat_flatten (each hash-verified
+        # r10 AND r11) rotated to the tail with in-window family
+        # anchors kept (fulljoin MV / unigram_tokenize /
+        # preference_pairs)
+        "q_lake_merge_evolve", "q_lake_cdc_stream",
+        "q_embedding_ivf_check",
+        "q_unigram_tokenize", "q_preference_pairs",
         # new in r10: star MV + COUNT(DISTINCT) MV + the staged
         # variance MV; new in r11: the FULL OUTER join MV
         # (q_lake_mv_daily, hash-verified r9+r10, yielded its slot)
