@@ -2796,14 +2796,43 @@ def q_corpus_shuffle(spark, sf_dir):
 
 @query(
     "q_image_neardup",
-    oracle=None,  # dHash runs in the Arrow decode stage (mapInPandas) —
-    # no SQL twin; pytest pins hash equality vs a pure-Python reference
-    # and EXACT pair recall vs brute force at the pigeonhole threshold
+    # Promoted to a FULL value-hash oracle (r12, extending the r11
+    # hex-replay move): the fake-decoder grid is a deterministic
+    # 72-byte stride sample of the payload, so DuckDB re-derives every
+    # grid byte from hex(encode(text)), replays the 64 left>right
+    # comparisons into the same signed 64-bit dHash (MSB via
+    # two's-complement arithmetic, no HUGEINT), and emits ALL-PAIRS
+    # Hamming ≤ 3. All-pairs ≡ the Spark banded output because banding
+    # recall is EXACT at the pigeonhole threshold (≤3 differing bits
+    # across 4×16-bit bands leave ≥1 band intact) — so the oracle
+    # checks the banding too: a lost candidate pair fails the hash.
+    oracle=(
+        "WITH b AS (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS n FROM documents), "
+        "jx AS (SELECT CAST(r.range AS INT) AS j FROM range(72) r), "
+        "g AS (SELECT doc_id, j, CASE WHEN n >= 72 "
+        "THEN CAST(concat('0x', substr(hx, 2*(j*(n//72))+1, 2)) AS INT) "
+        "WHEN j < n THEN CAST(concat('0x', substr(hx, 2*j+1, 2)) AS INT) "
+        "ELSE 0 END AS byte FROM b CROSS JOIN jx), "
+        "bits AS (SELECT a.doc_id, (a.j // 9) * 8 + (a.j % 9) AS bitpos, "
+        "CAST(a.byte > c.byte AS INT) AS bit "
+        "FROM g a JOIN g c ON a.doc_id = c.doc_id AND c.j = a.j + 1 "
+        "WHERE a.j % 9 < 8), "
+        "h AS (SELECT doc_id, SUM(CASE WHEN bitpos = 0 "
+        "THEN bit * (-9223372036854775807 - 1) "
+        "ELSE bit * (CAST(1 AS BIGINT) << (63 - bitpos)) END) AS dhash "
+        "FROM bits GROUP BY doc_id) "
+        "SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.dhash, c.dhash)) AS INT) AS hamming "
+        "FROM h a JOIN h c ON a.doc_id < c.doc_id "
+        "WHERE bit_count(xor(a.dhash, c.dhash)) <= 3"
+    ),
     doc="multimodal dedup: perceptual dHash per image (Arrow decode "
         "stage emits 8 bytes/image) + banded-LSH candidate pairs with "
         "exact Hamming verify — SimHash posture on images; recall is "
         "exact at Hamming ≤ 3 by pigeonhole over 4×16-bit bands "
-        "(operators/multimodal.image_dhash / dhash_neardup_pairs)",
+        "(operators/multimodal.image_dhash / dhash_neardup_pairs). "
+        "Hash-verified end-to-end since r12 (see oracle comment)",
 )
 def q_image_neardup(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import multimodal
