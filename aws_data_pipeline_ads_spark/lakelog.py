@@ -606,14 +606,41 @@ class LakeTable:
 
     # -- write path --------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    @staticmethod
+    def _entry_cmap(entry: dict | None) -> dict:
+        """The entry's logical→physical column map (identity entries
+        omitted — an empty dict means every column is stored under its
+        own name, the pre-column-mapping layout)."""
+        return dict((entry or {}).get("column_map") or {})
+
+    def _head_cmap(self) -> dict:
+        head = self.current_version()
+        if head is None:
+            return {}
+        return self._entry_cmap(self._read_entry(head))
+
+    def _write_files(self, df: DataFrame,
+                     cmap: dict | None = None) -> list[str]:
         """Land `df` as immutable parquet under a fresh uuid dir and
         return the file list (metadata listing, no data re-scan).
+
+        `df` carries LOGICAL column names; files always land under
+        PHYSICAL names (`cmap`, default the head's column map — Delta
+        column-mapping semantics: physical names are stable for the
+        table's lifetime, so per-file stats/blooms/sums stay keyed
+        consistently across renames and every CoW rewrite composes).
+        On an unmapped table the map is empty and this is a no-op.
 
         Timestamps are written as TIMESTAMP_MICROS (set-and-restored
         around the write): Spark's INT96 default is a deprecated type
         that carries NO column statistics, which would silently disable
         time-range data skipping — the predicate that matters most."""
+        if cmap is None:
+            cmap = self._head_cmap()
+        ren = {l: p for l, p in cmap.items()
+               if p != l and l in df.columns}
+        if ren:
+            df = df.withColumnsRenamed(ren)
         sub = os.path.join(self.path, "data", uuid.uuid4().hex)
         key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(key, None)
@@ -997,6 +1024,8 @@ class LakeTable:
                  sum_cols: list[str] | None = None,
                  constraints: dict | None = None,
                  properties: dict | None = None,
+                 column_map: dict | None = None,
+                 phys_used: list | None = None,
                  meta: dict | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
@@ -1061,6 +1090,30 @@ class LakeTable:
                 properties = None
         if properties:
             entry["properties"] = properties
+        if version > 0 and (column_map is None or phys_used is None):
+            # column mapping (rename/drop without rewrite) carries
+            # forward exactly like constraints/properties: the
+            # logical→physical map, unless the caller replaces it
+            # (rename_column / drop_column) or clears it explicitly
+            # ({} — a rename back to the physical name); and the
+            # RETIRED-physical-name set, which is monotone history —
+            # once a logical column is dropped, its physical name may
+            # never be assigned again (a re-added column with the same
+            # name must NOT resurrect old bytes from shared files).
+            # One prior-entry read serves both; same benign-miss
+            # semantics as the blocks above.
+            try:
+                prior = self._read_entry(version - 1)
+            except ValueError:
+                prior = {}
+            if column_map is None:
+                column_map = prior.get("column_map")
+            if phys_used is None:
+                phys_used = prior.get("phys_used")
+        if column_map:
+            entry["column_map"] = column_map
+        if phys_used:
+            entry["phys_used"] = sorted(set(phys_used))
         if meta:
             # per-COMMIT user metadata (Delta commitInfo userMetadata):
             # the reference attaches record_count/source/extracted_date
@@ -1120,6 +1173,38 @@ class LakeTable:
             + [T.StructField(f.name, f.dataType, True) for f in extra]
         )
 
+    def _map_for_write(self, schema, head_entry: dict | None
+                       ) -> tuple[dict, list]:
+        """Effective column map + retired-name list for a commit
+        landing `schema` (logical) on top of `head_entry`. The map is
+        a TABLE property: it survives overwrites like bloom_cols /
+        constraints do. Brand-new logical columns keep identity
+        physical names unless the name was ever retired (drop_column)
+        or is another live column's physical — then a fresh suffixed
+        name, so old bytes in shared files can never resurrect under a
+        re-added column. On a table that never renamed or dropped,
+        both are empty and every write path is byte-identical to the
+        pre-mapping layout."""
+        cmap = self._entry_cmap(head_entry)
+        used = set((head_entry or {}).get("phys_used") or [])
+        if not cmap and not used:
+            return {}, []
+        live = [f.name for f in schema.fields]
+        out = {l: p for l, p in cmap.items() if l in live}
+        vals = set(out.values())
+        fresh = [l for l in live
+                 if l not in out and (l in used or l in vals)]
+        taken = vals | used | {l for l in live
+                               if l not in out and l not in fresh}
+        for l in fresh:
+            i, p = 1, f"{l}__p1"
+            while p in taken:
+                i += 1
+                p = f"{l}__p{i}"
+            out[l] = p
+            taken.add(p)
+        return out, sorted(used)
+
     def commit(self, df: DataFrame, mode: str = "overwrite",
                txn_id: str | None = None, op: str | None = None,
                evolve: bool = False,
@@ -1172,6 +1257,10 @@ class LakeTable:
         validated_cons: dict = {}  # constraints this batch was gated on
         bloom_cache: dict = {}  # bloom-cols tuple → blooms for new_files
         sum_cache: dict = {}    # sum-cols tuple → sums for new_files
+        eff_cmap: dict = {}     # column map the files were written with
+        eff_used: list = []
+        map_active = False      # table carries mapping state at all
+        map_sig = None          # head mapping state at write time
         for attempt in range(retries + 1):
             if attempt and txn_id is not None:
                 # the competitor that beat us may have been a crashed
@@ -1188,6 +1277,20 @@ class LakeTable:
             version = base + 1 if base is not None else 0
             schema = df.schema
             head_entry = self._read_entry(base) if base is not None else None
+            head_sig = (self._entry_cmap(head_entry),
+                        set((head_entry or {}).get("phys_used") or []))
+            if new_files is not None and head_sig != map_sig:
+                # a competitor renamed/dropped a column between our
+                # write and this retry: the files on disk carry
+                # physical names resolved against a map that no longer
+                # holds — publishing them would corrupt reads, and the
+                # schema gate below would misdiagnose the rename as
+                # drift. Metadata-only retry cannot fix bytes; discard
+                # and surface.
+                self._discard_files(new_files)
+                raise ConcurrentWriteError(
+                    f"lake table {self.path}: column mapping changed "
+                    f"concurrently — re-invoke the commit")
             base_entry = head_entry if mode == "append" else None
             if base_entry is not None:
                 if "schema" not in base_entry and base_entry["files"]:
@@ -1220,8 +1323,15 @@ class LakeTable:
                 # file lands (one bounded aggregate over the batch)
                 self._enforce_constraints(df, head_entry, mode)
                 validated_cons = head_cons
+                # column mapping resolves against the SAME head the
+                # files are written for; a retry re-checks the
+                # signature above before re-validating anything
+                eff_cmap, eff_used = self._map_for_write(
+                    schema, head_entry)
+                map_active = bool(head_sig[0] or head_sig[1])
+                map_sig = head_sig
                 # data files land ONCE; retries only re-publish metadata
-                new_files = self._write_files(df)
+                new_files = self._write_files(df, cmap=eff_cmap)
                 new_stats = self._collect_stats(new_files)
                 new_rows = self._collect_row_counts(new_files)
             elif head_cons != validated_cons:
@@ -1238,6 +1348,15 @@ class LakeTable:
                     self._discard_files(new_files)
                     raise
                 validated_cons = head_cons
+            if eff_cmap:
+                # entry-level bloom/sum col lists are PHYSICAL (they
+                # key into per-file records collected from the raw
+                # files); user-passed names are logical — translate.
+                # Inherited lists are already physical.
+                if bloom_cols:
+                    bc = [eff_cmap.get(c, c) for c in bloom_cols]
+                if sum_cols:
+                    sc = [eff_cmap.get(c, c) for c in sum_cols]
             blooms = None
             if bc:
                 key = tuple(bc)
@@ -1265,6 +1384,12 @@ class LakeTable:
                     schema=schema, stats=stats,
                     blooms=blooms, bloom_cols=bc, row_counts=rows,
                     sums=sums, sum_cols=sc,
+                    # explicit (not carry-forward) once mapping state
+                    # exists: an overwrite narrowing away every mapped
+                    # column must CLEAR the map, and appends record
+                    # any fresh physical assignments
+                    column_map=eff_cmap if map_active else None,
+                    phys_used=(eff_used or None) if map_active else None,
                     # per-commit user metadata; record_count defaults
                     # to THIS batch's row count (from the write-time
                     # footers — no extra scan), the reference's
@@ -1497,12 +1622,28 @@ class LakeTable:
             # schema comes from the LOG, not a parquet footer: after an
             # evolve-append, files written before the widening simply
             # read the added columns as null (name-based resolution)
+            from pyspark.sql import functions as F
             from pyspark.sql import types as T
 
             pinned = T.StructType.fromJson(json.loads(entry["schema"]))
             if not files:
                 return self.spark.createDataFrame([], pinned)
-            return self.spark.read.schema(pinned).parquet(*files)
+            cmap = self._entry_cmap(entry)
+            if not cmap:
+                return self.spark.read.schema(pinned).parquet(*files)
+            # column mapping: files store PHYSICAL names — pin the
+            # physical twin of the logical schema (name-based parquet
+            # resolution, so a dropped column's retired physical bytes
+            # are never even deserialized) and project back to the
+            # version's logical names. Time travel composes free:
+            # each entry carries the map its schema was written with.
+            phys = T.StructType([
+                T.StructField(cmap.get(f.name, f.name), f.dataType,
+                              f.nullable)
+                for f in pinned.fields])
+            return (self.spark.read.schema(phys).parquet(*files)
+                    .select(*[F.col(cmap.get(f.name, f.name))
+                              .alias(f.name) for f in pinned.fields]))
         if not files:
             # no pinned schema (pre-schema-tier entry): borrow it from
             # the version's footers without scanning any data
@@ -1548,8 +1689,10 @@ class LakeTable:
         stat for a column is conservatively 'maybe'. scan() opens only
         `maybe`; delete() rewrites only `maybe` and SHARES `never`."""
         stats = entry.get("stats", {})
-        keys = {col: (self._bound_key(lo) if lo is not None else None,
-                      self._bound_key(hi) if hi is not None else None)
+        cmap = self._entry_cmap(entry)
+        keys = {cmap.get(col, col):
+                (self._bound_key(lo) if lo is not None else None,
+                 self._bound_key(hi) if hi is not None else None)
                 for col, (lo, hi) in ranges.items()}
         maybe, never = [], []
         for f in entry["files"]:
@@ -1604,11 +1747,27 @@ class LakeTable:
         # and carry no footer stats — they must not veto a column
         data_files = [f for f in entry["files"] if counts[f] > 0]
         per_file = [stats.get(f, {}) for f in data_files]
+        # per-file stats/sums are keyed by PHYSICAL name; report under
+        # the version's LOGICAL names, and never report a retired
+        # physical (a dropped column's stats stay in the files but are
+        # not part of this version's schema)
+        cmap = self._entry_cmap(entry)
+        inv = {p: l for l, p in cmap.items()}
+        live = (None if "schema" not in entry else
+                {f.name for f in self._entry_schema(entry).fields})
+
+        def _logical(col: str) -> str | None:
+            name = inv.get(col, col)
+            if live is not None and name not in live:
+                return None
+            return name
+
         if per_file:
             for col in set(per_file[0]):
-                if all(col in pc for pc in per_file):
-                    mins[col] = min(pc[col][0] for pc in per_file)
-                    maxs[col] = max(pc[col][1] for pc in per_file)
+                name = _logical(col)
+                if name is not None and all(col in pc for pc in per_file):
+                    mins[name] = min(pc[col][0] for pc in per_file)
+                    maxs[name] = max(pc[col][1] for pc in per_file)
         # exact SUM from the per-file decimal sums (sum_cols tables):
         # string-decimal partials added with exact integer arithmetic,
         # cast to double only at the very end — the same value the
@@ -1627,18 +1786,21 @@ class LakeTable:
         sums: dict = {}
         avgs: dict = {}
         for col in entry.get("sum_cols") or []:
+            name = _logical(col)
+            if name is None:
+                continue
             if not all(col in sums_rec.get(f, {}) for f in data_files):
                 continue
             recs = [sums_rec[f][col] for f in data_files]
             vals = [r if isinstance(r, list) else [r, None] for r in recs]
             parts = [Decimal(s) for s, _n in vals if s is not None]
-            sums[col] = float(sum(parts, Decimal(0))) if parts else None
+            sums[name] = float(sum(parts, Decimal(0))) if parts else None
             ns = [n for _s, n in vals]
             if all(n is not None for n in ns):
                 n_nonnull = sum(ns)
-                avgs[col] = (sums[col] / n_nonnull
-                             if n_nonnull and sums[col] is not None
-                             else None)
+                avgs[name] = (sums[name] / n_nonnull
+                              if n_nonnull and sums[name] is not None
+                              else None)
         return {"rows": sum(counts[f] for f in entry["files"]),
                 "min": mins, "max": maxs, "sum": sums, "avg": avgs}
 
@@ -1661,7 +1823,11 @@ class LakeTable:
                                             for c, v in eq.items()})
         blooms = entry.get("blooms", {})
         kept = []
-        probes = {c: self._probe_value(v) for c, v in eq.items()}
+        cmap = self._entry_cmap(entry)
+        # per-file blooms are keyed by PHYSICAL name (collected from
+        # the raw files) — probe under the mapped key
+        probes = {cmap.get(c, c): self._probe_value(v)
+                  for c, v in eq.items()}
         for f in keep:
             per_col = blooms.get(f, {})
             if all(self._bloom_may_contain(per_col[c], pv)
@@ -2128,6 +2294,29 @@ class LakeTable:
         rows.update(self._collect_row_counts(new_files))
         if schema is None:
             schema = self._entry_schema(entry)
+        else:
+            # schema evolution through a rewrite (merge evolve=True):
+            # new logical columns land under identity physical names —
+            # refuse names that were RETIRED by drop_column or are
+            # another column's physical, or old bytes in the shared
+            # `untouched` files would resurrect under the new column.
+            # (Re-adding a dropped name is supported via commit(),
+            # which assigns a fresh physical — see _map_for_write.)
+            base_schema = self._entry_schema(entry)
+            cmap = self._entry_cmap(entry)
+            reserved = (set(entry.get("phys_used") or [])
+                        | set(cmap.values()))
+            prior_names = ({f.name for f in base_schema.fields}
+                           if base_schema is not None else set())
+            bad = sorted(f.name for f in schema.fields
+                         if f.name not in prior_names
+                         and f.name in reserved)
+            if bad:
+                raise SchemaMismatchError(
+                    f"lake table {self.path}: evolved column(s) {bad} "
+                    f"recycle a retired/mapped physical name — re-add "
+                    f"via commit(evolve=True), which assigns a fresh "
+                    f"physical name")
         bloom_cols = entry.get("bloom_cols")
         blooms = None
         if bloom_cols:
@@ -2256,6 +2445,22 @@ class LakeTable:
                 f"{version} — {len(gone)} of its data files were "
                 f"vacuumed (first: {gone[0]})"
             )
+        # the restored snapshot's column map is pinned EXPLICITLY (the
+        # default carry-forward would borrow the bad head's map, which
+        # may not match the restored schema). Retired physical names
+        # union with the current head's set (a restore skipping past a
+        # drop_column must not free the name for resurrection) — MINUS
+        # the physicals live in the restored schema: a column the
+        # restored snapshot legitimately stores becomes live again,
+        # and leaving it "retired" would force a fresh physical on the
+        # next append, nulling it out of the restored files
+        head_used = set(self._read_entry(base).get("phys_used") or [])
+        rcmap = self._entry_cmap(entry)
+        rschema = self._entry_schema(entry)
+        live_phys = ({rcmap.get(f.name, f.name) for f in rschema.fields}
+                     if rschema is not None else set())
+        used = sorted((set(entry.get("phys_used") or []) | head_used)
+                      - live_phys)
         return self._publish(entry["files"], "restore", txn_id, base + 1,
                              schema=self._entry_schema(entry),
                              stats=entry.get("stats"),
@@ -2264,6 +2469,11 @@ class LakeTable:
                              sums=entry.get("sums"),
                              sum_cols=entry.get("sum_cols"),
                              row_counts=entry.get("row_counts"),
+                             column_map=entry.get("column_map") or {},
+                             # an empty list CLEARS (not carries): a
+                             # restore that re-lives every retired
+                             # physical must not inherit the head's set
+                             phys_used=used,
                              deferred_deletes=entry.get(
                                  "deferred_deletes"))
 
@@ -2907,6 +3117,190 @@ class LakeTable:
             return {}
         return dict(self._read_entry(head).get("properties", {}))
 
+    # -- column mapping (rename/drop without rewrite) -----------------------
+
+    def _map_op_guard(self, entry: dict, col: str, op: str) -> None:
+        """Refusals shared by rename_column/drop_column: a standing
+        CHECK constraint or a live deferred-delete predicate written
+        against `col` would silently stop matching under the new name
+        (constraints are SQL strings, deferred predicates are
+        logical-name dicts applied at read time). Materialize/drop
+        those contracts first — an explicit error beats a predicate
+        that quietly evaluates against nothing."""
+        import re
+
+        pat = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(col)}"
+                         rf"(?![A-Za-z0-9_])")
+        hit = [n for n, pred in (entry.get("constraints") or {}).items()
+               if pat.search(pred)]
+        if hit:
+            raise ValueError(
+                f"lake table {self.path}: cannot {op} column {col!r} — "
+                f"standing constraint(s) {hit} reference it; "
+                f"drop_constraint first")
+        for d in entry.get("deferred_deletes") or []:
+            cols = (d.get("ranges") or d.get("keys")
+                    or {k: None for k in d if k != "files"})
+            if col in cols:
+                raise ValueError(
+                    f"lake table {self.path}: cannot {op} column "
+                    f"{col!r} — a pending deferred delete filters on "
+                    f"it; compact() to materialize first")
+
+    def rename_column(self, old: str, new: str,
+                      txn_id: str | None = None,
+                      retries: int = 3) -> int:
+        """Rename a column METADATA-ONLY (Delta column-mapping
+        semantics): no file is rewritten — the new head's schema
+        carries the new logical name and the entry's column map points
+        it at the stable PHYSICAL name the bytes were written under.
+        Reads at the new head see the new name; time travel to any
+        older version sees the name that version actually had; per-file
+        stats/blooms/sums (keyed physically) keep pruning with zero
+        recomputation. At 100 TB this is the difference between an
+        O(1) log write and a full-table rewrite.
+
+        Renaming BACK to the physical name drops the map entry (the
+        layout returns to identity). Concurrent head races retry like
+        set_properties; a rename racing a concurrent data COMMIT is
+        surfaced by the writer's mapping-signature check instead."""
+        from pyspark.sql import types as T
+
+        if new == old:
+            raise ValueError(f"rename_column: {old!r} -> {new!r} is a "
+                             f"no-op")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        for attempt in range(retries + 1):
+            head = self.current_version()
+            if head is None:
+                raise ValueError(f"lake table {self.path}: no commits yet")
+            entry = self._read_entry(head)
+            schema = self._entry_schema(entry)
+            if schema is None:
+                raise ValueError(
+                    f"lake table {self.path}: version {head} carries no "
+                    f"schema (pre-schema-tier entry) — commit once to "
+                    f"pin one before renaming")
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"lake table {self.path}: no column "
+                                 f"{old!r} (have {names})")
+            if new in names:
+                raise ValueError(f"lake table {self.path}: column "
+                                 f"{new!r} already exists")
+            self._map_op_guard(entry, old, "rename")
+            cmap = self._entry_cmap(entry)
+            phys = cmap.pop(old, old)
+            if new != phys:
+                cmap[new] = phys
+            new_schema = T.StructType([
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old else f for f in schema.fields])
+            try:
+                return self._publish(
+                    entry["files"], "rename_column", txn_id, head + 1,
+                    schema=new_schema,
+                    stats=entry.get("stats"),
+                    blooms=entry.get("blooms"),
+                    bloom_cols=entry.get("bloom_cols"),
+                    sums=entry.get("sums"),
+                    sum_cols=entry.get("sum_cols"),
+                    row_counts=entry.get("row_counts"),
+                    deferred_deletes=entry.get("deferred_deletes"),
+                    column_map=cmap,  # {} clears (rename back)
+                    )
+            except ConcurrentWriteError:
+                if attempt == retries:
+                    raise
+                if txn_id is not None:
+                    done = self._txn_version(txn_id)
+                    if done is not None:
+                        return done
+        raise AssertionError("unreachable")
+
+    def drop_column(self, col: str, txn_id: str | None = None,
+                    retries: int = 3) -> int:
+        """Drop a column METADATA-ONLY: the files keep the bytes (older
+        versions still read them — time travel is unaffected) but the
+        new head's schema loses the field, and the pinned physical
+        read schema means the dropped column's pages are never even
+        deserialized — the same free column pruning a rewrite would
+        buy, without the rewrite.
+
+        The physical name is RETIRED (entry phys_used): a later
+        evolve-append re-adding the same logical name gets a fresh
+        physical name, so the old bytes in shared files can never
+        resurrect under the new column (Delta/Iceberg re-add
+        semantics). Blooms/sums over the dropped column are pruned
+        from the entry; per-file min/max stats stay (harmless — keyed
+        by the retired physical, unreachable from the new schema)."""
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        for attempt in range(retries + 1):
+            head = self.current_version()
+            if head is None:
+                raise ValueError(f"lake table {self.path}: no commits yet")
+            entry = self._read_entry(head)
+            schema = self._entry_schema(entry)
+            if schema is None:
+                raise ValueError(
+                    f"lake table {self.path}: version {head} carries no "
+                    f"schema (pre-schema-tier entry) — commit once to "
+                    f"pin one before dropping")
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise ValueError(f"lake table {self.path}: no column "
+                                 f"{col!r} (have {names})")
+            if len(names) == 1:
+                raise ValueError(f"lake table {self.path}: cannot drop "
+                                 f"the last column")
+            self._map_op_guard(entry, col, "drop")
+            cmap = self._entry_cmap(entry)
+            phys = cmap.pop(col, col)
+            used = sorted(set(entry.get("phys_used") or []) | {phys})
+            from pyspark.sql import types as T
+
+            new_schema = T.StructType(
+                [f for f in schema.fields if f.name != col])
+            bc = entry.get("bloom_cols") or []
+            new_bc = [c for c in bc if c != phys]
+            blooms = entry.get("blooms")
+            if blooms is not None and len(new_bc) != len(bc):
+                blooms = {f: {c: v for c, v in per.items() if c != phys}
+                          for f, per in blooms.items()}
+            sc = entry.get("sum_cols") or []
+            new_sc = [c for c in sc if c != phys]
+            sums = entry.get("sums")
+            if sums is not None and len(new_sc) != len(sc):
+                sums = {f: {c: v for c, v in per.items() if c != phys}
+                        for f, per in sums.items()}
+            try:
+                return self._publish(
+                    entry["files"], "drop_column", txn_id, head + 1,
+                    schema=new_schema,
+                    stats=entry.get("stats"),
+                    blooms=blooms if new_bc else None,
+                    bloom_cols=new_bc or None,
+                    sums=sums if new_sc else None,
+                    sum_cols=new_sc or None,
+                    row_counts=entry.get("row_counts"),
+                    deferred_deletes=entry.get("deferred_deletes"),
+                    column_map=cmap,  # {} clears
+                    phys_used=used)
+            except ConcurrentWriteError:
+                if attempt == retries:
+                    raise
+                if txn_id is not None:
+                    done = self._txn_version(txn_id)
+                    if done is not None:
+                        return done
+        raise AssertionError("unreachable")
+
     def clone(self, dest_path: str,
               version: int | str | None = None,
               backend: CommitBackend | None = None,
@@ -2964,7 +3358,12 @@ class LakeTable:
             sum_cols=entry.get("sum_cols"),
             deferred_deletes=entry.get("deferred_deletes"),
             constraints=entry.get("constraints"),
-            properties=entry.get("properties"))
+            properties=entry.get("properties"),
+            # v0 has no prior to carry from — the source version's
+            # mapping state rides along so clone reads resolve
+            # physical names identically
+            column_map=entry.get("column_map"),
+            phys_used=entry.get("phys_used"))
         if pin_tag:
             base = os.path.basename(dest_path.rstrip("/"))
             self.tag(f"clone-{base}", v)

@@ -65,11 +65,16 @@ def _adjacent_pairs(syms) -> F.Column:
     )
 
 
-def _apply_merge(syms, left: str, right: str) -> F.Column:
-    """Greedy leftmost-first merge of (left,right) → left+right in one
-    codegen'd fold: carry the previous symbol; when (prev, cur) is the
-    pair, emit the merged token and clear the carry (so 'aaaa' under
-    (a,a) becomes ['aa','aa'], the BPE rule)."""
+def _apply_merge(syms, left: str, right: str,
+                 merged: str | None = None) -> F.Column:
+    """Greedy leftmost-first merge of (left,right) → `merged`
+    (default left+right; WordPiece passes left+right-sans-## — see
+    operators/wordpiece.py) in one codegen'd fold: carry the previous
+    symbol; when (prev, cur) is the pair, emit the merged token and
+    clear the carry (so 'aaaa' under (a,a) becomes ['aa','aa'], the
+    BPE rule)."""
+    if merged is None:
+        merged = left + right
     out_t = "array<string>"
     return F.aggregate(
         syms,
@@ -82,7 +87,7 @@ def _apply_merge(syms, left: str, right: str) -> F.Column:
             F.struct(
                 F.concat(
                     F.coalesce(acc.out, F.array().cast(out_t)),
-                    F.array(F.lit(left + right)),
+                    F.array(F.lit(merged)),
                 ).alias("out"),
                 F.lit(None).cast("string").alias("prev"),
             ),

@@ -60,7 +60,7 @@ _WINDOW: list[str] = [
     # derived-bucket continuous aggregate, first exposure; variance MV
     # rotated in from the tail stage (q_seasonal_decompose, hash-
     # verified r9, yields its slot) ---------------------------------------
-    "q_lake_mv_star", "q_lake_mv_distinct",
+    "q_lake_mv_star",
     "q_lake_mv_variance",
     # -- NEW in r11: FULL OUTER join MV (both-side NULL extensions via
     # match-count crossings), first exposure; q_lake_mv_daily (hash-
@@ -85,13 +85,25 @@ _WINDOW: list[str] = [
     # aggregates + write-time expectations with quarantine, first
     # exposure; q_unigram_lm and q_top_ngrams (both hash-verified r9)
     # yield their slots, text family anchored by q_length_outliers+ -----
-    "q_lake_mv_hierarchical", "q_lake_expectations", "q_lake_clone",
+    "q_lake_mv_hierarchical", "q_lake_expectations",
+    # -- NEW in r12 session 2: metadata-only column mapping (rename/
+    # drop without rewrite, fresh-physical re-add), first exposure;
+    # q_lake_clone (hash-verified r10 AND r11) yields its slot — the
+    # zero-copy-fork family stays anchored by q_lake_replica ---------------
+    "q_lake_column_map",
     "q_lake_changes_feed", "q_lake_gdpr_defer",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out; q_length_outliers, hash-verified r9, yields
     # its slot to the r10 clone first exposure) ---------------------------
     "q_neardup_clusters_lsh", "q_image_neardup",
     "q_bpe_merges",
+    # -- NEW in r12 session 2: WordPiece trainer + greedy encode,
+    # first exposures (completes the BPE/unigram/WordPiece trilogy);
+    # q_lake_mv_distinct and q_hll_rollup (both hash-verified r10 AND
+    # r11) yield their slots — the MV family keeps six in-window
+    # anchors and the approx-distinct contract stays hash-gated via
+    # q_approx_distinct_check -----------------------------------------------
+    "q_wordpiece_vocab", "q_wordpiece_tokenize",
     # -- embedding serving tiers (trained-model tiers rows-only by
     # nature, each pytest-pinned against an exact full-probe/brute
     # twin; q_embedding_ann promoted r10 to a FULL value-hash oracle —
@@ -123,7 +135,7 @@ _WINDOW: list[str] = [
     # -- time-series / analytics anchors ----------------------------------
     "q_hypertable_rollup",
     "q_attribution_join", "q_quantile_sketch",
-    "q_percentile_approx", "q_hll_rollup",
+    "q_percentile_approx",
     # -- verified anchors: joins, LSH dedup, streaming window, lake
     # pruned scan ----------------------------------------------------------
     "q_join_flagship", "q_minhash_lsh", "q_tumbling_window",
@@ -140,8 +152,11 @@ _WINDOW: list[str] = [
 # family hash-covered against regressions this round.
 _TAIL: list[str] = [
     # -- r12 rotation: r10+r11 doubly-hash-verified LEFT-join MV
-    # yields its slot to the MERGE-evolution first exposure ---------------
+    # yields its slot to the MERGE-evolution first exposure; r12
+    # session 2 rotates q_lake_clone (r10+r11 verified) out for the
+    # column-mapping first exposure ---------------------------------------
     "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_chat_flatten",
+    "q_lake_clone", "q_lake_mv_distinct", "q_hll_rollup",
     # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----

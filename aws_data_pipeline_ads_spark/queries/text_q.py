@@ -2546,6 +2546,131 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def wordpiece_model(spark, sf_dir: str) -> dict:
+    """Trained WordPiece model per corpus, through the index cache
+    (training is deterministic — exact-integer counts, one double
+    division, lexicographic ties; reload beats retrain, same pattern
+    as unigram_vocab/PCA/PQ)."""
+    import json
+
+    from aws_data_pipeline_ads_spark.operators import wordpiece
+
+    def build(p: str) -> None:
+        vocab, merges = wordpiece.wordpiece_train(
+            load_table(spark, sf_dir, "documents"), n_merges=8)
+        with open(f"{p}/wp.json", "w") as f:
+            json.dump({"vocab": vocab, "merges": merges}, f)
+
+    p = index_path("wordpiece", sf_dir, build)
+    with open(f"{p}/wp.json") as f:
+        return json.load(f)
+
+
+@query(
+    "q_wordpiece_vocab",
+    oracle=(
+        # round 0 is ONE SQL: the first WordPiece merge must be the
+        # exact argmax of the likelihood-ratio score pn/(lc·rc) over
+        # adjacent initial symbols (first char bare, the rest
+        # ##-prefixed), ties lexicographic — DuckDB recomputes pair
+        # AND symbol counts from the raw corpus through the same
+        # normalization, and the score is one division of exact
+        # integers (bit-exact cross-engine). The alphabet size is
+        # exact too. Later rounds need iterative re-segmentation (not
+        # one SQL) and stay pytest-pinned against a pure-Python
+        # trainer (tests/test_wordpiece.py).
+        "WITH w AS (SELECT word, COUNT(*) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(trim(lower(text)), "
+        "'\\s+')) AS word FROM documents) WHERE word <> '' "
+        "GROUP BY word), "
+        "sym AS (SELECT CASE WHEN i = 1 THEN substr(word, 1, 1) "
+        "ELSE '##' || substr(word, i, 1) END AS s, n "
+        "FROM w, unnest(range(1, length(word)::BIGINT + 1)) AS t(i)), "
+        "symc AS (SELECT s, SUM(n) AS c FROM sym GROUP BY s), "
+        "p AS (SELECT CASE WHEN i = 1 THEN substr(word, 1, 1) "
+        "ELSE '##' || substr(word, i, 1) END AS l, "
+        "'##' || substr(word, i + 1, 1) AS r, n "
+        "FROM w, unnest(range(1, length(word)::BIGINT)) AS t(i) "
+        "WHERE length(word) > 1), "
+        "pc AS (SELECT l, r, SUM(n) AS pn FROM p GROUP BY l, r), "
+        "sc AS (SELECT pc.l, pc.r, pc.pn, a.c AS lc, b.c AS rc "
+        "FROM pc JOIN symc a ON a.s = pc.l "
+        "JOIN symc b ON b.s = pc.r) "
+        "SELECT CAST(8 AS BIGINT) AS n_merges, l AS first_left, "
+        "r AS first_right, "
+        "CAST(pn AS DOUBLE) / CAST(lc * rc AS DOUBLE) AS first_score, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM symc) AS n_alphabet, "
+        "CAST(0 AS BIGINT) AS n_nonpos_scores "
+        "FROM sc ORDER BY CAST(pn AS DOUBLE) / CAST(lc * rc AS DOUBLE) "
+        "DESC, l, r LIMIT 1"
+    ),
+    doc="LLM tokenizer training: learn a WordPiece vocab on the corpus "
+        "(operators/wordpiece.py — the BERT algorithm: BPE's greedy "
+        "merge loop but the round argmax maximizes the likelihood "
+        "ratio count(ab)/(count(a)·count(b)); distinct-word table + "
+        "two map-side-combined aggs + broadcast join + 1-row argmax "
+        "per round). Hash-checked on: the exact round-0 merge AND its "
+        "score (DuckDB replays normalization, ## symbol construction, "
+        "both count tables and the division bit-exactly), the exact "
+        "alphabet size, 8 merges learned, all scores positive. The "
+        "full merge table stays pytest-pinned vs a pure-Python "
+        "trainer. Completes the BPE / unigram-EM / WordPiece "
+        "tokenizer-family trilogy",
+)
+def q_wordpiece_vocab(spark, sf_dir):
+    m = wordpiece_model(spark, sf_dir)
+    merges = m["merges"]
+    vocab = m["vocab"]
+    l0, r0, s0 = merges[0]
+    n_nonpos = sum(1 for _, _, s in merges if s <= 0)
+    return spark.createDataFrame(
+        [(len(merges), l0, r0, float(s0),
+          len(vocab) - len(merges), n_nonpos)],
+        "n_merges long, first_left string, first_right string, "
+        "first_score double, n_alphabet long, n_nonpos_scores long",
+    )
+
+
+@query(
+    "q_wordpiece_tokenize",
+    oracle=(
+        # the trained-vocab-INDEPENDENT greedy-encode invariants,
+        # exact per doc: word count, losslessness (piece lengths net
+        # of ## prefixes re-cover every word char — exactly where
+        # greedy implementations break) and unk-rate (exactly 0: the
+        # trainer seeds the full corpus alphabet in both bare and ##
+        # forms, so the longest-match loop always has a 1-char
+        # fallback). The vocab-DEPENDENT piece count stays pinned by
+        # tests/test_wordpiece.py (greedy semantics vs HF rules).
+        "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array("
+        "trim(lower(text)), '\\s+')) AS word FROM documents) "
+        "SELECT doc_id, "
+        "CAST(COUNT(CASE WHEN word <> '' THEN 1 END) AS BIGINT) "
+        "AS n_words, "
+        "CAST(COALESCE(SUM(length(word)), 0) AS BIGINT) AS n_chars, "
+        "CAST(0 AS BIGINT) AS n_unk "
+        "FROM w GROUP BY doc_id"
+    ),
+    doc="LLM tokenizer application: greedy longest-match-first "
+        "WordPiece encode of every document (HF rules: longest vocab "
+        "prefix wins, ## continuation forms, an unmatchable word "
+        "collapses to ONE [UNK] — never a partial segmentation). "
+        "Vocab broadcast once, Arrow-batched with a per-partition "
+        "distinct-word memo, pieces never shuffle — only doc_id + "
+        "counts leave the stage. Hash-checked on the corpus-wide "
+        "invariants (exact word counts, ##-aware losslessness, zero "
+        "unknowns); greedy optimality is pytest-pinned "
+        "(operators/wordpiece.wordpiece_encode)",
+)
+def q_wordpiece_tokenize(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.operators import wordpiece
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = wordpiece.wordpiece_encode(
+        docs, wordpiece_model(spark, sf_dir)["vocab"])
+    return enc.select("doc_id", "n_words", "n_chars", "n_unk")
+
+
 def unigram_vocab(spark, sf_dir: str) -> list[tuple[str, float]]:
     """Trained unigram vocab per corpus, through the index cache
     (training is deterministic by decimal-sum construction; reload
@@ -4315,6 +4440,80 @@ def q_lake_merge_evolve(spark, sf_dir):
 
     idx = lake_merge_evolve_index(spark, sf_dir)
     return LakeTable(spark, f"{idx}/tbl").read()
+
+
+# Column mapping (Delta/Iceberg parity): rename and drop are ONE log
+# write each — no file rewritten. Physical names stay stable (per-file
+# stats/blooms/sums keep pruning); a re-added dropped name gets a
+# FRESH physical name so old bytes in shared files never resurrect.
+def lake_column_map_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(8, "doc_id"),
+                 bloom_cols=["doc_id"], sum_cols=["n_chars"],
+                 txn_id="cm0")
+        t.rename_column("n_chars", "chars", txn_id="cm1")
+        t.drop_column("lang", txn_id="cm2")
+        # append under the NEW logical name (lands physically as
+        # n_chars — invisible to the caller, uniform reads)
+        extra = docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.col("n_chars").alias("chars"))
+        t.commit(extra, "append", txn_id="cm3")
+        # RE-ADD the dropped name via evolve-append: gets a fresh
+        # physical name — pre-existing rows must read NULL, never the
+        # old lang bytes still sitting in the shared files
+        readd = docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+            F.col("n_chars").alias("chars"),
+            F.lit("new").alias("lang"))
+        t.commit(readd, "append", evolve=True, txn_id="cm4")
+
+    return index_path("lake_column_map", sf_dir, build)
+
+
+@query(
+    "q_lake_column_map",
+    oracle=(
+        "SELECT 'head' AS side, doc_id, n_chars AS chars, "
+        "CAST(NULL AS VARCHAR) AS lang FROM documents "
+        "UNION ALL "
+        "SELECT 'head', doc_id + 10000000, n_chars, NULL "
+        "FROM documents WHERE doc_id % 4 = 0 "
+        "UNION ALL "
+        "SELECT 'head', doc_id + 20000000, n_chars, 'new' "
+        "FROM documents WHERE doc_id % 11 = 0 "
+        "UNION ALL "
+        "SELECT 'v0', doc_id, n_chars, lang FROM documents"
+    ),
+    doc="LLM lake versioning: COLUMN MAPPING (lakelog.rename_column / "
+        "drop_column, Delta column-mapping parity) — rename n_chars→"
+        "chars and drop lang as two METADATA-ONLY commits (zero files "
+        "rewritten; per-file stats/blooms/sums stay keyed by the "
+        "stable physical name and keep pruning), append under the new "
+        "logical name, then RE-ADD 'lang' via evolve-append: the "
+        "re-added column gets a fresh physical name, so every "
+        "pre-existing row reads NULL — the old lang bytes still in "
+        "the shared files can never resurrect. The hash gate unions "
+        "the head state with the v0 time travel (original names and "
+        "values), so a leaked rename, a resurrected drop, or a broken "
+        "time-travel schema all fail the compare",
+)
+def q_lake_column_map(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_column_map_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    head = t.read().select(
+        F.lit("head").alias("side"), "doc_id", "chars", "lang")
+    v0 = t.read(0).select(
+        F.lit("v0").alias("side"), "doc_id",
+        F.col("n_chars").alias("chars"), "lang")
+    return head.unionByName(v0)
 
 
 # Shallow CLONE: fork a table at a tagged version with ZERO bytes

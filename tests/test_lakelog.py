@@ -94,8 +94,8 @@ def test_concurrent_writer_refusal(spark, sf_dir, tmp_path, mk_table, monkeypatc
     # writer lands version 1 first
     orig = t._write_files
 
-    def hijack(df):
-        files = orig(df)
+    def hijack(df, cmap=None):
+        files = orig(df, cmap=cmap)
         if other.current_version() == 0:
             other.commit(docs.limit(2))
         return files
@@ -802,10 +802,10 @@ def test_append_retry_merges_onto_new_head(spark, sf_dir, tmp_path,
     writes = 0
     orig = t._write_files
 
-    def hijack(df):
+    def hijack(df, cmap=None):
         nonlocal writes
         writes += 1
-        files = orig(df)
+        files = orig(df, cmap=cmap)
         if other.current_version() == 0:  # competitor wins version 1
             other.commit(docs.filter(F.col("doc_id") % 3 == 1), "append")
         return files
@@ -1068,8 +1068,8 @@ def test_lost_race_discards_unpublished_files(spark, sf_dir, tmp_path,
     t.commit(docs.limit(5))
     orig = t._write_files
 
-    def hijack(df):
-        files = orig(df)
+    def hijack(df, cmap=None):
+        files = orig(df, cmap=cmap)
         other.commit(docs.limit(2), "append")  # competitor always wins
         return files
 

@@ -104,8 +104,8 @@ def test_interleaved_writer_refusal_over_http(spark, sf_dir, tmp_path,
     t.commit(docs.limit(5))
     orig = t._write_files
 
-    def hijack(df):
-        files = orig(df)
+    def hijack(df, cmap=None):
+        files = orig(df, cmap=cmap)
         if other.current_version() == 0:
             other.commit(docs.limit(2))
         return files
@@ -129,10 +129,10 @@ def test_append_retry_over_http(spark, sf_dir, tmp_path, mk_table,
     writes = 0
     orig = t._write_files
 
-    def hijack(df):
+    def hijack(df, cmap=None):
         nonlocal writes
         writes += 1
-        files = orig(df)
+        files = orig(df, cmap=cmap)
         if other.current_version() == 0:
             other.commit(docs.filter(F.col("doc_id") % 3 == 1), "append")
         return files
