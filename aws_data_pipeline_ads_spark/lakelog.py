@@ -3301,6 +3301,103 @@ class LakeTable:
                         return done
         raise AssertionError("unreachable")
 
+    # widenings the parquet scan upcasts losslessly under a pinned
+    # wider read schema (verified on this Spark: byte/short/int/long
+    # ladder, float→double, any integral→double, decimal precision
+    # growth at the SAME scale) — the Delta 4.0 type-widening matrix,
+    # conservative subset
+    _WIDEN_LADDER = ("byte", "short", "integer", "long")
+
+    def _widen_ok(self, old, new) -> bool:
+        from pyspark.sql import types as T
+
+        names = self._WIDEN_LADDER
+        o, n = old.typeName(), new.typeName()
+        if o in names and n in names:
+            return names.index(n) > names.index(o)
+        if o == "float" and n == "double":
+            return True
+        if o in names and n == "double":
+            return True
+        if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+            return (new.scale == old.scale
+                    and new.precision > old.precision)
+        return False
+
+    def widen_column(self, col: str, new_type, txn_id: str | None = None,
+                     retries: int = 3) -> int:
+        """Widen a column's type METADATA-ONLY (Delta 4.0 type
+        widening): no file is rewritten — the new head pins the wider
+        schema and the parquet scan upcasts each file's narrower pages
+        losslessly at read time (byte→short→int→long, float→double,
+        integral→double, decimal precision growth at the same scale).
+        Appends after the widening carry the wide type; prior versions
+        time-travel with their own narrower schema. Anything outside
+        the lossless matrix (narrowing, scale change, string↔numeric)
+        refuses — that is a rewrite decision, not metadata.
+
+        Composes with column mapping: the physical name (and therefore
+        every per-file stat/bloom/sum record) is untouched; stat-key
+        comparisons are numeric either way."""
+        from pyspark.sql import types as T
+
+        if isinstance(new_type, str):
+            new_type = T._parse_datatype_string(new_type)
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        for attempt in range(retries + 1):
+            head = self.current_version()
+            if head is None:
+                raise ValueError(f"lake table {self.path}: no commits yet")
+            entry = self._read_entry(head)
+            schema = self._entry_schema(entry)
+            if schema is None:
+                raise ValueError(
+                    f"lake table {self.path}: version {head} carries no "
+                    f"schema (pre-schema-tier entry) — commit once to "
+                    f"pin one before widening")
+            names = [f.name for f in schema.fields]
+            if col not in names:
+                raise ValueError(f"lake table {self.path}: no column "
+                                 f"{col!r} (have {names})")
+            old_type = next(f.dataType for f in schema.fields
+                            if f.name == col)
+            if old_type == new_type:
+                raise ValueError(f"widen_column: {col!r} is already "
+                                 f"{new_type.simpleString()}")
+            if not self._widen_ok(old_type, new_type):
+                raise ValueError(
+                    f"lake table {self.path}: {old_type.simpleString()} "
+                    f"→ {new_type.simpleString()} is not a lossless "
+                    f"parquet upcast (allowed: byte→short→int→long, "
+                    f"float→double, integral→double, decimal precision "
+                    f"growth at the same scale) — rewrite via a new "
+                    f"overwrite commit instead")
+            new_schema = T.StructType([
+                T.StructField(col, new_type, f.nullable)
+                if f.name == col else f for f in schema.fields])
+            try:
+                return self._publish(
+                    entry["files"], "widen_column", txn_id, head + 1,
+                    schema=new_schema,
+                    stats=entry.get("stats"),
+                    blooms=entry.get("blooms"),
+                    bloom_cols=entry.get("bloom_cols"),
+                    sums=entry.get("sums"),
+                    sum_cols=entry.get("sum_cols"),
+                    row_counts=entry.get("row_counts"),
+                    deferred_deletes=entry.get("deferred_deletes"))
+            except ConcurrentWriteError:
+                if attempt == retries:
+                    raise
+                if txn_id is not None:
+                    done = self._txn_version(txn_id)
+                    if done is not None:
+                        return done
+        raise AssertionError("unreachable")
+
     def clone(self, dest_path: str,
               version: int | str | None = None,
               backend: CommitBackend | None = None,

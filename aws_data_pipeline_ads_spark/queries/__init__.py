@@ -91,7 +91,12 @@ _WINDOW: list[str] = [
     # q_lake_clone (hash-verified r10 AND r11) yields its slot — the
     # zero-copy-fork family stays anchored by q_lake_replica ---------------
     "q_lake_column_map",
-    "q_lake_changes_feed", "q_lake_gdpr_defer",
+    # -- NEW in r12 session 2: metadata-only TYPE WIDENING (int→long
+    # with beyond-int-range appends), first exposure; q_lake_gdpr_defer
+    # (hash-verified r10 AND r11) yields its slot — the MoR-delete
+    # family stays anchored by q_lake_merge_clauses + tail GDPR tiers --
+    "q_lake_type_widen",
+    "q_lake_changes_feed",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out; q_length_outliers, hash-verified r9, yields
     # its slot to the r10 clone first exposure) ---------------------------
@@ -157,6 +162,7 @@ _TAIL: list[str] = [
     # column-mapping first exposure ---------------------------------------
     "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_chat_flatten",
     "q_lake_clone", "q_lake_mv_distinct", "q_hll_rollup",
+    "q_lake_gdpr_defer",
     # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----

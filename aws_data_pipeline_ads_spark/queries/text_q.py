@@ -4442,6 +4442,63 @@ def q_lake_merge_evolve(spark, sf_dir):
     return LakeTable(spark, f"{idx}/tbl").read()
 
 
+# Type widening (Delta 4.0 parity): int→long as ONE log write — the
+# parquet scan upcasts each file's narrower pages losslessly under the
+# pinned wider schema; appends beyond int range prove it is real.
+def lake_widen_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("int").alias("n_chars"))
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(8, "doc_id"),
+                 sum_cols=["n_chars"], txn_id="w0")
+        t.widen_column("n_chars", "long", txn_id="w1")
+        big = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            (F.col("n_chars").cast("long")
+             + F.lit(1 << 35)).alias("n_chars"))
+        t.commit(big, "append", txn_id="w2")
+
+    return index_path("lake_widen", sf_dir, build)
+
+
+@query(
+    "q_lake_type_widen",
+    oracle=(
+        "SELECT 'head' AS side, doc_id, "
+        "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        "UNION ALL "
+        "SELECT 'head', doc_id + 10000000, "
+        "CAST(n_chars AS BIGINT) + 34359738368 "
+        "FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL "
+        "SELECT 'v0', doc_id, CAST(n_chars AS BIGINT) FROM documents"
+    ),
+    doc="LLM lake versioning: TYPE WIDENING (lakelog.widen_column, "
+        "Delta 4.0 parity) — int→long as ONE metadata commit, zero "
+        "files rewritten: the scan upcasts the original int pages "
+        "losslessly under the pinned wider schema, an append then "
+        "lands values ABOVE int range (+2^35 — a widening that "
+        "silently truncated or refused would fail), per-file decimal "
+        "sums keep answering metadata-only SUM across the width "
+        "change, and v0 time-travels with its own narrow schema. The "
+        "hash gate unions head state with the v0 snapshot (both cast "
+        "BIGINT flat in SQL)",
+)
+def q_lake_type_widen(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_widen_index(spark, sf_dir)
+    t = LakeTable(spark, f"{idx}/tbl")
+    head = t.read().select(F.lit("head").alias("side"),
+                           "doc_id", "n_chars")
+    v0 = t.read(0).select(F.lit("v0").alias("side"), "doc_id",
+                          F.col("n_chars").cast("long").alias("n_chars"))
+    return head.unionByName(v0)
+
+
 # Column mapping (Delta/Iceberg parity): rename and drop are ONE log
 # write each — no file rewritten. Physical names stay stable (per-file
 # stats/blooms/sums keep pruning); a re-added dropped name gets a

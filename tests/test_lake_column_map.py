@@ -305,3 +305,77 @@ def test_concurrent_rename_vs_append_surfaces(spark, tmp_path):
     # stays consistent under the rename
     assert t.read().columns == ["k", "val", "grp"]
     assert t.read().count() == 10
+
+
+def test_widen_column_metadata_only(spark, tmp_path, mk_table):
+    """int→long widening: one log write, zero files rewritten, values
+    BEYOND int range append fine, old narrow files upcast at scan,
+    time travel keeps the narrow schema."""
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(20)], "k long, v int"),
+        "overwrite")
+    before = _entry(t, 0)["files"]
+    t.widen_column("v", "long")
+    assert _entry(t, 1)["files"] == before
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    assert dict(t.read(0).dtypes)["v"] == "int"  # time travel narrow
+    big = 1 << 40
+    t.commit(spark.createDataFrame([Row(k=100, v=big)],
+                                   "k long, v long"), "append")
+    got = dict((r.k, r.v) for r in t.read().collect())
+    assert got[100] == big and got[3] == 30
+
+
+def test_widen_keeps_pruning_across_mixed_files(spark, tmp_path, mk_table):
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(50)],
+        "k int, v double").coalesce(1), "overwrite")
+    t.widen_column("k", "long")
+    t.commit(spark.createDataFrame(
+        [Row(k=(1 << 35) + i, v=float(i)) for i in range(50)],
+        "k long, v double").coalesce(1), "append")
+    entry = _entry(t, 2)
+    keep, never = t._split_files(entry, {"k": (0, 49)})
+    assert len(keep) == 1 and len(never) == 1  # int-file stats still prune
+    assert t.scan({"k": (0, 49)}).count() == 50
+
+
+def test_widen_refusals_and_matrix(spark, tmp_path, mk_table):
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [Row(k=1, v=1.5, s="x")], "k int, v float, s string"),
+        "overwrite")
+    with pytest.raises(ValueError, match="not a lossless"):
+        t.widen_column("k", "short")  # narrowing
+    with pytest.raises(ValueError, match="not a lossless"):
+        t.widen_column("s", "long")  # string -> numeric
+    with pytest.raises(ValueError, match="already"):
+        t.widen_column("k", "int")
+    with pytest.raises(ValueError, match="no column"):
+        t.widen_column("zz", "long")
+    t.widen_column("v", "double")
+    t.widen_column("k", "double")  # integral -> double allowed
+    assert dict(t.read().dtypes) == {"k": "double", "v": "double",
+                                     "s": "string"}
+    assert t.read().collect()[0].k == 1.0
+
+
+def test_widen_composes_with_rename(spark, tmp_path, mk_table):
+    """widen + rename stack: physical name AND narrow pages both stay
+    put; reads map name and width simultaneously."""
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [Row(k=i, v=i) for i in range(10)], "k long, v int"),
+        "overwrite", sum_cols=["v"])
+    t.widen_column("v", "long")
+    t.rename_column("v", "val")
+    got = t.read()
+    assert dict(got.dtypes)["val"] == "bigint"
+    assert sorted(r.val for r in got.collect()) == list(range(10))
+    s = t.stats()
+    assert s["sum"]["val"] == sum(range(10))
+    t.commit(spark.createDataFrame(
+        [Row(k=99, val=(1 << 40))], "k long, val long"), "append")
+    assert t.stats()["sum"]["val"] == sum(range(10)) + (1 << 40)
