@@ -1026,6 +1026,7 @@ class LakeTable:
                  properties: dict | None = None,
                  column_map: dict | None = None,
                  phys_used: list | None = None,
+                 generated: dict | None = None,
                  meta: dict | None = None) -> int:
         """Publish `files` as `version` (decided at TRANSACTION START —
         a transform computed against head N must not silently land on
@@ -1090,6 +1091,18 @@ class LakeTable:
                 properties = None
         if properties:
             entry["properties"] = properties
+        if generated is None and version > 0:
+            # generated-column expressions carry forward exactly like
+            # constraints (Delta GENERATED ALWAYS AS): every commit
+            # inherits unless set_generated_column/drop_generated
+            # replace the dict ({} clears)
+            try:
+                generated = self._read_entry(version - 1).get(
+                    "generated")
+            except ValueError:
+                generated = None
+        if generated:
+            entry["generated"] = generated
         if version > 0 and (column_map is None or phys_used is None):
             # column mapping (rename/drop without rewrite) carries
             # forward exactly like constraints/properties: the
@@ -1319,8 +1332,23 @@ class LakeTable:
                 sc = head_entry.get("sum_cols")
             head_cons = (head_entry or {}).get("constraints") or {}
             if new_files is None:
-                # standing CHECK constraints gate the rows BEFORE any
-                # file lands (one bounded aggregate over the batch)
+                # generated columns the batch OMITS are materialized
+                # here (Delta GENERATED ALWAYS AS); provided ones must
+                # carry the exact generated value. Then standing CHECK
+                # constraints gate the rows — both BEFORE any file
+                # lands (bounded aggregates over the batch).
+                gen = (head_entry or {}).get("generated") or {}
+                from pyspark.sql import functions as F
+                for c, e in gen.items():
+                    if c not in df.columns:
+                        df = df.withColumn(c, F.expr(e))
+                if gen:
+                    # re-resolve: materialization may have added fields
+                    schema = df.schema
+                    if base_entry is not None and "schema" in base_entry:
+                        schema = self._merged_schema(base_entry, df,
+                                                     evolve)
+                self._enforce_generated(df, head_entry, mode)
                 self._enforce_constraints(df, head_entry, mode)
                 validated_cons = head_cons
                 # column mapping resolves against the SAME head the
@@ -1859,6 +1887,7 @@ class LakeTable:
         base_entry = self._read_entry(base)
         # every row merge introduces comes from `source` (matched rows
         # are replaced wholesale) — gate those, never rescan the table
+        self._enforce_generated(source, base_entry, "merge")
         self._enforce_constraints(source, base_entry, "merge")
         merged = merge_upsert(self.read(base), source, key)
         files = self._write_files(merged)
@@ -2051,6 +2080,7 @@ class LakeTable:
             gated = gate_parts[0]
             for p in gate_parts[1:]:
                 gated = gated.unionByName(p)
+            self._enforce_generated(gated, entry, "merge")
             self._enforce_constraints(gated, entry, "merge")
         new_files: list[str] = []
         if kept is not None:
@@ -2408,7 +2438,9 @@ class LakeTable:
                     proj.append(F.col(c))
             updated = df.select(*proj)
             # gate the POST-image of the rows the predicate touches —
-            # an UPDATE must not be a constraint bypass
+            # an UPDATE must not be a constraint (or generated-column)
+            # bypass
+            self._enforce_generated(updated.where(pred), entry, "update")
             self._enforce_constraints(updated.where(pred), entry,
                                       "update")
             new_files = self._write_files(updated)
@@ -2470,6 +2502,7 @@ class LakeTable:
                              sum_cols=entry.get("sum_cols"),
                              row_counts=entry.get("row_counts"),
                              column_map=entry.get("column_map") or {},
+                             generated=entry.get("generated") or {},
                              # an empty list CLEARS (not carries): a
                              # restore that re-lives every retired
                              # physical must not inherit the head's set
@@ -2918,6 +2951,38 @@ class LakeTable:
         self.ack_feed(consumer, head)
         return v
 
+    def _enforce_generated(self, df: DataFrame, entry: dict | None,
+                           op: str) -> None:
+        """Refuse `op` if any incoming row carries a GENERATED column
+        whose value differs from its generation expression (Delta
+        generated-column semantics: a write may provide the column,
+        but only with the exact generated value — NULL-safe equality,
+        so a NULL where the expression yields one passes). Columns the
+        incoming frame omits are materialized by commit() before this
+        gate and always pass. One bounded aggregate over the rows
+        being written, never over the table."""
+        from pyspark.sql import functions as F
+
+        gen = (entry or {}).get("generated")
+        if not gen:
+            return
+        names = sorted(c for c in gen if c in df.columns)
+        if not names:
+            return
+        row = df.agg(*[
+            F.sum((~F.col(n).eqNullSafe(F.expr(gen[n])))
+                  .cast("long")).alias(f"_g{i}")
+            for i, n in enumerate(names)]).collect()[0]
+        bad = {n: (row[f"_g{i}"] or 0) for i, n in enumerate(names)
+               if (row[f"_g{i}"] or 0)}
+        if bad:
+            raise ConstraintViolationError(
+                f"lake table {self.path}: {op} writes generated "
+                f"column(s) with values diverging from their "
+                f"generation expression {bad} — omit the column (it "
+                f"is computed at write) or write the exact generated "
+                f"value")
+
     def _enforce_constraints(self, df: DataFrame, entry: dict | None,
                              op: str) -> None:
         """Refuse `op` if any incoming row violates a standing CHECK
@@ -3016,6 +3081,97 @@ class LakeTable:
         if head is None:
             return {}
         return dict(self._read_entry(head).get("constraints", {}))
+
+    # -- generated columns (Delta GENERATED ALWAYS AS semantics) ------------
+
+    def set_generated_column(self, col: str, expr: str,
+                             txn_id: str | None = None) -> int:
+        """Declare `col` GENERATED ALWAYS AS `expr` (a deterministic
+        SQL expression over the row's other columns). From then on
+        every row-introducing write — commit / merge / update / the
+        streaming sinks riding them — either OMITS the column (commit
+        materializes it at write time) or provides the exact generated
+        value (NULL-safe equality; anything else refuses with per-
+        column violation counts). The declaration is a table property:
+        carried by every commit, survives compaction/restore, rides
+        clone.
+
+        ADD validates the CURRENT head first (one filtered scan) — an
+        existing row whose value diverges refuses, like
+        set_constraint. The column must already exist in the schema;
+        declare-then-backfill is an overwrite decision, not metadata."""
+        from pyspark.sql import functions as F
+
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        entry = self._read_entry(head)
+        schema = self._entry_schema(entry)
+        names = [f.name for f in schema.fields] if schema else []
+        if col not in names:
+            raise ValueError(
+                f"lake table {self.path}: no column {col!r} to declare "
+                f"generated (have {names}) — commit it first")
+        offenders = (self.read(head)
+                     .where(~F.col(col).eqNullSafe(F.expr(expr)))
+                     .limit(1).collect())
+        if offenders:
+            raise ConstraintViolationError(
+                f"lake table {self.path}: existing rows diverge from "
+                f"generated {col!r} = {expr} — e.g. {offenders[0]}; "
+                f"rewrite the table before declaring")
+        gen = {**entry.get("generated", {}), col: expr}
+        return self._publish(
+            entry["files"], "set_generated", txn_id, head + 1,
+            schema=self._entry_schema(entry),
+            stats=entry.get("stats"),
+            blooms=entry.get("blooms"),
+            bloom_cols=entry.get("bloom_cols"),
+            sums=entry.get("sums"),
+            sum_cols=entry.get("sum_cols"),
+            row_counts=entry.get("row_counts"),
+            deferred_deletes=entry.get("deferred_deletes"),
+            generated=gen)
+
+    def drop_generated(self, col: str, txn_id: str | None = None) -> int:
+        """Remove a generated-column declaration (the column and its
+        data stay — only the write-time contract is dropped)."""
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"lake table {self.path}: no commits yet")
+        if txn_id is not None:
+            done = self._txn_version(txn_id)
+            if done is not None:
+                return done
+        entry = self._read_entry(head)
+        gen = dict(entry.get("generated", {}))
+        if col not in gen:
+            raise ValueError(f"lake table {self.path}: no generated "
+                             f"declaration for {col!r} "
+                             f"(have {sorted(gen)})")
+        del gen[col]
+        return self._publish(
+            entry["files"], "drop_generated", txn_id, head + 1,
+            schema=self._entry_schema(entry),
+            stats=entry.get("stats"),
+            blooms=entry.get("blooms"),
+            bloom_cols=entry.get("bloom_cols"),
+            sums=entry.get("sums"),
+            sum_cols=entry.get("sum_cols"),
+            row_counts=entry.get("row_counts"),
+            deferred_deletes=entry.get("deferred_deletes"),
+            generated=gen)  # {} clears
+
+    def generated_columns(self) -> dict[str, str]:
+        """The generated-column declarations at head (col → expr)."""
+        head = self.current_version()
+        if head is None:
+            return {}
+        return dict(self._read_entry(head).get("generated", {}))
 
     # -- table properties (Delta TBLPROPERTIES semantics) -------------------
 
@@ -3146,6 +3302,17 @@ class LakeTable:
                     f"lake table {self.path}: cannot {op} column "
                     f"{col!r} — a pending deferred delete filters on "
                     f"it; compact() to materialize first")
+        gen = entry.get("generated") or {}
+        if col in gen:
+            raise ValueError(
+                f"lake table {self.path}: cannot {op} column {col!r} — "
+                f"it is declared GENERATED; drop_generated first")
+        ghit = [g for g, e in gen.items() if pat.search(e)]
+        if ghit:
+            raise ValueError(
+                f"lake table {self.path}: cannot {op} column {col!r} — "
+                f"generated column(s) {ghit} derive from it; "
+                f"drop_generated first")
 
     def rename_column(self, old: str, new: str,
                       txn_id: str | None = None,
@@ -3460,7 +3627,8 @@ class LakeTable:
             # mapping state rides along so clone reads resolve
             # physical names identically
             column_map=entry.get("column_map"),
-            phys_used=entry.get("phys_used"))
+            phys_used=entry.get("phys_used"),
+            generated=entry.get("generated"))
         if pin_tag:
             base = os.path.basename(dest_path.rstrip("/"))
             self.tag(f"clone-{base}", v)

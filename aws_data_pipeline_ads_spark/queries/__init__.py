@@ -96,7 +96,11 @@ _WINDOW: list[str] = [
     # (hash-verified r10 AND r11) yields its slot — the MoR-delete
     # family stays anchored by q_lake_merge_clauses + tail GDPR tiers --
     "q_lake_type_widen",
-    "q_lake_changes_feed",
+    # -- NEW in r12 session 2: GENERATED ALWAYS AS columns, first
+    # exposure; q_lake_changes_feed (hash-verified r10 AND r11) yields
+    # its slot — the CDC family stays anchored by q_lake_cdc_types /
+    # q_lake_cdc_stream / q_lake_replica ------------------------------------
+    "q_lake_generated",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out; q_length_outliers, hash-verified r9, yields
     # its slot to the r10 clone first exposure) ---------------------------
@@ -162,7 +166,7 @@ _TAIL: list[str] = [
     # column-mapping first exposure ---------------------------------------
     "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_chat_flatten",
     "q_lake_clone", "q_lake_mv_distinct", "q_hll_rollup",
-    "q_lake_gdpr_defer",
+    "q_lake_gdpr_defer", "q_lake_changes_feed",
     # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----

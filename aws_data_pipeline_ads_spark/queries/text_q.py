@@ -4442,6 +4442,59 @@ def q_lake_merge_evolve(spark, sf_dir):
     return LakeTable(spark, f"{idx}/tbl").read()
 
 
+# Generated columns (Delta GENERATED ALWAYS AS): a declared column is
+# omitted by writers (materialized at commit from its expression) or
+# provided with the exact value — divergence refuses on commit/merge/
+# update, the declaration carries like a constraint.
+def lake_generated_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.withColumn("band", F.expr("n_chars div 100"))
+                 .repartitionByRange(8, "doc_id"), txn_id="g0")
+        t.set_generated_column("band", "n_chars div 100", txn_id="g1")
+        # append WITHOUT the column — materialized at write
+        extra = docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            "lang", "n_chars")
+        t.commit(extra, "append", txn_id="g2")
+
+    return index_path("lake_generated", sf_dir, build)
+
+
+@query(
+    "q_lake_generated",
+    oracle=(
+        "SELECT doc_id, lang, n_chars, "
+        "CAST(n_chars // 100 AS BIGINT) AS band FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 10000000, lang, n_chars, "
+        "CAST(n_chars // 100 AS BIGINT) FROM documents "
+        "WHERE doc_id % 3 = 0"
+    ),
+    doc="LLM lake versioning: GENERATED COLUMNS "
+        "(lakelog.set_generated_column, Delta GENERATED ALWAYS AS "
+        "parity) — declare band = n_chars div 100 (head validated "
+        "first, like ADD CONSTRAINT), then append a batch that OMITS "
+        "the column: commit materializes it from the expression; a "
+        "batch providing a diverging value refuses on commit/merge/"
+        "update (NULL-safe-equality gate over the rows being written, "
+        "never a table rescan); the declaration carries forward, "
+        "survives compact/restore, rides clone, and blocks rename/"
+        "drop of itself and its inputs. The hash gate replays the "
+        "final state with the expression computed flat in SQL — a "
+        "write-path materialization drift fails the compare",
+)
+def q_lake_generated(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_generated_index(spark, sf_dir)
+    return LakeTable(spark, f"{idx}/tbl").read()
+
+
 # Type widening (Delta 4.0 parity): int→long as ONE log write — the
 # parquet scan upcasts each file's narrower pages losslessly under the
 # pinned wider schema; appends beyond int range prove it is real.
