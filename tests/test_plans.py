@@ -248,3 +248,30 @@ def test_neardup_shuffle_ceilings(spark, sf_dir):
         if n > ceiling:
             over[name] = (n, ceiling)
     assert not over, f"shuffle-count regressions (actual, ceiling): {over}"
+
+
+def test_lake_column_map_zero_shuffles(spark, sf_dir):
+    # rename/drop/re-add are metadata; the read plan is a UNION of
+    # pinned parquet scans with projection-only mapping — any exchange
+    # here means the mapping leaked into a shuffle
+    df = _q("q_lake_column_map", spark, sf_dir)
+    assert plans.count_shuffles(df) == 0
+    assert "BatchEvalPython" not in plans.physical_plan(df)
+
+
+def test_lake_type_widen_zero_shuffles(spark, sf_dir):
+    df = _q("q_lake_type_widen", spark, sf_dir)
+    assert plans.count_shuffles(df) == 0
+
+
+def test_lake_generated_zero_shuffles(spark, sf_dir):
+    df = _q("q_lake_generated", spark, sf_dir)
+    assert plans.count_shuffles(df) == 0
+
+
+def test_wordpiece_tokenize_arrow_map_only(spark, sf_dir):
+    # greedy encode: one Arrow-batched map, vocab broadcast — pieces
+    # never shuffle; only doc_id + counts leave the stage
+    df = _q("q_wordpiece_tokenize", spark, sf_dir)
+    assert plans.count_shuffles(df) == 0
+    assert "MapInPandas" in plans.physical_plan(df)
