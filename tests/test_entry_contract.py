@@ -46,7 +46,7 @@ def test_driver_window_covers_llm_pipeline_queries():
         # new in r10: star MV + COUNT(DISTINCT) MV + the staged
         # variance MV; new in r11: the FULL OUTER join MV
         # (q_lake_mv_daily, hash-verified r9+r10, yielded its slot)
-        "q_lake_mv_star", "q_lake_mv_distinct", "q_lake_mv_fulljoin",
+        "q_lake_mv_star", "q_lake_mv_fulljoin",
         "q_lake_mv_variance",
         # r11 rotation: the r10-flagged weak bench pair re-enters the
         # window for post-fix re-verification (q_lake_mv_minmax /
@@ -57,15 +57,23 @@ def test_driver_window_covers_llm_pipeline_queries():
         "q_lake_mv_distinct_kmv", "q_hybrid_search",
         # (q_winnow_fingerprint, hash-verified r8+r9, yielded its slot
         # to the r10 deferred key-set delete)
-        "q_lake_gdpr_defer",
         # lake data-skipping first-exposure anchors kept in-window
         "q_lake_hilbert_scan", "q_lake_sum_agg",
         # the two r7 weak marks, driver-verified r08, kept as anchors
         "q_embedding_pca", "q_audio_segments",
         # stacked caggs + write-time expectations + shallow clone,
         # first exposure r10
-        "q_lake_mv_hierarchical", "q_lake_expectations", "q_lake_clone",
-        "q_lake_changes_feed",
+        "q_lake_mv_hierarchical", "q_lake_expectations",
+        # r12 session 2 rotation: column mapping, type widening,
+        # generated columns, WordPiece trilogy completion + the dHash
+        # promotion anchor take slots for first driver exposure;
+        # q_lake_clone / q_lake_mv_distinct / q_hll_rollup /
+        # q_lake_gdpr_defer / q_lake_changes_feed (each hash-verified
+        # r10 AND r11) rotated to the tail with in-window family
+        # anchors kept (replica / mv star+variance+fulljoin /
+        # approx_distinct_check / merge_clauses / cdc_types)
+        "q_lake_column_map", "q_lake_type_widen", "q_lake_generated",
+        "q_wordpiece_vocab", "q_wordpiece_tokenize",
         # (q_unigram_lm / q_top_ngrams / q_length_outliers /
         # q_filter_attrition, all hash-verified r9, yielded their
         # slots to r10 first exposures)
@@ -86,7 +94,7 @@ def test_driver_window_covers_llm_pipeline_queries():
         # time-series / analytics anchors
         "q_hypertable_rollup",
         "q_attribution_join", "q_quantile_sketch",
-        "q_percentile_approx", "q_hll_rollup",
+        "q_percentile_approx",
         # verified anchors for the core families
         "q_join_flagship", "q_minhash_lsh",
         "q_tumbling_window", "q_lake_pruned_scan",
