@@ -379,3 +379,21 @@ def test_widen_composes_with_rename(spark, tmp_path, mk_table):
     t.commit(spark.createDataFrame(
         [Row(k=99, val=(1 << 40))], "k long, val long"), "append")
     assert t.stats()["sum"]["val"] == sum(range(10)) + (1 << 40)
+
+
+def test_zorder_after_rename_prunes(spark, tmp_path, mk_table):
+    """OPTIMIZE ZORDER on the RENAMED column: the rewrite lands under
+    the stable physical names, fresh stats are collected physically,
+    and the scan on the logical name prunes the re-clustered layout."""
+    t = mk_table(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [Row(k=i, v=float(i % 97)) for i in range(2000)],
+        "k long, v double").repartition(8), "overwrite")
+    t.rename_column("k", "key")
+    t.optimize_zorder(["key"], n_files=8)
+    entry = _entry(t, 2)
+    keep, never = t._split_files(entry, {"key": (0, 249)})
+    assert len(never) > 0  # clustered layout prunes
+    got = t.scan({"key": (0, 249)})
+    assert got.count() == 250
+    assert got.columns == ["key", "v"]
