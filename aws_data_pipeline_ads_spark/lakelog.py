@@ -2382,7 +2382,7 @@ class LakeTable:
         return live or None
 
     def update(self, ranges: dict, set_exprs: dict,
-               txn_id: str | None = None) -> int:
+               txn_id: str | None = None, defer: bool = False) -> int:
         """Row-level UPDATE as a copy-on-write commit: rows matching
         every range get each `set_exprs` column replaced (values are
         pyspark Columns or SQL expression strings; the rest of the row
@@ -2391,7 +2391,20 @@ class LakeTable:
         contain matching rows are SHARED, only possibly-matching files
         are rewritten with the CASE WHEN expression — Delta-style
         UPDATE, bounded rewrite at any table size. NULL in a ranged
-        column never matches. Returns the new version."""
+        column never matches. Returns the new version.
+
+        `defer=True` (merge-on-read UPDATE): ONE commit that records
+        the ranges as a deferred-delete predicate scoped to the
+        current files (hiding the old images) and appends fresh files
+        holding ONLY the post-image rows — the write is O(changed
+        rows), not O(covered files): on a 100 TB table where CoW
+        would rewrite every covered file for a few changed rows, the
+        deferred path writes just the changed rows and one log entry.
+        Reads see the new images immediately (the appended files
+        post-date the predicate's snapshot scope, so it never hides
+        them); compact() materializes as usual; stats() refuses while
+        pending, like delete(defer=True), whose JSON-native bound
+        rule applies."""
         from pyspark.sql import Column
         from pyspark.sql import functions as F
 
@@ -2400,6 +2413,15 @@ class LakeTable:
             raise ValueError("update: at least one bounded range required")
         if not set_exprs:
             raise ValueError("update: set_exprs must not be empty")
+        if defer:
+            for col, (lo, hi) in ranges.items():
+                for b in (lo, hi):
+                    if b is not None and not isinstance(
+                            b, (int, float, str, bool)):
+                        raise ValueError(
+                            f"update(defer=True): bound {b!r} for "
+                            f"{col!r} is not JSON-native — use the "
+                            f"copy-on-write path for typed bounds")
         if txn_id is not None:
             done = self._txn_version(txn_id)
             if done is not None:
@@ -2418,6 +2440,10 @@ class LakeTable:
             raise ValueError(f"update: unknown column {unknown[0]!r}")
         affected, untouched = self._split_files(entry, ranges)
         pred = self._range_pred(ranges)
+        if defer:
+            return self._update_deferred(entry, ranges, set_exprs,
+                                         affected, pred, txn_id,
+                                         base + 1)
         new_files: list[str] = []
         if affected:
             df = self._read_files(entry, affected)
@@ -2446,6 +2472,67 @@ class LakeTable:
             new_files = self._write_files(updated)
         return self._publish_rewrite(entry, "update", txn_id, base + 1,
                                      untouched, new_files)
+
+    def _update_deferred(self, entry: dict, ranges: dict,
+                         set_exprs: dict, affected: list[str], pred,
+                         txn_id: str | None, version: int) -> int:
+        """The merge-on-read UPDATE publish: post-image rows of the
+        stats-pruned `affected` files land as NEW files; the ranges
+        become a deferred-delete predicate scoped to the PRIOR file
+        list (old images invisible, new images — outside the scope —
+        visible). Every prior file is shared; a lost publish race
+        discards the fresh files like every other write path."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        new_files: list[str] = []
+        if affected:
+            df = self._read_files(entry, affected).where(pred)
+            # simultaneous projection against the ORIGINAL row (the
+            # rows are pre-filtered, so no CASE WHEN needed)
+            proj = []
+            for c in df.columns:
+                if c in set_exprs:
+                    expr = set_exprs[c]
+                    val = expr if isinstance(expr, Column) else F.expr(expr)
+                    proj.append(val.alias(c))
+                else:
+                    proj.append(F.col(c))
+            changed = df.select(*proj)
+            self._enforce_generated(changed, entry, "update")
+            self._enforce_constraints(changed, entry, "update")
+            new_files = self._write_files(changed)
+        files = entry["files"] + new_files
+        stats = {**entry.get("stats", {}),
+                 **self._collect_stats(new_files)}
+        rows = {**entry.get("row_counts", {}),
+                **self._collect_row_counts(new_files)}
+        bc = entry.get("bloom_cols")
+        blooms = None
+        if bc:
+            blooms = {**entry.get("blooms", {}),
+                      **self._collect_blooms(new_files, bc)}
+        sc = entry.get("sum_cols")
+        sums = None
+        if sc:
+            sums = self._collect_sums(files, sc,
+                                      prior=entry.get("sums", {}))
+        deferred = (entry.get("deferred_deletes", [])
+                    + [{"ranges": {c: list(b) for c, b in ranges.items()},
+                        # snapshot scope: hides matches only in files
+                        # that existed BEFORE this commit — the
+                        # post-image files land outside it
+                        "files": list(entry["files"])}])
+        try:
+            return self._publish(
+                files, "update-defer", txn_id, version,
+                schema=self._entry_schema(entry),
+                stats=stats, blooms=blooms, bloom_cols=bc,
+                sums=sums, sum_cols=sc, row_counts=rows,
+                deferred_deletes=deferred)
+        except BaseException:
+            self._discard_files(new_files)
+            raise
 
     # -- operators that commit through the log -----------------------------
 

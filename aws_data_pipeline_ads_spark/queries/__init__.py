@@ -61,7 +61,6 @@ _WINDOW: list[str] = [
     # rotated in from the tail stage (q_seasonal_decompose, hash-
     # verified r9, yields its slot) ---------------------------------------
     "q_lake_mv_star",
-    "q_lake_mv_variance",
     # -- NEW in r11: FULL OUTER join MV (both-side NULL extensions via
     # match-count crossings), first exposure; q_lake_mv_daily (hash-
     # verified r9 AND r10) yields its slot ---------------------------------
@@ -101,6 +100,12 @@ _WINDOW: list[str] = [
     # its slot — the CDC family stays anchored by q_lake_cdc_types /
     # q_lake_cdc_stream / q_lake_replica ------------------------------------
     "q_lake_generated",
+    # -- NEW in r12 session 2: merge-on-read UPDATE (scoped deferred
+    # predicate + post-image append), first exposure; q_lake_mv_variance
+    # (hash-verified r10 AND r11) yields its slot — the single-table MV
+    # family stays anchored by q_lake_mv_star/q_lake_mv_distinct_kmv/
+    # q_lake_mv_hierarchical --------------------------------------------
+    "q_lake_update_defer",
     # -- LLM text battery (kept: hash anchors for the text family whose
     # siblings rotated out; q_length_outliers, hash-verified r9, yields
     # its slot to the r10 clone first exposure) ---------------------------
@@ -166,7 +171,7 @@ _TAIL: list[str] = [
     # column-mapping first exposure ---------------------------------------
     "q_lake_mv_leftjoin", "q_unigram_tok_vocab", "q_chat_flatten",
     "q_lake_clone", "q_lake_mv_distinct", "q_hll_rollup",
-    "q_lake_gdpr_defer", "q_lake_changes_feed",
+    "q_lake_gdpr_defer", "q_lake_changes_feed", "q_lake_mv_variance",
     # -- r11 rotation: r9+r10 doubly-hash-verified anchors that
     # yielded their slots to the weak-bench re-verification pair and
     # the r11 first exposures (FULL-join MV, MERGE clauses, CDC types) ----

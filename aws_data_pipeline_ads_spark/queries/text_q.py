@@ -4442,6 +4442,67 @@ def q_lake_merge_evolve(spark, sf_dir):
     return LakeTable(spark, f"{idx}/tbl").read()
 
 
+# Merge-on-read UPDATE: one commit hides the old images behind a
+# scoped deferred-delete predicate and appends ONLY the post-image
+# rows — O(changed rows) written instead of O(covered files)
+# rewritten; stacked updates compose through the per-file scopes.
+def lake_update_defer_index(spark, sf_dir: str) -> str:
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    def build(path: str) -> None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        t = LakeTable(spark, f"{path}/tbl")
+        t.commit(docs.repartitionByRange(8, "doc_id"), txn_id="u0")
+        t.update({"doc_id": (50, 149)}, {"n_chars": "n_chars + 7"},
+                 defer=True, txn_id="u1")
+        # overlapping second deferred update: applies to the VISIBLE
+        # state (first post-images included)
+        t.update({"doc_id": (100, 199)},
+                 {"n_chars": "n_chars + 1000"}, defer=True, txn_id="u2")
+        # appended rows matching the predicates post-date the scopes
+        extra = docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            "lang", "n_chars")
+        t.commit(extra, "append", txn_id="u3")
+
+    return index_path("lake_update_defer", sf_dir, build)
+
+
+@query(
+    "q_lake_update_defer",
+    oracle=(
+        "WITH s1 AS (SELECT doc_id, lang, "
+        "CASE WHEN doc_id BETWEEN 50 AND 149 THEN n_chars + 7 "
+        "ELSE n_chars END AS n_chars FROM documents), "
+        "s2 AS (SELECT doc_id, lang, "
+        "CASE WHEN doc_id BETWEEN 100 AND 199 THEN n_chars + 1000 "
+        "ELSE n_chars END AS n_chars FROM s1) "
+        "SELECT doc_id, lang, n_chars FROM s2 "
+        "UNION ALL "
+        "SELECT doc_id + 10000000, lang, n_chars FROM documents "
+        "WHERE doc_id % 50 = 0"
+    ),
+    doc="LLM lake versioning: MERGE-ON-READ UPDATE "
+        "(lakelog.update(defer=True)) — one commit records the ranges "
+        "as a deferred-delete predicate scoped to the prior file list "
+        "(old images invisible instantly) and appends ONLY the "
+        "post-image rows: O(changed rows) written, every prior file "
+        "shared — where CoW would rewrite every covered file. Two "
+        "OVERLAPPING deferred updates stack (the second's post-images "
+        "compute on the first's visible state; its scope hides both "
+        "prior images), and rows appended afterwards match the "
+        "predicate but post-date the scope, staying visible. The hash "
+        "gate replays the sequential CASE WHEN composition flat in "
+        "SQL — scope leakage in either direction fails the compare",
+)
+def q_lake_update_defer(spark, sf_dir):
+    from aws_data_pipeline_ads_spark.lakelog import LakeTable
+
+    idx = lake_update_defer_index(spark, sf_dir)
+    return LakeTable(spark, f"{idx}/tbl").read()
+
+
 # Generated columns (Delta GENERATED ALWAYS AS): a declared column is
 # omitted by writers (materialized at commit from its expression) or
 # provided with the exact value — divergence refuses on commit/merge/

@@ -47,7 +47,6 @@ def test_driver_window_covers_llm_pipeline_queries():
         # variance MV; new in r11: the FULL OUTER join MV
         # (q_lake_mv_daily, hash-verified r9+r10, yielded its slot)
         "q_lake_mv_star", "q_lake_mv_fulljoin",
-        "q_lake_mv_variance",
         # r11 rotation: the r10-flagged weak bench pair re-enters the
         # window for post-fix re-verification (q_lake_mv_minmax /
         # q_lake_mv_join, hash-verified r9 AND r10, yielded the slots)
@@ -73,6 +72,7 @@ def test_driver_window_covers_llm_pipeline_queries():
         # anchors kept (replica / mv star+variance+fulljoin /
         # approx_distinct_check / merge_clauses / cdc_types)
         "q_lake_column_map", "q_lake_type_widen", "q_lake_generated",
+        "q_lake_update_defer",
         "q_wordpiece_vocab", "q_wordpiece_tokenize",
         # (q_unigram_lm / q_top_ngrams / q_length_outliers /
         # q_filter_attrition, all hash-verified r9, yielded their
