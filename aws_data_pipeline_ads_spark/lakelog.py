@@ -640,7 +640,15 @@ class LakeTable:
         ren = {l: p for l, p in cmap.items()
                if p != l and l in df.columns}
         if ren:
-            df = df.withColumnsRenamed(ren)
+            # SIMULTANEOUS projection, never withColumnsRenamed: that
+            # API applies its dict sequentially, so a rename CYCLE
+            # ({bval→b, b→a} after rename_column chains) can collapse
+            # two columns into one mid-sequence depending on dict
+            # order — a select of aliases renames atomically
+            from pyspark.sql import functions as F
+
+            df = df.select(*[F.col(c).alias(ren.get(c, c))
+                             for c in df.columns])
         sub = os.path.join(self.path, "data", uuid.uuid4().hex)
         key = "spark.sql.parquet.outputTimestampType"
         prev = self.spark.conf.get(key, None)
@@ -1061,68 +1069,46 @@ class LakeTable:
             entry["sums"] = sums
         if sum_cols:
             entry["sum_cols"] = sum_cols
-        if constraints is None and version > 0:
-            # constraints are a TABLE PROPERTY: carried forward by
-            # every commit unless a caller sets them explicitly
-            # (set_constraint) or clears them ({} from drop_constraint
-            # emptying the set). The prior head is always readable
-            # here — the caller just resolved it to pick `version`.
-            # A missing prior entry (clone bases, expired log prefix)
-            # legitimately means "no constraints to carry"; any OTHER
-            # read failure must propagate — swallowing a transient
-            # backend error here would silently drop every standing
-            # CHECK constraint from this and all future versions.
-            try:
-                constraints = self._read_entry(version - 1).get(
-                    "constraints")
-            except ValueError:
-                constraints = None
-        if constraints:
-            entry["constraints"] = constraints
-        if properties is None and version > 0:
-            # same TABLE-PROPERTY carry-forward semantics as
-            # constraints (Delta TBLPROPERTIES): every commit inherits
-            # unless set_property/drop_property replace the dict; the
-            # missing-entry ValueError is the only benign read failure
-            try:
-                properties = self._read_entry(version - 1).get(
-                    "properties")
-            except ValueError:
-                properties = None
-        if properties:
-            entry["properties"] = properties
-        if generated is None and version > 0:
-            # generated-column expressions carry forward exactly like
-            # constraints (Delta GENERATED ALWAYS AS): every commit
-            # inherits unless set_generated_column/drop_generated
-            # replace the dict ({} clears)
-            try:
-                generated = self._read_entry(version - 1).get(
-                    "generated")
-            except ValueError:
-                generated = None
-        if generated:
-            entry["generated"] = generated
-        if version > 0 and (column_map is None or phys_used is None):
-            # column mapping (rename/drop without rewrite) carries
-            # forward exactly like constraints/properties: the
-            # logical→physical map, unless the caller replaces it
-            # (rename_column / drop_column) or clears it explicitly
-            # ({} — a rename back to the physical name); and the
-            # RETIRED-physical-name set, which is monotone history —
-            # once a logical column is dropped, its physical name may
-            # never be assigned again (a re-added column with the same
-            # name must NOT resurrect old bytes from shared files).
-            # One prior-entry read serves both; same benign-miss
-            # semantics as the blocks above.
+        # TABLE-PROPERTY carry-forward (constraints, Delta
+        # TBLPROPERTIES, generated-column declarations, the column
+        # map, and the retired-physical-name set): every commit
+        # inherits each unless its caller sets it explicitly (the
+        # set_*/drop_* APIs) or clears it ({} / []). The prior head is
+        # always readable here — the caller just resolved it to pick
+        # `version`. A missing prior entry (clone bases, expired log
+        # prefix) legitimately means "nothing to carry"
+        # (ValueError → {}); any OTHER read failure must propagate —
+        # swallowing a transient backend error would silently drop
+        # every standing contract from this and all future versions.
+        # ONE prior-entry read serves all five (the write path pays a
+        # single GET + parse, not five, on an object-store log).
+        if version > 0 and (constraints is None or properties is None
+                            or generated is None or column_map is None
+                            or phys_used is None):
             try:
                 prior = self._read_entry(version - 1)
             except ValueError:
                 prior = {}
+            if constraints is None:
+                constraints = prior.get("constraints")
+            if properties is None:
+                properties = prior.get("properties")
+            if generated is None:
+                generated = prior.get("generated")
             if column_map is None:
                 column_map = prior.get("column_map")
             if phys_used is None:
+                # monotone history: once a logical column is dropped,
+                # its physical name may never be assigned again (a
+                # re-added column must NOT resurrect old bytes from
+                # shared files)
                 phys_used = prior.get("phys_used")
+        if constraints:
+            entry["constraints"] = constraints
+        if properties:
+            entry["properties"] = properties
+        if generated:
+            entry["generated"] = generated
         if column_map:
             entry["column_map"] = column_map
         if phys_used:
@@ -1291,19 +1277,23 @@ class LakeTable:
             schema = df.schema
             head_entry = self._read_entry(base) if base is not None else None
             head_sig = (self._entry_cmap(head_entry),
-                        set((head_entry or {}).get("phys_used") or []))
+                        set((head_entry or {}).get("phys_used") or []),
+                        (head_entry or {}).get("generated") or {})
             if new_files is not None and head_sig != map_sig:
-                # a competitor renamed/dropped a column between our
-                # write and this retry: the files on disk carry
-                # physical names resolved against a map that no longer
-                # holds — publishing them would corrupt reads, and the
-                # schema gate below would misdiagnose the rename as
-                # drift. Metadata-only retry cannot fix bytes; discard
-                # and surface.
+                # a competitor renamed/dropped a column — or declared
+                # a GENERATED column — between our write and this
+                # retry: the files on disk carry physical names (or
+                # lack/diverge from a generated value) resolved
+                # against table state that no longer holds; publishing
+                # them would corrupt reads or break the generated
+                # invariant, and the schema gate below would
+                # misdiagnose a rename as drift. Metadata-only retry
+                # cannot fix bytes; discard and surface.
                 self._discard_files(new_files)
                 raise ConcurrentWriteError(
-                    f"lake table {self.path}: column mapping changed "
-                    f"concurrently — re-invoke the commit")
+                    f"lake table {self.path}: column mapping or "
+                    f"generated declarations changed concurrently — "
+                    f"re-invoke the commit")
             base_entry = head_entry if mode == "append" else None
             if base_entry is not None:
                 if "schema" not in base_entry and base_entry["files"]:
@@ -1348,8 +1338,7 @@ class LakeTable:
                     if base_entry is not None and "schema" in base_entry:
                         schema = self._merged_schema(base_entry, df,
                                                      evolve)
-                self._enforce_generated(df, head_entry, mode)
-                self._enforce_constraints(df, head_entry, mode)
+                self._enforce_write_gates(df, head_entry, mode)
                 validated_cons = head_cons
                 # column mapping resolves against the SAME head the
                 # files are written for; a retry re-checks the
@@ -1887,10 +1876,9 @@ class LakeTable:
         base_entry = self._read_entry(base)
         # every row merge introduces comes from `source` (matched rows
         # are replaced wholesale) — gate those, never rescan the table
-        self._enforce_generated(source, base_entry, "merge")
-        self._enforce_constraints(source, base_entry, "merge")
+        self._enforce_write_gates(source, base_entry, "merge")
         merged = merge_upsert(self.read(base), source, key)
-        files = self._write_files(merged)
+        files = self._write_files(merged, cmap=self._entry_cmap(base_entry))
         bloom_cols = base_entry.get("bloom_cols")
         sum_cols = base_entry.get("sum_cols")
         return self._publish(files, "merge", txn_id, base + 1,
@@ -2080,13 +2068,12 @@ class LakeTable:
             gated = gate_parts[0]
             for p in gate_parts[1:]:
                 gated = gated.unionByName(p)
-            self._enforce_generated(gated, entry, "merge")
-            self._enforce_constraints(gated, entry, "merge")
+            self._enforce_write_gates(gated, entry, "merge")
         new_files: list[str] = []
         if kept is not None:
-            new_files += self._write_files(kept)
+            new_files += self._write_files(kept, cmap=self._entry_cmap(entry))
         if inserts is not None:
-            new_files += self._write_files(inserts)
+            new_files += self._write_files(inserts, cmap=self._entry_cmap(entry))
         widened = None
         if added:
             from pyspark.sql import types as T
@@ -2169,7 +2156,7 @@ class LakeTable:
             kept = self._read_files(entry, affected).filter(
                 # NULL never matches a delete predicate → keep the row
                 ~self._range_pred(ranges))
-            new_files = self._write_files(kept)
+            new_files = self._write_files(kept, cmap=self._entry_cmap(entry))
         return self._publish_rewrite(entry, "delete", txn_id, base + 1,
                                      untouched, new_files)
 
@@ -2235,7 +2222,7 @@ class LakeTable:
         if cover:
             kept = self._read_files(entry, cover).filter(
                 ~F.coalesce(F.col(col).isin(values), F.lit(False)))
-            new_files = self._write_files(kept)
+            new_files = self._write_files(kept, cmap=self._entry_cmap(entry))
         return self._publish_rewrite(entry, "delete", txn_id, base + 1,
                                      untouched, new_files)
 
@@ -2249,6 +2236,12 @@ class LakeTable:
 
         stats = entry.get("stats", {})
         blooms = entry.get("blooms", {})
+        # per-file stats/blooms are keyed by PHYSICAL name (the
+        # _split_files/scan_point rule): probe under the mapped key,
+        # or a post-rename takedown degrades to a full-table cover —
+        # and a rename CYCLE (a→tmp, b→a) would read the WRONG
+        # column's stat box and silently keep matching rows
+        col = self._entry_cmap(entry).get(col, col)
         bloomed = col in (entry.get("bloom_cols") or [])
         # Keys and bloom probes go through the SAME localization the
         # F.isin filter applies (naive datetime = OS-local wall time →
@@ -2466,10 +2459,9 @@ class LakeTable:
             # gate the POST-image of the rows the predicate touches —
             # an UPDATE must not be a constraint (or generated-column)
             # bypass
-            self._enforce_generated(updated.where(pred), entry, "update")
-            self._enforce_constraints(updated.where(pred), entry,
+            self._enforce_write_gates(updated.where(pred), entry,
                                       "update")
-            new_files = self._write_files(updated)
+            new_files = self._write_files(updated, cmap=self._entry_cmap(entry))
         return self._publish_rewrite(entry, "update", txn_id, base + 1,
                                      untouched, new_files)
 
@@ -2499,9 +2491,8 @@ class LakeTable:
                 else:
                     proj.append(F.col(c))
             changed = df.select(*proj)
-            self._enforce_generated(changed, entry, "update")
-            self._enforce_constraints(changed, entry, "update")
-            new_files = self._write_files(changed)
+            self._enforce_write_gates(changed, entry, "update")
+            new_files = self._write_files(changed, cmap=self._entry_cmap(entry))
         files = entry["files"] + new_files
         stats = {**entry.get("stats", {}),
                  **self._collect_stats(new_files)}
@@ -2666,13 +2657,13 @@ class LakeTable:
             n = max(1, math.ceil(sum(sizes[f] for f in small)
                                  / target_bytes))
             merged = self._read_files(entry, small).repartition(n)
-            new_files = self._write_files(merged)
+            new_files = self._write_files(merged, cmap=self._entry_cmap(entry))
             return self._publish_rewrite(entry, "compact", None, base + 1,
                                          big, new_files)
         total = sum(self.data_plane.size(f) for f in entry["files"])
         n = max(1, math.ceil(total / target_bytes))
         compacted = self.read(base).repartition(n)
-        files = self._write_files(compacted)
+        files = self._write_files(compacted, cmap=self._entry_cmap(entry))
         bloom_cols = entry.get("bloom_cols")
         sum_cols = entry.get("sum_cols")
         return self._publish(files, "compact", None, base + 1,
@@ -2724,8 +2715,9 @@ class LakeTable:
             .repartitionByRange(n_files, "__z")
             .drop("__z", *helper)
         )
-        files = self._write_files(clustered)
         base_entry = self._read_entry(base)
+        files = self._write_files(
+            clustered, cmap=self._entry_cmap(base_entry))
         bloom_cols = base_entry.get("bloom_cols")
         sum_cols = base_entry.get("sum_cols")
         return self._publish(files, "zorder", None, base + 1,
@@ -3038,61 +3030,64 @@ class LakeTable:
         self.ack_feed(consumer, head)
         return v
 
-    def _enforce_generated(self, df: DataFrame, entry: dict | None,
-                           op: str) -> None:
-        """Refuse `op` if any incoming row carries a GENERATED column
-        whose value differs from its generation expression (Delta
-        generated-column semantics: a write may provide the column,
-        but only with the exact generated value — NULL-safe equality,
-        so a NULL where the expression yields one passes). Columns the
-        incoming frame omits are materialized by commit() before this
-        gate and always pass. One bounded aggregate over the rows
-        being written, never over the table."""
+    def _enforce_write_gates(self, df: DataFrame, entry: dict | None,
+                             op: str) -> None:
+        """Refuse `op` if any incoming row violates a standing CHECK
+        constraint (predicate FALSE; NULL passes — SQL CHECK
+        semantics) or carries a GENERATED column whose value differs
+        from its generation expression (Delta semantics: a write may
+        provide the column, but only with the exact generated value —
+        NULL-safe equality; columns the frame omits are materialized
+        by commit() before this gate and always pass). BOTH families
+        fold into ONE bounded aggregate over the rows being written —
+        never over the table, and never two evaluations of the same
+        batch lineage."""
         from pyspark.sql import functions as F
 
-        gen = (entry or {}).get("generated")
-        if not gen:
+        gen = (entry or {}).get("generated") or {}
+        cons = (entry or {}).get("constraints") or {}
+        gnames = sorted(c for c in gen if c in df.columns)
+        cnames = sorted(cons)
+        if not gnames and not cnames:
             return
-        names = sorted(c for c in gen if c in df.columns)
-        if not names:
-            return
-        row = df.agg(*[
+        aggs = [
             F.sum((~F.col(n).eqNullSafe(F.expr(gen[n])))
                   .cast("long")).alias(f"_g{i}")
-            for i, n in enumerate(names)]).collect()[0]
-        bad = {n: (row[f"_g{i}"] or 0) for i, n in enumerate(names)
-               if (row[f"_g{i}"] or 0)}
-        if bad:
+            for i, n in enumerate(gnames)
+        ] + [
+            F.sum((~F.coalesce(F.expr(cons[n]), F.lit(True)))
+                  .cast("long")).alias(f"_c{i}")
+            for i, n in enumerate(cnames)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        gbad = {n: (row[f"_g{i}"] or 0) for i, n in enumerate(gnames)
+                if (row[f"_g{i}"] or 0)}
+        if gbad:
             raise ConstraintViolationError(
                 f"lake table {self.path}: {op} writes generated "
                 f"column(s) with values diverging from their "
-                f"generation expression {bad} — omit the column (it "
+                f"generation expression {gbad} — omit the column (it "
                 f"is computed at write) or write the exact generated "
                 f"value")
+        cbad = {n: (row[f"_c{i}"] or 0) for i, n in enumerate(cnames)
+                if (row[f"_c{i}"] or 0)}
+        if cbad:
+            raise ConstraintViolationError(
+                f"lake table {self.path}: {op} violates CHECK "
+                f"constraint(s) {cbad} — fix the producer, quarantine "
+                f"via commit_expect, or drop_constraint first")
+
+    def _enforce_generated(self, df: DataFrame, entry: dict | None,
+                           op: str) -> None:
+        """Generated-column gate alone (see _enforce_write_gates)."""
+        self._enforce_write_gates(
+            df, {"generated": (entry or {}).get("generated")}, op)
 
     def _enforce_constraints(self, df: DataFrame, entry: dict | None,
                              op: str) -> None:
-        """Refuse `op` if any incoming row violates a standing CHECK
-        constraint (predicate evaluates to FALSE; NULL passes — SQL
-        CHECK semantics). One bounded aggregate over the rows being
-        written, never over the table."""
-        from pyspark.sql import functions as F
-
-        cons = (entry or {}).get("constraints")
-        if not cons:
-            return
-        names = sorted(cons)
-        row = df.agg(*[
-            F.sum((~F.coalesce(F.expr(cons[n]), F.lit(True)))
-                  .cast("long")).alias(f"_c{i}")
-            for i, n in enumerate(names)]).collect()[0]
-        bad = {n: (row[f"_c{i}"] or 0) for i, n in enumerate(names)
-               if (row[f"_c{i}"] or 0)}
-        if bad:
-            raise ConstraintViolationError(
-                f"lake table {self.path}: {op} violates CHECK "
-                f"constraint(s) {bad} — fix the producer, quarantine "
-                f"via commit_expect, or drop_constraint first")
+        """CHECK-constraint gate alone (see _enforce_write_gates)."""
+        self._enforce_write_gates(
+            df, {"constraints": (entry or {}).get("constraints")}, op)
 
     def set_constraint(self, name: str, predicate: str,
                        txn_id: str | None = None) -> int:

@@ -379,6 +379,9 @@ def unigram_segment(documents: DataFrame, vocab: list[tuple[str, float]],
         # partition's vocabulary, not its token count)
         memo: dict[str, list[str]] = {}
         for pdf in it:
+            # NULL text must vanish like the SQL twin's unnest-of-NULL
+            # (str(None) would tokenize the literal word 'none')
+            pdf = pdf[pdf[text_col].notna()]
             ids, nps, nws, ncs, nus, prevs = [], [], [], [], [], []
             for did, text in zip(pdf[doc_id_col], pdf[text_col]):
                 ws = [w for w in str(text).lower().strip().split() if w]

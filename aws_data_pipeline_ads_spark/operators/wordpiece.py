@@ -182,6 +182,9 @@ def wordpiece_encode(documents: DataFrame, vocab: list[str],
         vs, ml = bv.value
         memo: dict[str, list[str]] = {}
         for pdf in it:
+            # NULL text must vanish like the SQL twin's unnest-of-NULL
+            # (str(None) would tokenize the literal word 'none')
+            pdf = pdf[pdf[text_col].notna()]
             ids, nps, nws, ncs, nus, prevs = [], [], [], [], [], []
             for did, text in zip(pdf[doc_id_col], pdf[text_col]):
                 ws = [w for w in str(text).lower().strip().split() if w]
@@ -197,9 +200,16 @@ def wordpiece_encode(documents: DataFrame, vocab: list[str],
                         unks += 1
                         covered += len(w)
                     else:
+                        # positional accounting, not prefix-sniffing:
+                        # the FIRST piece is always the raw prefix of
+                        # the word (a word literally starting with
+                        # '##' greedy-matches a continuation token
+                        # verbatim — HF behaves the same — and its ##
+                        # chars are real coverage); every later piece
+                        # is CONT-prefixed by construction
                         covered += sum(
-                            len(p) - len(CONT) if p.startswith(CONT)
-                            else len(p) for p in seg)
+                            len(p) if i == 0 else len(p) - len(CONT)
+                            for i, p in enumerate(seg))
                 ids.append(did)
                 nps.append(len(pieces))
                 nws.append(len(ws))

@@ -397,3 +397,38 @@ def test_zorder_after_rename_prunes(spark, tmp_path, mk_table):
     got = t.scan({"key": (0, 249)})
     assert got.count() == 250
     assert got.columns == ["key", "v"]
+
+
+def test_delete_keys_and_merge_cover_after_rename(spark, tmp_path,
+                                                  mk_table):
+    """the key-set cover (delete_keys / merge_clauses) probes stats
+    and blooms under the PHYSICAL name: after a rename — and after a
+    rename CYCLE that re-uses an old name — the takedown stays
+    bounded AND deletes the right rows."""
+    t = mk_table(str(tmp_path / "tbl"))
+    for lo in (0, 1000):
+        t.commit(
+            spark.createDataFrame(
+                [Row(a=lo + i, b=float(lo + i)) for i in range(50)]
+            ).coalesce(1),
+            "append" if lo else "overwrite", bloom_cols=["a"])
+    t.rename_column("a", "key")
+    before = set(_entry(t, t.current_version())["files"])
+    t.delete_keys("key", [1005])
+    after = set(_entry(t, t.current_version())["files"])
+    assert len(before & after) == 1  # cover pruned: one file rewritten
+    assert t.read().filter(F.col("key") == 1005).count() == 0
+    assert t.read().count() == 99
+    # rename CYCLE: key->tmp, then b->... reuse is refused by collision,
+    # so exercise the subtler shape: stats for physical 'a' must never
+    # be read under logical 'b'
+    t.rename_column("b", "bval")
+    t.rename_column("key", "b")  # logical 'b' now maps to physical 'a'
+    t.delete_keys("b", [1007])
+    assert t.read().filter(F.col("b") == 1007).count() == 0
+    assert t.read().count() == 98
+    src = spark.createDataFrame([Row(b=3, bval=9999.0)])
+    t.merge_clauses(src, "b", matched_update={"bval": "src_bval"})
+    got = dict((r.b, r.bval) for r in t.read()
+               .filter(F.col("b") == 3).collect())
+    assert got == {3: 9999.0}  # updated in place, no duplicate key

@@ -681,7 +681,9 @@ def mapping_experiment(spark, base: str, big: str) -> dict:
                          F.col("n_chars").cast("int").alias("n_chars"))
                  .orderBy("doc_id").limit(500))
         t = LakeTable(spark, f"{root}/tbl")
-        t.commit(docs.repartitionByRange(32, "doc_id"))
+        # cluster by the column that will be RENAMED, so the post-
+        # rename pruned scan has a layout to prune
+        t.commit(docs.repartitionByRange(32, "n_chars"))
         total_files = len(t.read().inputFiles())
         files_before = set(t._read_entry(t.current_version())["files"])
         t0 = time.time()
@@ -701,9 +703,10 @@ def mapping_experiment(spark, base: str, big: str) -> dict:
         out["meta"].append((label, ren_s, wid_s, drop_s, rewrote,
                             total_files))
 
-        # scan on the renamed+widened column still prunes
-        lo = docs.agg(F.min("doc_id")).collect()[0][0]
-        scan = t.scan({"doc_id": (lo, lo + 50)})
+        # scan on the RENAMED+widened column: exercises the
+        # logical→physical stat-key translation, not an identity map
+        lo = int(docs.agg(F.min("n_chars")).collect()[0][0])
+        scan = t.scan({"chars": (lo, lo + 50)})
         opened = len(scan.inputFiles())
         t0 = time.time()
         run_once(scan)
