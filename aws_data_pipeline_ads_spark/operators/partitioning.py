@@ -25,6 +25,39 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, *keys: str, min_tasks: int | None = None) -> DataFrame:
+    """Scale-adaptive scan widening for compute-heavy map stages.
+
+    Unsplittable input is the one skew the scan cannot fix itself
+    (optimization guide §2.5): a table that arrives as a single parquet
+    row group — or any file count below the core count — plans as ONE
+    scan task, so every downstream narrow stage (codec decode, shingle
+    explode, partial aggregation) runs serially no matter how many
+    cores the cluster has. The guide's remedy is "repartition
+    immediately after the read", made adaptive here:
+
+    - If the current plan already yields >= `min_tasks` partitions
+      (default: the session's defaultParallelism), this is a NO-OP —
+      at production scale a table is thousands of splits and no
+      exchange is added.
+    - Otherwise repartition to `min_tasks`. With `keys` (pass a
+      high-cardinality column like the row id) the exchange hash
+      partitions — deterministic placement, no sort-before-repartition
+      pass; without keys it falls back to round-robin.
+
+    The explicit partition COUNT matters: AQE never coalesces a
+    user-specified numPartitions, while a bare repartition(col) at this
+    data size would be coalesced right back to one partition.
+    """
+    spark = df.sparkSession
+    target = min_tasks or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def size_balanced_partitions(df: DataFrame, key_col: str, size_col: str,
                              target_bytes: int) -> DataFrame:
     """Repartition `df` so each partition holds ≈ `target_bytes` of

@@ -1600,8 +1600,12 @@ def q_video_metadata(spark, sf_dir):
 )
 def q_video_codec_triage(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import multimodal
+    from aws_data_pipeline_ads_spark.operators.partitioning import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the Python mux (JPEG encode + SPS build) and demux walk
+    # dominate; widen the 1-task scan so they parallelize (guide §2.5;
+    # r12 A/B: 1.21 -> 0.97 s interleaved medians)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     meta = multimodal.video_metadata(
         multimodal.synthetic_videos(docs, container="avc1"))
     return meta.select("doc_id", "codec", "codec_profile", "codec_level",
@@ -1682,8 +1686,14 @@ _GIF_P = f"({_GIF_W} * {_GIF_H})"
 )
 def q_image_gif(spark, sf_dir):
     from aws_data_pipeline_ads_spark.operators import gif
+    from aws_data_pipeline_ads_spark.operators.partitioning import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: pure-Python LZW encode+decode is by far the heaviest
+    # per-row work in the bench set, and a single-row-group corpus
+    # plans it as ONE task (guide §2.5 / §4). Widening the scan puts
+    # every core on codec work; no-op on multi-split inputs
+    # (r12 A/B: 1.87 -> 1.02 s interleaved medians).
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return gif.gif_image_stats(gif.synthetic_gifs(docs))
 
 
@@ -2979,7 +2989,12 @@ def q_image_neardup(spark, sf_dir):
         "textstats.quality_classifier_sql",
 )
 def q_quality_classifier(spark, sf_dir):
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+    from aws_data_pipeline_ads_spark.operators.partitioning import fan_out
+
+    # fan_out: the classifier is a wide stack of per-row regex/token
+    # expressions evaluated in the scan stage — serial on a 1-task
+    # input (guide §2.5; r12 A/B: 1.00 -> 0.39 s interleaved medians)
+    fan_out(load_table(spark, sf_dir, "documents"), "doc_id").createOrReplaceTempView(
         "documents_qc"
     )
     return spark.sql(

@@ -911,6 +911,12 @@ def test_lake_oplog_matches_model(spark, tmp_path_factory, seed):
                    for k in rng.sample(range(0, 120), rng.randrange(1, 4))}
             t.merge(mk_df(src), "k")
             model = {**model, **src}
+            # a merge may INSERT a key in the append id space (>= 100);
+            # a later plain append of that key would legitimately
+            # duplicate it in the table while the dict model silently
+            # overwrites — keep the "appended keys never repeat"
+            # premise true by advancing the append cursor past it
+            next_key = max(next_key, max(src) + 1)
         elif op == "compact":
             t.compact(target_bytes=1 << 20)
         elif op == "inc_compact":
