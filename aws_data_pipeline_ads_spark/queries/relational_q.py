@@ -756,12 +756,15 @@ def q_tpch_q1(spark, sf_dir):
     # here, and a single-row-group input plans it as ONE map task
     # (guide §2.5 unsplittable input). Widening after the pushed filter
     # parallelizes the partial agg; no-op once the scan has >= core
-    # splits (r12 A/B: 2.09 -> 1.40 s interleaved medians).
+    # splits (r12 A/B: 2.09 -> 1.40 s interleaved medians). Keyed on
+    # l_extendedprice — high-cardinality AND already in the read
+    # schema, so column pruning is unaffected (test_plans pins that
+    # l_orderkey stays pruned).
     li = fan_out(
         load_table(spark, sf_dir, "lineitem").filter(
             F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
         ),
-        "l_orderkey",
+        "l_extendedprice",
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
