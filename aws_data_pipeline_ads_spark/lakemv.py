@@ -71,6 +71,7 @@ q_lake_mv_refresh's oracle checks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aws_data_pipeline_ads_spark.lakelog import CommitBackend, LakeTable
@@ -117,6 +118,38 @@ class UnsupportedJoinShapeError(ValueError):
 
 
 # -- version-delta primitives (shared by single-table and join views) --------
+
+# Marker embedded in the in-plan duplicate-key raise_error message so
+# action-site wrappers (_typed_dup_errors) can re-raise the typed
+# DuplicateKeyError. Contains "not unique" — the phrase the public
+# error contract (and its tests) match on.
+_DUP_MARKER = "signed-delta key not unique"
+
+
+def _typed_dup_errors(fn):
+    """Decorator for methods that EXECUTE a signed delta (refresh,
+    replication): the duplicate-key guard lives inside the delta plan
+    (one pass, no extra job — see signed_frame_delta), so it surfaces
+    as a generic Spark execution error; translate it back to the typed
+    DuplicateKeyError the API promises."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except DuplicateKeyError:
+            raise
+        except Exception as e:  # noqa: BLE001 — inspect and re-raise
+            msg = str(e)
+            i = msg.find(_DUP_MARKER)
+            if i >= 0:
+                raise DuplicateKeyError(
+                    msg[i:].split("\n", 1)[0]) from e
+            raise
+
+    return wrapper
+
 
 def _file_pred_signatures(entry: dict) -> dict[str, tuple]:
     """file → canonical signature of the deferred-delete predicates
@@ -197,24 +230,37 @@ def signed_frame_delta(old_side: DataFrame, new_side: DataFrame,
         *cols, F.lit(-1).alias("__sign"))
     null_plus = new.where(F.col("__k").isNull()).select(
         *cols, F.lit(1).alias("__sign"))
-    o = old.where(F.col("__k").isNotNull()).alias("o")
-    n = new.where(F.col("__k").isNotNull()).alias("n")
-    # LOUD duplicate-key guard (one narrow key-column action over the
-    # already-pruned sides — delta-sized work): a duplicate key would
-    # multiply rows through the full-outer join below and corrupt the
-    # signed state SILENTLY (sums drift while counts can still cancel).
-    dup = (o.select("__k", F.lit("old").alias("__side"))
-           .unionByName(n.select("__k", F.lit("new").alias("__side")))
-           .groupBy("__k", "__side").agg(F.count(F.lit(1)).alias("__c"))
-           .where(F.col("__c") > 1).limit(1).collect())
-    if dup:
-        raise DuplicateKeyError(
-            f"delta key {key!r} is not unique on the {dup[0]['__side']} "
-            f"side: value {dup[0]['__k']!r} occurs {dup[0]['__c']} "
-            f"times — the signed delta would multiply rows through its "
-            f"key join and corrupt the view state; use a key that is "
-            f"unique per snapshot (NULL keys are exempt) or "
-            f"pre-deduplicate the source")
+    # LOUD duplicate-key guard, fused INTO the delta plan: a duplicate
+    # key would multiply rows through the full-outer join below and
+    # corrupt the signed state SILENTLY (sums drift while counts can
+    # still cancel). The guard is a per-side window count over the
+    # join key — the window's hash partitioning and sort are exactly
+    # the join's own requirements, so the check costs ZERO extra
+    # passes/exchanges (it used to be an eager collect: a whole extra
+    # delta-sized job per delta, ~0.7 s locally and a doubled delta
+    # read at scale — guide §1.2/§2.4). It raises DURING delta
+    # execution; action sites that promise the typed DuplicateKeyError
+    # wrap themselves with _typed_dup_errors.
+    def guard(side: DataFrame, side_name: str) -> DataFrame:
+        c = F.count(F.lit(1)).over(
+            W.partitionBy("__k").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing))
+        msg = F.concat(
+            F.lit(f"{_DUP_MARKER}: delta key {key!r} is not unique on "
+                  f"the {side_name} side: value "),
+            F.col("__k").cast("string"),
+            F.lit(" occurs "), F.col("__c").cast("string"),
+            F.lit(" times — the signed delta would multiply rows "
+                  "through its key join and corrupt the view state; "
+                  "use a key that is unique per snapshot (NULL keys "
+                  "are exempt) or pre-deduplicate the source"))
+        return (side.withColumn("__c", c)
+                .where(F.when(F.col("__c") > 1, F.raise_error(msg))
+                       .otherwise(F.lit(True)))
+                .drop("__c"))
+
+    o = guard(old.where(F.col("__k").isNotNull()), "old").alias("o")
+    n = guard(new.where(F.col("__k").isNotNull()), "new").alias("n")
     j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")
     changed_old = F.col("o.__k").isNotNull() & (
         F.col("n.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
@@ -764,6 +810,7 @@ class LakeMaterializedView:
 
     # -- refresh -------------------------------------------------------------
 
+    @_typed_dup_errors
     def refresh(self) -> int:
         """Bring the view up to the source head. First call builds the
         full aggregate; later calls apply only the signed delta since
@@ -1241,6 +1288,7 @@ class LakeJoinMaterializedView:
     _FACT_DELTA_HOW = {"inner": "inner", "left": "left",
                        "right": "inner", "full": "left"}
 
+    @_typed_dup_errors
     def refresh(self) -> tuple[int, int]:
         """Bring the view up to both source heads. First call builds
         the full join aggregate; later calls apply the signed join
@@ -1738,6 +1786,7 @@ class LakeStarMaterializedView:
 
     # -- refresh -----------------------------------------------------------------
 
+    @_typed_dup_errors
     def refresh(self) -> tuple[int, ...]:
         """Bring the view up to every source head. First call builds
         the full star aggregate (after many-to-one checks on every

@@ -1322,6 +1322,30 @@ def test_lake_mv_sink_star_fact_stream(spark, sf_dir, tmp_path):
     assert "moved" in {r["region"] for r in mv.read().collect()}
 
 
+def test_signed_frame_delta_dup_guard_in_plan(spark):
+    """r12: the duplicate-key guard is fused INTO the delta plan (a
+    window count sharing the key join's exchange/sort) instead of an
+    eager pre-collect — zero extra jobs per delta. Pin both halves:
+    unique keys flow through silently; a duplicate key raises ON
+    MATERIALIZATION with the loud marker message."""
+    from aws_data_pipeline_ads_spark.lakemv import signed_frame_delta
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b")], "k long, v string")
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=3, v="c")],
+        "k long, v string")
+    d = signed_frame_delta(old, new, "k", ["k", "v"])
+    got = {(r["k"], r["v"], r["__sign"]) for r in d.collect()}
+    assert got == {(2, "b", -1), (2, "B", 1), (3, "c", 1)}
+
+    dup_new = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="x")], "k long, v string")
+    bad = signed_frame_delta(old, dup_new, "k", ["k", "v"])
+    with pytest.raises(Exception, match="not unique"):
+        bad.collect()
+
+
 def test_duplicate_fact_key_refused(spark, tmp_path):
     """The key contract is GUARDED, not just documented: a duplicate
     non-NULL key on either delta side would multiply rows through the
