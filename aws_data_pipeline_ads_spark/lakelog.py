@@ -2871,7 +2871,16 @@ class LakeTable:
         forward. Delivery is at-least-once: re-calling before
         ack_feed() returns the same delta; crash after processing but
         before ack → the delta is re-delivered (consumers must be
-        idempotent, the standard CDC contract)."""
+        idempotent, the standard CDC contract).
+
+        Error semantics: the delta is LAZY, so the key-uniqueness
+        guard (which is fused into the delta plan — see
+        lakemv.signed_frame_delta) raises at ACTION time, not here,
+        and surfaces as a generic Spark execution error whose message
+        contains 'signed-delta key not unique'. Wrap the consuming
+        action with lakemv.typed_dup_errors() to get the typed
+        DuplicateKeyError the materialized-view refresh() methods
+        raise."""
         from aws_data_pipeline_ads_spark.lakemv import signed_span_delta
 
         head = self.current_version()

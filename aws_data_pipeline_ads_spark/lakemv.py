@@ -151,6 +151,34 @@ def _typed_dup_errors(fn):
     return wrapper
 
 
+def typed_dup_errors():
+    """Context manager translating the in-plan duplicate-key guard's
+    execution error into the typed DuplicateKeyError — for consumers
+    that ACTION a lazy signed delta themselves (feed_changes /
+    feed_changes_cdc deltas; the refresh() methods are already wrapped
+    via the _typed_dup_errors decorator):
+
+        with typed_dup_errors():
+            delta.collect()
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        try:
+            yield
+        except DuplicateKeyError:
+            raise
+        except Exception as e:  # noqa: BLE001 — inspect and re-raise
+            msg = str(e)
+            i = msg.find(_DUP_MARKER)
+            if i >= 0:
+                raise DuplicateKeyError(msg[i:].split("\n", 1)[0]) from e
+            raise
+
+    return _cm()
+
+
 def _file_pred_signatures(entry: dict) -> dict[str, tuple]:
     """file → canonical signature of the deferred-delete predicates
     covering it in this version (same scoping as LakeTable.read)."""
@@ -220,6 +248,13 @@ def signed_frame_delta(old_side: DataFrame, new_side: DataFrame,
     unchanged NULL-keyed row contributes a cancelling ± pair to the
     group aggregate and a changed/appeared/disappeared one contributes
     exactly its net effect. No uniqueness is required of NULL keys."""
+    reserved = {"__k", "__h", "__sign", "__c"} & set(cols) | (
+        {"__k", "__h", "__sign", "__c"} & {key})
+    if reserved:
+        raise ValueError(
+            f"signed delta: column name(s) {sorted(reserved)} collide "
+            f"with the delta's internal columns (__k/__h/__sign/__c) — "
+            f"rename the source column(s)")
     content = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]),
                               {"ignoreNullFields": "false"}))
     old = old_side.select(

@@ -282,14 +282,27 @@ def bloom_read(spark, path: str) -> tuple[DataFrame, int, int, tuple[int, int]]:
     def _local(p: str) -> list | None:
         if "://" in p:
             return None
-        try:
-            import pyarrow.parquet as pq
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
+        try:
             meta_t = pq.read_table(f"{p}/meta").to_pylist()[0]
             words_t = pq.read_table(f"{p}/words")
             return [meta_t, list(zip(words_t.column("widx").to_pylist(),
                                      words_t.column("w").to_pylist()))]
-        except Exception:  # noqa: BLE001 — fall through to the Spark read
+        except (FileNotFoundError, OSError, KeyError, IndexError,
+                pa.ArrowInvalid) as e:
+            # expected miss shapes only (absent/renamed index, schema
+            # drift, truncated footer): fall through to the Spark read,
+            # which owns error reporting for a genuinely missing index.
+            # Anything else (a corrupt half-written local file raising
+            # an unexpected type) propagates from HERE rather than being
+            # masked and re-surfacing from the fallback's code path.
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "bloom_read pyarrow fast path missed (%s); "
+                "falling back to Spark scan", e)
             return None
 
     loc = _local(path)

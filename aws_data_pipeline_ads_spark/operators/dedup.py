@@ -219,7 +219,16 @@ def verified_neardup_pairs(documents: DataFrame, threshold: float = 0.8,
         cand = minhash_lsh_pairs(documents, n_hashes, bands, toked=toked)
     else:
         # still two consumers: toked feeds BOTH sides (ta/tb) of the
-        # verify self-join — without the cache the corpus tokenizes twice
+        # verify self-join — without the cache the corpus tokenizes twice.
+        # (r13, measured negative: pruning toked to the candidate id set
+        # with a pre-explode semi join — guide §3.2 — was A/B'd twice in
+        # fresh-JVM children: steady 0.97→0.86 s but cold consistently
+        # +1.5-4 s from the extra distinct/semi stages and their
+        # first-run codegen; with the persist on cand it was worse
+        # still. The verify join itself already drops non-candidates,
+        # so the filter only narrows the exploded-token exchange, which
+        # at this corpus size costs less than the stages that would
+        # prune it. Left as-is.)
         toked = persist_tracked(doc_token_arrays(documents))
     # Same shape as token_jaccard_pairs: distinct-token count rides the
     # exploded rows as a payload column; array_distinct runs below the
@@ -264,59 +273,59 @@ def line_dedup(documents: DataFrame, text_col: str = "text",
     reassembles documents from their surviving lines — the C4 recipe
     ("three-sentence span" dedup) reduced to sentence granularity.
 
-    Scale shape:
+    Scale shape (guide §2.3/§8 — decide with small rows, never shuffle
+    the payload):
     - Winner election runs on a SLIM projection (md5(line), doc_id, pos)
       — the min-struct agg is map-side combined and the shuffle moves
       32-byte hashes + two longs, never line text.
-    - Line text crosses a shuffle exactly twice: once into the semi join
-      that filters winners, once into the per-doc reassembly groupBy.
-    - Reassembly sorts collected (pos, line) structs — deterministic
-      regardless of partitioning (pos is unique per doc).
+    - Surviving POSITIONS (ints) are aggregated per doc on the same slim
+      stream; documents are reassembled by re-splitting the text at the
+      base scan and selecting the kept positions as an array expression.
+      Line text therefore never enters ANY exchange: the only join that
+      touches the text column is documents ⋈ (doc_id, pos-array), whose
+      slim side broadcasts locally and at worst shuffles ints at scale
+      (the old shape shuffled the exploded line text twice — once
+      through the winner semi join, once through the collect_list
+      reassembly).
 
     Returns (doc_id, n_lines, n_kept, clean_text); docs whose every line
     was a duplicate come back with n_kept = 0 and clean_text = ''.
     """
-    lines = (
-        documents.select(id_col, F.posexplode(F.split(F.col(text_col), sep))
-                         .alias("pos", "line"))
-        .select(id_col, "pos", F.trim("line").alias("line"))
+    parts = F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x))
+    slim = (
+        documents.select(id_col, F.posexplode(parts).alias("pos", "line"))
         .filter(F.col("line") != "")
+        .select(F.md5(F.lower("line")).alias("h"), id_col, "pos")
     )
-    slim = lines.select(F.md5(F.lower("line")).alias("h"), id_col, "pos")
     winners = (
         slim.groupBy("h")
         .agg(F.min(F.struct(id_col, "pos")).alias("w"))
         .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"))
     )
-    kept = lines.join(winners, [id_col, "pos"], "leftsemi")
-    kept_agg = kept.groupBy(id_col).agg(
+    kept_pos = winners.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            joiner,
-        ).alias("clean_text"),
+        F.array_sort(F.collect_list("pos")).alias("__pos"),
     )
     # Per-doc line totals as an ARRAY expression on the base scan — the
-    # exploded `lines` stream would otherwise be recomputed a third time
+    # exploded slim stream would otherwise be recomputed a third time
     # and aggregated through one more shuffle for a number the split
     # array already knows.
     n_lines = F.size(
-        F.filter(
-            F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
-            lambda x: x != F.lit(""),
-        )
+        F.filter(parts, lambda x: x != F.lit(""))
     ).cast("long")
+    # Reassembly: kept positions index straight into the re-split text
+    # (positions are posexplode indices over the SAME array expression,
+    # so `get` is exact); pos order == original line order.
+    clean_text = F.array_join(
+        F.transform(F.col("__pos"), lambda p: F.get(parts, p)), joiner
+    )
     return (
-        documents.select(id_col, n_lines.alias("n_lines"))
-        .join(kept_agg, id_col, "left")
+        documents.join(kept_pos, id_col, "left")
         .select(
             id_col,
-            "n_lines",
+            n_lines.alias("n_lines"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce(clean_text, F.lit("")).alias("clean_text"),
         )
     )
 

@@ -48,6 +48,14 @@ def fan_out(df: DataFrame, *keys: str, min_tasks: int | None = None) -> DataFram
     The explicit partition COUNT matters: AQE never coalesces a
     user-specified numPartitions, while a bare repartition(col) at this
     data size would be coalesced right back to one partition.
+
+    Known limits (apply it to SCAN-descended inputs only):
+    - The probe reads the PRE-AQE physical plan, so a shuffle-descended
+      input reports spark.sql.shuffle.partitions even when AQE will
+      coalesce it to 1 at runtime — the widening silently no-ops there.
+    - The .rdd probe forces a physical-plan translation on the driver
+      per call — a fixed planning cost paid even when the result is a
+      no-op. Call fan_out once per pipeline, on the scan side.
     """
     spark = df.sparkSession
     target = min_tasks or spark.sparkContext.defaultParallelism

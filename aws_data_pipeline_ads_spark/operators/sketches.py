@@ -250,51 +250,40 @@ def kmv_union_jaccard(sketch: DataFrame, key: str,
     h in A and h among the k smallest of A union B implies h is among
     the k smallest of A, so the sketch row is guaranteed present.
 
-    Scale shape: the pair table is key-values x key-values (a dim-sized
-    square, e.g. sources x sources — NOT corpus-sized); both expansion
-    joins broadcast it and are key-equi, and every per-pair group is
-    <= 2k rows, constant in the corpus size. The sketch build is the
-    only part that ever sees data volume — and it runs ONCE: the
-    sketch (<= k rows per key) is persisted before fanning into the
-    pair dim and the two expansion arms, which would otherwise each
-    replay the full corpus-side distinct + rank lineage."""
-    sk = persist_tracked(sketch.select(F.col(key).alias("__k"), "h"))
-    kv = sk.select("__k").distinct()
-    pairs = (
-        kv.select(F.col("__k").alias("src_a"))
-        .join(kv.select(F.col("__k").alias("src_b")),
-              F.col("src_a") < F.col("src_b"))
+    Scale shape (r13 rewrite, guide §2.4/§1.2): each key's sketch is
+    folded into ONE row carrying its sorted digest array (<= k elements
+    by construction — a bounded collect_list, and its groupBy reuses
+    the sketch build's own per-key hash partitioning, so it adds no
+    exchange). The pair fusion is then a dim-sized broadcast theta
+    self-join (key-values x key-values, NOT corpus-sized) whose union
+    bottom-k / membership counts are pure JVM array expressions —
+    array_union + array_sort over <= 2k elements per pair. The previous
+    shape expanded sketch rows through two broadcast joins, a
+    (src_a, src_b, h) re-aggregation and a pair window: 6 exchanges and
+    ~10 AQE stage-jobs per run doing what one projection now does. The
+    sketch-array table is persisted because the self-join consumes it
+    twice (it would otherwise replay the corpus-side distinct + rank
+    lineage per side)."""
+    sk_arr = persist_tracked(
+        sketch.groupBy(F.col(key).alias("__k"))
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
     )
-    ua = sk.join(
-        F.broadcast(pairs), F.col("__k") == F.col("src_a")
-    ).select(
-        "src_a", "src_b", "h",
-        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
-    )
-    ub = sk.join(
-        F.broadcast(pairs), F.col("__k") == F.col("src_b")
-    ).select(
-        "src_a", "src_b", "h",
-        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
-    )
-    wp = W.partitionBy("src_a", "src_b")
-    ranked = (
-        ua.unionByName(ub)
-        .groupBy("src_a", "src_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-        .withColumn("rn", F.row_number().over(wp.orderBy("h")))
-        .withColumn("n_u", F.count(F.lit(1)).over(wp))
-        .filter(F.col("rn") <= k)
-    )
-    agged = ranked.groupBy("src_a", "src_b").agg(
-        F.least(F.max("n_u"), F.lit(k)).cast("long").alias("k_union"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
-    )
-    return agged.select(
-        "src_a", "src_b", "k_union", "n_both",
+    a = sk_arr.select(F.col("__k").alias("src_a"), F.col("hs").alias("ha"))
+    b = sk_arr.select(F.col("__k").alias("src_b"), F.col("hs").alias("hb"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    union_sorted = F.array_sort(F.array_union(F.col("ha"), F.col("hb")))
+    merged = F.slice(union_sorted, 1, k)  # bottom-k of the union
+    n_both = F.size(
+        F.array_intersect(F.array_intersect(merged, F.col("ha")),
+                          F.col("hb"))
+    ).cast("long")
+    k_union = F.least(F.size(union_sorted), F.lit(k)).cast("long")
+    return pairs.select(
+        "src_a", "src_b",
+        k_union.alias("k_union"),
+        n_both.alias("n_both"),
         F.round(
-            F.col("n_both").cast("double") / F.col("k_union").cast("double"),
-            6,
+            n_both.cast("double") / k_union.cast("double"), 6
         ).alias("est_jaccard"),
     )
 

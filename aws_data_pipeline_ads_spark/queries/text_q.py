@@ -3044,7 +3044,14 @@ _KMV_K = 256
 def _source_shingles(spark, sf_dir):
     """(source, tok) shingle stream — the shared composition the
     streaming drain also uses (dedup.source_shingle_stream), so the
-    q_kmv_served drain==batch contract is pinned to one definition."""
+    q_kmv_served drain==batch contract is pinned to one definition.
+
+    (r13: fan_out of this scan re-measured via interleaved fresh-JVM
+    child A/B — cold 8.0→9.0 s, steady 1.68→2.02 s, i.e. flat-to-worse,
+    confirming r12's negative result: the build's per-row work is plain
+    JVM expression evaluation and the sketch is cached across the
+    bench's steady reps, so the extra exchange only buys cold-run
+    codegen. Left unwidened.)"""
     return dedup.source_shingle_stream(
         load_table(spark, sf_dir, "documents"), k=3)
 

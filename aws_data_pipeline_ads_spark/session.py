@@ -38,6 +38,13 @@ def get_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (r13, measured): canChangeCachedPlanOutputPartitioning=
+        # true was tried to coalesce near-empty cache partitions
+        # (q_kmv_jaccard's 32-partition ≤2k-row sketch cache) — it DID
+        # collapse the cache-scan stages to 1 task, but the per-consumer
+        # driver-side re-optimization of the cached plan cost MORE than
+        # the tasks saved (steady 3.1-4.2 s → 4.8-5.2 s). Kept at the
+        # default false.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

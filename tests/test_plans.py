@@ -227,9 +227,11 @@ _SHUFFLE_CEILING = {
     # bought deliberately: the join is AQE-skew-splittable on Zipfian
     # terms, a hot-term window partition is not (textstats.bm25_terms)
     "q_bm25_terms": 5,
-    # winner election on slim hash projection + semi join + reassembly;
-    # per-doc totals are an array expression, not a third explode pass
-    "q_line_dedup": 3,
+    # winner election on slim hash projection + kept-POSITIONS agg;
+    # reassembly indexes the re-split text at the base scan, so line
+    # text never enters an exchange (r13; was 3 with the text-carrying
+    # semi join + collect_list reassembly)
+    "q_line_dedup": 2,
     # change-detect lag + validity lead + version share ONE exchange
     "q_scd2": 1,
     # collect_list + codegen'd fold: one exchange total

@@ -1,0 +1,89 @@
+"""Evidence dump: the fused duplicate-key guard under a LARGE delta.
+
+Builds a signed_frame_delta over two sides big enough (> the 64 MB
+autoBroadcastJoinThreshold estimate) that the key join plans as a
+SortMergeJoin, and dumps `.explain("formatted")` for (a) the guarded
+delta and (b) the identical delta with the guard windows removed.
+Claim under test (VERDICT r12 item 6): the guard's per-side window
+count shares the SMJ's own hash partitioning + sort, so it adds ZERO
+exchanges at the size where SMJ is chosen.
+
+    python tools/dump_dupguard_smj.py
+
+Writes plans/r13/dupguard_smj_{guarded,unguarded}.txt and prints the
+Exchange/Sort counts of both.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from aws_data_pipeline_ads_spark.lakemv import signed_frame_delta  # noqa: E402
+from aws_data_pipeline_ads_spark.session import get_session  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "plans", "r13")
+
+
+def big_side(spark, n: int, tag: str):
+    # ~100 bytes/row of payload so 2M rows estimate well past 64 MB
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+        F.concat(F.lit(tag * 20), F.col("id").cast("string")).alias("pad"),
+    )
+
+
+def unguarded_delta(old_side, new_side, key: str, cols: list[str]):
+    """signed_frame_delta with the guard windows stripped — the
+    comparison twin for the exchange count (measurement only)."""
+    content = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]),
+                              {"ignoreNullFields": "false"}))
+    old = old_side.select(F.col(key).alias("__k"), *cols, content.alias("__h"))
+    new = new_side.select(F.col(key).alias("__k"), *cols, content.alias("__h"))
+    o = old.where(F.col("__k").isNotNull()).alias("o")
+    n = new.where(F.col("__k").isNotNull()).alias("n")
+    j = o.join(n, F.col("o.__k") == F.col("n.__k"), "full_outer")
+    changed_old = F.col("o.__k").isNotNull() & (
+        F.col("n.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
+    changed_new = F.col("n.__k").isNotNull() & (
+        F.col("o.__k").isNull() | (F.col("o.__h") != F.col("n.__h")))
+    minus = j.where(changed_old).select(
+        *[F.col(f"o.{c}").alias(c) for c in cols], F.lit(-1).alias("__sign"))
+    plus = j.where(changed_new).select(
+        *[F.col(f"n.{c}").alias(c) for c in cols], F.lit(1).alias("__sign"))
+    return minus.unionByName(plus)
+
+
+def dump(df, name: str) -> str:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    path = os.path.join(OUT, f"{name}.txt")
+    with open(path, "w") as f:
+        f.write(f"-- large-delta (2M rows/side, > broadcast threshold)\n")
+        f.write(plan)
+    n_ex = plan.count("+- Exchange") + plan.count(":- Exchange")
+    n_sort = sum(1 for line in plan.splitlines()
+                 if line.strip().startswith(("+- Sort", ":- Sort")))
+    smj = "SortMergeJoin" in plan
+    print(f"{name}: exchanges={n_ex} sorts={n_sort} smj={smj} -> {path}")
+    return plan
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    spark = get_session("dupguard-smj-dump")
+    old = big_side(spark, 2_000_000, "a")
+    new = big_side(spark, 2_000_000, "b").where(F.col("k") % 11 != 3)
+    cols = ["k", "v", "pad"]
+    dump(signed_frame_delta(old, new, "k", cols), "dupguard_smj_guarded")
+    dump(unguarded_delta(old, new, "k", cols), "dupguard_smj_unguarded")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ from aws_data_pipeline_ads_spark.queries import REGISTRY  # noqa: E402
 from aws_data_pipeline_ads_spark.session import get_session  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r12")
+                       "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"))
 
 
 def main() -> None:
