@@ -79,8 +79,13 @@ def rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10,
 
     Scale shape: both inputs are k-bounded serving outputs (the heavy
     lifting — postings pruning, ANN probes — happened upstream), so
-    the windows and the full-outer join run over ≤2N rows; this is a
-    driver-scale fusion regardless of corpus size.
+    the windows and the fusion run over ≤2N rows; this is a
+    driver-scale fusion regardless of corpus size. The list merge is a
+    union + per-doc max aggregation rather than a FULL OUTER join:
+    doc_id is unique within each ranked list, so max-of-one-side-each
+    is exactly the outer join's row set, for one hash exchange instead
+    of the join's two sort exchanges (guide §2.4; full-outer cannot
+    broadcast, so it would sort-merge even at ≤2N rows).
     """
     from pyspark.sql import Window as W
 
@@ -90,8 +95,15 @@ def rrf_fuse(sparse: DataFrame, dense: DataFrame, k: int = 10,
             "doc_id", F.row_number().over(w).cast("long").alias(name)
         )
 
-    f = ranked(sparse, "sparse_rank").join(
-        ranked(dense, "dense_rank"), "doc_id", "full_outer"
+    ua = ranked(sparse, "r").select(
+        "doc_id", F.col("r").alias("sparse_rank"),
+        F.lit(None).cast("long").alias("dense_rank"))
+    ub = ranked(dense, "r").select(
+        "doc_id", F.lit(None).cast("long").alias("sparse_rank"),
+        F.col("r").alias("dense_rank"))
+    f = ua.unionByName(ub).groupBy("doc_id").agg(
+        F.max("sparse_rank").alias("sparse_rank"),
+        F.max("dense_rank").alias("dense_rank"),
     )
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(c) + F.col("sparse_rank")), F.lit(0.0)

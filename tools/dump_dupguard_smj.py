@@ -30,13 +30,17 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "plans", "r13")
 
 
-def big_side(spark, n: int, tag: str):
-    # ~100 bytes/row of payload so 2M rows estimate well past 64 MB
-    return spark.range(n).select(
+def big_side(spark, n: int, tag: str, path: str):
+    # materialize to parquet and read back: realistic scan statistics
+    # (a Range-backed frame short-circuits both the window's exchange
+    # and the join-size estimate, making the dump meaningless)
+    df = spark.range(n).select(
         F.col("id").alias("k"),
         (F.col("id") % 97).alias("v"),
         F.concat(F.lit(tag * 20), F.col("id").cast("string")).alias("pad"),
     )
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def unguarded_delta(old_side, new_side, key: str, cols: list[str]):
@@ -65,21 +69,31 @@ def dump(df, name: str) -> str:
         df._jdf.queryExecution(), "formatted")
     path = os.path.join(OUT, f"{name}.txt")
     with open(path, "w") as f:
-        f.write(f"-- large-delta (2M rows/side, > broadcast threshold)\n")
+        f.write("-- large-delta regime: 2M-row parquet-backed sides; "
+                "autoBroadcastJoinThreshold lowered to 1 MB FOR THIS DUMP "
+                "so both sides exceed it (as any at-scale delta would)\n")
         f.write(plan)
     n_ex = plan.count("+- Exchange") + plan.count(":- Exchange")
-    n_sort = sum(1 for line in plan.splitlines()
-                 if line.strip().startswith(("+- Sort", ":- Sort")))
+    n_sort = sum(line.count("+- Sort") + line.count(":- Sort")
+                 for line in plan.splitlines())
     smj = "SortMergeJoin" in plan
     print(f"{name}: exchanges={n_ex} sorts={n_sort} smj={smj} -> {path}")
     return plan
 
 
 def main() -> None:
+    import tempfile
+
     os.makedirs(OUT, exist_ok=True)
     spark = get_session("dupguard-smj-dump")
-    old = big_side(spark, 2_000_000, "a")
-    new = big_side(spark, 2_000_000, "b").where(F.col("k") % 11 != 3)
+    # Simulate the at-scale regime (both delta sides far above the
+    # broadcast threshold) by lowering the threshold for THIS dump —
+    # disclosed in the plan header; the engine session keeps its 64 MB.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+    tmp = tempfile.mkdtemp(prefix="dupguard_smj_")
+    old = big_side(spark, 2_000_000, "a", f"{tmp}/old")
+    new = big_side(spark, 2_000_000, "b", f"{tmp}/new").where(
+        F.col("k") % 11 != 3)
     cols = ["k", "v", "pad"]
     dump(signed_frame_delta(old, new, "k", cols), "dupguard_smj_guarded")
     dump(unguarded_delta(old, new, "k", cols), "dupguard_smj_unguarded")
