@@ -184,6 +184,42 @@ def test_size_balanced_partitions(spark):
     assert all(r['count'] == 1 for r in per_bucket)  # bucket never split
 
 
+def test_fan_out_size_cap(spark, sf_dir):
+    """fan_out widening is size-capped (r13): tiny inputs must not be
+    sprayed across defaultParallelism tasks (Python-worker spawn burst,
+    measured 2-4x cold loss at 32 cores), while inputs above
+    cores*bytes_per_task widen to full parallelism unchanged."""
+    from aws_data_pipeline_ads_spark.catalog import load_table
+    from aws_data_pipeline_ads_spark.operators.partitioning import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    size = int(str(
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    # cap binds: a bytes_per_task above the input size caps the target
+    # at 1 task, so widening is a no-op (same plan partitioning back)
+    capped = fan_out(docs, "doc_id", bytes_per_task=size + 1)
+    assert capped.rdd.getNumPartitions() == docs.rdd.getNumPartitions()
+
+    # cap inert: bytes_per_task=1 -> cap >= size >> cores, so the
+    # widening reaches full parallelism exactly as before the cap
+    wide = fan_out(docs, "doc_id", bytes_per_task=1)
+    assert wide.rdd.getNumPartitions() == max(
+        par, docs.rdd.getNumPartitions())
+
+    # intermediate: the target is ceil(size/bytes_per_task), never more
+    half = -(-size // ((size // max(2, min(par, 4))) or 1))
+    mid = fan_out(docs, "doc_id",
+                  bytes_per_task=(size // max(2, min(par, 4))) or 1)
+    assert mid.rdd.getNumPartitions() <= max(
+        docs.rdd.getNumPartitions(), min(par, half))
+
+    # results are partitioning-invariant under the cap
+    assert sorted(r.doc_id for r in capped.select("doc_id").collect()) == \
+        sorted(r.doc_id for r in wide.select("doc_id").collect())
+
+
 def test_interval_join_binned_equals_naive_and_no_nested_loop(spark):
     """Binned interval join == naive theta join, but plans as a hash/
     sort-merge equi-join instead of BroadcastNestedLoopJoin."""
